@@ -1,13 +1,47 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the engine's operator inventory: one entry per implemented
+  * operator category (SURVEY.md §2), each with a DuckDB oracle in
+  * `oracleSql` when the semantics are ANSI-SQL-expressible. Non-SQL ops
+  * (MinHash-LSH, SimHash, ANN) are registered without an oracle and the
+  * driver records a rows-only check.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def registry: Seq[GQ] =
+    queries_relational ++ queries_ext
+
+  private def queries_relational: Seq[GQ] = graft.queries.Relational.queries
+  private def queries_ext: Seq[GQ] =
+    graft.queries.TextQueries.queries ++
+      graft.queries.VectorQueries.queries ++
+      graft.queries.PipelineQueries.queries
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Runs the engine's pipeline surface end-to-end: source → columnar filter
+    * stage → broadcast-joined enrichment → exact-decimal aggregation. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    graft.core.FramePipeline
+      .of(Tables.table(spark, dir, "lineitem"))
+      .append("recent")(_.filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")))
+      .append("enrich")(df => df.join(
+        broadcast(Tables.table(spark, dir, "part")),
+        col("l_partkey") === col("p_partkey")))
+      .append("brand_revenue")(df => df.groupBy("p_brand")
+        .agg(Dec.dsum(col("l_extendedprice")).as("revenue"),
+          count(lit(1)).as("n_items")))
+      .build()
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    registry.map(q => q.name -> q.run).toMap
+
+  def oracleSql: Map[String, String] =
+    registry.flatMap(q => q.oracle.map(o => q.name -> o)).toMap
 }

@@ -1,0 +1,43 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dense-vector primitives over `ARRAY<FLOAT|DOUBLE>` embedding columns.
+  * Pure Column expressions (codegen'd `aggregate`/`zip_with` folds) — no
+  * UDF/serde cost, and the left-to-right fold order makes results
+  * bit-reproducible across engines and runs.
+  */
+object VectorFunctions {
+
+  /** Widen to double before arithmetic so accumulation happens in f64
+    * regardless of the stored element type. */
+  def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** Left-fold dot product. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm2(v: Column): Column = sqrt(dot(v, v))
+
+  /** Cosine similarity; operands must already be double arrays. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm2(a) * norm2(b))
+
+  /** Deterministic pseudo-random hyperplane LSH signature: `planes` sign
+    * bits, plane p's coefficient for dimension i derived from
+    * `xxhash64(p * 131071 + i)` mapped to [-1, 1]. Bit-stable across runs
+    * and executors with zero broadcast state. */
+  def hyperplaneSig(v: Column, planes: Int): Column = {
+    def coef(p: Int, i: Column): Column =
+      (pmod(xxhash64(lit(p) * lit(131071L) + i), lit(2000001L)).cast("double")
+        / lit(1000000.0)) - lit(1.0)
+    val bits = (0 until planes).map { p =>
+      val s = aggregate(
+        zip_with(v, sequence(lit(0L), size(v).cast("long") - 1L),
+          (x, i) => x * coef(p, i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(s > 0, shiftleft(lit(1L), p)).otherwise(0L)
+    }
+    bits.reduce(_ + _)
+  }
+}

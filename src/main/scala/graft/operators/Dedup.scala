@@ -1,0 +1,135 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for document corpora, designed for the 100 TB
+  * regime: every variant is shuffle-bounded by keys (hash buckets, LSH bands)
+  * — never an O(n²) cross join. The only pairwise work happens inside
+  * candidate buckets, whose size is controlled by the banding parameters.
+  */
+object Dedup {
+
+  /** Exact dedup: hash-groupBy on the raw text. One shuffle on md5(text);
+    * map-side partial aggregation keeps the exchange narrow. */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Near-exact dedup on normalized text (lowercase, collapsed whitespace). */
+  def normalized(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.groupBy(fingerprint(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Exact n-gram Jaccard similar pairs: explode distinct word-k-shingles,
+    * self-join on shingle (co-occurrence ⇒ candidate), count intersections,
+    * then Jaccard from per-doc shingle counts. The shingle join is the scale
+    * path: docs sharing no shingle never meet. `sample` filters the corpus
+    * first (e.g. `col("doc_id") % 10 === 0`) to bound candidate volume on
+    * skewed corpora; salting/AQE handle hot shingles.
+    */
+  def jaccardPairs(
+      docs: DataFrame,
+      shingleK: Int = 3,
+      threshold: Double = 0.5,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    val sh = docs
+      .select(col(idCol).as("doc_id"),
+        explode(array_distinct(shingles(words(col(textCol)), shingleK))).as("sh"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a")
+      .join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n", "na"), "a_id")
+      .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n", "nb"), "b_id")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "jaccard")
+  }
+
+  /** MinHash + LSH near-duplicate pairs.
+    *
+    * signature_i(doc) = min over shingles of xxhash64(i ⊕ shingle);
+    * signatures are grouped into `bands` bands of `rowsPerBand` hashes, each
+    * band hashed to a bucket key; docs sharing any band bucket become
+    * candidates (one shuffle on band key — the LSH trick that replaces the
+    * O(n²) pairwise scan); candidates are then verified with the exact
+    * shingle-set Jaccard.
+    */
+  def minhashPairs(
+      docs: DataFrame,
+      numHashes: Int = 8,
+      bands: Int = 4,
+      shingleK: Int = 3,
+      threshold: Double = 0.5,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rowsPerBand = numHashes / bands
+    val withShingles = docs.select(
+      col(idCol).as("doc_id"),
+      array_distinct(shingles(words(col(textCol)), shingleK)).as("sh"))
+      .filter(size(col("sh")) > 0)
+    // k min-hashes as one array column (single pass over shingles)
+    val sig = withShingles.withColumn("sig",
+      transform(sequence(lit(0), lit(numHashes - 1)), i =>
+        array_min(transform(col("sh"), s => xxhash64(i, s)))))
+    // band key = (band index, hash of that band's signature slice)
+    val banded = sig.select(col("doc_id"), col("sh"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        xxhash64(b, slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))
+          .cast("array<string>").cast("string")))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.sh").as("sa"), col("b.sh").as("sb"))
+      .dropDuplicates("a_id", "b_id")
+    cand
+      .withColumn("jaccard",
+        size(array_intersect(col("sa"), col("sb"))).cast("double")
+          / size(array_union(col("sa"), col("sb"))))
+      .filter(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "jaccard")
+  }
+
+  /** SimHash near-duplicate pairs: 60-bit signatures; candidates share at
+    * least one of `chunks` signature chunks (the Hamming-ball analog of LSH
+    * banding), verified by Hamming distance ≤ maxHamming. */
+  def simhashPairs(
+      docs: DataFrame,
+      maxHamming: Int = 8,
+      chunks: Int = 4,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    val bitsPerChunk = 60 / chunks
+    val sig = docs.select(col(idCol).as("doc_id"),
+      simhash(words(col(textCol))).as("sig"))
+    val chunked = sig.select(col("doc_id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(chunks - 1)), c =>
+        call_function("shiftright", col("sig"), c * bitsPerChunk)
+          .bitwiseAND((1L << bitsPerChunk) - 1))))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "key")
+    chunked.as("a")
+      .join(chunked.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.key") === col("b.key")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.sig").as("sa"), col("b.sig").as("sb"))
+      .dropDuplicates("a_id", "b_id")
+      .withColumn("hamming", hammingDist(col("sa"), col("sb")).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select("a_id", "b_id", "hamming")
+  }
+}

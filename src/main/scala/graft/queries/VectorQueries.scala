@@ -1,0 +1,57 @@
+package graft.queries
+
+import graft.{GQ, Tables}
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+/** Similarity-search surface over the `embeddings` table
+  * (vec_id BIGINT, embedding ARRAY<FLOAT>[64], label INT). */
+object VectorQueries {
+
+  val queries: Seq[GQ] = Seq(
+    // Exact top-1 cosine neighbor for a 50-vector query set. Both engines
+    // compute the dot product as a sequential left fold over doubles, so the
+    // similarity values are bit-identical.
+    GQ("e01_knn_bruteforce",
+      (s, dir) => {
+        val emb = Tables.table(s, dir, "embeddings")
+        Similarity.bruteForceTopK(
+          corpus = emb, queries = emb.filter(col("vec_id") < 50), k = 1)
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        p AS (SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+                list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS sim
+              FROM n q JOIN n c ON c.vec_id <> q.vec_id
+              WHERE q.vec_id < 50),
+        r AS (SELECT q_id, neighbor_id, sim,
+                ROW_NUMBER() OVER (PARTITION BY q_id
+                                   ORDER BY sim DESC, neighbor_id) AS rn
+              FROM p)
+        SELECT q_id, neighbor_id, sim FROM r WHERE rn = 1""")),
+
+    // LSH-bucketed ANN (hash-specific → rows-only check).
+    GQ("e02_ann_lsh",
+      (s, dir) => {
+        val emb = Tables.table(s, dir, "embeddings")
+        Similarity.lshTopK(
+          corpus = emb, queries = emb.filter(col("vec_id") < 50),
+          k = 3, planes = 6, tables = 1)
+      },
+      None),
+
+    // Per-label stats: deterministic min/max/count only (no float-sum
+    // accumulation-order hazards).
+    GQ("e03_label_stats",
+      (s, dir) => Tables.table(s, dir, "embeddings")
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          min(element_at(col("embedding"), 1)).as("min_first"),
+          max(element_at(col("embedding"), 1)).as("max_first"),
+          min(col("vec_id")).as("min_vec_id")),
+      Some("""SELECT label, COUNT(*) AS n,
+        MIN(embedding[1]) AS min_first, MAX(embedding[1]) AS max_first,
+        MIN(vec_id) AS min_vec_id
+        FROM embeddings GROUP BY label"""))
+  )
+}
