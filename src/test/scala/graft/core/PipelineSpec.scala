@@ -1,0 +1,269 @@
+package graft.core
+
+import graft.SparkSpec
+import java.util.concurrent.atomic.AtomicInteger
+
+/** Items mirror the reference's RandomTextSource payload {text, count}
+  * (reference: tests/utils.py:35-47); `count` is the unique completeness key
+  * checked exactly-once-unordered, the reference's universal invariant
+  * (tests/pipeline/test_concurrent.py:35-41). */
+case class Doc(text: String, count: Int)
+
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def source(n: Int) =
+    spark.createDataset((1 to n).map(i => Doc(s"text $i", i)))
+
+  test("exactly-once unordered completeness through a multi-stage chain") {
+    val out = Pipeline.of(source(100))
+      .append("reverse")(d => d.copy(text = d.text.reverse))
+      .append("dup")(d => d.copy(text = d.text + d.text))
+      .build()
+      .collect()
+    assert(out.map(_.value.count).toSet == (1 to 100).toSet)
+    assert(out.length == 100)
+    assert(out.forall(_.errors.isEmpty))
+  }
+
+  test("soft error is recorded and the item continues through later stages") {
+    val out = Pipeline.of(source(10))
+      .append("soft") { d =>
+        if (d.count % 2 == 0) throw new SoftError(s"even ${d.count}")
+        d
+      }
+      .append("mark")(d => d.copy(text = "seen"))
+      .build()
+      .collect()
+    assert(out.length == 10) // no item lost (docs/usage.rst:106-111)
+    val failed = out.filter(_.errors.nonEmpty)
+    assert(failed.map(_.value.count).toSet == Set(2, 4, 6, 8, 10))
+    assert(failed.forall(_.errors.head.severity == StageError.Soft))
+    // soft-failed items still ran the later stage
+    assert(out.forall(_.value.text == "seen"))
+  }
+
+  test("critical error skips later stages for that item only") {
+    val out = Pipeline.of(source(10))
+      .append("crit") { d =>
+        if (d.count == 3) throw new IllegalStateException("boom")
+        d
+      }
+      .append("mark")(d => d.copy(text = "seen"))
+      .build()
+      .collect()
+    assert(out.length == 10) // pipeline continues (docs/usage.rst:112-114)
+    val bad = out.find(_.value.count == 3).get
+    assert(bad.hasCriticalErrors)
+    assert(bad.value.text == "text 3") // "mark" skipped (runners.py:29-30)
+    assert(out.filter(_.value.count != 3).forall(_.value.text == "seen"))
+  }
+
+  test("NoSkip policy runs later stages even after a critical error") {
+    val out = Pipeline.of(source(5))
+      .noSkipOnCriticalError()
+      .append("crit") { d =>
+        if (d.count == 2) throw new IllegalStateException("boom")
+        d
+      }
+      .append("mark")(d => d.copy(text = "seen"))
+      .build()
+      .collect()
+    assert(out.find(_.value.count == 2).get.value.text == "seen")
+  }
+
+  test("Raise policy fails the whole run on critical error") {
+    val p = Pipeline.of(source(5))
+      .raiseOnCriticalError()
+      .append("crit") { d =>
+        if (d.count == 2) throw new IllegalStateException("boom")
+        d
+      }
+      .build()
+    intercept[org.apache.spark.SparkException](p.collect())
+  }
+
+  test("SoftError still soft under Raise policy") {
+    val out = Pipeline.of(source(5))
+      .raiseOnCriticalError()
+      .append("soft") { d =>
+        if (d.count == 2) throw new SoftError("meh")
+        d
+      }
+      .build()
+      .collect()
+    assert(out.length == 5)
+    assert(out.count(_.errors.nonEmpty) == 1)
+  }
+
+  test("retry: transient retryable errors succeed within maxRetries") {
+    // Fails on the first 2 attempts per item, succeeds on the 3rd —
+    // per-item attempt counters keyed by item id (single JVM in local mode).
+    val out = Pipeline.of(source(4))
+      .append(RetrySpecHelpers.flakyStage(failures = 2), StageOpts(
+        retry = Retry(Seq(classOf[java.io.IOException]), maxRetries = 3)))
+      .build()
+      .collect()
+    assert(out.length == 4)
+    assert(out.forall(_.errors.isEmpty)) // all recovered
+    assert(out.forall(_.value.text == "ok"))
+  }
+
+  test("retry exhaustion records retry_exhausted with attempt count; item survives") {
+    val out = Pipeline.of(source(3))
+      .append(RetrySpecHelpers.alwaysFailStage, StageOpts(
+        retry = Retry(Seq(classOf[java.io.IOException]), maxRetries = 2)))
+      .build()
+      .collect()
+    assert(out.length == 3)
+    assert(out.forall(_.errors.head.severity == StageError.RetryExhausted))
+    assert(out.forall(_.errors.head.attempts == 3)) // 1 initial + 2 retries
+  }
+
+  test("retry backoff sleeps 2^(n-1) * backoff between attempts") {
+    // backoff=0.1s, 2 retries → sleeps 0.1 + 0.2 = 0.3s minimum
+    // (reference timing-bound style, tests/pipeline/test_pipeline.py:398-430)
+    val t0 = System.nanoTime()
+    Pipeline.of(spark.createDataset(Seq(Doc("x", 1))))
+      .append(RetrySpecHelpers.alwaysFailStage, StageOpts(
+        retry = Retry(Seq(classOf[java.io.IOException]), maxRetries = 2, backoffSeconds = 0.1)))
+      .build()
+      .collect()
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    assert(elapsed >= 0.3, s"expected >= 0.3s of backoff, got $elapsed")
+  }
+
+  test("per-stage timings are recorded for visited stages only") {
+    val out = Pipeline.of(source(5))
+      .append("a")(identity)
+      .append("crit") { d =>
+        if (d.count == 1) throw new RuntimeException("x")
+        d
+      }
+      .append("b")(identity)
+      .build()
+      .collect()
+    val ok = out.find(_.value.count == 2).get
+    assert(Set("a", "crit", "b").subsetOf(ok.timings.keySet))
+    val bad = out.find(_.value.count == 1).get
+    assert(bad.timings.contains("a") && bad.timings.contains("crit"))
+    assert(!bad.timings.contains("b")) // skipped stage records no timing
+  }
+
+  test("batch stage: error taints the whole attempted batch") {
+    // (reference: runners.py:116-125, docs/usage.rst:108-111)
+    val out = Pipeline.of(source(40))
+      .appendBatch(TypedBatchStage[Doc]("bulk", 10) { batch =>
+        if (batch.exists(_.count == 5)) throw new SoftError("batch poisoned")
+        batch.map(d => d.copy(text = "ok"))
+      })
+      .build()
+      .collect()
+    assert(out.length == 40)
+    val failed = out.filter(_.errors.nonEmpty)
+    assert(failed.nonEmpty)
+    assert(failed.map(_.value.count).contains(5))
+    assert(failed.forall(_.value.text != "ok")) // whole batch untransformed
+    assert(out.filter(_.errors.isEmpty).forall(_.value.text == "ok"))
+  }
+
+  test("batch stage: size mismatch is a critical error") {
+    val out = Pipeline.of(source(6))
+      .appendBatch(TypedBatchStage[Doc]("bad", 3)(batch => batch.drop(1)))
+      .build()
+      .collect()
+    assert(out.length == 6)
+    assert(out.forall(_.hasCriticalErrors))
+  }
+
+  test("batch stage respects max batch size") {
+    RetrySpecHelpers.batchSizes.clear()
+    Pipeline.of(source(25).repartition(2))
+      .appendBatch(TypedBatchStage[Doc]("sized", 10) { b =>
+        RetrySpecHelpers.batchSizes.add(b.length); b
+      })
+      .build()
+      .collect()
+    import scala.jdk.CollectionConverters._
+    // static state works because local-mode executors share the test JVM
+    assert(RetrySpecHelpers.batchSizes.asScala.forall(_ <= 10))
+    assert(RetrySpecHelpers.batchSizes.asScala.sum == 25)
+  }
+
+  test("onStart/onEnd fire once per partition") {
+    RetrySpecHelpers.starts.set(0)
+    RetrySpecHelpers.ends.set(0)
+    val nParts = 3
+    Pipeline.of(source(30).repartition(nParts))
+      .append(RetrySpecHelpers.lifecycleStage)
+      .build()
+      .collect()
+    assert(RetrySpecHelpers.starts.get() == nParts)
+    assert(RetrySpecHelpers.ends.get() == nParts)
+  }
+
+  test("duplicate stage names are rejected") {
+    intercept[IllegalArgumentException] {
+      Pipeline.of(source(1)).append("a")(identity).append("a")(identity)
+    }
+  }
+
+  test("processOne: synchronous single-record path matches cluster semantics") {
+    val p = Pipeline[Doc](spark)
+      .append("enrich")(d => d.copy(text = d.text + "!"))
+      .append("crit") { d =>
+        if (d.count == 9) throw new RuntimeException("no")
+        d
+      }
+      .append("late")(d => d.copy(text = d.text + "?"))
+    val ok = p.processOne(Doc("hi", 1))
+    assert(ok.value.text == "hi!?")
+    val bad = p.processOne(Doc("hi", 9))
+    assert(bad.hasCriticalErrors && bad.value.text == "hi!")
+  }
+
+  test("FramePipeline chains named columnar stages") {
+    import org.apache.spark.sql.functions._
+    val df = source(10).toDF()
+    val out = FramePipeline.of(df)
+      .append("filter")(_.filter(col("count") > 5))
+      .append("project")(_.select(col("count")))
+      .build()
+    assert(out.columns.toSeq == Seq("count"))
+    assert(out.count() == 5)
+  }
+
+  private implicit class PipelineOps(p: Pipeline[Doc]) {
+    def collect(): Array[Tracked[Doc]] = p.build().collect()
+  }
+}
+
+/** Stage helpers with JVM-static state (valid in local mode: executors share
+  * the test JVM). */
+object RetrySpecHelpers {
+  val starts = new AtomicInteger(0)
+  val ends = new AtomicInteger(0)
+  val batchSizes = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+  private val attempts = new java.util.concurrent.ConcurrentHashMap[Int, AtomicInteger]()
+
+  def flakyStage(failures: Int): TypedStage[Doc] = new TypedStage[Doc] {
+    val name = "flaky"
+    def process(d: Doc): Doc = {
+      val n = attempts.computeIfAbsent(d.count, _ => new AtomicInteger(0)).incrementAndGet()
+      if (n <= failures) throw new java.io.IOException(s"transient $n")
+      d.copy(text = "ok")
+    }
+  }
+
+  val alwaysFailStage: TypedStage[Doc] = new TypedStage[Doc] {
+    val name = "always_fail"
+    def process(d: Doc): Doc = throw new java.io.IOException("permanent")
+  }
+
+  val lifecycleStage: TypedStage[Doc] = new TypedStage[Doc] {
+    val name = "lifecycle"
+    override def onStart(): Unit = { starts.incrementAndGet(); () }
+    override def onEnd(): Unit = { ends.incrementAndGet(); () }
+    def process(d: Doc): Doc = d
+  }
+}

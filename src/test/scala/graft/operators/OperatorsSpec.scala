@@ -1,0 +1,167 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.functions._
+
+case class TestDoc(doc_id: Long, text: String)
+case class TestVec(vec_id: Long, embedding: Seq[Float])
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    TestDoc(1, "the quick brown fox jumps over the lazy dog"),
+    TestDoc(2, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    TestDoc(3, "The  quick brown fox jumps over the lazy dog "), // normalized dup
+    TestDoc(4, "the quick brown fox leaps over the lazy dog"), // near dup (1 word)
+    TestDoc(5, "completely different content about spark engines here now")
+  ).toDF()
+
+  test("exact dedup groups identical texts, keeps min id") {
+    val out = Dedup.exact(docs).collect()
+    assert(out.length == 4) // 1+2 merge
+    val dup = out.find(_.getAs[Long]("n_copies") == 2).get
+    assert(dup.getAs[Long]("keep_id") == 1)
+  }
+
+  test("normalized dedup also merges case/whitespace variants") {
+    val out = Dedup.normalized(docs).collect()
+    assert(out.length == 3) // 1+2+3 merge
+    assert(out.find(_.getAs[Long]("n_copies") == 3).get.getAs[Long]("keep_id") == 1)
+  }
+
+  test("jaccard pairs finds near-duplicates, not unrelated docs") {
+    val pairs = Dedup.jaccardPairs(docs, shingleK = 3, threshold = 0.4)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    assert(pairs.contains((1L, 2L))) // identical
+    assert(pairs.contains((1L, 4L)) && pairs.contains((2L, 4L))) // near dup
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L)) // unrelated excluded
+  }
+
+  test("minhash LSH finds true near-dup pairs and verifies with exact jaccard") {
+    val pairs = Dedup.minhashPairs(docs, numHashes = 8, bands = 4, threshold = 0.4)
+      .collect()
+    val ids = pairs.map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    assert(ids.contains((1L, 2L)))
+    val exactPair = pairs.find(r => r.getAs[Long]("a_id") == 1 && r.getAs[Long]("b_id") == 2).get
+    assert(exactPair.getAs[Double]("jaccard") == 1.0)
+    assert(!ids.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("simhash: identical docs collide, near-dups are close, unrelated far") {
+    val sigs = docs.select($"doc_id", simhash(words($"text")).as("sig"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("sig")).toMap
+    assert(sigs(1) == sigs(2))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(1), sigs(4)) < ham(sigs(1), sigs(5)))
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 10, chunks = 4)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    TestVec(0, Seq(1f, 0f, 0f)),
+    TestVec(1, Seq(0.9f, 0.1f, 0f)), // closest to 0
+    TestVec(2, Seq(0f, 1f, 0f)),
+    TestVec(3, Seq(0f, 0.9f, 0.1f)), // closest to 2
+    TestVec(4, Seq(-1f, 0f, 0f))
+  ).toDF()
+
+  test("brute-force top-1 returns the true nearest neighbor") {
+    val out = Similarity.bruteForceTopK(
+      corpus = vecs, queries = vecs.filter($"vec_id" < 3), k = 1)
+      .collect().map(r => r.getAs[Long]("q_id") -> r.getAs[Long]("neighbor_id")).toMap
+    assert(out(0L) == 1L)
+    assert(out(1L) == 0L)
+    assert(out(2L) == 3L)
+  }
+
+  test("brute-force top-k returns k ordered neighbors") {
+    val out = Similarity.bruteForceTopK(
+      corpus = vecs, queries = vecs.filter($"vec_id" === 0), k = 3).collect()
+    assert(out.length == 3)
+    val sims = out.map(_.getAs[Double]("sim"))
+    assert(sims.sameElements(sims.sorted.reverse))
+    assert(out.head.getAs[Long]("neighbor_id") == 1L)
+  }
+
+  test("LSH ANN returns true neighbors for same-bucket vectors") {
+    val out = Similarity.lshTopK(
+      corpus = vecs, queries = vecs.filter($"vec_id" === 0),
+      k = 2, planes = 2, tables = 1).collect()
+    // with 2 planes buckets are coarse: the near-identical vector must appear
+    assert(out.map(_.getAs[Long]("neighbor_id")).contains(1L))
+  }
+
+  test("cosine fold matches analytic value") {
+    val df = Seq((Seq(3.0, 4.0), Seq(4.0, 3.0))).toDF("a", "b")
+    val sim = df.select(cosine($"a", $"b").as("s")).head().getDouble(0)
+    assert(math.abs(sim - 24.0 / 25.0) < 1e-12)
+  }
+}
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shingles: fewer than k words yields empty array") {
+    val df = Seq("one two", "one two three four").toDF("text")
+    val out = df.select(shingles(words($"text"), 3).as("sh")).collect()
+    assert(out(0).getSeq[String](0).isEmpty)
+    assert(out(1).getSeq[String](0) == Seq("one two three", "two three four"))
+  }
+
+  test("tokenCount: letter runs, digit runs, punctuation marks") {
+    val df = Seq("hello, world 42!").toDF("text")
+    // tokens: hello , world 42 !  → 5
+    assert(df.select(tokenCount($"text")).head().getInt(0) == 5)
+  }
+
+  test("langGuess picks the language with most stopword hits") {
+    val df = Seq("the cat and the dog", "el gato y la casa", "der hund und das haus")
+      .toDF("text")
+    val out = df.select(langGuess(words($"text"))).collect().map(_.getString(0))
+    assert(out.sameElements(Array("en", "es", "de")))
+  }
+
+  test("quality score is bounded and favors diverse long docs") {
+    val df = Seq("a a a a", "the quick brown fox jumps over lazy dogs today quite happily indeed with much vigor and considerable delight overall")
+      .toDF("text")
+    val out = df.select(qualityScore(words($"text"))).collect().map(_.getDouble(0))
+    assert(out.forall(s => s >= 0.0 && s <= 1.0))
+    assert(out(1) > out(0))
+  }
+
+  test("fingerprint is whitespace/case insensitive") {
+    val df = Seq(("A  b C", "a b c")).toDF("x", "y")
+    val r = df.select(fingerprint($"x").as("fx"), fingerprint($"y").as("fy")).head()
+    assert(r.getString(0) == r.getString(1))
+  }
+}
+
+class SourcesSpec extends SparkSpec {
+
+  test("textLines drops blank lines") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-src").toFile
+    val f = new java.io.File(dir, "a.txt")
+    val w = new java.io.PrintWriter(f)
+    w.println("hello"); w.println("   "); w.println(""); w.println("world")
+    w.close()
+    val out = graft.sources.Sources.textLines(spark, f.getPath).collect()
+    assert(out.map(_.getString(0)).toSet == Set("hello", "world"))
+  }
+
+  test("localFiles filters by postfix and exposes basename id") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-files").toFile
+    for (n <- Seq("x.json", "y.json", "z.txt", ".hidden.json")) {
+      val w = new java.io.PrintWriter(new java.io.File(dir, n)); w.print("{}"); w.close()
+    }
+    val out = graft.sources.Sources.localFiles(spark, dir.getPath, ".json").collect()
+    assert(out.map(_.getAs[String]("id")).toSet == Set("x.json", "y.json"))
+  }
+}
