@@ -20,7 +20,8 @@ object SparkEntry {
   private def queries_ext: Seq[GQ] =
     graft.queries.TextQueries.queries ++
       graft.queries.VectorQueries.queries ++
-      graft.queries.PipelineQueries.queries
+      graft.queries.PipelineQueries.queries ++
+      graft.queries.MultimodalQueries.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Runs the engine's pipeline surface end-to-end: source → columnar filter

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video ride as opaque `BINARY`
+  * columns with a typed metadata struct; decode / feature-extraction runs
+  * batched per partition so codec state is reused (the Scala analog of an
+  * Arrow-batched Pandas UDF).
+  *
+  * The actual codecs are STUBBED (deterministic fakes) — this container has
+  * no image/audio libraries — but everything Spark-side is real and tested:
+  * schema, partition-batched execution shape, null handling, and metadata
+  * propagation. Swapping `StubCodec` for a real decoder is a one-function
+  * change.
+  */
+object Multimodal {
+
+  val mediaMetaSchema: StructType = StructType(Seq(
+    StructField("mime", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_bytes", LongType)))
+
+  /** Attach a binary media column + metadata struct from any binary source
+    * column (e.g. `binaryFile`'s `content`). */
+  def withMediaMeta(df: DataFrame, binCol: String, mime: String): DataFrame =
+    df.withColumn("media_meta", struct(
+      lit(mime).as("mime"),
+      lit(null).cast(IntegerType).as("width"),
+      lit(null).cast(IntegerType).as("height"),
+      length(col(binCol)).cast(LongType).as("n_bytes")))
+
+  /** STUB codec: deterministic pseudo-decode. A real implementation calls
+    * the native decoder here — once per partition setup, batched records. */
+  object StubCodec {
+    /** "Decode" → fixed-size feature vector derived from content bytes.
+      * Deterministic: same bytes → same features. */
+    def features(bytes: Array[Byte], dim: Int): Array[Float] = {
+      val out = new Array[Float](dim)
+      if (bytes != null && bytes.nonEmpty) {
+        var i = 0
+        while (i < bytes.length) {
+          out(i % dim) = out(i % dim) + (bytes(i) & 0xff) / 255.0f
+          i += 1
+        }
+      }
+      out
+    }
+    /** "Resize": stub keeps a deterministic prefix (real impl: scaler). */
+    def resize(bytes: Array[Byte], maxBytes: Int): Array[Byte] =
+      if (bytes == null) null else bytes.take(maxBytes)
+  }
+
+  /** Batched feature extraction over a binary column: partition-at-a-time
+    * (decoder init amortized per partition), preserving all input columns
+    * and appending `features ARRAY<FLOAT>`. */
+  def extractFeatures(df: DataFrame, binCol: String, dim: Int = 16): DataFrame = {
+    val schema = df.schema.add("features", ArrayType(FloatType))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      // per-partition decoder setup would go here (reference on_start analog)
+      rows.map { r =>
+        val bytes = r.get(binIdx).asInstanceOf[Array[Byte]]
+        Row.fromSeq(r.toSeq :+ StubCodec.features(bytes, dim).toSeq)
+      }
+    }(enc)
+  }
+
+  /** Batched "resize"/truncate of binary payloads, appended as a new column. */
+  def resizeMedia(df: DataFrame, binCol: String, maxBytes: Int): DataFrame = {
+    val schema = df.schema.add("resized", BinaryType)
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.get(binIdx).asInstanceOf[Array[Byte]]
+        Row.fromSeq(r.toSeq :+ StubCodec.resize(bytes, maxBytes))
+      }
+    }(enc)
+  }
+
+  /** Frame-sampling stub shape: one row per sampled "frame" index — the
+    * explode pattern a video pipeline uses (real impl: codec frame seek). */
+  def sampleFrames(df: DataFrame, binCol: String, everyNBytes: Int): DataFrame =
+    df.withColumn("frame_idx",
+      explode(sequence(lit(0),
+        greatest(floor(length(col(binCol)) / everyNBytes) - 1, lit(0)))))
+      .withColumn("frame_offset", col("frame_idx") * everyNBytes)
+}

@@ -1,0 +1,137 @@
+package graft.streaming
+
+import graft.core._
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/** Streaming surface — the unbounded half of the reference's source model
+  * ("a source can also generate items indefinitely, then the pipeline will
+  * never end", reference docs/usage.rst:27). Structured Streaming gives the
+  * unified batch/stream API the reference lacks, plus the event-time
+  * semantics it has none of (SURVEY.md §2.2 streaming row): watermarks,
+  * tumbling/sliding/session windows, stateful dedup.
+  *
+  * The typed Pipeline (graft.core) composes with streaming directly: its
+  * stages are `mapPartitions` transforms, legal on streaming Datasets, so
+  * one stage chain compiles to both bounded and unbounded execution.
+  */
+object Streaming {
+
+  /** Apply a typed pipeline's stage semantics on a streaming Dataset —
+    * same StageRunner harness, same error columns. */
+  def throughPipeline[T](stream: Dataset[T], pipeline: Pipeline[T])(
+      implicit enc: Encoder[Tracked[T]]): Dataset[Tracked[T]] =
+    pipeline.setSource(stream).build()
+
+  /** Tumbling/sliding event-time aggregation with a watermark: late data
+    * beyond `lateness` is dropped by the engine. */
+  def windowedCounts(
+      events: DataFrame,
+      tsCol: String,
+      windowLen: String,
+      slide: Option[String] = None,
+      lateness: String = "10 minutes",
+      keys: Seq[String] = Seq("event_type")
+  ): DataFrame = {
+    val win = slide match {
+      case Some(s) => window(col(tsCol), windowLen, s)
+      case None => window(col(tsCol), windowLen)
+    }
+    events.withWatermark(tsCol, lateness)
+      .groupBy(win +: keys.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+  }
+
+  /** Event-time session windows (gap-based), the streaming-native analog of
+    * the batch gaps-and-islands sessionization (q27_sessionize). */
+  def sessionCounts(
+      events: DataFrame,
+      tsCol: String,
+      gap: String = "30 minutes",
+      lateness: String = "10 minutes"
+  ): DataFrame =
+    events.withWatermark(tsCol, lateness)
+      .groupBy(session_window(col(tsCol), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+
+  /** Streaming exact dedup with bounded state: duplicates dropped within the
+    * watermark horizon — the streaming face of Dedup.exact. */
+  def dedupStream(events: DataFrame, tsCol: String, keyCols: Seq[String],
+      lateness: String = "10 minutes"): DataFrame =
+    events.withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Custom per-key running state via mapGroupsWithState: running count +
+    * sum per key — the template for arbitrary stateful stages. */
+  def runningStats[K: Encoder](
+      events: Dataset[(K, Double)]
+  )(implicit enc: Encoder[(K, Long, Double)],
+      stateEnc: Encoder[(Long, Double)]): Dataset[(K, Long, Double)] =
+    events.groupByKey(_._1)
+      .mapGroupsWithState[(Long, Double), (K, Long, Double)](
+        GroupStateTimeout.NoTimeout()) {
+        case (key, rows, state: GroupState[(Long, Double)]) =>
+          val (n0, s0) = state.getOption.getOrElse((0L, 0.0))
+          var n = n0; var s = s0
+          rows.foreach { r => n += 1; s += r._2 }
+          state.update((n, s))
+          (key, n, s)
+      }
+
+  /** Start a stream into an in-memory sink table (local smoke path). */
+  def toMemorySink(df: DataFrame, name: String,
+      mode: OutputMode = OutputMode.Append()): StreamingQuery =
+    df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+
+  /** Micro-batch push sink: the streaming analog of the reference's
+    * per-item sinks; `fn` sees each micro-batch as a DataFrame. */
+  def foreachBatchSink(df: DataFrame, trigger: Trigger = Trigger.AvailableNow())(
+      fn: (DataFrame, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream.trigger(trigger).foreachBatch(fn)
+}
+
+/** Async single-record processing — the Spark re-expression of
+  * `Pipeline.process_async`/`get_item` (reference pipeline.py:385-424,
+  * executor thread :695-709): records are fed one-by-one into a running
+  * concurrent chain; results surface through a callback and an output queue.
+  *
+  * Implementation: a driver-side feeder queue + a processing thread that
+  * drains it through the pipeline's synchronous per-record path (the same
+  * StageRunner semantics as the distributed plan). This is the low-latency
+  * serving-mode path; bulk data belongs on the Dataset plan.
+  */
+final class AsyncRunner[T](pipeline: Pipeline[T], capacity: Int = 1000) {
+  private val in = new java.util.concurrent.LinkedBlockingQueue[(T, Tracked[T] => Unit)](capacity)
+  private val out = new java.util.concurrent.LinkedBlockingQueue[Tracked[T]](capacity)
+  @volatile private var running = true
+
+  private val worker = new Thread(() => {
+    while (running || !in.isEmpty) {
+      val polled = in.poll(100, java.util.concurrent.TimeUnit.MILLISECONDS)
+      if (polled != null) {
+        val (value, callback) = polled
+        val result = pipeline.processOne(value)
+        callback(result)
+        out.put(result)
+      }
+    }
+  }, "graft-async-runner")
+  worker.setDaemon(true)
+  worker.start()
+
+  /** Enqueue one record (reference `process_async`); optional per-record
+    * callback fires when it completes (reference item.py:112-123). */
+  def processAsync(value: T, callback: Tracked[T] => Unit = _ => ()): Unit =
+    in.put((value, callback))
+
+  /** Blocking pull of the next completed record (reference `get_item`). */
+  def getItem(timeoutMs: Long = 10000): Tracked[T] = {
+    val r = out.poll(timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+    if (r == null) throw new java.util.concurrent.TimeoutException("no item ready")
+    r
+  }
+
+  /** Drain and stop (reference `Pipeline.stop`). */
+  def stop(): Unit = { running = false; worker.join(5000) }
+}

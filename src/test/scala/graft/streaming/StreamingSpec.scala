@@ -1,0 +1,100 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.core._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+case class Ev(ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int) = Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("windowed counts over a memory stream with watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val agg = Streaming.windowedCounts(mem.toDF(), "ts", "10 minutes")
+      .select(col("window.start").as("start"), col("event_type"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("win_counts")
+      .outputMode("complete").start()
+    try {
+      mem.addData(
+        Ev(ts(1), 1, "click", 1.0), Ev(ts(2), 1, "click", 2.0),
+        Ev(ts(11), 2, "click", 3.0), Ev(ts(12), 2, "view", 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_counts").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).toSet
+      assert(rows == Set(
+        ("2024-01-01 10:00:00.0", "click", 2L),
+        ("2024-01-01 10:10:00.0", "click", 1L),
+        ("2024-01-01 10:10:00.0", "view", 1L)))
+    } finally q.stop()
+  }
+
+  test("streaming dedup within watermark drops duplicate keys") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val deduped = Streaming.dedupStream(mem.toDF(), "ts", Seq("user_id", "event_type"))
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        Ev(ts(1), 1, "click", 1.0), Ev(ts(2), 1, "click", 99.0), // dup key
+        Ev(ts(3), 2, "click", 2.0))
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").count() == 2)
+    } finally q.stop()
+  }
+
+  test("typed pipeline stages run on a streaming Dataset (unified API)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Doc]
+    val p = Pipeline[Doc](spark)
+      .append("mark")(d => d.copy(text = d.text + "!"))
+      .append("soft") { d =>
+        if (d.count == 2) throw new SoftError("two"); d
+      }
+    val out = Streaming.throughPipeline(mem.toDS(), p)
+    val q = out.writeStream.format("memory").queryName("pipe_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(Doc("a", 1), Doc("b", 2), Doc("c", 3))
+      q.processAllAvailable()
+      val rows = spark.table("pipe_stream").collect()
+      assert(rows.length == 3)
+      val byCount = rows.map(r => r.getStruct(0).getInt(1) ->
+        r.getSeq[org.apache.spark.sql.Row](4).length).toMap
+      assert(byCount == Map(1 -> 0, 2 -> 1, 3 -> 0)) // error channel flows through
+    } finally q.stop()
+  }
+
+  test("AsyncRunner: process_async/get_item analog with callback") {
+    val p = Pipeline[Doc](spark)
+      .append("enrich")(d => d.copy(text = d.text.toUpperCase))
+    val runner = new AsyncRunner[Doc](p)
+    val seen = new java.util.concurrent.atomic.AtomicInteger(0)
+    try {
+      runner.processAsync(Doc("hello", 1), _ => { seen.incrementAndGet(); () })
+      runner.processAsync(Doc("world", 2))
+      val a = runner.getItem()
+      val b = runner.getItem()
+      assert(Set(a.value.text, b.value.text) == Set("HELLO", "WORLD"))
+      assert(seen.get() == 1)
+    } finally runner.stop()
+  }
+
+  test("multimodal: stub feature extraction preserves schema and determinism") {
+    val df = Seq((1L, "abc"), (2L, "abc"), (3L, "xyz")).toDF("id", "txt")
+      .withColumn("media", encode(col("txt"), "utf-8"))
+    val out = graft.operators.Multimodal.extractFeatures(df, "media", dim = 4)
+    assert(out.columns.contains("features"))
+    val rows = out.select("id", "features").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(rows(1L) == rows(2L)) // deterministic: same bytes → same features
+    assert(rows(1L) != rows(3L))
+    assert(rows(1L).length == 4)
+  }
+}
