@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: run a single registered query with timing and optional plan.
+  * Usage: runMain graft.RunOne <queryName> [sfDir] [explain]
+  */
+object RunOne {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val doExplain = args.contains("explain")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val fn = SparkEntry.queries(name)
+    // warm-up: JVM + file-source init so the timing isolates the query
+    spark.range(100).count()
+    val df = fn(spark, sfDir)
+    if (doExplain) df.explain("formatted")
+    val t0 = System.nanoTime()
+    val n = df.count()
+    val dt = (System.nanoTime() - t0) / 1e9
+    println(f"[runone] $name rows=$n time=$dt%.2fs")
+    val t1 = System.nanoTime()
+    val n2 = df.count()
+    println(f"[runone] $name warm rows=$n2 time=${(System.nanoTime() - t1) / 1e9}%.2fs")
+    spark.stop()
+  }
+}

@@ -24,12 +24,26 @@ object TextFunctions {
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
 
   /** Word k-shingles as space-joined strings; empty when the document has
-    * fewer than k words. */
-  def shingles(ws: Column, k: Int): Column =
-    when(size(ws) < k, array().cast("array<string>"))
-      .otherwise(transform(
-        sequence(lit(1), size(ws) - (k - 1)),
-        i => concat_ws(" ", (0 until k).map(j => element_at(ws, i + j)): _*)))
+    * fewer than k words.
+    *
+    * Implemented as a sliding zip (`zip_with` of the array against its own
+    * shifted slices) rather than `element_at(ws, i)` indexing inside a
+    * lambda: lambda-positioned references re-evaluate their operand once per
+    * ELEMENT when Catalyst collapses projections (turning an O(n) shingle
+    * pass into O(n²) re-tokenization). Here every `ws` reference sits at row
+    * level, so the producer is evaluated at most k+1 times per row no matter
+    * how the optimizer inlines it. */
+  def shingles(ws: Column, k: Int): Column = {
+    val n = size(ws)
+    // joined[i] = ws[i] ⧺ ws[i+1] ⧺ … ⧺ ws[i+k-1]; zip_with pads with null
+    // and concat null-propagates, so the k-1 tail entries become null.
+    val joined = (2 to k).foldLeft(ws) { (acc, j) =>
+      zip_with(acc, slice(ws, lit(j), greatest(n - (j - 1), lit(1))),
+        (a, b) => concat(a, lit(" "), b))
+    }
+    when(n < k, array().cast("array<string>"))
+      .otherwise(slice(joined, lit(1), n - (k - 1)))
+  }
 
   /** Normalized text for near-exact dedup: lowercase, trimmed, whitespace
     * collapsed. */
@@ -70,21 +84,24 @@ object TextFunctions {
     (typeTokenRatio(ws) * lit(0.5)) +
       (least(size(ws).cast("double") / lit(20.0), lit(1.0)) * lit(0.5))
 
-  /** 64-dim SimHash over word hashes (first 15 md5 hex chars → 60-bit
-    * signature). Pure expression: per word, ±1 votes per bit; sign of the
-    * per-bit sum becomes the signature bit. */
+  /** SimHash over word xxhash64s → `bits`-bit signature. Single pass over
+    * the word hashes: per word, ±1 votes on each bit position (zip_with over
+    * a per-doc vote vector); sign of the per-bit sum becomes the signature
+    * bit. Each input sub-expression is referenced exactly once, so the plan
+    * never duplicates the (relatively expensive) tokenize/hash work. */
   def simhash(ws: Column, bits: Int = 60): Column = {
-    val hashes = transform(ws, w =>
-      conv(substring(md5(w), 1, 15), 16, 10).cast("long"))
+    val hashes = transform(ws, w => xxhash64(w))
+    val positions = sequence(lit(0), lit(bits - 1)) // foldable constant
+    val votes = aggregate(
+      hashes,
+      array_repeat(lit(0), bits),
+      (acc, h) => zip_with(acc, positions, (a, j) =>
+        a + when(call_function("shiftrightunsigned", h, j).bitwiseAND(1) === 1, 1)
+          .otherwise(-1)))
     aggregate(
-      sequence(lit(0), lit(bits - 1)),
-      lit(0L),
-      (acc, j) => {
-        val vote = aggregate(hashes, lit(0),
-          (a, h) => a + when(call_function("shiftright", h, j).bitwiseAND(1) === 1, 1)
-            .otherwise(-1))
-        acc + when(vote > 0, call_function("shiftleft", lit(1L), j)).otherwise(0L)
-      })
+      zip_with(votes, positions, (v, j) =>
+        when(v > 0, call_function("shiftleft", lit(1L), j)).otherwise(0L)),
+      lit(0L), (acc, x) => acc + x)
   }
 
   /** Hamming distance between two SimHash signatures. */

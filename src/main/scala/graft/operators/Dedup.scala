@@ -36,9 +36,14 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text"
   ): DataFrame = {
+    // Stage the array pipeline through explicit projections so each heavy
+    // expression (split, shingle assembly) is evaluated once per row —
+    // inlining them would re-split the text for every element_at call.
     val sh = docs
-      .select(col(idCol).as("doc_id"),
-        explode(array_distinct(shingles(words(col(textCol)), shingleK))).as("sh"))
+      .select(col(idCol).as("doc_id"), words(col(textCol)).as("ws"))
+      .select(col("doc_id"), array_distinct(shingles(col("ws"), shingleK)).as("shs"))
+      .select(col("doc_id"), explode(col("shs")).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.as("a")
       .join(sh.as("b"),
@@ -74,16 +79,28 @@ object Dedup {
   ): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rowsPerBand = numHashes / bands
-    val withShingles = docs.select(
-      col(idCol).as("doc_id"),
-      array_distinct(shingles(words(col(textCol)), shingleK)).as("sh"))
+    val withShingles = docs
+      .select(col(idCol).as("doc_id"), words(col(textCol)).as("ws"))
+      .select(col("doc_id"), array_distinct(shingles(col("ws"), shingleK)).as("sh"))
       .filter(size(col("sh")) > 0)
-    // k min-hashes as one array column (single pass over shingles)
+    // k min-hashes in ONE pass over the shingles: per shingle an array of k
+    // hashes, folded elementwise with `least`. The shingle column is
+    // referenced exactly once and never from inside a per-element lambda, so
+    // optimizer inlining can't multiply the tokenization work. Persisted:
+    // the signature table feeds both sides of the band self-join and the
+    // verify joins (at corpus scale this is the checkpoint you'd take
+    // anyway before an LSH join).
     val sig = withShingles.withColumn("sig",
-      transform(sequence(lit(0), lit(numHashes - 1)), i =>
-        array_min(transform(col("sh"), s => xxhash64(i, s)))))
-    // band key = (band index, hash of that band's signature slice)
-    val banded = sig.select(col("doc_id"), col("sh"),
+      aggregate(
+        transform(col("sh"), s =>
+          transform(sequence(lit(0), lit(numHashes - 1)), i => xxhash64(i, s))),
+        array_repeat(lit(Long.MaxValue), numHashes),
+        (acc, hv) => zip_with(acc, hv, (a, b) => least(a, b))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Band rows carry ONLY (doc_id, band, bucket) — at corpus scale the
+    // candidate shuffle must not replicate shingle arrays per band. The
+    // arrays are re-joined once per verified candidate side afterwards.
+    val banded = sig.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
         xxhash64(b, slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))
           .cast("array<string>").cast("string")))))
@@ -92,10 +109,12 @@ object Dedup {
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
           && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        col("a.sh").as("sa"), col("b.sh").as("sb"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .dropDuplicates("a_id", "b_id")
+    val shSets = sig.select(col("doc_id"), col("sh")) // reuse the persisted table
     cand
+      .join(shSets.select(col("doc_id").as("a_id"), col("sh").as("sa")), "a_id")
+      .join(shSets.select(col("doc_id").as("b_id"), col("sh").as("sb")), "b_id")
       .withColumn("jaccard",
         size(array_intersect(col("sa"), col("sb"))).cast("double")
           / size(array_union(col("sa"), col("sb"))))
@@ -114,8 +133,10 @@ object Dedup {
       textCol: String = "text"
   ): DataFrame = {
     val bitsPerChunk = 60 / chunks
-    val sig = docs.select(col(idCol).as("doc_id"),
-      simhash(words(col(textCol))).as("sig"))
+    val sig = docs
+      .select(col(idCol).as("doc_id"), words(col(textCol)).as("ws"))
+      .select(col("doc_id"), simhash(col("ws")).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunked = sig.select(col("doc_id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(chunks - 1)), c =>
         call_function("shiftright", col("sig"), c * bitsPerChunk)

@@ -25,15 +25,15 @@ object TextQueries {
 
     GQ("d03_token_stats",
       (s, dir) => {
-        val d = Tables.table(s, dir, "documents")
-        val ws = words(col("text"))
-        d.select(
-          col("doc_id"),
-          size(ws).as("n_words"),
-          tokenCount(col("text")).as("n_tokens"),
-          length(regexp_replace(col("text"), " ", "")).as("n_chars_nospace"),
-          (length(regexp_replace(col("text"), " ", "")).cast("double")
-            / nullif(size(ws), lit(0))).as("avg_word_len"))
+        // stage heavy expressions once per row, then derive
+        Tables.table(s, dir, "documents")
+          .select(col("doc_id"),
+            size(words(col("text"))).as("n_words"),
+            tokenCount(col("text")).as("n_tokens"),
+            length(regexp_replace(col("text"), " ", "")).as("n_chars_nospace"))
+          .select(col("doc_id"), col("n_words"), col("n_tokens"), col("n_chars_nospace"),
+            (col("n_chars_nospace").cast("double")
+              / nullif(col("n_words"), lit(0))).as("avg_word_len"))
       },
       Some("""SELECT doc_id,
         CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS INTEGER) AS n_words,
@@ -45,14 +45,19 @@ object TextQueries {
 
     GQ("d04_lang_guess",
       (s, dir) => {
-        val ws = words(col("text"))
-        Tables.table(s, dir, "documents").select(
-          col("doc_id"),
-          langGuess(ws).as("detected_lang"),
-          stopwordHits(ws, EnStop).as("en_hits"),
-          (greatest(stopwordHits(ws, EnStop), stopwordHits(ws, EsStop),
-            stopwordHits(ws, DeStop)).cast("double")
-            / nullif(size(ws), lit(0))).as("confidence"))
+        Tables.table(s, dir, "documents")
+          .select(col("doc_id"), words(col("text")).as("ws"))
+          .select(col("doc_id"),
+            stopwordHits(col("ws"), EnStop).as("en"),
+            stopwordHits(col("ws"), EsStop).as("es"),
+            stopwordHits(col("ws"), DeStop).as("de"),
+            size(col("ws")).as("n"))
+          .select(col("doc_id"),
+            when(col("en") >= col("es") && col("en") >= col("de"), "en")
+              .when(col("es") >= col("de"), "es").otherwise("de").as("detected_lang"),
+            col("en").as("en_hits"),
+            (greatest(col("en"), col("es"), col("de")).cast("double")
+              / nullif(col("n"), lit(0))).as("confidence"))
       },
       Some(s"""WITH t AS (
           SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
@@ -71,12 +76,16 @@ object TextQueries {
 
     GQ("d05_quality_score",
       (s, dir) => {
-        val ws = words(col("text"))
-        Tables.table(s, dir, "documents").select(
-          col("doc_id"),
-          size(ws).as("n_words"),
-          typeTokenRatio(ws).as("ttr"),
-          qualityScore(ws).as("quality"))
+        Tables.table(s, dir, "documents")
+          .select(col("doc_id"), words(col("text")).as("ws"))
+          .select(col("doc_id"), size(col("ws")).as("n_words"),
+            size(array_distinct(col("ws"))).as("n_distinct"))
+          .select(col("doc_id"), col("n_words"),
+            (col("n_distinct").cast("double") / nullif(col("n_words"), lit(0))).as("ttr"))
+          .select(col("doc_id"), col("n_words"), col("ttr"),
+            ((col("ttr") * lit(0.5)) +
+              (least(col("n_words").cast("double") / lit(20.0), lit(1.0)) * lit(0.5)))
+              .as("quality"))
       },
       Some("""WITH t AS (
           SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
@@ -90,8 +99,9 @@ object TextQueries {
 
     GQ("d06_minhash_signature", // 1-permutation minhash component, exact oracle
       (s, dir) => {
-        val d = Tables.table(s, dir, "documents")
-        d.select(col("doc_id"), explode(shingles(words(col("text")), 3)).as("sh"))
+        Tables.table(s, dir, "documents")
+          .select(col("doc_id"), words(col("text")).as("ws"))
+          .select(col("doc_id"), explode(shingles(col("ws"), 3)).as("sh"))
           .groupBy("doc_id")
           .agg(min(md5(col("sh"))).as("sig"), count(lit(1)).as("n_shingles"))
       },
@@ -130,7 +140,8 @@ object TextQueries {
     // → driver records rows-only checks.
     GQ("d08_simhash_signature",
       (s, dir) => Tables.table(s, dir, "documents")
-        .select(col("doc_id"), simhash(words(col("text"))).as("sig")),
+        .select(col("doc_id"), words(col("text")).as("ws"))
+        .select(col("doc_id"), simhash(col("ws")).as("sig")),
       None),
 
     GQ("d09_minhash_lsh_pairs",
