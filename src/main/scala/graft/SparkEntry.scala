@@ -16,7 +16,8 @@ object SparkEntry {
   private def registry: Seq[GQ] =
     queries_relational ++ queries_ext
 
-  private def queries_relational: Seq[GQ] = graft.queries.Relational.queries
+  private def queries_relational: Seq[GQ] =
+    graft.queries.Relational.queries ++ graft.queries.Advanced.queries
   private def queries_ext: Seq[GQ] =
     graft.queries.TextQueries.queries ++
       graft.queries.VectorQueries.queries ++

@@ -1,0 +1,176 @@
+package graft.queries
+
+import graft.{Dec, GQ, Tables}
+import graft.Dec._
+import graft.functions.TextFunctions._
+import graft.operators.AsOfJoin
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Second-wave operator surface: as-of joins, range joins, grouping sets,
+  * analytic window suite, range frames, pivot, generator/explode, SQL-string
+  * surface (correlated subqueries), approx sketches, nested structs. */
+object Advanced {
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.table(s, dir, n)
+
+  val queries: Seq[GQ] = Seq(
+    GQ("a01_asof_join", // point-in-time: latest order at/before each event
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select("user_id", "event_id", "ts")
+        val o = t(s, dir, "orders")
+        AsOfJoin.asofJoin(ev, o,
+          leftKey = "user_id", rightKey = "o_custkey",
+          leftTime = "ts", rightTime = "o_orderdate",
+          payload = Seq("o_orderkey", "o_totalprice"),
+          rightTiebreak = "o_orderkey")
+          .select("user_id", "event_id", "asof_o_orderkey", "asof_o_totalprice")
+      },
+      Some("""WITH l AS (SELECT user_id AS k, CAST(ts AS TIMESTAMP) AS t, event_id,
+                CAST(NULL AS BIGINT) AS o_orderkey, CAST(NULL AS DOUBLE) AS o_totalprice,
+                1 AS is_l FROM events),
+        r AS (SELECT o_custkey AS k, o_orderdate AS t, CAST(NULL AS BIGINT) AS event_id,
+                o_orderkey, o_totalprice, 0 AS is_l FROM orders),
+        u AS (SELECT * FROM l UNION ALL SELECT * FROM r),
+        f AS (SELECT k, event_id, is_l,
+                LAST_VALUE(o_orderkey IGNORE NULLS) OVER w AS asof_o_orderkey,
+                LAST_VALUE(o_totalprice IGNORE NULLS) OVER w AS asof_o_totalprice
+              FROM u WINDOW w AS (PARTITION BY k ORDER BY t, is_l, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        SELECT k AS user_id, event_id, asof_o_orderkey, asof_o_totalprice
+        FROM f WHERE is_l = 1""")),
+
+    GQ("r01_range_join", // interval lookup via broadcast
+      (s, dir) => {
+        import s.implicits._
+        val bands = Seq((0.0, 10.0, "small"), (10.0, 25.0, "mid"), (25.0, 51.0, "big"))
+          .toDF("lo", "hi", "band")
+        AsOfJoin.rangeJoin(t(s, dir, "lineitem"), bands, "l_quantity")
+          .groupBy("band")
+          .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("total_price"))
+      },
+      Some("""SELECT band, COUNT(*) AS n,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        FROM lineitem
+        JOIN (VALUES (0.0, 10.0, 'small'), (10.0, 25.0, 'mid'), (25.0, 51.0, 'big'))
+          AS b(lo, hi, band)
+        ON l_quantity >= lo AND l_quantity < hi
+        GROUP BY band""")),
+
+    GQ("g01_grouping_sets",
+      (s, dir) => {
+        t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+        s.sql("""SELECT l_returnflag, l_linestatus,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          COUNT(*) AS n
+          FROM lineitem
+          GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""")
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, COUNT(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""")),
+
+    GQ("w01_analytic_suite",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        t(s, dir, "orders").select(
+          col("o_custkey"), col("o_orderkey"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"),
+          nth_value(col("o_orderkey"), 2).over(w).as("second_key"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+        CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+        PERCENT_RANK() OVER w AS pr,
+        CUME_DIST() OVER w AS cd,
+        NTH_VALUE(o_orderkey, 2) OVER w AS second_key
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""")),
+
+    GQ("w02_trailing_30d", // RANGE frame over day offsets
+      (s, dir) => {
+        val d = t(s, dir, "orders")
+          .withColumn("d", datediff(col("o_orderdate"), lit("1995-01-01").cast("date")))
+        val w = Window.partitionBy(col("o_custkey")).orderBy(col("d"))
+          .rangeBetween(-30, 0)
+        d.select(col("o_custkey"), col("o_orderkey"), col("d"),
+          sum(dec(col("o_totalprice"))).over(w).cast("double").as("trailing_spend"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+        CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS INTEGER) AS d,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+          (PARTITION BY o_custkey ORDER BY date_diff('day', DATE '1995-01-01', o_orderdate)
+           RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_spend
+        FROM orders""")),
+
+    GQ("v01_pivot",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .groupBy("o_orderpriority")
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(dsum(col("o_totalprice"))),
+      Some("""SELECT o_orderpriority,
+        CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS F,
+        CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS O,
+        CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS P
+        FROM orders GROUP BY o_orderpriority""")),
+
+    GQ("x01_word_freq", // generator/UDTF surface: explode → re-aggregate
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(words(col("text")).as("ws"))
+          .select(explode(col("ws")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("n")),
+      Some("""SELECT w, COUNT(*) AS n FROM (
+          SELECT UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+          FROM documents)
+        GROUP BY w""")),
+
+    GQ("x02_percentiles",
+      (s, dir) => {
+        t(s, dir, "orders").createOrReplaceTempView("orders")
+        s.sql("""SELECT o_orderstatus,
+          percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS median_price,
+          MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+          FROM orders GROUP BY o_orderstatus""")
+      },
+      Some("""SELECT o_orderstatus,
+        percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS median_price,
+        MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+        FROM orders GROUP BY o_orderstatus""")),
+
+    GQ("j01_correlated_subquery", // SQL-string surface
+      (s, dir) => {
+        t(s, dir, "customer").createOrReplaceTempView("customer")
+        s.sql("""SELECT c_custkey, c_acctbal FROM customer c
+          WHERE c_acctbal > (SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                                    / COUNT(*)
+                             FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)""")
+      },
+      Some("""SELECT c_custkey, c_acctbal FROM customer c
+        WHERE c_acctbal > (SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                                  / COUNT(*)
+                           FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)""")),
+
+    GQ("h01_approx_distinct", // HLL sketch — approximate by design → rows-only
+      (s, dir) =>
+        t(s, dir, "lineitem").groupBy("l_returnflag")
+          .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+            countDistinct(col("l_partkey")).as("exact_parts")),
+      None),
+
+    GQ("f01_nested_struct",
+      (s, dir) =>
+        t(s, dir, "orders").select(
+          col("o_orderkey"),
+          struct(col("o_orderstatus").as("status"),
+            col("o_orderpriority").as("pri")).as("meta")),
+      Some("""SELECT o_orderkey,
+        {'status': o_orderstatus, 'pri': o_orderpriority} AS meta
+        FROM orders"""))
+  )
+}
