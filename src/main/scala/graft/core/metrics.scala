@@ -1,0 +1,53 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, Dataset, Observation}
+import org.apache.spark.sql.functions._
+
+/** Pipeline observability — the Spark re-expression of the reference's
+  * counters and error-manager sink.
+  *
+  *  - `observed`: `pipeline.count` parity (reference pipeline.py:308-315,
+  *    containers.py:112-122). Accumulators are at-least-once under task
+  *    retry, so correctness-grade counts use `Dataset.observe` metrics,
+  *    which Spark de-duplicates per task (SURVEY.md §7.3).
+  *  - `errorsOf` / error sinks: the pluggable ErrorManager surface
+  *    (reference error/handling.py:14-116; ES-logging example
+  *    docs/usage.rst:230-252): the error channel is just a column, so a
+  *    sink is any DataFrame writer over the flattened error rows.
+  */
+object PipelineMetrics {
+
+  /** Attach observed metrics to a pipeline output: total items, items with
+    * any error, items with critical errors. Read `obs.get` after an action. */
+  def observed[T](ds: Dataset[Tracked[T]], name: String = "graft_pipeline")
+      : (Dataset[Tracked[T]], Observation) = {
+    val obs = Observation(name)
+    val observedDs = ds.observe(obs,
+      count(lit(1)).as("n_items"),
+      sum(when(size(col("errors")) > 0, 1L).otherwise(0L)).as("n_failed"),
+      sum(when(exists(col("errors"), e => e.getField("severity") === StageError.Critical),
+        1L).otherwise(0L)).as("n_critical"))
+    (observedDs, obs)
+  }
+
+  /** One row per captured error: (id, stage, severity, message, cause,
+    * attempts) — the shape an error sink (table, ES index, log) consumes. */
+  def errorsOf[T](ds: Dataset[Tracked[T]]): DataFrame =
+    ds.filter(size(col("errors")) > 0)
+      .select(col("id"), explode(col("errors")).as("e"))
+      .select(col("id"), col("e.stage").as("stage"),
+        col("e.severity").as("severity"), col("e.message").as("message"),
+        col("e.cause").as("cause"), col("e.attempts").as("attempts"))
+
+  /** Route captured errors to a parquet table — a ready-made error sink
+    * (swap for any writer). */
+  def sinkErrors[T](ds: Dataset[Tracked[T]], path: String): Unit =
+    errorsOf(ds).write.mode("append").parquet(path)
+
+  /** Truncated payload repr for logs (reference item.py:42-48
+    * `data_snippet`, DATA_SNIPPET_SIZE=100, defaults.py:4). */
+  def dataSnippet[T](item: Tracked[T], maxSize: Int = 100): String = {
+    val s = String.valueOf(item.value)
+    if (s.length <= maxSize) s else s.substring(0, maxSize) + "…"
+  }
+}

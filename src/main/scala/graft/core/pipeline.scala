@@ -36,7 +36,7 @@ final class Pipeline[T] private (
     source: Option[Dataset[T]],
     stages: Vector[(AnyStage, StageOpts)],
     policy: ErrorPolicy
-) extends Serializable {
+) {
 
   private def copyWith(
       source: Option[Dataset[T]] = source,
@@ -101,12 +101,13 @@ final class Pipeline[T] private (
       case s: TypedStage[T @unchecked] =>
         ds.mapPartitions { it =>
           s.onStart() // per-partition lifecycle (reference runners.py:168-177)
-          completing(it.map(StageRunner.runOne(s, _, pol, opts.retry)), () => s.onEnd())
+          Pipeline.completing(it.map(StageRunner.runOne(s, _, pol, opts.retry)),
+            () => s.onEnd())
         }
       case s: TypedBatchStage[T @unchecked] =>
         ds.mapPartitions { it =>
           s.onStart()
-          completing(
+          Pipeline.completing(
             it.grouped(s.size).flatMap(StageRunner.runBatch(s, _, pol, opts.retry)),
             () => s.onEnd())
         }
@@ -115,18 +116,6 @@ final class Pipeline[T] private (
           "ColumnarStage belongs on FramePipeline (untyped surface)")
     }
   }
-
-  /** Wrap an iterator so `onEnd` fires exactly once after exhaustion. */
-  private def completing[A](it: Iterator[A], onEnd: () => Unit): Iterator[A] =
-    new Iterator[A] {
-      private var ended = false
-      def hasNext: Boolean = {
-        val h = it.hasNext
-        if (!h && !ended) { ended = true; onEnd() }
-        h
-      }
-      def next(): A = it.next()
-    }
 
   /** Synchronous single-record path, no cluster round-trip (reference:
     * pipeline.py:371-383 `process`). Runs the exact same StageRunner
@@ -156,6 +145,20 @@ object Pipeline {
 
   def of[T](source: Dataset[T]): Pipeline[T] =
     apply[T](source.sparkSession).setSource(source)
+
+  /** Wrap an iterator so `onEnd` fires exactly once after exhaustion.
+    * Static (not a Pipeline method) so task closures don't capture the
+    * builder — which holds the non-serializable SparkSession. */
+  private[core] def completing[A](it: Iterator[A], onEnd: () => Unit): Iterator[A] =
+    new Iterator[A] {
+      private var ended = false
+      def hasNext: Boolean = {
+        val h = it.hasNext
+        if (!h && !ended) { ended = true; onEnd() }
+        h
+      }
+      def next(): A = it.next()
+    }
 }
 
 /** Untyped relational pipeline: a named, ordered chain of pure
