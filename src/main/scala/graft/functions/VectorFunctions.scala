@@ -14,8 +14,14 @@ object VectorFunctions {
     * regardless of the stored element type. */
   def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  /** Left-fold dot product. */
-  def dot(a: Column, b: Column): Column =
+  /** Left-fold dot product — native codegen'd expression (same f64
+    * accumulation order as the HOF formulation below, so results are
+    * bit-identical; the loop just runs compiled instead of interpreted). */
+  def dot(a: Column, b: Column): Column = graft.expressions.ArrayDot(a, b)
+
+  /** Composable HOF formulation of the same fold (reference shape; used by
+    * tests to cross-check the native expression). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
   def norm2(v: Column): Column = sqrt(dot(v, v))

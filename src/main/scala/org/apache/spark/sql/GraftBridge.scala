@@ -1,0 +1,11 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into sql-private constructors for extension expressions — the
+  * standard pattern for libraries contributing native Catalyst expressions
+  * (Column ↔ Expression conversion is `private[sql]` in Spark 4). */
+object GraftBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

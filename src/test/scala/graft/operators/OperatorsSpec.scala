@@ -104,6 +104,20 @@ class SimilaritySpec extends SparkSpec {
     val sim = df.select(cosine($"a", $"b").as("s")).head().getDouble(0)
     assert(math.abs(sim - 24.0 / 25.0) < 1e-12)
   }
+
+  test("native ArrayDot is bit-identical to the HOF fold") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 50).map(_ =>
+      (Seq.fill(64)(rnd.nextDouble() - 0.5), Seq.fill(64)(rnd.nextDouble() - 0.5)))
+    val df = rows.toDF("a", "b")
+    val out = df.select(dot($"a", $"b").as("native"), dotHof($"a", $"b").as("hof"))
+      .collect()
+    // exact bit equality: same left-to-right f64 accumulation
+    assert(out.forall(r => r.getDouble(0) == r.getDouble(1)))
+    // null propagation
+    val nulls = df.limit(1).select(dot(lit(null).cast("array<double>"), $"b"))
+    assert(nulls.head().isNullAt(0))
+  }
 }
 
 class TextFunctionsSpec extends SparkSpec {
