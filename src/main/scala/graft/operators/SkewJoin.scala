@@ -1,0 +1,35 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigated equi-join via key salting.
+  *
+  * AQE's skew-join split (on by default) handles most skew at runtime;
+  * explicit salting remains the tool when a handful of hot keys dwarf
+  * everything else (the classic power-law join at corpus scale): the
+  * probe side gets a random salt in [0, salts), the build side is
+  * replicated once per salt value, and the join key becomes (key, salt) —
+  * splitting each hot key's row group across `salts` reducers.
+  *
+  * The salt is correctness-invariant: every probe row meets exactly the
+  * build replica carrying its salt, so results equal the unsalted join.
+  */
+object SkewJoin {
+
+  def saltedJoin(
+      probe: DataFrame,
+      build: DataFrame,
+      probeKey: String,
+      buildKey: String,
+      salts: Int = 8,
+      joinType: String = "inner"
+  ): DataFrame = {
+    val p = probe.withColumn("_salt", (rand(42) * salts).cast("int"))
+    val b = build.withColumn("_salt", explode(sequence(lit(0), lit(salts - 1))))
+    p.join(b,
+      p(probeKey) === b(buildKey) && p("_salt") === b("_salt"),
+      joinType)
+      .drop("_salt")
+  }
+}

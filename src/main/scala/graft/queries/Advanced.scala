@@ -156,6 +156,19 @@ object Advanced {
                                   / COUNT(*)
                            FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)""")),
 
+    GQ("j02_salted_join", // skew-mitigated join: same results as plain join
+      (s, dir) => graft.operators.SkewJoin.saltedJoin(
+        t(s, dir, "lineitem"), t(s, dir, "orders"),
+        "l_orderkey", "o_orderkey", salts = 8)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(discPrice(col("l_extendedprice"), col("l_discount")))
+            .cast("double").as("revenue")),
+      Some("""SELECT o_orderstatus, COUNT(*) AS n,
+        CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderstatus""")),
+
     GQ("h01_approx_distinct", // HLL sketch — approximate by design → rows-only
       (s, dir) =>
         t(s, dir, "lineitem").groupBy("l_returnflag")
