@@ -176,6 +176,57 @@ object Advanced {
             countDistinct(col("l_partkey")).as("exact_parts")),
       None),
 
+    GQ("q30_date_parts",
+      (s, dir) =>
+        t(s, dir, "orders").select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          quarter(col("o_orderdate")).as("q"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("d"),
+          (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("due_date")),
+      Some("""SELECT o_orderkey,
+        CAST(year(o_orderdate) AS INTEGER) AS y,
+        CAST(quarter(o_orderdate) AS INTEGER) AS q,
+        CAST(month(o_orderdate) AS INTEGER) AS m,
+        CAST(day(o_orderdate) AS INTEGER) AS d,
+        o_orderdate + INTERVAL 30 DAY AS due_date
+        FROM orders""")),
+
+    GQ("q31_array_funcs",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"), words(col("text")).as("ws"))
+          .select(col("doc_id"),
+            array_join(array_sort(array_distinct(col("ws"))), ",").as("vocab"),
+            array_contains(col("ws"), "spark").as("mentions_spark"),
+            element_at(col("ws"), 1).as("first_word"),
+            element_at(col("ws"), -1).as("last_word")),
+      Some("""WITH t AS (SELECT doc_id,
+          list_filter(string_split(text, ' '), w -> w <> '') AS ws FROM documents)
+        SELECT doc_id,
+          array_to_string(list_sort(list_distinct(ws)), ',') AS vocab,
+          list_contains(ws, 'spark') AS mentions_spark,
+          ws[1] AS first_word, ws[-1] AS last_word
+        FROM t""")),
+
+    GQ("q32_string_funcs2",
+      (s, dir) =>
+        t(s, dir, "part").select(
+          col("p_partkey"),
+          lpad(col("p_brand"), 12, "*").as("brand_padded"),
+          translate(col("p_name"), "aeiou", "AEIOU").as("name_translated"),
+          reverse(col("p_type")).as("type_reversed"),
+          repeat(col("p_brand"), 2).as("brand_twice"),
+          trim(lit("  x  ")).as("trimmed")),
+      Some("""SELECT p_partkey,
+        lpad(p_brand, 12, '*') AS brand_padded,
+        translate(p_name, 'aeiou', 'AEIOU') AS name_translated,
+        reverse(p_type) AS type_reversed,
+        repeat(p_brand, 2) AS brand_twice,
+        trim('  x  ') AS trimmed
+        FROM part""")),
+
     GQ("f01_nested_struct",
       (s, dir) =>
         t(s, dir, "orders").select(

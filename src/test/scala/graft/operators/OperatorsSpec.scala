@@ -118,6 +118,13 @@ class SimilaritySpec extends SparkSpec {
     val nulls = df.limit(1).select(dot(lit(null).cast("array<double>"), $"b"))
     assert(nulls.head().isNullAt(0))
   }
+
+  test("array_dot is SQL-callable after registration") {
+    graft.GraftFunctions.register(spark)
+    val r = spark.sql("SELECT array_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .head().getDouble(0)
+    assert(r == 11.0)
+  }
 }
 
 class TextFunctionsSpec extends SparkSpec {
