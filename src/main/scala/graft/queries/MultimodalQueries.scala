@@ -47,6 +47,25 @@ object MultimodalQueries {
         event_type, COUNT(*) AS n
         FROM events GROUP BY 1, 2""")),
 
+    GQ("s03_session_window", // gap-based session_window, batch-verified
+      (s, dir) => Streaming.sessionCounts(Tables.events(s, dir), "ts", gap = "30 minutes")
+        .select(col("session_window.start").as("sess_start"),
+          col("user_id"), col("n_events")),
+      // oracle: gaps-and-islands with the session_window boundary rule
+      // (a gap of exactly the window length starts a new session)
+      Some("""WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tsm FROM events),
+        m AS (SELECT user_id, tsm,
+                CASE WHEN LAG(tsm, 1) OVER w IS NULL
+                          OR epoch_us(tsm) - epoch_us(LAG(tsm, 1) OVER w) >= 1800 * 1000000
+                     THEN 1 ELSE 0 END AS new_sess
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsm, event_id)),
+        sess AS (SELECT user_id, tsm,
+                   SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tsm
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+                 FROM m)
+        SELECT MIN(tsm) AS sess_start, user_id, COUNT(*) AS n_events
+        FROM sess GROUP BY user_id, sid""")),
+
     GQ("s02_sliding_window",
       (s, dir) => Streaming.windowedCounts(
         Tables.events(s, dir), "ts", "2 hours", slide = Some("1 hour"))
