@@ -44,6 +44,68 @@ object Similarity {
       .select(col("q_id"), col("vid").as("neighbor_id"), col("sim"))
   }
 
+  /** IVF (inverted-file) ANN: cluster the corpus into `nCentroids` cells
+    * with KMeans, then search each query only in its `nProbe` nearest
+    * cells. The 100 TB path where LSH recall is insufficient: the corpus
+    * shuffles once on cluster id, per-query work is bounded by cell size ×
+    * nProbe, and the (tiny) centroid table broadcasts. */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int = 3,
+      nCentroids: Int = 16,
+      nProbe: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    val c = withVec(corpus, idCol, vecCol)
+      .withColumn("features", array_to_vector(col("v")))
+    val model = new KMeans().setK(nCentroids).setSeed(42).setMaxIter(5)
+      .setFeaturesCol("features").fit(c)
+    val assigned = model.transform(c)
+      .select(col("vid"), col("v"), col("nrm"), col("prediction").as("cluster"))
+    import spark.implicits._
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (v, i) => (i, v.toArray.toSeq) }.toSeq.toDF("cluster", "cvec")
+    val q = withVec(queries, idCol, vecCol)
+      .withColumnRenamed("vid", "q_id")
+      .withColumnRenamed("v", "qv").withColumnRenamed("nrm", "qnrm")
+    // nProbe nearest cells per query (centroid table broadcast)
+    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("cdist"), col("cluster"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("cdist", -dot(col("qv"), col("cvec")) / col("qnrm"))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= nProbe)
+      .select(col("q_id"), col("qv"), col("qnrm"), col("cluster"))
+    val cand = probes.join(assigned, "cluster")
+      .filter(col("vid") =!= col("q_id"))
+      .withColumn("sim", dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vid"))
+    cand.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("q_id"), col("vid").as("neighbor_id"), col("sim"),
+        col("rn").cast("int").as("rank"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs over a corpus subset: exact
+    * all-pairs within the (broadcastable) subset — the correctness oracle
+    * for the LSH/IVF paths. */
+  def cosineNearDupPairs(
+      vecs: DataFrame,
+      threshold: Double,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val v = withVec(vecs, idCol, vecCol)
+    v.as("a").join(broadcast(v.as("b")), col("a.vid") < col("b.vid"))
+      .withColumn("sim",
+        dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
+      .filter(col("sim") >= threshold)
+      .select(col("a.vid").as("a_id"), col("b.vid").as("b_id"), col("sim"))
+  }
+
   /** LSH-bucketed ANN: `tables` independent `planes`-bit signatures; a
     * corpus vector is a candidate for a query if any table assigns both the
     * same bucket. */

@@ -136,6 +136,58 @@ object TextQueries {
           FROM p JOIN n na ON p.a_id = na.doc_id JOIN n nb ON p.b_id = nb.doc_id)
         WHERE jaccard >= 0.15""")),
 
+    GQ("d11_quality_full", // length / punctuation / stopword ratios + score
+      (s, dir) => {
+        Tables.table(s, dir, "documents")
+          .select(col("doc_id"), col("text"), words(col("text")).as("ws"))
+          .select(col("doc_id"),
+            length(col("text")).as("n_chars"),
+            size(col("ws")).as("n_words"),
+            size(array_distinct(col("ws"))).as("n_distinct"),
+            (length(col("text"))
+              - length(regexp_replace(col("text"), "[^A-Za-z0-9 ]", ""))).as("n_punct"),
+            stopwordHits(col("ws"), EnStop).as("n_stop"))
+          .select(col("doc_id"), col("n_chars"), col("n_words"),
+            (col("n_punct").cast("double") / nullif(col("n_chars"), lit(0))).as("punct_ratio"),
+            (col("n_stop").cast("double") / nullif(col("n_words"), lit(0))).as("stop_ratio"),
+            col("n_distinct"))
+          .select(col("doc_id"), col("n_chars"), col("n_words"),
+            col("punct_ratio"), col("stop_ratio"),
+            (((col("n_distinct").cast("double") / nullif(col("n_words"), lit(0))) * lit(0.4))
+              + ((lit(1.0) - col("punct_ratio")) * lit(0.3))
+              + (least(col("n_words").cast("double") / lit(50.0), lit(1.0)) * lit(0.3)))
+              .as("score"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, text,
+          list_filter(string_split(text, ' '), w -> w <> '') AS ws FROM documents),
+        m AS (SELECT doc_id,
+          CAST(length(text) AS INTEGER) AS n_chars,
+          CAST(len(ws) AS INTEGER) AS n_words,
+          len(list_distinct(ws)) AS n_distinct,
+          length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS n_punct,
+          len(list_filter(ws, w -> w IN (${EnStop.map("'" + _ + "'").mkString(",")}))) AS n_stop
+          FROM t),
+        r AS (SELECT doc_id, n_chars, n_words,
+          CAST(n_punct AS DOUBLE) / NULLIF(n_chars, 0) AS punct_ratio,
+          CAST(n_stop AS DOUBLE) / NULLIF(n_words, 0) AS stop_ratio,
+          n_distinct FROM m)
+        SELECT doc_id, n_chars, n_words, punct_ratio, stop_ratio,
+          ((CAST(n_distinct AS DOUBLE) / NULLIF(n_words, 0)) * 0.4)
+            + ((1.0 - punct_ratio) * 0.3)
+            + (least(CAST(n_words AS DOUBLE) / 50.0, 1.0) * 0.3) AS score
+        FROM r""")),
+
+    GQ("d12_rolling_fingerprint", // Rabin-Karp-style native expression
+      (s, dir) => Tables.table(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.expressions.PolyHash(col("text")).as("fp")),
+      Some("""SELECT doc_id,
+        CAST(list_reduce(
+          list_prepend(CAST(0 AS BIGINT),
+            list_transform(regexp_extract_all(text, '.'), c -> CAST(ascii(c) AS BIGINT))),
+          (h, b) -> (h * 257 + b) % 1000000007) AS BIGINT) AS fp
+        FROM documents""")),
+
     // Hash-function-specific ops: deterministic, but not oracle-SQL-expressible
     // → driver records rows-only checks.
     GQ("d08_simhash_signature",

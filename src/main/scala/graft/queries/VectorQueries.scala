@@ -40,6 +40,31 @@ object VectorQueries {
       },
       None),
 
+    // Embedding-cosine near-duplicate pairs on a systematic subset —
+    // exact all-pairs, oracle-verified (the ground truth the LSH/IVF
+    // approximate paths are judged against).
+    GQ("e04_embedding_neardup",
+      (s, dir) => Similarity.cosineNearDupPairs(
+        Tables.table(s, dir, "embeddings").filter(col("vec_id") % 4 === 0),
+        threshold = 0.4),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings WHERE vec_id % 4 = 0),
+        n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+          list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS sim
+        FROM n a JOIN n b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4""")),
+
+    // IVF ANN: KMeans cells + nProbe search (approximate → rows-only).
+    GQ("e05_ann_ivf",
+      (s, dir) => {
+        val emb = Tables.table(s, dir, "embeddings")
+        Similarity.ivfTopK(
+          corpus = emb, queries = emb.filter(col("vec_id") < 50),
+          k = 3, nCentroids = 16, nProbe = 2)
+      },
+      None),
+
     // Per-label stats: deterministic min/max/count only (no float-sum
     // accumulation-order hazards).
     GQ("e03_label_stats",

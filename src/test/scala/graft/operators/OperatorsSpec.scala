@@ -119,6 +119,39 @@ class SimilaritySpec extends SparkSpec {
     assert(nulls.head().isNullAt(0))
   }
 
+  test("IVF ANN finds the true nearest neighbor when cells are probed") {
+    val rnd = new scala.util.Random(3)
+    // 3 well-separated clusters of 20 vectors each
+    val base = Seq(Seq(10f, 0f, 0f), Seq(0f, 10f, 0f), Seq(0f, 0f, 10f))
+    val vecs = (0 until 60).map { i =>
+      val b = base(i % 3)
+      TestVec(i.toLong, b.map(x => x + rnd.nextFloat() * 0.1f))
+    }.toDF()
+    val out = Similarity.ivfTopK(vecs, vecs.filter($"vec_id" < 3),
+      k = 1, nCentroids = 3, nProbe = 1)
+      .collect().map(r => r.getAs[Long]("q_id") -> r.getAs[Long]("neighbor_id")).toMap
+    // top-1 neighbor must come from the same cluster (id ≡ q_id mod 3)
+    assert(out.size == 3)
+    out.foreach { case (q, n) => assert(n % 3 == q % 3) }
+  }
+
+  test("PolyHash native expression matches a reference Scala fold") {
+    val df = Seq("hello world", "", "abc").toDF("t")
+    val got = df.select(graft.expressions.PolyHash($"t")).collect().map(_.getLong(0))
+    def ref(s: String) = s.getBytes("UTF-8").foldLeft(0L)((h, b) =>
+      (h * 257L + (b & 0xff)) % 1000000007L)
+    assert(got.sameElements(Array(ref("hello world"), ref(""), ref("abc"))))
+  }
+
+  test("cosine near-dup pairs are symmetric-free (a < b) and thresholded") {
+    val vecs = Seq(
+      TestVec(1, Seq(1f, 0f)), TestVec(2, Seq(0.99f, 0.1f)), TestVec(3, Seq(0f, 1f))
+    ).toDF()
+    val out = Similarity.cosineNearDupPairs(vecs, threshold = 0.9)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")))
+    assert(out.toSet == Set((1L, 2L)))
+  }
+
   test("array_dot is SQL-callable after registration") {
     graft.GraftFunctions.register(spark)
     val r = spark.sql("SELECT array_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")

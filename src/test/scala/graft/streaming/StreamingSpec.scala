@@ -86,6 +86,25 @@ class StreamingSpec extends SparkSpec {
     } finally runner.stop()
   }
 
+  test("mapGroupsWithState running stats accumulate across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Double)]
+    val out = Streaming.runningStats(mem.toDS())
+    val q = out.writeStream.format("memory").queryName("running_stats")
+      .outputMode("update").start()
+    try {
+      mem.addData((1L, 2.0), (1L, 3.0), (2L, 10.0))
+      q.processAllAvailable()
+      mem.addData((1L, 5.0))
+      q.processAllAvailable()
+      val last = spark.table("running_stats").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1).map { case (k, rows) => k -> rows.maxBy(_._2) }
+      assert(last(1L) == ((1L, 3L, 10.0))) // state carried across batches
+      assert(last(2L) == ((2L, 1L, 10.0)))
+    } finally q.stop()
+  }
+
   test("multimodal: stub feature extraction preserves schema and determinism") {
     val df = Seq((1L, "abc"), (2L, "abc"), (3L, "xyz")).toDF("id", "txt")
       .withColumn("media", encode(col("txt"), "utf-8"))
