@@ -289,6 +289,26 @@ object Relational {
         EXCEPT
         SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'""")),
 
+    GQ("q18b_intersect_all", // multiset semantics (duplicates preserved)
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        o.filter(col("o_orderstatus") === "F").select("o_custkey")
+          .intersectAll(o.filter(col("o_orderstatus") === "O").select("o_custkey"))
+      },
+      Some("""SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        INTERSECT ALL
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""")),
+
+    GQ("q19b_except_all",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        o.select("o_custkey")
+          .exceptAll(o.filter(col("o_orderstatus") === "F").select("o_custkey"))
+      },
+      Some("""SELECT o_custkey FROM orders
+        EXCEPT ALL
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'""")),
+
     // ---------------------------------------------------- scalar functions
     GQ("q20_string_funcs",
       (s, dir) =>

@@ -202,6 +202,15 @@ class PipelineSpec extends SparkSpec {
     assert(RetrySpecHelpers.ends.get() == nParts)
   }
 
+  test("per-stage concurrency hint repartitions before the stage") {
+    val out = Pipeline.of(source(20))
+      .append(TypedStage[Doc]("count_parts") { d => d },
+        StageOpts(concurrency = 7))
+      .build()
+    assert(out.rdd.getNumPartitions == 7)
+    assert(out.count() == 20)
+  }
+
   test("duplicate stage names are rejected") {
     intercept[IllegalArgumentException] {
       Pipeline.of(source(1)).append("a")(identity).append("a")(identity)
