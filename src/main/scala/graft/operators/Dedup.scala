@@ -142,15 +142,17 @@ object Dedup {
         call_function("shiftright", col("sig"), c * bitsPerChunk)
           .bitwiseAND((1L << bitsPerChunk) - 1))))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "key")
+    // Hamming check INSIDE the join condition: candidates failing the
+    // distance test die during the probe, before the pair-dedup shuffle —
+    // on near-dup-heavy corpora this is the difference between shuffling
+    // the candidate blowup and shuffling only true pairs.
     chunked.as("a")
       .join(chunked.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.key") === col("b.key")
-          && col("a.doc_id") < col("b.doc_id"))
+          && col("a.doc_id") < col("b.doc_id")
+          && hammingDist(col("a.sig"), col("b.sig")) <= maxHamming)
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        col("a.sig").as("sa"), col("b.sig").as("sb"))
+        hammingDist(col("a.sig"), col("b.sig")).cast("int").as("hamming"))
       .dropDuplicates("a_id", "b_id")
-      .withColumn("hamming", hammingDist(col("sa"), col("sb")).cast("int"))
-      .filter(col("hamming") <= maxHamming)
-      .select("a_id", "b_id", "hamming")
   }
 }
