@@ -79,6 +79,22 @@ object Streaming {
           (key, n, s)
       }
 
+  /** Rate-limited file stream — the engine's backpressure knob (reference:
+    * bounded queues with blocking put, MAX_QUEUES_SIZE=1000,
+    * defaults.py:5 / pipeline.py:118-132). Spark's analog is source-side
+    * admission control: at most `maxFilesPerTrigger` files enter each
+    * micro-batch, so downstream stages never build unbounded backlog. */
+  def rateLimitedFileStream(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      schema: org.apache.spark.sql.types.StructType,
+      format: String = "parquet",
+      maxFilesPerTrigger: Int = 1
+  ): DataFrame =
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .format(format).load(path)
+
   /** Start a stream into an in-memory sink table (local smoke path). */
   def toMemorySink(df: DataFrame, name: String,
       mode: OutputMode = OutputMode.Append()): StreamingQuery =

@@ -105,6 +105,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("rate-limited file stream admits bounded files per micro-batch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    // three separate files
+    (1 to 3).foreach { i =>
+      Seq((i.toLong, s"doc$i")).toDF("id", "txt")
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    val schema = spark.read.parquet(dir).schema
+    val stream = Streaming.rateLimitedFileStream(spark, dir, schema,
+      maxFilesPerTrigger = 1)
+    val q = stream.writeStream.format("memory").queryName("rated")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("rated").count() == 3) // all arrive...
+      // ...across multiple micro-batches (1 file per trigger)
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 2)
+    } finally q.stop()
+  }
+
   test("multimodal: stub feature extraction preserves schema and determinism") {
     val df = Seq((1L, "abc"), (2L, "abc"), (3L, "xyz")).toDF("id", "txt")
       .withColumn("media", encode(col("txt"), "utf-8"))
