@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.TextFunctions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for document corpora, designed for the 100 TB
@@ -75,7 +75,8 @@ object Dedup {
       shingleK: Int = 3,
       threshold: Double = 0.5,
       idCol: String = "doc_id",
-      textCol: String = "text"
+      textCol: String = "text",
+      portableHash: Boolean = false
   ): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rowsPerBand = numHashes / bands
@@ -90,20 +91,38 @@ object Dedup {
     // the signature table feeds both sides of the band self-join and the
     // verify joins (at corpus scale this is the checkpoint you'd take
     // anyway before an LSH join).
+    //
+    // Two hash families: xxhash64 (native, the 100 TB default) and a
+    // portable md5-hex-string family that engines like DuckDB can replay
+    // exactly — used by the correctness harness to oracle-verify the whole
+    // LSH pipeline, not just its inputs.
     val sig = withShingles.withColumn("sig",
-      aggregate(
-        transform(col("sh"), s =>
-          transform(sequence(lit(0), lit(numHashes - 1)), i => xxhash64(i, s))),
-        array_repeat(lit(Long.MaxValue), numHashes),
-        (acc, hv) => zip_with(acc, hv, (a, b) => least(a, b))))
+      if (portableHash)
+        aggregate(
+          transform(col("sh"), s =>
+            transform(sequence(lit(0), lit(numHashes - 1)), i =>
+              md5(concat(i.cast("string"), lit("|"), s)))),
+          array_repeat(lit("g"), numHashes), // "g" > any md5 hex string
+          (acc, hv) => zip_with(acc, hv, (a, b) => least(a, b)))
+      else
+        aggregate(
+          transform(col("sh"), s =>
+            transform(sequence(lit(0), lit(numHashes - 1)), i => xxhash64(i, s))),
+          array_repeat(lit(Long.MaxValue), numHashes),
+          (acc, hv) => zip_with(acc, hv, (a, b) => least(a, b))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Band rows carry ONLY (doc_id, band, bucket) — at corpus scale the
     // candidate shuffle must not replicate shingle arrays per band. The
     // arrays are re-joined once per verified candidate side afterwards.
-    val banded = sig.select(col("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+    val bucketOf: Column => Column =
+      if (portableHash) b =>
+        md5(concat(b.cast("string"), lit("|"),
+          concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
+      else b =>
         xxhash64(b, slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))
-          .cast("array<string>").cast("string")))))
+          .cast("array<string>").cast("string"))
+    val banded = sig.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)), bucketOf)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     val cand = banded.as("a")
       .join(banded.as("b"),

@@ -196,11 +196,41 @@ object TextQueries {
         .select(col("doc_id"), simhash(col("ws")).as("sig")),
       None),
 
+    // Full MinHash-LSH pipeline with the portable md5 hash family: the
+    // oracle replays signature construction, banding, candidate generation
+    // AND jaccard verification — end-to-end LSH correctness, not just
+    // row counts.
     GQ("d09_minhash_lsh_pairs",
       (s, dir) => Dedup.minhashPairs(
         Tables.table(s, dir, "documents"),
-        numHashes = 8, bands = 4, shingleK = 3, threshold = 0.5),
-      None),
+        numHashes = 8, bands = 4, shingleK = 3, threshold = 0.5,
+        portableHash = true),
+      Some("""WITH t AS (SELECT doc_id,
+          list_filter(string_split(text, ' '), w -> w <> '') AS ws FROM documents),
+        s AS (SELECT doc_id, list_distinct(list_transform(
+                range(1, greatest(len(ws) - 1, 1)),
+                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+              FROM t),
+        s2 AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
+        sig AS (SELECT doc_id, sh,
+                  list_transform(range(0, 8), i ->
+                    list_min(list_transform(sh, x -> md5(CAST(i AS VARCHAR) || '|' || x)))) AS sg
+                FROM s2),
+        banded AS (SELECT doc_id, b,
+                     md5(CAST(b AS VARCHAR) || '|' ||
+                         array_to_string(sg[b*2+1 : b*2+2], ',')) AS bucket
+                   FROM sig CROSS JOIN (SELECT UNNEST(range(0, 4)) AS b)),
+        cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                 FROM banded a JOIN banded b
+                   ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+        verified AS (SELECT c.a_id, c.b_id,
+                       CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS DOUBLE)
+                         / (len(sa.sh) + len(sb.sh)
+                            - len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))) AS jaccard
+                     FROM cand c
+                     JOIN s2 sa ON c.a_id = sa.doc_id
+                     JOIN s2 sb ON c.b_id = sb.doc_id)
+        SELECT a_id, b_id, jaccard FROM verified WHERE jaccard >= 0.5""")),
 
     GQ("d10_simhash_pairs",
       (s, dir) => Dedup.simhashPairs(
