@@ -18,6 +18,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("array_dot"),
       new ExpressionInfo(classOf[ArrayDot].getName, "array_dot"),
       (exprs: Seq[Expression]) => ArrayDot(exprs(0), exprs(1))))
+    e.injectResolutionRule(_ => graft.plans.ResolveTopKPerGroup)
   }
 }
 

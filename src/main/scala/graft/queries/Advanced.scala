@@ -227,6 +227,16 @@ object Advanced {
         trim('  x  ') AS trimmed
         FROM part""")),
 
+    GQ("q33_custom_topk", // custom LogicalPlan node, lowered by our Rule
+      (s, dir) => graft.plans.TopKPerGroup(
+        t(s, dir, "part").select("p_partkey", "p_brand", "p_retailprice"),
+        groupCols = Seq("p_brand"), orderCol = "p_partkey",
+        descending = false, k = 2),
+      Some("""SELECT p_partkey, p_brand, p_retailprice FROM (
+          SELECT p_partkey, p_brand, p_retailprice,
+            ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY p_partkey) AS rn
+          FROM part) WHERE rn <= 2""")),
+
     GQ("f01_nested_struct",
       (s, dir) =>
         t(s, dir, "orders").select(
