@@ -63,7 +63,7 @@ object Similarity {
     val spark = corpus.sparkSession
     val c = withVec(corpus, idCol, vecCol)
       .withColumn("features", array_to_vector(col("v")))
-    val model = new KMeans().setK(nCentroids).setSeed(42).setMaxIter(5)
+    val model = new KMeans().setK(nCentroids).setSeed(42).setMaxIter(3)
       .setFeaturesCol("features").fit(c)
     val assigned = model.transform(c)
       .select(col("vid"), col("v"), col("nrm"), col("prediction").as("cluster"))

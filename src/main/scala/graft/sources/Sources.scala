@@ -28,6 +28,22 @@ object Sources {
   def jsonl(spark: SparkSession, path: String): DataFrame =
     spark.read.json(path)
 
+  /** JSONL with per-record error capture: malformed lines survive as rows
+    * with the raw text in `_corrupt_record` instead of failing the read —
+    * the source-side analog of the pipeline's soft-error channel
+    * (reference: ErrorSource semantics, tests/utils.py:61-69; per-item
+    * capture docs/usage.rst:106-111). Pair with
+    * `filter(col("_corrupt_record").isNotNull)` as the error sink feed.
+    * NOTE: a query projecting ONLY `_corrupt_record` must cache/persist
+    * first (Spark's QUERY_ONLY_CORRUPT_RECORD_COLUMN restriction). */
+  def jsonlWithErrors(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read
+      .schema(schema.add("_corrupt_record", "string"))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+
   /** One record per non-empty line, like the reference's file-line source
     * (examples/dump_es_ids.py:25-39 skips blank lines). */
   def textLines(spark: SparkSession, path: String): DataFrame =

@@ -79,6 +79,26 @@ object Streaming {
           (key, n, s)
       }
 
+  /** Watermarked stream-stream inner join: each side keeps only the state
+    * the watermark + time-range condition require, so state is bounded —
+    * the streaming analog of the batched lookup-enrichment pattern
+    * (reference O24) when both sides are live. */
+  def streamStreamJoin(
+      left: DataFrame, right: DataFrame,
+      leftTs: String, rightTs: String,
+      key: String,
+      lateness: String = "10 minutes",
+      maxDelay: String = "15 minutes"
+  ): DataFrame = {
+    val l = left.withWatermark(leftTs, lateness)
+    val r = right.withWatermark(rightTs, lateness)
+    l.join(r,
+      l(key) === r(key) &&
+        r(rightTs) >= l(leftTs) &&
+        r(rightTs) <= l(leftTs) + expr(s"INTERVAL $maxDelay"))
+      .drop(r(key))
+  }
+
   /** Rate-limited file stream — the engine's backpressure knob (reference:
     * bounded queues with blocking put, MAX_QUEUES_SIZE=1000,
     * defaults.py:5 / pipeline.py:118-132). Spark's analog is source-side

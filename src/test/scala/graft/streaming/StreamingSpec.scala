@@ -105,6 +105,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermarked stream-stream join matches within the time range") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val joined = Streaming.streamStreamJoin(
+      clicks.toDF().select($"ts".as("c_ts"), $"user_id", $"value".as("click_id")),
+      purchases.toDF().select($"ts".as("p_ts"), $"user_id", $"value".as("purchase_id")),
+      leftTs = "c_ts", rightTs = "p_ts", key = "user_id",
+      maxDelay = "15 minutes")
+      .select("user_id", "click_id", "purchase_id")
+    val q = joined.writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").start()
+    try {
+      clicks.addData(Ev(ts(0), 1, "click", 100.0), Ev(ts(0), 2, "click", 200.0))
+      purchases.addData(
+        Ev(ts(10), 1, "purchase", 111.0),  // within 15 min of user 1's click
+        Ev(ts(40), 2, "purchase", 222.0))  // too late for user 2's click
+      q.processAllAvailable()
+      val rows = spark.table("ss_join").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+      assert(rows == Set((1L, 100.0, 111.0)))
+    } finally q.stop()
+  }
+
+  test("jsonl source captures malformed records instead of failing") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl").toFile
+    val w = new java.io.PrintWriter(new java.io.File(dir, "a.jsonl"))
+    w.println("""{"id": 1, "name": "ok"}""")
+    w.println("""{broken json!!""")
+    w.println("""{"id": 2, "name": "fine"}""")
+    w.close()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("name", org.apache.spark.sql.types.StringType)))
+    // cache: Spark disallows projecting ONLY the corrupt column from a raw
+    // json scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN)
+    val df = graft.sources.Sources.jsonlWithErrors(spark, dir.getPath, schema).cache()
+    val good = df.filter(col("_corrupt_record").isNull)
+    val bad = df.filter(col("_corrupt_record").isNotNull)
+    assert(good.count() == 2)
+    assert(bad.count() == 1)
+    assert(bad.head().getAs[String]("_corrupt_record").contains("broken"))
+  }
+
   test("rate-limited file stream admits bounded files per micro-batch") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
     // three separate files
