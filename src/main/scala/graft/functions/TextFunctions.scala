@@ -106,4 +106,28 @@ object TextFunctions {
 
   /** Hamming distance between two SimHash signatures. */
   def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Portable SimHash: identical algorithm to [[simhash]] but with word
+    * hashes drawn from md5 hex (first 15 chars = 60 bits, 4 bits per hex
+    * nibble) so engines without xxhash64 — e.g. the DuckDB oracle — can
+    * replay the signature bit-for-bit. xxhash64 stays the scale default. */
+  def simhashPortable(ws: Column, bits: Int = 60): Column = {
+    val hashes = transform(ws, w => md5(w))
+    val positions = sequence(lit(0), lit(bits - 1))
+    def bitOf(h: Column, j: Column): Column = {
+      val c = call_function("substr", h, (j / 4).cast("int") + 1, lit(1))
+      val v = when(c.between("0", "9"), call_function("ascii", c) - 48)
+        .otherwise(call_function("ascii", c) - 87)
+      call_function("shiftright", v, pmod(j, lit(4))).bitwiseAND(1)
+    }
+    val votes = aggregate(
+      hashes,
+      array_repeat(lit(0), bits),
+      (acc, h) => zip_with(acc, positions, (a, j) =>
+        a + when(bitOf(h, j) === 1, 1).otherwise(-1)))
+    aggregate(
+      zip_with(votes, positions, (v, j) =>
+        when(v > 0, call_function("shiftleft", lit(1L), j)).otherwise(0L)),
+      lit(0L), (acc, x) => acc + x)
+  }
 }

@@ -149,12 +149,15 @@ object Dedup {
       maxHamming: Int = 8,
       chunks: Int = 4,
       idCol: String = "doc_id",
-      textCol: String = "text"
+      textCol: String = "text",
+      portableHash: Boolean = false
   ): DataFrame = {
     val bitsPerChunk = 60 / chunks
+    val sigExpr =
+      if (portableHash) simhashPortable(col("ws")) else simhash(col("ws"))
     val sig = docs
       .select(col(idCol).as("doc_id"), words(col(textCol)).as("ws"))
-      .select(col("doc_id"), simhash(col("ws")).as("sig"))
+      .select(col("doc_id"), sigExpr.as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunked = sig.select(col("doc_id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(chunks - 1)), c =>

@@ -190,11 +190,30 @@ object TextQueries {
 
     // Hash-function-specific ops: deterministic, but not oracle-SQL-expressible
     // → driver records rows-only checks.
+    // Portable (md5-bit) SimHash — the oracle replays the signature
+    // algorithm itself: per-word nibble bits, ±1 votes, sign → bit.
     GQ("d08_simhash_signature",
       (s, dir) => Tables.table(s, dir, "documents")
         .select(col("doc_id"), words(col("text")).as("ws"))
-        .select(col("doc_id"), simhash(col("ws")).as("sig")),
-      None),
+        .select(col("doc_id"), simhashPortable(col("ws")).as("sig")),
+      Some("""WITH t AS (SELECT doc_id,
+          list_transform(list_filter(string_split(text, ' '), w -> w <> ''),
+                         w -> md5(w)) AS hs
+          FROM documents),
+        v AS (SELECT doc_id,
+          list_transform(range(0, 60), j -> list_sum(list_transform(hs, h ->
+            CASE WHEN ((CASE WHEN substr(h, CAST(j // 4 AS INTEGER) + 1, 1)
+                               BETWEEN '0' AND '9'
+                        THEN ascii(substr(h, CAST(j // 4 AS INTEGER) + 1, 1)) - 48
+                        ELSE ascii(substr(h, CAST(j // 4 AS INTEGER) + 1, 1)) - 87
+                   END >> (j % 4)) & 1) = 1 THEN 1 ELSE -1 END))) AS votes
+          FROM t)
+        SELECT doc_id,
+          CAST(list_sum(list_transform(range(0, 60), j ->
+            CASE WHEN votes[CAST(j AS INTEGER) + 1] > 0
+                 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END))
+            AS BIGINT) AS sig
+        FROM v""")),
 
     // Full MinHash-LSH pipeline with the portable md5 hash family: the
     // oracle replays signature construction, banding, candidate generation
@@ -232,9 +251,36 @@ object TextQueries {
                      JOIN s2 sb ON c.b_id = sb.doc_id)
         SELECT a_id, b_id, jaccard FROM verified WHERE jaccard >= 0.5""")),
 
+    // Portable-hash variant → the oracle replays signatures, chunk-bucket
+    // candidate generation AND the Hamming verification.
     GQ("d10_simhash_pairs",
       (s, dir) => Dedup.simhashPairs(
-        Tables.table(s, dir, "documents"), maxHamming = 8, chunks = 4),
-      None)
+        Tables.table(s, dir, "documents"), maxHamming = 8, chunks = 4,
+        portableHash = true),
+      Some("""WITH t AS (SELECT doc_id,
+          list_transform(list_filter(string_split(text, ' '), w -> w <> ''),
+                         w -> md5(w)) AS hs
+          FROM documents),
+        v AS (SELECT doc_id,
+          list_transform(range(0, 60), j -> list_sum(list_transform(hs, h ->
+            CASE WHEN ((CASE WHEN substr(h, CAST(j // 4 AS INTEGER) + 1, 1)
+                               BETWEEN '0' AND '9'
+                        THEN ascii(substr(h, CAST(j // 4 AS INTEGER) + 1, 1)) - 48
+                        ELSE ascii(substr(h, CAST(j // 4 AS INTEGER) + 1, 1)) - 87
+                   END >> (j % 4)) & 1) = 1 THEN 1 ELSE -1 END))) AS votes
+          FROM t),
+        sg AS (SELECT doc_id,
+          CAST(list_sum(list_transform(range(0, 60), j ->
+            CASE WHEN votes[CAST(j AS INTEGER) + 1] > 0
+                 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END))
+            AS BIGINT) AS sig
+          FROM v),
+        chunked AS (SELECT doc_id, sig, c, (sig >> (c * 15)) & 32767 AS key
+                    FROM sg CROSS JOIN (SELECT UNNEST(range(0, 4)) AS c))
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+          CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+        FROM chunked a JOIN chunked b
+          ON a.c = b.c AND a.key = b.key AND a.doc_id < b.doc_id
+             AND bit_count(xor(a.sig, b.sig)) <= 8"""))
   )
 }
