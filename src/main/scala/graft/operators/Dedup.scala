@@ -22,6 +22,25 @@ object Dedup {
     docs.groupBy(fingerprint(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Dedup keeping the best-scoring representative per duplicate group —
+    * the usual training-corpus policy (keep the highest-quality copy, not
+    * an arbitrary one). One shuffle on the fingerprint; rank-1 filter via
+    * window. */
+  def keepBest(
+      docs: DataFrame,
+      scoreCol: String,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fp"))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    docs.withColumn("fp", fingerprint(col(textCol)))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
   /** Exact n-gram Jaccard similar pairs: explode distinct word-k-shingles,
     * self-join on shingle (co-occurrence ⇒ candidate), count intersections,
     * then Jaccard from per-doc shingle counts. The shingle join is the scale

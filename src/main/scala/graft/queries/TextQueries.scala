@@ -136,6 +136,18 @@ object TextQueries {
           FROM p JOIN n na ON p.a_id = na.doc_id JOIN n nb ON p.b_id = nb.doc_id)
         WHERE jaccard >= 0.15""")),
 
+    GQ("d13_dedup_keep_best", // keep the longest copy per duplicate group
+      (s, dir) => Dedup.keepBest(
+        Tables.table(s, dir, "documents"), scoreCol = "n_chars")
+        .select("doc_id", "fp", "n_chars"),
+      Some("""SELECT doc_id, fp, n_chars FROM (
+          SELECT doc_id, n_chars,
+            md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+            ROW_NUMBER() OVER (
+              PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+              ORDER BY n_chars DESC, doc_id) AS rn
+          FROM documents) WHERE rn = 1""")),
+
     GQ("d11_quality_full", // length / punctuation / stopword ratios + score
       (s, dir) => {
         Tables.table(s, dir, "documents")
