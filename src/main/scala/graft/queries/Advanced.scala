@@ -176,6 +176,78 @@ object Advanced {
             countDistinct(col("l_partkey")).as("exact_parts")),
       None),
 
+    GQ("q34_shipping_priority", // TPC-H Q3 shape: 3-way join, agg, top-10
+      (s, dir) => {
+        val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        val o = t(s, dir, "orders")
+          .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        val li = t(s, dir, "lineitem")
+          .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+          .agg(sum(discPrice(col("l_extendedprice"), col("l_discount")))
+            .cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10)
+      },
+      Some("""SELECT l_orderkey, o_orderdate, o_orderpriority,
+        CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+          AND l_shipdate > TIMESTAMP '1998-01-01'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey LIMIT 10""")),
+
+    GQ("q35_volume_by_nation_year", // TPC-H Q7 shape: year extraction + multi-join
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val o = t(s, dir, "orders")
+        val c = t(s, dir, "customer")
+        val n = t(s, dir, "nation")
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"), year(col("l_shipdate")).as("l_year"))
+          .agg(sum(discPrice(col("l_extendedprice"), col("l_discount")))
+            .cast("double").as("volume"))
+      },
+      Some("""SELECT n_name, CAST(year(l_shipdate) AS INTEGER) AS l_year,
+        CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS volume
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name, year(l_shipdate)""")),
+
+    GQ("q36_returned_revenue", // TPC-H Q10 shape: returned items per customer, top 20
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        val o = t(s, dir, "orders")
+        val c = t(s, dir, "customer")
+        val n = t(s, dir, "nation")
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+          .agg(sum(discPrice(col("l_extendedprice"), col("l_discount")))
+            .cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("c_custkey"))
+          .limit(20)
+      },
+      Some("""SELECT c_custkey, c_name, n_name, c_acctbal,
+        CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, n_name, c_acctbal
+        ORDER BY revenue DESC, c_custkey LIMIT 20""")),
+
     GQ("q30_date_parts",
       (s, dir) =>
         t(s, dir, "orders").select(
