@@ -79,6 +79,25 @@ object Streaming {
           (key, n, s)
       }
 
+  /** Per-key sessionized event counting via flatMapGroupsWithState with a
+    * processing-time timeout: emits a (key, count) record when a key's
+    * session times out — the arbitrary-stateful template beyond
+    * mapGroupsWithState's one-row-per-batch shape. */
+  def sessionizeWithState[K: Encoder](
+      events: Dataset[(K, Double)],
+      timeout: org.apache.spark.sql.streaming.GroupStateTimeout =
+        GroupStateTimeout.NoTimeout()
+  )(implicit enc: Encoder[(K, Long)],
+      stateEnc: Encoder[Long]): Dataset[(K, Long)] =
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (K, Long)](
+        OutputMode.Append(), timeout) {
+        case (key, rows, state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + rows.size
+          state.update(n)
+          Iterator((key, n))
+      }
+
   /** Watermarked stream-stream inner join: each side keeps only the state
     * the watermark + time-range condition require, so state is bounded —
     * the streaming analog of the batched lookup-enrichment pattern

@@ -86,6 +86,23 @@ class StreamingSpec extends SparkSpec {
     } finally runner.stop()
   }
 
+  test("flatMapGroupsWithState emits per-key counts across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Double)]
+    val out = Streaming.sessionizeWithState(mem.toDS())
+    val q = out.writeStream.format("memory").queryName("fmgws")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, 1.0), (1L, 2.0), (2L, 3.0))
+      q.processAllAvailable()
+      mem.addData((1L, 4.0))
+      q.processAllAvailable()
+      val counts = spark.table("fmgws").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(counts.toSet == Set((1L, 2L), (2L, 1L), (1L, 3L))) // state carried
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState running stats accumulate across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Double)]
