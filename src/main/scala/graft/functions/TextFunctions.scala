@@ -110,21 +110,32 @@ object TextFunctions {
   /** Portable SimHash: identical algorithm to [[simhash]] but with word
     * hashes drawn from md5 hex (first 15 chars = 60 bits, 4 bits per hex
     * nibble) so engines without xxhash64 — e.g. the DuckDB oracle — can
-    * replay the signature bit-for-bit. xxhash64 stays the scale default. */
-  def simhashPortable(ws: Column, bits: Int = 60): Column = {
-    val hashes = transform(ws, w => md5(w))
+    * replay the signature bit-for-bit. xxhash64 stays the scale default.
+    * Delegates to the native expression; [[simhashPortableHof]] keeps the
+    * pure-Column formulation for cross-checking. */
+  def simhashPortable(ws: Column, bits: Int = 60): Column =
+    graft.expressions.PortableSimHash(ws, bits)
+
+  /** Pure higher-order-function formulation of [[simhashPortable]] (same
+    * values; interpreted — used by tests to cross-check the native
+    * expression). */
+  def simhashPortableHof(ws: Column, bits: Int = 60): Column = {
     val positions = sequence(lit(0), lit(bits - 1))
-    def bitOf(h: Column, j: Column): Column = {
-      val c = call_function("substr", h, (j / 4).cast("int") + 1, lit(1))
-      val v = when(c.between("0", "9"), call_function("ascii", c) - 48)
-        .otherwise(call_function("ascii", c) - 87)
-      call_function("shiftright", v, pmod(j, lit(4))).bitwiseAND(1)
-    }
+    // Per word: md5 once, then the 15 hex-nibble values once (4 bits each).
+    // The bit loop below indexes these materialized arrays through lambda
+    // variables only — nothing is re-evaluated per bit position.
+    val nibbles = transform(transform(ws, w => md5(w)), h =>
+      transform(sequence(lit(1), lit((bits + 3) / 4)), c => {
+        val ch = call_function("substr", h, c, lit(1))
+        when(ch.between("0", "9"), call_function("ascii", ch) - 48)
+          .otherwise(call_function("ascii", ch) - 87)
+      }))
     val votes = aggregate(
-      hashes,
+      nibbles,
       array_repeat(lit(0), bits),
-      (acc, h) => zip_with(acc, positions, (a, j) =>
-        a + when(bitOf(h, j) === 1, 1).otherwise(-1)))
+      (acc, nv) => zip_with(acc, positions, (a, j) =>
+        a + when(call_function("shiftright", element_at(nv, (j / 4).cast("int") + 1),
+          pmod(j, lit(4))).bitwiseAND(1) === 1, 1).otherwise(-1)))
     aggregate(
       zip_with(votes, positions, (v, j) =>
         when(v > 0, call_function("shiftleft", lit(1L), j)).otherwise(0L)),

@@ -152,6 +152,15 @@ class SimilaritySpec extends SparkSpec {
     assert(out.toSet == Set((1L, 2L)))
   }
 
+  test("native PortableSimHash matches the HOF formulation bit-for-bit") {
+    val docs = Seq("the quick brown fox", "spark scan join sort merge", "", "x")
+      .toDF("text")
+    val out = docs.select(
+      simhashPortable(words($"text")).as("native"),
+      simhashPortableHof(words($"text")).as("hof")).collect()
+    assert(out.forall(r => r.getLong(0) == r.getLong(1)))
+  }
+
   test("array_dot is SQL-callable after registration") {
     graft.GraftFunctions.register(spark)
     val r = spark.sql("SELECT array_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
