@@ -117,12 +117,7 @@ object Dedup {
     // LSH pipeline, not just its inputs.
     val sig = withShingles.withColumn("sig",
       if (portableHash)
-        aggregate(
-          transform(col("sh"), s =>
-            transform(sequence(lit(0), lit(numHashes - 1)), i =>
-              md5(concat(i.cast("string"), lit("|"), s)))),
-          array_repeat(lit("g"), numHashes), // "g" > any md5 hex string
-          (acc, hv) => zip_with(acc, hv, (a, b) => least(a, b)))
+        graft.expressions.PortableMinHash(col("sh"), numHashes)
       else
         aggregate(
           transform(col("sh"), s =>

@@ -152,6 +152,24 @@ class SimilaritySpec extends SparkSpec {
     assert(out.toSet == Set((1L, 2L)))
   }
 
+  test("native PortableMinHash matches the HOF formulation exactly") {
+    val docs = Seq(Seq("a b c", "b c d", "c d e"), Seq("x y z"), Seq.empty[String])
+      .toDF("sh")
+    val hof = aggregate(
+      transform($"sh", s => transform(sequence(lit(0), lit(3)), i =>
+        md5(concat(i.cast("string"), lit("|"), s)))),
+      array_repeat(lit("g"), 4),
+      (acc, hv) => zip_with(acc, hv, (a, b) => least(a, b)))
+    val out = docs.select(
+      graft.expressions.PortableMinHash($"sh", 4).as("native"), hof.as("hofv"))
+      .collect()
+    // non-empty shingle sets must agree element-wise
+    out.take(2).foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1))
+    }
+    assert(out(2).isNullAt(0)) // empty shingles → NULL signature
+  }
+
   test("native PortableSimHash matches the HOF formulation bit-for-bit") {
     val docs = Seq("the quick brown fox", "spark scan join sort merge", "", "x")
       .toDF("text")
