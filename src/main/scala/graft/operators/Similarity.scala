@@ -61,8 +61,10 @@ object Similarity {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
+    // persist: KMeans re-scans the features once per iteration
     val c = withVec(corpus, idCol, vecCol)
       .withColumn("features", array_to_vector(col("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val model = new KMeans().setK(nCentroids).setSeed(42).setMaxIter(3)
       .setFeaturesCol("features").fit(c)
     val assigned = model.transform(c)
