@@ -107,6 +107,72 @@ object Advanced {
            RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_spend
         FROM orders""")),
 
+    GQ("w03_frame_bounds", // first/last_value with explicit ROWS frames
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        t(s, dir, "orders").select(
+          col("o_custkey"), col("o_orderkey"),
+          first(col("o_orderkey")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("first_key"),
+          last(col("o_orderkey")).over(
+            w.rowsBetween(Window.currentRow, Window.unboundedFollowing)).as("last_key"),
+          max(col("o_totalprice")).over(
+            w.rowsBetween(-1, 1)).as("local_max"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+        FIRST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey
+          ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_key,
+        LAST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey
+          ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS last_key,
+        MAX(o_totalprice) OVER (PARTITION BY o_custkey
+          ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS local_max
+        FROM orders""")),
+
+    GQ("q37_hof_suite", // higher-order array functions as first-class surface
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"), words(col("text")).as("ws"))
+          .select(col("doc_id"),
+            exists(col("ws"), w => length(w) > 5).as("has_long_word"),
+            forall(col("ws"), w => length(w) >= 2).as("all_words_2plus"),
+            aggregate(col("ws"), lit(0),
+              (acc, w) => acc + length(w)).as("total_chars"),
+            size(filter(col("ws"), w => w.startsWith("s"))).as("s_words")),
+      Some("""WITH t AS (SELECT doc_id,
+          list_filter(string_split(text, ' '), w -> w <> '') AS ws FROM documents)
+        SELECT doc_id,
+          len(list_filter(ws, w -> length(w) > 5)) > 0 AS has_long_word,
+          len(list_filter(ws, w -> length(w) < 2)) = 0 AS all_words_2plus,
+          CAST(list_sum(list_prepend(0, list_transform(ws, w -> CAST(length(w) AS INTEGER)))) AS INTEGER) AS total_chars,
+          CAST(len(list_filter(ws, w -> w LIKE 's%')) AS INTEGER) AS s_words
+        FROM t""")),
+
+    GQ("q38_null_handling",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders").groupBy("o_custkey")
+          .agg(Dec.dsum(col("o_totalprice")).as("spent"))
+        c.join(o, col("c_custkey") === col("o_custkey"), "left")
+          .select(col("c_custkey"),
+            coalesce(col("spent"), lit(0.0)).as("spent_or_zero"),
+            col("spent").isNull.as("never_ordered"),
+            nullif(col("c_acctbal"), lit(0.0)).as("acctbal_nullable"),
+            when(col("spent").isNotNull, col("c_name")).as("name_if_buyer"))
+      },
+      Some("""WITH o AS (SELECT o_custkey,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spent
+          FROM orders GROUP BY o_custkey)
+        SELECT c_custkey,
+          COALESCE(spent, 0.0) AS spent_or_zero,
+          spent IS NULL AS never_ordered,
+          NULLIF(c_acctbal, 0.0) AS acctbal_nullable,
+          CASE WHEN spent IS NOT NULL THEN c_name END AS name_if_buyer
+        FROM customer LEFT JOIN o ON c_custkey = o_custkey""")),
+
     GQ("v01_pivot",
       (s, dir) =>
         t(s, dir, "orders")
