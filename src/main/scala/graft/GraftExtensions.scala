@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ArrayDot].getName, "array_dot"),
       (exprs: Seq[Expression]) => ArrayDot(exprs(0), exprs(1))))
     e.injectResolutionRule(_ => graft.plans.ResolveTopKPerGroup)
+    e.injectPlannerStrategy(_ => graft.plans.RangeJoinStrategy)
   }
 }
 

@@ -58,6 +58,25 @@ object Advanced {
         ON l_quantity >= lo AND l_quantity < hi
         GROUP BY band""")),
 
+    GQ("r02_range_join_custom", // custom BroadcastRangeJoinExec SparkPlan
+      (s, dir) => {
+        import s.implicits._
+        val bands = Seq((0.0, 10.0, "small"), (10.0, 25.0, "mid"), (25.0, 51.0, "big"))
+          .toDF("lo", "hi", "band")
+        graft.plans.RangeJoinPlan.exec(
+          t(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity"),
+          bands, "l_quantity", "lo", "hi")
+          .groupBy("band")
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("total_qty"))
+      },
+      Some("""SELECT band, COUNT(*) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        FROM lineitem
+        JOIN (VALUES (0.0, 10.0, 'small'), (10.0, 25.0, 'mid'), (25.0, 51.0, 'big'))
+          AS b(lo, hi, band)
+        ON l_quantity >= lo AND l_quantity < hi
+        GROUP BY band""")),
+
     GQ("g01_grouping_sets",
       (s, dir) => {
         t(s, dir, "lineitem").createOrReplaceTempView("lineitem")

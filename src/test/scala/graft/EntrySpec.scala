@@ -28,6 +28,22 @@ class EntrySpec extends SparkSpec {
       .columns.toSeq == Seq("g", "v"))
   }
 
+  test("BroadcastRangeJoinExec matches the composed range join") {
+    import spark.implicits._
+    val left = (1 to 200).map(i => (i.toLong, (i % 60).toDouble)).toDF("id", "v")
+    val iv = Seq((0.0, 20.0, "a"), (20.0, 40.0, "b"), (35.0, 70.0, "c"))
+      .toDF("lo", "hi", "band") // overlapping intervals on purpose
+    val custom = graft.plans.RangeJoinPlan.exec(left, iv, "v", "lo", "hi")
+      .select("id", "band").collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    val builtin = graft.operators.AsOfJoin.rangeJoin(left, iv, "v")
+      .select("id", "band").collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(custom.sameElements(builtin))
+    // the custom exec is actually in the plan
+    val plan = graft.plans.RangeJoinPlan.exec(left, iv, "v", "lo", "hi")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastRangeJoin"))
+  }
+
   test("GraftExtensions injects function + rule into a fresh session") {
     val base = spark
     org.apache.spark.sql.SparkSession.clearActiveSession()
