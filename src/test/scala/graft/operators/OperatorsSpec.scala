@@ -225,6 +225,40 @@ class TextFunctionsSpec extends SparkSpec {
   }
 }
 
+class SinksSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("parquet/jsonl/csv sinks round-trip") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sinks").toString
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+    graft.sources.Sinks.parquet(df, s"$dir/p")
+    graft.sources.Sinks.jsonl(df, s"$dir/j")
+    graft.sources.Sinks.csv(df, s"$dir/c")
+    assert(spark.read.parquet(s"$dir/p").collect().length == 2)
+    assert(spark.read.json(s"$dir/j").collect().length == 2)
+    assert(spark.read.option("header", "true").csv(s"$dir/c").collect().length == 2)
+  }
+
+  test("foreachSink runs open/send/close per partition") {
+    val sent = new java.util.concurrent.atomic.AtomicInteger(0)
+    val opened = new java.util.concurrent.atomic.AtomicInteger(0)
+    SinkState.sent.set(0); SinkState.opened.set(0); SinkState.closed.set(0)
+    val df = Seq.tabulate(10)(i => (i.toLong, s"r$i")).toDF("id", "v").repartition(2)
+    graft.sources.Sinks.foreachSink(df)(() => SinkState.opened.incrementAndGet()) {
+      (_, _) => SinkState.sent.incrementAndGet(); ()
+    }(_ => SinkState.closed.incrementAndGet())
+    assert(SinkState.sent.get() == 10)
+    assert(SinkState.opened.get() == 2) // once per partition
+    assert(SinkState.closed.get() == SinkState.opened.get())
+  }
+}
+
+object SinkState {
+  val sent = new java.util.concurrent.atomic.AtomicInteger(0)
+  val opened = new java.util.concurrent.atomic.AtomicInteger(0)
+  val closed = new java.util.concurrent.atomic.AtomicInteger(0)
+}
+
 class SourcesSpec extends SparkSpec {
 
   test("textLines drops blank lines") {
