@@ -29,6 +29,26 @@ object VectorFunctions {
   /** Cosine similarity; operands must already be double arrays. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm2(a) * norm2(b))
 
+  /** Engine-portable hyperplane LSH signature: plane p's coefficient for
+    * dimension i is derived from the first 4 hex chars of md5(p + "|" + i)
+    * mapped to [-1, 1] — replayable by the DuckDB oracle (md5 + nibble
+    * arithmetic + left-fold sums), so the whole ANN pipeline can be
+    * hash-verified, not just row-counted. */
+  def portableHyperplaneSig(v: Column, planes: Int): Column = {
+    def coef(p: Int, i: Column): Column = {
+      val h = md5(concat(lit(p.toString), lit("|"), i.cast("string")))
+      val v4 = conv(substring(h, 1, 4), 16, 10).cast("int")
+      (v4 / lit(32767.5)) - lit(1.0)
+    }
+    val bits = (0 until planes).map { p =>
+      val s = aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1), (x, i) => x * coef(p, i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(s > 0, shiftleft(lit(1L), p)).otherwise(0L)
+    }
+    bits.reduce(_ + _)
+  }
+
   /** Deterministic pseudo-random hyperplane LSH signature: `planes` sign
     * bits, plane p's coefficient for dimension i derived from
     * `xxhash64(p * 131071 + i)` mapped to [-1, 1]. Bit-stable across runs

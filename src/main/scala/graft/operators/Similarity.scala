@@ -118,14 +118,18 @@ object Similarity {
       planes: Int = 8,
       tables: Int = 2,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"
+      vecCol: String = "embedding",
+      portableHash: Boolean = false
   ): DataFrame = {
+    def sigOf(v: org.apache.spark.sql.Column) =
+      if (portableHash) portableHyperplaneSig(v, planes)
+      else hyperplaneSig(v, planes)
     def bucketed(df: DataFrame, role: String) = {
       val base = withVec(df, idCol, vecCol)
       base.select(col("vid"), col("v"), col("nrm"),
         posexplode(transform(sequence(lit(0), lit(tables - 1)), tb =>
           // per-table signature: offset the plane index so tables differ
-          hyperplaneSig(col("v"), planes) + tb * lit(1L << planes))))
+          sigOf(col("v")) + tb * lit(1L << planes))))
         .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
         .withColumnRenamed("vid", s"${role}_vid")
     }

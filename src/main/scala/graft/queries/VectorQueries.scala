@@ -30,15 +30,36 @@ object VectorQueries {
               FROM p)
         SELECT q_id, neighbor_id, sim FROM r WHERE rn = 1""")),
 
-    // LSH-bucketed ANN (hash-specific → rows-only check).
+    // LSH-bucketed ANN with the portable hyperplane family: the oracle
+    // replays signature construction, bucket candidate generation, exact
+    // cosine scoring and top-k ranking.
     GQ("e02_ann_lsh",
       (s, dir) => {
         val emb = Tables.table(s, dir, "embeddings")
         Similarity.lshTopK(
           corpus = emb, queries = emb.filter(col("vec_id") < 50),
-          k = 3, planes = 6, tables = 1)
+          k = 3, planes = 6, tables = 1, portableHash = true)
       },
-      None),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        sg AS (SELECT vec_id, v, nrm,
+          CAST(list_sum(list_transform(range(0, 6), p ->
+            CASE WHEN list_reduce(
+                list_prepend(CAST(0.0 AS DOUBLE),
+                  list_transform(range(1, len(v) + 1), i -> v[i] * ((((CASE WHEN substr(md5(CAST(p AS VARCHAR) || '|' || CAST(i - 1 AS VARCHAR)), 1, 1) BETWEEN '0' AND '9' THEN ascii(substr(md5(CAST(p AS VARCHAR) || '|' || CAST(i - 1 AS VARCHAR)), 1, 1)) - 48 ELSE ascii(substr(md5(CAST(p AS VARCHAR) || '|' || CAST(i - 1 AS VARCHAR)), 1, 1)) - 87 END) * 4096 + (CASE WHEN substr(md5(CAST(p AS VARCHAR) || '|' || CAST(i - 1 AS VARCHAR)), 2, 1) BETWEEN '0' AND '9' THEN ascii(substr(md5(CAST(p AS VARCHAR) || '|' || CAST(i - 1 AS VARCHAR)), 2, 1)) - 48 ELSE ascii(substr(md5(CAST(p AS VARCHAR) || '|' || CAST(i - 1 AS VARCHAR)), 2, 1)) - 87 END) * 256 + (CASE WHEN substr(md5(CAST(p AS VARCHAR) || '|' || CAST(i - 1 AS VARCHAR)), 3, 1) BETWEEN '0' AND '9' THEN ascii(substr(md5(CAST(p AS VARCHAR) || '|' || CAST(i - 1 AS VARCHAR)), 3, 1)) - 48 ELSE ascii(substr(md5(CAST(p AS VARCHAR) || '|' || CAST(i - 1 AS VARCHAR)), 3, 1)) - 87 END) * 16 + (CASE WHEN substr(md5(CAST(p AS VARCHAR) || '|' || CAST(i - 1 AS VARCHAR)), 4, 1) BETWEEN '0' AND '9' THEN ascii(substr(md5(CAST(p AS VARCHAR) || '|' || CAST(i - 1 AS VARCHAR)), 4, 1)) - 48 ELSE ascii(substr(md5(CAST(p AS VARCHAR) || '|' || CAST(i - 1 AS VARCHAR)), 4, 1)) - 87 END)) / 32767.5) - 1.0))),
+                (a, b) -> a + b) > 0
+            THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS bucket
+          FROM n),
+        cand AS (SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+                   list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS sim
+                 FROM sg q JOIN sg c
+                   ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+                 WHERE q.vec_id < 50),
+        r AS (SELECT q_id, neighbor_id, sim,
+                ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS rn
+              FROM cand)
+        SELECT q_id, neighbor_id, sim, CAST(rn AS INTEGER) AS rank
+        FROM r WHERE rn <= 3""")),
 
     // Embedding-cosine near-duplicate pairs on a systematic subset —
     // exact all-pairs, oracle-verified (the ground truth the LSH/IVF
