@@ -333,6 +333,63 @@ object Advanced {
         GROUP BY c_custkey, c_name, n_name, c_acctbal
         ORDER BY revenue DESC, c_custkey LIMIT 20""")),
 
+    GQ("q39_promo_revenue", // TPC-H Q14 shape: conditional ratio of decimal sums
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp")
+            && col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        val p = t(s, dir, "part")
+        li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .agg((lit(100.0) *
+            sum(when(col("p_type") === "PROMO",
+              discPrice(col("l_extendedprice"), col("l_discount"))))
+              .cast("double")
+            / sum(discPrice(col("l_extendedprice"), col("l_discount")))
+              .cast("double")).as("promo_pct"))
+      },
+      Some("""SELECT 100.0 *
+          CAST(SUM(CASE WHEN p_type = 'PROMO'
+            THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) END) AS DOUBLE)
+          / CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS promo_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'""")),
+
+    GQ("q40_small_qty_orders", // TPC-H Q17 shape: per-key avg threshold
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val avgQty = li.groupBy(col("l_partkey").as("ap_partkey"))
+          .agg((sum(dec(col("l_quantity"))).cast("double") / count(col("l_quantity")))
+            .as("avg_qty"))
+        li.join(avgQty, col("l_partkey") === col("ap_partkey"))
+          .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+          .agg(count(lit(1)).as("n_small"),
+            dsum(col("l_extendedprice")).as("total_price"))
+      },
+      Some("""WITH a AS (SELECT l_partkey AS ap_partkey,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty
+          FROM lineitem GROUP BY l_partkey)
+        SELECT COUNT(*) AS n_small,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        FROM lineitem JOIN a ON l_partkey = ap_partkey
+        WHERE l_quantity < 0.5 * avg_qty""")),
+
+    GQ("q41_order_count_distribution", // TPC-H Q13 shape: histogram of counts
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders")
+        c.join(o, col("c_custkey") === col("o_custkey"), "left")
+          .groupBy("c_custkey")
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy("c_count")
+          .agg(count(lit(1)).as("n_customers"))
+      },
+      Some("""SELECT c_count, COUNT(*) AS n_customers FROM (
+          SELECT c_custkey, COUNT(o_orderkey) AS c_count
+          FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+          GROUP BY c_custkey)
+        GROUP BY c_count""")),
+
     GQ("q30_date_parts",
       (s, dir) =>
         t(s, dir, "orders").select(
