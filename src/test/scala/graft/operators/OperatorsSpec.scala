@@ -32,6 +32,16 @@ class DedupSpec extends SparkSpec {
     assert(out.find(_.getAs[Long]("n_copies") == 3).get.getAs[Long]("keep_id") == 1)
   }
 
+  test("keepBest retains the highest-scoring copy per duplicate group") {
+    val docs = Seq(
+      (1L, "same text here", 10L), (2L, "same  TEXT here ", 99L), // dups, 2 scores higher
+      (3L, "unique content", 5L)
+    ).toDF("doc_id", "text", "n_chars")
+    val kept = Dedup.keepBest(docs, scoreCol = "n_chars")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L))
+  }
+
   test("jaccard pairs finds near-duplicates, not unrelated docs") {
     val pairs = Dedup.jaccardPairs(docs, shingleK = 3, threshold = 0.4)
       .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
