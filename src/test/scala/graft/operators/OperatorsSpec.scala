@@ -250,8 +250,6 @@ class SinksSpec extends SparkSpec {
   }
 
   test("foreachSink runs open/send/close per partition") {
-    val sent = new java.util.concurrent.atomic.AtomicInteger(0)
-    val opened = new java.util.concurrent.atomic.AtomicInteger(0)
     SinkState.sent.set(0); SinkState.opened.set(0); SinkState.closed.set(0)
     val df = Seq.tabulate(10)(i => (i.toLong, s"r$i")).toDF("id", "v").repartition(2)
     graft.sources.Sinks.foreachSink(df)(() => SinkState.opened.incrementAndGet()) {
