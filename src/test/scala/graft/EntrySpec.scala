@@ -14,7 +14,8 @@ class EntrySpec extends SparkSpec {
     val qnames = SparkEntry.queries.keySet
     val onames = SparkEntry.oracleSql.keySet
     assert(onames.subsetOf(qnames), s"orphan oracles: ${onames -- qnames}")
-    assert(SparkEntry.queries.size >= 70 - 10) // registry didn't silently shrink
+    assert(SparkEntry.queries.size >= 80) // registry didn't silently shrink
+    assert(SparkEntry.oracleSql.size >= 75)
   }
 
   test("TopKPerGroup custom node lowers to window+filter and runs") {

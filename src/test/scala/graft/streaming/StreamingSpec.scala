@@ -186,6 +186,22 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("multimodal: resize truncates payloads and frame sampling explodes offsets") {
+    val df = Seq((1L, "abcdefghij")).toDF("id", "txt")
+      .withColumn("media", encode(col("txt"), "utf-8"))
+    val resized = graft.operators.Multimodal.resizeMedia(df, "media", maxBytes = 4)
+    assert(resized.head().getAs[Array[Byte]]("resized").length == 4)
+    val frames = graft.operators.Multimodal.sampleFrames(df, "media", everyNBytes = 3)
+      .select("frame_idx", "frame_offset").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // 10 bytes / 3 → frames at offsets 0, 3, 6
+    assert(frames.toSet == Set((0L, 0L), (1L, 3L), (2L, 6L)))
+    // media metadata struct carries byte counts
+    val meta = graft.operators.Multimodal.withMediaMeta(df, "media", "text/plain")
+      .select("media_meta.n_bytes", "media_meta.mime").head()
+    assert(meta.getLong(0) == 10L && meta.getString(1) == "text/plain")
+  }
+
   test("multimodal: stub feature extraction preserves schema and determinism") {
     val df = Seq((1L, "abc"), (2L, "abc"), (3L, "xyz")).toDF("id", "txt")
       .withColumn("media", encode(col("txt"), "utf-8"))
