@@ -111,9 +111,9 @@ final class Pipeline[T] private (
             it.grouped(s.size).flatMap(StageRunner.runBatch(s, _, pol, opts.retry)),
             () => s.onEnd())
         }
-      case _: ColumnarStage =>
+      case _: ColumnarStage | _: SafeRowStage =>
         throw new IllegalArgumentException(
-          "ColumnarStage belongs on FramePipeline (untyped surface)")
+          "ColumnarStage/SafeRowStage belong on FramePipeline (untyped surface)")
     }
   }
 
@@ -165,27 +165,114 @@ object Pipeline {
   * `DataFrame => DataFrame` stages. Because every stage is Column-expression
   * based, Catalyst optimizes across stage boundaries (pushdown, pruning,
   * join planning) — this is the surface on which the relational operator
-  * library (graft.operators, graft.functions) rides. */
+  * library (graft.operators, graft.functions) rides.
+  *
+  * Error semantics on this surface (O15–O17 parity with the typed path):
+  *  - `append` stages are pure Column-expression transforms; a failure there
+  *    is structural (wrong schema/type), not a data error, so they stay
+  *    fail-fast. Use Spark's `try_*` functions for value-level partiality.
+  *  - `appendSafe` stages run opaque per-row code under the same error
+  *    harness as the typed Pipeline: a [[SoftError]] is recorded in the
+  *    reserved `_errors` array column and the row continues; any other
+  *    exception is critical — under [[ErrorPolicy.SkipItem]] the row skips
+  *    all later `appendSafe` stages (columnar stages still see it — a
+  *    whole-frame transform cannot be skipped per row), under
+  *    [[ErrorPolicy.NoSkip]] it continues, under [[ErrorPolicy.Raise]] the
+  *    job fails.
+  */
 final class FramePipeline private (
     source: Option[DataFrame],
-    stages: Vector[ColumnarStage]
+    stages: Vector[AnyStage],
+    policy: ErrorPolicy
 ) {
-  def setSource(df: DataFrame): FramePipeline = new FramePipeline(Some(df), stages)
+  def setSource(df: DataFrame): FramePipeline =
+    new FramePipeline(Some(df), stages, policy)
+
+  def errorPolicy(p: ErrorPolicy): FramePipeline =
+    new FramePipeline(source, stages, p)
 
   def append(name: String)(f: DataFrame => DataFrame): FramePipeline = {
-    require(!stages.exists(_.name == name), s"stage name '$name' already used")
-    new FramePipeline(source, stages :+ ColumnarStage(name)(f))
+    requireUnique(name)
+    new FramePipeline(source, stages :+ ColumnarStage(name)(f), policy)
   }
+
+  /** Error-harnessed opaque row stage: `f` must return a row with the same
+    * schema (record→record enrichment); the harness owns the `_errors`
+    * field — new errors are appended, and whatever `f` wrote there is
+    * ignored. */
+  def appendSafe(name: String)(f: org.apache.spark.sql.Row => org.apache.spark.sql.Row): FramePipeline = {
+    requireUnique(name)
+    new FramePipeline(source, stages :+ SafeRowStage(name)(f), policy)
+  }
+
+  private def requireUnique(name: String): Unit =
+    require(!stages.exists(_.name == name), s"stage name '$name' already used")
 
   def stageNames: Seq[String] = stages.map(_.name)
 
   def build(): DataFrame = {
     val src = source.getOrElse(throw new IllegalStateException("no source set"))
-    stages.foldLeft(src)((df, s) => s.transform(df))
+    stages.foldLeft(src) {
+      case (df, s: ColumnarStage) => s.transform(df)
+      case (df, s: SafeRowStage)  => FramePipeline.runSafe(df, s, policy)
+      case (_, s) => throw new IllegalArgumentException(
+        s"stage '${s.name}' is not a frame stage")
+    }
   }
 }
 
 object FramePipeline {
-  def apply(): FramePipeline = new FramePipeline(None, Vector.empty)
+  import org.apache.spark.sql.{Encoders, Row}
+  import org.apache.spark.sql.functions.array
+  import org.apache.spark.sql.types._
+
+  def apply(): FramePipeline =
+    new FramePipeline(None, Vector.empty, ErrorPolicy.SkipItem)
   def of(df: DataFrame): FramePipeline = FramePipeline().setSource(df)
+
+  /** Row-level error struct for the reserved `_errors` column — the untyped
+    * rendering of [[StageError]]. */
+  val errorFieldSchema: StructType = StructType(Seq(
+    StructField("stage", StringType),
+    StructField("severity", StringType),
+    StructField("message", StringType),
+    StructField("cause", StringType),
+    StructField("attempts", IntegerType)))
+
+  /** Add an empty `_errors` column if the frame doesn't carry one yet. */
+  def withErrorChannel(df: DataFrame): DataFrame =
+    if (df.columns.contains(ItemColumns.Errors)) df
+    else df.withColumn(ItemColumns.Errors,
+      array().cast(ArrayType(errorFieldSchema)))
+
+  private def runSafe(df0: DataFrame, s: SafeRowStage, policy: ErrorPolicy): DataFrame = {
+    val df = withErrorChannel(df0)
+    val schema = df.schema
+    val errIdx = schema.fieldIndex(ItemColumns.Errors)
+    val stageName = s.name
+    val f = s.f
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val errs = r.getSeq[Row](errIdx)
+        val isCritical =
+          errs != null && errs.exists(e => e.getString(1) == StageError.Critical)
+        def withErr(severity: String, t: Throwable): Row = {
+          val cause = if (t.getCause == null) "" else t.getCause.toString
+          val e = Row(stageName, severity, String.valueOf(t.getMessage), cause, 1)
+          Row.fromSeq(r.toSeq.updated(errIdx, (if (errs == null) Nil else errs) :+ e))
+        }
+        if (isCritical && policy == ErrorPolicy.SkipItem) r
+        else
+          try {
+            val out = f(r)
+            // the harness owns the error channel: carry the input's errors
+            Row.fromSeq(out.toSeq.updated(errIdx, errs))
+          } catch {
+            case e: SoftError => withErr(StageError.Soft, e)
+            case e: Throwable if policy != ErrorPolicy.Raise =>
+              withErr(StageError.Critical, e)
+          }
+      }
+    }(Encoders.row(schema))
+  }
 }

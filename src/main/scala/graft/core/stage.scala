@@ -23,6 +23,13 @@ sealed trait AnyStage { def name: String }
 final case class ColumnarStage(name: String)(val transform: DataFrame => DataFrame)
     extends AnyStage
 
+/** Opaque per-row stage on the untyped surface, run under the error
+  * harness by [[FramePipeline.appendSafe]]: failures land in the reserved
+  * `_errors` column instead of failing the job. */
+final case class SafeRowStage(name: String)(
+    val f: org.apache.spark.sql.Row => org.apache.spark.sql.Row)
+    extends AnyStage
+
 /** Opaque per-record stage (reference: stage.py:55-64). Lifecycle hooks
   * `onStart`/`onEnd` run once per partition (reference on_start/on_end per
   * worker copy, stage.py:37-52, runners.py:168-177). */

@@ -33,18 +33,19 @@ object VectorFunctions {
     * dimension i is derived from the first 4 hex chars of md5(p + "|" + i)
     * mapped to [-1, 1] — replayable by the DuckDB oracle (md5 + nibble
     * arithmetic + left-fold sums), so the whole ANN pipeline can be
-    * hash-verified, not just row-counted. */
-  def portableHyperplaneSig(v: Column, planes: Int): Column = {
+    * hash-verified, not just row-counted. `tableSalt` offsets the plane
+    * index so independent LSH tables draw disjoint hyperplanes. */
+  def portableHyperplaneSig(v: Column, planes: Int, tableSalt: Int = 0): Column = {
     def coef(p: Int, i: Column): Column = {
       val h = md5(concat(lit(p.toString), lit("|"), i.cast("string")))
       val v4 = conv(substring(h, 1, 4), 16, 10).cast("int")
       (v4 / lit(32767.5)) - lit(1.0)
     }
-    val bits = (0 until planes).map { p =>
+    val bits = (0 until planes).map(_ + tableSalt).zipWithIndex.map { case (p, bit) =>
       val s = aggregate(
         zip_with(v, sequence(lit(0), size(v) - 1), (x, i) => x * coef(p, i)),
         lit(0.0), (acc, x) => acc + x)
-      when(s > 0, shiftleft(lit(1L), p)).otherwise(0L)
+      when(s > 0, shiftleft(lit(1L), bit)).otherwise(0L)
     }
     bits.reduce(_ + _)
   }
@@ -52,17 +53,18 @@ object VectorFunctions {
   /** Deterministic pseudo-random hyperplane LSH signature: `planes` sign
     * bits, plane p's coefficient for dimension i derived from
     * `xxhash64(p * 131071 + i)` mapped to [-1, 1]. Bit-stable across runs
-    * and executors with zero broadcast state. */
-  def hyperplaneSig(v: Column, planes: Int): Column = {
+    * and executors with zero broadcast state. `tableSalt` offsets the plane
+    * index so independent LSH tables draw disjoint hyperplanes. */
+  def hyperplaneSig(v: Column, planes: Int, tableSalt: Int = 0): Column = {
     def coef(p: Int, i: Column): Column =
       (pmod(xxhash64(lit(p) * lit(131071L) + i), lit(2000001L)).cast("double")
         / lit(1000000.0)) - lit(1.0)
-    val bits = (0 until planes).map { p =>
+    val bits = (0 until planes).map(_ + tableSalt).zipWithIndex.map { case (p, bit) =>
       val s = aggregate(
         zip_with(v, sequence(lit(0L), size(v).cast("long") - 1L),
           (x, i) => x * coef(p, i)),
         lit(0.0), (acc, x) => acc + x)
-      when(s > 0, shiftleft(lit(1L), p)).otherwise(0L)
+      when(s > 0, shiftleft(lit(1L), bit)).otherwise(0L)
     }
     bits.reduce(_ + _)
   }

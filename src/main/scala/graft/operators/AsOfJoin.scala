@@ -18,9 +18,12 @@ import org.apache.spark.sql.functions._
   *   3. keep only left rows.
   *
   * Cost: ONE shuffle on the key + a per-partition sort — linear at any
-  * scale, skew-tolerant via AQE. Right rows sort before left rows at equal
-  * times (inclusive match), and `rightTiebreak` makes the winner among
-  * equal-time right rows deterministic.
+  * scale, skew-tolerant via AQE. With `inclusive=true` right rows sort
+  * before left rows at equal times (match at t <= left time); with
+  * `inclusive=false` left rows sort first, so only strictly-earlier right
+  * rows (t < left time) are visible. `rightTiebreak` makes the winner among
+  * equal-time right rows deterministic. Left rows with no earlier right row
+  * get null payloads (left-outer semantics).
   */
 object AsOfJoin {
 
@@ -32,10 +35,15 @@ object AsOfJoin {
       leftTime: String,
       rightTime: String,
       payload: Seq[String],
-      rightTiebreak: String
+      rightTiebreak: String,
+      inclusive: Boolean = true
   ): DataFrame = {
     val leftCols = left.columns.toSeq
-    require(!payload.contains(leftTime), "payload/time name collision")
+    val collisions = payload.toSet.intersect(leftCols.toSet)
+    require(collisions.isEmpty,
+      s"asofJoin: payload columns ${collisions.mkString(", ")} collide with " +
+        "left columns — the null padding would overwrite the left values; " +
+        "rename them on one side first")
     val l = left
       .withColumn("_k", col(leftKey)).withColumn("_t", col(leftTime))
       .withColumn("_is_l", lit(1))
@@ -51,8 +59,12 @@ object AsOfJoin {
     val cols = (leftCols ++ Seq("_k", "_t", "_is_l", "_tb") ++ payload).distinct
     val u = lPadded.select(cols.map(col): _*)
       .unionByName(rPadded.select(cols.map(col): _*))
+    // Inclusive: right(0) sorts before left(1) at equal times, so a left row
+    // sees same-instant right payloads. Strict: flip so left sorts first and
+    // only strictly-earlier right rows have been carried forward.
+    val sideOrd = if (inclusive) col("_is_l") else lit(1) - col("_is_l")
     val w = Window.partitionBy(col("_k"))
-      .orderBy(col("_t"), col("_is_l"), col("_tb"))
+      .orderBy(col("_t"), sideOrd, col("_tb"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = payload.foldLeft(u)((df, c) =>
       df.withColumn(s"asof_$c", last(col(c), ignoreNulls = true).over(w)))

@@ -44,16 +44,23 @@ object Dedup {
   /** Exact n-gram Jaccard similar pairs: explode distinct word-k-shingles,
     * self-join on shingle (co-occurrence ⇒ candidate), count intersections,
     * then Jaccard from per-doc shingle counts. The shingle join is the scale
-    * path: docs sharing no shingle never meet. `sample` filters the corpus
-    * first (e.g. `col("doc_id") % 10 === 0`) to bound candidate volume on
-    * skewed corpora; salting/AQE handle hot shingles.
+    * path: docs sharing no shingle never meet.
+    *
+    * `maxDocFreq` caps the document frequency of shingles entering the
+    * self-join: a shingle shared by d documents produces O(d²) candidate
+    * rows, so on a power-law corpus the hottest shingles dominate the
+    * shuffle. Capped-out shingles still count toward each doc's shingle-set
+    * size, so Jaccard for pairs whose overlap includes a hot shingle is
+    * underestimated (conservative: never emits a false pair above threshold
+    * due to the cap).
     */
   def jaccardPairs(
       docs: DataFrame,
       shingleK: Int = 3,
       threshold: Double = 0.5,
       idCol: String = "doc_id",
-      textCol: String = "text"
+      textCol: String = "text",
+      maxDocFreq: Int = Int.MaxValue
   ): DataFrame = {
     // Stage the array pipeline through explicit projections so each heavy
     // expression (split, shingle assembly) is evaluated once per row —
@@ -64,8 +71,18 @@ object Dedup {
       .select(col("doc_id"), explode(col("shs")).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.as("a")
-      .join(sh.as("b"),
+    // Document-frequency cap: one map-side-combinable agg over the exploded
+    // shingles, then a join that drops hot shingles before they can blow up
+    // the candidate self-join quadratically.
+    val joinable =
+      if (maxDocFreq == Int.MaxValue) sh
+      else {
+        val keep = sh.groupBy("sh").agg(count(lit(1)).as("dfc"))
+          .filter(col("dfc") <= maxDocFreq).select("sh")
+        sh.join(keep, "sh")
+      }
+    val inter = joinable.as("a")
+      .join(joinable.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .agg(count(lit(1)).as("inter"))

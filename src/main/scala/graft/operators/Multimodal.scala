@@ -36,17 +36,19 @@ object Multimodal {
     * the native decoder here — once per partition setup, batched records. */
   object StubCodec {
     /** "Decode" → fixed-size feature vector derived from content bytes.
-      * Deterministic: same bytes → same features. */
+      * Deterministic: same bytes → same features. Accumulates in double and
+      * casts to float once at the end, so an external oracle can replay the
+      * value exactly (a left fold of byte/255.0 per residue class). */
     def features(bytes: Array[Byte], dim: Int): Array[Float] = {
-      val out = new Array[Float](dim)
+      val acc = new Array[Double](dim)
       if (bytes != null && bytes.nonEmpty) {
         var i = 0
         while (i < bytes.length) {
-          out(i % dim) = out(i % dim) + (bytes(i) & 0xff) / 255.0f
+          acc(i % dim) = acc(i % dim) + (bytes(i) & 0xff) / 255.0
           i += 1
         }
       }
-      out
+      acc.map(_.toFloat)
     }
     /** "Resize": stub keeps a deterministic prefix (real impl: scaler). */
     def resize(bytes: Array[Byte], maxBytes: Int): Array[Byte] =

@@ -121,21 +121,23 @@ object Similarity {
       vecCol: String = "embedding",
       portableHash: Boolean = false
   ): DataFrame = {
-    def sigOf(v: org.apache.spark.sql.Column) =
-      if (portableHash) portableHyperplaneSig(v, planes)
-      else hyperplaneSig(v, planes)
+    def sigOf(v: org.apache.spark.sql.Column, salt: Int) =
+      if (portableHash) portableHyperplaneSig(v, planes, salt)
+      else hyperplaneSig(v, planes, salt)
     def bucketed(df: DataFrame, role: String) = {
       val base = withVec(df, idCol, vecCol)
-      base.select(col("vid"), col("v"), col("nrm"),
-        posexplode(transform(sequence(lit(0), lit(tables - 1)), tb =>
-          // per-table signature: offset the plane index so tables differ
-          sigOf(col("v")) + tb * lit(1L << planes))))
+      // One signature column per table, each over a DISJOINT plane set
+      // (tableSalt = tb * planes), built as a literal array of row-level
+      // expressions — each signature is evaluated once per row, never
+      // re-evaluated per array element (the HOF lambda trap). The
+      // tb * 2^planes offset keeps buckets from different tables disjoint
+      // under the single (tbl, bucket) join key.
+      val sigs = array((0 until tables).map(tb =>
+        sigOf(col("v"), tb * planes) + lit(tb.toLong * (1L << planes))): _*)
+      base.select(col("vid"), col("v"), col("nrm"), posexplode(sigs))
         .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
         .withColumnRenamed("vid", s"${role}_vid")
     }
-    // NOTE: per-table distinct planes would need plane-index offsets inside
-    // hyperplaneSig; with tables sharing planes the tbl dimension only
-    // dedups — kept for API shape, tuned in a later round.
     val c = bucketed(corpus, "c")
     val q = bucketed(queries, "q")
       .withColumnRenamed("v", "qv").withColumnRenamed("nrm", "qnrm")

@@ -12,10 +12,18 @@ import org.apache.spark.sql.functions._
   * replicated once per salt value, and the join key becomes (key, salt) —
   * splitting each hot key's row group across `salts` reducers.
   *
-  * The salt is correctness-invariant: every probe row meets exactly the
-  * build replica carrying its salt, so results equal the unsalted join.
+  * The salt is correctness-invariant for probe-side-preserving join types
+  * (inner, left/left_outer, left_semi, left_anti): every probe row carries
+  * exactly one salt and meets exactly the build replica with that salt.
+  * Build-side-preserving types (right/full outer, right_semi/right_anti)
+  * would emit each unmatched build row once per salt — `saltedJoin` rejects
+  * them; salt the other way around (swap probe/build) instead.
   */
 object SkewJoin {
+
+  private val probePreserving =
+    Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
+      "left_anti", "leftanti")
 
   def saltedJoin(
       probe: DataFrame,
@@ -25,6 +33,10 @@ object SkewJoin {
       salts: Int = 8,
       joinType: String = "inner"
   ): DataFrame = {
+    require(probePreserving(joinType.toLowerCase.replace(" ", "")),
+      s"saltedJoin: joinType '$joinType' preserves the (replicated) build " +
+        "side and would duplicate unmatched build rows; use inner/left/" +
+        "left_semi/left_anti, or swap probe and build")
     val p = probe.withColumn("_salt", (rand(42) * salts).cast("int"))
     val b = build.withColumn("_salt", explode(sequence(lit(0), lit(salts - 1))))
     p.join(b,

@@ -41,6 +41,33 @@ object Advanced {
         SELECT k AS user_id, event_id, asof_o_orderkey, asof_o_totalprice
         FROM f WHERE is_l = 1""")),
 
+    GQ("a02_asof_strict", // strict-before: latest order strictly before each event
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select("user_id", "event_id", "ts")
+        val o = t(s, dir, "orders")
+        AsOfJoin.asofJoin(ev, o,
+          leftKey = "user_id", rightKey = "o_custkey",
+          leftTime = "ts", rightTime = "o_orderdate",
+          payload = Seq("o_orderkey", "o_totalprice"),
+          rightTiebreak = "o_orderkey", inclusive = false)
+          .select("user_id", "event_id", "asof_o_orderkey", "asof_o_totalprice")
+      },
+      // Same replay as a01 with the side order flipped: left (is_l=1) sorts
+      // before right at equal t, so same-instant orders are NOT visible.
+      Some("""WITH l AS (SELECT user_id AS k, CAST(ts AS TIMESTAMP) AS t, event_id,
+                CAST(NULL AS BIGINT) AS o_orderkey, CAST(NULL AS DOUBLE) AS o_totalprice,
+                1 AS is_l FROM events),
+        r AS (SELECT o_custkey AS k, o_orderdate AS t, CAST(NULL AS BIGINT) AS event_id,
+                o_orderkey, o_totalprice, 0 AS is_l FROM orders),
+        u AS (SELECT * FROM l UNION ALL SELECT * FROM r),
+        f AS (SELECT k, event_id, is_l,
+                LAST_VALUE(o_orderkey IGNORE NULLS) OVER w AS asof_o_orderkey,
+                LAST_VALUE(o_totalprice IGNORE NULLS) OVER w AS asof_o_totalprice
+              FROM u WINDOW w AS (PARTITION BY k ORDER BY t, 1 - is_l, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        SELECT k AS user_id, event_id, asof_o_orderkey, asof_o_totalprice
+        FROM f WHERE is_l = 1""")),
+
     GQ("r01_range_join", // interval lookup via broadcast
       (s, dir) => {
         import s.implicits._
@@ -254,12 +281,21 @@ object Advanced {
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_orderstatus""")),
 
-    GQ("h01_approx_distinct", // HLL sketch — approximate by design → rows-only
+    GQ("h01_approx_distinct", // HLL sketch, oracle-checked via error-bound property
+      // The HLL estimate itself isn't DuckDB-replayable, but it is
+      // deterministic given the data, so the oracle checks the exact half
+      // plus the property |approx - exact| / exact <= 3 * rsd (rsd = 0.05
+      // default). The sketch still runs; a broken HLL flips approx_ok.
       (s, dir) =>
         t(s, dir, "lineitem").groupBy("l_returnflag")
-          .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-            countDistinct(col("l_partkey")).as("exact_parts")),
-      None),
+          .agg(approx_count_distinct(col("l_partkey")).as("approx"),
+            countDistinct(col("l_partkey")).as("exact_parts"))
+          .select(col("l_returnflag"), col("exact_parts"),
+            (abs(col("approx") - col("exact_parts")).cast("double")
+              / col("exact_parts") <= 0.15).as("approx_ok")),
+      Some("""SELECT l_returnflag,
+        COUNT(DISTINCT l_partkey) AS exact_parts, TRUE AS approx_ok
+        FROM lineitem GROUP BY l_returnflag""")),
 
     GQ("q34_shipping_priority", // TPC-H Q3 shape: 3-way join, agg, top-10
       (s, dir) => {
@@ -268,8 +304,10 @@ object Advanced {
           .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
         val li = t(s, dir, "lineitem")
           .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+        // customer is SF-scaled: no broadcast hint — AQE picks BHJ while the
+        // filtered side is small and falls back to SMJ at cluster scale.
         li.join(o, col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
           .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
           .agg(sum(discPrice(col("l_extendedprice"), col("l_discount")))
             .cast("double").as("revenue"))
@@ -293,8 +331,9 @@ object Advanced {
         val o = t(s, dir, "orders")
         val c = t(s, dir, "customer")
         val n = t(s, dir, "nation")
+        // customer is SF-scaled (no hint; AQE decides); nation is fixed 25 rows.
         li.join(o, col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
           .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
           .groupBy(col("n_name"), year(col("l_shipdate")).as("l_year"))
           .agg(sum(discPrice(col("l_extendedprice"), col("l_discount")))
@@ -338,8 +377,9 @@ object Advanced {
         val li = t(s, dir, "lineitem")
           .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp")
             && col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        // part is SF-scaled: shuffle join on partkey; AQE broadcasts at small SF.
         val p = t(s, dir, "part")
-        li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        li.join(p, col("l_partkey") === col("p_partkey"))
           .agg((lit(100.0) *
             sum(when(col("p_type") === "PROMO",
               discPrice(col("l_extendedprice"), col("l_discount"))))
@@ -452,13 +492,24 @@ object Advanced {
           FROM part) WHERE rn <= 2""")),
 
     GQ("f01_nested_struct",
-      (s, dir) =>
-        t(s, dir, "orders").select(
+      // Build the nested struct in the plan (exercises StructType create +
+      // field access), then serialize with to_json so the oracle harness can
+      // sort/hash the column (it cannot canonicalize raw struct values).
+      // Both engines emit compact JSON with insertion-ordered keys; the source
+      // columns are non-null so Spark's drop-null-keys behavior is moot.
+      (s, dir) => {
+        val withMeta = t(s, dir, "orders").select(
           col("o_orderkey"),
           struct(col("o_orderstatus").as("status"),
-            col("o_orderpriority").as("pri")).as("meta")),
+            col("o_orderpriority").as("pri")).as("meta"))
+        withMeta.select(
+          col("o_orderkey"),
+          col("meta.status").as("status_field"), // nested field access
+          to_json(col("meta")).as("meta_json"))
+      },
       Some("""SELECT o_orderkey,
-        {'status': o_orderstatus, 'pri': o_orderpriority} AS meta
+        o_orderstatus AS status_field,
+        to_json({'status': o_orderstatus, 'pri': o_orderpriority}) AS meta_json
         FROM orders"""))
   )
 }

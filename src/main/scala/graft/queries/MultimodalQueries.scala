@@ -26,8 +26,11 @@ object MultimodalQueries {
         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
         FROM documents""")),
 
-    // Partition-batched feature extraction (stub codec → rows-only check;
-    // the Spark-side execution shape is what's under test).
+    // Partition-batched feature extraction. The stub codec is a
+    // deterministic double left-fold over content bytes (cast to float at
+    // the end), so DuckDB replays f0 exactly: text is ASCII, hence byte i of
+    // encode(text) == ascii(char i+1), and residue class i % 16 == 0 feeds
+    // feature 0 in order.
     GQ("m02_media_features",
       (s, dir) => {
         val d = Tables.table(s, dir, "documents")
@@ -36,7 +39,13 @@ object MultimodalQueries {
           .select(col("doc_id"), size(col("features")).as("dim"),
             element_at(col("features"), 1).as("f0"))
       },
-      None),
+      Some("""SELECT doc_id, 16 AS dim,
+        CAST(list_reduce(
+          list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(range(0, (octet_length(encode(text)) + 15) // 16),
+              j -> ascii(substr(text, 16 * j + 1, 1)) / 255.0)),
+          (a, b) -> a + b) AS FLOAT) AS f0
+        FROM documents""")),
 
     // Streaming windowed aggregation evaluated on the bounded events table.
     GQ("s01_tumbling_window",

@@ -13,8 +13,10 @@ import org.apache.spark.sql.functions._
   * as-of-style windows over the events table.
   *
   * Every query is written scale-first:
-  *  - dimension tables are explicitly `broadcast()` so the fact side never
-  *    shuffles for them;
+  *  - fixed-size dimension tables (nation=25, region=5, scalar subquery
+  *    results) are explicitly `broadcast()`; SF-scaled tables (customer,
+  *    part) carry no hint so AQE broadcasts while small and falls back to a
+  *    shuffle join at cluster scale instead of OOMing on a forced hint;
   *  - filters/projections are plain Column expressions → pushed to parquet;
   *  - per-group top-k uses window + filter (no driver-side collect);
   *  - exact-decimal aggregation (graft.Dec) keeps results bit-identical to
@@ -85,11 +87,13 @@ object Relational {
           AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24""")),
 
     // ---------------------------------------------------------------- joins
-    GQ("q04_brand_revenue", // broadcast join: fact × small dim
+    GQ("q04_brand_revenue", // fact × dim join; dim is SF-scaled so no hint
       (s, dir) => {
         val li = t(s, dir, "lineitem")
         val part = t(s, dir, "part")
-        li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        // part grows with SF (20k/SF rows): let AQE broadcast while small and
+        // shuffle-join at cluster scale instead of forcing an OOM-able hint.
+        li.join(part, col("l_partkey") === col("p_partkey"))
           .groupBy("p_brand")
           .agg(
             sum(discPrice(col("l_extendedprice"), col("l_discount")))
@@ -111,8 +115,10 @@ object Relational {
         val c = t(s, dir, "customer")
         val n = t(s, dir, "nation")
         val r = t(s, dir, "region")
+        // customer is SF-scaled (AQE decides); nation (25) / region (5) are
+        // fixed-size and stay hinted.
         li.join(o, col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
           .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
           .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
           .groupBy("r_name", "n_name")

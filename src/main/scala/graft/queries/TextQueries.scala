@@ -116,25 +116,31 @@ object TextQueries {
         FROM sh GROUP BY doc_id""")),
 
     GQ("d07_jaccard_pairs",
+      // Full corpus (25 pairs at sf0.01, 260 at sf0.1 — non-vacuous) with a
+      // document-frequency cap so hot shingles can't quadratically blow up
+      // the candidate self-join. Oracle replays the cap exactly.
       (s, dir) => Dedup.jaccardPairs(
-        Tables.table(s, dir, "documents").filter(col("doc_id") % 10 === 0),
-        shingleK = 3, threshold = 0.15),
+        Tables.table(s, dir, "documents"),
+        shingleK = 3, threshold = 0.1, maxDocFreq = 100),
       Some("""WITH t AS (
           SELECT doc_id, list_distinct(list_transform(
             range(1, greatest(len(ws) - 1, 1)),
             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
           FROM (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
-                FROM documents WHERE doc_id % 10 = 0)),
+                FROM documents)),
         e AS (SELECT doc_id, UNNEST(sh) AS s FROM t),
+        df AS (SELECT s FROM (SELECT s, COUNT(*) AS dfc FROM e GROUP BY s)
+               WHERE dfc <= 100),
+        e2 AS (SELECT e.doc_id, e.s FROM e JOIN df ON e.s = df.s),
         n AS (SELECT doc_id, COUNT(*) AS n FROM e GROUP BY doc_id),
         p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
-              FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+              FROM e2 a JOIN e2 b ON a.s = b.s AND a.doc_id < b.doc_id
               GROUP BY 1, 2)
         SELECT a_id, b_id, jaccard FROM (
           SELECT p.a_id, p.b_id,
             CAST(p.inter AS DOUBLE) / (na.n + nb.n - p.inter) AS jaccard
           FROM p JOIN n na ON p.a_id = na.doc_id JOIN n nb ON p.b_id = nb.doc_id)
-        WHERE jaccard >= 0.15""")),
+        WHERE jaccard >= 0.1""")),
 
     GQ("d13_dedup_keep_best", // keep the longest copy per duplicate group
       (s, dir) => Dedup.keepBest(

@@ -63,7 +63,11 @@ object Streaming {
       .dropDuplicatesWithinWatermark(keyCols)
 
   /** Custom per-key running state via mapGroupsWithState: running count +
-    * sum per key — the template for arbitrary stateful stages. */
+    * sum per key. NOTE: mapGroupsWithState/flatMapGroupsWithState are the
+    * legacy arbitrary-state API — [[runningStatsTws]] is the
+    * transformWithState version you'd ship on Spark 4.x (composite state,
+    * timers, TTL, initial state); this one is kept as the
+    * compatibility template for pre-4.0 clusters. */
   def runningStats[K: Encoder](
       events: Dataset[(K, Double)]
   )(implicit enc: Encoder[(K, Long, Double)],
@@ -78,6 +82,40 @@ object Streaming {
           state.update((n, s))
           (key, n, s)
       }
+
+  /** [[StatefulProcessor]] for per-key running (count, sum) — the
+    * transformWithState re-expression of [[runningStats]]. State lives in a
+    * named [[org.apache.spark.sql.streaming.ValueState]] slot on the
+    * processor handle (RocksDB-backed per key at scale), so one processor
+    * can compose several typed state variables, register timers, and attach
+    * TTLs — none of which mapGroupsWithState can express. */
+  final class RunningStatsProcessor[K]
+      extends org.apache.spark.sql.streaming.StatefulProcessor[K, (K, Double), (K, Long, Double)] {
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[(Long, Double)] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[(Long, Double)]("stats",
+        org.apache.spark.sql.Encoders.product[(Long, Double)],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: K, rows: Iterator[(K, Double)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[(K, Long, Double)] = {
+      val (n0, s0) = if (state.exists()) state.get() else (0L, 0.0)
+      var n = n0; var s = s0
+      rows.foreach { r => n += 1; s += r._2 }
+      state.update((n, s))
+      Iterator.single((key, n, s))
+    }
+  }
+
+  /** Running per-key count + sum via transformWithState — the Spark 4.x
+    * arbitrary-stateful path (see [[RunningStatsProcessor]]). Semantics
+    * match [[runningStats]]; specs assert parity. */
+  def runningStatsTws[K: Encoder](
+      events: Dataset[(K, Double)]
+  )(implicit enc: Encoder[(K, Long, Double)]): Dataset[(K, Long, Double)] =
+    events.groupByKey(_._1)
+      .transformWithState(new RunningStatsProcessor[K],
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
 
   /** Per-key sessionized event counting via flatMapGroupsWithState with a
     * processing-time timeout: emits a (key, count) record when a key's
@@ -160,30 +198,56 @@ final class AsyncRunner[T](pipeline: Pipeline[T], capacity: Int = 1000) {
   private val in = new java.util.concurrent.LinkedBlockingQueue[(T, Tracked[T] => Unit)](capacity)
   private val out = new java.util.concurrent.LinkedBlockingQueue[Tracked[T]](capacity)
   @volatile private var running = true
+  // A processOne failure (e.g. ErrorPolicy.Raise) is terminal: recorded here
+  // and rethrown from the next processAsync/getItem instead of silently
+  // killing the worker and deadlocking callers on a full queue. Callback
+  // exceptions are the user's bug in user code — counted, not terminal.
+  @volatile private var terminalFailure: Throwable = _
+  private val callbackFailureCount = new java.util.concurrent.atomic.AtomicLong
 
   private val worker = new Thread(() => {
     while (running || !in.isEmpty) {
       val polled = in.poll(100, java.util.concurrent.TimeUnit.MILLISECONDS)
       if (polled != null) {
         val (value, callback) = polled
-        val result = pipeline.processOne(value)
-        callback(result)
-        out.put(result)
+        try {
+          val result = pipeline.processOne(value)
+          try callback(result)
+          catch { case _: Throwable => callbackFailureCount.incrementAndGet() }
+          out.put(result)
+        } catch {
+          case t: Throwable => terminalFailure = t
+        }
       }
     }
   }, "graft-async-runner")
   worker.setDaemon(true)
   worker.start()
 
+  private def checkFailed(): Unit = {
+    val t = terminalFailure
+    if (t != null)
+      throw new IllegalStateException("async pipeline failed terminally", t)
+  }
+
+  /** Number of user callbacks that threw (the records themselves completed
+    * and are still retrievable via `getItem`). */
+  def callbackFailures: Long = callbackFailureCount.get()
+
   /** Enqueue one record (reference `process_async`); optional per-record
     * callback fires when it completes (reference item.py:112-123). */
-  def processAsync(value: T, callback: Tracked[T] => Unit = _ => ()): Unit =
+  def processAsync(value: T, callback: Tracked[T] => Unit = _ => ()): Unit = {
+    checkFailed()
     in.put((value, callback))
+  }
 
   /** Blocking pull of the next completed record (reference `get_item`). */
   def getItem(timeoutMs: Long = 10000): Tracked[T] = {
     val r = out.poll(timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
-    if (r == null) throw new java.util.concurrent.TimeoutException("no item ready")
+    if (r == null) {
+      checkFailed()
+      throw new java.util.concurrent.TimeoutException("no item ready")
+    }
     r
   }
 

@@ -122,6 +122,65 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState running stats match the mapGroupsWithState path") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Double)]
+    val out = Streaming.runningStatsTws(mem.toDS())
+    val q = out.writeStream.format("memory").queryName("running_stats_tws")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, 2.0), (1L, 3.0), (2L, 10.0))
+      q.processAllAvailable()
+      mem.addData((1L, 5.0))
+      q.processAllAvailable()
+      val last = spark.table("running_stats_tws").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1).map { case (k, rows) => k -> rows.maxBy(_._2) }
+      // same accumulated state as the legacy-API test above
+      assert(last(1L) == ((1L, 3L, 10.0)))
+      assert(last(2L) == ((2L, 1L, 10.0)))
+    } finally q.stop()
+  }
+
+  test("AsyncRunner: terminal pipeline failure surfaces instead of hanging") {
+    val p = Pipeline[Doc](spark)
+      .raiseOnCriticalError()
+      .append("boom") { d =>
+        if (d.count == 2) throw new RuntimeException("crit"); d
+      }
+    val runner = new AsyncRunner[Doc](p)
+    try {
+      runner.processAsync(Doc("ok", 1))
+      assert(runner.getItem().value.text == "ok")
+      runner.processAsync(Doc("bad", 2))
+      // worker records the failure; getItem rethrows it (not a bare timeout)
+      val e = intercept[IllegalStateException] {
+        var waited = 0
+        while (waited < 50) { // poll until the worker has processed the record
+          try { runner.getItem(100); waited += 1 }
+          catch { case _: java.util.concurrent.TimeoutException => waited += 1 }
+        }
+        fail("terminal failure never surfaced")
+      }
+      assert(e.getCause.getMessage.contains("crit"))
+      intercept[IllegalStateException](runner.processAsync(Doc("after", 3)))
+    } finally runner.stop()
+  }
+
+  test("AsyncRunner: callback exceptions are counted, thread stays alive") {
+    val p = Pipeline[Doc](spark)
+      .append("enrich")(d => d.copy(text = d.text.toUpperCase))
+    val runner = new AsyncRunner[Doc](p)
+    try {
+      runner.processAsync(Doc("a", 1), _ => throw new RuntimeException("cb boom"))
+      runner.processAsync(Doc("b", 2))
+      // both records complete despite the first callback throwing
+      val got = Set(runner.getItem().value.text, runner.getItem().value.text)
+      assert(got == Set("A", "B"))
+      assert(runner.callbackFailures == 1L)
+    } finally runner.stop()
+  }
+
   test("watermarked stream-stream join matches within the time range") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[Ev]
