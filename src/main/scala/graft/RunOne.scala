@@ -24,6 +24,7 @@ object RunOne {
     spark.range(100).count()
     val df = fn(spark, sfDir)
     if (doExplain) df.explain("formatted")
+    if (args.contains("show")) df.show(50, truncate = false)
     val t0 = System.nanoTime()
     val n = df.count()
     val dt = (System.nanoTime() - t0) / 1e9

