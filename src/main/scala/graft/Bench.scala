@@ -1,9 +1,24 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main. Prints ONE JSON line the driver parses from the tail of
+  * the sbt output. The driver's tail window is ~2000 chars and sbt appends a
+  * "[success] Total time" line after us, so the line must stay well under
+  * that: per-query keys use each query's unique short code (the part before
+  * the first '_': q01, q18b, d09, ...) and 3-decimal medians. The full-name
+  * per-query detail (median/min/max of n runs) goes to BENCH_QUERIES.json.
+  */
 object Bench {
+  private def med(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    s(s.length / 2)
+  }
+  private def r3(x: Double): String = f"$x%.3f"
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = SparkSession.builder()
       .withExtensions(new graft.GraftExtensions)
       .master(s"local[$cpus]")
@@ -16,18 +31,42 @@ object Bench {
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().count()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // drop per-query persisted tables so session state doesn't accumulate
-      // across the 79-query run (leaked cache entries degrade later queries)
-      spark.catalog.clearCache()
-      name -> dt
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // drop per-query persisted tables so session state doesn't
+        // accumulate across the run (leaked cache entries degrade later
+        // queries)
+        spark.catalog.clearCache()
+        dt
+      }
+      (name, med(times), times)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Unique short key per query (prefix before first '_'); falls back to
+    // the full name on the (currently impossible) collision.
+    val shortKeys = {
+      val pref = results.map { case (n, _, _) => n -> n.takeWhile(_ != '_') }
+      val counts = pref.groupBy(_._2).map { case (k, v) => k -> v.size }
+      pref.map { case (n, p) => n -> (if (counts(p) == 1) p else n) }.toMap
+    }
+    val qs = results.map { case (k, v, _) => "\"" + shortKeys(k) + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Full-fidelity per-query dump (full names, median/min/max, n runs);
+    // best-effort — the one-line contract must survive any IO failure.
+    try {
+      val detail = results.map { case (k, v, ts) =>
+        s"""  "$k": {"median":${r3(v)},"min":${r3(ts.min)},"max":${r3(ts.max)}}"""
+      }.mkString("{\n", ",\n", "\n}")
+      val body =
+        s"""{"n":$runs,"cpus":$cpus,"sf":"$sfDir","total_of_medians":${r3(total)},
+           |"queries":$detail}""".stripMargin
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_QUERIES.json"),
+        body.getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":$runs,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
