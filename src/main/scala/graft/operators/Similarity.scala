@@ -73,6 +73,10 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val model = new KMeans().setK(nCentroids).setSeed(42).setMaxIter(3)
       .setFeaturesCol("features").fit(c)
+    // the cache existed for KMeans' per-iteration re-scans; release it now —
+    // the single downstream assignment pass recomputes from lineage (scan +
+    // normalize), so repeated ivfTopK calls don't accumulate cache entries
+    c.unpersist(blocking = false)
     val assigned = model.transform(c)
       .select(col("vid"), col("v"), col("nrm"), col("prediction").as("cluster"))
     import spark.implicits._

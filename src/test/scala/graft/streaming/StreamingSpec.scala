@@ -71,6 +71,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("TypedBatchStage on a stream: micro-batch boundary flushes partial batches (timeout parity)") {
+    // The reference's BatchStage `timeout` flushes a partial batch that never
+    // fills (reference stage.py:111-116). On Structured Streaming the
+    // micro-batch trigger plays that role: each micro-batch drains its
+    // partitions to exhaustion, so a partial batch is flushed at the batch
+    // boundary instead of waiting for `size` records (core/stage.scala doc).
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Doc]
+    val p = Pipeline[Doc](spark)
+      .appendBatch(TypedBatchStage[Doc]("bulk", 10)(batch =>
+        batch.map(_.copy(text = s"sz=${batch.length}"))))
+    val out = Streaming.throughPipeline(mem.toDS(), p)
+    val q = out.writeStream.format("memory").queryName("batch_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(Doc("a", 1), Doc("b", 2), Doc("c", 3))
+      q.processAllAvailable()
+      // 3 records < size 10: emitted NOW (flushed by the micro-batch
+      // boundary), each having seen a batch no bigger than the micro-batch
+      val first = spark.table("batch_stream").collect().map(_.getStruct(0).getString(0))
+      assert(first.length == 3)
+      assert(first.forall(_.startsWith("sz=")))
+      assert(first.forall(_.stripPrefix("sz=").toInt <= 3))
+      mem.addData(Doc("d", 4))
+      q.processAllAvailable()
+      // the next micro-batch flushes its own partial batch of 1
+      assert(spark.table("batch_stream").count() == 4)
+    } finally q.stop()
+  }
+
   test("AsyncRunner: process_async/get_item analog with callback") {
     val p = Pipeline[Doc](spark)
       .append("enrich")(d => d.copy(text = d.text.toUpperCase))
@@ -132,14 +162,20 @@ class StreamingSpec extends SparkSpec {
     val prevProvider = spark.conf.getOption(providerKey)
     spark.conf.set(providerKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val mem = MemoryStream[(Long, Double)]
-    val out = Streaming.runningStatsTws(mem.toDS())
-    val q = out.writeStream.format("memory").queryName("running_stats_tws")
-      .outputMode("append").start()
-    prevProvider match {
-      case Some(p) => spark.conf.set(providerKey, p)
-      case None    => spark.conf.unset(providerKey)
-    }
+    val (mem, q) =
+      try {
+        val mem = MemoryStream[(Long, Double)]
+        val out = Streaming.runningStatsTws(mem.toDS())
+        (mem, out.writeStream.format("memory").queryName("running_stats_tws")
+          .outputMode("append").start())
+      } finally {
+        // restore on every exit path so a failed start() can't leak the
+        // RocksDB provider into the rest of the suite
+        prevProvider match {
+          case Some(p) => spark.conf.set(providerKey, p)
+          case None    => spark.conf.unset(providerKey)
+        }
+      }
     try {
       mem.addData((1L, 2.0), (1L, 3.0), (2L, 10.0))
       q.processAllAvailable()
