@@ -35,6 +35,10 @@ case class Tracked[T](
 }
 
 object Tracked {
+  /** Ad-hoc wrapper with a random id — driver-side paths only (processOne /
+    * AsyncRunner), where there are no task retries to re-mint ids under. The
+    * distributed path (`Pipeline.build`) assigns deterministic
+    * (partition, offset) ids instead. */
   def apply[T](value: T): Tracked[T] =
     Tracked(value, java.util.UUID.randomUUID().toString, Map.empty, Map.empty, Nil)
   def withId[T](value: T, id: String): Tracked[T] =

@@ -80,9 +80,15 @@ final class Pipeline[T] private (
     val src = source.getOrElse(throw new IllegalStateException("no source set"))
     require(stages.nonEmpty, "pipeline needs at least one stage")
     // Synthesize stable ids at the source (reference item.py:96-110: ids are
-    // generated lazily when the payload/meta don't carry one).
+    // generated lazily when the payload/meta don't carry one). The id is
+    // (partitionId, offset) — deterministic across task retries and re-runs
+    // for any deterministic source partitioning (file scans are), so a task
+    // retry can never mint a second identity for the same record the way a
+    // per-record UUID would. Source-driven ids stay on `Tracked.withId`.
     var ds: Dataset[Tracked[T]] = src.mapPartitions { it =>
-      it.map(v => Tracked(v))
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var off = -1L
+      it.map { v => off += 1; Tracked.withId(v, s"$pid-$off") }
     }
     for ((stage, opts) <- stages) {
       if (opts.concurrency > 0) ds = ds.repartition(opts.concurrency)

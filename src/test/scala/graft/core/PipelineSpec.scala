@@ -217,6 +217,16 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("synthesized ids are stable across re-executions (deterministic identity)") {
+    // (partition, offset) ids: a task retry or a second run of the same plan
+    // must see the same identity per record (reference item.py:96-110)
+    val p = Pipeline.of(source(50)).append("noop")(identity)
+    val run1 = p.build().collect().map(t => t.value.count -> t.id).sortBy(_._1)
+    val run2 = p.build().collect().map(t => t.value.count -> t.id).sortBy(_._1)
+    assert(run1.sameElements(run2))
+    assert(run1.map(_._2).distinct.length == 50) // unique per record
+  }
+
   test("processOne: synchronous single-record path matches cluster semantics") {
     val p = Pipeline[Doc](spark)
       .append("enrich")(d => d.copy(text = d.text + "!"))
@@ -244,6 +254,111 @@ class PipelineSpec extends SparkSpec {
 
   private implicit class PipelineOps(p: Pipeline[Doc]) {
     def collect(): Array[Tracked[Doc]] = p.build().collect()
+  }
+}
+
+/** `FramePipeline.appendSafe` error-harness semantics — the untyped mirror of
+  * the typed Pipeline's O15–O17 contract (reference
+  * tests/pipeline/test_pipeline.py:125-142: soft continues, critical skips
+  * later stages, policies). */
+class FramePipelineSafeSpec extends SparkSpec {
+  import org.apache.spark.sql.Row
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+
+  private def source(n: Int) =
+    spark.createDataset((1 to n).map(i => Doc(s"text $i", i))).toDF()
+
+  // schema after withErrorChannel: (text, count, _errors)
+  private def errsOf(r: Row): Seq[Row] = r.getSeq[Row](r.fieldIndex("_errors"))
+
+  test("appendSafe: soft error is recorded and the row continues through later stages") {
+    val out = FramePipeline.of(source(10))
+      .appendSafe("soft") { r =>
+        if (r.getInt(1) % 2 == 0) throw new SoftError(s"even ${r.getInt(1)}")
+        Row(r.getString(0).toUpperCase, r.getInt(1), r.get(2))
+      }
+      .appendSafe("mark")(r => Row(r.getString(0) + "|seen", r.getInt(1), r.get(2)))
+      .build().collect()
+    assert(out.length == 10) // no row lost
+    val bad = out.filter(r => errsOf(r).nonEmpty)
+    assert(bad.map(_.getAs[Int]("count")).toSet == Set(2, 4, 6, 8, 10))
+    assert(bad.forall(r => errsOf(r).head.getString(1) == StageError.Soft))
+    assert(bad.forall(r => errsOf(r).head.getString(0) == "soft")) // stage name recorded
+    // soft-failed rows kept their input text (stage output discarded) but
+    // still ran the later "mark" stage
+    assert(bad.forall(r => r.getAs[String]("text").startsWith("text ")
+      && r.getAs[String]("text").endsWith("|seen")))
+    assert(out.filter(r => errsOf(r).isEmpty)
+      .forall(_.getAs[String]("text").startsWith("TEXT")))
+  }
+
+  test("appendSafe: critical error skips later safe stages but not columnar ones") {
+    val out = FramePipeline.of(source(10))
+      .appendSafe("crit") { r =>
+        if (r.getInt(1) == 3) throw new IllegalStateException("boom")
+        r
+      }
+      .appendSafe("mark")(r => Row(r.getString(0) + "|m", r.getInt(1), r.get(2)))
+      .append("flag")(_.withColumn("flag", lit(1)))
+      .build().collect()
+    assert(out.length == 10) // pipeline continues
+    val bad = out.find(_.getAs[Int]("count") == 3).get
+    assert(errsOf(bad).head.getString(1) == StageError.Critical)
+    assert(bad.getAs[String]("text") == "text 3") // "mark" skipped for this row
+    assert(bad.getAs[Int]("flag") == 1) // whole-frame stage cannot be skipped per row
+    assert(out.filter(_.getAs[Int]("count") != 3)
+      .forall(_.getAs[String]("text").endsWith("|m")))
+  }
+
+  test("appendSafe: NoSkip policy runs later safe stages after a critical error") {
+    val out = FramePipeline.of(source(5))
+      .errorPolicy(ErrorPolicy.NoSkip)
+      .appendSafe("crit") { r =>
+        if (r.getInt(1) == 2) throw new RuntimeException("x")
+        r
+      }
+      .appendSafe("mark")(r => Row(r.getString(0) + "|m", r.getInt(1), r.get(2)))
+      .build().collect()
+    assert(out.find(_.getAs[Int]("count") == 2).get.getAs[String]("text") == "text 2|m")
+    assert(out.find(_.getAs[Int]("count") == 2).exists(r => errsOf(r).nonEmpty))
+  }
+
+  test("appendSafe: Raise policy fails the job on critical error; SoftError stays soft") {
+    val failing = FramePipeline.of(source(5))
+      .errorPolicy(ErrorPolicy.Raise)
+      .appendSafe("crit") { r =>
+        if (r.getInt(1) == 2) throw new RuntimeException("x")
+        r
+      }
+      .build()
+    intercept[org.apache.spark.SparkException](failing.collect())
+    val soft = FramePipeline.of(source(5))
+      .errorPolicy(ErrorPolicy.Raise)
+      .appendSafe("soft") { r =>
+        if (r.getInt(1) == 2) throw new SoftError("meh")
+        r
+      }
+      .build().collect()
+    assert(soft.length == 5)
+    assert(soft.count(r => errsOf(r).nonEmpty) == 1)
+  }
+
+  test("appendSafe: harness owns _errors — stage writes there are ignored, prior errors carried") {
+    val out = FramePipeline.of(source(4))
+      .appendSafe("soft") { r =>
+        if (r.getInt(1) == 1) throw new SoftError("first")
+        r
+      }
+      .appendSafe("tamper")(r =>
+        Row(r.getString(0), r.getInt(1), Seq(Row("fake", "critical", "m", "", 9))))
+      .build().collect()
+    val one = out.find(_.getAs[Int]("count") == 1).get
+    // the tampered value was discarded: row 1 carries exactly its one real
+    // soft error from the earlier stage, everyone else none
+    assert(errsOf(one).map(e => (e.getString(0), e.getString(1)))
+      == Seq(("soft", StageError.Soft)))
+    assert(out.filter(_.getAs[Int]("count") != 1).forall(r => errsOf(r).isEmpty))
   }
 }
 
