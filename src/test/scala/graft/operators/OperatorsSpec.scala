@@ -109,6 +109,34 @@ class SimilaritySpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("neighbor_id")).contains(1L))
   }
 
+  test("multi-table LSH strictly improves recall over one table at equal planes") {
+    // Deterministic corpus (fixed seed) + deterministic hyperplanes
+    // (xxhash64-derived): at 10 planes a single table under-recalls; a second
+    // table with a DISJOINT plane set must recover neighbors the first
+    // table's buckets split apart.
+    // twin-pair corpus: vector i+60 is a small perturbation of vector i, so
+    // each query's true top-1 neighbor is its twin — the near-dup regime LSH
+    // is for (uniform random vectors have no meaningful neighbors to recall)
+    val rnd = new scala.util.Random(11)
+    val base = (0 until 60).map(_ => Seq.fill(8)(rnd.nextFloat() * 2 - 1))
+    val corpus = (base ++ base.map(_.map(x => x + (rnd.nextFloat() - 0.5f) * 0.1f)))
+      .zipWithIndex.map { case (v, i) => TestVec(i.toLong, v) }.toDF()
+    val queries = corpus.filter($"vec_id" < 60)
+    val truth = Similarity.bruteForceTopK(corpus, queries, k = 1)
+      .select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(tables: Int): Double = {
+      val got = Similarity.lshTopK(corpus, queries, k = 1, planes = 10, tables = tables)
+        .select("q_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.intersect(truth).size.toDouble / truth.size
+    }
+    val r1 = recall(1)
+    val r2 = recall(2)
+    assert(r2 > r1, s"tables=2 recall ($r2) not strictly above tables=1 ($r1)")
+    assert(r2 >= 0.5, s"tables=2 recall unexpectedly low: $r2")
+  }
+
   test("cosine fold matches analytic value") {
     val df = Seq((Seq(3.0, 4.0), Seq(4.0, 3.0))).toDF("a", "b")
     val sim = df.select(cosine($"a", $"b").as("s")).head().getDouble(0)
