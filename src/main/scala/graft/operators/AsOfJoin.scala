@@ -27,17 +27,14 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
-  def asofJoin(
-      left: DataFrame,
-      right: DataFrame,
-      leftKey: String,
-      rightKey: String,
-      leftTime: String,
-      rightTime: String,
-      payload: Seq[String],
-      rightTiebreak: String,
-      inclusive: Boolean = true
-  ): DataFrame = {
+  /** Tag + pad + union the two sides: the shared front half of both as-of
+    * variants. Returns the union and the left column list. */
+  private def unioned(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      payload: Seq[String], rightTiebreak: String
+  ): (DataFrame, Seq[String]) = {
     val leftCols = left.columns.toSeq
     val collisions = payload.toSet.intersect(leftCols.toSet)
     require(collisions.isEmpty,
@@ -57,19 +54,96 @@ object AsOfJoin {
       if (df.columns.contains(c)) df
       else df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
     val cols = (leftCols ++ Seq("_k", "_t", "_is_l", "_tb") ++ payload).distinct
-    val u = lPadded.select(cols.map(col): _*)
-      .unionByName(rPadded.select(cols.map(col): _*))
-    // Inclusive: right(0) sorts before left(1) at equal times, so a left row
-    // sees same-instant right payloads. Strict: flip so left sorts first and
-    // only strictly-earlier right rows have been carried forward.
-    val sideOrd = if (inclusive) col("_is_l") else lit(1) - col("_is_l")
+    (lPadded.select(cols.map(col): _*)
+      .unionByName(rPadded.select(cols.map(col): _*)), leftCols)
+  }
+
+  // Inclusive: right(0) sorts before left(1) at equal times, so a left row
+  // sees same-instant right payloads. Strict: flip so left sorts first and
+  // only strictly-earlier right rows have been carried forward.
+  private def sideOrd(inclusive: Boolean): Column =
+    if (inclusive) col("_is_l") else lit(1) - col("_is_l")
+
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTime: String,
+      rightTime: String,
+      payload: Seq[String],
+      rightTiebreak: String,
+      inclusive: Boolean = true
+  ): DataFrame = {
+    val (u, leftCols) = unioned(left, right, leftKey, rightKey,
+      leftTime, rightTime, payload, rightTiebreak)
     val w = Window.partitionBy(col("_k"))
-      .orderBy(col("_t"), sideOrd, col("_tb"))
+      .orderBy(col("_t"), sideOrd(inclusive), col("_tb"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = payload.foldLeft(u)((df, c) =>
       df.withColumn(s"asof_$c", last(col(c), ignoreNulls = true).over(w)))
     filled.filter(col("_is_l") === 1)
       .select((leftCols.map(col) ++ payload.map(c => col(s"asof_$c"))): _*)
+  }
+
+  /** Hot-key escape hatch for [[asofJoin]]: identical semantics, but the
+    * per-key window is split by a caller-supplied monotone-in-time bucketing
+    * (e.g. `t => floor(t / 86400)` for daily buckets on epoch seconds), so a
+    * single pathologically hot key — 10⁸ rows land in ONE window sort
+    * partition at 100× in the unsalted plan — is spread over
+    * (key, bucket) partitions that AQE can schedule independently.
+    *
+    * Two-level last-value: (1) the carry-forward window runs within each
+    * (key, bucket); (2) a per-(key, bucket) aggregate — per payload column,
+    * the bucket's last non-null right value — is carried across buckets by a
+    * second window whose partitions hold one row per bucket (tiny); a left
+    * row falls back to the previous buckets' carry when its own bucket has
+    * no earlier right row. Monotonicity of `bucketOf` guarantees every right
+    * row in an earlier bucket is strictly earlier in time, so the fallback
+    * is correct for both inclusive and strict semantics.
+    *
+    * Cost: one extra shuffle of the unioned table (on (key, bucket) instead
+    * of key) plus a tiny aggregate/join — the documented trade for bounding
+    * per-partition volume by bucket width rather than key frequency. */
+  def asofJoinBucketed(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTime: String,
+      rightTime: String,
+      payload: Seq[String],
+      rightTiebreak: String,
+      bucketOf: Column => Column,
+      inclusive: Boolean = true
+  ): DataFrame = {
+    val (u0, leftCols) = unioned(left, right, leftKey, rightKey,
+      leftTime, rightTime, payload, rightTiebreak)
+    val u = u0.withColumn("_bkt", bucketOf(col("_t")))
+    // (1) within-bucket carry — same ordering as the unsalted window
+    val wIn = Window.partitionBy(col("_k"), col("_bkt"))
+      .orderBy(col("_t"), sideOrd(inclusive), col("_tb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withIn = payload.foldLeft(u)((df, c) =>
+      df.withColumn(s"_in_$c", last(col(c), ignoreNulls = true).over(wIn)))
+    // (2) per-(key, bucket) last non-null right value, per payload column
+    // (per-column independence matches last(_, ignoreNulls) semantics when a
+    // right row carries nulls in some payload columns)
+    val blAggs = payload.map(c => max_by(col(c),
+      when(col("_is_l") === 0 && col(c).isNotNull,
+        struct(col("_t"), col("_tb")))).as(s"_bl_$c"))
+    val bucketLast = u.groupBy(col("_k"), col("_bkt"))
+      .agg(blAggs.head, blAggs.tail: _*)
+    // carry across STRICTLY earlier buckets; one row per (key, bucket)
+    val wCarry = Window.partitionBy(col("_k")).orderBy(col("_bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = payload.foldLeft(bucketLast)((df, c) =>
+      df.withColumn(s"_pv_$c", last(col(s"_bl_$c"), ignoreNulls = true).over(wCarry)))
+      .select(col("_k") +: col("_bkt") +: payload.map(c => col(s"_pv_$c")): _*)
+    // every left row's (key, bucket) exists in `carry` by construction
+    withIn.filter(col("_is_l") === 1).join(carry, Seq("_k", "_bkt"))
+      .select((leftCols.map(col) ++ payload.map(c =>
+        coalesce(col(s"_in_$c"), col(s"_pv_$c")).as(s"asof_$c"))): _*)
   }
 
   /** Range join against a (typically small, broadcast) interval table:

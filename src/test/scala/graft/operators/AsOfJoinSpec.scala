@@ -38,6 +38,35 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.size == 5) // exactly one output row per left row
   }
 
+  test("bucketed as-of join matches the unsalted plan on a hot-key workload") {
+    // hot key 1 with many rows across time + sparse keys; payload nulls
+    // exercise the per-column last-non-null independence; bucket width 10
+    // puts bucket boundaries right on top of tie timestamps
+    val rnd = new scala.util.Random(5)
+    val bigLeft = (0 until 400).map { i =>
+      val k = if (i % 4 == 0) 2L else 1L // 300 rows on the hot key
+      L(k, rnd.nextInt(100).toLong, s"e$i")
+    }.toDF()
+    val bigRight = (0 until 120).map { i =>
+      val k = if (i % 5 == 0) 2L else 1L
+      R(k, rnd.nextInt(100).toLong,
+        if (i % 7 == 0) null else s"p$i", i.toLong)
+    }.toDF()
+    for (inclusive <- Seq(true, false)) {
+      // tags are unique per left row, so set-compare (sorting tuples with
+      // null payloads would NPE)
+      val plain = AsOfJoin.asofJoin(bigLeft, bigRight, "k", "rk", "t", "rt",
+        payload = Seq("payload"), rightTiebreak = "seq", inclusive = inclusive)
+        .collect().map(r => (r.getLong(0), r.getString(2), r.getString(3))).toSet
+      val bucketed = AsOfJoin.asofJoinBucketed(bigLeft, bigRight, "k", "rk", "t", "rt",
+        payload = Seq("payload"), rightTiebreak = "seq",
+        bucketOf = t => floor(t / 10), inclusive = inclusive)
+        .collect().map(r => (r.getLong(0), r.getString(2), r.getString(3))).toSet
+      assert(bucketed.size == 400 && plain.size == 400)
+      assert(bucketed == plain, s"inclusive=$inclusive mismatch")
+    }
+  }
+
   test("range join assigns rows to [lo, hi) intervals") {
     val iv = Seq((0L, 10L, "low"), (10L, 100L, "high")).toDF("lo", "hi", "band")
     val out = AsOfJoin.rangeJoin(left, iv, "t")
