@@ -68,6 +68,34 @@ object Advanced {
         SELECT k AS user_id, event_id, asof_o_orderkey, asof_o_totalprice
         FROM f WHERE is_l = 1""")),
 
+    GQ("a03_asof_bucketed", // hot-key escape hatch: identical result to a01
+      // via (key, quarter-bucket) windows + cross-bucket carry — the oracle
+      // is a01's verbatim, proving the salted plan IS the unsalted semantics
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select("user_id", "event_id", "ts")
+        val o = t(s, dir, "orders")
+        AsOfJoin.asofJoinBucketed(ev, o,
+          leftKey = "user_id", rightKey = "o_custkey",
+          leftTime = "ts", rightTime = "o_orderdate",
+          payload = Seq("o_orderkey", "o_totalprice"),
+          rightTiebreak = "o_orderkey",
+          bucketOf = tc => date_trunc("quarter", tc))
+          .select("user_id", "event_id", "asof_o_orderkey", "asof_o_totalprice")
+      },
+      Some("""WITH l AS (SELECT user_id AS k, CAST(ts AS TIMESTAMP) AS t, event_id,
+                CAST(NULL AS BIGINT) AS o_orderkey, CAST(NULL AS DOUBLE) AS o_totalprice,
+                1 AS is_l FROM events),
+        r AS (SELECT o_custkey AS k, o_orderdate AS t, CAST(NULL AS BIGINT) AS event_id,
+                o_orderkey, o_totalprice, 0 AS is_l FROM orders),
+        u AS (SELECT * FROM l UNION ALL SELECT * FROM r),
+        f AS (SELECT k, event_id, is_l,
+                LAST_VALUE(o_orderkey IGNORE NULLS) OVER w AS asof_o_orderkey,
+                LAST_VALUE(o_totalprice IGNORE NULLS) OVER w AS asof_o_totalprice
+              FROM u WINDOW w AS (PARTITION BY k ORDER BY t, is_l, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        SELECT k AS user_id, event_id, asof_o_orderkey, asof_o_totalprice
+        FROM f WHERE is_l = 1""")),
+
     GQ("r01_range_join", // interval lookup via broadcast
       (s, dir) => {
         import s.implicits._
