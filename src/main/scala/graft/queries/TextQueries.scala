@@ -3,6 +3,7 @@ package graft.queries
 import graft.{GQ, Tables}
 import graft.functions.TextFunctions._
 import graft.operators.Dedup
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Dedup + text-analysis surface over the `documents` table. Exact-SQL
@@ -205,6 +206,110 @@ object TextQueries {
             list_transform(regexp_extract_all(text, '.'), c -> CAST(ascii(c) AS BIGINT))),
           (h, b) -> (h * 257 + b) % 1000000007) AS BIGINT) AS fp
         FROM documents""")),
+
+    GQ("d14_pii_scrub", // PII redaction: emails / IPv4 / phone numbers
+      // The synthetic corpus carries no PII, so each row is augmented with
+      // deterministic synthetic PII first (doc_id-derived, replayed by the
+      // oracle) — the scrub itself is then provably non-vacuous on every row.
+      // Pure regexp Column expressions: codegen'd, no UDF, scan-parallel.
+      (s, dir) => {
+        val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+        val phone = "\\+\\d[\\d ]{6,}\\d"
+        val aug = concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com from 10.2."), (col("doc_id") % 200).cast("string"),
+          lit(".7 call +1 555 "), (lit(1000) + col("doc_id") % 9000).cast("string"))
+        Tables.table(s, dir, "documents")
+          .select(col("doc_id"), aug.as("aug"))
+          .select(col("doc_id"),
+            regexp_count(col("aug"), lit(email)).as("n_emails"),
+            regexp_count(col("aug"), lit(ip)).as("n_ips"),
+            regexp_count(col("aug"), lit(phone)).as("n_phones"),
+            regexp_replace(regexp_replace(regexp_replace(col("aug"),
+              email, "<EMAIL>"), ip, "<IP>"), phone, "<PHONE>").as("clean_text"))
+      },
+      Some("""WITH a AS (SELECT doc_id,
+          text || ' contact user' || CAST(doc_id AS VARCHAR)
+               || '@example.com from 10.2.' || CAST(doc_id % 200 AS VARCHAR)
+               || '.7 call +1 555 ' || CAST(1000 + doc_id % 9000 AS VARCHAR) AS aug
+          FROM documents)
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+          CAST(len(regexp_extract_all(aug, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INTEGER) AS n_ips,
+          CAST(len(regexp_extract_all(aug, '\+\d[\d ]{6,}\d')) AS INTEGER) AS n_phones,
+          regexp_replace(regexp_replace(regexp_replace(aug,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+            '\+\d[\d ]{6,}\d', '<PHONE>', 'g') AS clean_text
+        FROM a""")),
+
+    GQ("d15_repetition", // duplicate-bigram fraction (Gopher-style quality)
+      (s, dir) => {
+        Tables.table(s, dir, "documents")
+          .select(col("doc_id"), shingles(words(col("text")), 2).as("bg"))
+          .select(col("doc_id"),
+            size(col("bg")).as("n_bigrams"),
+            (lit(1.0) - size(array_distinct(col("bg"))).cast("double")
+              / nullif(size(col("bg")), lit(0))).as("dup_bigram_ratio"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+          list_filter(string_split(text, ' '), w -> w <> '') AS ws FROM documents),
+        b AS (SELECT doc_id, CASE WHEN len(ws) < 2 THEN [] ELSE
+          list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) END AS bg
+          FROM t)
+        SELECT doc_id, CAST(len(bg) AS INTEGER) AS n_bigrams,
+          1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / NULLIF(len(bg), 0)
+            AS dup_bigram_ratio
+        FROM b""")),
+
+    GQ("d16_stratified_sample", // reproducible mixture rebalancing
+      // Deterministic hash-based stratified sampling: the sample is a pure
+      // function of doc_id (portable PolyHash bucket), so any engine — and
+      // any re-run after a failure — draws the SAME sample. en is
+      // down-sampled to 20%, other languages kept at 50%. The 100 TB shape:
+      // a scan-local filter, zero shuffles, zero state.
+      (s, dir) => {
+        val bucket = graft.expressions.PolyHash(
+          concat(lit("sample|"), col("doc_id").cast("string"))) % 1000
+        Tables.table(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("source"), bucket.as("bucket"))
+          .filter(col("bucket") <
+            when(col("lang") === "en", 200).otherwise(500))
+      },
+      Some("""WITH h AS (SELECT doc_id, lang, source,
+          CAST(list_reduce(
+            list_prepend(CAST(0 AS BIGINT),
+              list_transform(regexp_extract_all('sample|' || CAST(doc_id AS VARCHAR), '.'),
+                c -> CAST(ascii(c) AS BIGINT))),
+            (h, b) -> (h * 257 + b) % 1000000007) AS BIGINT) % 1000 AS bucket
+          FROM documents)
+        SELECT doc_id, lang, source, bucket FROM h
+        WHERE bucket < CASE WHEN lang = 'en' THEN 200 ELSE 500 END""")),
+
+    GQ("d17_token_shards", // token-budget packing into training shards
+      // Documents are packed into ~2000-token shards per language stream:
+      // shard id = exclusive running token count / budget. Windows partition
+      // by lang, so streams pack independently — at 100 TB, partition by
+      // (lang, date) or a hash bucket to bound per-window volume (same
+      // escape hatch as PLANS.md "Hot-key bound").
+      (s, dir) => {
+        val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables.table(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), tokenCount(col("text")).as("n_tokens"))
+          .select(col("doc_id"), col("lang"), col("n_tokens"),
+            floor(coalesce(sum(col("n_tokens")).over(w), lit(0))
+              / lit(2000.0)).as("shard_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id, lang,
+          CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS n_tokens
+          FROM documents)
+        SELECT doc_id, lang, n_tokens,
+          CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2000.0) AS BIGINT)
+            AS shard_id
+        FROM t""")),
 
     // Hash-function-specific ops: deterministic, but not oracle-SQL-expressible
     // → driver records rows-only checks.
