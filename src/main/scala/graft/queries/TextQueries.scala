@@ -311,6 +311,34 @@ object TextQueries {
             AS shard_id
         FROM t""")),
 
+    GQ("x03_heavy_hitters", // Count-Min sketch, h01-style property oracle
+      // The CMS estimate isn't DuckDB-replayable, but it is deterministic
+      // (fixed seed) and one-sided: exact_n <= cms_n <= exact_n + eps*N with
+      // confidence 0.99. The oracle checks the exact half plus TRUE for the
+      // bound; a broken sketch flips cms_ok. The sketch is mergeable across
+      // partitions/days — the 100 TB shape for streaming top-k; the
+      // driver-side work here is bounded (one sketch + 20 rows).
+      (s, dir) => {
+        import s.implicits._
+        val ws = Tables.table(s, dir, "documents")
+          .select(explode(words(col("text"))).as("w"))
+        val eps = 0.001
+        val total = ws.count()
+        val sketch = ws.stat.countMinSketch("w", eps, 0.99, 42)
+        val top = ws.groupBy("w").agg(count(lit(1)).as("exact_n"))
+          .orderBy(col("exact_n").desc, col("w")).limit(20).collect()
+        top.toSeq.map { r =>
+          val (w, n) = (r.getString(0), r.getLong(1))
+          val est = sketch.estimateCount(w)
+          (w, n, est >= n && est <= n + (eps * total).toLong + 1)
+        }.toDF("w", "exact_n", "cms_ok")
+      },
+      Some("""WITH ws AS (SELECT UNNEST(list_filter(string_split(text, ' '),
+            w -> w <> '')) AS w FROM documents),
+        g AS (SELECT w, COUNT(*) AS exact_n FROM ws GROUP BY w)
+        SELECT w, exact_n, TRUE AS cms_ok FROM g
+        ORDER BY exact_n DESC, w LIMIT 20""")),
+
     // Hash-function-specific ops: deterministic, but not oracle-SQL-expressible
     // → driver records rows-only checks.
     // Portable (md5-bit) SimHash — the oracle replays the signature
