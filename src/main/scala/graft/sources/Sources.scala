@@ -85,6 +85,15 @@ object Sinks {
   def csv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
 
+  /** Hive-style partitioned layout: one directory per distinct value of
+    * `partitionCols`. The 100 TB data-layout lever: a filter on a partition
+    * column prunes whole directories at planning time (the scan's
+    * `PartitionFilters`), so a per-language / per-day query reads only its
+    * slice — verified by plan-shape test (SourcesSpec). Keep partition
+    * columns low-cardinality (lang, date), never high-cardinality ids. */
+  def parquetPartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
   /** Per-partition push sink with connection lifecycle — the ES-indexer
     * pattern (docs/usage.rst:285-295): `open` once per partition, `send` per
     * record, `close` at the end. */

@@ -307,6 +307,25 @@ class SourcesSpec extends SparkSpec {
     assert(out.map(_.getString(0)).toSet == Set("hello", "world"))
   }
 
+  test("partitioned parquet layout prunes non-matching partitions at the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    graft.sources.Sinks.parquetPartitioned(docs, s"$dir/docs", Seq("lang"))
+    val langs = docs.select("lang").distinct().collect().map(_.getString(0))
+    assert(langs.length > 1) // pruning must have something to prune
+    val one = spark.read.parquet(s"$dir/docs")
+      .filter(org.apache.spark.sql.functions.col("lang") === langs.head)
+    assert(one.count() == docs.filter(
+      org.apache.spark.sql.functions.col("lang") === langs.head).count())
+    val scan = one.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .get
+    // the partition filter reached the scan and directory pruning happened
+    assert(scan.partitionFilters.nonEmpty)
+    assert(scan.relation.location.inputFiles.length.toLong > // all partitions...
+      scan.selectedPartitions.totalNumberOfFiles)            // ...vs selected
+  }
+
   test("localFiles filters by postfix and exposes basename id") {
     val dir = java.nio.file.Files.createTempDirectory("graft-files").toFile
     for (n <- Seq("x.json", "y.json", "z.txt", ".hidden.json")) {
