@@ -1,9 +1,9 @@
 package graft
 
-import graft.expressions.ArrayDot
+import graft.expressions.{ArrayDot, PolyHash, PortableMinHash, PortableSimHash}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
 /** SparkSessionExtensions entry point: makes the engine's native
   * expressions available to SQL. Attach at session build time:
@@ -14,20 +14,45 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction((
-      FunctionIdentifier("array_dot"),
-      new ExpressionInfo(classOf[ArrayDot].getName, "array_dot"),
-      (exprs: Seq[Expression]) => ArrayDot(exprs(0), exprs(1))))
+    GraftExtensions.functions.foreach(e.injectFunction)
     e.injectResolutionRule(_ => graft.plans.ResolveTopKPerGroup)
     e.injectPlannerStrategy(_ => graft.plans.RangeJoinStrategy)
   }
 }
 
+object GraftExtensions {
+  private def intArg(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: expected integer literal, got $other")
+  }
+
+  /** The engine's native expressions, SQL-registered: the whole codegen'd
+    * function surface is reachable from `spark.sql(...)`, not just the
+    * Column DSL. */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("array_dot"),
+      new ExpressionInfo(classOf[ArrayDot].getName, "array_dot"),
+      (exprs: Seq[Expression]) => ArrayDot(exprs(0), exprs(1))),
+    (FunctionIdentifier("poly_hash"),
+      new ExpressionInfo(classOf[PolyHash].getName, "poly_hash"),
+      (exprs: Seq[Expression]) => PolyHash(exprs(0))),
+    (FunctionIdentifier("portable_minhash"),
+      new ExpressionInfo(classOf[PortableMinHash].getName, "portable_minhash"),
+      (exprs: Seq[Expression]) =>
+        PortableMinHash(exprs(0), intArg(exprs(1), "portable_minhash"))),
+    (FunctionIdentifier("portable_simhash"),
+      new ExpressionInfo(classOf[PortableSimHash].getName, "portable_simhash"),
+      (exprs: Seq[Expression]) =>
+        PortableSimHash(exprs(0),
+          if (exprs.length > 1) intArg(exprs(1), "portable_simhash") else 60)))
+}
+
 /** Runtime registration for sessions built without extensions. */
 object GraftFunctions {
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "array_dot",
-      (exprs: Seq[Expression]) => ArrayDot(exprs(0), exprs(1)),
-      "scala_udf")
+    GraftExtensions.functions.foreach { case (id, _, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        id.funcName, builder, "scala_udf")
+    }
 }

@@ -32,6 +32,35 @@ object ScaleSmoke {
       Dedup.minhashPairs(docs, numHashes = 8, bands = 4, threshold = 0.8).count())
     time(s"simhash pairs over $rows docs")(
       Dedup.simhashPairs(docs, maxHamming = 3, chunks = 4).count())
+
+    // Curation ops (r04): scan-local / windowed shapes. Aggregate checksums
+    // force evaluation (a bare count() would let Catalyst prune the work).
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val phone = "\\+\\d[\\d ]{6,}\\d"
+    time(s"pii scrub over $rows docs (checksum)")(
+      docs.select(regexp_replace(regexp_replace(regexp_replace(col("text"),
+        email, "<EMAIL>"), ip, "<IP>"), phone, "<PHONE>").as("clean"))
+        .agg(sum(length(col("clean")))).head().getLong(0))
+    time(s"stratified sample over $rows docs")(
+      docs.filter(graft.expressions.PolyHash(
+        concat(lit("sample|"), col("doc_id").cast("string"))) % 1000 < 300).count())
+    time(s"repetition ratio over $rows docs (checksum)")(
+      docs.select(graft.functions.TextFunctions.shingles(
+        graft.functions.TextFunctions.words(col("text")), 2).as("bg"))
+        .agg(sum(size(array_distinct(col("bg"))))).head().getLong(0))
+    time(s"token shards over $rows docs (max shard)") {
+      val stream = org.apache.spark.sql.functions.pmod(
+        crc32(col("doc_id").cast("string")), lit(32))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(stream).orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      docs.select(col("doc_id"),
+        graft.functions.TextFunctions.tokenCount(col("text")).as("n_tokens"))
+        .select(floor(coalesce(sum(col("n_tokens")).over(w), lit(0)) / lit(2000.0))
+          .as("shard_id"))
+        .agg(max(col("shard_id"))).head().getLong(0)
+    }
     spark.stop()
   }
 }

@@ -223,6 +223,22 @@ class SimilaritySpec extends SparkSpec {
       .head().getDouble(0)
     assert(r == 11.0)
   }
+
+  test("native expression surface is SQL-callable: poly_hash / portable_minhash / portable_simhash") {
+    graft.GraftFunctions.register(spark)
+    val ph = spark.sql("SELECT poly_hash('abc') AS h").head().getLong(0)
+    def ref(s: String) = s.getBytes("UTF-8").foldLeft(0L)((h, b) =>
+      (h * 257L + (b & 0xff)) % 1000000007L)
+    assert(ph == ref("abc"))
+    val mh = spark.sql(
+      "SELECT portable_minhash(array('a b c', 'b c d'), 4) AS sig").head().getSeq[String](0)
+    assert(mh.length == 4)
+    val sh = spark.sql(
+      "SELECT portable_simhash(array('the', 'quick', 'fox')) AS sig").head().getLong(0)
+    val dsl = Seq(Seq("the", "quick", "fox")).toDF("ws")
+      .select(simhashPortable($"ws")).head().getLong(0)
+    assert(sh == dsl)
+  }
 }
 
 class TextFunctionsSpec extends SparkSpec {
