@@ -101,6 +101,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("curation ops run unchanged on a stream and match the batch result") {
+    // PII scrub + deterministic portable-hash sampling are stateless Column
+    // expressions, so the same code is legal on bounded and unbounded input
+    // — the unified-API claim, checked by batch-replaying the micro-batches.
+    implicit val sqlCtx = spark.sqlContext
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    def curate(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("clean", regexp_replace(col("text"), email, "<EMAIL>"))
+      .filter(graft.expressions.PolyHash(
+        concat(lit("sample|"), col("doc_id").cast("string"))) % 1000 < 500)
+      .select("doc_id", "clean")
+    val mem = MemoryStream[(Long, String)]
+    val data = (1L to 40L).map(i =>
+      (i, if (i % 3 == 0) s"mail u$i@ex$i.com now" else s"plain doc $i"))
+    val q = curate(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("curation_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(data.take(20): _*)
+      q.processAllAvailable()
+      mem.addData(data.drop(20): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("curation_stream").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      val batch = curate(data.toDF("doc_id", "text")).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(streamed == batch)
+      assert(batch.nonEmpty && batch.size < data.length) // sampling really sampled
+      assert(batch.filter(_._1 % 3 == 0).forall(_._2.contains("<EMAIL>")))
+    } finally q.stop()
+  }
+
   test("AsyncRunner: process_async/get_item analog with callback") {
     val p = Pipeline[Doc](spark)
       .append("enrich")(d => d.copy(text = d.text.toUpperCase))
