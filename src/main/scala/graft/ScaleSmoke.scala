@@ -61,6 +61,19 @@ object ScaleSmoke {
           .as("shard_id"))
         .agg(max(col("shard_id"))).head().getLong(0)
     }
+    // ANN at scale: synthetic deterministic embeddings (hash-derived, 16-d)
+    // — LSH buckets and IVF cells must bound per-query work as the corpus
+    // grows; queries are a small broadcast side.
+    val nVecs = math.min(rows, 200000L)
+    val vecs = spark.range(nVecs).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(15)), i =>
+        (pmod(xxhash64(col("id"), i), lit(2001L)).cast("double") / 1000.0) - 1.0)
+        .as("embedding"))
+    val qs = vecs.filter(col("vec_id") < 100)
+    time(s"LSH ANN top-3 of 100 queries over $nVecs vectors")(
+      Similarity.lshTopK(vecs, qs, k = 3, planes = 12, tables = 2).count())
+    time(s"IVF ANN top-3 of 100 queries over $nVecs vectors")(
+      Similarity.ivfTopK(vecs, qs, k = 3, nCentroids = 64, nProbe = 4).count())
     spark.stop()
   }
 }
