@@ -8,6 +8,14 @@ import org.apache.spark.sql.functions._
   * regime: every variant is shuffle-bounded by keys (hash buckets, LSH bands)
   * — never an O(n²) cross join. The only pairwise work happens inside
   * candidate buckets, whose size is controlled by the banding parameters.
+  *
+  * Cache contract: the pair-finding variants persist their signature /
+  * shingle tables because the RETURNED lazy plan reads them from both sides
+  * of a self-join plus the verify join (unlike `Similarity.ivfTopK`, whose
+  * fit-only cache is released eagerly). The entries live until the session
+  * drops them — a long-lived session issuing many dedup calls should
+  * `spark.catalog.clearCache()` between corpora (the bench harness does),
+  * or persist its own checkpoint and pass that in.
   */
 object Dedup {
 
