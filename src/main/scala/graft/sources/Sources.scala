@@ -25,6 +25,10 @@ object Sources {
   def csv(spark: SparkSession, path: String, header: Boolean = true): DataFrame =
     spark.read.option("header", header.toString).option("inferSchema", "true").csv(path)
 
+  /** ORC — same pushdown/pruning properties as parquet (built-in reader). */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   def jsonl(spark: SparkSession, path: String): DataFrame =
     spark.read.json(path)
 
@@ -84,6 +88,9 @@ object Sinks {
 
   def csv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
+
+  def orc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
 
   /** Hive-style partitioned layout: one directory per distinct value of
     * `partitionCols`. The 100 TB data-layout lever: a filter on a partition

@@ -282,15 +282,17 @@ class TextFunctionsSpec extends SparkSpec {
 class SinksSpec extends SparkSpec {
   import spark.implicits._
 
-  test("parquet/jsonl/csv sinks round-trip") {
+  test("parquet/jsonl/csv/orc sinks round-trip") {
     val dir = java.nio.file.Files.createTempDirectory("graft-sinks").toString
     val df = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
     graft.sources.Sinks.parquet(df, s"$dir/p")
     graft.sources.Sinks.jsonl(df, s"$dir/j")
     graft.sources.Sinks.csv(df, s"$dir/c")
+    graft.sources.Sinks.orc(df, s"$dir/o")
     assert(spark.read.parquet(s"$dir/p").collect().length == 2)
     assert(spark.read.json(s"$dir/j").collect().length == 2)
     assert(spark.read.option("header", "true").csv(s"$dir/c").collect().length == 2)
+    assert(graft.sources.Sources.orc(spark, s"$dir/o").collect().length == 2)
   }
 
   test("foreachSink runs open/send/close per partition") {
