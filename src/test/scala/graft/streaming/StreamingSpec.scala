@@ -285,6 +285,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-sink stream restarts from checkpoint exactly-once") {
+    // The reference's stop/termination protocol has no recovery story; the
+    // Spark-native one is checkpointed offsets + idempotent file commits:
+    // stop a query, restart it on the SAME checkpoint, and every input
+    // record lands in the sink exactly once.
+    val base = java.nio.file.Files.createTempDirectory("graft-eo").toString
+    val (inDir, outDir, ckpt) = (s"$base/in", s"$base/out", s"$base/ckpt")
+    def addFile(i: Int): Unit =
+      Seq((i.toLong, s"doc$i")).toDF("id", "txt")
+        .coalesce(1).write.mode("append").parquet(inDir)
+    addFile(1); addFile(2)
+    val schema = spark.read.parquet(inDir).schema
+    def startQuery() =
+      spark.readStream.schema(schema).parquet(inDir)
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    val q1 = startQuery()
+    q1.awaitTermination(60000)
+    assert(spark.read.parquet(outDir).count() == 2)
+    addFile(3); addFile(4)
+    val q2 = startQuery() // same checkpoint: only the NEW files process
+    q2.awaitTermination(60000)
+    val out = spark.read.parquet(outDir).select("id").collect().map(_.getLong(0))
+    assert(out.sorted.sameElements(Array(1L, 2L, 3L, 4L))) // exactly once each
+  }
+
   test("jsonl source captures malformed records instead of failing") {
     val dir = java.nio.file.Files.createTempDirectory("graft-jsonl").toFile
     val w = new java.io.PrintWriter(new java.io.File(dir, "a.jsonl"))
