@@ -67,6 +67,24 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("salted per-group top-k matches the plain window on a hot-key workload") {
+    val rnd = new scala.util.Random(9)
+    // one hot key with 800 rows, a few sparse keys; value ties exercise the
+    // tiebreak column
+    val rows = (0 until 1000).map { i =>
+      val k = if (i % 5 == 0) i % 7 else 999
+      (k.toLong, rnd.nextInt(50).toLong, i.toLong)
+    }.toDF("grp", "score", "row_id")
+    val order = Seq(col("score").desc, col("row_id"))
+    val plain = TopK.perGroup(rows, Seq("grp"), order, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val salted = TopK.perGroupSalted(rows, Seq("grp"), order, k = 3,
+      saltOf = xxhash64(col("row_id")), salts = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(plain == salted)
+    assert(plain.count(_._1 == 999L) == 3) // hot key produced exactly k
+  }
+
   test("range join assigns rows to [lo, hi) intervals") {
     val iv = Seq((0L, 10L, "low"), (10L, 100L, "high")).toDF("lo", "hi", "band")
     val out = AsOfJoin.rangeJoin(left, iv, "t")
