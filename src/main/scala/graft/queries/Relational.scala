@@ -189,6 +189,21 @@ object Relational {
                                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
               FROM orders) WHERE rn <= 3""")),
 
+    GQ("q42_topk_salted", // hot-key escape hatch: identical rows to q09's
+      // plain window (sans rank), via two-phase (group, salt) ranking —
+      // oracled with the plain-window SQL, proving the salted plan IS the
+      // window semantics (the a03 pattern applied to top-k)
+      (s, dir) => graft.operators.TopK.perGroupSalted(
+        t(s, dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice"),
+        Seq("o_custkey"),
+        Seq(col("o_totalprice").desc, col("o_orderkey")), k = 3,
+        saltOf = xxhash64(col("o_orderkey")), salts = 8),
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice
+        FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_totalprice DESC, o_orderkey) AS rn
+              FROM orders) WHERE rn <= 3""")),
+
     GQ("q10_running_spend",
       (s, dir) => {
         val w = Window.partitionBy(col("o_custkey"))
