@@ -47,6 +47,40 @@ object MultimodalQueries {
           (a, b) -> a + b) AS FLOAT) AS f0
         FROM documents""")),
 
+    // The full multimodal training-data flow: bytes → (stub) decode to a
+    // feature vector → embedding-cosine near-dup pairs. The oracle replays
+    // the ENTIRE pipeline — per-residue-class byte folds (float-cast like
+    // the stub), then the same left-fold dot/norm cosine — so the
+    // composition is hash-verified end to end, not just per stage.
+    GQ("m03_media_neardup",
+      (s, dir) => {
+        val d = Tables.table(s, dir, "documents")
+          .withColumn("media", encode(col("text"), "utf-8"))
+        val feats = Multimodal.extractFeatures(d, "media", dim = 8)
+          .select(col("doc_id"), col("features"))
+        graft.operators.Similarity.cosineNearDupPairs(feats,
+          threshold = 0.9999, idCol = "doc_id", vecCol = "features")
+      },
+      Some("""WITH f AS (SELECT doc_id,
+          list_transform(range(0, 8), j ->
+            CAST(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(range(0, (octet_length(encode(text)) - CAST(j AS INTEGER) + 7) // 8),
+                k -> ascii(substr(text, 8 * CAST(k AS INTEGER) + CAST(j AS INTEGER) + 1, 1)) / 255.0)),
+              (a, b) -> a + b) AS FLOAT)) AS feat
+          FROM documents),
+        d AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(range(1, 9), i -> CAST(a.feat[i] AS DOUBLE) * CAST(b.feat[i] AS DOUBLE))),
+            (x, y) -> x + y)
+          / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(range(1, 9), i -> CAST(a.feat[i] AS DOUBLE) * CAST(a.feat[i] AS DOUBLE))),
+              (x, y) -> x + y))
+           * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(range(1, 9), i -> CAST(b.feat[i] AS DOUBLE) * CAST(b.feat[i] AS DOUBLE))),
+              (x, y) -> x + y))) AS sim
+          FROM f a JOIN f b ON a.doc_id < b.doc_id)
+        SELECT a_id, b_id, sim FROM d WHERE sim >= 0.9999""")),
+
     // Streaming windowed aggregation evaluated on the bounded events table.
     GQ("s01_tumbling_window",
       (s, dir) => Streaming.windowedCounts(
