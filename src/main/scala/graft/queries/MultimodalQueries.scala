@@ -52,6 +52,9 @@ object MultimodalQueries {
     // the ENTIRE pipeline — per-residue-class byte folds (float-cast like
     // the stub), then the same left-fold dot/norm cosine — so the
     // composition is hash-verified end to end, not just per stage.
+    // Exact all-pairs is the verification shape; at corpus scale compose
+    // extractFeatures with Similarity.lshTopK instead (e02's bucketed plan
+    // over the same feature column).
     GQ("m03_media_neardup",
       (s, dir) => {
         val d = Tables.table(s, dir, "documents")
