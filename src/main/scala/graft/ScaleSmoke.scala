@@ -61,6 +61,28 @@ object ScaleSmoke {
           .as("shard_id"))
         .agg(max(col("shard_id"))).head().getLong(0)
     }
+    // Hot-key as-of A/B: every row on ONE key, so the unsalted window sorts
+    // the whole dataset in a single partition while the bucketed variant
+    // spreads it over time buckets — the escape hatch must win, not just
+    // match (parity is property-tested; this measures the point).
+    val nHot = math.min(rows * 100, 20000000L)
+    val hotLeft = spark.range(nHot).select(lit(1L).as("k"),
+      col("id").as("t"), col("id").as("event"))
+    val hotRight = spark.range(nHot / 10).select(lit(1L).as("rk"),
+      (col("id") * 10).as("rt"), concat(lit("p"), col("id")).as("payload"),
+      col("id").as("seq"))
+    // aggregate over the matched payload so the window can't be pruned —
+    // a bare count() lets Catalyst drop the whole window computation
+    time(s"as-of join, ONE hot key, $nHot left rows (unsalted)")(
+      graft.operators.AsOfJoin.asofJoin(hotLeft, hotRight,
+        "k", "rk", "t", "rt", Seq("payload"), "seq")
+        .agg(count(col("asof_payload"))).head().getLong(0))
+    time(s"as-of join, ONE hot key, $nHot left rows (bucketed)")(
+      graft.operators.AsOfJoin.asofJoinBucketed(hotLeft, hotRight,
+        "k", "rk", "t", "rt", Seq("payload"), "seq",
+        bucketOf = t => floor(t / (nHot / 64)))
+        .agg(count(col("asof_payload"))).head().getLong(0))
+
     // ANN at scale: synthetic deterministic embeddings (hash-derived, 16-d)
     // — LSH buckets and IVF cells must bound per-query work as the corpus
     // grows; queries are a small broadcast side.
