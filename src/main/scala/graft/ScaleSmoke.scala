@@ -83,6 +83,17 @@ object ScaleSmoke {
         bucketOf = t => floor(t / (nHot / 64)))
         .agg(count(col("asof_payload"))).head().getLong(0))
 
+    // Same A/B for the top-k hatch (count() is fine here: the rank filter
+    // depends on the window output, so nothing prunes).
+    val hotScores = spark.range(nHot).select(lit(1L).as("grp"),
+      pmod(xxhash64(col("id")), lit(1000000L)).as("score"), col("id").as("row_id"))
+    val ord = Seq(col("score").desc, col("row_id"))
+    time(s"top-3 of ONE hot group, $nHot rows (plain window)")(
+      graft.operators.TopK.perGroup(hotScores, Seq("grp"), ord, k = 3).count())
+    time(s"top-3 of ONE hot group, $nHot rows (salted)")(
+      graft.operators.TopK.perGroupSalted(hotScores, Seq("grp"), ord, k = 3,
+        saltOf = xxhash64(col("row_id")), salts = 64).count())
+
     // ANN at scale: synthetic deterministic embeddings (hash-derived, 16-d)
     // — LSH buckets and IVF cells must bound per-query work as the corpus
     // grows; queries are a small broadcast side.

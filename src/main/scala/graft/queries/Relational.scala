@@ -189,10 +189,12 @@ object Relational {
                                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
               FROM orders) WHERE rn <= 3""")),
 
-    GQ("q42_topk_salted", // hot-key escape hatch: identical rows to q09's
-      // plain window (sans rank), via two-phase (group, salt) ranking —
-      // oracled with the plain-window SQL, proving the salted plan IS the
-      // window semantics (the a03 pattern applied to top-k)
+    GQ("q42_topk_salted", // two-phase (group, salt) ranking — identical rows
+      // to q09's plain window (sans rank), oracled with the plain-window SQL.
+      // NOTE (measured, PLANS.md): Spark 4's WindowGroupLimit already makes
+      // the plain rank filter hot-key-safe, so this variant is the
+      // generality hatch (pre-4.x engines / non-rank windows), not a perf
+      // recommendation on this engine.
       (s, dir) => graft.operators.TopK.perGroupSalted(
         t(s, dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice"),
         Seq("o_custkey"),
