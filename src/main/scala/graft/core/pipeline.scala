@@ -251,6 +251,27 @@ object FramePipeline {
     else df.withColumn(ItemColumns.Errors,
       array().cast(ArrayType(errorFieldSchema)))
 
+  /** Bridge from the typed surface: flatten a `Dataset[Tracked[T]]` into the
+    * reserved-column representation (`_id`/`_meta`/`_timings`/`_errors` +
+    * the value's columns), so a typed pipeline's output continues through
+    * FramePipeline stages with ONE shared error channel — the reference's
+    * single Item model seen from both APIs. `StageError`'s encoder layout
+    * matches [[errorFieldSchema]] field-for-field, so `appendSafe` stages
+    * append to the same array the typed harness wrote. */
+  def fromTyped[T](ds: org.apache.spark.sql.Dataset[Tracked[T]]): DataFrame = {
+    val df = ds.toDF()
+    val valueCols = df.schema("value").dataType match {
+      case _: StructType => Seq(org.apache.spark.sql.functions.col("value.*"))
+      case _ => Seq(org.apache.spark.sql.functions.col("value"))
+    }
+    import org.apache.spark.sql.functions.col
+    df.select(valueCols ++ Seq(
+      col("id").as(ItemColumns.Id),
+      col("meta").as(ItemColumns.Meta),
+      col("timings").as(ItemColumns.Timings),
+      col("errors").as(ItemColumns.Errors)): _*)
+  }
+
   private def runSafe(df0: DataFrame, s: SafeRowStage, policy: ErrorPolicy): DataFrame = {
     val df = withErrorChannel(df0)
     val schema = df.schema

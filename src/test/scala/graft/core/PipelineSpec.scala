@@ -344,6 +344,32 @@ class FramePipelineSafeSpec extends SparkSpec {
     assert(soft.count(r => errsOf(r).nonEmpty) == 1)
   }
 
+  test("fromTyped bridges a typed pipeline into FramePipeline with one shared error channel") {
+    val typed = Pipeline.of(spark.createDataset((1 to 6).map(i => Doc(s"text $i", i))))
+      .append("typed_soft") { d =>
+        if (d.count == 2) throw new SoftError("typed says no"); d
+      }
+      .build()
+    val out = FramePipeline.of(FramePipeline.fromTyped(typed))
+      .appendSafe("frame_soft") { r =>
+        if (r.getInt(r.fieldIndex("count")) == 5) throw new SoftError("frame says no")
+        r
+      }
+      .append("columnar")(_.withColumn("flag", lit(true)))
+      .build().collect()
+    assert(out.length == 6)
+    def errs(c: Int) = out.find(_.getAs[Int]("count") == c).get
+      .getSeq[Row](out.head.fieldIndex("_errors"))
+      .map(e => (e.getString(0), e.getString(1)))
+    assert(errs(2) == Seq(("typed_soft", StageError.Soft))) // typed error survived the bridge
+    assert(errs(5) == Seq(("frame_soft", StageError.Soft))) // frame stage appended to the SAME channel
+    assert(errs(1).isEmpty)
+    // ids and timings crossed over too
+    assert(out.forall(r => r.getAs[String]("_id") != null))
+    assert(out.forall(r => r.getMap[String, Double](r.fieldIndex("_timings"))
+      .contains("typed_soft")))
+  }
+
   test("appendSafe: harness owns _errors — stage writes there are ignored, prior errors carried") {
     val out = FramePipeline.of(source(4))
       .appendSafe("soft") { r =>
