@@ -83,6 +83,22 @@ object ScaleSmoke {
         bucketOf = t => floor(t / (nHot / 64)))
         .agg(count(col("asof_payload"))).head().getLong(0))
 
+    // Range-frame trailing sum A/B — no WindowGroupLimit rescue exists for
+    // SUM frames, so this is the third hot-key hatch that must earn its keep.
+    // Sized at nHot/5: the plain single-partition frame is so slow (measured
+    // 668 s vs 107 s bucketed at 20M rows — identical checksums) that the
+    // full-size A/B would dominate the whole smoke run.
+    val nSeries = nHot / 5
+    val hotSeries = spark.range(nSeries).select(lit(1L).as("k"),
+      col("id").as("t"), (pmod(col("id"), lit(97L)) + 1L).as("v"))
+    time(s"trailing sum frame=1000, ONE hot key, $nSeries rows (plain)")(
+      graft.operators.TrailingAgg.trailingSum(hotSeries, "k", "t", "v", 1000L)
+        .agg(sum(col("trailing_sum"))).head().getLong(0))
+    time(s"trailing sum frame=1000, ONE hot key, $nSeries rows (bucketed)")(
+      graft.operators.TrailingAgg.trailingSumBucketed(hotSeries, "k", "t", "v",
+        1000L, nSeries / 64)
+        .agg(sum(col("trailing_sum"))).head().getLong(0))
+
     // Same A/B for the top-k hatch (count() is fine here: the rank filter
     // depends on the window output, so nothing prunes).
     val hotScores = spark.range(nHot).select(lit(1L).as("grp"),

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Trailing range-frame aggregation (e.g. "sum of the last 30 days" per
+  * key, the w02 shape) and its hot-key escape hatch.
+  *
+  * The plain formulation cannot be split by AQE and — unlike rank filters,
+  * which Spark 4 rescues with `WindowGroupLimit` — a range-frame SUM gets no
+  * optimizer help: a single hot key sorts all its rows in one task. The
+  * bucketed variant bounds the partition by time-bucket width instead:
+  * every row lands in its own bucket, and rows within `frame` of a bucket's
+  * end are ALSO copied into the next bucket as context (a trailing frame
+  * can reach at most `frame` back, so with `bucketWidth >= frame` the
+  * context copies are exactly the out-of-bucket rows any frame needs).
+  * Windows run per (key, bucket); context rows are dropped from the output.
+  * Cost: the boundary duplication is `frame / bucketWidth` of the data —
+  * pick a bucket a few times the frame width.
+  */
+object TrailingAgg {
+
+  /** Plain per-key trailing sum over `[time - frame, time]` (inclusive). */
+  def trailingSum(
+      df: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      valueCol: String,
+      frame: Long,
+      out: String = "trailing_sum"
+  ): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(timeCol))
+      .rangeBetween(-frame, 0)
+    df.withColumn(out, sum(col(valueCol)).over(w))
+  }
+
+  /** Hot-key-safe variant, identical results given `bucketWidth >= frame`
+    * and a numeric (e.g. epoch) time column. */
+  def trailingSumBucketed(
+      df: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      valueCol: String,
+      frame: Long,
+      bucketWidth: Long,
+      out: String = "trailing_sum"
+  ): DataFrame = {
+    require(bucketWidth >= frame,
+      s"bucketWidth ($bucketWidth) must be >= frame ($frame): a trailing " +
+        "frame may reach one full frame into the previous bucket only")
+    val bkt = floor(col(timeCol) / bucketWidth)
+    val own = df.withColumn("_bkt", bkt).withColumn("_ctx", lit(0))
+    // rows within `frame` of their bucket's end serve as context for the
+    // next bucket's earliest frames
+    val ctx = df.filter(col(timeCol) >= (bkt + 1) * bucketWidth - frame)
+      .withColumn("_bkt", bkt + 1).withColumn("_ctx", lit(1))
+    val w = Window.partitionBy(col(keyCol), col("_bkt")).orderBy(col(timeCol))
+      .rangeBetween(-frame, 0)
+    own.unionByName(ctx)
+      .withColumn(out, sum(col(valueCol)).over(w))
+      .filter(col("_ctx") === 0).drop("_bkt", "_ctx")
+  }
+}

@@ -181,6 +181,27 @@ object Advanced {
            RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_spend
         FROM orders""")),
 
+    GQ("w04_trailing_bucketed", // hot-key escape hatch for RANGE-frame sums:
+      // identical rows to w02 via (key, time-bucket) windows + boundary-row
+      // context duplication, oracled with w02's plain-window SQL. Rank
+      // filters get WindowGroupLimit from the optimizer; range-frame SUMs
+      // don't — this is their hatch (operators.TrailingAgg).
+      (s, dir) => {
+        val d = t(s, dir, "orders")
+          .withColumn("d", datediff(col("o_orderdate"), lit("1995-01-01").cast("date")))
+          .withColumn("v", dec(col("o_totalprice")))
+        graft.operators.TrailingAgg.trailingSumBucketed(
+          d, "o_custkey", "d", "v", frame = 30, bucketWidth = 90, out = "ts")
+          .select(col("o_custkey"), col("o_orderkey"), col("d"),
+            col("ts").cast("double").as("trailing_spend"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+        CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS INTEGER) AS d,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+          (PARTITION BY o_custkey ORDER BY date_diff('day', DATE '1995-01-01', o_orderdate)
+           RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_spend
+        FROM orders""")),
+
     GQ("w03_frame_bounds", // first/last_value with explicit ROWS frames
       (s, dir) => {
         val w = Window.partitionBy(col("o_custkey"))

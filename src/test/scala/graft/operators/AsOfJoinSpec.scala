@@ -85,6 +85,23 @@ class AsOfJoinSpec extends SparkSpec {
     assert(plain.count(_._1 == 999L) == 3) // hot key produced exactly k
   }
 
+  test("bucketed trailing sum matches the plain range frame on a hot-key workload") {
+    val rnd = new scala.util.Random(13)
+    val rows = (0 until 600).map { i =>
+      val k = if (i % 4 == 0) i % 3 else 7L // hot key 7 with 450 rows
+      (k.toLong, rnd.nextInt(200).toLong, rnd.nextInt(10) + 1L, i.toLong)
+    }.toDF("k", "t", "v", "row_id")
+    for (frame <- Seq(7L, 25L); bw <- Seq(frame, frame * 3)) {
+      val plain = TrailingAgg.trailingSum(rows, "k", "t", "v", frame)
+        .collect().map(r => (r.getLong(3), r.getLong(4))).toSet
+      val bucketed = TrailingAgg.trailingSumBucketed(rows, "k", "t", "v", frame, bw)
+        .collect().map(r => (r.getLong(3), r.getLong(4))).toSet
+      assert(bucketed == plain, s"frame=$frame bucketWidth=$bw mismatch")
+    }
+    intercept[IllegalArgumentException](
+      TrailingAgg.trailingSumBucketed(rows, "k", "t", "v", frame = 10, bucketWidth = 5))
+  }
+
   test("range join assigns rows to [lo, hi) intervals") {
     val iv = Seq((0L, 10L, "low"), (10L, 100L, "high")).toDF("lo", "hi", "band")
     val out = AsOfJoin.rangeJoin(left, iv, "t")
