@@ -4,6 +4,62 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+/** Unbounded running aggregation (q10's shape) and its hot-key escape
+  * hatch. Running state crosses every bucket, so the rescue is two-level:
+  * a running sum WITHIN each (key, time-bucket) plus the prefix sum of
+  * whole-bucket totals from strictly earlier buckets (one tiny window over
+  * one row per bucket), added together. Exact for decimal values (addition
+  * reassociates losslessly); for floats it changes the fold order — use
+  * decimal in, cast out, as the query registry does. Requires
+  * `timeCol +: tiebreak` to be a total order (same as the plain window
+  * needs for determinism).
+  */
+object RunningAgg {
+
+  def runningSum(
+      df: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      tiebreak: Seq[String],
+      valueCol: String,
+      out: String = "running_sum"
+  ): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy((timeCol +: tiebreak).map(col): _*)
+    df.withColumn(out, sum(col(valueCol)).over(w))
+  }
+
+  /** Hot-key-safe variant, identical results given a total order and a
+    * numeric time column. */
+  def runningSumBucketed(
+      df: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      tiebreak: Seq[String],
+      valueCol: String,
+      bucketWidth: Long,
+      out: String = "running_sum"
+  ): DataFrame = {
+    val withBkt = df.withColumn("_bkt", floor(col(timeCol) / bucketWidth))
+    val wIn = Window.partitionBy(col(keyCol), col("_bkt"))
+      .orderBy((timeCol +: tiebreak).map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val within = withBkt.withColumn("_run_in", sum(col(valueCol)).over(wIn))
+    // one row per (key, bucket): the bucket's total, then the prefix of
+    // strictly-earlier buckets — a window over a tiny table
+    val totals = withBkt.groupBy(col(keyCol), col("_bkt"))
+      .agg(sum(col(valueCol)).as("_tot"))
+    val wPfx = Window.partitionBy(col(keyCol)).orderBy(col("_bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefix = totals
+      .withColumn("_pfx", sum(col("_tot")).over(wPfx))
+      .select(col(keyCol), col("_bkt"), col("_pfx"))
+    within.join(prefix, Seq(keyCol, "_bkt"))
+      .withColumn(out, col("_run_in") + coalesce(col("_pfx"), lit(0)))
+      .drop("_bkt", "_run_in", "_pfx")
+  }
+}
+
 /** Trailing range-frame aggregation (e.g. "sum of the last 30 days" per
   * key, the w02 shape) and its hot-key escape hatch.
   *

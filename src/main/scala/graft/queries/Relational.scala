@@ -219,6 +219,24 @@ object Relational {
              OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DOUBLE) AS running_spent
         FROM orders""")),
 
+    GQ("q43_running_bucketed", // hot-key hatch for unbounded running sums:
+      // identical rows to q10 via within-bucket running + prefix of bucket
+      // totals (exact under decimal addition), oracled with q10's SQL
+      (s, dir) => {
+        val d = t(s, dir, "orders")
+          .withColumn("d", datediff(col("o_orderdate"), lit("1995-01-01").cast("date")))
+          .withColumn("v", dec(col("o_totalprice")))
+        graft.operators.RunningAgg.runningSumBucketed(
+          d, "o_custkey", "d", Seq("o_orderkey"), "v",
+          bucketWidth = 365, out = "rs")
+          .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+            col("rs").cast("double").as("running_spent"))
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_orderdate,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DOUBLE) AS running_spent
+        FROM orders""")),
+
     GQ("q11_order_deltas", // lag/lead analytics
       (s, dir) => {
         val w = Window.partitionBy(col("o_custkey"))

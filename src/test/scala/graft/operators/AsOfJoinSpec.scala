@@ -102,6 +102,21 @@ class AsOfJoinSpec extends SparkSpec {
       TrailingAgg.trailingSumBucketed(rows, "k", "t", "v", frame = 10, bucketWidth = 5))
   }
 
+  test("bucketed running sum matches the plain unbounded window on a hot-key workload") {
+    val rnd = new scala.util.Random(17)
+    val rows = (0 until 500).map { i =>
+      val k = if (i % 5 == 0) i % 2 else 9L
+      (k.toLong, rnd.nextInt(100).toLong, rnd.nextInt(20) + 1L, i.toLong)
+    }.toDF("k", "t", "v", "row_id")
+    for (bw <- Seq(1L, 13L, 50L)) {
+      val p = RunningAgg.runningSum(rows, "k", "t", Seq("row_id"), "v")
+        .collect().map(r => (r.getLong(3), r.getLong(4))).toSet
+      val b = RunningAgg.runningSumBucketed(rows, "k", "t", Seq("row_id"), "v", bw)
+        .collect().map(r => (r.getLong(3), r.getLong(4))).toSet
+      assert(b == p, s"bucketWidth=$bw mismatch")
+    }
+  }
+
   test("range join assigns rows to [lo, hi) intervals") {
     val iv = Seq((0L, 10L, "low"), (10L, 100L, "high")).toDF("lo", "hi", "band")
     val out = AsOfJoin.rangeJoin(left, iv, "t")
