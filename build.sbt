@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout/stderr through VERBATIM instead of routing
+// them through sbt's logger. The logger prefixes every line with "[info] "
+// / "[error] ", which breaks the driver-side parse of Bench's one-line JSON
+// contract (a line-wise json.loads never sees a line starting with '{').
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -21,10 +21,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
-  private def intArg(e: Expression, fn: String): Int = e match {
-    case Literal(v: Int, _) => v
-    case other => throw new IllegalArgumentException(
-      s"$fn: expected integer literal, got $other")
+  /** Accept any foldable integral expression (2+2, CAST(4 AS INT), 4L, a
+    * constant-foldable CASE...), not just a bare Int literal — Catalyst
+    * hands us the unfolded tree at registration time, so fold it here. */
+  private def intArg(e: Expression, fn: String): Int = {
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"$fn: expected a constant integer expression, got non-foldable $e")
+    e.eval() match {
+      case v: Int => v
+      case v: Long if v.isValidInt => v.toInt
+      case v: Short => v.toInt
+      case v: Byte => v.toInt
+      case other => throw new IllegalArgumentException(
+        s"$fn: expected a constant integer expression, got $other")
+    }
   }
 
   /** The engine's native expressions, SQL-registered: the whole codegen'd

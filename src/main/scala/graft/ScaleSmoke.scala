@@ -80,7 +80,7 @@ object ScaleSmoke {
     time(s"as-of join, ONE hot key, $nHot left rows (bucketed)")(
       graft.operators.AsOfJoin.asofJoinBucketed(hotLeft, hotRight,
         "k", "rk", "t", "rt", Seq("payload"), "seq",
-        bucketOf = t => floor(t / (nHot / 64)))
+        bucketOf = t => floor(t / math.max(1L, nHot / 64)))
         .agg(count(col("asof_payload"))).head().getLong(0))
 
     // Range-frame trailing sum A/B — no WindowGroupLimit rescue exists for
@@ -96,7 +96,7 @@ object ScaleSmoke {
         .agg(sum(col("trailing_sum"))).head().getLong(0))
     time(s"trailing sum frame=1000, ONE hot key, $nSeries rows (bucketed)")(
       graft.operators.TrailingAgg.trailingSumBucketed(hotSeries, "k", "t", "v",
-        1000L, nSeries / 64)
+        1000L, math.max(1000L, nSeries / 64))
         .agg(sum(col("trailing_sum"))).head().getLong(0))
 
     // Same A/B for the top-k hatch (count() is fine here: the rank filter

@@ -261,7 +261,16 @@ object FramePipeline {
   def fromTyped[T](ds: org.apache.spark.sql.Dataset[Tracked[T]]): DataFrame = {
     val df = ds.toDF()
     val valueCols = df.schema("value").dataType match {
-      case _: StructType => Seq(org.apache.spark.sql.functions.col("value.*"))
+      case st: StructType =>
+        // The value struct expands with `value.*`; a field named like a
+        // reserved harness column would collide and make every downstream
+        // appendSafe resolution ambiguous — refuse up front (mirror of the
+        // asofJoin payload-collision check).
+        val clash = st.fieldNames.toSet.intersect(ItemColumns.all.toSet)
+        require(clash.isEmpty,
+          s"fromTyped: value struct fields ${clash.mkString(", ")} collide " +
+            s"with reserved harness columns (${ItemColumns.all.mkString(", ")})")
+        Seq(org.apache.spark.sql.functions.col("value.*"))
       case _ => Seq(org.apache.spark.sql.functions.col("value"))
     }
     import org.apache.spark.sql.functions.col

@@ -24,8 +24,14 @@ object RunningAgg {
       valueCol: String,
       out: String = "running_sum"
   ): DataFrame = {
+    // Explicit ROWS frame (not the default RANGE frame): RANGE would give
+    // tied rows the peer-inclusive sum, silently diverging from the
+    // bucketed variant's per-row fold when (timeCol, tiebreak) is not a
+    // total order. With a total order the two frames agree; without one,
+    // ROWS keeps both variants on identical (if order-dependent) semantics.
     val w = Window.partitionBy(col(keyCol))
       .orderBy((timeCol +: tiebreak).map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn(out, sum(col(valueCol)).over(w))
   }
 
