@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Connected components over an undirected edge list — the step that turns
+  * pairwise near-duplicate hits (MinHash-LSH, SimHash, embedding pairs) into
+  * duplicate CLUSTERS, so a corpus can keep one representative per group
+  * instead of dropping both ends of every pair.
+  *
+  * Algorithm: iterative min-label propagation with path compression.
+  * Each round does
+  *   1. label(u) := min(label(u), min over neighbors v of label(v))  — one
+  *      shuffle bounded by |E|;
+  *   2. label(u) := label(label(u))  — pointer jumping against the label
+  *      table itself, which collapses chains so convergence needs
+  *      O(log(diameter)) rounds rather than O(diameter).
+  * Rounds stop when no label changed. Lineage is truncated every round with
+  * `localCheckpoint` (executor-local blocks): without it the plan doubles
+  * per iteration and Catalyst analysis time, not the data, becomes the
+  * bottleneck. On a real cluster with executor churn, point
+  * `spark.sparkContext.setCheckpointDir` at durable storage and swap the
+  * `localCheckpoint` for `checkpoint` — same contract, fault-tolerant
+  * blocks.
+  *
+  * 100 TB shape: every round's cost is two key-bounded shuffles over the
+  * edge list (|E| for dedup output is orders of magnitude below |corpus|),
+  * and the label table is one row per vertex that APPEARS in an edge —
+  * singleton documents never enter the computation.
+  */
+object Components {
+
+  /** @param edges undirected edge list; (srcCol, dstCol) pairs, any
+    *              integral type.
+    * @return one row per vertex present in `edges`: (id, comp) where comp is
+    *         the smallest vertex id reachable from id. */
+  def connected(
+      edges: DataFrame,
+      srcCol: String = "a_id",
+      dstCol: String = "b_id",
+      maxIter: Int = 30
+  ): DataFrame = {
+    val sym = edges
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+    val und = sym.union(sym.select(col("v").as("u"), col("u").as("v")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = und.select(col("u")).distinct()
+      .withColumn("comp", col("u"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      val nbrMin = und
+        .join(labels.select(col("u").as("v"), col("comp").as("vc")), "v")
+        .groupBy("u").agg(min(col("vc")).as("nm"))
+      val propagated = labels.join(nbrMin, Seq("u"), "left")
+        .select(col("u"),
+          least(col("comp"), coalesce(col("nm"), col("comp"))).as("comp"))
+      // pointer jumping: follow the label one hop through the label table
+      val next = propagated.as("l")
+        .join(propagated.select(col("u").as("c0"), col("comp").as("cc")).as("m"),
+          col("l.comp") === col("m.c0"), "left")
+        .select(col("l.u").as("u"),
+          coalesce(col("m.cc"), col("l.comp")).as("comp"))
+        .localCheckpoint(true)
+      changed = next.as("n").join(labels.as("o"), "u")
+        .filter(col("n.comp") =!= col("o.comp")).count()
+      labels = next
+      it += 1
+    }
+    und.unpersist()
+    require(changed == 0,
+      s"Components.connected did not converge in $maxIter rounds")
+    labels.select(col("u").as("id"), col("comp"))
+  }
+}

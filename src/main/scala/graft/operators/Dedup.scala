@@ -180,6 +180,38 @@ object Dedup {
       .select("a_id", "b_id", "jaccard")
   }
 
+  /** Benchmark decontamination: flag training documents that share any word
+    * k-shingle with a held-out benchmark set — the standard guard against
+    * eval-set leakage into a training corpus (n-gram-overlap contamination).
+    *
+    * Scale shape: both sides explode to distinct (doc, shingle) rows, the
+    * benchmark side collapses to a DISTINCT shingle set (typically tiny
+    * next to the corpus — benchmarks are thousands of docs, corpora are
+    * billions), and one equi-join on the shingle key does the matching; AQE
+    * broadcasts the benchmark side when it fits. No pairwise doc×doc work
+    * ever happens.
+    *
+    * @param isBenchmark boolean Column marking benchmark membership
+    * @return contaminated training docs: (doc_id, n_contaminated_shingles =
+    *         distinct shingles shared with any benchmark doc). */
+  def decontaminate(
+      docs: DataFrame,
+      isBenchmark: Column,
+      shingleK: Int = 5,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    val sh = docs
+      .select(col(idCol).as("doc_id"), isBenchmark.as("is_bench"),
+        words(col(textCol)).as("ws"))
+      .select(col("doc_id"), col("is_bench"),
+        explode(array_distinct(shingles(col("ws"), shingleK))).as("sh"))
+    val bench = sh.filter(col("is_bench")).select("sh").distinct()
+    sh.filter(!col("is_bench"))
+      .join(bench, "sh")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated_shingles"))
+  }
+
   /** SimHash near-duplicate pairs: 60-bit signatures; candidates share at
     * least one of `chunks` signature chunks (the Hamming-ball analog of LSH
     * banding), verified by Hamming distance ≤ maxHamming. */

@@ -311,6 +311,142 @@ object TextQueries {
             AS shard_id
         FROM t""")),
 
+    GQ("d18_dup_clusters", // LSH pairs → connected components = dup groups
+      // Pairwise near-dup hits are only half the dedup story: keeping one
+      // representative per GROUP needs the transitive closure of the pair
+      // graph. Components.connected runs min-label propagation with pointer
+      // jumping over the d09 LSH edges; the oracle replays the entire LSH
+      // pipeline AND the closure (recursive CTE) in DuckDB.
+      (s, dir) => {
+        val pairs = Dedup.minhashPairs(
+          Tables.table(s, dir, "documents"),
+          numHashes = 8, bands = 4, shingleK = 3, threshold = 0.5,
+          portableHash = true).select("a_id", "b_id")
+        val cc = graft.operators.Components.connected(pairs)
+        val sizes = cc.groupBy("comp").agg(count(lit(1)).as("cluster_size"))
+        cc.join(sizes, "comp")
+          .select(col("id").as("doc_id"), col("comp"), col("cluster_size"))
+      },
+      Some("""WITH RECURSIVE t AS (SELECT doc_id,
+          list_filter(string_split(text, ' '), w -> w <> '') AS ws FROM documents),
+        s AS (SELECT doc_id, list_distinct(list_transform(
+                range(1, greatest(len(ws) - 1, 1)),
+                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+              FROM t),
+        s2 AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
+        sig AS (SELECT doc_id, sh,
+                  list_transform(range(0, 8), i ->
+                    list_min(list_transform(sh, x -> md5(CAST(i AS VARCHAR) || '|' || x)))) AS sg
+                FROM s2),
+        banded AS (SELECT doc_id, b,
+                     md5(CAST(b AS VARCHAR) || '|' ||
+                         array_to_string(sg[b*2+1 : b*2+2], ',')) AS bucket
+                   FROM sig CROSS JOIN (SELECT UNNEST(range(0, 4)) AS b)),
+        cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                 FROM banded a JOIN banded b
+                   ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+        verified AS (SELECT c.a_id, c.b_id,
+                       CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS DOUBLE)
+                         / (len(sa.sh) + len(sb.sh)
+                            - len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))) AS jaccard
+                     FROM cand c
+                     JOIN s2 sa ON c.a_id = sa.doc_id
+                     JOIN s2 sb ON c.b_id = sb.doc_id),
+        pairs AS (SELECT a_id, b_id FROM verified WHERE jaccard >= 0.5),
+        sym AS (SELECT a_id AS u, b_id AS v FROM pairs
+                UNION ALL SELECT b_id, a_id FROM pairs),
+        reach(u, v) AS (
+          SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+          UNION
+          SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+        comp AS (SELECT u AS doc_id, MIN(v) AS comp FROM reach GROUP BY u)
+        SELECT c.doc_id, c.comp, g.cluster_size
+        FROM comp c JOIN (SELECT comp, COUNT(*) AS cluster_size
+                          FROM comp GROUP BY comp) g USING (comp)""")),
+
+    GQ("d19_decontaminate", // eval-set leakage: shared word-5-grams vs a
+      // held-out benchmark slice (doc_id % 10 = 0 plays the benchmark; at
+      // scale it's the real eval corpus). One shingle-keyed equi-join; the
+      // benchmark side collapses to a distinct-shingle set first.
+      (s, dir) => Dedup.decontaminate(
+        Tables.table(s, dir, "documents"),
+        isBenchmark = col("doc_id") % 10 === 0, shingleK = 5),
+      Some("""WITH t AS (SELECT doc_id,
+          list_filter(string_split(text, ' '), w -> w <> '') AS ws FROM documents),
+        sh AS (SELECT doc_id, doc_id % 10 = 0 AS is_bench,
+          UNNEST(list_distinct(list_transform(
+            range(1, greatest(len(ws) - 3, 1)),
+            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+                 || ws[i+3] || ' ' || ws[i+4]))) AS s
+          FROM t),
+        bench AS (SELECT DISTINCT s FROM sh WHERE is_bench)
+        SELECT doc_id, COUNT(*) AS n_contaminated_shingles
+        FROM sh JOIN bench USING (s) WHERE NOT is_bench
+        GROUP BY doc_id""")),
+
+    GQ("x04_bm25", // BM25 relevance scoring (k1=1.2, b=0.75) for a fixed
+      // query over the corpus. The idf factor uses the rank-equivalent
+      // rational surrogate (N - df + 0.5)/(df + 0.5) WITHOUT the log: ln()
+      // is libm-implementation-defined, while +,*,/ are exactly specified by
+      // IEEE 754 — with identical association on both engines the scores
+      // are bit-identical, which is what the hash oracle needs. Ranking is
+      // unchanged (log is monotone). Zero shuffles beyond one tiny global
+      // agg broadcast back to the scan.
+      (s, dir) => {
+        val terms = Seq("spark", "vector", "merge")
+        val docsW = Tables.table(s, dir, "documents")
+          .select(col("doc_id"), words(col("text")).as("ws"))
+          .select(col("doc_id"), col("ws"), size(col("ws")).as("dl"))
+        def tf(t: String) = size(filter(col("ws"), w => w === lit(t)))
+        val aggs =
+          Seq(count(lit(1)).as("n"), sum(col("dl")).as("totdl")) ++
+            terms.zipWithIndex.map { case (t, i) =>
+              sum(when(tf(t) > 0, 1L).otherwise(0L)).as(s"df$i")
+            }
+        val stats = docsW.agg(aggs.head, aggs.tail: _*)
+        val j = docsW.crossJoin(broadcast(stats))
+        val r = (col("dl") * col("n")).cast("double") / col("totdl").cast("double")
+        val scores = terms.zipWithIndex.map { case (t, i) =>
+          val tfd = tf(t).cast("double")
+          val idf = (col("n").cast("double") - col(s"df$i").cast("double") + lit(0.5)) /
+            (col(s"df$i").cast("double") + lit(0.5))
+          (idf * (tfd * lit(2.2))) /
+            (tfd + (lit(1.2) * (lit(0.25) + (lit(0.75) * r))))
+        }
+        j.select(col("doc_id"),
+            scores.reduceLeft(_ + _).as("score"))
+          .filter(col("score") > 0)
+      },
+      Some("""WITH t AS (SELECT doc_id,
+          list_filter(string_split(text, ' '), w -> w <> '') AS ws FROM documents),
+        d AS (SELECT doc_id, len(ws) AS dl,
+          len(list_filter(ws, w -> w = 'spark')) AS tf0,
+          len(list_filter(ws, w -> w = 'vector')) AS tf1,
+          len(list_filter(ws, w -> w = 'merge')) AS tf2
+          FROM t),
+        st AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS totdl,
+          CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+          CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+          CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+          FROM d),
+        j AS (SELECT d.doc_id, d.dl, d.tf0, d.tf1, d.tf2,
+                     st.n, st.totdl, st.df0, st.df1, st.df2
+              FROM d CROSS JOIN st)
+        SELECT doc_id, score FROM (
+          SELECT doc_id,
+            ((((CAST(n AS DOUBLE) - CAST(df0 AS DOUBLE) + 0.5) / (CAST(df0 AS DOUBLE) + 0.5))
+               * (CAST(tf0 AS DOUBLE) * 2.2))
+              / (CAST(tf0 AS DOUBLE) + (1.2 * (0.25 + (0.75 * (CAST(dl * n AS DOUBLE) / CAST(totdl AS DOUBLE)))))))
+            + ((((CAST(n AS DOUBLE) - CAST(df1 AS DOUBLE) + 0.5) / (CAST(df1 AS DOUBLE) + 0.5))
+               * (CAST(tf1 AS DOUBLE) * 2.2))
+              / (CAST(tf1 AS DOUBLE) + (1.2 * (0.25 + (0.75 * (CAST(dl * n AS DOUBLE) / CAST(totdl AS DOUBLE)))))))
+            + ((((CAST(n AS DOUBLE) - CAST(df2 AS DOUBLE) + 0.5) / (CAST(df2 AS DOUBLE) + 0.5))
+               * (CAST(tf2 AS DOUBLE) * 2.2))
+              / (CAST(tf2 AS DOUBLE) + (1.2 * (0.25 + (0.75 * (CAST(dl * n AS DOUBLE) / CAST(totdl AS DOUBLE)))))))
+            AS score
+          FROM j)
+        WHERE score > 0""")),
+
     GQ("x03_heavy_hitters", // Count-Min sketch, h01-style property oracle
       // The CMS estimate isn't DuckDB-replayable, but it is deterministic
       // (fixed seed) and one-sided: exact_n <= cms_n <= exact_n + eps*N with
