@@ -37,8 +37,12 @@ object Bench {
         val dt = (System.nanoTime() - t0) / 1e9
         // drop per-query persisted tables so session state doesn't
         // accumulate across the run (leaked cache entries degrade later
-        // queries)
+        // queries), and force a GC so the ContextCleaner reclaims dead
+        // broadcast/shuffle blocks NOW instead of mid-way through a later
+        // timed run — across ~300 timed executions the deferred cleanup
+        // was the main source of multi-second per-query jitter.
         spark.catalog.clearCache()
+        System.gc()
         dt
       }
       (name, med(times), times)

@@ -22,15 +22,18 @@ object RunOne {
     val fn = SparkEntry.queries(name)
     // warm-up: JVM + file-source init so the timing isolates the query
     spark.range(100).count()
-    val df = fn(spark, sfDir)
-    if (doExplain) df.explain("formatted")
-    if (args.contains("show")) df.show(50, truncate = false)
+    // Time construction + count together, like Bench does — operators with
+    // eager driver-side loops (e.g. Components.connected) spend their time
+    // in fn(), not in count().
     val t0 = System.nanoTime()
+    val df = fn(spark, sfDir)
     val n = df.count()
     val dt = (System.nanoTime() - t0) / 1e9
+    if (doExplain) df.explain("formatted")
+    if (args.contains("show")) df.show(50, truncate = false)
     println(f"[runone] $name rows=$n time=$dt%.2fs")
     val t1 = System.nanoTime()
-    val n2 = df.count()
+    val n2 = fn(spark, sfDir).count()
     println(f"[runone] $name warm rows=$n2 time=${(System.nanoTime() - t1) / 1e9}%.2fs")
     spark.stop()
   }

@@ -33,7 +33,12 @@ object TextFunctions {
     * pass into O(n²) re-tokenization). Here every `ws` reference sits at row
     * level, so the producer is evaluated at most k+1 times per row no matter
     * how the optimizer inlines it. */
-  def shingles(ws: Column, k: Int): Column = {
+  def shingles(ws: Column, k: Int): Column =
+    graft.expressions.WordShingles(ws, k)
+
+  /** Sliding-zip HOF formulation of [[shingles]] — reference shape, kept for
+    * parity tests against the native expression. */
+  def shinglesHof(ws: Column, k: Int): Column = {
     val n = size(ws)
     // joined[i] = ws[i] ⧺ ws[i+1] ⧺ … ⧺ ws[i+k-1]; zip_with pads with null
     // and concat null-propagates, so the k-1 tail entries become null.

@@ -29,13 +29,59 @@ object VectorFunctions {
   /** Cosine similarity; operands must already be double arrays. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm2(a) * norm2(b))
 
+  /** Driver-side mirror of the portable coefficient expression
+    * `conv(substring(md5(p || '|' || i), 1, 4), 16, 10) / 32767.5 - 1.0`:
+    * RFC-1321 MD5 hex + int parse + the identical double arithmetic, so the
+    * value is bit-equal to what Catalyst (and the DuckDB oracle) compute. */
+  private def coefPortableD(p: Int, i: Int): Double = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$p|$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val v4 = ((d(0) & 0xff) << 8) | (d(1) & 0xff) // first 4 hex chars
+    v4 / 32767.5 - 1.0
+  }
+
+  /** Driver-side mirror of the xxhash64 coefficient — evaluated with the
+    * SAME Catalyst XxHash64 expression (seed 42) the per-row formulation
+    * compiles to, so the plane matrix is bit-equal by construction. */
+  private def coefXxD(p: Int, i: Long): Double = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal => CLit, XxHash64}
+    val h = XxHash64(Seq(CLit(p * 131071L + i)), 42L)
+      .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+      .asInstanceOf[Long]
+    val m = 2000001L
+    (((h % m) + m) % m).toDouble / 1000000.0 - 1.0
+  }
+
+  /** Shared shape of both signature families: per plane, a native ArrayDot
+    * against the precomputed coefficient row, sign bit shifted into place.
+    * Same left-to-right f64 fold order as the per-row HOF derivation, so
+    * results are bit-identical — only the md5/xxhash work moves from
+    * O(rows × planes × dim) to O(planes × dim) on the driver. */
+  private def sigFromMatrix(v: Column, planeRows: Seq[Array[Double]]): Column = {
+    val bits = planeRows.zipWithIndex.map { case (coefs, bit) =>
+      when(graft.expressions.ArrayDot(v, lit(coefs)) > 0,
+        shiftleft(lit(1L), bit)).otherwise(0L)
+    }
+    bits.reduce(_ + _)
+  }
+
   /** Engine-portable hyperplane LSH signature: plane p's coefficient for
     * dimension i is derived from the first 4 hex chars of md5(p + "|" + i)
     * mapped to [-1, 1] — replayable by the DuckDB oracle (md5 + nibble
     * arithmetic + left-fold sums), so the whole ANN pipeline can be
     * hash-verified, not just row-counted. `tableSalt` offsets the plane
-    * index so independent LSH tables draw disjoint hyperplanes. */
-  def portableHyperplaneSig(v: Column, planes: Int, tableSalt: Int = 0): Column = {
+    * index so independent LSH tables draw disjoint hyperplanes.
+    *
+    * `dim` fixes the vector dimensionality: the plane matrix is evaluated
+    * ONCE on the driver (see [[portableHyperplaneSigHof]] for the per-row
+    * formulation it is bit-identical to) and shipped as literal arrays. */
+  def portableHyperplaneSig(v: Column, planes: Int, dim: Int, tableSalt: Int): Column =
+    sigFromMatrix(v, (0 until planes).map(_ + tableSalt).map(p =>
+      Array.tabulate(dim)(i => coefPortableD(p, i))))
+
+  /** Per-row HOF formulation of [[portableHyperplaneSig]] — reference shape,
+    * kept for parity tests and for corpora with heterogeneous dims. */
+  def portableHyperplaneSigHof(v: Column, planes: Int, tableSalt: Int = 0): Column = {
     def coef(p: Int, i: Column): Column = {
       val h = md5(concat(lit(p.toString), lit("|"), i.cast("string")))
       val v4 = conv(substring(h, 1, 4), 16, 10).cast("int")
@@ -54,8 +100,14 @@ object VectorFunctions {
     * bits, plane p's coefficient for dimension i derived from
     * `xxhash64(p * 131071 + i)` mapped to [-1, 1]. Bit-stable across runs
     * and executors with zero broadcast state. `tableSalt` offsets the plane
-    * index so independent LSH tables draw disjoint hyperplanes. */
-  def hyperplaneSig(v: Column, planes: Int, tableSalt: Int = 0): Column = {
+    * index so independent LSH tables draw disjoint hyperplanes. Plane matrix
+    * precomputed driver-side exactly as in [[portableHyperplaneSig]]. */
+  def hyperplaneSig(v: Column, planes: Int, dim: Int, tableSalt: Int): Column =
+    sigFromMatrix(v, (0 until planes).map(_ + tableSalt).map(p =>
+      Array.tabulate(dim)(i => coefXxD(p, i.toLong))))
+
+  /** Per-row HOF formulation of [[hyperplaneSig]] — parity-test reference. */
+  def hyperplaneSigHof(v: Column, planes: Int, tableSalt: Int = 0): Column = {
     def coef(p: Int, i: Column): Column =
       (pmod(xxhash64(lit(p) * lit(131071L) + i), lit(2000001L)).cast("double")
         / lit(1000000.0)) - lit(1.0)

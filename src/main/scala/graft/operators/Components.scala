@@ -45,8 +45,11 @@ object Components {
       .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
     val und = sym.union(sym.select(col("v").as("u"), col("u").as("v")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = und.select(col("u")).distinct()
-      .withColumn("comp", col("u"))
+    // Seed with round 1 fused in: against identity labels the neighbor-min
+    // is just min(v), so comp0 = min(u, min neighbor) costs one groupBy
+    // instead of a full propagate+jump round.
+    var labels = und.groupBy("u")
+      .agg(least(col("u"), min(col("v"))).as("comp"))
       .localCheckpoint(true)
     var changed = 1L
     var it = 0
@@ -55,18 +58,20 @@ object Components {
         .join(labels.select(col("u").as("v"), col("comp").as("vc")), "v")
         .groupBy("u").agg(min(col("vc")).as("nm"))
       val propagated = labels.join(nbrMin, Seq("u"), "left")
-        .select(col("u"),
+        .select(col("u"), col("comp").as("prev"),
           least(col("comp"), coalesce(col("nm"), col("comp"))).as("comp"))
-      // pointer jumping: follow the label one hop through the label table
+      // pointer jumping: follow the label one hop through the label table.
+      // Convergence is detected with a carried `chg` flag evaluated on the
+      // checkpointed blocks — no extra join-with-old-labels job per round.
       val next = propagated.as("l")
         .join(propagated.select(col("u").as("c0"), col("comp").as("cc")).as("m"),
           col("l.comp") === col("m.c0"), "left")
         .select(col("l.u").as("u"),
-          coalesce(col("m.cc"), col("l.comp")).as("comp"))
+          coalesce(col("m.cc"), col("l.comp")).as("comp"),
+          (coalesce(col("m.cc"), col("l.comp")) =!= col("l.prev")).as("chg"))
         .localCheckpoint(true)
-      changed = next.as("n").join(labels.as("o"), "u")
-        .filter(col("n.comp") =!= col("o.comp")).count()
-      labels = next
+      changed = next.filter(col("chg")).count()
+      labels = next.drop("chg")
       it += 1
     }
     und.unpersist()

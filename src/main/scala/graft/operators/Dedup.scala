@@ -79,20 +79,22 @@ object Dedup {
       .select(col("doc_id"), explode(col("shs")).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    // Document-frequency cap: one map-side-combinable agg over the exploded
-    // shingles, then a join that drops hot shingles before they can blow up
-    // the candidate self-join quadratically.
-    val joinable =
-      if (maxDocFreq == Int.MaxValue) sh
-      else {
-        val keep = sh.groupBy("sh").agg(count(lit(1)).as("dfc"))
-          .filter(col("dfc") <= maxDocFreq).select("sh")
-        sh.join(keep, "sh")
-      }
-    val inter = joinable.as("a")
-      .join(joinable.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+    // Candidate generation: ONE shuffle (groupBy shingle), then ordered
+    // pairs are emitted locally from each shingle's sorted doc list — the
+    // equivalent self-join would shuffle both 260k-row sides by shingle AND
+    // need a third shuffle for the document-frequency cap; here the cap is
+    // a free size() filter on the collected list. Capped-out shingles still
+    // count toward each doc's shingle-set size (underestimates Jaccard for
+    // pairs overlapping a hot shingle — conservative, never a false
+    // positive). Per-shingle pair fan-out is bounded by maxDocFreq²/2.
+    val bySh0 = sh.groupBy("sh")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+    val bySh =
+      if (maxDocFreq == Int.MaxValue) bySh0
+      else bySh0.filter(size(col("ds")) <= maxDocFreq)
+    val inter = bySh
+      .select(explode(graft.expressions.OrderedPairs(col("ds").cast("array<long>"))).as("p"))
+      .groupBy(col("p.a").as("a_id"), col("p.b").as("b_id"))
       .agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n", "na"), "a_id")

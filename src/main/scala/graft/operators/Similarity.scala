@@ -136,9 +136,13 @@ object Similarity {
       vecCol: String = "embedding",
       portableHash: Boolean = false
   ): DataFrame = {
+    // One tiny metadata job: the plane matrix is materialized driver-side
+    // (O(planes × dim) hash evals instead of per-row), which needs the fixed
+    // vector dimensionality up front.
+    val dim = corpus.select(size(col(vecCol)).as("d")).head.getInt(0)
     def sigOf(v: org.apache.spark.sql.Column, salt: Int) =
-      if (portableHash) portableHyperplaneSig(v, planes, salt)
-      else hyperplaneSig(v, planes, salt)
+      if (portableHash) portableHyperplaneSig(v, planes, dim, salt)
+      else hyperplaneSig(v, planes, dim, salt)
     def bucketed(df: DataFrame, role: String) = {
       val base = withVec(df, idCol, vecCol)
       // One signature column per table, each over a DISJOINT plane set
