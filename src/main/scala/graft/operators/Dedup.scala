@@ -196,6 +196,48 @@ object Dedup {
     * @param isBenchmark boolean Column marking benchmark membership
     * @return contaminated training docs: (doc_id, n_contaminated_shingles =
     *         distinct shingles shared with any benchmark doc). */
+  /** Span-level (C4/RefinedWeb-style) exact dedup: documents are cut into
+    * fixed `blockWords`-word blocks, each block is kept only at its GLOBAL
+    * first occurrence (ordered by doc id, then block index), and surviving
+    * blocks are stitched back into a cleaned document. Catches boilerplate
+    * repeated across documents that whole-document dedup misses.
+    *
+    * 100 TB shape: one shuffle on the block string for the first-occurrence
+    * window (hash-bounded, like exact dedup but at block granularity), one
+    * shuffle to regroup surviving blocks per document. Block strings can be
+    * replaced by their md5 in the window key at scale — kept raw here so
+    * the oracle can replay the exact strings.
+    *
+    * Documents whose every block is a duplicate vanish from the output (the
+    * usual curation policy: nothing left worth training on). */
+  def blockDedup(
+      docs: DataFrame,
+      blockWords: Int = 10,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    val nBlk = ceil(size(col("ws")).cast("double") / blockWords).cast("int")
+    val blocks = docs
+      .select(col(idCol).as("doc_id"), words(col(textCol)).as("ws"))
+      // guard: sequence(0, -1) would generate a DESCENDING range for empty
+      // docs, so zero-word documents get an explicit empty block list
+      .select(col("doc_id"),
+        when(size(col("ws")) === 0, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(0), nBlk - 1), i =>
+            array_join(slice(col("ws"), i * blockWords + 1, lit(blockWords)), " ")))
+          .as("blks"))
+      .select(col("doc_id"), posexplode(col("blks")))
+      .withColumnRenamed("pos", "bi").withColumnRenamed("col", "blk")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("blk")).orderBy(col("doc_id"), col("bi"))
+    blocks.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(sort_array(collect_list(struct(col("bi"), col("blk")))),
+            s => s.getField("blk")), " ").as("clean_text"))
+  }
+
   def decontaminate(
       docs: DataFrame,
       isBenchmark: Column,

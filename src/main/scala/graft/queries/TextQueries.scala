@@ -384,6 +384,89 @@ object TextQueries {
         FROM sh JOIN bench USING (s) WHERE NOT is_bench
         GROUP BY doc_id""")),
 
+    GQ("d20_block_dedup", // C4-style span dedup: 10-word blocks, global
+      // first occurrence wins, documents rebuilt from surviving blocks.
+      (s, dir) => Dedup.blockDedup(
+        Tables.table(s, dir, "documents"), blockWords = 10),
+      Some("""WITH t AS (SELECT doc_id,
+          list_filter(string_split(text, ' '), w -> w <> '') AS ws FROM documents),
+        b AS (SELECT doc_id, CAST(i AS INTEGER) AS bi,
+                array_to_string(ws[(i*10+1):(i*10+10)], ' ') AS blk
+              FROM t, UNNEST(range(0, CAST(ceil(len(ws)/10.0) AS BIGINT))) AS u(i)),
+        r AS (SELECT doc_id, bi, blk,
+                ROW_NUMBER() OVER (PARTITION BY blk ORDER BY doc_id, bi) AS rn
+              FROM b)
+        SELECT doc_id, COUNT(*) AS n_kept,
+               string_agg(blk, ' ' ORDER BY bi) AS clean_text
+        FROM r WHERE rn = 1 GROUP BY doc_id""")),
+
+    GQ("d21_domain_filter", // per-source curation: drop whole sources whose
+      // repetitive-document share exceeds 20%. All thresholds are integer
+      // cross-multiplications ((n_bg - n_distinct)·5 > n_bg; n_bad·5 <
+      // n_docs) so both engines compare exact integers — no float ratios in
+      // a filter. The per-source stats table is tiny (|sources| rows) and
+      // broadcasts back onto the scan; at 100 TB this is one agg + one
+      // broadcast join, zero wide shuffles of the corpus itself.
+      (s, dir) => {
+        val scored = Tables.table(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            shingles(words(col("text")), 2).as("bg"))
+          .select(col("doc_id"), col("source"),
+            ((size(col("bg")) - size(array_distinct(col("bg")))) * 5
+              > size(col("bg"))).as("is_bad"))
+        val stats = scored.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("is_bad"), 1L).otherwise(0L)).as("n_bad"))
+        scored.join(broadcast(stats), "source")
+          .filter(col("n_bad") * 5 < col("n_docs"))
+          .select(col("doc_id"), col("source"), col("n_docs"), col("n_bad"))
+      },
+      Some("""WITH t AS (SELECT doc_id, source,
+          list_filter(string_split(text, ' '), w -> w <> '') AS ws FROM documents),
+        b AS (SELECT doc_id, source, CASE WHEN len(ws) < 2 THEN []
+                ELSE list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+                END AS bg
+              FROM t),
+        s AS (SELECT doc_id, source,
+                (len(bg) - len(list_distinct(bg))) * 5 > len(bg) AS is_bad
+              FROM b),
+        st AS (SELECT source, COUNT(*) AS n_docs,
+                 CAST(SUM(CASE WHEN is_bad THEN 1 ELSE 0 END) AS BIGINT) AS n_bad
+               FROM s GROUP BY source)
+        SELECT doc_id, s.source, n_docs, n_bad
+        FROM s JOIN st ON s.source = st.source
+        WHERE n_bad * 5 < n_docs""")),
+
+    GQ("x05_commonness", // unigram corpus-probability score: mean over a
+      // document's word occurrences of count(w)/N — the no-log perplexity
+      // proxy (log is libm-implementation-defined; this is one exact double
+      // division of two exact integer products, so the hash oracle holds
+      // bit-for-bit). Vocabulary counts broadcast back onto the exploded
+      // scan; per-doc work is an integer sum.
+      (s, dir) => {
+        val toks = Tables.table(s, dir, "documents")
+          .select(col("doc_id"), explode(words(col("text"))).as("w"))
+        val vocab = toks.groupBy("w").agg(count(lit(1)).as("cnt"))
+        val tot = toks.agg(count(lit(1)).as("tot"))
+        toks.join(broadcast(vocab), "w")
+          .groupBy("doc_id")
+          .agg(sum(col("cnt")).as("s"), count(lit(1)).as("n"))
+          .crossJoin(broadcast(tot))
+          .select(col("doc_id"),
+            (col("s").cast("double") / (col("tot") * col("n")).cast("double"))
+              .as("commonness"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+          UNNEST(list_filter(string_split(text, ' '), w -> w <> '')) AS w
+          FROM documents),
+        c AS (SELECT w, COUNT(*) AS cnt FROM t GROUP BY w),
+        n AS (SELECT COUNT(*) AS tot FROM t),
+        d AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS s, COUNT(*) AS n
+              FROM t JOIN c USING (w) GROUP BY doc_id)
+        SELECT doc_id,
+          CAST(s AS DOUBLE) / CAST(n.tot * d.n AS DOUBLE) AS commonness
+        FROM d CROSS JOIN n""")),
+
     GQ("x04_bm25", // BM25 relevance scoring (k1=1.2, b=0.75) for a fixed
       // query over the corpus. The idf factor uses the rank-equivalent
       // rational surrogate (N - df + 0.5)/(df + 0.5) WITHOUT the log: ln()

@@ -182,6 +182,47 @@ object Streaming {
   def foreachBatchSink(df: DataFrame, trigger: Trigger = Trigger.AvailableNow())(
       fn: (DataFrame, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
     df.writeStream.trigger(trigger).foreachBatch(fn)
+
+  /** Exactly-once wrapper for custom micro-batch sinks. Spark's own file
+    * sinks are exactly-once (checkpointed offsets + idempotent commits), but
+    * a foreachBatch sink (the ES-style push path) is only at-least-once: if
+    * the process dies AFTER `fn` commits batch N to the external system but
+    * BEFORE the checkpoint records it, restart re-delivers batch N.
+    *
+    * This wrapper closes that window with a sink-side commit manifest: a
+    * `batch-<id>` marker file is written (atomic rename) only after `fn`
+    * returns, and re-delivered batchIds whose marker exists are skipped.
+    * `fn` itself may still run more than once for a batch that FAILED
+    * mid-write (markers only demote re-delivery of COMMITTED batches), so
+    * `fn`'s writes should target an idempotent key when the external system
+    * allows it — same contract the reference's ES sink gets from
+    * document-id upserts (reference examples/dump_es_ids.py:43-80).
+    *
+    * `manifestDir` must live next to the external sink's data (same
+    * durability domain), NOT inside the Spark checkpoint dir. */
+  def idempotentForeachBatchSink(
+      df: DataFrame,
+      manifestDir: String,
+      trigger: Trigger = Trigger.AvailableNow())(
+      fn: (DataFrame, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream.trigger(trigger).foreachBatch { (batch: DataFrame, id: Long) =>
+      val conf = batch.sparkSession.sparkContext.hadoopConfiguration
+      val dir = new org.apache.hadoop.fs.Path(manifestDir)
+      val fs = dir.getFileSystem(conf)
+      val marker = new org.apache.hadoop.fs.Path(dir, s"batch-$id")
+      if (!fs.exists(marker)) {
+        fn(batch, id)
+        val tmp = new org.apache.hadoop.fs.Path(dir, s".batch-$id.inprogress")
+        val out = fs.create(tmp, true)
+        out.close()
+        if (!fs.rename(tmp, marker)) {
+          // lost a race with a concurrent attempt of the same batch — the
+          // marker now exists either way, which is all correctness needs
+          fs.delete(tmp, false)
+        }
+        ()
+      }
+    }
 }
 
 /** Async single-record processing — the Spark re-expression of

@@ -5,6 +5,7 @@ import graft.core._
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import java.sql.Timestamp
+import scala.jdk.CollectionConverters._
 
 case class Ev(ts: Timestamp, user_id: Long, event_type: String, value: Double)
 
@@ -311,6 +312,48 @@ class StreamingSpec extends SparkSpec {
     q2.awaitTermination(60000)
     val out = spark.read.parquet(outDir).select("id").collect().map(_.getLong(0))
     assert(out.sorted.sameElements(Array(1L, 2L, 3L, 4L))) // exactly once each
+  }
+
+  test("idempotent foreachBatch sink survives replay of a committed batch exactly-once") {
+    // The at-least-once window for custom sinks: crash after the sink commits
+    // batch N but before the checkpoint records it. Simulated by deleting the
+    // newest entry in <ckpt>/commits — on restart Spark re-delivers that
+    // batch; the manifest marker must suppress the second external commit.
+    val base = java.nio.file.Files.createTempDirectory("graft-ifb").toString
+    val (inDir, ckpt, manifest) = (s"$base/in", s"$base/ckpt", s"$base/manifest")
+    Seq(1L, 2L).toDF("id").coalesce(1).write.mode("append").parquet(inDir)
+    val schema = spark.read.parquet(inDir).schema
+    val sunk = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    def startQuery() = Streaming.idempotentForeachBatchSink(
+      spark.readStream.schema(schema).parquet(inDir), manifest) { (batch, _) =>
+        batch.select("id").collect().foreach(r => sunk.add(r.getLong(0)))
+      }.option("checkpointLocation", ckpt).start()
+    val q1 = startQuery(); q1.awaitTermination(60000)
+    assert(sunk.asScala.toSeq.sorted == Seq(1L, 2L))
+    // simulate the crash window: drop the newest checkpoint commit record
+    def dropNewestCommit(): Unit = {
+      val dir = new java.io.File(s"$ckpt/commits")
+      val commits = dir.listFiles().filterNot(_.getName.startsWith("."))
+      assert(commits.nonEmpty)
+      val newest = commits.maxBy(_.getName.toLong)
+      // the local ChecksumFs keeps a .N.crc sidecar; it must go too or the
+      // restarted query's commit rename fails on the stale checksum
+      new java.io.File(dir, s".${newest.getName}.crc").delete()
+      assert(newest.delete())
+    }
+    dropNewestCommit()
+    val q2 = startQuery(); q2.awaitTermination(60000) // re-delivers the batch
+    assert(sunk.asScala.toSeq.sorted == Seq(1L, 2L),
+      "replayed committed batch must not re-commit externally")
+    // contrast: the PLAIN foreachBatch sink double-commits under the same
+    // replay, which is exactly the gap the manifest closes
+    dropNewestCommit()
+    val q3 = Streaming.foreachBatchSink(
+      spark.readStream.schema(schema).parquet(inDir)) { (batch, _) =>
+        batch.select("id").collect().foreach(r => sunk.add(r.getLong(0)))
+      }.option("checkpointLocation", ckpt).start()
+    q3.awaitTermination(60000)
+    assert(sunk.size == 4, "plain foreachBatch re-delivers without dedup")
   }
 
   test("jsonl source captures malformed records instead of failing") {
