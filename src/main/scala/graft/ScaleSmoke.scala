@@ -61,6 +61,20 @@ object ScaleSmoke {
           .as("shard_id"))
         .agg(max(col("shard_id"))).head().getLong(0)
     }
+    // r06 curation ops: block dedup is the heaviest new shape (block-string
+    // agg + regroup); commonness is two aggs + a broadcast join.
+    time(s"block dedup over $rows docs (kept blocks)")(
+      Dedup.blockDedup(docs, blockWords = 10)
+        .agg(sum(col("n_kept"))).head().getLong(0))
+    time(s"commonness score over $rows docs (checksum)") {
+      val toks = docs.select(col("doc_id"),
+        explode(graft.functions.TextFunctions.words(col("text"))).as("w"))
+      val vocab = toks.groupBy("w").agg(count(lit(1)).as("cnt"))
+      toks.join(broadcast(vocab), "w").groupBy("doc_id")
+        .agg(sum(col("cnt")).as("s"))
+        .agg(sum(col("s"))).head().getLong(0)
+    }
+
     // Hot-key as-of A/B: every row on ONE key, so the unsalted window sorts
     // the whole dataset in a single partition while the bucketed variant
     // spreads it over time buckets — the escape hatch must win, not just

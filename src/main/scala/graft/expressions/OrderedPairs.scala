@@ -63,3 +63,56 @@ object OrderedPairs {
   def apply(ds: Column): Column =
     GraftBridge.column(OrderedPairs(GraftBridge.expression(ds)))
 }
+
+/** Generator (UDTF) form of [[OrderedPairs]]: yields the i<j pairs LAZILY,
+  * one row at a time, instead of materializing the n(n−1)/2 pair array per
+  * input row. This is the form the dedup operators use: an LSH bucket or
+  * shingle group holding 10⁵ documents fans out to ~5·10⁹ pairs, which must
+  * stream through the downstream aggregation, never sit in one array. */
+case class OrderedPairsGen(child: Expression)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.Generator
+    with CodegenFallback {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"ordered_pairs_gen requires ARRAY<BIGINT>, got $other")
+    }
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("a", LongType, nullable = false),
+    StructField("b", LongType, nullable = false)))
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val data = child.eval(input)
+    if (data == null) Iterator.empty
+    else {
+      val ds = data.asInstanceOf[ArrayData]
+      val n = ds.numElements()
+      new Iterator[InternalRow] {
+        private var i = 0
+        private var j = 1
+        override def hasNext: Boolean = i < n - 1
+        override def next(): InternalRow = {
+          val r = InternalRow(ds.getLong(i), ds.getLong(j))
+          j += 1
+          if (j >= n) { i += 1; j = i + 1 }
+          r
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): OrderedPairsGen =
+    copy(child = newChild)
+}
+
+object OrderedPairsGen {
+  def apply(ds: Column): Column =
+    GraftBridge.column(OrderedPairsGen(GraftBridge.expression(ds)))
+}

@@ -19,6 +19,19 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** The pair-finding variants fan candidates out through the native
+    * `OrderedPairs(ARRAY<BIGINT>)` expression, so document ids must be
+    * integral (a silent cast would null string ids into wrong results). */
+  private def requireIntegralId(docs: DataFrame, idCol: String, fn: String): Unit = {
+    import org.apache.spark.sql.types._
+    docs.schema(idCol).dataType match {
+      case LongType | IntegerType | ShortType | ByteType => ()
+      case other => throw new IllegalArgumentException(
+        s"$fn: id column '$idCol' must be integral for candidate-pair " +
+          s"generation, got $other — map ids to BIGINT first (e.g. xxhash64)")
+    }
+  }
+
   /** Exact dedup: hash-groupBy on the raw text. One shuffle on md5(text);
     * map-side partial aggregation keeps the exchange narrow. */
   def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
@@ -70,6 +83,7 @@ object Dedup {
       textCol: String = "text",
       maxDocFreq: Int = Int.MaxValue
   ): DataFrame = {
+    requireIntegralId(docs, idCol, "jaccardPairs")
     // Stage the array pipeline through explicit projections so each heavy
     // expression (split, shingle assembly) is evaluated once per row —
     // inlining them would re-split the text for every element_at call.
@@ -93,8 +107,8 @@ object Dedup {
       if (maxDocFreq == Int.MaxValue) bySh0
       else bySh0.filter(size(col("ds")) <= maxDocFreq)
     val inter = bySh
-      .select(explode(graft.expressions.OrderedPairs(col("ds").cast("array<long>"))).as("p"))
-      .groupBy(col("p.a").as("a_id"), col("p.b").as("b_id"))
+      .select(graft.expressions.OrderedPairsGen(col("ds").cast("array<long>")))
+      .groupBy(col("a").as("a_id"), col("b").as("b_id"))
       .agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n", "na"), "a_id")
@@ -124,6 +138,7 @@ object Dedup {
       textCol: String = "text",
       portableHash: Boolean = false
   ): DataFrame = {
+    requireIntegralId(docs, idCol, "minhashPairs")
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rowsPerBand = numHashes / bands
     val withShingles = docs
@@ -165,11 +180,13 @@ object Dedup {
     val banded = sig.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)), bucketOf)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val cand = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
-          && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+    // Candidates: ONE shuffle (groupBy bucket) + local ordered-pair fan-out
+    // per bucket, instead of shuffling both sides of a band self-join —
+    // identical pair set (a < b within each bucket, deduped across bands).
+    val cand = banded.groupBy("band", "bucket")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .select(graft.expressions.OrderedPairsGen(col("ds").cast("array<long>")))
+      .select(col("a").as("a_id"), col("b").as("b_id"))
       .dropDuplicates("a_id", "b_id")
     val shSets = sig.select(col("doc_id"), col("sh")) // reuse the persisted table
     cand
@@ -202,11 +219,13 @@ object Dedup {
     * blocks are stitched back into a cleaned document. Catches boilerplate
     * repeated across documents that whole-document dedup misses.
     *
-    * 100 TB shape: one shuffle on the block string for the first-occurrence
-    * window (hash-bounded, like exact dedup but at block granularity), one
-    * shuffle to regroup surviving blocks per document. Block strings can be
-    * replaced by their md5 in the window key at scale — kept raw here so
-    * the oracle can replay the exact strings.
+    * 100 TB shape: first occurrence is `min(struct(doc_id, bi))` per block —
+    * an AGGREGATION, not a window, so map-side partial combine collapses a
+    * block duplicated 10⁸ times to one row per input partition before the
+    * shuffle (no hot-key bound at all, unlike a rank-1 window). One shuffle
+    * on the block string, one to regroup survivors per document. Block
+    * strings can be replaced by their md5 in the grouping key at scale —
+    * kept raw here so the oracle can replay the exact strings.
     *
     * Documents whose every block is a duplicate vanish from the output (the
     * usual curation policy: nothing left worth training on). */
@@ -228,9 +247,11 @@ object Dedup {
           .as("blks"))
       .select(col("doc_id"), posexplode(col("blks")))
       .withColumnRenamed("pos", "bi").withColumnRenamed("col", "blk")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("blk")).orderBy(col("doc_id"), col("bi"))
-    blocks.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    // struct ordering is lexicographic by field, so min(struct(doc_id, bi))
+    // IS the (doc_id, bi)-first occurrence the oracle's rank-1 window picks
+    blocks.groupBy("blk")
+      .agg(min(struct(col("doc_id"), col("bi"))).as("m"))
+      .select(col("m.doc_id").as("doc_id"), col("m.bi").as("bi"), col("blk"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_kept"),
         array_join(

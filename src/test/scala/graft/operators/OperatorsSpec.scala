@@ -238,6 +238,14 @@ class SimilaritySpec extends SparkSpec {
     val dsl = Seq(Seq("the", "quick", "fox")).toDF("ws")
       .select(simhashPortable($"ws")).head().getLong(0)
     assert(sh == dsl)
+    val ws = spark.sql(
+      "SELECT word_shingles(array('a', 'b', 'c', 'd'), 2 + 1) AS sh")
+      .head().getSeq[String](0)
+    assert(ws == Seq("a b c", "b c d"))
+    val op = spark.sql(
+      "SELECT ordered_pairs(array(1L, 2L, 3L)) AS p").head()
+      .getSeq[org.apache.spark.sql.Row](0).map(r => (r.getLong(0), r.getLong(1)))
+    assert(op == Seq((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 }
 
