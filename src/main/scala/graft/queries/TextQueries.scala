@@ -384,6 +384,113 @@ object TextQueries {
         FROM sh JOIN bench USING (s) WHERE NOT is_bench
         GROUP BY doc_id""")),
 
+    GQ("d24_curation_pipeline", // the END-TO-END corpus curation chain —
+      // exact-dedup keep-first → repetition gate → PII scrub → deterministic
+      // 50% sample — run through the FramePipeline STAGE API (the
+      // reference's pipeline surface carrying the relational operator
+      // library; reference pipeline.py:58-75 append semantics). Every stage
+      // is a pure Column transform, so Catalyst fuses the whole chain into
+      // one scan + one dedup shuffle; the oracle replays all four stages as
+      // one CTE chain.
+      (s, dir) => {
+        val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val w = Window.partitionBy(md5(col("text")))
+        graft.core.FramePipeline.of(Tables.table(s, dir, "documents"))
+          .append("dedup_exact")(df => df
+            .withColumn("keep_id", min(col("doc_id")).over(w))
+            .filter(col("doc_id") === col("keep_id")).drop("keep_id"))
+          .append("repetition_gate")(df => df
+            .withColumn("bg", shingles(words(col("text")), 2))
+            .filter((size(col("bg")) - size(array_distinct(col("bg")))) * 5
+              <= size(col("bg")))
+            .drop("bg"))
+          .append("pii_scrub")(df => df
+            .withColumn("clean", regexp_replace(col("text"), email, "<EMAIL>")))
+          .append("sample50")(df => df
+            .filter(graft.expressions.PolyHash(
+              concat(lit("sample|"), col("doc_id").cast("string"))) % 1000 < 500))
+          .append("project")(df => df.select("doc_id", "lang", "clean"))
+          .build()
+      },
+      Some("""WITH d AS (SELECT * FROM documents
+          QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY md5(text))),
+        r AS (SELECT * FROM (
+            SELECT x.*, CASE WHEN len(ws) < 2 THEN []
+              ELSE list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+              END AS bg
+            FROM (SELECT *, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+                  FROM d) x)
+          WHERE (len(bg) - len(list_distinct(bg))) * 5 <= len(bg)),
+        p AS (SELECT doc_id, lang,
+            regexp_replace(text,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g')
+              AS clean
+          FROM r),
+        h AS (SELECT doc_id, lang, clean,
+            CAST(list_reduce(
+              list_prepend(CAST(0 AS BIGINT),
+                list_transform(regexp_extract_all('sample|' || CAST(doc_id AS VARCHAR), '.'),
+                  c -> CAST(ascii(c) AS BIGINT))),
+              (h0, b) -> (h0 * 257 + b) % 1000000007) AS BIGINT) % 1000 AS bucket
+          FROM p)
+        SELECT doc_id, lang, clean FROM h WHERE bucket < 500""")),
+
+    GQ("d22_pack_text", // shard ASSEMBLY on top of d17's shard ids: the
+      // texts of each (lang, shard) are concatenated in doc_id order with an
+      // EOS separator — the physical training-file payload. One extra
+      // shuffle over d17 (regroup by shard); string_agg order is pinned by
+      // doc_id on both engines so the hash oracle holds.
+      (s, dir) => {
+        val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables.table(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("text"),
+            tokenCount(col("text")).as("n_tokens"))
+          .select(col("doc_id"), col("lang"), col("text"), col("n_tokens"),
+            floor(coalesce(sum(col("n_tokens")).over(w), lit(0))
+              / lit(2000.0)).as("shard_id"))
+          .groupBy("lang", "shard_id")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("shard_tokens"),
+            array_join(
+              transform(sort_array(collect_list(struct(col("doc_id"), col("text")))),
+                s0 => s0.getField("text")), "<|eos|>").as("payload"))
+      },
+      Some("""WITH t AS (SELECT doc_id, lang, text,
+          CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS n_tokens
+          FROM documents),
+        sh AS (SELECT doc_id, lang, text, n_tokens,
+          CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2000.0) AS BIGINT)
+            AS shard_id
+          FROM t)
+        SELECT lang, shard_id, COUNT(*) AS n_docs,
+          CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+          string_agg(text, '<|eos|>' ORDER BY doc_id) AS payload
+        FROM sh GROUP BY lang, shard_id""")),
+
+    GQ("d23_quality_gate", // corpus-relative quality threshold: keep docs
+      // at or above the 25th percentile of words-per-doc. percentile_disc
+      // picks an ACTUAL element (no interpolation), so the broadcast
+      // threshold is engine-exact; the gate itself is an integer compare.
+      (s, dir) => {
+        Tables.table(s, dir, "documents").createOrReplaceTempView("documents")
+        s.sql("""WITH t AS (SELECT doc_id,
+            size(filter(split(text, ' '), w -> w != '')) AS n_words
+            FROM documents),
+          p AS (SELECT percentile_disc(0.25) WITHIN GROUP (ORDER BY n_words)
+                  AS p25 FROM t)
+          SELECT doc_id, n_words, p25 FROM t CROSS JOIN p
+          WHERE n_words >= p25""")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+          CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS INTEGER) AS n_words
+          FROM documents),
+        p AS (SELECT percentile_disc(0.25) WITHIN GROUP (ORDER BY n_words)
+                AS p25 FROM t)
+        SELECT doc_id, n_words, p25 FROM t CROSS JOIN p
+        WHERE n_words >= p25""")),
+
     GQ("d20_block_dedup", // C4-style span dedup: 10-word blocks, global
       // first occurrence wins, documents rebuilt from surviving blocks.
       (s, dir) => Dedup.blockDedup(
