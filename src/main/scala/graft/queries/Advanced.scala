@@ -346,6 +346,41 @@ object Advanced {
         COUNT(DISTINCT l_partkey) AS exact_parts, TRUE AS approx_ok
         FROM lineitem GROUP BY l_returnflag""")),
 
+    GQ("x06_approx_quantiles", // Greenwald-Khanna sketch quantiles,
+      // h01-style error-bound oracle: with accuracy=100 the rank error is
+      // ≤ 1/100, so each approx quantile must land between the EXACT
+      // discrete quantiles at q∓0.02 — checked per group; the exact
+      // percentile_disc values (engine-replayable, no interpolation) are
+      // the hash-compared payload and a broken sketch flips approx_ok.
+      // The sketch is the 100 TB path: one pass, mergeable partials,
+      // no per-group sort.
+      (s, dir) => {
+        t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+        s.sql("""WITH s AS (SELECT l_returnflag,
+            approx_percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D), 100) AS ap,
+            percentile_disc(0.23) WITHIN GROUP (ORDER BY l_extendedprice) AS lo1,
+            percentile_disc(0.27) WITHIN GROUP (ORDER BY l_extendedprice) AS hi1,
+            percentile_disc(0.48) WITHIN GROUP (ORDER BY l_extendedprice) AS lo2,
+            percentile_disc(0.52) WITHIN GROUP (ORDER BY l_extendedprice) AS hi2,
+            percentile_disc(0.73) WITHIN GROUP (ORDER BY l_extendedprice) AS lo3,
+            percentile_disc(0.77) WITHIN GROUP (ORDER BY l_extendedprice) AS hi3,
+            percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice) AS p25,
+            percentile_disc(0.5)  WITHIN GROUP (ORDER BY l_extendedprice) AS p50,
+            percentile_disc(0.75) WITHIN GROUP (ORDER BY l_extendedprice) AS p75
+          FROM lineitem GROUP BY l_returnflag)
+          SELECT l_returnflag, p25, p50, p75,
+            (ap[0] >= lo1 AND ap[0] <= hi1 AND
+             ap[1] >= lo2 AND ap[1] <= hi2 AND
+             ap[2] >= lo3 AND ap[2] <= hi3) AS approx_ok
+          FROM s""")
+      },
+      Some("""SELECT l_returnflag,
+        percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice) AS p25,
+        percentile_disc(0.5)  WITHIN GROUP (ORDER BY l_extendedprice) AS p50,
+        percentile_disc(0.75) WITHIN GROUP (ORDER BY l_extendedprice) AS p75,
+        TRUE AS approx_ok
+        FROM lineitem GROUP BY l_returnflag""")),
+
     GQ("q34_shipping_priority", // TPC-H Q3 shape: 3-way join, agg, top-10
       (s, dir) => {
         val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
