@@ -213,6 +213,31 @@ object Dedup {
     * @param isBenchmark boolean Column marking benchmark membership
     * @return contaminated training docs: (doc_id, n_contaminated_shingles =
     *         distinct shingles shared with any benchmark doc). */
+  /** Incremental (cross-batch) exact dedup: survivors of a NEW batch against
+    * an existing fingerprint index — the production shape where a corpus
+    * grows by daily increments and re-deduping history from scratch is off
+    * the table. Within the batch the first copy (min id) wins; against the
+    * index any hit dies (anti join).
+    *
+    * 100 TB shape: the index side is (fp) only — one narrow anti join keyed
+    * on the fingerprint hash plus one batch-local groupBy; history is never
+    * re-scanned beyond its fingerprint column (at scale the index IS a
+    * stored fingerprint table, not re-derived). Returns the surviving rows;
+    * union their fingerprints into the index to advance the watermark. */
+  def incremental(
+      batch: DataFrame,
+      indexFp: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      fpCol: String = "fp"
+  ): DataFrame = {
+    val b = batch.withColumn("fp", md5(col(textCol)))
+    val firsts = b.groupBy("fp").agg(min(col(idCol)).as("_keep"))
+    b.join(firsts, "fp")
+      .filter(col(idCol) === col("_keep")).drop("_keep")
+      .join(indexFp.select(col(fpCol).as("fp")), Seq("fp"), "left_anti")
+  }
+
   /** Span-level (C4/RefinedWeb-style) exact dedup: documents are cut into
     * fixed `blockWords`-word blocks, each block is kept only at its GLOBAL
     * first occurrence (ordered by doc id, then block index), and surviving

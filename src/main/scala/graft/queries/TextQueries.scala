@@ -384,6 +384,43 @@ object TextQueries {
         FROM sh JOIN bench USING (s) WHERE NOT is_bench
         GROUP BY doc_id""")),
 
+    GQ("d25_incremental_dedup", // cross-batch dedup: docs >= 250 play the
+      // daily increment, history's fingerprint index = docs < 250 PLUS the
+      // batch docs with doc_id % 5 = 0 ("ingested yesterday" — the corpus
+      // has no natural exact dups, so overlap is synthesized
+      // deterministically, d14-style); the increment also carries 50
+      // re-identified clones (doc_id + 1000, same text) that must lose
+      // within-batch to the original min id. Survivors: 250 − 50 index
+      // hits = 200, none of them clones — both dedup directions provably
+      // non-vacuous. History is touched only through its fingerprint
+      // column.
+      (s, dir) => {
+        val docs = Tables.table(s, dir, "documents")
+        val base = docs.filter(col("doc_id") >= 250)
+          .select(col("doc_id"), col("text"), col("lang"), col("source"))
+        val clones = docs.filter(col("doc_id").between(250, 299))
+          .select((col("doc_id") + 1000).as("doc_id"),
+            col("text"), col("lang"), col("source"))
+        val indexFp = docs.filter(col("doc_id") < 250)
+          .select(md5(col("text")).as("fp"))
+          .unionAll(docs.filter(col("doc_id") >= 250 && col("doc_id") % 5 === 0)
+            .select(md5(col("text")).as("fp")))
+          .distinct()
+        Dedup.incremental(batch = base.unionAll(clones), indexFp = indexFp)
+          .select("doc_id", "fp", "lang", "source")
+      },
+      Some("""WITH idx AS (SELECT DISTINCT md5(text) AS fp FROM documents
+                WHERE doc_id < 250 OR (doc_id >= 250 AND doc_id % 5 = 0)),
+        b AS (SELECT doc_id, md5(text) AS fp, lang, source
+              FROM documents WHERE doc_id >= 250
+              UNION ALL
+              SELECT doc_id + 1000, md5(text), lang, source
+              FROM documents WHERE doc_id BETWEEN 250 AND 299),
+        firsts AS (SELECT fp, MIN(doc_id) AS keep FROM b GROUP BY fp)
+        SELECT b.doc_id, b.fp, b.lang, b.source
+        FROM b JOIN firsts ON b.fp = firsts.fp AND b.doc_id = firsts.keep
+        WHERE b.fp NOT IN (SELECT fp FROM idx)""")),
+
     GQ("d24_curation_pipeline", // the END-TO-END corpus curation chain —
       // exact-dedup keep-first → repetition gate → PII scrub → deterministic
       // 50% sample — run through the FramePipeline STAGE API (the
