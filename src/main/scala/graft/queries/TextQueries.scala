@@ -591,7 +591,9 @@ object TextQueries {
         val toks = Tables.table(s, dir, "documents")
           .select(col("doc_id"), explode(words(col("text"))).as("w"))
         val vocab = toks.groupBy("w").agg(count(lit(1)).as("cnt"))
-        val tot = toks.agg(count(lit(1)).as("tot"))
+        // corpus token total = Σ vocab counts — derived from the (tiny)
+        // vocab table, NOT a third scan+explode of the corpus
+        val tot = vocab.agg(sum(col("cnt")).as("tot"))
         toks.join(broadcast(vocab), "w")
           .groupBy("doc_id")
           .agg(sum(col("cnt")).as("s"), count(lit(1)).as("n"))
@@ -604,7 +606,7 @@ object TextQueries {
           UNNEST(list_filter(string_split(text, ' '), w -> w <> '')) AS w
           FROM documents),
         c AS (SELECT w, COUNT(*) AS cnt FROM t GROUP BY w),
-        n AS (SELECT COUNT(*) AS tot FROM t),
+        n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tot FROM c),
         d AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS s, COUNT(*) AS n
               FROM t JOIN c USING (w) GROUP BY doc_id)
         SELECT doc_id,
