@@ -87,12 +87,14 @@ object Dedup {
     // Stage the array pipeline through explicit projections so each heavy
     // expression (split, shingle assembly) is evaluated once per row —
     // inlining them would re-split the text for every element_at call.
-    val sh = docs
+    val staged = docs
       .select(col(idCol).as("doc_id"), words(col(textCol)).as("ws"))
       .select(col("doc_id"), array_distinct(shingles(col("ws"), shingleK)).as("shs"))
-      .select(col("doc_id"), explode(col("shs")).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // per-doc set size is a scan-side column of the staged table — no
+    // groupBy-the-exploded-rows shuffle needed
+    val sizes = staged.select(col("doc_id"), size(col("shs")).as("n"))
+    val sh = staged.select(col("doc_id"), explode(col("shs")).as("sh"))
     // Candidate generation: ONE shuffle (groupBy shingle), then ordered
     // pairs are emitted locally from each shingle's sorted doc list — the
     // equivalent self-join would shuffle both 260k-row sides by shingle AND
