@@ -28,13 +28,16 @@ object ScaleSmoke {
       .option("seed", "7").load()
       .withColumnRenamed("id", "doc_id")
     time(s"exact dedup over $rows docs")(Dedup.exact(docs).count())
-    // Banding matched to the threshold: 4 rows/band puts the candidate
-    // S-curve's knee near s≈0.7, so sub-threshold pairs mostly never become
-    // candidates — on a pathologically dense corpus this is the difference
-    // between shuffling the near-dup graph and shuffling only real hits
-    // (8 hashes / 2 rows per band admitted ~66% of s=0.5 pairs).
-    time(s"minhash LSH pairs over $rows docs")(
-      Dedup.minhashPairs(docs, numHashes = 16, bands = 4, threshold = 0.8).count())
+    // Banding matched to the threshold (Dedup.bandingFor): the knee of the
+    // candidate S-curve sits just below the verify threshold, so
+    // sub-threshold pairs mostly never become candidates — on a
+    // pathologically dense corpus this is the difference between shuffling
+    // the near-dup graph and shuffling only real hits (the old hardcoded
+    // 8 hashes / 2 rows per band admitted ~66% of s=0.5 pairs: 770 s vs
+    // 15 s at 1M docs, identical output).
+    val (nh, nb) = Dedup.bandingFor(0.8)
+    time(s"minhash LSH pairs over $rows docs ($nh hashes, $nb bands)")(
+      Dedup.minhashPairs(docs, numHashes = nh, bands = nb, threshold = 0.8).count())
     time(s"simhash pairs over $rows docs")(
       Dedup.simhashPairs(docs, maxHamming = 3, chunks = 4).count())
 
