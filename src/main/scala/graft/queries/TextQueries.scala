@@ -515,16 +515,16 @@ object TextQueries {
         s.sql("""WITH t AS (SELECT doc_id,
             size(filter(split(text, ' '), w -> w != '')) AS n_words
             FROM documents),
-          p AS (SELECT percentile_disc(0.25) WITHIN GROUP (ORDER BY n_words)
-                  AS p25 FROM t)
+          p AS (SELECT CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY n_words)
+                  AS INT) AS p25 FROM t)
           SELECT doc_id, n_words, p25 FROM t CROSS JOIN p
           WHERE n_words >= p25""")
       },
       Some("""WITH t AS (SELECT doc_id,
           CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS INTEGER) AS n_words
           FROM documents),
-        p AS (SELECT percentile_disc(0.25) WITHIN GROUP (ORDER BY n_words)
-                AS p25 FROM t)
+        p AS (SELECT CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY n_words)
+                AS INTEGER) AS p25 FROM t)
         SELECT doc_id, n_words, p25 FROM t CROSS JOIN p
         WHERE n_words >= p25""")),
 

@@ -29,6 +29,15 @@ def canon(rows, cols):
             v = r[i]
             if isinstance(v, float) and math.isnan(v):
                 v = "NaN"
+            # The driver hashes value REPRESENTATIONS, so 32.0 (DOUBLE) vs
+            # 32 (INTEGER) is a mismatch even though Python == says equal.
+            # Tag numeric values with their kind to mimic that strictness.
+            elif isinstance(v, bool):
+                pass
+            elif isinstance(v, float):
+                v = ("f", v)
+            elif isinstance(v, int):
+                v = ("i", v)
             vals.append(v)
         out.append(tuple(vals))
     return sorted(out, key=repr), [cols[i] for i in order]
