@@ -14,8 +14,10 @@ import org.apache.spark.sql.types._
   * HOF formulation (`transform` + per-element `slice` + struct lambda) does
   * the same work interpreted, with an array copy per element.
   *
-  * Elements must be non-null; the caller sorts (so a < b holds pairwise when
-  * the input is ascending).
+  * Null elements are rejected at runtime (a silent unsafe-array read would
+  * emit 0-valued pairs); the caller sorts (so a < b holds pairwise when the
+  * input is ascending). Inputs large enough that n(n−1)/2 overflows the JVM
+  * array limit throw with a pointer to the generator form.
   */
 case class OrderedPairs(child: Expression)
     extends UnaryExpression with CodegenFallback {
@@ -39,7 +41,12 @@ case class OrderedPairs(child: Expression)
   override def nullSafeEval(input: Any): Any = {
     val ds = input.asInstanceOf[ArrayData]
     val n = ds.numElements()
-    val out = new Array[Any](n * (n - 1) / 2)
+    OrderedPairs.requireNoNulls(ds, n, "ordered_pairs")
+    val nPairs = n.toLong * (n - 1) / 2
+    if (nPairs > Int.MaxValue - 8) throw new IllegalArgumentException(
+      s"ordered_pairs: $n elements fan out to $nPairs pairs, beyond the " +
+        "JVM array limit — use ordered_pairs_gen (lazy generator) instead")
+    val out = new Array[Any](nPairs.toInt)
     var idx = 0
     var i = 0
     while (i < n) {
@@ -62,6 +69,18 @@ case class OrderedPairs(child: Expression)
 object OrderedPairs {
   def apply(ds: Column): Column =
     GraftBridge.column(OrderedPairs(GraftBridge.expression(ds)))
+
+  /** GenericArrayData NPEs on getLong(null) while unsafe arrays silently
+    * read 0 — both are wrong for a SQL-registered function, so null
+    * elements fail loudly up front (one O(n) scan). */
+  private[expressions] def requireNoNulls(ds: ArrayData, n: Int, fn: String): Unit = {
+    var i = 0
+    while (i < n) {
+      if (ds.isNullAt(i)) throw new IllegalArgumentException(
+        s"$fn: null element at position $i — ids must be non-null BIGINTs")
+      i += 1
+    }
+  }
 }
 
 /** Generator (UDTF) form of [[OrderedPairs]]: yields the i<j pairs LAZILY,
@@ -94,6 +113,7 @@ case class OrderedPairsGen(child: Expression)
     else {
       val ds = data.asInstanceOf[ArrayData]
       val n = ds.numElements()
+      OrderedPairs.requireNoNulls(ds, n, "ordered_pairs_gen")
       new Iterator[InternalRow] {
         private var i = 0
         private var j = 1

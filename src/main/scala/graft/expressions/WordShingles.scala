@@ -17,7 +17,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * lambdas with per-element array slicing.
   *
   * Word elements must be non-null (the `words()` splitter never yields
-  * nulls).
+  * nulls). On inputs that DO contain null elements the parity with the HOF
+  * form breaks by design: `UTF8String.concatWs` skips nulls (shingle "a b"
+  * from `["a", null, "b"]`) where `shinglesHof`'s `concat` null-propagates
+  * the whole shingle — callers feeding arbitrary arrays through the SQL
+  * registration should `filter(x -> x IS NOT NULL)` first.
   */
 case class WordShingles(child: Expression, k: Int)
     extends UnaryExpression with CodegenFallback {

@@ -74,6 +74,11 @@ object Dedup {
     * size, so Jaccard for pairs whose overlap includes a hot shingle is
     * underestimated (conservative: never emits a false pair above threshold
     * due to the cap).
+    *
+    * `idCol` must be an integral type (candidate pairs fan out through the
+    * native `ordered_pairs` expression over ARRAY&lt;BIGINT&gt;) — throws
+    * IllegalArgumentException otherwise; map string ids through e.g.
+    * `xxhash64` first.
     */
   def jaccardPairs(
       docs: DataFrame,
@@ -127,21 +132,36 @@ object Dedup {
     * dominant LSH cost at scale, and in the wrong direction SILENTLY: too
     * few rows per band floods the verify join with sub-threshold
     * candidates (measured 52× on a 1M-doc corpus: 2 rows/band vs 4 at
-    * threshold 0.8, identical output); recall stays intact either way, so
-    * nothing fails — it just shuffles the whole near-dup graph.
-    * Keeping the knee at or below the threshold preserves recall.
+    * threshold 0.8, identical output).
+    *
+    * A knee below the threshold is NOT free recall: the candidate
+    * probability for a pair sitting exactly AT the threshold is
+    * `pCand(s) = 1 − (1 − s^r)^b`, and pushing the knee up toward the
+    * threshold pushes pCand(threshold) down (e.g. r=6,b=5 at s=0.8 gives
+    * pCand ≈ 0.78 — one borderline pair in five silently missed). So the
+    * selection enforces a floor: only bandings with
+    * `pCand(threshold) >= minRecall` are considered, and among those the
+    * knee closest to the threshold from below wins (cheapest verify
+    * shuffle that still catches at-threshold pairs at the requested
+    * rate). Pairs comfortably above the threshold are near-certain
+    * candidates under any of these bandings; the floor is about the
+    * borderline ones.
     *
     * @return (numHashes, bands) to pass to [[minhashPairs]]. */
-  def bandingFor(threshold: Double, maxHashes: Int = 32): (Int, Int) = {
+  def bandingFor(threshold: Double, maxHashes: Int = 32, minRecall: Double = 0.9): (Int, Int) = {
     require(threshold > 0 && threshold < 1, s"threshold in (0,1), got $threshold")
+    require(minRecall > 0 && minRecall < 1, s"minRecall in (0,1), got $minRecall")
     val candidates = for {
       r <- 1 to maxHashes
       b <- 1 to (maxHashes / r)
       knee = math.pow(1.0 / b, 1.0 / r)
       if knee <= threshold
+      pCand = 1.0 - math.pow(1.0 - math.pow(threshold, r), b)
+      if pCand >= minRecall
     } yield (r * b, b, knee)
     require(candidates.nonEmpty,
-      s"no banding under $maxHashes hashes has its knee <= $threshold")
+      s"no banding under $maxHashes hashes has knee <= $threshold with " +
+        s"pCand(threshold) >= $minRecall — raise maxHashes or lower minRecall")
     // closest knee from below; break ties toward fewer hashes (cheaper sigs)
     val (n, b, _) = candidates.minBy { case (n0, _, k) => (threshold - k, n0) }
     (n, b)
@@ -155,6 +175,11 @@ object Dedup {
     * candidates (one shuffle on band key — the LSH trick that replaces the
     * O(n²) pairwise scan); candidates are then verified with the exact
     * shingle-set Jaccard.
+    *
+    * `idCol` must be an integral type (candidate pairs fan out through the
+    * native `ordered_pairs` expression over ARRAY&lt;BIGINT&gt;) — throws
+    * IllegalArgumentException otherwise; map string ids through e.g.
+    * `xxhash64` first.
     */
   def minhashPairs(
       docs: DataFrame,

@@ -138,8 +138,23 @@ object Similarity {
   ): DataFrame = {
     // One tiny metadata job: the plane matrix is materialized driver-side
     // (O(planes × dim) hash evals instead of per-row), which needs the fixed
-    // vector dimensionality up front.
-    val dim = corpus.select(size(col(vecCol)).as("d")).head.getInt(0)
+    // vector dimensionality up front. min/max over BOTH inputs rather than
+    // head-of-corpus: an empty corpus must return an empty result (not
+    // NoSuchElementException), and a ragged vector column must fail loudly
+    // (ArrayDot's min-length dot product would silently truncate the longer
+    // vector into wrong signatures and buckets).
+    val dims = corpus.select(size(col(vecCol)).as("d"))
+      .union(queries.select(size(col(vecCol)).as("d")))
+      .agg(min(col("d")).as("mn"), max(col("d")).as("mx")).head()
+    val emptySchema = queries.select(
+      col(idCol).as("q_id"), col(idCol).as("neighbor_id"),
+      lit(0.0).as("sim"), lit(0).as("rank")).limit(0)
+    if (dims.isNullAt(0)) return emptySchema
+    require(dims.getInt(0) == dims.getInt(1),
+      s"lshTopK: vector column '$vecCol' has mixed dimensionality " +
+        s"(${dims.getInt(0)}..${dims.getInt(1)}) across corpus+queries — " +
+        "signatures over truncated vectors would be silently wrong")
+    val dim = dims.getInt(0)
     def sigOf(v: org.apache.spark.sql.Column, salt: Int) =
       if (portableHash) portableHyperplaneSig(v, planes, dim, salt)
       else hyperplaneSig(v, planes, dim, salt)

@@ -137,6 +137,25 @@ class SimilaritySpec extends SparkSpec {
     assert(r2 >= 0.5, s"tables=2 recall unexpectedly low: $r2")
   }
 
+  test("LSH ANN on an empty corpus returns an empty, correctly-typed result") {
+    val out = Similarity.lshTopK(
+      corpus = vecs.filter($"vec_id" < 0), queries = vecs, k = 2)
+    assert(out.columns.toSeq == Seq("q_id", "neighbor_id", "sim", "rank"))
+    assert(out.count() == 0)
+  }
+
+  test("LSH ANN rejects mixed vector dimensionality instead of truncating") {
+    // ArrayDot dots over min-length, so a ragged column would silently
+    // produce wrong signatures — it must throw instead
+    val ragged = Seq(
+      TestVec(0L, Seq(1f, 2f, 3f)),
+      TestVec(1L, Seq(1f, 2f, 3f, 4f))).toDF()
+    val e = intercept[IllegalArgumentException] {
+      Similarity.lshTopK(corpus = ragged, queries = ragged, k = 1)
+    }
+    assert(e.getMessage.contains("mixed dimensionality"))
+  }
+
   test("cosine fold matches analytic value") {
     val df = Seq((Seq(3.0, 4.0), Seq(4.0, 3.0))).toDF("a", "b")
     val sim = df.select(cosine($"a", $"b").as("s")).head().getDouble(0)
