@@ -337,6 +337,65 @@ object Dedup {
             s => s.getField("blk")), " ").as("clean_text"))
   }
 
+  /** Duplicated-substring spans — the suffix-array substring-dedup policy
+    * ("remove any substring of >= N chars that appears more than once in the
+    * corpus", Lee et al. 2021 "Deduplicating Training Data Makes Language
+    * Models Better"), re-expressed Spark-first. A suffix array is a global
+    * sorted structure with no good distributed form; the equivalent
+    * observation is that every duplicated substring of length >= k is
+    * covered by length-k character grams that each occur at more than one
+    * (doc, position) — so duplicated-gram ANCHORS, merged per document into
+    * maximal spans, recover exactly the >= k-char duplicated regions.
+    *
+    * 100 TB shape: the gram table is |corpus chars| rows but the duplicate
+    * test is an AGGREGATION on the gram (map-side combine collapses each
+    * partition's repeats before the shuffle — a gram duplicated 10⁸ times
+    * shuffles one row per input partition), then one join back and a
+    * per-document window for the island merge. No pairwise fan-out anywhere:
+    * unlike pair-finding LSH, a hot gram costs its row count, never its
+    * row count squared.
+    *
+    * Returns one row per document that contains at least one duplicated
+    * span: (doc_id, n_dup_spans, dup_chars). Documents with
+    * `dup_chars / n_chars` near 1 are corpus-level duplicates; a curation
+    * pipeline drops or trims them. */
+  def substringSpans(
+      docs: DataFrame,
+      k: Int = 30,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    require(k >= 2, s"substring anchor length must be >= 2, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      // filter first: sequence(1, 0) would generate a DESCENDING range for
+      // sub-k documents, not an empty one
+      .filter(length(col("text")) >= k)
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(1), length(col("text")) - (k - 1)),
+          i => col("text").substr(i, lit(k)))))
+      .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("g"))
+    // global duplicate test: gram occurs at >1 (doc, position) anywhere
+    val dup = grams.groupBy("g").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select("g")
+    val anchors = grams.join(dup, "g")
+      .select(col("doc_id"), col("p"), (col("p") + k).as("e")) // [p, p+k)
+    // island merge: a new span starts where an anchor clears every previous
+    // anchor's end (classic gaps-and-islands on the running max end)
+    val w = Window.partitionBy("doc_id").orderBy("p")
+    val pme = max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    anchors
+      .withColumn("new_span",
+        when(pme.isNull || col("p") > pme, 1).otherwise(0))
+      .withColumn("span", sum(col("new_span")).over(w))
+      .groupBy("doc_id", "span")
+      .agg(min(col("p")).as("s"), max(col("e")).as("e"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup_spans"),
+        sum(col("e") - col("s")).as("dup_chars"))
+  }
+
   def decontaminate(
       docs: DataFrame,
       isBenchmark: Column,

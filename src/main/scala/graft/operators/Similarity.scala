@@ -106,6 +106,134 @@ object Similarity {
         col("rn").cast("int").as("rank"))
   }
 
+  /** Product-quantization ANN (IVF-less ADC scan): split the D-dim space
+    * into `m` subspaces, train a `ks`-centroid codebook per subspace
+    * (seeded KMeans over the spherically-normalized corpus subvectors),
+    * encode every corpus vector as `m` small codes, and rank candidates by
+    * asymmetric distance computation — each query precomputes an m×ks
+    * table of subvector→centroid distances once, and a corpus vector's
+    * approximate distance is just `m` table lookups summed.
+    *
+    * The 100 TB path when even one float dot per corpus row is too much:
+    * the scan side carries m bytes per vector instead of D floats (m=8,
+    * ks=256 compresses a 768-dim float corpus 384×), the codebooks and
+    * per-query tables broadcast, and the scan does no full-width
+    * arithmetic at all. Encoding is a one-time pass (m chained KMeans
+    * assignments fused into one scan by Catalyst); `trainFraction`
+    * subsamples codebook training, which at corpus scale runs on a sample
+    * by construction.
+    *
+    * Ranking is by approximate distance `Σᵢ ‖q̂ᵢ − C[i][codeᵢ]‖²`; since
+    * `‖q̂‖² = 1` is constant per query, the table stores the rank-equivalent
+    * `‖C[i][j]‖² − 2·q̂ᵢ·C[i][j]` (cosine-faithful on normalized vectors).
+    *
+    * ADC is a shortlist metric, not a final ranking: quantization noise
+    * swamps the tiny margins between true top-k candidates, so the scan
+    * keeps the best `k·refine` rows per query by ADC and re-ranks that
+    * shortlist with exact cosine (the standard two-stage PQ design — the
+    * exact pass touches `k·refine` vectors per query, not the corpus). */
+  def pqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int = 3,
+      m: Int = 4,
+      ks: Int = 16,
+      refine: Int = 8,
+      trainFraction: Double = 1.0,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    require(refine >= 1, s"refine must be >= 1, got $refine")
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // same up-front guards as lshTopK, but per side: an empty CORPUS must
+    // return the empty typed result BEFORE KMeans is asked to fit nothing,
+    // and ragged dims would silently mis-slice subvectors
+    val emptyResult = queries.select(
+      col(idCol).as("q_id"), col(idCol).as("neighbor_id"),
+      lit(0.0).as("sim"), lit(0).as("rank")).limit(0)
+    def stats(df: DataFrame) = df
+      .agg(min(size(col(vecCol))).as("mn"), max(size(col(vecCol))).as("mx")).head()
+    val cs = stats(corpus)
+    if (cs.isNullAt(0)) return emptyResult
+    val qs = stats(queries)
+    if (qs.isNullAt(0)) return emptyResult
+    require(cs.getInt(0) == cs.getInt(1) && qs.getInt(0) == qs.getInt(1)
+      && cs.getInt(0) == qs.getInt(0),
+      s"pqTopK: vector column '$vecCol' has mixed dimensionality " +
+        s"(corpus ${cs.getInt(0)}..${cs.getInt(1)}, " +
+        s"queries ${qs.getInt(0)}..${qs.getInt(1)})")
+    val dim = cs.getInt(0)
+    require(dim % m == 0, s"pqTopK: dim $dim not divisible into $m subspaces")
+    val sd = dim / m
+
+    def normalized(df: DataFrame) = withVec(df, idCol, vecCol)
+      .withColumn("vh", transform(col("v"), x => x / col("nrm")))
+    def sub(c: org.apache.spark.sql.Column, i: Int) = slice(c, i * sd + 1, sd)
+
+    // ---- train: one seeded KMeans per subspace, all over one cached scan
+    val trainBase = {
+      val n = normalized(corpus)
+      if (trainFraction < 1.0) n.sample(withReplacement = false, trainFraction, seed = 42)
+      else n
+    }
+    val train = (0 until m).foldLeft(trainBase) { (df, i) =>
+      df.withColumn(s"f_$i", array_to_vector(sub(col("vh"), i)))
+    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val models = (0 until m).map { i =>
+      new KMeans().setK(ks).setSeed(42 + i).setMaxIter(5)
+        .setFeaturesCol(s"f_$i").setPredictionCol(s"c_$i").fit(train)
+    }
+    train.unpersist(blocking = false)
+
+    // ---- encode the corpus: m chained assignments, fused into one scan
+    val encodedBase = (0 until m).foldLeft(normalized(corpus)) { (df, i) =>
+      df.withColumn(s"f_$i", array_to_vector(sub(col("vh"), i)))
+    }
+    val encoded = models.zipWithIndex
+      .foldLeft(encodedBase) { case (df, (mod, _)) => mod.transform(df) }
+      .select(col("vid"),
+        array((0 until m).map(i => col(s"c_$i")): _*).as("codes"))
+
+    // ---- per-query ADC table: dtab[i][j] = ‖C[i][j]‖² − 2·q̂ᵢ·C[i][j],
+    // one native dot per (subspace, centroid) per query — m·ks tiny dots
+    val q = normalized(queries).select(col("vid").as("q_id"), col("vh").as("qvh"))
+    val dtab = array(models.zipWithIndex.map { case (mod, i) =>
+      array(mod.clusterCenters.map { cv =>
+        val c = cv.toArray
+        lit(c.map(x => x * x).sum) -
+          lit(2.0) * dot(sub(col("qvh"), i), lit(c))
+      }: _*)
+    }: _*)
+    val qt = q.withColumn("dtab", dtab).select("q_id", "qvh", "dtab")
+
+    // ---- ADC scan: m lookups + adds per (corpus row, query); queries
+    // (with their tables) broadcast, the corpus side never re-touches floats
+    val scored = encoded.join(broadcast(qt), col("vid") =!= col("q_id"))
+      .withColumn("adist",
+        aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+          (acc, i) => acc +
+            element_at(element_at(col("dtab"), i + 1),
+              element_at(col("codes"), i + 1) + 1)))
+    val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adist"), col("vid"))
+    val shortlist = scored
+      .withColumn("srn", row_number().over(wAdc))
+      .filter(col("srn") <= k * refine)
+      .select(col("q_id"), col("qvh"), col("vid"))
+
+    // ---- exact re-rank of the shortlist: k·refine exact cosines per query
+    // (the shortlist is tiny and broadcasts back onto the corpus vectors)
+    val cvecs = normalized(corpus).select(col("vid"), col("vh"))
+    val exact = broadcast(shortlist).join(cvecs, "vid")
+      .withColumn("sim", dot(col("qvh"), col("vh")))
+    val wExact = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vid"))
+    exact.withColumn("rn", row_number().over(wExact)).filter(col("rn") <= k)
+      .select(col("q_id"), col("vid").as("neighbor_id"), col("sim"),
+        col("rn").cast("int").as("rank"))
+  }
+
   /** Embedding-cosine near-duplicate pairs over a corpus subset: exact
     * all-pairs within the (broadcastable) subset — the correctness oracle
     * for the LSH/IVF paths. */

@@ -797,6 +797,33 @@ object TextQueries {
           CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
         FROM chunked a JOIN chunked b
           ON a.c = b.c AND a.key = b.key AND a.doc_id < b.doc_id
-             AND bit_count(xor(a.sig, b.sig)) <= 8"""))
+             AND bit_count(xor(a.sig, b.sig)) <= 8""")),
+
+    // Suffix-array-style substring dedup: per-document maximal duplicated
+    // spans from 30-char duplicated-gram anchors (gaps-and-islands merge).
+    // The oracle replays anchors, the duplicate test, and the island merge
+    // with the same integer arithmetic — exact match, no floats anywhere.
+    GQ("d26_substring_spans",
+      (s, dir) => Dedup.substringSpans(
+        Tables.table(s, dir, "documents"), k = 30),
+      Some("""WITH gr AS (SELECT doc_id, CAST(u.i AS INTEGER) AS p,
+            substr(text, CAST(u.i AS INTEGER), 30) AS g
+          FROM documents, UNNEST(range(1, len(text) - 28)) AS u(i)
+          WHERE len(text) >= 30),
+        d AS (SELECT g FROM gr GROUP BY g HAVING COUNT(*) > 1),
+        a AS (SELECT doc_id, p, p + 30 AS e FROM gr JOIN d USING (g)),
+        w AS (SELECT doc_id, p, e,
+            MAX(e) OVER (PARTITION BY doc_id ORDER BY p
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+          FROM a),
+        i AS (SELECT doc_id, p, e,
+            SUM(CASE WHEN pme IS NULL OR p > pme THEN 1 ELSE 0 END)
+              OVER (PARTITION BY doc_id ORDER BY p) AS span
+          FROM w),
+        sp AS (SELECT doc_id, span, MIN(p) AS s, MAX(e) AS e
+               FROM i GROUP BY doc_id, span)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+               CAST(SUM(e - s) AS BIGINT) AS dup_chars
+        FROM sp GROUP BY doc_id"""))
   )
 }

@@ -60,6 +60,34 @@ class DedupSpec extends SparkSpec {
     assert(!ids.exists(p => p._1 == 5L || p._2 == 5L))
   }
 
+  test("substringSpans recovers shared passages as merged anchor spans") {
+    // k=10 anchors; docs 1 and 2 share a 20-char passage at different
+    // offsets -> each gets ONE merged span covering exactly those 20 chars
+    val shared = "0123456789abcdefghij"
+    val spanDocs = Seq(
+      TestDoc(1, "xx" + shared + "yyyyyyyyyy"),
+      TestDoc(2, "zzzzz" + shared + "wq"),
+      TestDoc(3, "nothing in common with anybody else at all")
+    ).toDF()
+    val out = Dedup.substringSpans(spanDocs, k = 10).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_dup_spans"), r.getAs[Long]("dup_chars"))).toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L) == (1L, 20L) && out(2L) == (1L, 20L))
+  }
+
+  test("substringSpans finds within-document repetition as separate spans") {
+    // 12-char passage repeated twice inside one doc, separated by 16
+    // repetition-free chars -> exactly two 12-char spans
+    val rep = "ABCDEFGHIJKL"
+    val doc = Seq(TestDoc(7, rep + "abcdefghijklmnop" + rep)).toDF()
+    val out = Dedup.substringSpans(doc, k = 10).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_dup_spans") == 2L)
+    assert(r.getAs[Long]("dup_chars") == 24L)
+  }
+
   test("simhash: identical docs collide, near-dups are close, unrelated far") {
     val sigs = docs.select($"doc_id", simhash(words($"text")).as("sig"))
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("sig")).toMap
@@ -154,6 +182,35 @@ class SimilaritySpec extends SparkSpec {
       Similarity.lshTopK(corpus = ragged, queries = ragged, k = 1)
     }
     assert(e.getMessage.contains("mixed dimensionality"))
+  }
+
+  test("PQ ANN with exact re-rank recovers true neighbors on a twin-pair corpus") {
+    // same twin construction as the multi-table LSH test: vector i+60 is a
+    // small perturbation of vector i, so the true top-1 is the twin
+    val rnd = new scala.util.Random(23)
+    val base = (0 until 60).map(_ => Seq.fill(16)(rnd.nextFloat() * 2 - 1))
+    val corpus = (base ++ base.map(_.map(x => x + (rnd.nextFloat() - 0.5f) * 0.05f)))
+      .zipWithIndex.map { case (v, i) => TestVec(i.toLong, v) }.toDF()
+    val queries = corpus.filter($"vec_id" < 60)
+    val truth = Similarity.bruteForceTopK(corpus, queries, k = 1)
+      .select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Similarity.pqTopK(corpus, queries, k = 1, m = 4, ks = 16, refine = 8)
+      .select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = got.intersect(truth).size.toDouble / truth.size
+    assert(recall >= 0.8, s"PQ recall $recall below 0.8 on an easy twin corpus")
+    // rank-1 rows carry the EXACT cosine of the re-ranked neighbor
+    val sims = Similarity.pqTopK(corpus, queries, k = 1, m = 4, ks = 16, refine = 8)
+      .filter($"q_id" === 0).collect()
+    assert(sims.length == 1 && sims.head.getAs[Int]("rank") == 1)
+  }
+
+  test("PQ ANN on an empty corpus returns an empty, correctly-typed result") {
+    val out = Similarity.pqTopK(
+      corpus = vecs.filter($"vec_id" < 0), queries = vecs, k = 2)
+    assert(out.columns.toSeq == Seq("q_id", "neighbor_id", "sim", "rank"))
+    assert(out.count() == 0)
   }
 
   test("cosine fold matches analytic value") {
