@@ -167,6 +167,50 @@ object Dedup {
     (n, b)
   }
 
+  /** `(doc_id, sh)` distinct word-shingle sets — the shared head of every
+    * MinHash path (batch pairs, incremental, streaming). Zero-shingle docs
+    * (fewer than k words) drop out, matching the batch semantics. */
+  private[graft] def shingleSets(
+      docs: DataFrame, shingleK: Int, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), words(col(textCol)).as("ws"))
+      .select(col("doc_id"), array_distinct(shingles(col("ws"), shingleK)).as("sh"))
+      .filter(size(col("sh")) > 0)
+
+  /** k min-hashes of the `sh` column in ONE pass over the shingles: per
+    * shingle an array of k hashes, folded elementwise with `least`. The
+    * shingle column is referenced exactly once and never from inside a
+    * per-element lambda, so optimizer inlining can't multiply the
+    * tokenization work.
+    *
+    * Two hash families: xxhash64 (native, the 100 TB default) and a
+    * portable md5-hex-string family that engines like DuckDB can replay
+    * exactly — used by the correctness harness to oracle-verify the whole
+    * LSH pipeline, not just its inputs. */
+  private[graft] def minhashSigCol(numHashes: Int, portableHash: Boolean): Column =
+    if (portableHash)
+      graft.expressions.PortableMinHash(col("sh"), numHashes)
+    else
+      aggregate(
+        transform(col("sh"), s =>
+          transform(sequence(lit(0), lit(numHashes - 1)), i => xxhash64(i, s))),
+        array_repeat(lit(Long.MaxValue), numHashes),
+        (acc, hv) => zip_with(acc, hv, (a, b) => least(a, b)))
+
+  /** Per-band bucket keys over the `sig` column, as a `bands`-element array
+    * to posexplode into (band, bucket) rows. */
+  private[graft] def bandBucketsCol(
+      numHashes: Int, bands: Int, portableHash: Boolean): Column = {
+    val rowsPerBand = numHashes / bands
+    val bucketOf: Column => Column =
+      if (portableHash) b =>
+        md5(concat(b.cast("string"), lit("|"),
+          concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
+      else b =>
+        xxhash64(b, slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))
+          .cast("array<string>").cast("string"))
+    transform(sequence(lit(0), lit(bands - 1)), bucketOf)
+  }
+
   /** MinHash + LSH near-duplicate pairs.
     *
     * signature_i(doc) = min over shingles of xxhash64(i ⊕ shingle);
@@ -193,45 +237,17 @@ object Dedup {
   ): DataFrame = {
     requireIntegralId(docs, idCol, "minhashPairs")
     require(numHashes % bands == 0, "numHashes must divide into bands")
-    val rowsPerBand = numHashes / bands
-    val withShingles = docs
-      .select(col(idCol).as("doc_id"), words(col(textCol)).as("ws"))
-      .select(col("doc_id"), array_distinct(shingles(col("ws"), shingleK)).as("sh"))
-      .filter(size(col("sh")) > 0)
-    // k min-hashes in ONE pass over the shingles: per shingle an array of k
-    // hashes, folded elementwise with `least`. The shingle column is
-    // referenced exactly once and never from inside a per-element lambda, so
-    // optimizer inlining can't multiply the tokenization work. Persisted:
-    // the signature table feeds both sides of the band self-join and the
-    // verify joins (at corpus scale this is the checkpoint you'd take
-    // anyway before an LSH join).
-    //
-    // Two hash families: xxhash64 (native, the 100 TB default) and a
-    // portable md5-hex-string family that engines like DuckDB can replay
-    // exactly — used by the correctness harness to oracle-verify the whole
-    // LSH pipeline, not just its inputs.
-    val sig = withShingles.withColumn("sig",
-      if (portableHash)
-        graft.expressions.PortableMinHash(col("sh"), numHashes)
-      else
-        aggregate(
-          transform(col("sh"), s =>
-            transform(sequence(lit(0), lit(numHashes - 1)), i => xxhash64(i, s))),
-          array_repeat(lit(Long.MaxValue), numHashes),
-          (acc, hv) => zip_with(acc, hv, (a, b) => least(a, b))))
+    // Persisted: the signature table feeds both sides of the band self-join
+    // and the verify joins (at corpus scale this is the checkpoint you'd
+    // take anyway before an LSH join).
+    val sig = shingleSets(docs, shingleK, idCol, textCol)
+      .withColumn("sig", minhashSigCol(numHashes, portableHash))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Band rows carry ONLY (doc_id, band, bucket) — at corpus scale the
     // candidate shuffle must not replicate shingle arrays per band. The
     // arrays are re-joined once per verified candidate side afterwards.
-    val bucketOf: Column => Column =
-      if (portableHash) b =>
-        md5(concat(b.cast("string"), lit("|"),
-          concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
-      else b =>
-        xxhash64(b, slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))
-          .cast("array<string>").cast("string"))
     val banded = sig.select(col("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)), bucketOf)))
+      posexplode(bandBucketsCol(numHashes, bands, portableHash)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     // Candidates: ONE shuffle (groupBy bucket) + local ordered-pair fan-out
     // per bucket, instead of shuffling both sides of a band self-join —

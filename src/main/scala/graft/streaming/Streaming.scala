@@ -62,6 +62,65 @@ object Streaming {
     events.withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming MinHash-LSH near-duplicate CANDIDATE pairs: documents are
+    * shingled, signed, and banded with exactly the batch expressions
+    * ([[graft.operators.Dedup.minhashSigCol]] / `bandBucketsCol`), and
+    * per-(band,bucket) state holds the doc ids seen so far — a new arrival
+    * emits one `(a_id, b_id)` candidate (a < b) per prior bucket member.
+    * Over any stream prefix the DISTINCT emitted pair set equals the batch
+    * `minhashPairs` candidate set on the same documents (spec-asserted);
+    * verification (exact Jaccard) joins each candidate back to a shingle
+    * store, exactly as in batch.
+    *
+    * This is the production shape for corpus growth: a new day's documents
+    * LSH-join against all history without re-banding it — the state store
+    * IS the bucket-membership table the batch job rebuilds every run. At
+    * scale, run on the RocksDB state store provider; the per-bucket member
+    * list is bounded by bucket size, the same quantity that bounds the
+    * batch job's per-bucket pair fan-out.
+    *
+    * Pairs can repeat across bands and batches (the batch path dedups with
+    * one shuffle; a stream can't globally dedup unbounded output) —
+    * downstream consumers treat candidates as a set. */
+  def lshCandidatesStream(
+      docs: DataFrame,
+      numHashes: Int = 8,
+      bands: Int = 4,
+      shingleK: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): Dataset[(Long, Long)] = {
+    import graft.operators.Dedup
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val banded = Dedup.shingleSets(docs, shingleK, idCol, textCol)
+      .withColumn("sig", Dedup.minhashSigCol(numHashes, portableHash = false))
+      .select(col("doc_id"),
+        posexplode(Dedup.bandBucketsCol(numHashes, bands, portableHash = false)))
+      .select(concat_ws(":", col("pos"), col("col")).as("bkey"),
+        col("doc_id").cast("long").as("doc_id"))
+      .as[(String, Long)]
+    banded.groupByKey(_._1)
+      .flatMapGroupsWithState[Array[Long], (Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, rows, state: GroupState[Array[Long]]) =>
+          val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+          state.getOption.foreach(seen ++= _)
+          val known = scala.collection.mutable.HashSet(seen.toSeq: _*)
+          val out = List.newBuilder[(Long, Long)]
+          // ascending-id arrival inside a batch keeps emission deterministic
+          rows.map(_._2).toSeq.sorted.foreach { id =>
+            if (!known.contains(id)) {
+              seen.foreach(s => out += (if (s < id) (s, id) else (id, s)))
+              seen += id
+              known += id
+            }
+          }
+          state.update(seen.toArray)
+          out.result().iterator
+      }
+  }
+
   /** Custom per-key running state via mapGroupsWithState: running count +
     * sum per key. NOTE: mapGroupsWithState/flatMapGroupsWithState are the
     * legacy arbitrary-state API — [[runningStatsTws]] is the

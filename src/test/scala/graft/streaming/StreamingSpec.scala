@@ -134,6 +134,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming LSH candidates equal the batch banding across micro-batches") {
+    import graft.operators.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    // near-dup corpus: ids i and i+10 are copies (one word changed), spread
+    // across two micro-batches so candidate pairs MUST cross the batch
+    // boundary through state
+    val texts = (1L to 10L).map { i =>
+      i -> s"shared prefix words for group ${i % 3} and a tail of document $i"
+    }
+    val data = texts.map { case (i, t) => (i, t) } ++
+      texts.map { case (i, t) => (i + 10, t.replace("tail", "end")) }
+    val mem = MemoryStream[(Long, String)]
+    val q = Streaming.lshCandidatesStream(
+        mem.toDF().toDF("doc_id", "text"), numHashes = 8, bands = 4)
+      .toDF("a_id", "b_id")
+      .writeStream.format("memory").queryName("lsh_cand_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(data.take(10): _*)
+      q.processAllAvailable()
+      mem.addData(data.drop(10): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("lsh_cand_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // batch reference: identical shingle/sig/band expressions, pairs from
+      // the same per-bucket fan-out the batch operator uses
+      val banded = Dedup.shingleSets(
+          data.toDF("doc_id", "text"), shingleK = 3, "doc_id", "text")
+        .withColumn("sig", Dedup.minhashSigCol(8, portableHash = false))
+        .select(col("doc_id"),
+          posexplode(Dedup.bandBucketsCol(8, 4, portableHash = false)))
+      val batchCands = banded.groupBy("pos", "col")
+        .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+        .select(graft.expressions.OrderedPairsGen(col("ds").cast("array<long>")))
+        .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == batchCands)
+      // the state store really carried batch-1 members: some candidate must
+      // span the micro-batch boundary (one id <= 10, the other > 10)
+      assert(streamed.exists(p => p._1 <= 10 && p._2 > 10))
+    } finally q.stop()
+  }
+
   test("AsyncRunner: process_async/get_item analog with callback") {
     val p = Pipeline[Doc](spark)
       .append("enrich")(d => d.copy(text = d.text.toUpperCase))
