@@ -251,6 +251,64 @@ object Similarity {
       .select(col("a.vid").as("a_id"), col("b.vid").as("b_id"), col("sim"))
   }
 
+  /** SemDeDup-style semantic near-duplicate pruning (Abbas et al. 2023,
+    * arXiv:2303.09540): partition the embedding space into deterministic
+    * hyperplane cells, compute pairwise cosine only WITHIN a cell, and drop
+    * every vector that has a lower-id companion at cosine >= `tau` in its
+    * cell; the lowest id of a duplicate neighborhood survives as the
+    * representative. One pass, no iteration — a vector is dropped if ANY
+    * lower-id cell-mate is within `tau`, whether that mate itself survives
+    * (matches SemDeDup's one-shot per-cluster pruning; the paper clusters
+    * with KMeans — the hyperplane code plays that role here because it is
+    * engine-replayable, so the whole decision is hash-verifiable).
+    *
+    * Returns one row per input vector: (vec_id, cell, kept, rep_id) with
+    * rep_id = the smallest companion that caused a drop, null when kept.
+    *
+    * 100 TB shape: one shuffle on the cell code; the quadratic step is
+    * bounded per cell (`planes` sizes cells at ~n/2^planes — size it so the
+    * worst cell's pair count is acceptable), and the pair join is an
+    * equi-join on the cell key, never a cross-cell cartesian. The dedup
+    * decision needs no global state beyond the per-cell neighborhood. */
+  def semDedup(
+      vecs: DataFrame,
+      tau: Double,
+      planes: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      portableHash: Boolean = false
+  ): DataFrame = {
+    // Same up-front guard as lshTopK: empty input → empty typed result;
+    // ragged vector dims → loud failure (ArrayDot would silently truncate).
+    val dims = vecs.select(size(col(vecCol)).as("d"))
+      .agg(min(col("d")).as("mn"), max(col("d")).as("mx")).head()
+    val emptySchema = vecs.select(col(idCol).as("vec_id"), lit(0L).as("cell"),
+      lit(true).as("kept"), lit(null).cast("long").as("rep_id")).limit(0)
+    if (dims.isNullAt(0)) return emptySchema
+    require(dims.getInt(0) == dims.getInt(1),
+      s"semDedup: vector column '$vecCol' has mixed dimensionality " +
+        s"(${dims.getInt(0)}..${dims.getInt(1)}) — cell codes over truncated " +
+        "vectors would be silently wrong")
+    val dim = dims.getInt(0)
+    val sig =
+      if (portableHash) portableHyperplaneSig(col("v"), planes, dim, 0)
+      else hyperplaneSig(col("v"), planes, dim, 0)
+    val cells = withVec(vecs, idCol, vecCol).withColumn("cell", sig)
+    val a = cells.select(col("vid").as("a_id"), col("cell").as("a_cell"),
+      col("v").as("av"), col("nrm").as("anrm"))
+    val b = cells.select(col("vid").as("b_id"), col("cell").as("b_cell"),
+      col("v").as("bv"), col("nrm").as("bnrm"))
+    val dropped = a.join(b,
+        col("a_cell") === col("b_cell") && col("a_id") < col("b_id"))
+      .withColumn("sim", dot(col("av"), col("bv")) / (col("anrm") * col("bnrm")))
+      .filter(col("sim") >= tau)
+      .groupBy(col("b_id")).agg(min(col("a_id")).as("rep_id"))
+    cells.select(col("vid").as("vec_id"), col("cell"))
+      .join(dropped, col("vec_id") === col("b_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        col("rep_id").isNull.as("kept"), col("rep_id"))
+  }
+
   /** LSH-bucketed ANN: `tables` independent `planes`-bit signatures; a
     * corpus vector is a candidate for a query if any table assigns both the
     * same bucket. */

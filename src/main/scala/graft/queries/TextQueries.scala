@@ -824,6 +824,41 @@ object TextQueries {
                FROM i GROUP BY doc_id, span)
         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
                CAST(SUM(e - s) AS BIGINT) AS dup_chars
-        FROM sp GROUP BY doc_id"""))
+        FROM sp GROUP BY doc_id""")),
+
+    GQ("d27_mixture_balance", // corpus-derived balanced language mixture:
+      // every language down-sampled to ≈ the rarest language's count, so the
+      // surviving corpus is (near-)uniform across languages. Unlike d16's
+      // FIXED per-lang rates, the acceptance thresholds here are derived
+      // from corpus statistics — pure integer arithmetic
+      // (min_cnt * 1000 DIV cnt) over a broadcast per-lang aggregate, and
+      // membership is the portable PolyHash bucket: deterministic across
+      // engines, re-runs, and task retries. 100 TB shape: one tiny stats
+      // aggregate broadcast back onto a scan-local filter — no shuffle of
+      // the corpus itself.
+      (s, dir) => {
+        val docs = Tables.table(s, dir, "documents")
+        val stats = docs.groupBy("lang").agg(count(lit(1)).as("cnt"))
+        val th = stats.crossJoin(stats.agg(min("cnt").as("min_cnt")))
+          .select(col("lang"), expr("min_cnt * 1000 DIV cnt").as("th"))
+        val bucket = graft.expressions.PolyHash(
+          concat(lit("mix|"), col("doc_id").cast("string"))) % 1000
+        docs.select(col("doc_id"), col("lang"), bucket.as("bucket"))
+          .join(broadcast(th), Seq("lang"))
+          .filter(col("bucket") < col("th"))
+          .select(col("doc_id"), col("lang"), col("bucket"), col("th"))
+      },
+      Some("""WITH stats AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
+        th AS (SELECT lang, CAST((min_cnt * 1000) // cnt AS BIGINT) AS th
+               FROM stats CROSS JOIN (SELECT MIN(cnt) AS min_cnt FROM stats)),
+        h AS (SELECT doc_id, lang,
+            CAST(list_reduce(
+              list_prepend(CAST(0 AS BIGINT),
+                list_transform(regexp_extract_all('mix|' || CAST(doc_id AS VARCHAR), '.'),
+                  c -> CAST(ascii(c) AS BIGINT))),
+              (h, b) -> (h * 257 + b) % 1000000007) AS BIGINT) % 1000 AS bucket
+            FROM documents)
+        SELECT h.doc_id, h.lang, h.bucket, th.th
+        FROM h JOIN th ON h.lang = th.lang WHERE h.bucket < th.th"""))
   )
 }

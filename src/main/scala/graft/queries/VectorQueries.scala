@@ -154,6 +154,51 @@ object VectorQueries {
                 ROW_NUMBER() OVER (PARTITION BY q_id
                                    ORDER BY sim DESC, neighbor_id) AS rn
               FROM p)
-        SELECT COUNT(*) AS n_truth, TRUE AS recall_ok FROM r WHERE rn <= 3"""))
+        SELECT COUNT(*) AS n_truth, TRUE AS recall_ok FROM r WHERE rn <= 3""")),
+
+    // SemDeDup-style semantic dedup (Abbas et al. 2023): deterministic
+    // hyperplane cells stand in for the paper's KMeans clusters so the
+    // oracle can replay the ENTIRE decision — cell codes, within-cell pair
+    // cosines, drop set and chosen representative — not just a recall
+    // property. At sf0.01/tau=0.35 both outcomes are populated (kept and
+    // dropped rows), so the gate is non-vacuous in each direction.
+    GQ("e07_semdedup",
+      (s, dir) => Similarity.semDedup(
+        Tables.table(s, dir, "embeddings"), tau = 0.35, planes = 4,
+        portableHash = true),
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        sg AS (SELECT vec_id, v, nrm, ${portableSigSql(4)} AS cell FROM n),
+        d AS (SELECT b.vec_id AS b_id, MIN(a.vec_id) AS rep_id
+              FROM sg a JOIN sg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+              WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.35
+              GROUP BY b.vec_id)
+        SELECT s.vec_id, s.cell, d.b_id IS NULL AS kept, d.rep_id
+        FROM sg s LEFT JOIN d ON s.vec_id = d.b_id"""))
   )
+
+  /** DuckDB replay of the portable hyperplane coefficient (the md5-nibble
+    * expression e02's oracle hand-inlines), generated for readability:
+    * coef(p, i) = (hex4(md5(p || '|' || (i-1))) / 32767.5) - 1.0 with `p`
+    * the plane index and `i` the 1-based vector position. */
+  private def portableCoefSql: String = {
+    val h = "md5(CAST(p AS VARCHAR) || '|' || CAST(i - 1 AS VARCHAR))"
+    def nib(pos: Int) =
+      s"(CASE WHEN substr($h, $pos, 1) BETWEEN '0' AND '9' " +
+        s"THEN ascii(substr($h, $pos, 1)) - 48 " +
+        s"ELSE ascii(substr($h, $pos, 1)) - 87 END)"
+    s"((${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 + ${nib(4)})" +
+      " / 32767.5 - 1.0)"
+  }
+
+  /** DuckDB replay of [[graft.functions.VectorFunctions.portableHyperplaneSig]]
+    * over a DOUBLE[] column `v` (tableSalt 0): per plane, the same
+    * left-to-right double fold and sign-bit packing the Spark side computes. */
+  private def portableSigSql(planes: Int): String =
+    s"""CAST(list_sum(list_transform(range(0, $planes), p ->
+       CASE WHEN list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(range(1, len(v) + 1), i -> v[i] * $portableCoefSql)),
+           (a, b) -> a + b) > 0
+         THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"""
 }

@@ -213,6 +213,56 @@ class SimilaritySpec extends SparkSpec {
     assert(out.count() == 0)
   }
 
+  test("semDedup drops cosine-duplicates to the lowest-id representative") {
+    // 1 and 2 are positive scalings of 0 — cosine exactly 1 and, because
+    // hyperplane signs are scale-invariant, the SAME cell by construction.
+    // 3 is orthogonal to them: whatever cell it lands in, no companion
+    // reaches tau, so it must survive.
+    val dup = Seq(
+      TestVec(0L, Seq(1f, 0f, 0f, 0f)),
+      TestVec(1L, Seq(2f, 0f, 0f, 0f)),
+      TestVec(2L, Seq(0.5f, 0f, 0f, 0f)),
+      TestVec(3L, Seq(0f, 1f, 0f, 0f))).toDF()
+    val out = Similarity.semDedup(dup, tau = 0.9, planes = 2)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Boolean]("kept"), Option(r.getAs[java.lang.Long]("rep_id"))))
+      .toMap
+    assert(out(0L) == (true, None), "lowest id of the neighborhood survives")
+    assert(out(1L) == (false, Some(0L)))
+    assert(out(2L) == (false, Some(0L)))
+    assert(out(3L) == (true, None), "orthogonal vector must not be dropped")
+  }
+
+  test("semDedup is a one-shot prune: any lower-id companion drops, kept or not") {
+    // 0 ~ 1 ~ 2 all mutually at cosine 1: 1 drops to 0, and 2 reports the
+    // SMALLEST companion (0) even though 1 is also within tau — the drop
+    // decision never waits on whether the companion itself survived.
+    val chain = Seq(
+      TestVec(0L, Seq(1f, 1f, 0f, 0f)),
+      TestVec(1L, Seq(2f, 2f, 0f, 0f)),
+      TestVec(2L, Seq(4f, 4f, 0f, 0f))).toDF()
+    val out = Similarity.semDedup(chain, tau = 0.9, planes = 2)
+      .filter(!$"kept").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("rep_id")).toMap
+    assert(out == Map(1L -> 0L, 2L -> 0L))
+  }
+
+  test("semDedup on an empty input returns an empty, correctly-typed result") {
+    val out = Similarity.semDedup(vecs.filter($"vec_id" < 0), tau = 0.5)
+    assert(out.columns.toSeq == Seq("vec_id", "cell", "kept", "rep_id"))
+    assert(out.count() == 0)
+  }
+
+  test("semDedup rejects mixed vector dimensionality instead of truncating") {
+    val ragged = Seq(
+      TestVec(0L, Seq(1f, 2f, 3f)),
+      TestVec(1L, Seq(1f, 2f, 3f, 4f))).toDF()
+    val e = intercept[IllegalArgumentException] {
+      Similarity.semDedup(ragged, tau = 0.5)
+    }
+    assert(e.getMessage.contains("mixed dimensionality"))
+  }
+
   test("cosine fold matches analytic value") {
     val df = Seq((Seq(3.0, 4.0), Seq(4.0, 3.0))).toDF("a", "b")
     val sim = df.select(cosine($"a", $"b").as("s")).head().getDouble(0)
