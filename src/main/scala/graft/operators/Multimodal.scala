@@ -91,4 +91,42 @@ object Multimodal {
       explode(sequence(lit(0),
         greatest(floor(length(col(binCol)) / everyNBytes) - 1, lit(0)))))
       .withColumn("frame_offset", col("frame_idx") * everyNBytes)
+
+  /** Video near-duplicate pairs by keyframe fingerprinting: one "keyframe"
+    * per `frameBytes` of payload ([[sampleFrames]]' offsets), each
+    * fingerprinted from its bytes (stub: the native PolyHash rolling hash —
+    * the slot a real pipeline fills with a perceptual hash, same
+    * substitution point as [[StubCodec]]). Pairs of media sharing at least
+    * `minShared` DISTINCT fingerprints are reported with the shared count.
+    *
+    * Scale shape (same as Dedup.jaccardPairs): fingerprints are scan-local;
+    * ONE shuffle groups by fingerprint and ordered pairs are emitted locally
+    * from each fingerprint's sorted id list, so the quadratic step is
+    * bounded by `maxDocFreq`²/2 per fingerprint — a "black frame" shared by
+    * millions of videos caps out (producing no candidates — conservative)
+    * instead of exploding the pair join. Ids must be integral (the pair
+    * fan-out rides the native ordered_pairs expression over ARRAY<BIGINT>). */
+  def keyframeDedup(
+      media: DataFrame,
+      idCol: String = "doc_id",
+      binCol: String = "media",
+      frameBytes: Int = 32,
+      minShared: Int = 2,
+      maxDocFreq: Int = 50
+  ): DataFrame = {
+    val frames = sampleFrames(
+      media.select(col(idCol).cast("long").as("kid"), col(binCol)),
+      binCol, frameBytes)
+    val fps = frames.select(col("kid"),
+      graft.expressions.PolyHash(concat(lit("kf|"),
+        decode(col(binCol).substr(col("frame_offset").cast("int") + 1,
+          lit(frameBytes)), "UTF-8"))).as("fp"))
+    val byFp = fps.groupBy("fp")
+      .agg(sort_array(collect_set(col("kid"))).as("ds"))
+      .filter(size(col("ds")) <= maxDocFreq)
+    byFp.select(graft.expressions.OrderedPairsGen(col("ds")))
+      .groupBy(col("a").as("a_id"), col("b").as("b_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

@@ -381,6 +381,43 @@ object Advanced {
         TRUE AS approx_ok
         FROM lineitem GROUP BY l_returnflag""")),
 
+    GQ("x07_bloom_prune", // bloom-filter runtime pruning (the semi-join
+      // pushdown InjectRuntimeFilter plants), property oracle: n_build and
+      // n_exact are exact (hash-compared); no_false_negatives must come out
+      // TRUE by construction — a broken bloom build/probe flips it; and
+      // fp_bounded asserts the pruned pass-through stays within the sized
+      // false-positive budget (2% of probe rows — generous vs the 1% the
+      // filter was sized for, robust to hash-family jitter across versions).
+      (s, dir) => {
+        val bld = t(s, dir, "orders")
+          .filter(col("o_totalprice") > 400000).select("o_orderkey")
+        val probe = t(s, dir, "lineitem").select("l_orderkey")
+        val pruned = graft.operators.RuntimeFilter.bloomPrune(
+          probe, "l_orderkey", bld, "o_orderkey",
+          expectedItems = 10000L, fpp = 0.01)
+        val exact = probe.join(bld,
+          col("l_orderkey") === col("o_orderkey"), "left_semi")
+        val missed = exact.distinct()
+          .exceptAll(pruned.distinct())
+          .agg(count(lit(1)).as("n_missed"))
+        bld.agg(count(lit(1)).as("n_build"))
+          .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+          .crossJoin(pruned.agg(count(lit(1)).as("n_pass")))
+          .crossJoin(probe.agg(count(lit(1)).as("n_probe")))
+          .crossJoin(missed)
+          .select(col("n_build"), col("n_exact"),
+            (col("n_missed") === 0).as("no_false_negatives"),
+            (col("n_pass") - col("n_exact") <=
+              col("n_probe").cast("double") * 0.02).as("fp_bounded"))
+      },
+      Some("""SELECT
+        (SELECT COUNT(*) FROM orders WHERE o_totalprice > 400000) AS n_build,
+        (SELECT COUNT(*) FROM lineitem l WHERE EXISTS
+          (SELECT 1 FROM orders o
+           WHERE o.o_orderkey = l.l_orderkey AND o.o_totalprice > 400000))
+          AS n_exact,
+        TRUE AS no_false_negatives, TRUE AS fp_bounded""")),
+
     GQ("q34_shipping_priority", // TPC-H Q3 shape: 3-way join, agg, top-10
       (s, dir) => {
         val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")

@@ -84,6 +84,35 @@ object MultimodalQueries {
           FROM f a JOIN f b ON a.doc_id < b.doc_id)
         SELECT a_id, b_id, sim FROM d WHERE sim >= 0.9999""")),
 
+    // Video keyframe near-dup: sample a "keyframe" every 32 payload bytes,
+    // fingerprint each frame (stub: PolyHash — the perceptual-hash slot),
+    // report pairs sharing >= 2 distinct fingerprints. At sf0.01 the gate is
+    // non-vacuous in both directions: 24 pairs pass, a 1-shared-frame pair
+    // is rejected. The oracle replays frame offsets, the byte-prefix rolling
+    // hash, the hot-fingerprint cap, and the pair count exactly.
+    GQ("m04_keyframe_dedup",
+      (s, dir) => Multimodal.keyframeDedup(
+        Tables.table(s, dir, "documents")
+          .withColumn("media", encode(col("text"), "utf-8")),
+        idCol = "doc_id", binCol = "media",
+        frameBytes = 32, minShared = 2, maxDocFreq = 50),
+      Some("""WITH f AS (SELECT doc_id,
+            substr(text, CAST(32 * u.i + 1 AS INTEGER), 32) AS frame
+          FROM documents,
+          UNNEST(range(0, GREATEST(len(text) // 32, 1))) AS u(i)),
+        fp AS (SELECT DISTINCT doc_id,
+            CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(regexp_extract_all('kf|' || frame, '.'),
+                c -> CAST(ascii(c) AS BIGINT))),
+              (h, b) -> (h * 257 + b) % 1000000007) AS BIGINT) AS fpv
+          FROM f),
+        cap AS (SELECT fpv FROM fp GROUP BY fpv HAVING COUNT(*) <= 50),
+        p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+              FROM fp a JOIN fp b ON a.fpv = b.fpv AND a.doc_id < b.doc_id
+              JOIN cap ON cap.fpv = a.fpv)
+        SELECT a_id, b_id, COUNT(*) AS n_shared
+        FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 2""")),
+
     // Streaming windowed aggregation evaluated on the bounded events table.
     GQ("s01_tumbling_window",
       (s, dir) => Streaming.windowedCounts(

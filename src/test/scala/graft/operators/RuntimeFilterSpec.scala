@@ -1,0 +1,43 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class RuntimeFilterSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val probe = (0L until 10000L).map(i => (i, s"row$i")).toDF("k", "payload")
+  private val build = (0L until 10000L by 100).map(i => ("b", i)).toDF("tag", "bk")
+
+  test("bloomPrune result is a superset of the exact semi-join and prunes hard") {
+    val pruned = RuntimeFilter.bloomPrune(probe, "k", build, "bk",
+      expectedItems = 1000L, fpp = 0.01)
+    val prunedKeys = pruned.select("k").as[Long].collect().toSet
+    val exactKeys = (0L until 10000L by 100).toSet
+    assert(exactKeys.subsetOf(prunedKeys), "bloom dropped a real key (false negative)")
+    // 100 real keys of 10000 probe rows; 1% FP budget → pass-through must
+    // stay near the build cardinality, nowhere near the raw probe count
+    assert(prunedKeys.size < 400,
+      s"bloom pruned almost nothing: ${prunedKeys.size} of 10000 passed")
+    assert(pruned.columns.toSeq == probe.columns.toSeq, "schema must be preserved")
+  }
+
+  test("bloomPrune keeps the predicate on the probe side (no join/exchange added)") {
+    val pruned = RuntimeFilter.bloomPrune(probe, "k", build, "bk")
+    val plan = pruned.queryExecution.executedPlan.toString
+    // The bloom rides a scalar subquery inside a Filter. The subquery's own
+    // SinglePartition exchange (a one-row bloom aggregate) is expected; the
+    // PROBE spine — every plan line outside the ':'-prefixed subquery
+    // block — must stay join-free and exchange-free: predicate on the scan.
+    val spine = plan.linesIterator.filterNot(_.contains(": ")).mkString("\n")
+    assert(spine.contains("Filter might_contain"), plan)
+    assert(!spine.contains("Join"), s"unexpected join in probe spine:\n$plan")
+    assert(!spine.contains("Exchange"), s"unexpected exchange in probe spine:\n$plan")
+  }
+
+  test("an empty build side prunes everything (no false negatives vacuously)") {
+    val pruned = RuntimeFilter.bloomPrune(
+      probe, "k", build.filter(col("bk") < 0), "bk", expectedItems = 10L)
+    assert(pruned.count() == 0)
+  }
+}

@@ -454,6 +454,31 @@ class StreamingSpec extends SparkSpec {
     assert(meta.getLong(0) == 10L && meta.getString(1) == "text/plain")
   }
 
+  test("multimodal: keyframe dedup pairs videos by shared aligned frames") {
+    // 1 and 2 share both 4-byte frames; 3 shares only the first frame with
+    // them (below minShared=2); 4 shares nothing.
+    val df = Seq(
+      (1L, "aaaabbbb"), (2L, "aaaabbbb"),
+      (3L, "aaaacccc"), (4L, "ddddeeee")).toDF("doc_id", "txt")
+      .withColumn("media", encode(col("txt"), "utf-8"))
+    val pairs = graft.operators.Multimodal.keyframeDedup(
+      df, idCol = "doc_id", binCol = "media", frameBytes = 4, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSet == Set((1L, 2L, 2L)))
+    // lowering the gate admits the single-frame overlaps
+    val loose = graft.operators.Multimodal.keyframeDedup(
+      df, idCol = "doc_id", binCol = "media", frameBytes = 4, minShared = 1)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(loose.toSet == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    // the hot-frame cap drops a fingerprint shared by too many videos
+    val capped = graft.operators.Multimodal.keyframeDedup(
+      df, idCol = "doc_id", binCol = "media", frameBytes = 4,
+      minShared = 1, maxDocFreq = 2)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(capped.toSet == Set((1L, 2L)),
+      "the 3-video 'aaaa' frame must cap out; the 2-video 'bbbb' frame stays")
+  }
+
   test("multimodal: stub feature extraction preserves schema and determinism") {
     val df = Seq((1L, "abc"), (2L, "abc"), (3L, "xyz")).toDF("id", "txt")
       .withColumn("media", encode(col("txt"), "utf-8"))
