@@ -145,6 +145,27 @@ object ScaleSmoke {
       Similarity.lshTopK(vecs, qs, k = 3, planes = 12, tables = 2).count())
     time(s"IVF ANN top-3 of 100 queries over $nVecs vectors")(
       Similarity.ivfTopK(vecs, qs, k = 3, nCentroids = 64, nProbe = 4).count())
+
+    // r07 ops. SemDeDup: cells must bound the pair join — planes sized so
+    // the mean cell holds ~nVecs/2^planes vectors (12 planes → ~50 at 200k).
+    time(s"SemDeDup over $nVecs vectors (12-plane cells)")(
+      Similarity.semDedup(vecs, tau = 0.95, planes = 12).count())
+    // Keyframe dedup: ONE shuffle on fingerprint; the synthetic corpus's
+    // shared phrases make real frame collisions, the cap bounds fan-out.
+    time(s"keyframe near-dup over $rows docs")(
+      graft.operators.Multimodal.keyframeDedup(
+        docs.withColumn("media", encode(col("text"), "utf-8")),
+        idCol = "doc_id", binCol = "media",
+        frameBytes = 32, minShared = 1, maxDocFreq = 50).count())
+    // Bloom pruning: the probe never joins — pass-through must track the
+    // build fraction (~1%), not the probe size.
+    time(s"bloom prune ${rows * 10} probe rows vs ${rows / 100} build keys") {
+      val probeB = spark.range(rows * 10)
+        .select(pmod(col("id"), lit(rows)).as("k"))
+      val buildB = spark.range(rows / 100).select((col("id") * 100L).as("bk"))
+      graft.operators.RuntimeFilter.bloomPrune(
+        probeB, "k", buildB, "bk", expectedItems = rows / 100).count()
+    }
     spark.stop()
   }
 }
