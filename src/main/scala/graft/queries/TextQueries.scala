@@ -859,6 +859,55 @@ object TextQueries {
               (h, b) -> (h * 257 + b) % 1000000007) AS BIGINT) % 1000 AS bucket
             FROM documents)
         SELECT h.doc_id, h.lang, h.bucket, th.th
-        FROM h JOIN th ON h.lang = th.lang WHERE h.bucket < th.th"""))
+        FROM h JOIN th ON h.lang = th.lang WHERE h.bucket < th.th""")),
+
+    GQ("d28_importance_weight", // DSIR-flavored importance selection (Xie
+      // et al. 2023): weight each document by how much likelier its
+      // unigrams are under the TARGET slice (lang='en') than under the full
+      // corpus, then deterministically resample in proportion to the
+      // weight. Per-token ratio and the accept threshold are pure integer
+      // arithmetic (no logs — libm-implementation-defined), so scores and
+      // decisions replay bit-for-bit on any engine. 100 TB shape: two tiny
+      // vocab aggregates broadcast back onto the exploded scan; per-doc
+      // work is an integer sum; the accept gate is scan-local PolyHash.
+      (s, dir) => {
+        val toks = Tables.table(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), explode(words(col("text"))).as("w"))
+        val all = toks.groupBy("w").agg(count(lit(1)).as("all_cnt"))
+        val tgt = toks.filter(col("lang") === "en")
+          .groupBy("w").agg(count(lit(1)).as("tgt_cnt"))
+        val fw = all.join(tgt, Seq("w"), "left")
+          .select(col("w"),
+            expr("(coalesce(tgt_cnt, 0L) * 10000) DIV all_cnt").as("fw"))
+        val scored = toks.join(broadcast(fw), "w")
+          .groupBy("doc_id")
+          .agg(expr("sum(fw) DIV count(1)").as("score"))
+        val mx = scored.agg(max(col("score")).as("mx"))
+        val bucket = graft.expressions.PolyHash(
+          concat(lit("dsir|"), col("doc_id").cast("string"))) % 1000
+        scored.crossJoin(broadcast(mx))
+          .select(col("doc_id"), col("score"),
+            (bucket < expr("(score * 1000) DIV (mx + 1)")).as("accept"))
+      },
+      Some("""WITH t AS (SELECT doc_id, lang,
+          UNNEST(list_filter(string_split(text, ' '), w -> w <> '')) AS w
+          FROM documents),
+        a AS (SELECT w, COUNT(*) AS all_cnt FROM t GROUP BY w),
+        g AS (SELECT w, COUNT(*) AS tgt_cnt FROM t WHERE lang = 'en' GROUP BY w),
+        f AS (SELECT a.w, (COALESCE(g.tgt_cnt, 0) * 10000) // a.all_cnt AS fw
+              FROM a LEFT JOIN g ON a.w = g.w),
+        d AS (SELECT doc_id,
+                CAST(CAST(SUM(fw) AS BIGINT) // COUNT(*) AS BIGINT) AS score
+              FROM t JOIN f ON t.w = f.w GROUP BY doc_id),
+        m AS (SELECT MAX(score) AS mx FROM d),
+        h AS (SELECT doc_id, score,
+            CAST(list_reduce(
+              list_prepend(CAST(0 AS BIGINT),
+                list_transform(regexp_extract_all('dsir|' || CAST(doc_id AS VARCHAR), '.'),
+                  c -> CAST(ascii(c) AS BIGINT))),
+              (h, b) -> (h * 257 + b) % 1000000007) AS BIGINT) % 1000 AS bucket
+            FROM d)
+        SELECT doc_id, score, bucket < (score * 1000) // (mx + 1) AS accept
+        FROM h CROSS JOIN m"""))
   )
 }
