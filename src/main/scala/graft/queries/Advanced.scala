@@ -418,6 +418,72 @@ object Advanced {
           AS n_exact,
         TRUE AS no_false_negatives, TRUE AS fp_bounded""")),
 
+    GQ("x08_funnel", // ordered event-sequence (funnel) analysis: per user,
+      // earliest view -> first click after it -> first purchase after that,
+      // all inside 24h of the view. Every step is a min() under a condition
+      // derived from the previous step, so the result is deterministic (no
+      // arbitrary row picks). Scale shape: three aggregates + two joins all
+      // keyed on user_id — after the first exchange the rest reuse the
+      // partitioning; nothing shuffles the event table twice.
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"), col("ts").as("t"))
+        val v = e.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min(col("t")).as("t1"))
+        val c = e.join(v, "user_id")
+          .filter(col("event_type") === "click" && col("t") > col("t1")
+            && col("t") <= col("t1") + expr("INTERVAL 24 HOUR"))
+          .groupBy("user_id").agg(min(col("t")).as("t2"))
+        val p = e.join(v, "user_id").join(c, "user_id")
+          .filter(col("event_type") === "purchase" && col("t") > col("t2")
+            && col("t") <= col("t1") + expr("INTERVAL 24 HOUR"))
+          .groupBy("user_id").agg(min(col("t")).as("t3"))
+        v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+          .select(col("user_id"),
+            when(col("t3").isNotNull, 3)
+              .when(col("t2").isNotNull, 2).otherwise(1).as("step"),
+            col("t1"), col("t2"), col("t3"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS t
+              FROM events),
+        v AS (SELECT user_id, MIN(t) AS t1 FROM e
+              WHERE event_type = 'view' GROUP BY user_id),
+        c AS (SELECT e.user_id, MIN(t) AS t2 FROM e JOIN v USING (user_id)
+              WHERE event_type = 'click' AND t > v.t1
+                AND t <= v.t1 + INTERVAL 24 HOUR GROUP BY e.user_id),
+        p AS (SELECT e.user_id, MIN(t) AS t3
+              FROM e JOIN v USING (user_id) JOIN c USING (user_id)
+              WHERE event_type = 'purchase' AND t > c.t2
+                AND t <= v.t1 + INTERVAL 24 HOUR GROUP BY e.user_id)
+        SELECT v.user_id,
+          CASE WHEN p.user_id IS NOT NULL THEN 3
+               WHEN c.user_id IS NOT NULL THEN 2 ELSE 1 END AS step,
+          v.t1, c.t2, p.t3
+        FROM v LEFT JOIN c ON v.user_id = c.user_id
+               LEFT JOIN p ON v.user_id = p.user_id""")),
+
+    GQ("x09_retention_cohort", // cohort retention: users grouped by
+      // first-seen day; distinct actives per (cohort, day offset). The
+      // first-seen table is one aggregate on user_id, broadcast-joinable
+      // back onto the event scan; the retention matrix is a second
+      // aggregate. Integer day offsets — no float drift.
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .select(col("user_id"), date_trunc("day", col("ts")).as("d"))
+        val f = e.groupBy("user_id").agg(min(col("d")).as("cohort"))
+        e.join(f, "user_id")
+          .groupBy(col("cohort"), datediff(col("d"), col("cohort")).as("day_offset"))
+          .agg(countDistinct(col("user_id")).as("n_active"))
+      },
+      Some("""WITH e AS (SELECT user_id,
+            CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS d
+            FROM events),
+        f AS (SELECT user_id, MIN(d) AS cohort FROM e GROUP BY user_id)
+        SELECT f.cohort,
+          CAST(datediff('day', f.cohort, e.d) AS INTEGER) AS day_offset,
+          COUNT(DISTINCT e.user_id) AS n_active
+        FROM e JOIN f ON e.user_id = f.user_id GROUP BY 1, 2""")),
+
     GQ("q34_shipping_priority", // TPC-H Q3 shape: 3-way join, agg, top-10
       (s, dir) => {
         val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
