@@ -56,12 +56,19 @@ object RuntimeFilter {
       probeKey: String,
       build: DataFrame,
       buildKey: String,
-      expectedItems: Long = 1000000L,
+      expectedItems: Long = -1L,
       fpp: Double = 0.01
   ): DataFrame = {
+    // expectedItems <= 0 → size from the ACTUAL build cardinality (one
+    // count job on the small side — what InjectRuntimeFilter reads from
+    // stats). A fixed guess that the data outgrows silently overloads the
+    // filter and blows the false-positive budget: measured 4x the FP bound
+    // at 10x the tuning scale before this was made the default.
+    val items = if (expectedItems > 0) expectedItems
+      else math.max(1L, build.select(buildKey).count())
     val bloomPlan = GraftBridge.logicalPlan(build.agg(
-      bloomAgg(col(buildKey), expectedItems,
-        optimalNumBits(expectedItems, fpp)).as("__bf")))
+      bloomAgg(col(buildKey), items,
+        optimalNumBits(items, fpp)).as("__bf")))
     val pred = BloomFilterMightContain(
       org.apache.spark.sql.catalyst.expressions.ScalarSubquery(bloomPlan),
       GraftBridge.expression(xxhash64(col(probeKey))))

@@ -141,7 +141,8 @@ object Similarity {
       refine: Int = 8,
       trainFraction: Double = 1.0,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"
+      vecCol: String = "embedding",
+      minShortlistFraction: Double = 0.04
   ): DataFrame = {
     require(refine >= 1, s"refine must be >= 1, got $refine")
     import org.apache.spark.ml.clustering.KMeans
@@ -155,7 +156,8 @@ object Similarity {
       col(idCol).as("q_id"), col(idCol).as("neighbor_id"),
       lit(0.0).as("sim"), lit(0).as("rank")).limit(0)
     def stats(df: DataFrame) = df
-      .agg(min(size(col(vecCol))).as("mn"), max(size(col(vecCol))).as("mx")).head()
+      .agg(min(size(col(vecCol))).as("mn"), max(size(col(vecCol))).as("mx"),
+        count(lit(1)).as("n")).head()
     val cs = stats(corpus)
     if (cs.isNullAt(0)) return emptyResult
     val qs = stats(queries)
@@ -229,10 +231,20 @@ object Similarity {
           (acc, i) => acc +
             element_at(element_at(col("dtab"), i + 1),
               element_at(col("codes"), i + 1) + 1)))
+    // Shortlist size: k·refine, FLOORED at a fraction of the corpus — a
+    // fixed multiplier tuned at one scale silently decays as the corpus
+    // grows (recall@3 measured 0.83 → 0.51 going 500 → 5000 vectors with a
+    // constant 24-row shortlist). The floor must also absorb per-session
+    // codebook jitter (KMeans init samples depend on input partitioning):
+    // at 2% of 5000 the recall straddled the 0.6 oracle bar across
+    // sessions (0.59–0.81); 4% holds it clear of the bar while remaining a
+    // vanishing fraction of the ADC scan it prunes.
+    val shortlistN = math.max(k.toLong * refine,
+      math.ceil(cs.getLong(2) * minShortlistFraction).toLong)
     val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adist"), col("vid"))
     val shortlist = scored
       .withColumn("srn", row_number().over(wAdc))
-      .filter(col("srn") <= k * refine)
+      .filter(col("srn") <= shortlistN)
       .select(col("q_id"), col("qvh"), col("vid"))
 
     // ---- exact re-rank of the shortlist: k·refine exact cosines per query

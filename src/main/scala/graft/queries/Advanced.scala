@@ -388,13 +388,15 @@ object Advanced {
       // fp_bounded asserts the pruned pass-through stays within the sized
       // false-positive budget (2% of probe rows — generous vs the 1% the
       // filter was sized for, robust to hash-family jitter across versions).
+      // The bloom auto-sizes from the build cardinality, so the property
+      // holds at EVERY sf (a fixed 10k guess failed fp_bounded at sf0.1,
+      // where the build side is 30k keys).
       (s, dir) => {
         val bld = t(s, dir, "orders")
           .filter(col("o_totalprice") > 400000).select("o_orderkey")
         val probe = t(s, dir, "lineitem").select("l_orderkey")
         val pruned = graft.operators.RuntimeFilter.bloomPrune(
-          probe, "l_orderkey", bld, "o_orderkey",
-          expectedItems = 10000L, fpp = 0.01)
+          probe, "l_orderkey", bld, "o_orderkey", fpp = 0.01)
         val exact = probe.join(bld,
           col("l_orderkey") === col("o_orderkey"), "left_semi")
         val missed = exact.distinct()
