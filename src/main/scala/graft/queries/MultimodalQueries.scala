@@ -113,6 +113,34 @@ object MultimodalQueries {
         SELECT a_id, b_id, COUNT(*) AS n_shared
         FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 2""")),
 
+    // Watermarked stream-stream interval join, batch-verified: the EXACT
+    // expression Streaming.streamStreamJoin runs live (watermarks are
+    // no-ops on a bounded input, the join predicate is identical) — each
+    // click matched to the same user's purchases in the following 15
+    // minutes. At scale both sides shuffle once on user_id and the range
+    // predicate bounds streaming state; in batch it's a plain shuffle join.
+    GQ("s04_stream_join",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("click_ts"),
+            col("event_id").as("click_id"))
+        val buys = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("buy_ts"),
+            col("event_id").as("buy_id"))
+        Streaming.streamStreamJoin(clicks, buys,
+          leftTs = "click_ts", rightTs = "buy_ts", key = "user_id",
+          maxDelay = "15 minutes")
+          .select("user_id", "click_id", "buy_id")
+      },
+      Some("""SELECT c.user_id, c.event_id AS click_id, p.event_id AS buy_id
+        FROM events c JOIN events p
+          ON c.user_id = p.user_id
+         AND c.event_type = 'click' AND p.event_type = 'purchase'
+         AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+         AND CAST(p.ts AS TIMESTAMP) <=
+             CAST(c.ts AS TIMESTAMP) + INTERVAL 15 MINUTE""")),
+
     // Streaming windowed aggregation evaluated on the bounded events table.
     GQ("s01_tumbling_window",
       (s, dir) => Streaming.windowedCounts(
