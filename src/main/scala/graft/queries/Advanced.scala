@@ -486,6 +486,39 @@ object Advanced {
           COUNT(DISTINCT e.user_id) AS n_active
         FROM e JOIN f ON e.user_id = f.user_id GROUP BY 1, 2""")),
 
+    GQ("x10_sketch_rollup", // mergeable-sketch pre-aggregation: per-day
+      // DataSketches HLL sketches of user_id built once (the stored
+      // "sketch table" pattern), then UNIONED to the 30-day unique count
+      // WITHOUT rescanning events — at 100 TB this is how distinct-count
+      // rollups avoid re-reading history: daily sketch partitions are a
+      // few KB each and union in milliseconds. h01-style property oracle:
+      // exact per-day distincts are hash-compared; the merged estimate
+      // must land within 5% of the exact total (a broken merge path
+      // collapses it to a single day's cardinality and flips the bool).
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
+        val daily = e.groupBy("day")
+          .agg(expr("hll_sketch_agg(user_id)").as("sk"),
+            countDistinct(col("user_id")).as("exact_users"))
+        val merged = daily.agg(
+          expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+        val exactTot = e.agg(countDistinct(col("user_id")).as("exact_total"))
+        daily.select(col("day"), col("exact_users"))
+          .crossJoin(broadcast(merged)).crossJoin(broadcast(exactTot))
+          .select(col("day"), col("exact_users"), col("exact_total"),
+            (abs(col("est") - col("exact_total")).cast("double")
+              / col("exact_total") <= 0.05).as("merged_ok"))
+      },
+      Some("""WITH e AS (SELECT
+            CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+            user_id FROM events),
+        d AS (SELECT day, COUNT(DISTINCT user_id) AS exact_users
+              FROM e GROUP BY day),
+        t AS (SELECT COUNT(DISTINCT user_id) AS exact_total FROM e)
+        SELECT day, exact_users, exact_total, TRUE AS merged_ok
+        FROM d CROSS JOIN t""")),
+
     GQ("q34_shipping_priority", // TPC-H Q3 shape: 3-way join, agg, top-10
       (s, dir) => {
         val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
