@@ -839,8 +839,13 @@ object TextQueries {
       (s, dir) => {
         val docs = Tables.table(s, dir, "documents")
         val stats = docs.groupBy("lang").agg(count(lit(1)).as("cnt"))
-        val th = stats.crossJoin(stats.agg(min("cnt").as("min_cnt")))
-          .select(col("lang"), expr("min_cnt * 1000 DIV cnt").as("th"))
+        // global min via a window over the |langs|-row stats table — a
+        // separate stats.agg(min) does NOT exchange-reuse the aggregate
+        // subtree and re-scans the corpus (seen in the executed plan)
+        val th = stats
+          .withColumn("min_cnt", min(col("cnt")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy()))
+          .select(col("lang"), expr("(min_cnt * 1000) DIV cnt").as("th"))
         val bucket = graft.expressions.PolyHash(
           concat(lit("mix|"), col("doc_id").cast("string"))) % 1000
         docs.select(col("doc_id"), col("lang"), bucket.as("bucket"))
@@ -873,15 +878,21 @@ object TextQueries {
       (s, dir) => {
         val toks = Tables.table(s, dir, "documents")
           .select(col("doc_id"), col("lang"), explode(words(col("text"))).as("w"))
-        val all = toks.groupBy("w").agg(count(lit(1)).as("all_cnt"))
-        val tgt = toks.filter(col("lang") === "en")
-          .groupBy("w").agg(count(lit(1)).as("tgt_cnt"))
-        val fw = all.join(tgt, Seq("w"), "left")
+        // ONE conditional aggregate builds both vocab tables — a second
+        // groupBy over the target slice would re-scan and re-explode the
+        // corpus (the exchanges differ, so nothing reuses)
+        val fw = toks.groupBy("w")
+          .agg(count(lit(1)).as("all_cnt"),
+            count(when(col("lang") === "en", 1)).as("tgt_cnt"))
           .select(col("w"),
-            expr("(coalesce(tgt_cnt, 0L) * 10000) DIV all_cnt").as("fw"))
+            expr("(tgt_cnt * 10000) DIV all_cnt").as("fw"))
+        // persist the (narrow) per-doc score table: it feeds both the max
+        // aggregate and the final select — without the cache the whole
+        // explode+join subtree runs twice (4 corpus scans observed)
         val scored = toks.join(broadcast(fw), "w")
           .groupBy("doc_id")
           .agg(expr("sum(fw) DIV count(1)").as("score"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val mx = scored.agg(max(col("score")).as("mx"))
         val bucket = graft.expressions.PolyHash(
           concat(lit("dsir|"), col("doc_id").cast("string"))) % 1000
