@@ -519,6 +519,51 @@ object Advanced {
         SELECT day, exact_users, exact_total, TRUE AS merged_ok
         FROM d CROSS JOIN t""")),
 
+    GQ("x11_ks_drift", // exact two-sample Kolmogorov–Smirnov drift between
+      // corpus slices (en vs de words-per-doc): D = max_v |F_en(v) − F_de(v)|
+      // kept as the INTEGER cross-product |cum_en·n_de − cum_de·n_en| (the
+      // KS numerator over a common denominator), so the statistic is
+      // engine-exact — the drift-monitoring primitive a training pipeline
+      // runs between ingestion batches. One aggregate to per-value counts,
+      // one running-sum window over the (tiny) distinct-value table.
+      (s, dir) => {
+        val nw = Tables.table(s, dir, "documents")
+          .filter(col("lang").isin("en", "de"))
+          .select(col("lang"),
+            size(filter(split(col("text"), " "), w => w =!= "")).as("v"))
+        val counts = nw.groupBy("v").agg(
+          count(when(col("lang") === "en", 1)).as("c_en"),
+          count(when(col("lang") === "de", 1)).as("c_de"))
+        val w = Window.orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tot = Window.partitionBy()
+        val cum = counts
+          .withColumn("cum_en", sum(col("c_en")).over(w))
+          .withColumn("cum_de", sum(col("c_de")).over(w))
+          .withColumn("n_en", sum(col("c_en")).over(tot))
+          .withColumn("n_de", sum(col("c_de")).over(tot))
+        cum.select(col("n_en"), col("n_de"),
+          abs(col("cum_en") * col("n_de") - col("cum_de") * col("n_en")).as("d"))
+          .agg(max(col("d")).as("ks_num"),
+            first(col("n_en")).as("n_en"), first(col("n_de")).as("n_de"))
+      },
+      Some("""WITH t AS (SELECT lang,
+            CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS INTEGER) AS v
+          FROM documents WHERE lang IN ('en', 'de')),
+        c AS (SELECT v,
+            COUNT(*) FILTER (lang = 'en') AS c_en,
+            COUNT(*) FILTER (lang = 'de') AS c_de
+          FROM t GROUP BY v),
+        k AS (SELECT
+            SUM(c_en) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_en,
+            SUM(c_de) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_de,
+            SUM(c_en) OVER () AS n_en, SUM(c_de) OVER () AS n_de
+          FROM c)
+        SELECT CAST(MAX(ABS(cum_en * n_de - cum_de * n_en)) AS BIGINT) AS ks_num,
+          CAST(ANY_VALUE(n_en) AS BIGINT) AS n_en,
+          CAST(ANY_VALUE(n_de) AS BIGINT) AS n_de
+        FROM k""")),
+
     GQ("q34_shipping_priority", // TPC-H Q3 shape: 3-way join, agg, top-10
       (s, dir) => {
         val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
