@@ -65,7 +65,25 @@ object GraftExtensions {
       (exprs: Seq[Expression]) => OrderedPairs(exprs(0))),
     (FunctionIdentifier("ordered_pairs_gen"),
       new ExpressionInfo(classOf[OrderedPairsGen].getName, "ordered_pairs_gen"),
-      (exprs: Seq[Expression]) => OrderedPairsGen(exprs(0))))
+      (exprs: Seq[Expression]) => OrderedPairsGen(exprs(0))),
+    // Bloom semi-join pruning in SQL: build with `(SELECT graft_bloom_agg(
+    // xxhash64(k), items, bits) FROM build)` as a scalar subquery, probe
+    // with graft_might_contain(bloom, xxhash64(k)) — the same internal
+    // expressions RuntimeFilter.bloomPrune plants from the Column DSL.
+    (FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "graft_bloom_agg"),
+      (exprs: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          exprs(0), exprs(1), exprs(2), 0, 0).toAggregateExpression()),
+    (FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_might_contain"),
+      (exprs: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          exprs(0), exprs(1))))
 }
 
 /** Runtime registration for sessions built without extensions. */

@@ -35,6 +35,18 @@ class RuntimeFilterSpec extends SparkSpec {
     assert(!spine.contains("Exchange"), s"unexpected exchange in probe spine:\n$plan")
   }
 
+  test("the bloom surface is SQL-reachable via graft_bloom_agg / graft_might_contain") {
+    probe.createOrReplaceTempView("rf_probe")
+    build.createOrReplaceTempView("rf_build")
+    val kept = spark.sql("""
+      SELECT k FROM rf_probe
+      WHERE graft_might_contain(
+        (SELECT graft_bloom_agg(xxhash64(bk), 100L, 2000L) FROM rf_build),
+        xxhash64(k))""").as[Long].collect().toSet
+    assert((0L until 10000L by 100).toSet.subsetOf(kept))
+    assert(kept.size < 10000, "an undersized bloom still prunes something")
+  }
+
   test("an empty build side prunes everything (no false negatives vacuously)") {
     val pruned = RuntimeFilter.bloomPrune(
       probe, "k", build.filter(col("bk") < 0), "bk", expectedItems = 10L)
