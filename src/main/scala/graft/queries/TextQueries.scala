@@ -919,6 +919,63 @@ object TextQueries {
               (h, b) -> (h * 257 + b) % 1000000007) AS BIGINT) % 1000 AS bucket
             FROM d)
         SELECT doc_id, score, bucket < (score * 1000) // (mx + 1) AS accept
-        FROM h CROSS JOIN m"""))
+        FROM h CROSS JOIN m""")),
+
+    GQ("d30_leakage_guard", // train/val split hygiene: a deterministic
+      // 80/20 PolyHash split plus a LEAKAGE check — near-dup pairs (the
+      // d07 n-gram-Jaccard machinery, doc-frequency cap included) that
+      // cross the split would leak training text into validation. Returns
+      // the crossing pairs with both side labels. Scale shape: d07's
+      // candidate plan + two joins against a scan-local split label — the
+      // split itself adds no shuffle; at sf0.01 the 25 near-dup pairs
+      // split 9 crossing / 16 within, so the guard is non-vacuous both ways.
+      (s, dir) => {
+        val docs = Tables.table(s, dir, "documents")
+        val pairs = Dedup.jaccardPairs(docs,
+          shingleK = 3, threshold = 0.1, maxDocFreq = 100)
+        val split = docs.select(col("doc_id"),
+          when(graft.expressions.PolyHash(
+            concat(lit("split|"), col("doc_id").cast("string"))) % 1000 < 800,
+            "train").otherwise("val").as("split"))
+        pairs
+          .join(split.select(col("doc_id").as("a_id"), col("split").as("a_split")), "a_id")
+          .join(split.select(col("doc_id").as("b_id"), col("split").as("b_split")), "b_id")
+          .filter(col("a_split") =!= col("b_split"))
+          .select(col("a_id"), col("b_id"), col("jaccard"),
+            col("a_split"), col("b_split"))
+      },
+      Some("""WITH t AS (
+          SELECT doc_id, list_distinct(list_transform(
+            range(1, greatest(len(ws) - 1, 1)),
+            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+          FROM (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+                FROM documents)),
+        e AS (SELECT doc_id, UNNEST(sh) AS s FROM t),
+        df AS (SELECT s FROM (SELECT s, COUNT(*) AS dfc FROM e GROUP BY s)
+               WHERE dfc <= 100),
+        e2 AS (SELECT e.doc_id, e.s FROM e JOIN df ON e.s = df.s),
+        n AS (SELECT doc_id, COUNT(*) AS n FROM e GROUP BY doc_id),
+        p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+              FROM e2 a JOIN e2 b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+        j AS (SELECT a_id, b_id, jaccard FROM (
+                SELECT p.a_id, p.b_id,
+                  CAST(p.inter AS DOUBLE) / (na.n + nb.n - p.inter) AS jaccard
+                FROM p JOIN n na ON p.a_id = na.doc_id
+                       JOIN n nb ON p.b_id = nb.doc_id)
+              WHERE jaccard >= 0.1),
+        sp AS (SELECT doc_id,
+            CASE WHEN CAST(list_reduce(
+                list_prepend(CAST(0 AS BIGINT),
+                  list_transform(regexp_extract_all('split|' || CAST(doc_id AS VARCHAR), '.'),
+                    c -> CAST(ascii(c) AS BIGINT))),
+                (h, b) -> (h * 257 + b) % 1000000007) AS BIGINT) % 1000 < 800
+              THEN 'train' ELSE 'val' END AS split
+          FROM documents)
+        SELECT j.a_id, j.b_id, j.jaccard,
+          sa.split AS a_split, sb.split AS b_split
+        FROM j JOIN sp sa ON j.a_id = sa.doc_id
+               JOIN sp sb ON j.b_id = sb.doc_id
+        WHERE sa.split <> sb.split"""))
   )
 }
