@@ -280,6 +280,46 @@ object Advanced {
         CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS P
         FROM orders GROUP BY o_orderpriority""")),
 
+    GQ("v02_unpivot", // wide→long melt, the inverse of v01: the aggregated
+      // metric columns unpivot into (metric, value) rows — Spark's native
+      // unpivot (Catalyst Expand), replayed in the oracle as the UNION ALL
+      // it is semantically equivalent to.
+      (s, dir) => t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(dsum(col("o_totalprice")).as("sum_price"),
+          count(lit(1)).cast("double").as("n_orders"))
+        .unpivot(Array(col("o_orderpriority")),
+          Array(col("sum_price"), col("n_orders")), "metric", "value"),
+      Some("""WITH w AS (SELECT o_orderpriority,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+            CAST(COUNT(*) AS DOUBLE) AS n_orders
+          FROM orders GROUP BY o_orderpriority)
+        SELECT o_orderpriority, 'sum_price' AS metric, sum_price AS value FROM w
+        UNION ALL
+        SELECT o_orderpriority, 'n_orders', n_orders FROM w""")),
+
+    GQ("f02_map_funcs", // MapType surface: per-status totals folded into a
+      // status→total MAP per customer (keys unique by construction — maps
+      // reject duplicates), read back via size + element_at. The oracle
+      // replays the map as its underlying key/value pairs.
+      (s, dir) => {
+        val per = t(s, dir, "orders")
+          .groupBy("o_custkey", "o_orderstatus")
+          .agg(dsum(col("o_totalprice")).as("tot"))
+        per.groupBy("o_custkey")
+          .agg(map_from_arrays(
+            collect_list(col("o_orderstatus")),
+            collect_list(col("tot"))).as("m"))
+          .select(col("o_custkey"), size(col("m")).as("map_size"),
+            element_at(col("m"), "F").as("f_total"))
+      },
+      Some("""WITH per AS (SELECT o_custkey, o_orderstatus,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tot
+          FROM orders GROUP BY 1, 2)
+        SELECT o_custkey, CAST(COUNT(*) AS INTEGER) AS map_size,
+          MAX(CASE WHEN o_orderstatus = 'F' THEN tot END) AS f_total
+        FROM per GROUP BY o_custkey""")),
+
     GQ("x01_word_freq", // generator/UDTF surface: explode → re-aggregate
       (s, dir) =>
         t(s, dir, "documents")
