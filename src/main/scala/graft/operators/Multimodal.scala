@@ -106,6 +106,37 @@ object Multimodal {
     * millions of videos caps out (producing no candidates — conservative)
     * instead of exploding the pair join. Ids must be integral (the pair
     * fan-out rides the native ordered_pairs expression over ARRAY<BIGINT>). */
+  /** Audio-style silence trimming: one "frame" per `frameBytes` of payload,
+    * per-frame energy (stub: the byte-code sum — the slot a real pipeline
+    * fills with RMS over decoded samples), frames under `minEnergy`
+    * dropped, per-media keep stats returned. Scan-local end to end: the
+    * frame explode, energy fold, and trim predicate all evaluate in the
+    * scan stage; the only shuffle is the final per-media regroup. */
+  def silenceTrim(
+      media: DataFrame,
+      idCol: String = "doc_id",
+      binCol: String = "media",
+      frameBytes: Int = 32,
+      minEnergy: Long = 0L
+  ): DataFrame = {
+    val frames = sampleFrames(media.select(col(idCol).as("sid"), col(binCol)),
+      binCol, frameBytes)
+    frames
+      // stage the decoded frame as a row-level column: referencing an
+      // ATTRIBUTE inside the fold lambda evaluates the decode once per
+      // frame — inlining the expression would re-decode per character
+      // (the HOF re-evaluation trap, README "Expression hygiene")
+      .withColumn("f", decode(col(binCol).substr(
+        col("frame_offset").cast("int") + 1, lit(frameBytes)), "UTF-8"))
+      .withColumn("energy",
+        aggregate(transform(sequence(lit(1), length(col("f"))),
+          i => ascii(col("f").substr(i, lit(1)))),
+          lit(0L), (a, x) => a + x))
+      .groupBy(col("sid").as(idCol))
+      .agg(count(lit(1)).as("n_frames"),
+        count(when(col("energy") >= minEnergy, 1)).as("n_kept"))
+  }
+
   def keyframeDedup(
       media: DataFrame,
       idCol: String = "doc_id",

@@ -113,6 +113,32 @@ object MultimodalQueries {
         SELECT a_id, b_id, COUNT(*) AS n_shared
         FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 2""")),
 
+    // Audio-style silence trim: per-frame energy (stub byte-code sum in
+    // the RMS slot) with frames under the threshold dropped — the frame
+    // explode, energy fold, and trim all evaluate scan-local; only the
+    // per-media regroup shuffles. Oracle replays frame offsets and the
+    // exact byte-code fold. Threshold 2900 splits real frames from
+    // space-heavy/short ones at sf0.01 (4171 kept of 4419).
+    GQ("m05_silence_trim",
+      (s, dir) => Multimodal.silenceTrim(
+        Tables.table(s, dir, "documents")
+          .withColumn("media", encode(col("text"), "utf-8")),
+        idCol = "doc_id", binCol = "media",
+        frameBytes = 32, minEnergy = 2900L),
+      Some("""WITH f AS (SELECT doc_id,
+            substr(text, CAST(32 * u.i + 1 AS INTEGER), 32) AS fr
+          FROM documents,
+          UNNEST(range(0, GREATEST(len(text) // 32, 1))) AS u(i)),
+        e AS (SELECT doc_id,
+            CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(regexp_extract_all(fr, '.'),
+                c -> CAST(ascii(c) AS BIGINT))),
+              (a, b) -> a + b) AS BIGINT) AS energy
+          FROM f)
+        SELECT doc_id, COUNT(*) AS n_frames,
+          CAST(COUNT(*) FILTER (energy >= 2900) AS BIGINT) AS n_kept
+        FROM e GROUP BY doc_id""")),
+
     // Watermarked stream-stream interval join, batch-verified: the EXACT
     // expression Streaming.streamStreamJoin runs live (watermarks are
     // no-ops on a bounded input, the join predicate is identical) — each
