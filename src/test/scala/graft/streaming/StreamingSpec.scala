@@ -479,6 +479,18 @@ class StreamingSpec extends SparkSpec {
       "the 3-video 'aaaa' frame must cap out; the 2-video 'bbbb' frame stays")
   }
 
+  test("multimodal: silence trim drops low-energy frames, keeps per-media counts") {
+    // 'zzzz' frames (energy 4*122=488) vs '    ' frames (energy 4*32=128);
+    // a sub-frame doc still yields its one short frame ('zz', energy 244)
+    val df = Seq((1L, "zzzz    zzzz"), (2L, "zz")).toDF("doc_id", "txt")
+      .withColumn("media", encode(col("txt"), "utf-8"))
+    val out = graft.operators.Multimodal.silenceTrim(
+      df, idCol = "doc_id", binCol = "media", frameBytes = 4, minEnergy = 400L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) == (3L, 2L), "space frame trimmed, two loud frames kept")
+    assert(out(2L) == (1L, 0L), "sub-frame doc's short frame under threshold")
+  }
+
   test("multimodal: stub feature extraction preserves schema and determinism") {
     val df = Seq((1L, "abc"), (2L, "abc"), (3L, "xyz")).toDF("id", "txt")
       .withColumn("media", encode(col("txt"), "utf-8"))
