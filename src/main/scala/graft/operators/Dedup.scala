@@ -421,6 +421,34 @@ object Dedup {
         sum(col("e") - col("s")).as("dup_chars"))
   }
 
+  /** Fuzzy (edit-distance) near-duplicate pairs: shingle-Jaccard candidate
+    * generation (the [[jaccardPairs]] plan, cap included) followed by an
+    * exact Levenshtein verify on the candidate texts — the classic
+    * blocking+verify shape for typo-level duplicates that set-similarity
+    * alone misses or over-matches. Candidates are a tiny fraction of the
+    * corpus, so the O(len²) DP runs on pairs, never on the cross product;
+    * texts join back to candidates by id (two hash joins on the narrow
+    * pair table). */
+  def fuzzyPairs(
+      docs: DataFrame,
+      maxDist: Int = 20,
+      shingleK: Int = 3,
+      candidateThreshold: Double = 0.1,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      maxDocFreq: Int = Int.MaxValue
+  ): DataFrame = {
+    val cand = jaccardPairs(docs, shingleK, candidateThreshold,
+      idCol, textCol, maxDocFreq)
+    val txt = docs.select(col(idCol), col(textCol))
+    cand
+      .join(txt.select(col(idCol).as("a_id"), col(textCol).as("a_text")), "a_id")
+      .join(txt.select(col(idCol).as("b_id"), col(textCol).as("b_text")), "b_id")
+      .withColumn("dist", levenshtein(col("a_text"), col("b_text")))
+      .filter(col("dist") <= maxDist)
+      .select(col("a_id"), col("b_id"), col("dist"), col("jaccard"))
+  }
+
   def decontaminate(
       docs: DataFrame,
       isBenchmark: Column,

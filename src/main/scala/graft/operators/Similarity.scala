@@ -215,7 +215,7 @@ object Similarity {
     // one native dot per (subspace, centroid) per query — m·ks tiny dots
     val q = normalized(queries).select(col("vid").as("q_id"), col("vh").as("qvh"))
     val dtab = array(models.zipWithIndex.map { case (mod, i) =>
-      array(mod.clusterCenters.map { cv =>
+      array(mod.clusterCenters.toIndexedSeq.map { cv =>
         val c = cv.toArray
         lit(c.map(x => x * x).sum) -
           lit(2.0) * dot(sub(col("qvh"), i), lit(c))

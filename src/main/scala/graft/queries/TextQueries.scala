@@ -976,6 +976,42 @@ object TextQueries {
           sa.split AS a_split, sb.split AS b_split
         FROM j JOIN sp sa ON j.a_id = sa.doc_id
                JOIN sp sb ON j.b_id = sb.doc_id
-        WHERE sa.split <> sb.split"""))
+        WHERE sa.split <> sb.split""")),
+
+    GQ("d31_fuzzy_pairs", // typo-level fuzzy dedup: shingle-Jaccard
+      // candidate blocking (the d07 plan + cap) verified by EXACT
+      // Levenshtein on the candidate texts — the classic blocking+verify
+      // shape; the O(len^2) DP touches only candidates. Both engines run
+      // the same integer DP, so distances hash-match. maxDist=5 splits
+      // the sf0.01 candidates 24 kept / 1 rejected (distances 4 and 8).
+      (s, dir) => Dedup.fuzzyPairs(
+        Tables.table(s, dir, "documents"),
+        maxDist = 5, shingleK = 3, candidateThreshold = 0.1,
+        maxDocFreq = 100),
+      Some("""WITH t AS (
+          SELECT doc_id, list_distinct(list_transform(
+            range(1, greatest(len(ws) - 1, 1)),
+            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+          FROM (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+                FROM documents)),
+        e AS (SELECT doc_id, UNNEST(sh) AS s FROM t),
+        df AS (SELECT s FROM (SELECT s, COUNT(*) AS dfc FROM e GROUP BY s)
+               WHERE dfc <= 100),
+        e2 AS (SELECT e.doc_id, e.s FROM e JOIN df ON e.s = df.s),
+        n AS (SELECT doc_id, COUNT(*) AS n FROM e GROUP BY doc_id),
+        p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+              FROM e2 a JOIN e2 b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+        j AS (SELECT a_id, b_id, jaccard FROM (
+                SELECT p.a_id, p.b_id,
+                  CAST(p.inter AS DOUBLE) / (na.n + nb.n - p.inter) AS jaccard
+                FROM p JOIN n na ON p.a_id = na.doc_id
+                       JOIN n nb ON p.b_id = nb.doc_id)
+              WHERE jaccard >= 0.1)
+        SELECT j.a_id, j.b_id,
+          CAST(levenshtein(da.text, db.text) AS INTEGER) AS dist, j.jaccard
+        FROM j JOIN documents da ON j.a_id = da.doc_id
+               JOIN documents db ON j.b_id = db.doc_id
+        WHERE levenshtein(da.text, db.text) <= 5"""))
   )
 }
