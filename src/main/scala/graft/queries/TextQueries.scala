@@ -6,10 +6,10 @@ import graft.operators.Dedup
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Dedup + text-analysis surface over the `documents` table. Exact-SQL
-  * oracles wherever DuckDB can express the same deterministic computation;
-  * MinHash-LSH and SimHash (hash-function-specific) are registered as
-  * rows-only checks. */
+/** Dedup + text-analysis surface over the `documents` table. EVERY query
+  * carries an exact DuckDB oracle — including MinHash-LSH and SimHash,
+  * whose oracles replay the portable hash families (md5-derived
+  * coefficients / PolyHash) bit-for-bit; no rows-only checks remain. */
 object TextQueries {
 
   val queries: Seq[GQ] = Seq(
