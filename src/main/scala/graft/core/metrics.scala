@@ -44,6 +44,28 @@ object PipelineMetrics {
   def sinkErrors[T](ds: Dataset[Tracked[T]], path: String): Unit =
     errorsOf(ds).write.mode("append").parquet(path)
 
+  /** Per-stage latency summary across all records: (stage, n, total_s,
+    * mean_s, p95_s) — the ops rollup of the per-record `timings` the
+    * runner writes (reference exposes per-item timings only; this is the
+    * fleet view). One explode + one aggregation; percentile is the exact
+    * discrete one, deterministic for the oracle-style checks. */
+  def timingSummary[T](ds: Dataset[Tracked[T]]): DataFrame =
+    ds.select(explode(col("timings")).as(Seq("stage", "secs")))
+      .groupBy("stage")
+      .agg(count(lit(1)).as("n"),
+        sum(col("secs")).as("total_s"),
+        avg(col("secs")).as("mean_s"),
+        expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY secs)").as("p95_s"))
+
+  /** Error rollup by (stage, severity): counts + retry totals — the
+    * monitoring view over [[errorsOf]]'s row stream. */
+  def errorSummary[T](ds: Dataset[Tracked[T]]): DataFrame =
+    errorsOf(ds)
+      .groupBy("stage", "severity")
+      .agg(count(lit(1)).as("n_errors"),
+        sum(col("attempts")).as("total_attempts"),
+        countDistinct(col("id")).as("n_items"))
+
   /** Truncated payload repr for logs (reference item.py:42-48
     * `data_snippet`, DATA_SNIPPET_SIZE=100, defaults.py:4). */
   def dataSnippet[T](item: Tracked[T], maxSize: Int = 100): String = {

@@ -166,4 +166,36 @@ class MetricsSpec extends SparkSpec {
     assert(PipelineMetrics.dataSnippet(item).length == 101)
     assert(PipelineMetrics.dataSnippet(item, 10).endsWith("…"))
   }
+
+  test("timingSummary rolls per-record stage timings up to fleet stats") {
+    val src = spark.createDataset((1 to 12).map(i => graft.core.Doc(s"t$i", i)))
+    val ds = Pipeline.of(src)
+      .append("s1")(identity[graft.core.Doc])
+      .append("s2")(identity[graft.core.Doc])
+      .build()
+    val rows = PipelineMetrics.timingSummary(ds).collect()
+      .map(r => r.getAs[String]("stage") ->
+        (r.getAs[Long]("n"), r.getAs[Double]("total_s"))).toMap
+    assert(rows.keySet == Set("s1", "s2"))
+    rows.values.foreach { case (n, tot) =>
+      assert(n == 12L, "every record carries a timing per stage")
+      assert(tot >= 0.0)
+    }
+  }
+
+  test("errorSummary groups the error channel by stage and severity") {
+    val src = spark.createDataset((1 to 10).map(i => graft.core.Doc(s"t$i", i)))
+    val ds = Pipeline.of(src)
+      .append("gate") { d =>
+        if (d.count % 2 == 0) throw new SoftError("soft")
+        if (d.count == 3) throw new RuntimeException("crit")
+        d
+      }
+      .build()
+    val out = PipelineMetrics.errorSummary(ds).collect()
+      .map(r => (r.getAs[String]("stage"), r.getAs[String]("severity")) ->
+        (r.getAs[Long]("n_errors"), r.getAs[Long]("n_items"))).toMap
+    assert(out(("gate", "soft")) == (5L, 5L))
+    assert(out(("gate", "critical")) == (1L, 1L))
+  }
 }
