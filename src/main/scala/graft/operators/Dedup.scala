@@ -22,7 +22,7 @@ object Dedup {
   /** The pair-finding variants fan candidates out through the native
     * `OrderedPairs(ARRAY<BIGINT>)` expression, so document ids must be
     * integral (a silent cast would null string ids into wrong results). */
-  private def requireIntegralId(docs: DataFrame, idCol: String, fn: String): Unit = {
+  private[operators] def requireIntegralId(docs: DataFrame, idCol: String, fn: String): Unit = {
     import org.apache.spark.sql.types._
     docs.schema(idCol).dataType match {
       case LongType | IntegerType | ShortType | ByteType => ()

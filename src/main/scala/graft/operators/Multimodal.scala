@@ -92,20 +92,6 @@ object Multimodal {
         greatest(floor(length(col(binCol)) / everyNBytes) - 1, lit(0)))))
       .withColumn("frame_offset", col("frame_idx") * everyNBytes)
 
-  /** Video near-duplicate pairs by keyframe fingerprinting: one "keyframe"
-    * per `frameBytes` of payload ([[sampleFrames]]' offsets), each
-    * fingerprinted from its bytes (stub: the native PolyHash rolling hash —
-    * the slot a real pipeline fills with a perceptual hash, same
-    * substitution point as [[StubCodec]]). Pairs of media sharing at least
-    * `minShared` DISTINCT fingerprints are reported with the shared count.
-    *
-    * Scale shape (same as Dedup.jaccardPairs): fingerprints are scan-local;
-    * ONE shuffle groups by fingerprint and ordered pairs are emitted locally
-    * from each fingerprint's sorted id list, so the quadratic step is
-    * bounded by `maxDocFreq`²/2 per fingerprint — a "black frame" shared by
-    * millions of videos caps out (producing no candidates — conservative)
-    * instead of exploding the pair join. Ids must be integral (the pair
-    * fan-out rides the native ordered_pairs expression over ARRAY<BIGINT>). */
   /** Audio-style silence trimming: one "frame" per `frameBytes` of payload,
     * per-frame energy (stub: the byte-code sum — the slot a real pipeline
     * fills with RMS over decoded samples), frames under `minEnergy`
@@ -137,6 +123,20 @@ object Multimodal {
         count(when(col("energy") >= minEnergy, 1)).as("n_kept"))
   }
 
+  /** Video near-duplicate pairs by keyframe fingerprinting: one "keyframe"
+    * per `frameBytes` of payload ([[sampleFrames]]' offsets), each
+    * fingerprinted from its bytes (stub: the native PolyHash rolling hash —
+    * the slot a real pipeline fills with a perceptual hash, same
+    * substitution point as [[StubCodec]]). Pairs of media sharing at least
+    * `minShared` DISTINCT fingerprints are reported with the shared count.
+    *
+    * Scale shape (same as Dedup.jaccardPairs): fingerprints are scan-local;
+    * ONE shuffle groups by fingerprint and ordered pairs are emitted locally
+    * from each fingerprint's sorted id list, so the quadratic step is
+    * bounded by `maxDocFreq`²/2 per fingerprint — a "black frame" shared by
+    * millions of videos caps out (producing no candidates — conservative)
+    * instead of exploding the pair join. Ids must be integral (the pair
+    * fan-out rides the native ordered_pairs expression over ARRAY<BIGINT>). */
   def keyframeDedup(
       media: DataFrame,
       idCol: String = "doc_id",
@@ -145,6 +145,9 @@ object Multimodal {
       minShared: Int = 2,
       maxDocFreq: Int = 50
   ): DataFrame = {
+    // loud guard, not a silent cast: a StringType id would cast to null
+    // and vanish from collect_set, shrinking the pair set with no error
+    Dedup.requireIntegralId(media, idCol, "keyframeDedup")
     val frames = sampleFrames(
       media.select(col(idCol).cast("long").as("kid"), col(binCol)),
       binCol, frameBytes)

@@ -66,9 +66,25 @@ object RuntimeFilter {
     // at 10x the tuning scale before this was made the default.
     val items = if (expectedItems > 0) expectedItems
       else math.max(1L, build.select(buildKey).count())
+    val bits = optimalNumBits(items, fpp)
+    // BloomFilterAggregate CLAMPS its arguments to the session maxima
+    // (Math.min against these confs) — past the clamp the realized FP rate
+    // silently explodes, the exact failure auto-sizing exists to prevent.
+    // Fail loudly instead and point at the conf to raise.
+    val conf = probe.sparkSession.conf
+    val maxItems = conf.getOption(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems")
+      .map(_.toLong).getOrElse(4000000L)
+    val maxBits = conf.getOption(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits")
+      .map(_.toLong).getOrElse(67108864L)
+    require(items <= maxItems && bits <= maxBits,
+      s"bloomPrune: build cardinality $items needs $bits bloom bits, but the " +
+        s"session clamps at maxNumItems=$maxItems / maxNumBits=$maxBits — " +
+        "raise spark.sql.optimizer.runtime.bloomFilter.{maxNumItems,maxNumBits} " +
+        "(the aggregate would silently clamp and blow the FP budget)")
     val bloomPlan = GraftBridge.logicalPlan(build.agg(
-      bloomAgg(col(buildKey), items,
-        optimalNumBits(items, fpp)).as("__bf")))
+      bloomAgg(col(buildKey), items, bits).as("__bf")))
     val pred = BloomFilterMightContain(
       org.apache.spark.sql.catalyst.expressions.ScalarSubquery(bloomPlan),
       GraftBridge.expression(xxhash64(col(probeKey))))

@@ -152,9 +152,11 @@ object Similarity {
     // same up-front guards as lshTopK, but per side: an empty CORPUS must
     // return the empty typed result BEFORE KMeans is asked to fit nothing,
     // and ragged dims would silently mis-slice subvectors
-    val emptyResult = queries.select(
-      col(idCol).as("q_id"), col(idCol).as("neighbor_id"),
-      lit(0.0).as("sim"), lit(0).as("rank")).limit(0)
+    // same cross-input construction as lshTopK: neighbor_id must carry the
+    // corpus id type, not the queries one
+    val emptyResult = queries.select(col(idCol).as("q_id")).limit(0)
+      .crossJoin(corpus.select(col(idCol).as("neighbor_id")).limit(0))
+      .withColumn("sim", lit(0.0)).withColumn("rank", lit(0))
     def stats(df: DataFrame) = df
       .agg(min(size(col(vecCol))).as("mn"), max(size(col(vecCol))).as("mx"),
         count(lit(1)).as("n")).head()
@@ -306,8 +308,12 @@ object Similarity {
     // ragged vector dims → loud failure (ArrayDot would silently truncate).
     val dims = vecs.select(size(col(vecCol)).as("d"))
       .agg(min(col("d")).as("mn"), max(col("d")).as("mx")).head()
+    // rep_id carries the ID COLUMN'S OWN type (min over a_id does in the
+    // non-empty path) — a hardcoded long here would flip the schema with
+    // input emptiness for int-typed ids
     val emptySchema = vecs.select(col(idCol).as("vec_id"), lit(0L).as("cell"),
-      lit(true).as("kept"), lit(null).cast("long").as("rep_id")).limit(0)
+      lit(true).as("kept"),
+      lit(null).cast(vecs.schema(idCol).dataType).as("rep_id")).limit(0)
     if (dims.isNullAt(0)) return emptySchema
     require(dims.getInt(0) == dims.getInt(1),
       s"semDedup: vector column '$vecCol' has mixed dimensionality " +
@@ -317,7 +323,12 @@ object Similarity {
     val sig =
       if (portableHash) portableHyperplaneSig(col("v"), planes, dim, 0)
       else hyperplaneSig(col("v"), planes, dim, 0)
+    // persisted: cells feeds BOTH sides of the within-cell pair join plus
+    // the final decision select — the module's cache contract for
+    // self-join pair-finders (without it the scan + signature evaluate up
+    // to three times; aliased projections defeat exchange reuse)
     val cells = withVec(vecs, idCol, vecCol).withColumn("cell", sig)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = cells.select(col("vid").as("a_id"), col("cell").as("a_cell"),
       col("v").as("av"), col("nrm").as("anrm"))
     val b = cells.select(col("vid").as("b_id"), col("cell").as("b_cell"),
@@ -356,9 +367,12 @@ object Similarity {
     val dims = corpus.select(size(col(vecCol)).as("d"))
       .union(queries.select(size(col(vecCol)).as("d")))
       .agg(min(col("d")).as("mn"), max(col("d")).as("mx")).head()
-    val emptySchema = queries.select(
-      col(idCol).as("q_id"), col(idCol).as("neighbor_id"),
-      lit(0.0).as("sim"), lit(0).as("rank")).limit(0)
+    // q_id takes the QUERIES id type, neighbor_id the CORPUS id type —
+    // built from both inputs so the empty-path schema matches the
+    // non-empty one even when the two id columns differ in type
+    val emptySchema = queries.select(col(idCol).as("q_id")).limit(0)
+      .crossJoin(corpus.select(col(idCol).as("neighbor_id")).limit(0))
+      .withColumn("sim", lit(0.0)).withColumn("rank", lit(0))
     if (dims.isNullAt(0)) return emptySchema
     require(dims.getInt(0) == dims.getInt(1),
       s"lshTopK: vector column '$vecCol' has mixed dimensionality " +

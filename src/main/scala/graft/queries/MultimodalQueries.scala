@@ -89,7 +89,10 @@ object MultimodalQueries {
     // report pairs sharing >= 2 distinct fingerprints. At sf0.01 the gate is
     // non-vacuous in both directions: 24 pairs pass, a 1-shared-frame pair
     // is rejected. The oracle replays frame offsets, the byte-prefix rolling
-    // hash, the hot-fingerprint cap, and the pair count exactly.
+    // hash, the hot-fingerprint cap, and the pair count exactly. Like
+    // m02/m03, the replay leans on the corpus being ASCII (byte offsets ==
+    // char offsets); on multibyte text the OPERATOR is fine but this
+    // char-indexed SQL replay would diverge.
     GQ("m04_keyframe_dedup",
       (s, dir) => Multimodal.keyframeDedup(
         Tables.table(s, dir, "documents")
@@ -118,7 +121,9 @@ object MultimodalQueries {
     // explode, energy fold, and trim all evaluate scan-local; only the
     // per-media regroup shuffles. Oracle replays frame offsets and the
     // exact byte-code fold. Threshold 2900 splits real frames from
-    // space-heavy/short ones at sf0.01 (4171 kept of 4419).
+    // space-heavy/short ones at sf0.01 (4171 kept of 4419). Same ASCII
+    // precondition as m02/m03/m04: the char-indexed replay only matches
+    // byte-offset frames on single-byte text.
     GQ("m05_silence_trim",
       (s, dir) => Multimodal.silenceTrim(
         Tables.table(s, dir, "documents")

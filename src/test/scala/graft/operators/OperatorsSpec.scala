@@ -253,6 +253,25 @@ class SimilaritySpec extends SparkSpec {
     assert(out.count() == 0)
   }
 
+  test("semDedup schema is identical for empty and non-empty int-typed ids") {
+    val intIds = Seq((1, Seq(1f, 0f)), (2, Seq(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val full = Similarity.semDedup(intIds, tau = 0.9, planes = 2)
+    val empty = Similarity.semDedup(intIds.filter($"vec_id" < 0), tau = 0.9, planes = 2)
+    assert(full.schema == empty.schema,
+      s"schema flips with emptiness:\n${full.schema}\nvs\n${empty.schema}")
+  }
+
+  test("keyframeDedup rejects string ids instead of nulling them away") {
+    val df = Seq(("a", "xxxxyyyy")).toDF("doc_id", "txt")
+      .withColumn("media", encode($"txt", "utf-8"))
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.keyframeDedup(df, idCol = "doc_id", binCol = "media",
+        frameBytes = 4, minShared = 1)
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
   test("semDedup rejects mixed vector dimensionality instead of truncating") {
     val ragged = Seq(
       TestVec(0L, Seq(1f, 2f, 3f)),

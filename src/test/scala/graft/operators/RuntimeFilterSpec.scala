@@ -47,6 +47,16 @@ class RuntimeFilterSpec extends SparkSpec {
     assert(kept.size < 10000, "an undersized bloom still prunes something")
   }
 
+  test("bloomPrune refuses a build side past the session's bloom clamps") {
+    // BloomFilterAggregate silently Math.min's items/bits against the
+    // session maxima — bloomPrune must fail loudly instead
+    val e = intercept[IllegalArgumentException] {
+      RuntimeFilter.bloomPrune(probe, "k", build, "bk",
+        expectedItems = 5000000L) // past the 4M default clamp
+    }
+    assert(e.getMessage.contains("maxNumItems"))
+  }
+
   test("an empty build side prunes everything (no false negatives vacuously)") {
     val pruned = RuntimeFilter.bloomPrune(
       probe, "k", build.filter(col("bk") < 0), "bk", expectedItems = 10L)
