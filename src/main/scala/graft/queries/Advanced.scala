@@ -604,6 +604,61 @@ object Advanced {
           CAST(ANY_VALUE(n_de) AS BIGINT) AS n_de
         FROM k""")),
 
+    GQ("q44_market_share", // TPC-H Q8 shape: 7-table star (part, lineitem,
+      // orders, customer, supplier, nation×2, region) with selective dim
+      // filters, conditional-share aggregation per year. The heaviest join
+      // tree in the registry — the fact table shuffles for lineitem⋈orders
+      // only; every dim edge is broadcast-able (nation/region hinted,
+      // SF-scaled dims left to AQE, the round-2 discipline). Share =
+      // ONE division of two decimal-exact sums, so the ratio is
+      // bit-deterministic.
+      (s, dir) => {
+        // decimal-exact volume (cast each factor BEFORE multiplying — the
+        // double product rounds differently across engines on tie digits)
+        val li = t(s, dir, "lineitem")
+          .withColumn("volume", discPrice(col("l_extendedprice"), col("l_discount")))
+        val p = t(s, dir, "part").filter(col("p_type") === "PROMO")
+        val o = t(s, dir, "orders")
+        val c = t(s, dir, "customer")
+        val sup = t(s, dir, "supplier")
+        val n1 = broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey").as("c_nk"), col("n_regionkey")))
+        val n2 = broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation")))
+        val r = broadcast(t(s, dir, "region").filter(col("r_name") === "EUROPE"))
+        li.join(p, col("l_partkey") === col("p_partkey"))
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(n1, col("c_nationkey") === col("c_nk"))
+          .join(r, col("n_regionkey") === col("r_regionkey"))
+          .join(sup, col("l_suppkey") === col("s_suppkey"))
+          .join(n2, col("s_nationkey") === col("s_nk"))
+          .groupBy(year(col("o_orderdate")).as("o_year"))
+          .agg(sum(when(col("supp_nation") === "NATION_7", col("volume"))
+              .otherwise(lit(0))).cast("double").as("nation_volume"),
+            sum(col("volume")).cast("double").as("total_volume"))
+          .select(col("o_year"), col("nation_volume"), col("total_volume"),
+            (col("nation_volume") / col("total_volume")).as("mkt_share"))
+      },
+      Some("""SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+          CAST(SUM(CASE WHEN n2.n_name = 'NATION_7'
+              THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))
+              ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS nation_volume,
+          CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS total_volume,
+          CAST(SUM(CASE WHEN n2.n_name = 'NATION_7'
+              THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))
+              ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+            / CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS mkt_share
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'EUROPE'
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        GROUP BY 1""")),
+
     GQ("q34_shipping_priority", // TPC-H Q3 shape: 3-way join, agg, top-10
       (s, dir) => {
         val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
