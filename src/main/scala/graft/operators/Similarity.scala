@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.VectorFunctions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -42,6 +42,43 @@ object Similarity {
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vid"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select(col("q_id"), col("vid").as("neighbor_id"), col("sim"))
+  }
+
+  /** Attribute-filtered exact top-k: each query searches only the corpus
+    * rows satisfying a per-(query,corpus) predicate — e.g. same label,
+    * same tenant, a date range. The filter applies BEFORE scoring (inside
+    * the join condition), so the dot-product work and the ranking window
+    * shrink to the filtered slice: pre-filtering, not the post-filter
+    * trap where top-k fills with rows the predicate then discards and
+    * recall silently drops. At scale this is the "filtered vector search"
+    * capability — compose with lshTopK's bucketing by conjoining the
+    * bucket equality when the slice is still too large to scan.
+    *
+    * `filter` receives (corpusRow, queryRow) column scopes aliased as
+    * `c` and `q` — e.g. `col("c.label") === col("q.label")`. */
+  def filteredTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      filter: Column,
+      k: Int = 1,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    // norms staged scan-side: one fold per ROW before the join, not one
+    // per candidate pair
+    val c = corpus.withColumn("__v", asDouble(col(vecCol)))
+      .withColumn("__nrm", norm2(col("__v"))).as("c")
+    val q = queries.withColumn("__v", asDouble(col(vecCol)))
+      .withColumn("__nrm", norm2(col("__v"))).as("q")
+    val scored = c.join(broadcast(q),
+        col(s"c.$idCol") =!= col(s"q.$idCol") && filter)
+      .select(col(s"q.$idCol").as("q_id"), col(s"c.$idCol").as("nid"),
+        (dot(col("q.__v"), col("c.__v"))
+          / (col("q.__nrm") * col("c.__nrm"))).as("sim"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("nid"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("q_id"), col("nid").as("neighbor_id"), col("sim"),
+        col("rn").cast("int").as("rank"))
   }
 
   /** IVF (inverted-file) ANN: cluster the corpus into `nCentroids` cells

@@ -174,7 +174,35 @@ object VectorQueries {
               WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.35
               GROUP BY b.vec_id)
         SELECT s.vec_id, s.cell, d.b_id IS NULL AS kept, d.rep_id
-        FROM sg s LEFT JOIN d ON s.vec_id = d.b_id"""))
+        FROM sg s LEFT JOIN d ON s.vec_id = d.b_id""")),
+
+    // Attribute-filtered vector search: each query's neighborhood is
+    // restricted to SAME-LABEL corpus rows, with the predicate applied
+    // BEFORE scoring (pre-filter, inside the join condition) — not the
+    // post-filter trap where top-k fills with rows the predicate then
+    // discards and recall silently drops. Exact and fully oracle-replayed.
+    GQ("e08_filtered_knn",
+      (s, dir) => {
+        val emb = Tables.table(s, dir, "embeddings")
+        Similarity.filteredTopK(
+          corpus = emb, queries = emb.filter(col("vec_id") < 50),
+          filter = col("c.label") === col("q.label"), k = 3)
+      },
+      Some("""WITH e AS (SELECT vec_id, label,
+            CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        n AS (SELECT vec_id, label, v,
+                sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        p AS (SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+                list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS sim
+              FROM n q JOIN n c
+                ON c.vec_id <> q.vec_id AND c.label = q.label
+              WHERE q.vec_id < 50),
+        r AS (SELECT q_id, neighbor_id, sim,
+                ROW_NUMBER() OVER (PARTITION BY q_id
+                                   ORDER BY sim DESC, neighbor_id) AS rn
+              FROM p)
+        SELECT q_id, neighbor_id, sim, CAST(rn AS INTEGER) AS rank
+        FROM r WHERE rn <= 3"""))
   )
 
   /** DuckDB replay of the portable hyperplane coefficient (the md5-nibble

@@ -253,6 +253,28 @@ class SimilaritySpec extends SparkSpec {
     assert(out.count() == 0)
   }
 
+  test("filteredTopK restricts neighborhoods to the predicate slice (pre-filter)") {
+    // labels: 0 -> {0,1,2}, 1 -> {3}, so query 3 has NO same-label
+    // neighbor — a post-filter would first rank cross-label rows and then
+    // drop them; the pre-filter must return nothing for it
+    val df = Seq(
+      (0L, Seq(1f, 0f), 0), (1L, Seq(0.9f, 0.1f), 0), (2L, Seq(0f, 1f), 0),
+      (3L, Seq(1f, 0f), 1)).toDF("vec_id", "embedding", "label")
+    val out = Similarity.filteredTopK(
+      corpus = df, queries = df, filter = col("c.label") === col("q.label"), k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(0L) == 1L, "nearest same-label neighbor")
+    assert(!out.contains(3L),
+      "query with no same-label companion gets no neighbors (pre-filter)")
+    // every returned neighbor shares the query's label
+    val all = Similarity.filteredTopK(
+      corpus = df, queries = df, filter = col("c.label") === col("q.label"), k = 3)
+      .collect()
+    val labelOf = Map(0L -> 0, 1L -> 0, 2L -> 0, 3L -> 1)
+    all.foreach(r =>
+      assert(labelOf(r.getLong(0)) == labelOf(r.getLong(1))))
+  }
+
   test("semDedup schema is identical for empty and non-empty int-typed ids") {
     val intIds = Seq((1, Seq(1f, 0f)), (2, Seq(0f, 1f)))
       .toDF("vec_id", "embedding")
