@@ -132,6 +132,26 @@ object ScaleSmoke {
       graft.operators.TopK.perGroupSalted(hotScores, Seq("grp"), ord, k = 3,
         saltOf = xxhash64(col("row_id")), salts = 64).count())
 
+    // Substring-span dedup, ONE gram duplicated across every document: each
+    // doc is unique-prefix(8) + the SAME 30-char passage, so of the 9 grams
+    // per doc exactly one (the pure passage) is globally hot — nSpan
+    // occurrences of ONE key, the "All rights reserved" boilerplate shape.
+    // The agg mode's duplicate test collapses the hot gram map-side (one
+    // row per input partition however hot the key); the window mode sorts
+    // all nSpan occurrences in a single task — the A/B measures the
+    // hot-key bound the default plan buys, at a hot-key fraction (~11% of
+    // all gram rows) where the single straggler task dominates.
+    val nSpan = math.min(rows * 50, 10000000L)
+    val spanDocs = spark.range(nSpan).select(col("id").as("doc_id"),
+      concat(substring(md5(col("id").cast("string")), 1, 8),
+        lit("all rights reserved worldwide.")).as("text"))
+    time(s"substring spans, ONE gram duplicated $nSpan× (agg)")(
+      Dedup.substringSpans(spanDocs, k = 30)
+        .agg(sum(col("dup_chars"))).head().getLong(0))
+    time(s"substring spans, ONE gram duplicated $nSpan× (window)")(
+      Dedup.substringSpans(spanDocs, k = 30, dupTestVia = "window")
+        .agg(sum(col("dup_chars"))).head().getLong(0))
+
     // ANN at scale: synthetic deterministic embeddings (hash-derived, 16-d)
     // — LSH buckets and IVF cells must bound per-query work as the corpus
     // grows; queries are a small broadcast side.

@@ -27,6 +27,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // the pair-finders' cache contract hands persisted signature/cell
+      // tables to the session; without this a 123-query run accumulates
+      // them and squeezes executor storage memory (Bench does the same)
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -366,10 +366,23 @@ object Dedup {
     * 100 TB shape: the gram table is |corpus chars| rows but the duplicate
     * test is an AGGREGATION on the gram (map-side combine collapses each
     * partition's repeats before the shuffle — a gram duplicated 10⁸ times
-    * shuffles one row per input partition), then one join back and a
+    * shuffles one row per input partition), then one semi-join back and a
     * per-document window for the island merge. No pairwise fan-out anywhere:
     * unlike pair-finding LSH, a hot gram costs its row count, never its
-    * row count squared.
+    * row count squared — and no per-gram sort anywhere: the probe side of
+    * the semi-join is skew-splittable by AQE, so a boilerplate gram that
+    * appears 10⁸ times ("All rights reserved…") never lands in one task.
+    *
+    * `dupTestVia` selects the duplicate-test plan:
+    *  - `"agg"` (default, the scale mode): groupBy-gram count with map-side
+    *    combine, then a left-semi join of the gram table against the
+    *    duplicated-gram set. Two shuffles of the gram table, both hot-key
+    *    bounded (combine on the build side, AQE skew-split on the probe).
+    *  - `"window"`: `count(*) over (partition by gram)` — ONE shuffle and
+    *    no join back, measured 2× cheaper at sf0.1, but every occurrence
+    *    of a gram sorts in a single task (AQE cannot split a window), so
+    *    it is a single-box micro-optimization, not a 100 TB plan.
+    * Both produce identical anchors, hence identical output.
     *
     * Returns one row per document that contains at least one duplicated
     * span: (doc_id, n_dup_spans, dup_chars). Documents with
@@ -379,9 +392,12 @@ object Dedup {
       docs: DataFrame,
       k: Int = 30,
       idCol: String = "doc_id",
-      textCol: String = "text"
+      textCol: String = "text",
+      dupTestVia: String = "agg"
   ): DataFrame = {
     require(k >= 2, s"substring anchor length must be >= 2, got $k")
+    require(dupTestVia == "agg" || dupTestVia == "window",
+      s"dupTestVia must be 'agg' or 'window', got '$dupTestVia'")
     import org.apache.spark.sql.expressions.Window
     val grams = docs
       .select(col(idCol).as("doc_id"), col(textCol).as("text"))
@@ -393,19 +409,22 @@ object Dedup {
           i => col("text").substr(i, lit(k)))))
       .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("g"))
     // Global duplicate test: gram occurs at >1 (doc, position) anywhere.
-    // A count window over the gram does it in the SAME shuffle that a
-    // groupBy would need, with no join back (the groupBy+join formulation
-    // re-shuffles the full gram table a second time for the probe side —
-    // measured 2× the anchor-stage cost at sf0.1 for identical output).
-    // Trade-off vs the aggregate: a pathologically hot gram's occurrences
-    // sort in one task here (AQE can split a skewed join, not a window) —
-    // acceptable because gram rows are narrow (id, pos, gram) and genuinely
-    // duplicated content has to meet per-document downstream anyway.
-    val wg = Window.partitionBy("g")
-    val anchors = grams
-      .withColumn("c", count(lit(1)).over(wg))
-      .filter(col("c") > 1)
-      .select(col("doc_id"), col("p"), (col("p") + k).as("e")) // [p, p+k)
+    val anchors = (dupTestVia match {
+      case "agg" =>
+        // The build side collapses map-side (one row per gram per input
+        // partition, however hot the gram); the probe side re-shuffles the
+        // gram table for the semi-join, where AQE's skew-join split keeps a
+        // hot gram spread over many tasks. Worst-case task size is bounded
+        // in BOTH stages — the property the window plan lacks.
+        val dup = grams.groupBy("g").agg(count(lit(1)).as("c"))
+          .filter(col("c") > 1).select("g")
+        grams.join(dup, Seq("g"), "left_semi")
+      case "window" =>
+        // One shuffle, no join back — but a hot gram's occurrences sort in
+        // ONE task. Keep only where the gram-frequency ceiling is known.
+        val wg = Window.partitionBy("g")
+        grams.withColumn("c", count(lit(1)).over(wg)).filter(col("c") > 1)
+    }).select(col("doc_id"), col("p"), (col("p") + k).as("e")) // [p, p+k)
     // island merge: a new span starts where an anchor clears every previous
     // anchor's end (classic gaps-and-islands on the running max end)
     val w = Window.partitionBy("doc_id").orderBy("p")

@@ -25,6 +25,74 @@ object Similarity {
     df.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"))
       .withColumn("nrm", norm2(col("v")))
 
+  /** i-th length-`sd` subvector of an array column (1-based slice). */
+  private def subVec(c: Column, i: Int, sd: Int) = slice(c, i * sd + 1, sd)
+
+  /** One seeded KMeans codebook per length-`sd` subspace, fitted over a
+    * single cached scan of `trainBase` (must carry the L2-normalized `vh`).
+    * The m fits are independent — submitted as CONCURRENT Spark jobs
+    * (sequential fits pay m × the per-iteration job-scheduling latency;
+    * measured 3× wall-clock on the m=8 bench query). Determinism is per-fit
+    * (seeded), unaffected by completion order. Prediction columns are
+    * `c_0..c_{m-1}` over feature columns `f_0..f_{m-1}`. */
+  private def fitCodebooks(trainBase: DataFrame, m: Int, sd: Int, ks: Int)
+      : IndexedSeq[org.apache.spark.ml.clustering.KMeansModel] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val train = (0 until m).foldLeft(trainBase) { (df, i) =>
+      df.withColumn(s"f_$i", array_to_vector(subVec(col("vh"), i, sd)))
+    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val models = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Await.result(Future.sequence((0 until m).map { i =>
+        Future {
+          new KMeans().setK(ks).setSeed(42 + i).setMaxIter(5)
+            .setFeaturesCol(s"f_$i").setPredictionCol(s"c_$i").fit(train)
+        }
+      }.toIndexedSeq), Duration.Inf)
+    }
+    train.unpersist(blocking = false)
+    models
+  }
+
+  /** Append `codes` (per-subspace centroid ids) to a frame carrying `vh`:
+    * m chained KMeans assignments, fused into one scan by Catalyst. */
+  private def encodeWith(
+      models: IndexedSeq[org.apache.spark.ml.clustering.KMeansModel],
+      df: DataFrame, m: Int, sd: Int): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val withFeatures = (0 until m).foldLeft(df) { (d, i) =>
+      d.withColumn(s"f_$i", array_to_vector(subVec(col("vh"), i, sd)))
+    }
+    models.foldLeft(withFeatures) { (d, mod) => mod.transform(d) }
+      .withColumn("codes", array((0 until m).map(i => col(s"c_$i")): _*))
+  }
+
+  /** Per-query ADC table over a normalized query column `qvh`:
+    * dtab[i][j] = ‖C[i][j]‖² − 2·q̂ᵢ·C[i][j] — rank-equivalent to
+    * ‖q̂ᵢ − C[i][j]‖² since ‖q̂‖² is constant per query (cosine-faithful on
+    * normalized vectors). One native dot per (subspace, centroid). */
+  private def adcTable(
+      models: IndexedSeq[org.apache.spark.ml.clustering.KMeansModel],
+      sd: Int): Column =
+    array(models.zipWithIndex.map { case (mod, i) =>
+      array(mod.clusterCenters.toIndexedSeq.map { cv =>
+        val c = cv.toArray
+        lit(c.map(x => x * x).sum) -
+          lit(2.0) * dot(subVec(col("qvh"), i, sd), lit(c))
+      }: _*)
+    }: _*)
+
+  /** ADC distance of a `codes` row against a `dtab` table: m lookups + adds,
+    * no full-width arithmetic. */
+  private def adcDist(m: Int): Column =
+    aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+      (acc, i) => acc +
+        element_at(element_at(col("dtab"), i + 1),
+          element_at(col("codes"), i + 1) + 1))
+
   /** Exact top-k neighbors for each query vector (queries broadcast). */
   def bruteForceTopK(
       corpus: DataFrame,
@@ -55,7 +123,12 @@ object Similarity {
     * bucket equality when the slice is still too large to scan.
     *
     * `filter` receives (corpusRow, queryRow) column scopes aliased as
-    * `c` and `q` — e.g. `col("c.label") === col("q.label")`. */
+    * `c` and `q` — e.g. `col("c.label") === col("q.label")`.
+    *
+    * Like [[bruteForceTopK]], the QUERIES side must be small: it is
+    * broadcast in full (vectors included) so the corpus side streams
+    * without a shuffle. A corpus-sized `queries` input belongs in the
+    * bucketed paths ([[lshTopK]] / [[ivfPqTopK]]), not here. */
   def filteredTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -166,9 +239,15 @@ object Similarity {
     *
     * ADC is a shortlist metric, not a final ranking: quantization noise
     * swamps the tiny margins between true top-k candidates, so the scan
-    * keeps the best `k·refine` rows per query by ADC and re-ranks that
-    * shortlist with exact cosine (the standard two-stage PQ design — the
-    * exact pass touches `k·refine` vectors per query, not the corpus). */
+    * keeps the best `max(k·refine, shortlistC·√n)` rows per query by ADC
+    * and re-ranks that shortlist with exact cosine (the standard two-stage
+    * PQ design). The √n floor — NOT a corpus fraction — absorbs the
+    * recall decay of a constant shortlist as the flat ADC scan grows
+    * (recall@3 measured 0.83 → 0.51 going 500 → 5000 vectors with a fixed
+    * 24-row shortlist) while keeping the exact pass sublinear in the
+    * corpus. When even √n per query is too much, compose the cells with
+    * the codes instead: [[ivfPqTopK]] bounds candidates by probed cell and
+    * keeps the shortlist CONSTANT. */
   def pqTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -179,11 +258,9 @@ object Similarity {
       trainFraction: Double = 1.0,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      minShortlistFraction: Double = 0.04
+      shortlistC: Double = 3.0
   ): DataFrame = {
     require(refine >= 1, s"refine must be >= 1, got $refine")
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
     import spark.implicits._
     // same up-front guards as lshTopK, but per side: an empty CORPUS must
@@ -212,7 +289,6 @@ object Similarity {
 
     def normalized(df: DataFrame) = withVec(df, idCol, vecCol)
       .withColumn("vh", transform(col("v"), x => x / col("nrm")))
-    def sub(c: org.apache.spark.sql.Column, i: Int) = slice(c, i * sd + 1, sd)
 
     // ---- train: one seeded KMeans per subspace, all over one cached scan
     val trainBase = {
@@ -220,66 +296,32 @@ object Similarity {
       if (trainFraction < 1.0) n.sample(withReplacement = false, trainFraction, seed = 42)
       else n
     }
-    val train = (0 until m).foldLeft(trainBase) { (df, i) =>
-      df.withColumn(s"f_$i", array_to_vector(sub(col("vh"), i)))
-    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // The m codebook fits are independent — submit them as CONCURRENT Spark
-    // jobs over the one cached training scan (sequential fits pay m × the
-    // per-iteration job-scheduling latency; measured 3× wall-clock on the
-    // m=8 bench query). Determinism is per-fit (seeded), unaffected by
-    // completion order.
-    val models = {
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration.Duration
-      import scala.concurrent.ExecutionContext.Implicits.global
-      Await.result(Future.sequence((0 until m).map { i =>
-        Future {
-          new KMeans().setK(ks).setSeed(42 + i).setMaxIter(5)
-            .setFeaturesCol(s"f_$i").setPredictionCol(s"c_$i").fit(train)
-        }
-      }.toIndexedSeq), Duration.Inf)
-    }
-    train.unpersist(blocking = false)
+    val models = fitCodebooks(trainBase, m, sd, ks)
 
     // ---- encode the corpus: m chained assignments, fused into one scan
-    val encodedBase = (0 until m).foldLeft(normalized(corpus)) { (df, i) =>
-      df.withColumn(s"f_$i", array_to_vector(sub(col("vh"), i)))
-    }
-    val encoded = models.zipWithIndex
-      .foldLeft(encodedBase) { case (df, (mod, _)) => mod.transform(df) }
-      .select(col("vid"),
-        array((0 until m).map(i => col(s"c_$i")): _*).as("codes"))
+    val encoded = encodeWith(models, normalized(corpus), m, sd)
+      .select(col("vid"), col("codes"))
 
-    // ---- per-query ADC table: dtab[i][j] = ‖C[i][j]‖² − 2·q̂ᵢ·C[i][j],
-    // one native dot per (subspace, centroid) per query — m·ks tiny dots
+    // ---- per-query ADC table, broadcast with the queries
     val q = normalized(queries).select(col("vid").as("q_id"), col("vh").as("qvh"))
-    val dtab = array(models.zipWithIndex.map { case (mod, i) =>
-      array(mod.clusterCenters.toIndexedSeq.map { cv =>
-        val c = cv.toArray
-        lit(c.map(x => x * x).sum) -
-          lit(2.0) * dot(sub(col("qvh"), i), lit(c))
-      }: _*)
-    }: _*)
-    val qt = q.withColumn("dtab", dtab).select("q_id", "qvh", "dtab")
+    val qt = q.withColumn("dtab", adcTable(models, sd)).select("q_id", "qvh", "dtab")
 
     // ---- ADC scan: m lookups + adds per (corpus row, query); queries
     // (with their tables) broadcast, the corpus side never re-touches floats
     val scored = encoded.join(broadcast(qt), col("vid") =!= col("q_id"))
-      .withColumn("adist",
-        aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
-          (acc, i) => acc +
-            element_at(element_at(col("dtab"), i + 1),
-              element_at(col("codes"), i + 1) + 1)))
-    // Shortlist size: k·refine, FLOORED at a fraction of the corpus — a
-    // fixed multiplier tuned at one scale silently decays as the corpus
-    // grows (recall@3 measured 0.83 → 0.51 going 500 → 5000 vectors with a
-    // constant 24-row shortlist). The floor must also absorb per-session
-    // codebook jitter (KMeans init samples depend on input partitioning):
-    // at 2% of 5000 the recall straddled the 0.6 oracle bar across
-    // sessions (0.59–0.81); 4% holds it clear of the bar while remaining a
-    // vanishing fraction of the ADC scan it prunes.
+      .withColumn("adist", adcDist(m))
+    // Shortlist size: k·refine, FLOORED at shortlistC·√n. A fixed
+    // multiplier tuned at one scale silently decays as the corpus grows
+    // (recall@3 measured 0.83 → 0.51 going 500 → 5000 vectors with a
+    // constant 24-row shortlist), and the floor must also absorb
+    // per-session codebook jitter (KMeans init samples depend on input
+    // partitioning): a 100-row shortlist at 5000 vectors straddled the 0.6
+    // oracle bar across sessions (0.59–0.81); 200+ holds it clear. The √n
+    // law gives 67 at 500 / 212 at 5000 / ~95k at 10⁹ — sublinear, unlike
+    // the corpus-fraction floor it replaces (which was 4×10⁷ at 10⁹,
+    // defeating PQ's point).
     val shortlistN = math.max(k.toLong * refine,
-      math.ceil(cs.getLong(2) * minShortlistFraction).toLong)
+      math.ceil(shortlistC * math.sqrt(cs.getLong(2).toDouble)).toLong)
     val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adist"), col("vid"))
     val shortlist = scored
       .withColumn("srn", row_number().over(wAdc))
@@ -288,6 +330,132 @@ object Similarity {
 
     // ---- exact re-rank of the shortlist: k·refine exact cosines per query
     // (the shortlist is tiny and broadcasts back onto the corpus vectors)
+    val cvecs = normalized(corpus).select(col("vid"), col("vh"))
+    val exact = broadcast(shortlist).join(cvecs, "vid")
+      .withColumn("sim", dot(col("qvh"), col("vh")))
+    val wExact = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vid"))
+    exact.withColumn("rn", row_number().over(wExact)).filter(col("rn") <= k)
+      .select(col("q_id"), col("vid").as("neighbor_id"), col("sim"),
+        col("rn").cast("int").as("rank"))
+  }
+
+  /** IVFADC — IVF cells composed with PQ codes (Jégou et al. 2011,
+    * "Product Quantization for Nearest Neighbor Search", §IV): a coarse
+    * spherical-KMeans quantizer bounds each query's candidate set to its
+    * `nProbe` nearest cells, ADC ranks the candidates by their m-byte
+    * codes, a CONSTANT `k·refine` shortlist re-ranks with exact cosine.
+    *
+    * This is the scale composition of [[ivfTopK]] (which ranks probed
+    * cells with full-width dots) and [[pqTopK]] (whose flat ADC scan needs
+    * a √n shortlist floor to hold recall): candidates per query are
+    * `nProbe·(n/nCentroids)` rows of m codes, and the exact pass touches
+    * `k·refine` vectors regardless of corpus size — per-query work is
+    * sublinear end to end once `nCentroids` tracks √n. The corpus never
+    * shuffles: probed (query, cell) rows carry their ADC tables and
+    * broadcast onto the code scan as a broadcast hash join on the cell id.
+    *
+    * Codes are non-residual (codebooks quantize the normalized vectors
+    * directly, not v − centroid): residual encoding would make the ADC
+    * table per-(query, probed cell) — nProbe·m·ks dots per query instead
+    * of m·ks — for a precision gain the exact re-rank largely absorbs at
+    * these code sizes; the recall oracle enforces the end-to-end bar. */
+  def ivfPqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int = 3,
+      nCentroids: Int = 16,
+      nProbe: Int = 4,
+      m: Int = 4,
+      ks: Int = 16,
+      refine: Int = 8,
+      trainFraction: Double = 1.0,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    require(refine >= 1, s"refine must be >= 1, got $refine")
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // same guards as pqTopK: empty corpus/queries → empty typed result
+    // BEFORE KMeans is asked to fit nothing; ragged dims fail loudly
+    val emptyResult = queries.select(col(idCol).as("q_id")).limit(0)
+      .crossJoin(corpus.select(col(idCol).as("neighbor_id")).limit(0))
+      .withColumn("sim", lit(0.0)).withColumn("rank", lit(0))
+    def stats(df: DataFrame) = df
+      .agg(min(size(col(vecCol))).as("mn"), max(size(col(vecCol))).as("mx"),
+        count(lit(1)).as("n")).head()
+    val cs = stats(corpus)
+    if (cs.isNullAt(0)) return emptyResult
+    val qs = stats(queries)
+    if (qs.isNullAt(0)) return emptyResult
+    require(cs.getInt(0) == cs.getInt(1) && qs.getInt(0) == qs.getInt(1)
+      && cs.getInt(0) == qs.getInt(0),
+      s"ivfPqTopK: vector column '$vecCol' has mixed dimensionality " +
+        s"(corpus ${cs.getInt(0)}..${cs.getInt(1)}, " +
+        s"queries ${qs.getInt(0)}..${qs.getInt(1)})")
+    val dim = cs.getInt(0)
+    require(dim % m == 0, s"ivfPqTopK: dim $dim not divisible into $m subspaces")
+    val sd = dim / m
+
+    def normalized(df: DataFrame) = withVec(df, idCol, vecCol)
+      .withColumn("vh", transform(col("v"), x => x / col("nrm")))
+
+    // ---- train: coarse quantizer + per-subspace codebooks over ONE cached
+    // scan of the normalized corpus (the coarse fit re-scans per iteration,
+    // the m codebook fits run concurrently on top)
+    val base = normalized(corpus)
+      .withColumn("fcoarse", array_to_vector(col("vh")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val coarse = new KMeans().setK(nCentroids).setSeed(42).setMaxIter(3)
+      .setFeaturesCol("fcoarse").setPredictionCol("cluster").fit(base)
+    val trainBase =
+      if (trainFraction < 1.0)
+        base.sample(withReplacement = false, trainFraction, seed = 42)
+      else base
+    val models = fitCodebooks(trainBase, m, sd, ks)
+    // fit-only cache, released eagerly (the ivfTopK contract): the single
+    // downstream encode pass recomputes from lineage
+    base.unpersist(blocking = false)
+
+    // ---- encode: cell id + m codes per corpus vector, one fused scan
+    val encoded = encodeWith(models,
+      coarse.transform(normalized(corpus)
+        .withColumn("fcoarse", array_to_vector(col("vh")))), m, sd)
+      .select(col("vid"), col("cluster"), col("codes"))
+
+    // ---- probe: nProbe nearest cells per query by the assignment metric
+    // (‖q̂‖² constant → rank by ‖c‖² − 2·q̂·c); each probe row carries the
+    // query's ADC table so the candidate join needs nothing else
+    val centroids = coarse.clusterCenters.zipWithIndex
+      .map { case (cv, i) =>
+        (i, cv.toArray.toSeq, cv.toArray.map(x => x * x).sum) }
+      .toSeq.toDF("cluster", "cvec", "cnorm2")
+    val qt = normalized(queries)
+      .select(col("vid").as("q_id"), col("vh").as("qvh"))
+      .withColumn("dtab", adcTable(models, sd))
+    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("cdist"), col("cluster"))
+    val probes = qt.crossJoin(broadcast(centroids))
+      .withColumn("cdist", col("cnorm2") - lit(2.0) * dot(col("qvh"), col("cvec")))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= nProbe)
+      .select(col("q_id"), col("qvh"), col("dtab"), col("cluster"))
+
+    // ---- candidates: code scan × broadcast probes, equi-join on the cell
+    // id — the corpus side never shuffles and never re-touches floats
+    val cand = encoded.join(broadcast(probes), Seq("cluster"))
+      .filter(col("vid") =!= col("q_id"))
+      .withColumn("adist", adcDist(m))
+    val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adist"), col("vid"))
+    val shortlist = cand
+      .withColumn("srn", row_number().over(wAdc))
+      .filter(col("srn") <= k.toLong * refine)
+      .select(col("q_id"), col("qvh"), col("vid"))
+
+    // ---- exact re-rank: k·refine exact cosines per query, corpus-size
+    // independent (the cells already bounded the candidate set, so no
+    // √n floor is needed — the difference from pqTopK)
     val cvecs = normalized(corpus).select(col("vid"), col("vh"))
     val exact = broadcast(shortlist).join(cvecs, "vid")
       .withColumn("sim", dot(col("qvh"), col("vh")))
@@ -332,7 +500,14 @@ object Similarity {
     * bounded per cell (`planes` sizes cells at ~n/2^planes — size it so the
     * worst cell's pair count is acceptable), and the pair join is an
     * equi-join on the cell key, never a cross-cell cartesian. The dedup
-    * decision needs no global state beyond the per-cell neighborhood. */
+    * decision needs no global state beyond the per-cell neighborhood.
+    *
+    * Cache contract (same as the `Dedup` pair-finders): the cell table is
+    * persisted because the returned lazy plan reads it from both sides of
+    * the within-cell self-join plus the final decision select. The entry
+    * lives until the session drops it — long-lived sessions issuing many
+    * calls should `spark.catalog.clearCache()` between corpora (the bench
+    * and verify harnesses do). */
   def semDedup(
       vecs: DataFrame,
       tau: Double,
@@ -446,6 +621,5 @@ object Similarity {
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("neighbor_id"))
     cand.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select(col("q_id"), col("neighbor_id"), col("sim"), col("rn").cast("int").as("rank"))
-      .drop("rn")
   }
 }

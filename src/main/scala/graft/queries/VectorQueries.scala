@@ -124,12 +124,15 @@ object VectorQueries {
 
     // Product-quantization ANN: 8 subspaces × 32 centroids over the 64-dim
     // corpus — the ADC scan reads 8 codes per vector instead of 64 floats,
-    // then exact-re-ranks a 24-vector shortlist per query (~5% of this
-    // corpus). Like e05, the KMeans codebooks aren't DuckDB-replayable, so
-    // the oracle checks the property that matters — recall@3 against the
-    // exactly-replayable brute-force truth. Measured 0.83 at sf0.01 (500
-    // weakly-clustered vectors, PQ's hardest regime); the 0.6 bar is robust
-    // to center-init jitter but far above a broken encoder/ADC table.
+    // then exact-re-ranks a max(k·refine, 3√n)-row shortlist per query
+    // (67 rows at sf0.01, 212 at sf0.1 — sublinear in the corpus; see
+    // e09 for the IVF-composed variant whose shortlist is CONSTANT). Like
+    // e05, the KMeans codebooks aren't DuckDB-replayable, so the oracle
+    // checks the property that matters — recall@3 against the
+    // exactly-replayable brute-force truth. Measured 0.927 at sf0.01 /
+    // 0.873 at sf0.1 (weakly-clustered vectors, PQ's hardest regime),
+    // identical across local[4]/[32]; the 0.6 bar is robust to center-init
+    // jitter but far above a broken encoder/ADC table.
     GQ("e06_ann_pq",
       (s, dir) => {
         val emb = Tables.table(s, dir, "embeddings")
@@ -138,6 +141,41 @@ object VectorQueries {
           corpus = emb, queries = qs, k = 3, m = 8, ks = 32, refine = 8)
         val truth = Similarity.bruteForceTopK(corpus = emb, queries = qs, k = 3)
         val hits = pq.select("q_id", "neighbor_id")
+          .join(truth.select("q_id", "neighbor_id"), Seq("q_id", "neighbor_id"))
+        hits.agg(count(lit(1)).as("n_hits"))
+          .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+          .select(col("n_truth"),
+            (col("n_hits").cast("double") / col("n_truth") >= 0.6).as("recall_ok"))
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        p AS (SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+                list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS sim
+              FROM n q JOIN n c ON c.vec_id <> q.vec_id
+              WHERE q.vec_id < 50),
+        r AS (SELECT q_id, neighbor_id,
+                ROW_NUMBER() OVER (PARTITION BY q_id
+                                   ORDER BY sim DESC, neighbor_id) AS rn
+              FROM p)
+        SELECT COUNT(*) AS n_truth, TRUE AS recall_ok FROM r WHERE rn <= 3""")),
+
+    // IVFADC (Jégou et al. 2011): IVF cells bound each query's candidate
+    // set, PQ/ADC ranks within the probed cells, a CONSTANT k·refine=72
+    // shortlist exact-re-ranks — per-query work independent of corpus size,
+    // unlike e06's flat ADC scan whose shortlist floors at √n. Same recall
+    // property oracle as e05/e06 (KMeans isn't DuckDB-replayable). Measured
+    // recall@3 vs brute force: 0.793 at sf0.01, 0.680 at sf0.1, identical
+    // across local[4]/[8]/[32] session shapes — clear of the 0.6 bar in
+    // PQ's hardest regime (weakly-clustered synthetic embeddings).
+    GQ("e09_ann_ivfpq",
+      (s, dir) => {
+        val emb = Tables.table(s, dir, "embeddings")
+        val qs = emb.filter(col("vec_id") < 50)
+        val ivfpq = Similarity.ivfPqTopK(
+          corpus = emb, queries = qs, k = 3,
+          nCentroids = 16, nProbe = 6, m = 8, ks = 32, refine = 24)
+        val truth = Similarity.bruteForceTopK(corpus = emb, queries = qs, k = 3)
+        val hits = ivfpq.select("q_id", "neighbor_id")
           .join(truth.select("q_id", "neighbor_id"), Seq("q_id", "neighbor_id"))
         hits.agg(count(lit(1)).as("n_hits"))
           .crossJoin(truth.agg(count(lit(1)).as("n_truth")))

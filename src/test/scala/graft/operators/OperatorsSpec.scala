@@ -76,6 +76,27 @@ class DedupSpec extends SparkSpec {
     assert(out(1L) == (1L, 20L) && out(2L) == (1L, 20L))
   }
 
+  test("substringSpans: agg and window duplicate tests produce identical spans") {
+    // same fixture shape as the shared-passage test plus within-doc
+    // repetition, so both anchor sources (cross-doc and within-doc) are live
+    val shared = "0123456789abcdefghij"
+    val spanDocs = Seq(
+      TestDoc(1, "xx" + shared + "yyyyyyyyyy"),
+      TestDoc(2, "zzzzz" + shared + "wq"),
+      TestDoc(3, "nothing in common with anybody else at all"),
+      TestDoc(4, "MNOPQRSTUV__padding__MNOPQRSTUV")
+    ).toDF()
+    def rows(mode: String) =
+      Dedup.substringSpans(spanDocs, k = 10, dupTestVia = mode).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_dup_spans"),
+          r.getAs[Long]("dup_chars"))).toSet
+    assert(rows("agg") == rows("window"))
+    assert(rows("agg").map(_._1) == Set(1L, 2L, 4L))
+    intercept[IllegalArgumentException] {
+      Dedup.substringSpans(spanDocs, k = 10, dupTestVia = "bogus")
+    }
+  }
+
   test("substringSpans finds within-document repetition as separate spans") {
     // 12-char passage repeated twice inside one doc, separated by 16
     // repetition-free chars -> exactly two 12-char spans
@@ -211,6 +232,58 @@ class SimilaritySpec extends SparkSpec {
       corpus = vecs.filter($"vec_id" < 0), queries = vecs, k = 2)
     assert(out.columns.toSeq == Seq("q_id", "neighbor_id", "sim", "rank"))
     assert(out.count() == 0)
+  }
+
+  test("IVFADC recovers true neighbors on a twin-pair corpus") {
+    // same twin construction as the PQ test; cells must not split twins so
+    // badly that the constant k·refine shortlist misses them
+    val rnd = new scala.util.Random(23)
+    val base = (0 until 60).map(_ => Seq.fill(16)(rnd.nextFloat() * 2 - 1))
+    val corpus = (base ++ base.map(_.map(x => x + (rnd.nextFloat() - 0.5f) * 0.05f)))
+      .zipWithIndex.map { case (v, i) => TestVec(i.toLong, v) }.toDF()
+    val queries = corpus.filter($"vec_id" < 60)
+    val truth = Similarity.bruteForceTopK(corpus, queries, k = 1)
+      .select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Similarity.ivfPqTopK(corpus, queries, k = 1,
+      nCentroids = 8, nProbe = 3, m = 4, ks = 16, refine = 8)
+      .select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = got.intersect(truth).size.toDouble / truth.size
+    assert(recall >= 0.7, s"IVFADC recall $recall below 0.7 on an easy twin corpus")
+  }
+
+  test("IVFADC candidates come only from probed cells and rank-1 rows are exact") {
+    val out = Similarity.ivfPqTopK(
+      corpus = vecs, queries = vecs.filter($"vec_id" === 0), k = 2,
+      nCentroids = 2, nProbe = 2, m = 3, ks = 2, refine = 4).collect()
+    // nProbe = nCentroids → every cell probed → exact re-rank must find the
+    // true top-1 (vector 1), with its exact cosine
+    assert(out.nonEmpty && out.head.getAs[Long]("neighbor_id") == 1L)
+    val sim = out.head.getAs[Double]("sim")
+    val expected = {
+      val a = Seq(1.0, 0.0, 0.0); val b = Seq(0.9, 0.1, 0.0)
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    assert(math.abs(sim - expected) < 1e-6)
+  }
+
+  test("IVFADC on an empty corpus returns an empty, correctly-typed result") {
+    val out = Similarity.ivfPqTopK(
+      corpus = vecs.filter($"vec_id" < 0), queries = vecs, k = 2, m = 3)
+    assert(out.columns.toSeq == Seq("q_id", "neighbor_id", "sim", "rank"))
+    assert(out.count() == 0)
+  }
+
+  test("IVFADC rejects mixed vector dimensionality instead of truncating") {
+    val ragged = Seq(
+      TestVec(0L, Seq(1f, 2f, 3f)),
+      TestVec(1L, Seq(1f, 2f, 3f, 4f))).toDF()
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopK(corpus = ragged, queries = ragged, k = 1, m = 1)
+    }
+    assert(e.getMessage.contains("mixed dimensionality"))
   }
 
   test("semDedup drops cosine-duplicates to the lowest-id representative") {
