@@ -37,6 +37,20 @@ object GraftExtensions {
     }
   }
 
+  /** Like [[intArg]] but Long-ranged (bloom item counts exceed Int). */
+  private def longArg(e: Expression, fn: String): Long = {
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"$fn: expected a constant integer expression, got non-foldable $e")
+    e.eval() match {
+      case v: Long => v
+      case v: Int => v.toLong
+      case v: Short => v.toLong
+      case v: Byte => v.toLong
+      case other => throw new IllegalArgumentException(
+        s"$fn: expected a constant integer expression, got $other")
+    }
+  }
+
   /** The engine's native expressions, SQL-registered: the whole codegen'd
     * function surface is reachable from `spark.sql(...)`, not just the
     * Column DSL. */
@@ -67,23 +81,40 @@ object GraftExtensions {
       new ExpressionInfo(classOf[OrderedPairsGen].getName, "ordered_pairs_gen"),
       (exprs: Seq[Expression]) => OrderedPairsGen(exprs(0))),
     // Bloom semi-join pruning in SQL: build with `(SELECT graft_bloom_agg(
-    // xxhash64(k), items, bits) FROM build)` as a scalar subquery, probe
+    // xxhash64(k), items[, bits]) FROM build)` as a scalar subquery, probe
     // with graft_might_contain(bloom, xxhash64(k)) — the same internal
     // expressions RuntimeFilter.bloomPrune plants from the Column DSL.
+    // The 2-arg form derives bits from items at the 1% FP rate
+    // (RuntimeFilter.optimalNumBits), mirroring bloomPrune's auto-sizing —
+    // a hand-guessed bits argument the data outgrows silently blows the FP
+    // budget, so deriving is the safer default.
     (FunctionIdentifier("graft_bloom_agg"),
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
         "graft_bloom_agg"),
-      (exprs: Seq[Expression]) =>
+      (exprs: Seq[Expression]) => {
+        if (exprs.length < 2 || exprs.length > 3)
+          throw new IllegalArgumentException(
+            "graft_bloom_agg expects (key, expectedItems[, numBits]), got " +
+              s"${exprs.length} argument(s)")
+        val bits =
+          if (exprs.length == 3) exprs(2)
+          else Literal(graft.operators.RuntimeFilter.optimalNumBits(
+            longArg(exprs(1), "graft_bloom_agg"), 0.01))
         new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
-          exprs(0), exprs(1), exprs(2), 0, 0).toAggregateExpression()),
+          exprs(0), exprs(1), bits, 0, 0).toAggregateExpression()
+      }),
     (FunctionIdentifier("graft_might_contain"),
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
         "graft_might_contain"),
-      (exprs: Seq[Expression]) =>
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 2)
+          throw new IllegalArgumentException(
+            s"graft_might_contain expects (bloom, key), got ${exprs.length} argument(s)")
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-          exprs(0), exprs(1))))
+          exprs(0), exprs(1))
+      }))
 }
 
 /** Runtime registration for sessions built without extensions. */

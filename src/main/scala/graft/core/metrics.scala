@@ -44,6 +44,19 @@ object PipelineMetrics {
   def sinkErrors[T](ds: Dataset[Tracked[T]], path: String): Unit =
     errorsOf(ds).write.mode("append").parquet(path)
 
+  /** ErrorManager-style push sink with a connection lifecycle (reference
+    * error/handling.py:39-53: the pluggable manager's `on_start` opens its
+    * sink connection before any error is handled, `on_end` closes it after
+    * the last): `onStart` runs once per partition and returns the
+    * connection, `handle` sees each flattened error row
+    * ([[errorsOf]] shape), `onEnd` closes the connection — guaranteed via
+    * finally even when a handler throws, so connections never leak. Same
+    * per-partition contract as `Sinks.foreachSink` (the ES-indexer shape),
+    * applied to the error channel. */
+  def foreachErrorSink[T, C](ds: Dataset[Tracked[T]])(onStart: () => C)(
+      handle: (C, org.apache.spark.sql.Row) => Unit)(onEnd: C => Unit): Unit =
+    graft.sources.Sinks.foreachSink(errorsOf(ds))(onStart)(handle)(onEnd)
+
   /** Per-stage latency summary across all records: (stage, n, total_s,
     * mean_s, p95_s) — the ops rollup of the per-record `timings` the
     * runner writes (reference exposes per-item timings only; this is the

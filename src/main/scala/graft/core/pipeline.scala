@@ -123,6 +123,22 @@ final class Pipeline[T] private (
     }
   }
 
+  /** Consumer-driven run — the reference's `for item in pipeline.run()`
+    * WITH break support (reference pipeline.py:227-306; consumer-break
+    * teardown test_concurrent.py:784-808): the output comes back as a
+    * lazily-fetched local iterator, computing one partition's job at a time
+    * as the consumer pulls. Breaking early — `close()`, or simply
+    * abandoning the handle — never launches the remaining partitions'
+    * jobs, and `close()` additionally cancels the in-flight partition job
+    * via its job group, so no orphaned work survives the break.
+    *
+    * The job group rides the CALLING thread's local properties (Spark's
+    * contract), so pull from the thread that called `run()`. Bulk
+    * consumption belongs on the Dataset actions (`build().write...`) —
+    * this is the incremental/interactive path. */
+  def run()(implicit enc: Encoder[Tracked[T]]): RunHandle[T] =
+    new RunHandle(build(), s"graft-run-${java.util.UUID.randomUUID()}")
+
   /** Synchronous single-record path, no cluster round-trip (reference:
     * pipeline.py:371-383 `process`). Runs the exact same StageRunner
     * semantics driver-side — the debug/serving path. */
@@ -142,6 +158,30 @@ final class Pipeline[T] private (
       }
     }
     item
+  }
+}
+
+/** Closeable consumption handle returned by [[Pipeline.run]]: an Iterator
+  * over the pipeline output whose `close()` is the reference's consumer
+  * `break` — cancels the in-flight partition job (the job group is created
+  * with interrupt-on-cancel) and clears the group from the calling thread.
+  * Idempotent; a closed handle reports `hasNext = false`. */
+final class RunHandle[T] private[core] (ds: Dataset[Tracked[T]], group: String)
+    extends Iterator[Tracked[T]] with AutoCloseable {
+  private val sc = ds.sparkSession.sparkContext
+  sc.setJobGroup(group, "graft pipeline consumer-driven run",
+    interruptOnCancel = true)
+  private val it = ds.toLocalIterator()
+  @volatile private var closed = false
+  def hasNext: Boolean = !closed && it.hasNext
+  def next(): Tracked[T] = {
+    if (closed) throw new NoSuchElementException("handle closed")
+    it.next()
+  }
+  def close(): Unit = if (!closed) {
+    closed = true
+    sc.cancelJobGroup(group)
+    sc.clearJobGroup()
   }
 }
 

@@ -16,13 +16,13 @@ import org.apache.spark.storage.StorageLevel
   *   2. label(u) := label(label(u))  — pointer jumping against the label
   *      table itself, which collapses chains so convergence needs
   *      O(log(diameter)) rounds rather than O(diameter).
-  * Rounds stop when no label changed. Lineage is truncated every round with
-  * `localCheckpoint` (executor-local blocks): without it the plan doubles
-  * per iteration and Catalyst analysis time, not the data, becomes the
-  * bottleneck. On a real cluster with executor churn, point
-  * `spark.sparkContext.setCheckpointDir` at durable storage and swap the
-  * `localCheckpoint` for `checkpoint` — same contract, fault-tolerant
-  * blocks.
+  * Rounds stop when no label changed. Lineage is truncated every round:
+  * without it the plan doubles per iteration and Catalyst analysis time,
+  * not the data, becomes the bottleneck. By default truncation uses
+  * `localCheckpoint` (executor-local blocks — fast, but lost under
+  * executor churn); pass `checkpointDir` to use reliable `checkpoint`
+  * against durable storage instead — the executable form of the
+  * cluster-robustness contract, same labels either way.
   *
   * 100 TB shape: every round's cost is two key-bounded shuffles over the
   * edge list (|E| for dedup output is orders of magnitude below |corpus|),
@@ -33,14 +33,24 @@ object Components {
 
   /** @param edges undirected edge list; (srcCol, dstCol) pairs, any
     *              integral type.
+    * @param checkpointDir when set, per-round lineage truncation uses
+    *              reliable `checkpoint` blocks under this directory
+    *              (survives executor loss — the cluster mode); when None,
+    *              `localCheckpoint` (single-box / churn-free mode).
     * @return one row per vertex present in `edges`: (id, comp) where comp is
     *         the smallest vertex id reachable from id. */
   def connected(
       edges: DataFrame,
       srcCol: String = "a_id",
       dstCol: String = "b_id",
-      maxIter: Int = 30
+      maxIter: Int = 30,
+      checkpointDir: Option[String] = None
   ): DataFrame = {
+    val spark = edges.sparkSession
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    def truncate(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager = true)
+      else df.localCheckpoint(true)
     val sym = edges
       .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
     val und = sym.union(sym.select(col("v").as("u"), col("u").as("v")))
@@ -48,9 +58,8 @@ object Components {
     // Seed with round 1 fused in: against identity labels the neighbor-min
     // is just min(v), so comp0 = min(u, min neighbor) costs one groupBy
     // instead of a full propagate+jump round.
-    var labels = und.groupBy("u")
-      .agg(least(col("u"), min(col("v"))).as("comp"))
-      .localCheckpoint(true)
+    var labels = truncate(und.groupBy("u")
+      .agg(least(col("u"), min(col("v"))).as("comp")))
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIter) {
@@ -63,13 +72,12 @@ object Components {
       // pointer jumping: follow the label one hop through the label table.
       // Convergence is detected with a carried `chg` flag evaluated on the
       // checkpointed blocks — no extra join-with-old-labels job per round.
-      val next = propagated.as("l")
+      val next = truncate(propagated.as("l")
         .join(propagated.select(col("u").as("c0"), col("comp").as("cc")).as("m"),
           col("l.comp") === col("m.c0"), "left")
         .select(col("l.u").as("u"),
           coalesce(col("m.cc"), col("l.comp")).as("comp"),
-          (coalesce(col("m.cc"), col("l.comp")) =!= col("l.prev")).as("chg"))
-        .localCheckpoint(true)
+          (coalesce(col("m.cc"), col("l.comp")) =!= col("l.prev")).as("chg")))
       changed = next.filter(col("chg")).count()
       labels = next.drop("chg")
       it += 1

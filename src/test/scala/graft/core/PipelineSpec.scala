@@ -26,6 +26,41 @@ class PipelineSpec extends SparkSpec {
     assert(out.forall(_.errors.isEmpty))
   }
 
+  test("consumer break: early close stops partition jobs, no orphaned work") {
+    // reference parity: the run() generator's consumer may break mid-stream
+    // and the pipeline tears down cleanly (pipeline.py:227-306,
+    // test_concurrent.py:784-808). 60k rows over 8 partitions; consuming 10
+    // must compute at most a couple of partitions, never the whole input.
+    RunBreakState.processed.set(0)
+    val handle = Pipeline.of(source(60000).repartition(8))
+      .append("count_work") { d =>
+        RunBreakState.processed.incrementAndGet(); d
+      }
+      .run()
+    val got = handle.take(10).toVector
+    assert(got.length == 10)
+    handle.close()
+    // the break is the teardown: remaining partitions' jobs never launched
+    assert(RunBreakState.processed.get() < 30000,
+      s"break still processed ${RunBreakState.processed.get()} of 60000 records")
+    // no orphaned jobs: any in-flight job group cancels and drains
+    val tracker = spark.sparkContext.statusTracker
+    val deadline = System.nanoTime() + 10_000_000_000L
+    while (tracker.getActiveJobIds().nonEmpty && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    assert(tracker.getActiveJobIds().isEmpty, "active jobs survived the break")
+    // closed handle is inert and close() is idempotent
+    assert(!handle.hasNext)
+    intercept[NoSuchElementException](handle.next())
+    handle.close()
+    // full consumption without a break still sees every record exactly once
+    val all = Pipeline.of(source(1000))
+      .append("id")(identity[Doc])
+      .run()
+    assert(all.map(_.value.count).toSet == (1 to 1000).toSet)
+    all.close()
+  }
+
   test("soft error is recorded and the item continues through later stages") {
     val out = Pipeline.of(source(10))
       .append("soft") { d =>
@@ -416,4 +451,8 @@ object RetrySpecHelpers {
     override def onEnd(): Unit = { ends.incrementAndGet(); () }
     def process(d: Doc): Doc = d
   }
+}
+
+object RunBreakState {
+  val processed = new AtomicInteger(0)
 }

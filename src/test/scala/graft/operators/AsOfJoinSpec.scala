@@ -183,6 +183,38 @@ class MetricsSpec extends SparkSpec {
     }
   }
 
+  test("foreachErrorSink runs onStart/handle/onEnd per partition, onEnd on failure too") {
+    ErrSinkState.reset()
+    val src = spark.createDataset((1 to 20).map(i => graft.core.Doc(s"t$i", i)))
+    val ds = Pipeline.of(src)
+      .append("fail_even") { d =>
+        if (d.count % 2 == 0) throw new SoftError(s"bad ${d.count}")
+        d
+      }
+      .build()
+    PipelineMetrics.foreachErrorSink(ds.repartition(2))(
+      () => ErrSinkState.opened.incrementAndGet()) { (_, row) =>
+      ErrSinkState.handled.incrementAndGet()
+      assert(row.getAs[String]("stage") == "fail_even")
+    }(_ => ErrSinkState.closed.incrementAndGet())
+    assert(ErrSinkState.handled.get() == 10)
+    assert(ErrSinkState.opened.get() == 2, "onStart once per partition")
+    assert(ErrSinkState.closed.get() == ErrSinkState.opened.get())
+
+    // a handler that throws must still see its connection closed (on_end
+    // is the reference's teardown guarantee, not a happy-path hook)
+    ErrSinkState.reset()
+    intercept[Exception] {
+      PipelineMetrics.foreachErrorSink(ds.coalesce(1))(
+        () => ErrSinkState.opened.incrementAndGet()) { (_, _) =>
+        throw new RuntimeException("sink down")
+      }(_ => ErrSinkState.closed.incrementAndGet())
+    }
+    assert(ErrSinkState.opened.get() >= 1)
+    assert(ErrSinkState.closed.get() == ErrSinkState.opened.get(),
+      "onEnd must run via finally when the handler throws")
+  }
+
   test("errorSummary groups the error channel by stage and severity") {
     val src = spark.createDataset((1 to 10).map(i => graft.core.Doc(s"t$i", i)))
     val ds = Pipeline.of(src)
@@ -198,4 +230,11 @@ class MetricsSpec extends SparkSpec {
     assert(out(("gate", "soft")) == (5L, 5L))
     assert(out(("gate", "critical")) == (1L, 1L))
   }
+}
+
+object ErrSinkState {
+  val opened = new java.util.concurrent.atomic.AtomicInteger(0)
+  val handled = new java.util.concurrent.atomic.AtomicInteger(0)
+  val closed = new java.util.concurrent.atomic.AtomicInteger(0)
+  def reset(): Unit = { opened.set(0); handled.set(0); closed.set(0) }
 }

@@ -54,6 +54,23 @@ class ComponentsSpec extends SparkSpec {
     assert(got.size == 200 && got.values.forall(_ == 0L))
   }
 
+  test("reliable-checkpoint mode produces the same labels as localCheckpoint") {
+    // checkpointDir switches lineage truncation to durable checkpoint
+    // blocks (the executor-churn-safe cluster mode); the labels — and the
+    // d18-style oracle on top of them — must be identical in both modes
+    val dir = java.nio.file.Files.createTempDirectory("graft-ccp").toString
+    val rnd = new Random(31)
+    val edges = Seq.fill(120) {
+      (rnd.nextInt(50).toLong, rnd.nextInt(50).toLong)
+    }.filter(e => e._1 != e._2)
+    val local = run(edges)
+    val reliable = Components.connected(
+      edges.toDF("a_id", "b_id"), checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reliable == local)
+    assert(reliable == unionFind(edges))
+  }
+
   test("decontaminate flags only training docs sharing a shingle") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"), // benchmark

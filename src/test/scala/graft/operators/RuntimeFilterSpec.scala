@@ -47,6 +47,31 @@ class RuntimeFilterSpec extends SparkSpec {
     assert(kept.size < 10000, "an undersized bloom still prunes something")
   }
 
+  test("graft_bloom_agg derives bits at 1% FP in the 2-arg form and rejects bad arity") {
+    probe.createOrReplaceTempView("rf_probe")
+    build.createOrReplaceTempView("rf_build")
+    // 2-arg form: bits derived via optimalNumBits(items, 0.01) — must prune
+    // to near the build cardinality, same bar as the explicit-bits test
+    val kept = spark.sql("""
+      SELECT k FROM rf_probe
+      WHERE graft_might_contain(
+        (SELECT graft_bloom_agg(xxhash64(bk), 100L) FROM rf_build),
+        xxhash64(k))""").as[Long].collect().toSet
+    assert((0L until 10000L by 100).toSet.subsetOf(kept))
+    assert(kept.size < 400, s"auto-sized bloom under-pruned: ${kept.size} of 10000")
+    // arity errors must be loud and named, not IndexOutOfBoundsException
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT graft_bloom_agg(xxhash64(bk)) FROM rf_build").collect()
+    }
+    assert(e1.getMessage.contains("graft_bloom_agg"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql(
+        "SELECT k FROM rf_probe WHERE graft_might_contain(CAST(NULL AS BINARY))")
+        .collect()
+    }
+    assert(e2.getMessage.contains("graft_might_contain"), e2.getMessage)
+  }
+
   test("bloomPrune refuses a build side past the session's bloom clamps") {
     // BloomFilterAggregate silently Math.min's items/bits against the
     // session maxima — bloomPrune must fail loudly instead
