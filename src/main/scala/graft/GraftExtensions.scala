@@ -104,6 +104,14 @@ object GraftExtensions {
         new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
           exprs(0), exprs(1), bits, 0, 0).toAggregateExpression()
       }),
+    (FunctionIdentifier("topk_by"),
+      new ExpressionInfo(classOf[graft.expressions.TopKBy].getName, "topk_by"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 3)
+          throw new IllegalArgumentException(
+            s"topk_by expects (ord, payload, k), got ${exprs.length} argument(s)")
+        graft.expressions.TopKBy(exprs(0), exprs(1), exprs(2)).toAggregateExpression()
+      }),
     (FunctionIdentifier("graft_might_contain"),
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,

@@ -132,6 +132,36 @@ object ScaleSmoke {
       graft.operators.TopK.perGroupSalted(hotScores, Seq("grp"), ord, k = 3,
         saltOf = xxhash64(col("row_id")), salts = 64).count())
 
+    // Heap top-k aggregate vs the window path. Pure top-k: Spark 4's
+    // WindowGroupLimit already prunes the window to k rows per group
+    // map-side, so the window plan is the bar to beat. Composed (top-k AND
+    // count/sum in one result): the window formulation needs a second
+    // aggregate plus a join back, while topk_by rides the same partial-agg
+    // pass — k rows per group per map partition reach the one shuffle.
+    val nAgg = nHot
+    val grouped = spark.range(nAgg).select(pmod(col("id"), lit(1000L)).as("grp"),
+      pmod(xxhash64(col("id")), lit(1000000L)).as("score"), col("id").as("row_id"))
+    time(s"top-3 per group, $nAgg rows, 1000 groups (window)")(
+      graft.operators.TopK.perGroup(grouped, Seq("grp"),
+        Seq(col("score").desc, col("row_id").desc), k = 3).count())
+    time(s"top-3 per group, $nAgg rows, 1000 groups (heap agg)")(
+      grouped.groupBy("grp").agg(graft.expressions.TopKBy.topkBy(
+        struct(col("score"), col("row_id")), col("row_id"), 3).as("top"))
+        .select(col("grp"), explode(col("top"))).count())
+    time(s"top-3 + count + sum per group, $nAgg rows (window + agg + join)") {
+      val top = graft.operators.TopK.perGroup(grouped, Seq("grp"),
+        Seq(col("score").desc, col("row_id").desc), k = 3)
+        .groupBy("grp").agg(collect_list(col("row_id")).as("ids"))
+      val aggs = grouped.groupBy("grp")
+        .agg(count(lit(1)).as("n"), sum(col("score")).as("s"))
+      aggs.join(top, "grp").agg(sum(col("n"))).head().getLong(0)
+    }
+    time(s"top-3 + count + sum per group, $nAgg rows (one-pass heap agg)")(
+      grouped.groupBy("grp").agg(count(lit(1)).as("n"), sum(col("score")).as("s"),
+        graft.expressions.TopKBy.topkBy(
+          struct(col("score"), col("row_id")), col("row_id"), 3).as("top"))
+        .agg(sum(col("n"))).head().getLong(0))
+
     // Substring-span dedup, ONE gram duplicated across every document: each
     // doc is unique-prefix(8) + the SAME 30-char passage, so of the 9 grams
     // per doc exactly one (the pure passage) is globally hot — nSpan
