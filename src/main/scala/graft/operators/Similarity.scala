@@ -408,13 +408,28 @@ object Similarity {
     val base = normalized(corpus)
       .withColumn("fcoarse", array_to_vector(col("vh")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val coarse = new KMeans().setK(nCentroids).setSeed(42).setMaxIter(3)
-      .setFeaturesCol("fcoarse").setPredictionCol("cluster").fit(base)
     val trainBase =
       if (trainFraction < 1.0)
         base.sample(withReplacement = false, trainFraction, seed = 42)
       else base
+    // the coarse fit is independent of the m codebook fits — run it as a
+    // concurrent Spark job alongside them (same pattern and determinism
+    // argument as fitCodebooks; the per-iteration scheduling latency of a
+    // small-k fit otherwise adds straight wall-clock)
+    val coarseF = {
+      import scala.concurrent.Future
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Future {
+        new KMeans().setK(nCentroids).setSeed(42).setMaxIter(3)
+          .setFeaturesCol("fcoarse").setPredictionCol("cluster").fit(base)
+      }
+    }
     val models = fitCodebooks(trainBase, m, sd, ks)
+    val coarse = {
+      import scala.concurrent.Await
+      import scala.concurrent.duration.Duration
+      Await.result(coarseF, Duration.Inf)
+    }
     // fit-only cache, released eagerly (the ivfTopK contract): the single
     // downstream encode pass recomputes from lineage
     base.unpersist(blocking = false)
