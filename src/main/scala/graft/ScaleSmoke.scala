@@ -195,6 +195,11 @@ object ScaleSmoke {
       Similarity.lshTopK(vecs, qs, k = 3, planes = 12, tables = 2).count())
     time(s"IVF ANN top-3 of 100 queries over $nVecs vectors")(
       Similarity.ivfTopK(vecs, qs, k = 3, nCentroids = 64, nProbe = 4).count())
+    // IVFADC: auto √n cells (~450 at 200k) bound candidates; codes are m=4
+    // bytes per 16-d vector; the exact re-rank is a constant 24 rows/query
+    time(s"IVFADC top-3 of 100 queries over $nVecs vectors (auto cells)")(
+      Similarity.ivfPqTopK(vecs, qs, k = 3, nCentroids = 0, nProbe = 8,
+        m = 4, ks = 16, refine = 8).count())
 
     // r07 ops. SemDeDup: cells must bound the pair join — planes sized so
     // the mean cell holds ~nVecs/2^planes vectors (12 planes → ~50 at 200k).

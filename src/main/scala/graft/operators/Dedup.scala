@@ -307,6 +307,45 @@ object Dedup {
       .join(indexFp.select(col(fpCol).as("fp")), Seq("fp"), "left_anti")
   }
 
+  /** Near-duplicate cluster collapse — the end-to-end dedup step a curation
+    * pipeline actually runs: pairwise near-dup hits (any pair-finder:
+    * [[minhashPairs]], [[simhashPairs]], [[jaccardPairs]], embedding pairs)
+    * → transitive closure ([[Components.connected]]) → ONE representative
+    * per cluster, chosen by the caller's `better` ordering (ties broken by
+    * ascending id); documents that appear in no pair pass through
+    * untouched. Returns the KEPT documents with their cluster label
+    * (null for singletons) and cluster size (1 for singletons).
+    *
+    * 100 TB shape: the label table holds only documents that appear in an
+    * edge (|E| ≪ |corpus|), so the corpus-side join broadcasts it and the
+    * corpus never shuffles; the representative choice is a rank-1 window
+    * per cluster, which Spark 4's WindowGroupLimit prunes to one row per
+    * cluster per map task — hot clusters never sort in one task; and the
+    * singleton pass-through is a scan-local filter, never windowed. */
+  def collapseClusters(
+      docs: DataFrame,
+      pairs: DataFrame,
+      better: Seq[Column],
+      idCol: String = "doc_id",
+      srcCol: String = "a_id",
+      dstCol: String = "b_id"
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cc = Components.connected(pairs, srcCol, dstCol)
+    val sizes = cc.groupBy("comp").agg(count(lit(1)).as("cluster_size"))
+    val labeled = docs.join(
+      cc.select(col("id").as(idCol), col("comp")), Seq(idCol), "left")
+    val w = Window.partitionBy("comp")
+      .orderBy(better :+ col(idCol).asc: _*)
+    val kept = labeled.filter(col("comp").isNotNull)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+      .join(sizes, "comp")
+    val singletons = labeled.filter(col("comp").isNull)
+      .withColumn("cluster_size", lit(1L))
+    kept.unionByName(singletons.select(kept.columns.map(col).toIndexedSeq: _*))
+  }
+
   /** Span-level (C4/RefinedWeb-style) exact dedup: documents are cut into
     * fixed `blockWords`-word blocks, each block is kept only at its GLOBAL
     * first occurrence (ordered by doc id, then block index), and surviving

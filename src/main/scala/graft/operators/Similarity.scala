@@ -161,7 +161,12 @@ object Similarity {
     * the SAME metric the assignment used: ‖q̂ − c‖² = 1 + ‖c‖² − 2·q̂·c.
     * The 100 TB path where LSH recall is insufficient: the corpus shuffles
     * once on cluster id, per-query work is bounded by cell size × nProbe,
-    * and the (tiny) centroid table broadcasts. */
+    * and the (tiny) centroid table broadcasts.
+    *
+    * `nCentroids <= 0` sizes cells from the data: ceil(√n) centroids — the
+    * standard IVF balance point (cell size ≈ √n, so per-query probe work ≈
+    * nProbe·√n) — so a pinned constant can't silently mis-size cells as
+    * the corpus grows. The count rides the cached fit input. */
   def ivfTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -181,7 +186,10 @@ object Similarity {
       .transform(withVec(corpus, idCol, vecCol)
         .withColumn("fraw", array_to_vector(col("v"))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val model = new KMeans().setK(nCentroids).setSeed(42).setMaxIter(3)
+    val kCells =
+      if (nCentroids > 0) nCentroids
+      else math.max(1, math.ceil(math.sqrt(c.count().toDouble)).toInt)
+    val model = new KMeans().setK(kCells).setSeed(42).setMaxIter(3)
       .setFeaturesCol("features").fit(c)
     // the cache existed for KMeans' per-iteration re-scans; release it now —
     // the single downstream assignment pass recomputes from lineage (scan +
@@ -358,7 +366,9 @@ object Similarity {
     * directly, not v − centroid): residual encoding would make the ADC
     * table per-(query, probed cell) — nProbe·m·ks dots per query instead
     * of m·ks — for a precision gain the exact re-rank largely absorbs at
-    * these code sizes; the recall oracle enforces the end-to-end bar. */
+    * these code sizes; the recall oracle enforces the end-to-end bar.
+    *
+    * `nCentroids <= 0` auto-sizes to ceil(√n) cells (see [[ivfTopK]]). */
   def ivfPqTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -412,6 +422,11 @@ object Similarity {
       if (trainFraction < 1.0)
         base.sample(withReplacement = false, trainFraction, seed = 42)
       else base
+    // nCentroids <= 0 → ceil(√n) cells (same auto-sizing as ivfTopK); the
+    // corpus count is already on hand from the dimensionality guard
+    val kCells =
+      if (nCentroids > 0) nCentroids
+      else math.max(1, math.ceil(math.sqrt(cs.getLong(2).toDouble)).toInt)
     // the coarse fit is independent of the m codebook fits — run it as a
     // concurrent Spark job alongside them (same pattern and determinism
     // argument as fitCodebooks; the per-iteration scheduling latency of a
@@ -420,7 +435,7 @@ object Similarity {
       import scala.concurrent.Future
       import scala.concurrent.ExecutionContext.Implicits.global
       Future {
-        new KMeans().setK(nCentroids).setSeed(42).setMaxIter(3)
+        new KMeans().setK(kCells).setSeed(42).setMaxIter(3)
           .setFeaturesCol("fcoarse").setPredictionCol("cluster").fit(base)
       }
     }

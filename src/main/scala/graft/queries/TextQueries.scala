@@ -1012,6 +1012,69 @@ object TextQueries {
           CAST(levenshtein(da.text, db.text) AS INTEGER) AS dist, j.jaccard
         FROM j JOIN documents da ON j.a_id = da.doc_id
                JOIN documents db ON j.b_id = db.doc_id
-        WHERE levenshtein(da.text, db.text) <= 5"""))
+        WHERE levenshtein(da.text, db.text) <= 5""")),
+
+    GQ("d32_neardup_collapse", // the END of the dedup pipeline: d09's LSH
+      // pairs → d18's transitive closure → ONE representative per cluster
+      // (longest text, then smallest id), unpaired docs pass through. The
+      // oracle replays the ENTIRE chain — shingles, portable-md5 minhash,
+      // banding, candidate verify, recursive-CTE closure, representative
+      // choice — so the kept set hash-matches exactly. 100 TB shape: the
+      // label table is |docs-in-pairs| (broadcast join, corpus never
+      // shuffles), the rank-1 window is WindowGroupLimit-pruned, and
+      // singleton pass-through is a scan-local filter.
+      (s, dir) => {
+        val docs = Tables.table(s, dir, "documents")
+        val pairs = Dedup.minhashPairs(
+          docs, numHashes = 8, bands = 4, shingleK = 3, threshold = 0.5,
+          portableHash = true).select("a_id", "b_id")
+        Dedup.collapseClusters(
+          docs, pairs, better = Seq(length(col("text")).desc))
+          .select(col("doc_id"), col("comp"), col("cluster_size"))
+      },
+      Some("""WITH RECURSIVE t AS (SELECT doc_id,
+          list_filter(string_split(text, ' '), w -> w <> '') AS ws FROM documents),
+        s AS (SELECT doc_id, list_distinct(list_transform(
+                range(1, greatest(len(ws) - 1, 1)),
+                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+              FROM t),
+        s2 AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
+        sig AS (SELECT doc_id, sh,
+                  list_transform(range(0, 8), i ->
+                    list_min(list_transform(sh, x -> md5(CAST(i AS VARCHAR) || '|' || x)))) AS sg
+                FROM s2),
+        banded AS (SELECT doc_id, b,
+                     md5(CAST(b AS VARCHAR) || '|' ||
+                         array_to_string(sg[b*2+1 : b*2+2], ',')) AS bucket
+                   FROM sig CROSS JOIN (SELECT UNNEST(range(0, 4)) AS b)),
+        cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                 FROM banded a JOIN banded b
+                   ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+        verified AS (SELECT c.a_id, c.b_id,
+                       CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS DOUBLE)
+                         / (len(sa.sh) + len(sb.sh)
+                            - len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))) AS jaccard
+                     FROM cand c
+                     JOIN s2 sa ON c.a_id = sa.doc_id
+                     JOIN s2 sb ON c.b_id = sb.doc_id),
+        pairs AS (SELECT a_id, b_id FROM verified WHERE jaccard >= 0.5),
+        sym AS (SELECT a_id AS u, b_id AS v FROM pairs
+                UNION ALL SELECT b_id, a_id FROM pairs),
+        reach(u, v) AS (
+          SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+          UNION
+          SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+        comp AS (SELECT u AS doc_id, MIN(v) AS comp FROM reach GROUP BY u),
+        sz AS (SELECT comp, COUNT(*) AS cluster_size FROM comp GROUP BY comp),
+        ranked AS (SELECT c.doc_id, c.comp, sz.cluster_size,
+            ROW_NUMBER() OVER (PARTITION BY c.comp
+              ORDER BY length(d.text) DESC, c.doc_id) AS rn
+          FROM comp c JOIN documents d USING (doc_id) JOIN sz USING (comp))
+        SELECT doc_id, comp, cluster_size FROM ranked WHERE rn = 1
+        UNION ALL
+        SELECT d.doc_id, CAST(NULL AS BIGINT) AS comp,
+          CAST(1 AS BIGINT) AS cluster_size
+        FROM documents d
+        WHERE d.doc_id NOT IN (SELECT doc_id FROM comp)"""))
   )
 }

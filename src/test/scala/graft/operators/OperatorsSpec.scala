@@ -109,6 +109,28 @@ class DedupSpec extends SparkSpec {
     assert(r.getAs[Long]("dup_chars") == 24L)
   }
 
+  test("collapseClusters keeps one best representative per cluster, singletons pass") {
+    val cDocs = Seq(
+      TestDoc(1, "short"),
+      TestDoc(2, "the longest text in cluster one"),
+      TestDoc(3, "mid length text"),
+      TestDoc(4, "cluster two a"),
+      TestDoc(5, "cluster two bb"),
+      TestDoc(6, "alone and untouched")
+    ).toDF()
+    // clusters {1,2,3} (transitively via 1-2, 2-3) and {4,5}; 6 unpaired
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("a_id", "b_id")
+    val out = Dedup.collapseClusters(cDocs, pairs,
+      better = Seq(length(col("text")).desc))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (Option(r.getAs[java.lang.Long]("comp")).map(_.toLong),
+          r.getAs[Long]("cluster_size"))).toMap
+    assert(out.keySet == Set(2L, 5L, 6L), s"kept: ${out.keySet}")
+    assert(out(2L) == (Some(1L), 3L)) // longest of {1,2,3}, labeled min id
+    assert(out(5L) == (Some(4L), 2L)) // longer of {4,5}
+    assert(out(6L) == (None, 1L))     // singleton passes through
+  }
+
   test("simhash: identical docs collide, near-dups are close, unrelated far") {
     val sigs = docs.select($"doc_id", simhash(words($"text")).as("sig"))
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("sig")).toMap
@@ -267,6 +289,24 @@ class SimilaritySpec extends SparkSpec {
       d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
     }
     assert(math.abs(sim - expected) < 1e-6)
+  }
+
+  test("IVF auto-k (nCentroids <= 0) sizes cells at sqrt(n) and still recovers twins") {
+    val rnd = new scala.util.Random(29)
+    val base = (0 until 50).map(_ => Seq.fill(8)(rnd.nextFloat() * 2 - 1))
+    val corpus = (base ++ base.map(_.map(x => x + (rnd.nextFloat() - 0.5f) * 0.05f)))
+      .zipWithIndex.map { case (v, i) => TestVec(i.toLong, v) }.toDF()
+    val queries = corpus.filter($"vec_id" < 50)
+    val truth = Similarity.bruteForceTopK(corpus, queries, k = 1)
+      .select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 100 vectors → ceil(sqrt(100)) = 10 cells; probe 5 of them
+    val got = Similarity.ivfTopK(corpus, queries, k = 1,
+      nCentroids = 0, nProbe = 5)
+      .select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = got.intersect(truth).size.toDouble / truth.size
+    assert(recall >= 0.6, s"auto-k IVF recall $recall below 0.6 on a twin corpus")
   }
 
   test("IVFADC on an empty corpus returns an empty, correctly-typed result") {
