@@ -525,6 +525,40 @@ object Dedup {
       .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated_shingles"))
   }
 
+  /** Soft decontamination score — [[decontaminate]] gives the binary "shares
+    * a shingle" flag; this gives the per-document contamination FRACTION
+    * (shared distinct k-shingles / total distinct k-shingles), the signal a
+    * threshold policy needs: a quoted sentence is a few percent, a pasted
+    * benchmark item is most of the document. One row per training document
+    * that has at least one shingle (zero-overlap docs included, fraction 0).
+    *
+    * 100 TB shape: same as [[decontaminate]] — the benchmark side collapses
+    * to a distinct-shingle set before the equi-join (broadcast when small,
+    * AQE-decided otherwise), plus one per-doc count aggregation; never any
+    * doc×doc work. The fraction is an integer ratio, bit-replayable. */
+  def contaminationFraction(
+      docs: DataFrame,
+      isBenchmark: Column,
+      shingleK: Int = 5,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    val sh = docs
+      .select(col(idCol).as("doc_id"), isBenchmark.as("is_bench"),
+        words(col(textCol)).as("ws"))
+      .select(col("doc_id"), col("is_bench"),
+        explode(array_distinct(shingles(col("ws"), shingleK))).as("sh"))
+    val bench = sh.filter(col("is_bench")).select("sh").distinct()
+      .withColumn("hit", lit(1L))
+    sh.filter(!col("is_bench"))
+      .join(bench, Seq("sh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_shared"))
+      .withColumn("frac",
+        col("n_shared").cast("double") / col("n_shingles"))
+  }
+
   /** SimHash near-duplicate pairs: 60-bit signatures; candidates share at
     * least one of `chunks` signature chunks (the Hamming-ball analog of LSH
     * banding), verified by Hamming distance ≤ maxHamming. */

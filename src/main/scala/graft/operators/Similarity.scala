@@ -586,6 +586,52 @@ object Similarity {
         col("rep_id").isNull.as("kept"), col("rep_id"))
   }
 
+  /** Coverage-capped diversity sampling over the embedding space: partition
+    * vectors into deterministic hyperplane cells (the [[semDedup]] code) and
+    * keep at most `cap` per cell — the cheap way to force a sample to SPAN
+    * the embedding space instead of following its density (dense regions
+    * are truncated at `cap`, sparse regions survive whole). The complement
+    * of [[semDedup]]: that prunes near-identical neighbors, this bounds
+    * how much any one region contributes to a training mix.
+    *
+    * Within a cell the kept set is the `cap` smallest ids — deterministic
+    * across engines, re-runs and task retries; swap the ordering for a
+    * portable id-hash when unbiased within-cell choice matters (the cell
+    * cap, not the within-cell order, is what buys the diversity).
+    *
+    * 100 TB shape: one shuffle on the cell code; the rank-1..cap window is
+    * WindowGroupLimit-pruned to `cap` rows per cell per map task, so a
+    * degenerate cell holding half the corpus never sorts in one task. */
+  def cellCapSample(
+      vecs: DataFrame,
+      cap: Int,
+      planes: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      portableHash: Boolean = false
+  ): DataFrame = {
+    require(cap >= 1, s"cellCapSample: cap must be >= 1, got $cap")
+    val dims = vecs.select(size(col(vecCol)).as("d"))
+      .agg(min(col("d")).as("mn"), max(col("d")).as("mx")).head()
+    val emptySchema = vecs.select(col(idCol).as("vec_id"), lit(0L).as("cell"))
+      .limit(0)
+    if (dims.isNullAt(0)) return emptySchema
+    require(dims.getInt(0) == dims.getInt(1),
+      s"cellCapSample: vector column '$vecCol' has mixed dimensionality " +
+        s"(${dims.getInt(0)}..${dims.getInt(1)})")
+    val dim = dims.getInt(0)
+    val sig =
+      if (portableHash) portableHyperplaneSig(col("v"), planes, dim, 0)
+      else hyperplaneSig(col("v"), planes, dim, 0)
+    val w = Window.partitionBy("cell").orderBy(col("vec_id"))
+    withVec(vecs, idCol, vecCol)
+      .select(col("vid").as("vec_id"), col("v"))
+      .withColumn("cell", sig)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= cap)
+      .select(col("vec_id"), col("cell"))
+  }
+
   /** LSH-bucketed ANN: `tables` independent `planes`-bit signatures; a
     * corpus vector is a candidate for a query if any table assigns both the
     * same bucket. */

@@ -384,6 +384,33 @@ object TextQueries {
         FROM sh JOIN bench USING (s) WHERE NOT is_bench
         GROUP BY doc_id""")),
 
+    GQ("d33_contamination_frac", // soft decontamination: d19 flags ANY
+      // shared shingle; this scores the contaminated FRACTION of each
+      // training doc's distinct 5-grams — the signal a threshold policy
+      // needs (a quoted sentence is a few percent, a pasted benchmark item
+      // is most of the doc). Zero-overlap docs appear with frac 0, so the
+      // gate is non-vacuous in both directions. Integer ratio → exact.
+      (s, dir) => Dedup.contaminationFraction(
+        Tables.table(s, dir, "documents"),
+        isBenchmark = col("doc_id") % 10 === 0, shingleK = 5),
+      Some("""WITH t AS (SELECT doc_id,
+          list_filter(string_split(text, ' '), w -> w <> '') AS ws FROM documents),
+        sh AS (SELECT doc_id, doc_id % 10 = 0 AS is_bench,
+          UNNEST(list_distinct(list_transform(
+            range(1, greatest(len(ws) - 3, 1)),
+            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+                 || ws[i+3] || ' ' || ws[i+4]))) AS s
+          FROM t),
+        bench AS (SELECT DISTINCT s FROM sh WHERE is_bench)
+        SELECT sh.doc_id, COUNT(*) AS n_shingles,
+          CAST(SUM(CASE WHEN bench.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_shared,
+          CAST(SUM(CASE WHEN bench.s IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+            / COUNT(*) AS frac
+        FROM sh LEFT JOIN bench ON sh.s = bench.s
+        WHERE NOT is_bench
+        GROUP BY sh.doc_id""")),
+
     GQ("d25_incremental_dedup", // cross-batch dedup: docs >= 250 play the
       // daily increment, history's fingerprint index = docs < 250 PLUS the
       // batch docs with doc_id % 5 = 0 ("ingested yesterday" — the corpus

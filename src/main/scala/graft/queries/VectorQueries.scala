@@ -214,6 +214,23 @@ object VectorQueries {
         SELECT s.vec_id, s.cell, d.b_id IS NULL AS kept, d.rep_id
         FROM sg s LEFT JOIN d ON s.vec_id = d.b_id""")),
 
+    // Coverage-capped diversity sampling: at most 10 vectors per
+    // deterministic hyperplane cell, so dense embedding regions are
+    // truncated and sparse ones survive whole — the complement of e07's
+    // near-neighbor pruning. Fully oracle-replayed (portable cell codes +
+    // the ROW_NUMBER cap), non-vacuous in both directions at sf0.01
+    // (~31 vectors/cell against a cap of 10).
+    GQ("e10_diversity_sample",
+      (s, dir) => Similarity.cellCapSample(
+        Tables.table(s, dir, "embeddings"), cap = 10, planes = 4,
+        portableHash = true),
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        sg AS (SELECT vec_id, ${portableSigSql(4)} AS cell FROM e),
+        r AS (SELECT vec_id, cell,
+                ROW_NUMBER() OVER (PARTITION BY cell ORDER BY vec_id) AS rn
+              FROM sg)
+        SELECT vec_id, cell FROM r WHERE rn <= 10""")),
+
     // Attribute-filtered vector search: each query's neighborhood is
     // restricted to SAME-LABEL corpus rows, with the predicate applied
     // BEFORE scoring (pre-filter, inside the join condition) — not the

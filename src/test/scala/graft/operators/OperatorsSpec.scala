@@ -326,6 +326,41 @@ class SimilaritySpec extends SparkSpec {
     assert(e.getMessage.contains("mixed dimensionality"))
   }
 
+  test("cellCapSample truncates dense cells at cap, keeps sparse cells whole") {
+    // 1 and 2 are positive scalings of 0 → SAME cell (scale-invariant
+    // signs); 3 is elsewhere. cap=2 must truncate the dense cell to its
+    // two smallest ids and keep the sparse cell's single vector.
+    val dense = Seq(
+      TestVec(0L, Seq(1f, 0f, 0f, 0f)),
+      TestVec(1L, Seq(2f, 0f, 0f, 0f)),
+      TestVec(2L, Seq(0.5f, 0f, 0f, 0f)),
+      TestVec(3L, Seq(0f, -1f, 0f, 0f))).toDF()
+    val out = Similarity.cellCapSample(dense, cap = 2, planes = 2)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(out == Set(0L, 1L, 3L), s"got $out")
+    // empty input keeps the schema
+    val empty = Similarity.cellCapSample(dense.filter($"vec_id" < 0), cap = 2)
+    assert(empty.columns.toSeq == Seq("vec_id", "cell") && empty.count() == 0)
+  }
+
+  test("contaminationFraction scores shared-shingle ratio per training doc") {
+    val bench = "alpha beta gamma delta epsilon"
+    val docs = Seq(
+      TestDoc(10, bench), // benchmark doc (id % 10 == 0)
+      TestDoc(1, bench + " zeta eta theta iota kappa"), // 5 of 10 shingles hit... compute below
+      TestDoc(2, "completely different words that overlap nothing at all")
+    ).toDF()
+    val out = Dedup.contaminationFraction(docs,
+      isBenchmark = col("doc_id") % 10 === 0, shingleK = 5)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_shingles"), r.getAs[Long]("n_shared"))).toMap
+    // doc 1: 10 words → 6 distinct 5-shingles, exactly 1 equals the
+    // benchmark text itself
+    assert(out(1L) == (6L, 1L))
+    assert(out(2L)._2 == 0L, "zero-overlap doc present with zero shared")
+    assert(!out.contains(10L), "benchmark docs are not scored")
+  }
+
   test("semDedup drops cosine-duplicates to the lowest-id representative") {
     // 1 and 2 are positive scalings of 0 — cosine exactly 1 and, because
     // hyperplane signs are scale-invariant, the SAME cell by construction.
