@@ -634,7 +634,16 @@ object Similarity {
 
   /** LSH-bucketed ANN: `tables` independent `planes`-bit signatures; a
     * corpus vector is a candidate for a query if any table assigns both the
-    * same bucket. */
+    * same bucket.
+    *
+    * `multiProbe` (Lv et al. 2007, "Multi-Probe LSH"): each QUERY
+    * additionally probes every Hamming-1 neighbor of its bucket — the
+    * `planes` one-bit flips — so near-misses split by a single hyperplane
+    * are recovered without another table. The index (corpus) side is
+    * untouched: this buys table-count recall with per-query candidate
+    * volume (×(planes+1) probes) instead of ×tables index size — at
+    * 100 TB the corpus-side explode is the cost that matters, so
+    * multi-probe is the first recall lever, extra tables the second. */
   def lshTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -643,7 +652,8 @@ object Similarity {
       tables: Int = 2,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      portableHash: Boolean = false
+      portableHash: Boolean = false,
+      multiProbe: Boolean = false
   ): DataFrame = {
     // One tiny metadata job: the plane matrix is materialized driver-side
     // (O(planes × dim) hash evals instead of per-row), which needs the fixed
@@ -670,22 +680,32 @@ object Similarity {
     def sigOf(v: org.apache.spark.sql.Column, salt: Int) =
       if (portableHash) portableHyperplaneSig(v, planes, dim, salt)
       else hyperplaneSig(v, planes, dim, salt)
-    def bucketed(df: DataFrame, role: String) = {
+    def bucketed(df: DataFrame, role: String, probe: Boolean) = {
       val base = withVec(df, idCol, vecCol)
       // One signature column per table, each over a DISJOINT plane set
       // (tableSalt = tb * planes), built as a literal array of row-level
       // expressions — each signature is evaluated once per row, never
       // re-evaluated per array element (the HOF lambda trap). The
       // tb * 2^planes offset keeps buckets from different tables disjoint
-      // under the single (tbl, bucket) join key.
-      val sigs = array((0 until tables).map(tb =>
-        sigOf(col("v"), tb * planes) + lit(tb.toLong * (1L << planes))): _*)
-      base.select(col("vid"), col("v"), col("nrm"), posexplode(sigs))
-        .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
-        .withColumnRenamed("vid", s"${role}_vid")
+      // under the single (tbl, bucket) join key. With `probe`, each table
+      // contributes the bucket itself plus its `planes` one-bit flips
+      // (query side only — the index side always stays one row per table).
+      val buckets = (0 until tables).flatMap { tb =>
+        val s = sigOf(col("v"), tb * planes)
+        val variants = if (probe) -1 until planes else -1 until 0
+        variants.map { p =>
+          val flipped = if (p < 0) s else s.bitwiseXOR(lit(1L << p))
+          struct(lit(tb).as("t"),
+            (flipped + lit(tb.toLong * (1L << planes))).as("b"))
+        }
+      }
+      base.select(col("vid"), col("v"), col("nrm"),
+          explode(array(buckets: _*)).as("tb"))
+        .select(col("vid").as(s"${role}_vid"), col("v"), col("nrm"),
+          col("tb.t").as("tbl"), col("tb.b").as("bucket"))
     }
-    val c = bucketed(corpus, "c")
-    val q = bucketed(queries, "q")
+    val c = bucketed(corpus, "c", probe = false)
+    val q = bucketed(queries, "q", probe = multiProbe)
       .withColumnRenamed("v", "qv").withColumnRenamed("nrm", "qnrm")
     val cand = c.join(q,
       c("tbl") === q("tbl") && c("bucket") === q("bucket")

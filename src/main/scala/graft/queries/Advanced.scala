@@ -357,6 +357,28 @@ object Advanced {
                                   / COUNT(*)
                            FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)""")),
 
+    GQ("j03_not_in_null_semantics", // SQL NOT IN under tri-valued logic —
+      // the classic silent-wrong-results trap: a NULL probe value makes
+      // `x NOT IN (set)` UNKNOWN, so the row is dropped, not kept. The
+      // probe nulls are synthesized deterministically (NULLIF on one
+      // nation key) so both engines face rows where the three-valued
+      // outcome differs from the naive anti-join; the subquery set is
+      // null-free so the result is non-vacuously populated. Both engines
+      // implement ANSI semantics — the oracle confirms the engine didn't
+      // compile NOT IN to a plain anti join.
+      (s, dir) => {
+        t(s, dir, "customer").createOrReplaceTempView("customer")
+        t(s, dir, "supplier").createOrReplaceTempView("supplier")
+        s.sql("""SELECT c_custkey, NULLIF(c_nationkey, 5) AS probe_key
+          FROM customer
+          WHERE NULLIF(c_nationkey, 5) NOT IN
+            (SELECT s_nationkey FROM supplier WHERE s_nationkey < 8)""")
+      },
+      Some("""SELECT c_custkey, NULLIF(c_nationkey, 5) AS probe_key
+        FROM customer
+        WHERE NULLIF(c_nationkey, 5) NOT IN
+          (SELECT s_nationkey FROM supplier WHERE s_nationkey < 8)""")),
+
     GQ("j02_salted_join", // skew-mitigated join: same results as plain join
       (s, dir) => graft.operators.SkewJoin.saltedJoin(
         t(s, dir, "lineitem"), t(s, dir, "orders"),

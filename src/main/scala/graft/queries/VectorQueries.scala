@@ -61,6 +61,40 @@ object VectorQueries {
         SELECT q_id, neighbor_id, sim, CAST(rn AS INTEGER) AS rank
         FROM r WHERE rn <= 3""")),
 
+    // Multi-probe LSH (Lv et al. 2007): each query probes its own bucket
+    // PLUS all 8 Hamming-1 neighbors, recovering near-misses split by a
+    // single hyperplane without a second table — table-count recall paid
+    // with per-query probe volume instead of index size (the right trade
+    // at 100 TB, where the corpus-side explode is the cost that matters).
+    // Like e02, the ENTIRE pipeline is oracle-replayed: signatures, the
+    // probe sequence, candidate generation, exact scoring, ranking.
+    GQ("e11_ann_multiprobe",
+      (s, dir) => {
+        val emb = Tables.table(s, dir, "embeddings")
+        Similarity.lshTopK(
+          corpus = emb, queries = emb.filter(col("vec_id") < 50),
+          k = 3, planes = 8, tables = 1, portableHash = true,
+          multiProbe = true)
+      },
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        sg AS (SELECT vec_id, v, nrm, ${portableSigSql(8)} AS sig FROM n),
+        probes AS (SELECT q.vec_id, q.v, q.nrm,
+            CASE WHEN u.p < 0 THEN q.sig
+                 ELSE xor(q.sig, (CAST(1 AS BIGINT) << u.p)) END AS bucket
+          FROM sg q CROSS JOIN (SELECT UNNEST(range(-1, 8)) AS p) u
+          WHERE q.vec_id < 50),
+        cand AS (SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+            list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS sim
+          FROM probes q JOIN sg c
+            ON c.sig = q.bucket AND c.vec_id <> q.vec_id),
+        r AS (SELECT q_id, neighbor_id, sim,
+                ROW_NUMBER() OVER (PARTITION BY q_id
+                                   ORDER BY sim DESC, neighbor_id) AS rn
+              FROM cand)
+        SELECT q_id, neighbor_id, sim, CAST(rn AS INTEGER) AS rank
+        FROM r WHERE rn <= 3""")),
+
     // Embedding-cosine near-duplicate pairs on a systematic subset —
     // exact all-pairs, oracle-verified (the ground truth the LSH/IVF
     // approximate paths are judged against).

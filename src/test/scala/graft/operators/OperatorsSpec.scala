@@ -208,6 +208,29 @@ class SimilaritySpec extends SparkSpec {
     assert(r2 >= 0.5, s"tables=2 recall unexpectedly low: $r2")
   }
 
+  test("multi-probe strictly improves recall over single-probe at equal planes/tables") {
+    val rnd = new scala.util.Random(11)
+    val base = (0 until 60).map(_ => Seq.fill(8)(rnd.nextFloat() * 2 - 1))
+    val corpus = (base ++ base.map(_.map(x => x + (rnd.nextFloat() - 0.5f) * 0.1f)))
+      .zipWithIndex.map { case (v, i) => TestVec(i.toLong, v) }.toDF()
+    val queries = corpus.filter($"vec_id" < 60)
+    val truth = Similarity.bruteForceTopK(corpus, queries, k = 1)
+      .select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(mp: Boolean): Double = {
+      val got = Similarity.lshTopK(corpus, queries, k = 1, planes = 10,
+        tables = 1, multiProbe = mp)
+        .select("q_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.intersect(truth).size.toDouble / truth.size
+    }
+    val single = recall(false)
+    val multi = recall(true)
+    assert(multi > single,
+      s"multi-probe recall ($multi) not strictly above single-probe ($single)")
+    assert(multi >= 0.5, s"multi-probe recall unexpectedly low: $multi")
+  }
+
   test("LSH ANN on an empty corpus returns an empty, correctly-typed result") {
     val out = Similarity.lshTopK(
       corpus = vecs.filter($"vec_id" < 0), queries = vecs, k = 2)
