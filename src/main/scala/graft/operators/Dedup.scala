@@ -307,6 +307,51 @@ object Dedup {
       .join(indexFp.select(col(fpCol).as("fp")), Seq("fp"), "left_anti")
   }
 
+  /** Asymmetric containment pairs: C(a→b) = |sh(a) ∩ sh(b)| / |sh(a)| — the
+    * "is a mostly inside b" signal symmetric Jaccard misses when sizes
+    * differ (a benchmark item quoted inside a long web page scores near
+    * Jaccard 0 but containment 1). Emits each candidate pair once with
+    * BOTH directions' containment; a pair passes when either direction
+    * reaches `threshold`.
+    *
+    * Same one-shuffle candidate plan as [[jaccardPairs]] (groupBy shingle +
+    * local ordered-pair fan-out, `maxDocFreq` hot-shingle cap — capped-out
+    * shingles still count toward each doc's set size, so containment is
+    * underestimated, never overestimated: no false positives from the
+    * cap). */
+  def containmentPairs(
+      docs: DataFrame,
+      shingleK: Int = 3,
+      threshold: Double = 0.8,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      maxDocFreq: Int = Int.MaxValue
+  ): DataFrame = {
+    requireIntegralId(docs, idCol, "containmentPairs")
+    val staged = docs
+      .select(col(idCol).as("doc_id"), words(col(textCol)).as("ws"))
+      .select(col("doc_id"), array_distinct(shingles(col("ws"), shingleK)).as("shs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = staged.select(col("doc_id"), size(col("shs")).as("n"))
+    val sh = staged.select(col("doc_id"), explode(col("shs")).as("sh"))
+    val bySh0 = sh.groupBy("sh")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+    val bySh =
+      if (maxDocFreq == Int.MaxValue) bySh0
+      else bySh0.filter(size(col("ds")) <= maxDocFreq)
+    val inter = bySh
+      .select(graft.expressions.OrderedPairsGen(col("ds").cast("array<long>")))
+      .groupBy(col("a").as("a_id"), col("b").as("b_id"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n", "na"), "a_id")
+      .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n", "nb"), "b_id")
+      .withColumn("containment_a", col("inter").cast("double") / col("na"))
+      .withColumn("containment_b", col("inter").cast("double") / col("nb"))
+      .filter(col("containment_a") >= threshold || col("containment_b") >= threshold)
+      .select("a_id", "b_id", "containment_a", "containment_b")
+  }
+
   /** Near-duplicate cluster collapse — the end-to-end dedup step a curation
     * pipeline actually runs: pairwise near-dup hits (any pair-finder:
     * [[minhashPairs]], [[simhashPairs]], [[jaccardPairs]], embedding pairs)

@@ -1041,6 +1041,37 @@ object TextQueries {
                JOIN documents db ON j.b_id = db.doc_id
         WHERE levenshtein(da.text, db.text) <= 5""")),
 
+    GQ("d34_containment_pairs", // asymmetric containment C(a→b) =
+      // |sh(a)∩sh(b)|/|sh(a)|: the "short doc quoted inside a long doc"
+      // signal symmetric Jaccard dilutes away. Both directions emitted,
+      // exact integer-ratio doubles. On THIS corpus (near-twin docs, no
+      // subset relations) every hit is mutual — the asymmetric direction
+      // is exercised by the unit test's quote-in-wrapper fixture; the
+      // oracle still verifies both containment values bit-for-bit.
+      (s, dir) => Dedup.containmentPairs(
+        Tables.table(s, dir, "documents"),
+        shingleK = 3, threshold = 0.5, maxDocFreq = 100),
+      Some("""WITH t AS (SELECT doc_id, list_distinct(list_transform(
+            range(1, greatest(len(ws) - 1, 1)),
+            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+          FROM (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+                FROM documents)),
+        e AS (SELECT doc_id, UNNEST(sh) AS s FROM t),
+        df AS (SELECT s FROM (SELECT s, COUNT(*) AS dfc FROM e GROUP BY s)
+               WHERE dfc <= 100),
+        e2 AS (SELECT e.doc_id, e.s FROM e JOIN df ON e.s = df.s),
+        n AS (SELECT doc_id, len(sh) AS n FROM t),
+        p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+              FROM e2 a JOIN e2 b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+        SELECT a_id, b_id, containment_a, containment_b FROM (
+          SELECT p.a_id, p.b_id,
+            CAST(p.inter AS DOUBLE) / na.n AS containment_a,
+            CAST(p.inter AS DOUBLE) / nb.n AS containment_b
+          FROM p JOIN n na ON p.a_id = na.doc_id
+                 JOIN n nb ON p.b_id = nb.doc_id)
+        WHERE containment_a >= 0.5 OR containment_b >= 0.5""")),
+
     GQ("d32_neardup_collapse", // the END of the dedup pipeline: d09's LSH
       // pairs → d18's transitive closure → ONE representative per cluster
       // (longest text, then smallest id), unpaired docs pass through. The

@@ -109,6 +109,29 @@ class DedupSpec extends SparkSpec {
     assert(r.getAs[Long]("dup_chars") == 24L)
   }
 
+  test("containmentPairs finds a short doc quoted inside a long one; Jaccard misses it") {
+    val quote = "the quick brown fox jumps over the lazy dog"
+    val wrapper = "intro words here " + quote + " plus much more trailing content " +
+      "that keeps going and going with many extra unrelated words entirely " +
+      "until the shared part is a small fraction of this long document overall"
+    val cDocs = Seq(
+      TestDoc(1, quote),
+      TestDoc(2, wrapper),
+      TestDoc(3, "nothing shared with any of the others at all here")
+    ).toDF()
+    val out = Dedup.containmentPairs(cDocs, shingleK = 3, threshold = 0.8)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[Double]("containment_a"), r.getAs[Double]("containment_b")))
+    assert(out.length == 1)
+    val (a, b, ca, cb) = out.head
+    assert((a, b) == (1L, 2L))
+    assert(ca == 1.0, "every shingle of the quote is inside the wrapper")
+    assert(cb < 0.5, "the wrapper is NOT contained in the quote")
+    // the symmetric measure would have rejected this pair
+    val jac = Dedup.jaccardPairs(cDocs, shingleK = 3, threshold = 0.5).count()
+    assert(jac == 0L, "Jaccard at 0.5 misses the quote-in-wrapper pair")
+  }
+
   test("collapseClusters keeps one best representative per cluster, singletons pass") {
     val cDocs = Seq(
       TestDoc(1, "short"),
