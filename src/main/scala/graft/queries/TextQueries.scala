@@ -287,6 +287,38 @@ object TextQueries {
         SELECT doc_id, lang, source, bucket FROM h
         WHERE bucket < CASE WHEN lang = 'en' THEN 200 ELSE 500 END""")),
 
+    GQ("d35_quota_sample", // EXACT per-stratum quotas: exactly min(k, n)
+      // docs per language, not an expected rate like d16 — the policy when
+      // a mixture spec says "exactly 10k docs of each language". Selection
+      // ranks by the portable PolyHash of the id (then id), so the drawn
+      // set is a pure function of the data: identical across engines,
+      // re-runs and task retries, and UNBIASED within each stratum (hash
+      // order is independent of any data column). The rank-k filter is
+      // WindowGroupLimit-pruned — k rows per stratum per map task reach
+      // the shuffle, so a billion-doc language never sorts in one task.
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val hk = graft.expressions.PolyHash(
+          concat(lit("quota|"), col("doc_id").cast("string")))
+        val w = Window.partitionBy("lang").orderBy(col("hk"), col("doc_id"))
+        Tables.table(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), hk.as("hk"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 40)
+          .select(col("doc_id"), col("lang"), col("rn").cast("int").as("rn"))
+      },
+      Some("""WITH h AS (SELECT doc_id, lang,
+          CAST(list_reduce(
+            list_prepend(CAST(0 AS BIGINT),
+              list_transform(regexp_extract_all('quota|' || CAST(doc_id AS VARCHAR), '.'),
+                c -> CAST(ascii(c) AS BIGINT))),
+            (h, b) -> (h * 257 + b) % 1000000007) AS BIGINT) AS hk
+          FROM documents),
+        r AS (SELECT doc_id, lang,
+                ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS rn
+              FROM h)
+        SELECT doc_id, lang, CAST(rn AS INTEGER) AS rn FROM r WHERE rn <= 40""")),
+
     GQ("d17_token_shards", // token-budget packing into training shards
       // Documents are packed into ~2000-token shards per language stream:
       // shard id = exclusive running token count / budget. Windows partition
