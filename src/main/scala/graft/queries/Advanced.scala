@@ -392,6 +392,81 @@ object Advanced {
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_orderstatus""")),
 
+    GQ("q47_disjunctive_pushdown", // TPC-H Q19 shape: OR-of-ANDs mixing
+      // columns from BOTH join sides — the predicate-pushdown stress test.
+      // Catalyst extracts the common-prefix conjuncts per side
+      // (p_brand/p_size reach the part scan, l_quantity the lineitem scan
+      // as an OR-of-ranges) while the cross-side residual stays on the
+      // join — wrong engines either push nothing or push too much.
+      // Revenue through exact DECIMAL(18,4) (the Dec contract).
+      (s, dir) => {
+        val l = t(s, dir, "lineitem")
+        val p = t(s, dir, "part")
+        l.join(p, col("l_partkey") === col("p_partkey"))
+          .filter(
+            (col("p_brand") === "Brand#1" && col("p_size").between(1, 15)
+              && col("l_quantity").between(1, 11)) ||
+            (col("p_brand") === "Brand#2" && col("p_size").between(1, 25)
+              && col("l_quantity").between(10, 20)) ||
+            (col("p_brand") === "Brand#3" && col("p_size").between(1, 35)
+              && col("l_quantity").between(20, 30)))
+          .agg(count(lit(1)).as("n"),
+            sum(discPrice(col("l_extendedprice"), col("l_discount")))
+              .cast("double").as("revenue"))
+      },
+      Some("""SELECT COUNT(*) AS n,
+        CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""")),
+
+    GQ("x12_mad_outliers", // robust per-group outlier stats: median and
+      // MAD (median absolute deviation) of token counts per language,
+      // plus the count past the 3-MAD fence. All integer arithmetic —
+      // percentile_disc picks an actual data value, deviations are |int −
+      // int| — so the whole decision replays bit-for-bit, unlike
+      // stddev-based fences (float accumulation order). Three tiny
+      // aggregates broadcast back onto the scan; the corpus shuffles once
+      // per aggregation level, never for the fence test.
+      (s, dir) => {
+        Tables.table(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), tokenCount(col("text")).as("nt"))
+          .createOrReplaceTempView("doc_tokens")
+        s.sql("""
+          WITH med AS (SELECT lang,
+                 CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY nt) AS BIGINT) AS med
+               FROM doc_tokens GROUP BY lang),
+          dev AS (SELECT t.lang, t.nt, m.med, abs(t.nt - m.med) AS adev
+                  FROM doc_tokens t JOIN med m ON t.lang = m.lang),
+          mad AS (SELECT lang,
+                 CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY adev) AS BIGINT) AS mad
+               FROM dev GROUP BY lang)
+          SELECT d.lang, MAX(d.med) AS med, MAX(a.mad) AS mad,
+            COUNT(*) AS n_docs,
+            CAST(SUM(CASE WHEN d.adev > 3 * a.mad THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_outliers
+          FROM dev d JOIN mad a ON d.lang = a.lang
+          GROUP BY d.lang""")
+      },
+      Some("""WITH doc_tokens AS (SELECT doc_id, lang,
+            CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS nt
+          FROM documents),
+        med AS (SELECT lang,
+               CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY nt) AS BIGINT) AS med
+             FROM doc_tokens GROUP BY lang),
+        dev AS (SELECT t.lang, t.nt, m.med, abs(t.nt - m.med) AS adev
+                FROM doc_tokens t JOIN med m ON t.lang = m.lang),
+        mad AS (SELECT lang,
+               CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY adev) AS BIGINT) AS mad
+             FROM dev GROUP BY lang)
+        SELECT d.lang, MAX(d.med) AS med, MAX(a.mad) AS mad,
+          COUNT(*) AS n_docs,
+          CAST(SUM(CASE WHEN d.adev > 3 * a.mad THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_outliers
+        FROM dev d JOIN mad a ON d.lang = a.lang
+        GROUP BY d.lang""")),
+
     GQ("h01_approx_distinct", // HLL sketch, oracle-checked via error-bound property
       // The HLL estimate itself isn't DuckDB-replayable, but it is
       // deterministic given the data, so the oracle checks the exact half
