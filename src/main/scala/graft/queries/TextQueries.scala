@@ -319,6 +319,44 @@ object TextQueries {
               FROM h)
         SELECT doc_id, lang, CAST(rn AS INTEGER) AS rn FROM r WHERE rn <= 40""")),
 
+    GQ("d36_chunk_overlap", // sliding-window document chunking: every doc
+      // becomes ceil-stride chunks of <= 32 words with 8 words of overlap
+      // (stride 24) — the pre-tokenization step that turns long documents
+      // into fixed-budget training sequences without losing cross-boundary
+      // context. Pure scan-local array arithmetic (split once, slice per
+      // chunk): ZERO shuffles at any corpus size; the fan-out is bounded
+      // by ceil(words/stride) per doc. Both engines slice the same word
+      // array with the same inclusive bounds, so chunks hash-match.
+      (s, dir) => {
+        val chunkW = 32
+        val stride = 24
+        val d = Tables.table(s, dir, "documents")
+          .select(col("doc_id"), words(col("text")).as("ws"))
+          .withColumn("n", size(col("ws")))
+          .withColumn("nc", when(col("n") <= chunkW, lit(1))
+            .otherwise(lit(1) + ceil((col("n") - chunkW).cast("double") / stride)
+              .cast("int")))
+        d.select(col("doc_id"), posexplode(
+            transform(sequence(lit(0), col("nc") - 1), i =>
+              struct(
+                size(slice(col("ws"), i * stride + 1, lit(chunkW))).as("n_words"),
+                array_join(slice(col("ws"), i * stride + 1, lit(chunkW)), " ")
+                  .as("chunk_text")))))
+          .select(col("doc_id"), col("pos").cast("int").as("chunk_id"),
+            col("col.n_words").as("n_words"), col("col.chunk_text").as("chunk_text"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+            list_filter(string_split(text, ' '), w -> w <> '') AS ws
+          FROM documents),
+        c AS (SELECT doc_id, ws, len(ws) AS n,
+                CASE WHEN len(ws) <= 32 THEN 1
+                     ELSE 1 + CAST(ceil((len(ws) - 32) / 24.0) AS INTEGER) END AS nc
+              FROM t)
+        SELECT doc_id, CAST(u.i AS INTEGER) AS chunk_id,
+          CAST(len(ws[(CAST(u.i AS INTEGER)*24+1):(CAST(u.i AS INTEGER)*24+32)]) AS INTEGER) AS n_words,
+          array_to_string(ws[(CAST(u.i AS INTEGER)*24+1):(CAST(u.i AS INTEGER)*24+32)], ' ') AS chunk_text
+        FROM c, UNNEST(range(0, nc)) AS u(i)""")),
+
     GQ("d17_token_shards", // token-budget packing into training shards
       // Documents are packed into ~2000-token shards per language stream:
       // shard id = exclusive running token count / budget. Windows partition
