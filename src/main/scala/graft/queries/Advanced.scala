@@ -467,6 +467,32 @@ object Advanced {
         FROM dev d JOIN mad a ON d.lang = a.lang
         GROUP BY d.lang""")),
 
+    GQ("x13_burst_dedup", // time-windowed event dedup: within each user's
+      // stream, a burst is a run of events less than 6 h apart; only the
+      // burst HEAD survives (the batch analog of streaming
+      // dropDuplicatesWithinWatermark: suppress repeats inside the window,
+      // let genuine re-occurrences through). Gaps-and-islands lag test on
+      // exact epoch micros — deterministic, non-vacuous in both directions
+      // (~43% of events are suppressed at both SFs). One shuffle on
+      // user_id; the same hot-key bucketing hatch as the as-of join
+      // applies when one user dominates a real stream.
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        Tables.events(s, dir)
+          .withColumn("prev_us", unix_micros(lag(col("ts"), 1).over(w)))
+          .filter(col("prev_us").isNull ||
+            unix_micros(col("ts")) - col("prev_us") > 6L * 3600L * 1000000L)
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("ts_us"))
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS tsm FROM events),
+        m AS (SELECT event_id, user_id, epoch_us(tsm) AS us,
+                LAG(epoch_us(tsm), 1) OVER (PARTITION BY user_id
+                  ORDER BY tsm, event_id) AS prev_us
+              FROM e)
+        SELECT event_id, user_id, us AS ts_us FROM m
+        WHERE prev_us IS NULL OR us - prev_us > CAST(21600000000 AS BIGINT)""")),
+
     GQ("h01_approx_distinct", // HLL sketch, oracle-checked via error-bound property
       // The HLL estimate itself isn't DuckDB-replayable, but it is
       // deterministic given the data, so the oracle checks the exact half
