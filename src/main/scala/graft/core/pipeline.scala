@@ -164,11 +164,19 @@ final class Pipeline[T] private (
 /** Closeable consumption handle returned by [[Pipeline.run]]: an Iterator
   * over the pipeline output whose `close()` is the reference's consumer
   * `break` — cancels the in-flight partition job (the job group is created
-  * with interrupt-on-cancel) and clears the group from the calling thread.
-  * Idempotent; a closed handle reports `hasNext = false`. */
+  * with interrupt-on-cancel) and RESTORES the calling thread's previous
+  * job group (not a blanket clear, so an enclosing group survives the
+  * break). Jobs the caller launches between `next()` calls on the same
+  * thread share the handle's group — Spark's thread-local contract — so
+  * interleave unrelated actions from another thread if they must not be
+  * cancellable by `close()`. Idempotent; a closed handle reports
+  * `hasNext = false`. */
 final class RunHandle[T] private[core] (ds: Dataset[Tracked[T]], group: String)
     extends Iterator[Tracked[T]] with AutoCloseable {
   private val sc = ds.sparkSession.sparkContext
+  private val priorGroup = sc.getLocalProperty("spark.jobGroup.id")
+  private val priorDesc = sc.getLocalProperty("spark.job.description")
+  private val priorInterrupt = sc.getLocalProperty("spark.job.interruptOnCancel")
   sc.setJobGroup(group, "graft pipeline consumer-driven run",
     interruptOnCancel = true)
   private val it = ds.toLocalIterator()
@@ -181,7 +189,9 @@ final class RunHandle[T] private[core] (ds: Dataset[Tracked[T]], group: String)
   def close(): Unit = if (!closed) {
     closed = true
     sc.cancelJobGroup(group)
-    sc.clearJobGroup()
+    sc.setLocalProperty("spark.jobGroup.id", priorGroup)
+    sc.setLocalProperty("spark.job.description", priorDesc)
+    sc.setLocalProperty("spark.job.interruptOnCancel", priorInterrupt)
   }
 }
 

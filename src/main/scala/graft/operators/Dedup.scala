@@ -376,6 +376,10 @@ object Dedup {
       dstCol: String = "b_id"
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val clash = docs.columns.toSet.intersect(Set("comp", "cluster_size", "rn"))
+    require(clash.isEmpty,
+      s"collapseClusters: doc columns ${clash.mkString(", ")} collide with " +
+        "the operator's label/size/rank columns — rename them first")
     val cc = Components.connected(pairs, srcCol, dstCol)
     val sizes = cc.groupBy("comp").agg(count(lit(1)).as("cluster_size"))
     val labeled = docs.join(

@@ -59,6 +59,15 @@ class PipelineSpec extends SparkSpec {
       .run()
     assert(all.map(_.value.count).toSet == (1 to 1000).toSet)
     all.close()
+    // close() restores the caller's enclosing job group instead of
+    // clearing it — a break inside a grouped computation must not strip
+    // the outer group from the thread
+    spark.sparkContext.setJobGroup("outer-group", "enclosing work")
+    val inner = Pipeline.of(source(100)).append("id2")(identity[Doc]).run()
+    inner.take(1).toVector
+    inner.close()
+    assert(spark.sparkContext.getLocalProperty("spark.jobGroup.id") == "outer-group")
+    spark.sparkContext.clearJobGroup()
   }
 
   test("soft error is recorded and the item continues through later stages") {
