@@ -182,6 +182,29 @@ object ScaleSmoke {
       Dedup.substringSpans(spanDocs, k = 30, dupTestVia = "window")
         .agg(sum(col("dup_chars"))).head().getLong(0))
 
+    // SimHash with ONE degenerate chunk bucket: nHot docs share identical
+    // text → identical 60-bit signature → every chunk bucket holds all of
+    // them. The old (chunk,key) self-join did nHot²/2 Hamming probes in one
+    // task (10⁶ docs → 10¹² probes — unrunnable); the capped-bucket plan
+    // drops buckets over maxDocFreq, so the degenerate mass costs one
+    // aggregation row and the distinct tail still pairs normally. The A/B
+    // measures the cap on vs effectively-off (cap still bounds the probe
+    // work at nSim²/2 ≈ 5·10⁹ only when off — keep nSim small enough that
+    // the uncapped run finishes, and the contrast is still stark).
+    val nSim = math.min(rows, 100000L)
+    val simDocs = spark.range(nSim).select(col("id").as("doc_id"),
+      when(col("id") % 2 === 0, lit("the quick brown fox jumps over the lazy dog boilerplate banner"))
+        .otherwise(concat(md5(col("id").cast("string")), lit(" unique filler text "),
+          md5((col("id") * 31).cast("string")))).as("text"))
+    time(s"simhash pairs, ${nSim / 2} identical docs (bucket cap 4096 on)")(
+      Dedup.simhashPairs(simDocs, maxHamming = 3, chunks = 4).count())
+    // cap-off contrast runs on a 20k slice: 10k identical docs already mean
+    // 10⁸/2 pair emissions per chunk — at the full nSim it would not finish
+    val simSmall = simDocs.filter(col("doc_id") < 20000)
+    time(s"simhash pairs, 10000 identical docs, cap OFF (old plan's probe work)")(
+      Dedup.simhashPairs(simSmall, maxHamming = 3, chunks = 4,
+        maxDocFreq = Int.MaxValue).count())
+
     // ANN at scale: synthetic deterministic embeddings (hash-derived, 16-d)
     // — LSH buckets and IVF cells must bound per-query work as the corpus
     // grows; queries are a small broadcast side.

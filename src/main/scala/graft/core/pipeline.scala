@@ -130,7 +130,10 @@ final class Pipeline[T] private (
     * as the consumer pulls. Breaking early — `close()`, or simply
     * abandoning the handle — never launches the remaining partitions'
     * jobs, and `close()` additionally cancels the in-flight partition job
-    * via its job group, so no orphaned work survives the break.
+    * via its job group, so no orphaned work survives the break. The
+    * thread's prior job group is restored on `close()` AND on full drain;
+    * only abandoning a half-drained handle without `close()` leaves the
+    * handle's group set on the thread.
     *
     * The job group rides the CALLING thread's local properties (Spark's
     * contract), so pull from the thread that called `run()`. Bulk
@@ -181,7 +184,29 @@ final class RunHandle[T] private[core] (ds: Dataset[Tracked[T]], group: String)
     interruptOnCancel = true)
   private val it = ds.toLocalIterator()
   @volatile private var closed = false
-  def hasNext: Boolean = !closed && it.hasNext
+  private var restored = false
+  // Thread-local properties, so restoration must happen on the consuming
+  // thread — which full drain (hasNext -> false) and the common same-thread
+  // close() both satisfy. Restoring on exhaustion means a fully-drained
+  // handle ends its group scope without requiring close(); abandoning a
+  // half-drained handle without close() is the one path that leaks the
+  // group onto the thread.
+  private def restore(): Unit = synchronized {
+    if (!restored) {
+      restored = true
+      sc.setLocalProperty("spark.jobGroup.id", priorGroup)
+      sc.setLocalProperty("spark.job.description", priorDesc)
+      sc.setLocalProperty("spark.job.interruptOnCancel", priorInterrupt)
+    }
+  }
+  def hasNext: Boolean = {
+    if (closed) false
+    else {
+      val h = it.hasNext
+      if (!h) restore() // drained: end the group scope for this thread
+      h
+    }
+  }
   def next(): Tracked[T] = {
     if (closed) throw new NoSuchElementException("handle closed")
     it.next()
@@ -189,9 +214,7 @@ final class RunHandle[T] private[core] (ds: Dataset[Tracked[T]], group: String)
   def close(): Unit = if (!closed) {
     closed = true
     sc.cancelJobGroup(group)
-    sc.setLocalProperty("spark.jobGroup.id", priorGroup)
-    sc.setLocalProperty("spark.job.description", priorDesc)
-    sc.setLocalProperty("spark.job.interruptOnCancel", priorInterrupt)
+    restore()
   }
 }
 

@@ -173,8 +173,12 @@ object TopKBy {
   /** Bounded min-heap of capacity k: `offer` keeps only the k largest
     * elements ever seen under the supplied ascending ordering. */
   final class Buffer(k: Int, ordering: Ordering[(Any, Any)]) {
+    // Initial capacity is capped: the k bound is enforced by offer(), not
+    // the backing array, so topk_by(..., 1_000_000) over many small groups
+    // must not allocate O(k) per group buffer up front.
     private val heap =
-      new java.util.PriorityQueue[(Any, Any)](math.max(1, k), ordering)
+      new java.util.PriorityQueue[(Any, Any)](
+        math.max(1, math.min(k, 16)), ordering)
 
     def offer(e: (Any, Any)): Unit = {
       if (heap.size < k) { heap.offer(e); () }

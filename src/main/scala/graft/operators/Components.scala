@@ -20,9 +20,10 @@ import org.apache.spark.storage.StorageLevel
   * without it the plan doubles per iteration and Catalyst analysis time,
   * not the data, becomes the bottleneck. By default truncation uses
   * `localCheckpoint` (executor-local blocks — fast, but lost under
-  * executor churn); pass `checkpointDir` to use reliable `checkpoint`
-  * against durable storage instead — the executable form of the
-  * cluster-robustness contract, same labels either way.
+  * executor churn); pass `checkpointDir` to truncate via a durable parquet
+  * round-trip instead (self-cleaning, round n-1 deleted once round n is
+  * materialized) — the executable form of the cluster-robustness contract,
+  * same labels either way.
   *
   * 100 TB shape: every round's cost is two key-bounded shuffles over the
   * edge list (|E| for dedup output is orders of magnitude below |corpus|),
@@ -33,10 +34,16 @@ object Components {
 
   /** @param edges undirected edge list; (srcCol, dstCol) pairs, any
     *              integral type.
-    * @param checkpointDir when set, per-round lineage truncation uses
-    *              reliable `checkpoint` blocks under this directory
-    *              (survives executor loss — the cluster mode); when None,
-    *              `localCheckpoint` (single-box / churn-free mode).
+    * @param checkpointDir when set, per-round lineage truncation writes the
+    *              label table as parquet under a per-call subdirectory of
+    *              this path and reads it back (survives executor loss — the
+    *              cluster mode). Each round's files are deleted as soon as
+    *              the next round is materialized, so on-disk accumulation is
+    *              O(|V|), not O(rounds·|V|); only the FINAL round's files
+    *              remain (they back the returned DataFrame) — callers may
+    *              delete the `graft-cc-*` subdirectory once the result is
+    *              consumed. No SparkContext-global state is touched. When
+    *              None, `localCheckpoint` (single-box / churn-free mode).
     * @return one row per vertex present in `edges`: (id, comp) where comp is
     *         the smallest vertex id reachable from id. */
   def connected(
@@ -47,10 +54,30 @@ object Components {
       checkpointDir: Option[String] = None
   ): DataFrame = {
     val spark = edges.sparkSession
-    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
-    def truncate(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint(eager = true)
-      else df.localCheckpoint(true)
+    val runDir = checkpointDir.map(d =>
+      s"$d/graft-cc-${java.util.UUID.randomUUID().toString.take(8)}")
+    var round = 0
+    var prevPath: Option[String] = None
+    def truncate(df: DataFrame): DataFrame = runDir match {
+      case Some(base) =>
+        // Parquet write + read-back is the durable analog of
+        // df.checkpoint(eager = true): the write is an action (the round is
+        // fully materialized), the read-back has zero lineage, and the
+        // previous round's blocks — consumed entirely by this write — can
+        // be deleted immediately.
+        val p = s"$base/round-$round"
+        round += 1
+        df.write.mode("overwrite").parquet(p)
+        val back = spark.read.parquet(p)
+        prevPath.foreach { old =>
+          val path = new org.apache.hadoop.fs.Path(old)
+          path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .delete(path, true)
+        }
+        prevPath = Some(p)
+        back
+      case None => df.localCheckpoint(true)
+    }
     val sym = edges
       .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
     val und = sym.union(sym.select(col("v").as("u"), col("u").as("v")))

@@ -381,9 +381,16 @@ object Dedup {
       s"collapseClusters: doc columns ${clash.mkString(", ")} collide with " +
         "the operator's label/size/rank columns — rename them first")
     val cc = Components.connected(pairs, srcCol, dstCol)
-    val sizes = cc.groupBy("comp").agg(count(lit(1)).as("cluster_size"))
     val labeled = docs.join(
       cc.select(col("id").as(idCol), col("comp")), Seq(idCol), "left")
+    // Sizes count documents actually PRESENT in docs, not vertices of the
+    // pairs graph: an id that appears in a pair but not in docs (caller
+    // pre-filtered the corpus, stale pair table) must not inflate
+    // cluster_size — and if the would-be representative is absent, the best
+    // PRESENT doc wins with an honest size. Map-side-combined aggregation
+    // over the labeled corpus, same shuffle bound as the old plan.
+    val sizes = labeled.filter(col("comp").isNotNull)
+      .groupBy("comp").agg(count(lit(1)).as("cluster_size"))
     val w = Window.partitionBy("comp")
       .orderBy(better :+ col(idCol).asc: _*)
     val kept = labeled.filter(col("comp").isNotNull)
@@ -481,13 +488,21 @@ object Dedup {
       k: Int = 30,
       idCol: String = "doc_id",
       textCol: String = "text",
-      dupTestVia: String = "agg"
+      dupTestVia: String = "agg",
+      persistGrams: Boolean = true
   ): DataFrame = {
     require(k >= 2, s"substring anchor length must be >= 2, got $k")
     require(dupTestVia == "agg" || dupTestVia == "window",
       s"dupTestVia must be 'agg' or 'window', got '$dupTestVia'")
     import org.apache.spark.sql.expressions.Window
-    val grams = docs
+    // The gram itself never leaves the scan: the duplicate test only needs
+    // gram EQUALITY, so each k-char gram collapses to its xxhash64 at the
+    // scan and every downstream exchange moves an 8-byte key instead of a
+    // k-char string (~5× smaller shuffles for k=30). A 64-bit collision
+    // (two distinct grams, same hash) would mark a non-duplicated anchor;
+    // at 10¹² corpus grams the birthday bound is ~3% for ONE such anchor
+    // corpus-wide — the same Bloom-style tradeoff the sketch operators make.
+    val gramsRaw = docs
       .select(col(idCol).as("doc_id"), col(textCol).as("text"))
       // filter first: sequence(1, 0) would generate a DESCENDING range for
       // sub-k documents, not an empty one
@@ -495,7 +510,18 @@ object Dedup {
       .select(col("doc_id"), posexplode(
         transform(sequence(lit(1), length(col("text")) - (k - 1)),
           i => col("text").substr(i, lit(k)))))
-      .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("g"))
+      .select(col("doc_id"), (col("pos") + 1).as("p"),
+        xxhash64(col("col")).as("g"))
+    // The agg plan reads the gram table twice (count pass + probe pass);
+    // persisting the narrow (doc_id, p, h) rows skips the second
+    // explode+hash. Single-box/benchmark optimization ONLY: at corpus
+    // scale the gram table is |corpus chars| rows and exceeds cluster
+    // storage — disable there and pay the second scan (scans are cheap
+    // relative to the hot-key-bounded shuffles this plan exists for).
+    val grams =
+      if (persistGrams && dupTestVia == "agg")
+        gramsRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else gramsRaw
     // Global duplicate test: gram occurs at >1 (doc, position) anywhere.
     val anchors = (dupTestVia match {
       case "agg" =>
@@ -610,15 +636,31 @@ object Dedup {
 
   /** SimHash near-duplicate pairs: 60-bit signatures; candidates share at
     * least one of `chunks` signature chunks (the Hamming-ball analog of LSH
-    * banding), verified by Hamming distance ≤ maxHamming. */
+    * banding), verified by Hamming distance ≤ maxHamming.
+    *
+    * Candidate generation is the same capped-bucket plan as
+    * [[jaccardPairs]]/[[containmentPairs]]: ONE shuffle groups ids per
+    * (chunk, key), buckets larger than `maxDocFreq` are dropped, and
+    * ordered pairs are emitted locally from each bucket's sorted id list.
+    * The previous self-join on (chunk, key) bounded shuffle OUTPUT via the
+    * in-join Hamming check but not probe WORK: one degenerate 15-bit chunk
+    * shared by 10⁶ boilerplate docs would do 10¹² Hamming probes inside a
+    * single straggler task. Here the worst bucket does maxDocFreq²/2 pair
+    * emissions, and a capped-out bucket costs nothing. The cap is a
+    * candidate-recall tradeoff (a pair whose ONLY shared chunk is
+    * hot-capped is missed — near-dups share several chunks, so in practice
+    * the other chunks recover them), same hatch the shingle finders expose.
+    */
   def simhashPairs(
       docs: DataFrame,
       maxHamming: Int = 8,
       chunks: Int = 4,
       idCol: String = "doc_id",
       textCol: String = "text",
-      portableHash: Boolean = false
+      portableHash: Boolean = false,
+      maxDocFreq: Int = 4096
   ): DataFrame = {
+    requireIntegralId(docs, idCol, "simhashPairs")
     val bitsPerChunk = 60 / chunks
     val sigExpr =
       if (portableHash) simhashPortable(col("ws")) else simhash(col("ws"))
@@ -626,22 +668,28 @@ object Dedup {
       .select(col(idCol).as("doc_id"), words(col(textCol)).as("ws"))
       .select(col("doc_id"), sigExpr.as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val chunked = sig.select(col("doc_id"), col("sig"),
+    val chunked = sig.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(chunks - 1)), c =>
         call_function("shiftright", col("sig"), c * bitsPerChunk)
           .bitwiseAND((1L << bitsPerChunk) - 1))))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "key")
-    // Hamming check INSIDE the join condition: candidates failing the
-    // distance test die during the probe, before the pair-dedup shuffle —
-    // on near-dup-heavy corpora this is the difference between shuffling
-    // the candidate blowup and shuffling only true pairs.
-    chunked.as("a")
-      .join(chunked.as("b"),
-        col("a.chunk") === col("b.chunk") && col("a.key") === col("b.key")
-          && col("a.doc_id") < col("b.doc_id")
-          && hammingDist(col("a.sig"), col("b.sig")) <= maxHamming)
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        hammingDist(col("a.sig"), col("b.sig")).cast("int").as("hamming"))
-      .dropDuplicates("a_id", "b_id")
+    val buckets = chunked.groupBy("chunk", "key")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")).between(2, maxDocFreq))
+    // A pair sharing several chunks is emitted once per shared chunk; the
+    // groupBy(a,b) dedup is the only pair-sized shuffle, and its input is
+    // bounded by chunks · maxDocFreq²/2 per bucket rather than the corpus'
+    // duplication profile.
+    val cand = buckets
+      .select(graft.expressions.OrderedPairsGen(col("ds").cast("array<long>")))
+      .groupBy(col("a").as("a_id"), col("b").as("b_id")).agg(count(lit(1)).as("_n"))
+      .drop("_n")
+    val sa = sig.select(col("doc_id").as("a_id"), col("sig").as("sig_a"))
+    val sb = sig.select(col("doc_id").as("b_id"), col("sig").as("sig_b"))
+    cand.join(sa, "a_id").join(sb, "b_id")
+      .withColumn("hamming",
+        hammingDist(col("sig_a"), col("sig_b")).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select("a_id", "b_id", "hamming")
   }
 }

@@ -933,7 +933,11 @@ object Advanced {
           graft.expressions.TopKBy.topkBy(
             struct(col("n_tokens"), col("doc_id")), col("doc_id"), 3).as("top"))
           .select(col("lang"), col("n_docs"), col("total_tokens"),
-            expr("transform(top, s -> s.payload)").as("top_ids"))
+            // Stringified per repo convention: the driver harness
+            // canonicalizes rows via pandas and cannot hash raw arrays
+            // (q31/d06 do the same).
+            expr("array_join(transform(top, s -> s.payload), ',')")
+              .as("top_ids"))
       },
       Some("""WITH t AS (SELECT lang, doc_id,
             CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS n_tokens
@@ -942,7 +946,8 @@ object Advanced {
             ROW_NUMBER() OVER (PARTITION BY lang
               ORDER BY n_tokens DESC, doc_id DESC) AS rn
           FROM t),
-        top AS (SELECT lang, list(doc_id ORDER BY rn) AS top_ids
+        top AS (SELECT lang,
+                  string_agg(doc_id, ',' ORDER BY rn) AS top_ids
                 FROM r WHERE rn <= 3 GROUP BY lang),
         a AS (SELECT lang, COUNT(*) AS n_docs,
                 CAST(SUM(n_tokens) AS BIGINT) AS total_tokens

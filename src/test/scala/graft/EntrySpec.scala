@@ -68,4 +68,20 @@ class EntrySpec extends SparkSpec {
       catch { case e: Throwable => fail(s"$name failed analysis: ${e.getMessage}") }
     }
   }
+
+  test("no query output carries a top-level array/map column (harness guard)") {
+    // The driver's pandas-based comparator cannot hash numpy arrays; the
+    // repo convention is to stringify collection outputs (array_join/md5).
+    // q45 broke this in r08 and its oracle row went `err` — keep it fixed.
+    import org.apache.spark.sql.types.{ArrayType, MapType}
+    val dir = sf()
+    val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      fn(spark, dir).schema.fields.collect {
+        case f if f.dataType.isInstanceOf[ArrayType] ||
+                  f.dataType.isInstanceOf[MapType] => s"$name.${f.name}"
+      }
+    }
+    assert(offenders.isEmpty,
+      s"stringify these columns (array_join/md5): ${offenders.mkString(", ")}")
+  }
 }

@@ -67,6 +67,12 @@ class PipelineSpec extends SparkSpec {
     inner.take(1).toVector
     inner.close()
     assert(spark.sparkContext.getLocalProperty("spark.jobGroup.id") == "outer-group")
+    // a FULLY DRAINED handle restores the prior group too — close() is not
+    // required to end the group scope when hasNext has returned false
+    val drained = Pipeline.of(source(50)).append("id3")(identity[Doc]).run()
+    assert(drained.toVector.length == 50) // exhausts: hasNext -> false
+    assert(spark.sparkContext.getLocalProperty("spark.jobGroup.id") == "outer-group",
+      "drained handle left its job group on the thread")
     spark.sparkContext.clearJobGroup()
   }
 

@@ -69,6 +69,15 @@ class ComponentsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(reliable == local)
     assert(reliable == unionFind(edges))
+    // self-cleaning: intermediate rounds are deleted once the next round
+    // materializes — only the FINAL round's parquet (which backs the
+    // returned DataFrame) survives under the per-call subdirectory
+    val runDirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("graft-cc-"))
+    assert(runDirs.length == 1, s"expected one run dir, got ${runDirs.length}")
+    val rounds = runDirs.head.listFiles().filter(_.getName.startsWith("round-"))
+    assert(rounds.length == 1,
+      s"stale round checkpoints left behind: ${rounds.map(_.getName).mkString(", ")}")
   }
 
   test("decontaminate flags only training docs sharing a shingle") {

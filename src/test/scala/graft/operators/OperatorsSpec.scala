@@ -154,6 +154,26 @@ class DedupSpec extends SparkSpec {
     assert(out(6L) == (None, 1L))     // singleton passes through
   }
 
+  test("collapseClusters: stale pair ids absent from docs don't inflate sizes") {
+    // ids 2 and 9 appear in pairs but not in docs (pre-filtered corpus /
+    // stale pair table): cluster_size counts PRESENT docs only, and when
+    // the would-be representative (longest text, id 9) is absent the best
+    // present doc wins
+    val cDocs = Seq(
+      TestDoc(1, "present short"),
+      TestDoc(3, "present and the longest remaining"),
+      TestDoc(4, "other cluster")
+    ).toDF()
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 9L), (4L, 5L)).toDF("a_id", "b_id")
+    val out = Dedup.collapseClusters(cDocs, pairs,
+      better = Seq(length(col("text")).desc))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("cluster_size")).toMap
+    // cluster {1,2,3,9}: docs present = {1,3} → size 2, kept = 3 (longer)
+    // cluster {4,5}: docs present = {4} → size 1, kept = 4
+    assert(out == Map(3L -> 2L, 4L -> 1L), s"got $out")
+  }
+
   test("simhash: identical docs collide, near-dups are close, unrelated far") {
     val sigs = docs.select($"doc_id", simhash(words($"text")).as("sig"))
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("sig")).toMap
