@@ -40,7 +40,8 @@ object AnnRecall {
         m = p("m", 8), ks = p("ks", 32), refine = p("refine", 8))
       case "ivfpq" => Similarity.ivfPqTopK(emb, qs, k = k,
         nCentroids = p("nCentroids", 16), nProbe = p("nProbe", 4),
-        m = p("m", 8), ks = p("ks", 32), refine = p("refine", 8))
+        m = p("m", 8), ks = p("ks", 32), refine = p("refine", 8),
+        residual = p("residual", 1) == 1)
       case other => sys.error(s"unknown op '$other' (ivf|pq|ivfpq)")
     }
     val truth = Similarity.bruteForceTopK(emb, qs, k = k)

@@ -70,7 +70,13 @@ object Bench {
         java.nio.file.Paths.get("BENCH_QUERIES.json"),
         body.getBytes("UTF-8"))
     } catch { case _: Throwable => () }
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":$runs,"queries":$qs,"sf":"$sfDir"}""")
+    // total_min = sum of per-query minima: the contention-free floor this
+    // box can produce — when "value" (sum of medians) drifts 1.5-2× across
+    // runs with an empty diff, total_min moving is what distinguishes a
+    // real regression from co-tenant noise (full per-query min/median/max
+    // is in BENCH_QUERIES.json, committed alongside).
+    val totalMin = results.map(_._3.min).sum
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":$runs,"total_min":${r3(totalMin)},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

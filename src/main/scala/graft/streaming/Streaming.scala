@@ -62,6 +62,39 @@ object Streaming {
     events.withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming burst dedup — the streaming form of the x13 batch query:
+    * within each key's stream, an event survives only if it arrives more
+    * than `gapUs` after the key's PREVIOUS event (rolling gap, so a burst
+    * chain longer than the gap still collapses to its head — the semantics
+    * `dropDuplicatesWithinWatermark` approximates but does not match: that
+    * expires state at a fixed delay from the FIRST event, re-admitting a
+    * chain's interior). State per key is ONE long (last event-time micros).
+    *
+    * Rows inside a micro-batch are processed in (ts, event_id) order;
+    * cross-batch correctness relies on per-key event-time-ordered arrival
+    * (the usual replay / log-compaction feed). Over any such stream the
+    * emitted set equals the batch gaps-and-islands answer on the same
+    * events — spec-asserted against x13 on the testdata events table. */
+  def burstDedupStream(
+      events: Dataset[(Long, Long, Long)], // (event_id, key, ts_us)
+      gapUs: Long
+  )(implicit outEnc: Encoder[(Long, Long, Long)],
+      stateEnc: Encoder[Long]): Dataset[(Long, Long, Long)] =
+    events.groupByKey(_._2)
+      .flatMapGroupsWithState[Long, (Long, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, rows, state: GroupState[Long]) =>
+          val ordered = rows.toVector.sortBy(e => (e._3, e._1))
+          var last = state.getOption
+          val out = ordered.filter { e =>
+            val keep = last.forall(l => e._3 - l > gapUs)
+            last = Some(e._3)
+            keep
+          }
+          last.foreach(state.update)
+          out.iterator
+      }
+
   /** Streaming MinHash-LSH near-duplicate CANDIDATE pairs: documents are
     * shingled, signed, and banded with exactly the batch expressions
     * ([[graft.operators.Dedup.minhashSigCol]] / `bandBucketsCol`), and

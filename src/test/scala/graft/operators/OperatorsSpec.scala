@@ -375,6 +375,29 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.6, s"auto-k IVF recall $recall below 0.6 on a twin corpus")
   }
 
+  test("IVFADC full-auto mode (cells, probes, shortlist from cardinality) recovers twins") {
+    val rnd = new scala.util.Random(37)
+    val base = (0 until 50).map(_ => Seq.fill(8)(rnd.nextFloat() * 2 - 1))
+    val corpus = (base ++ base.map(_.map(x => x + (rnd.nextFloat() - 0.5f) * 0.05f)))
+      .zipWithIndex.map { case (v, i) => TestVec(i.toLong, v) }.toDF()
+    val queries = corpus.filter($"vec_id" < 40)
+    val truth = Similarity.bruteForceTopK(corpus, queries, k = 1)
+      .select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // nCentroids=0 → 10 cells; nProbe=0 → ceil(3·√10)=10 (all, tiny n);
+    // refine=0 → shortlist max(8, ceil(3·√100))=30 — the un-pinned call
+    // shape for corpora of unknown scale
+    for (res <- Seq(true, false)) {
+      val got = Similarity.ivfPqTopK(corpus, queries, k = 1,
+        nCentroids = 0, nProbe = 0, m = 4, ks = 16, refine = 0, residual = res)
+        .select("q_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = got.intersect(truth).size.toDouble / truth.size
+      assert(recall >= 0.7,
+        s"full-auto IVFADC (residual=$res) recall $recall below 0.7 on a twin corpus")
+    }
+  }
+
   test("IVFADC on an empty corpus returns an empty, correctly-typed result") {
     val out = Similarity.ivfPqTopK(
       corpus = vecs.filter($"vec_id" < 0), queries = vecs, k = 2, m = 3)

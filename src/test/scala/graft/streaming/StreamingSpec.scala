@@ -50,6 +50,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming burst dedup equals the x13 batch islands answer on real events") {
+    implicit val sqlCtx = spark.sqlContext
+    // the exact slice x13 runs on: sf0.001 events as (event_id, user_id,
+    // ts_us), fed in three CHRONOLOGICAL micro-batches (global ts order
+    // implies per-key order — the operator's arrival contract)
+    val evs = graft.Tables.events(spark, sf())
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(e => (e._3, e._1))
+    assert(evs.length > 100) // non-vacuous slice
+    val batchAnswer = graft.SparkEntry.queries("x13_burst_dedup")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val mem = MemoryStream[(Long, Long, Long)]
+    val out = Streaming.burstDedupStream(mem.toDS(), gapUs = 6L * 3600L * 1000000L)
+    val q = out.writeStream.format("memory").queryName("burst_dedup")
+      .outputMode("append").start()
+    try {
+      evs.grouped(math.max(1, evs.length / 3 + 1)).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("burst_dedup").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed == batchAnswer,
+        s"stream ${streamed.size} rows vs batch ${batchAnswer.size}; " +
+          s"missing=${(batchAnswer -- streamed).take(3)} extra=${(streamed -- batchAnswer).take(3)}")
+    } finally q.stop()
+  }
+
   test("typed pipeline stages run on a streaming Dataset (unified API)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Doc]
