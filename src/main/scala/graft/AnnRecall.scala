@@ -42,7 +42,11 @@ object AnnRecall {
         nCentroids = p("nCentroids", 16), nProbe = p("nProbe", 4),
         m = p("m", 8), ks = p("ks", 32), refine = p("refine", 8),
         residual = p("residual", 1) == 1)
-      case other => sys.error(s"unknown op '$other' (ivf|pq|ivfpq)")
+      case "lsh" => Similarity.lshTopK(emb, qs, k = k,
+        planes = p("planes", 8), tables = p("tables", 1),
+        portableHash = true, multiProbe = p("multiProbe", 1) == 1,
+        probeBudget = p("probeBudget", 0))
+      case other => sys.error(s"unknown op '$other' (ivf|pq|ivfpq|lsh)")
     }
     val truth = Similarity.bruteForceTopK(emb, qs, k = k)
     val hits = ann.select("q_id", "neighbor_id")

@@ -106,6 +106,26 @@ object VectorFunctions {
     sigFromMatrix(v, (0 until planes).map(_ + tableSalt).map(p =>
       Array.tabulate(dim)(i => coefXxD(p, i.toLong))))
 
+  /** Per-plane left-fold dot products against the portable plane matrix —
+    * the MARGINS behind [[portableHyperplaneSig]]'s sign bits (|dots[p]| is
+    * the query's distance to hyperplane p's boundary, up to the plane's
+    * norm). Computed with the same ArrayDot fold as the signature, so
+    * sign(dots[p]) and signature bit p agree bit-for-bit — margin-ordered
+    * multi-probe (Lv et al. 2007) can rank flip candidates without ever
+    * disagreeing with the bucket assignment. */
+  def portablePlaneDots(v: Column, planes: Int, dim: Int, tableSalt: Int): Column =
+    dotsFromMatrix(v, (0 until planes).map(_ + tableSalt).map(p =>
+      Array.tabulate(dim)(i => coefPortableD(p, i))))
+
+  /** xxhash64-family analog of [[portablePlaneDots]] (margins for
+    * [[hyperplaneSig]]). */
+  def planeDots(v: Column, planes: Int, dim: Int, tableSalt: Int): Column =
+    dotsFromMatrix(v, (0 until planes).map(_ + tableSalt).map(p =>
+      Array.tabulate(dim)(i => coefXxD(p, i.toLong))))
+
+  private def dotsFromMatrix(v: Column, planeRows: Seq[Array[Double]]): Column =
+    array(planeRows.map(coefs => graft.expressions.ArrayDot(v, lit(coefs))): _*)
+
   /** Per-row HOF formulation of [[hyperplaneSig]] — parity-test reference. */
   def hyperplaneSigHof(v: Column, planes: Int, tableSalt: Int = 0): Column = {
     def coef(p: Int, i: Column): Column =

@@ -719,7 +719,19 @@ object Similarity {
     * untouched: this buys table-count recall with per-query candidate
     * volume (×(planes+1) probes) instead of ×tables index size — at
     * 100 TB the corpus-side explode is the cost that matters, so
-    * multi-probe is the first recall lever, extra tables the second. */
+    * multi-probe is the first recall lever, extra tables the second.
+    *
+    * `probeBudget` (with `multiProbe`): probe only the `probeBudget`
+    * one-bit flips with the SMALLEST margin |q·plane_p| — the planes the
+    * query sits closest to, i.e. the flips most likely to hide a true
+    * neighbor (the success probability of flip p decays with the margin,
+    * Lv et al. §3.1). A budget of planes/2 keeps most of the full
+    * Hamming-1 recall at roughly half the probe volume — the lever when
+    * per-query candidate cost matters more than the last recall points.
+    * `<= 0` or `>= planes` means all flips (plain multi-probe). Margins
+    * come from the same ArrayDot fold as the signature bits, so the
+    * ordering and the bucket assignment never disagree (and the DuckDB
+    * oracle replays both). */
   def lshTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -729,7 +741,8 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       portableHash: Boolean = false,
-      multiProbe: Boolean = false
+      multiProbe: Boolean = false,
+      probeBudget: Int = 0
   ): DataFrame = {
     // One tiny metadata job: the plane matrix is materialized driver-side
     // (O(planes × dim) hash evals instead of per-row), which needs the fixed
@@ -756,29 +769,68 @@ object Similarity {
     def sigOf(v: org.apache.spark.sql.Column, salt: Int) =
       if (portableHash) portableHyperplaneSig(v, planes, dim, salt)
       else hyperplaneSig(v, planes, dim, salt)
+    def dotsOf(v: org.apache.spark.sql.Column, salt: Int) =
+      if (portableHash) portablePlaneDots(v, planes, dim, salt)
+      else planeDots(v, planes, dim, salt)
+    val marginMode = multiProbe && probeBudget >= 1 && probeBudget < planes
     def bucketed(df: DataFrame, role: String, probe: Boolean) = {
       val base = withVec(df, idCol, vecCol)
-      // One signature column per table, each over a DISJOINT plane set
-      // (tableSalt = tb * planes), built as a literal array of row-level
-      // expressions — each signature is evaluated once per row, never
-      // re-evaluated per array element (the HOF lambda trap). The
-      // tb * 2^planes offset keeps buckets from different tables disjoint
-      // under the single (tbl, bucket) join key. With `probe`, each table
-      // contributes the bucket itself plus its `planes` one-bit flips
-      // (query side only — the index side always stays one row per table).
-      val buckets = (0 until tables).flatMap { tb =>
-        val s = sigOf(col("v"), tb * planes)
-        val variants = if (probe) -1 until planes else -1 until 0
-        variants.map { p =>
-          val flipped = if (p < 0) s else s.bitwiseXOR(lit(1L << p))
-          struct(lit(tb).as("t"),
-            (flipped + lit(tb.toLong * (1L << planes))).as("b"))
+      val out =
+        if (probe && marginMode) {
+          // Margin-ordered probing is data-dependent, so signatures and
+          // margin arrays are materialized as NAMED columns first: the
+          // flip-building lambdas below then reference cheap attributes,
+          // and CollapseProject keeps the boundary (the aliases are
+          // multiply-referenced and non-trivial), so no signature fold is
+          // re-evaluated per array element (the HOF lambda trap).
+          val withSig = base.select(
+            col("vid") +: col("v") +: col("nrm") +:
+              (0 until tables).flatMap(tb => Seq(
+                sigOf(col("v"), tb * planes).as(s"sig_$tb"),
+                dotsOf(col("v"), tb * planes).as(s"dots_$tb"))): _*)
+          val perTable = (0 until tables).map { tb =>
+            val s = col(s"sig_$tb")
+            val offset = lit(tb.toLong * (1L << planes))
+            // rank planes by |margin| asc (ties by plane index — both
+            // engines sort the (m, p) struct lexicographically), keep the
+            // probeBudget closest, flip each bit onto the exact bucket
+            val ranked = slice(
+              sort_array(zip_with(
+                col(s"dots_$tb"), sequence(lit(0), lit(planes - 1)),
+                (d, p) => struct(abs(d).as("m"), p.as("p")))),
+              1, probeBudget)
+            val flips = transform(ranked, t =>
+              struct(lit(tb).as("t"),
+                (s.bitwiseXOR(
+                  call_function("shiftleft", lit(1L), t.getField("p")))
+                  + offset).as("b")))
+            concat(array(struct(lit(tb).as("t"), (s + offset).as("b"))), flips)
+          }
+          withSig.select(col("vid"), col("v"), col("nrm"),
+            explode(concat(perTable: _*)).as("tb"))
+        } else {
+          // One signature column per table, each over a DISJOINT plane set
+          // (tableSalt = tb * planes), built as a literal array of row-level
+          // expressions — each signature is evaluated once per row, never
+          // re-evaluated per array element (the HOF lambda trap). The
+          // tb * 2^planes offset keeps buckets from different tables disjoint
+          // under the single (tbl, bucket) join key. With `probe`, each table
+          // contributes the bucket itself plus its `planes` one-bit flips
+          // (query side only — the index side always stays one row per table).
+          val buckets = (0 until tables).flatMap { tb =>
+            val s = sigOf(col("v"), tb * planes)
+            val variants = if (probe) -1 until planes else -1 until 0
+            variants.map { p =>
+              val flipped = if (p < 0) s else s.bitwiseXOR(lit(1L << p))
+              struct(lit(tb).as("t"),
+                (flipped + lit(tb.toLong * (1L << planes))).as("b"))
+            }
+          }
+          base.select(col("vid"), col("v"), col("nrm"),
+            explode(array(buckets: _*)).as("tb"))
         }
-      }
-      base.select(col("vid"), col("v"), col("nrm"),
-          explode(array(buckets: _*)).as("tb"))
-        .select(col("vid").as(s"${role}_vid"), col("v"), col("nrm"),
-          col("tb.t").as("tbl"), col("tb.b").as("bucket"))
+      out.select(col("vid").as(s"${role}_vid"), col("v"), col("nrm"),
+        col("tb.t").as("tbl"), col("tb.b").as("bucket"))
     }
     val c = bucketed(corpus, "c", probe = false)
     val q = bucketed(queries, "q", probe = multiProbe)

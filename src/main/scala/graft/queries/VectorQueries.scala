@@ -95,6 +95,54 @@ object VectorQueries {
         SELECT q_id, neighbor_id, sim, CAST(rn AS INTEGER) AS rank
         FROM r WHERE rn <= 3""")),
 
+    // Margin-ordered multi-probe (Lv et al. 2007 §3.1): instead of ALL
+    // planes one-bit flips (e11's 9 probes/query at planes=8), probe only
+    // the probeBudget=4 flips with the smallest |q·plane| margin — the
+    // hyperplanes the query sits closest to, where a true neighbor most
+    // likely landed on the other side. 5 probes/query buys most of e11's
+    // recall at ~half the candidate volume: the per-query cost lever at
+    // 100 TB, where probe count multiplies the bucket-join's query-side
+    // rows while the corpus index stays one row per vector either way.
+    // Margins come from the SAME ArrayDot fold as the signature bits, so
+    // ordering and bucket assignment cannot disagree — and the ENTIRE
+    // pipeline (dots, sig, flip ranking, candidates, exact ranking) is
+    // oracle-replayed below, including the margin sort itself.
+    GQ("e12_ann_multiprobe_margin",
+      (s, dir) => {
+        val emb = Tables.table(s, dir, "embeddings")
+        Similarity.lshTopK(
+          corpus = emb, queries = emb.filter(col("vec_id") < 50),
+          k = 3, planes = 8, tables = 1, portableHash = true,
+          multiProbe = true, probeBudget = 4)
+      },
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        d AS (SELECT vec_id, v, nrm, ${portableDotsSql(8)} AS dots FROM n),
+        sg AS (SELECT vec_id, v, nrm, dots,
+            CAST(list_sum(list_transform(range(0, 8), p ->
+              CASE WHEN dots[p + 1] > 0 THEN (CAST(1 AS BIGINT) << p)
+                   ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS sig
+          FROM d),
+        probes AS (
+          SELECT vec_id, v, nrm, sig AS bucket FROM sg WHERE vec_id < 50
+          UNION ALL
+          SELECT vec_id, v, nrm,
+            UNNEST(list_transform(
+              list_slice(list_sort(list_transform(range(0, 8),
+                p -> {'m': abs(dots[p + 1]), 'p': p})), 1, 4),
+              t -> xor(sig, CAST(1 AS BIGINT) << t.p))) AS bucket
+          FROM sg WHERE vec_id < 50),
+        cand AS (SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+            list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS sim
+          FROM probes q JOIN sg c
+            ON c.sig = q.bucket AND c.vec_id <> q.vec_id),
+        r AS (SELECT q_id, neighbor_id, sim,
+                ROW_NUMBER() OVER (PARTITION BY q_id
+                                   ORDER BY sim DESC, neighbor_id) AS rn
+              FROM cand)
+        SELECT q_id, neighbor_id, sim, CAST(rn AS INTEGER) AS rank
+        FROM r WHERE rn <= 3""")),
+
     // Embedding-cosine near-duplicate pairs on a systematic subset —
     // exact all-pairs, oracle-verified (the ground truth the LSH/IVF
     // approximate paths are judged against).
@@ -322,4 +370,15 @@ object VectorQueries {
              list_transform(range(1, len(v) + 1), i -> v[i] * $portableCoefSql)),
            (a, b) -> a + b) > 0
          THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"""
+
+  /** DuckDB replay of [[graft.functions.VectorFunctions.portablePlaneDots]]
+    * over a DOUBLE[] column `v` (tableSalt 0): the per-plane left-fold dot
+    * products whose signs are the signature bits — e12's margin ordering
+    * replays from these. */
+  private def portableDotsSql(planes: Int): String =
+    s"""list_transform(range(0, $planes), p ->
+       list_reduce(
+         list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(range(1, len(v) + 1), i -> v[i] * $portableCoefSql)),
+         (a, b) -> a + b))"""
 }

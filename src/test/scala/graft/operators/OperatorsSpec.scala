@@ -274,6 +274,51 @@ class SimilaritySpec extends SparkSpec {
     assert(multi >= 0.5, s"multi-probe recall unexpectedly low: $multi")
   }
 
+  test("margin-budget multi-probe results are a subset of full multi-probe at all-candidates k") {
+    val rnd = new scala.util.Random(23)
+    val base = (0 until 60).map(_ => Seq.fill(8)(rnd.nextFloat() * 2 - 1))
+    val corpus = (base ++ base.map(_.map(x => x + (rnd.nextFloat() - 0.5f) * 0.1f)))
+      .zipWithIndex.map { case (v, i) => TestVec(i.toLong, v) }.toDF()
+    val queries = corpus.filter($"vec_id" < 30)
+    // k = |corpus|: top-k truncation is a no-op, so the result IS the
+    // candidate set — the budgeted probe sequence (exact bucket + the 4
+    // closest-margin flips) must generate a subset of the full Hamming-1
+    // sequence's candidates, and a strict subset of its probe volume
+    def cands(budget: Int): Set[(Long, Long)] =
+      Similarity.lshTopK(corpus, queries, k = 120, planes = 10,
+        tables = 1, multiProbe = true, probeBudget = budget)
+        .select("q_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val budgeted = cands(4)
+    val full = cands(0)
+    assert(budgeted.subsetOf(full),
+      s"budget-4 candidates not a subset: ${(budgeted -- full).take(3)}")
+    assert(budgeted.nonEmpty)
+  }
+
+  test("margin-budget multi-probe keeps most of full multi-probe recall at half the probes") {
+    val rnd = new scala.util.Random(11)
+    val base = (0 until 60).map(_ => Seq.fill(8)(rnd.nextFloat() * 2 - 1))
+    val corpus = (base ++ base.map(_.map(x => x + (rnd.nextFloat() - 0.5f) * 0.1f)))
+      .zipWithIndex.map { case (v, i) => TestVec(i.toLong, v) }.toDF()
+    val queries = corpus.filter($"vec_id" < 60)
+    val truth = Similarity.bruteForceTopK(corpus, queries, k = 1)
+      .select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(budget: Int): Double = {
+      val got = Similarity.lshTopK(corpus, queries, k = 1, planes = 10,
+        tables = 1, multiProbe = true, probeBudget = budget)
+        .select("q_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.intersect(truth).size.toDouble / truth.size
+    }
+    val budgeted = recall(4) // 5 probes/query vs full's 11
+    val full = recall(0)
+    assert(budgeted >= 0.5, s"margin-budget recall unexpectedly low: $budgeted")
+    assert(budgeted >= full - 0.2,
+      s"margin ordering lost too much recall: $budgeted vs full $full")
+  }
+
   test("LSH ANN on an empty corpus returns an empty, correctly-typed result") {
     val out = Similarity.lshTopK(
       corpus = vecs.filter($"vec_id" < 0), queries = vecs, k = 2)
