@@ -307,6 +307,86 @@ object Dedup {
       .join(indexFp.select(col(fpCol).as("fp")), Seq("fp"), "left_anti")
   }
 
+  /** Stored LSH index for [[incrementalNeardupPairs]]: the two tables a
+    * growing corpus keeps on disk so NEW batches can near-dup against
+    * history without ever re-scanning it — a narrow `(doc_id, band,
+    * bucket)` band index (the LSH candidate key) and the `(doc_id, sh)`
+    * shingle sets (the verify payload). Built with exactly the batch-path
+    * expressions ([[minhashSigCol]] / [[bandBucketsCol]]), so an index
+    * written at ingest time and a signature computed a year later land in
+    * the same buckets. */
+  def lshIndex(
+      docs: DataFrame,
+      numHashes: Int = 8,
+      bands: Int = 4,
+      shingleK: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      portableHash: Boolean = false
+  ): (DataFrame, DataFrame) = {
+    requireIntegralId(docs, idCol, "lshIndex")
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val sig = shingleSets(docs, shingleK, idCol, textCol)
+      .withColumn("sig", minhashSigCol(numHashes, portableHash))
+    val bandRows = sig.select(col("doc_id"),
+      posexplode(bandBucketsCol(numHashes, bands, portableHash)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    (bandRows, sig.select(col("doc_id"), col("sh")))
+  }
+
+  /** Incremental (cross-batch) NEAR-duplicate pairs: a NEW batch against a
+    * stored LSH index — the near-dup analog of [[incremental]]'s exact
+    * fingerprint anti join, for the production shape where a corpus grows
+    * by increments and re-running [[minhashPairs]] over all of history per
+    * batch is O(corpus) work per day. Candidates are new-batch band rows
+    * equi-joined to the index on `(band, bucket)` — NEVER history×history,
+    * and never a within-bucket pair explosion: each output row of the join
+    * IS a candidate, so a hot bucket costs its true candidate count and
+    * AQE's skew split applies (unlike a self-join bucket's O(B²) probe
+    * loop). Verified with exact shingle Jaccard against the index's stored
+    * sets. Within-batch duplicates are [[minhashPairs]] on the batch alone
+    * — compose both for full dedup of an increment.
+    *
+    * @param historyBands    stored `(doc_id, band, bucket)` from [[lshIndex]]
+    * @param historyShingles stored `(doc_id, sh)` from [[lshIndex]]
+    * @return `(new_id, old_id, jaccard)` — batch doc, matched history doc */
+  def incrementalNeardupPairs(
+      batch: DataFrame,
+      historyBands: DataFrame,
+      historyShingles: DataFrame,
+      numHashes: Int = 8,
+      bands: Int = 4,
+      shingleK: Int = 3,
+      threshold: Double = 0.5,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      portableHash: Boolean = false
+  ): DataFrame = {
+    requireIntegralId(batch, idCol, "incrementalNeardupPairs")
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    // Persisted: feeds the band explode AND the verify join (same
+    // checkpoint you'd take before any LSH join; Verify clears it).
+    val sig = shingleSets(batch, shingleK, idCol, textCol)
+      .withColumn("sig", minhashSigCol(numHashes, portableHash))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val newBands = sig.select(col("doc_id").as("new_id"),
+      posexplode(bandBucketsCol(numHashes, bands, portableHash)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val cand = newBands
+      .join(historyBands.select(col("doc_id").as("old_id"),
+        col("band"), col("bucket")), Seq("band", "bucket"))
+      .select("new_id", "old_id").dropDuplicates("new_id", "old_id")
+    cand
+      .join(sig.select(col("doc_id").as("new_id"), col("sh").as("sa")), "new_id")
+      .join(historyShingles.select(col("doc_id").as("old_id"),
+        col("sh").as("sb")), "old_id")
+      .withColumn("jaccard",
+        size(array_intersect(col("sa"), col("sb"))).cast("double")
+          / size(array_union(col("sa"), col("sb"))))
+      .filter(col("jaccard") >= threshold)
+      .select("new_id", "old_id", "jaccard")
+  }
+
   /** Asymmetric containment pairs: C(a→b) = |sh(a) ∩ sh(b)| / |sh(a)| — the
     * "is a mostly inside b" signal symmetric Jaccard misses when sizes
     * differ (a benchmark item quoted inside a long web page scores near

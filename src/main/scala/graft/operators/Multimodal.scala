@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -121,6 +122,46 @@ object Multimodal {
       .groupBy(col("sid").as(idCol))
       .agg(count(lit(1)).as("n_frames"),
         count(when(col("energy") >= minEnergy, 1)).as("n_kept"))
+  }
+
+  /** Video scene-cut detection: one "frame" per `frameBytes` of payload
+    * ([[sampleFrames]]' offsets), per-frame energy (stub: the byte-code
+    * sum — the slot a real pipeline fills with a perceptual frame feature
+    * from the decoded pixels), and a CUT reported wherever the energy
+    * jumps by more than `minDelta` against the PREVIOUS frame — the
+    * shot-boundary heuristic every keyframe-selection pipeline starts
+    * from. Frame explode and energy fold are scan-local; the only shuffle
+    * is the per-media window sort (bounded per media by payload size /
+    * frameBytes — media are bounded, so no skew hatch is needed where
+    * d26-style text grams do need one).
+    *
+    * @return one row per cut: (idCol, cut_offset = offset of the frame
+    *         AFTER the cut, delta = signed energy jump) */
+  def sceneCuts(
+      media: DataFrame,
+      idCol: String = "doc_id",
+      binCol: String = "media",
+      frameBytes: Int = 32,
+      minDelta: Long = 0L
+  ): DataFrame = {
+    val frames = sampleFrames(media.select(col(idCol).as("sid"), col(binCol)),
+      binCol, frameBytes)
+    val w = Window.partitionBy(col("sid")).orderBy(col("frame_offset"))
+    frames
+      // attribute-staged decode: same expression-hygiene pattern as
+      // silenceTrim (inlining would re-decode per character)
+      .withColumn("f", decode(col(binCol).substr(
+        col("frame_offset").cast("int") + 1, lit(frameBytes)), "UTF-8"))
+      .withColumn("energy",
+        aggregate(transform(sequence(lit(1), length(col("f"))),
+          i => ascii(col("f").substr(i, lit(1)))),
+          lit(0L), (a, x) => a + x))
+      .withColumn("prev_energy", lag(col("energy"), 1).over(w))
+      .filter(col("prev_energy").isNotNull &&
+        abs(col("energy") - col("prev_energy")) > minDelta)
+      .select(col("sid").as(idCol),
+        col("frame_offset").as("cut_offset"),
+        (col("energy") - col("prev_energy")).as("delta"))
   }
 
   /** Video near-duplicate pairs by keyframe fingerprinting: one "keyframe"

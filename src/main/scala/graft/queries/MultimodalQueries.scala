@@ -144,6 +144,37 @@ object MultimodalQueries {
           CAST(COUNT(*) FILTER (energy >= 2900) AS BIGINT) AS n_kept
         FROM e GROUP BY doc_id""")),
 
+    // Video scene-cut detection: a cut wherever consecutive frames' energy
+    // (m05's stub byte-code sum in the perceptual-feature slot) jumps by
+    // more than 200 — the shot-boundary heuristic keyframe selection
+    // starts from. One window (per media, by frame offset) over the
+    // scan-local frame explode; media payloads bound the partition, so no
+    // skew hatch needed. minDelta=200 yields cuts in 157/196/2101 rows at
+    // sf0.001/0.01/0.1 — non-vacuous at every verification scale. Oracle
+    // replays frame offsets, the energy fold, and the lag. Same ASCII
+    // precondition as m02-m05 (byte offsets == char offsets in the replay).
+    GQ("m06_scene_cuts",
+      (s, dir) => Multimodal.sceneCuts(
+        Tables.table(s, dir, "documents")
+          .withColumn("media", encode(col("text"), "utf-8")),
+        idCol = "doc_id", binCol = "media",
+        frameBytes = 32, minDelta = 200L),
+      Some("""WITH f AS (SELECT doc_id, CAST(32 * u.i AS BIGINT) AS off,
+            substr(text, CAST(32 * u.i + 1 AS INTEGER), 32) AS fr
+          FROM documents,
+          UNNEST(range(0, GREATEST(len(text) // 32, 1))) AS u(i)),
+        e AS (SELECT doc_id, off,
+            CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(regexp_extract_all(fr, '.'),
+                c -> CAST(ascii(c) AS BIGINT))),
+              (a, b) -> a + b) AS BIGINT) AS energy
+          FROM f),
+        l AS (SELECT doc_id, off, energy,
+            LAG(energy) OVER (PARTITION BY doc_id ORDER BY off) AS prev
+          FROM e)
+        SELECT doc_id, off AS cut_offset, energy - prev AS delta
+        FROM l WHERE prev IS NOT NULL AND ABS(energy - prev) > 200""")),
+
     // Watermarked stream-stream interval join, batch-verified: the EXACT
     // expression Streaming.streamStreamJoin runs live (watermarks are
     // no-ops on a bounded input, the join predicate is identical) — each

@@ -518,6 +518,58 @@ object TextQueries {
         FROM b JOIN firsts ON b.fp = firsts.fp AND b.doc_id = firsts.keep
         WHERE b.fp NOT IN (SELECT fp FROM idx)""")),
 
+    GQ("d37_incremental_neardup", // cross-batch NEAR-dup: the increment
+      // (docs >= 250) against the STORED LSH index of history (docs < 250)
+      // — d25's production shape extended from exact fingerprints to
+      // MinHash banding. Candidates are new band rows equi-joined to the
+      // index on (band, bucket): never history x history, never a
+      // within-bucket pair explosion (each join output row IS a candidate,
+      // so hot buckets cost their true candidate count and AQE skew-split
+      // applies), verified with exact Jaccard against the index's stored
+      // shingle sets. History text is never re-read — only the two index
+      // tables. 13 of sf0.01's 25 near-dup pairs cross the 250 split (23
+      // at sf0.1), so the query is non-vacuous at both scales. Portable
+      // hash family: the oracle replays signatures, banding, the
+      // cross-batch candidate join AND the verification.
+      (s, dir) => {
+        val docs = Tables.table(s, dir, "documents")
+        val (histBands, histShingles) = Dedup.lshIndex(
+          docs.filter(col("doc_id") < 250),
+          numHashes = 8, bands = 4, shingleK = 3, portableHash = true)
+        Dedup.incrementalNeardupPairs(
+          batch = docs.filter(col("doc_id") >= 250),
+          historyBands = histBands, historyShingles = histShingles,
+          numHashes = 8, bands = 4, shingleK = 3, threshold = 0.5,
+          portableHash = true)
+      },
+      Some("""WITH t AS (SELECT doc_id,
+          list_filter(string_split(text, ' '), w -> w <> '') AS ws FROM documents),
+        s AS (SELECT doc_id, list_distinct(list_transform(
+                range(1, greatest(len(ws) - 1, 1)),
+                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+              FROM t),
+        s2 AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
+        sig AS (SELECT doc_id, sh,
+                  list_transform(range(0, 8), i ->
+                    list_min(list_transform(sh, x -> md5(CAST(i AS VARCHAR) || '|' || x)))) AS sg
+                FROM s2),
+        banded AS (SELECT doc_id, b,
+                     md5(CAST(b AS VARCHAR) || '|' ||
+                         array_to_string(sg[b*2+1 : b*2+2], ',')) AS bucket
+                   FROM sig CROSS JOIN (SELECT UNNEST(range(0, 4)) AS b)),
+        cand AS (SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+                 FROM banded n JOIN banded o
+                   ON n.b = o.b AND n.bucket = o.bucket
+                 WHERE n.doc_id >= 250 AND o.doc_id < 250),
+        verified AS (SELECT c.new_id, c.old_id,
+                       CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS DOUBLE)
+                         / (len(sa.sh) + len(sb.sh)
+                            - len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))) AS jaccard
+                     FROM cand c
+                     JOIN s2 sa ON c.new_id = sa.doc_id
+                     JOIN s2 sb ON c.old_id = sb.doc_id)
+        SELECT new_id, old_id, jaccard FROM verified WHERE jaccard >= 0.5""")),
+
     GQ("d24_curation_pipeline", // the END-TO-END corpus curation chain —
       // exact-dedup keep-first → repetition gate → PII scrub → deterministic
       // 50% sample — run through the FramePipeline STAGE API (the
@@ -709,6 +761,58 @@ object TextQueries {
         SELECT doc_id,
           CAST(s AS DOUBLE) / CAST(n.tot * d.n AS DOUBLE) AS commonness
         FROM d CROSS JOIN n""")),
+
+    GQ("x14_bigram_lm", // corpus-trained bigram LM transition score — the
+      // KenLM-style perplexity quality filter, one order up from x05's
+      // unigram commonness: per bigram occurrence the conditional
+      // P(b|a) = C(ab)/C(a·) (C(a·) = occurrences whose FIRST word is a, so
+      // the conditionals sum to 1 per a), quantized to floor(1e6·P) so the
+      // per-doc aggregation is an INTEGER sum — order-free and engine-exact
+      // where a float log-prob sum is neither (ln is libm-defined, and
+      // addition order differs across partitionings; at real scale you'd
+      // sum log-space doubles and accept approximate comparison — the
+      // quantization here exists for the hash oracle, losing <1e-6 per
+      // occurrence). min_scaled is the rarest transition — the
+      // gibberish-splice detector (one improbable seam tanks it while the
+      // mean barely moves). Scale shape: bigram explode → count agg
+      // (map-side combined) → first-word re-agg over DISTINCT bigrams (not
+      // occurrences) → two equi-joins back onto the occurrence stream
+      // (AQE-broadcast when vocab fits, sort-merge otherwise) → per-doc
+      // agg. No driver-side state; the numerator C(ab)·1e6 stays exact in
+      // f64 below ~9e9 occurrences per bigram.
+      (s, dir) => {
+        val occ = Tables.table(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(shingles(words(col("text")), 2)).as("bg"))
+          .withColumn("a", substring_index(col("bg"), " ", 1))
+        val cnt = occ.groupBy("bg").agg(count(lit(1)).as("cab"))
+        val fst = cnt
+          .withColumn("a", substring_index(col("bg"), " ", 1))
+          .groupBy("a").agg(sum(col("cab")).as("ca"))
+        occ.join(cnt, "bg").join(fst, "a")
+          .withColumn("scaled",
+            floor(col("cab") * lit(1000000L) / col("ca")).cast("long"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            sum(col("scaled")).as("sum_scaled"),
+            min(col("scaled")).as("min_scaled"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+          list_filter(string_split(text, ' '), w -> w <> '') AS ws FROM documents),
+        b AS (SELECT doc_id, UNNEST(CASE WHEN len(ws) < 2 THEN []
+                ELSE list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+                END) AS bg
+              FROM t),
+        o AS (SELECT doc_id, bg, split_part(bg, ' ', 1) AS a FROM b),
+        cnt AS (SELECT bg, COUNT(*) AS cab FROM o GROUP BY bg),
+        fst AS (SELECT split_part(bg, ' ', 1) AS a, CAST(SUM(cab) AS BIGINT) AS ca
+                FROM cnt GROUP BY 1),
+        sc AS (SELECT o.doc_id,
+                 CAST(FLOOR(cnt.cab * 1000000 / fst.ca) AS BIGINT) AS scaled
+               FROM o JOIN cnt ON o.bg = cnt.bg JOIN fst ON o.a = fst.a)
+        SELECT doc_id, COUNT(*) AS n_bigrams,
+          CAST(SUM(scaled) AS BIGINT) AS sum_scaled, MIN(scaled) AS min_scaled
+        FROM sc GROUP BY doc_id""")),
 
     GQ("x04_bm25", // BM25 relevance scoring (k1=1.2, b=0.75) for a fixed
       // query over the corpus. The idf factor uses the rank-equivalent

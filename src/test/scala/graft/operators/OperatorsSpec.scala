@@ -42,6 +42,29 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(2L, 3L))
   }
 
+  test("incremental near-dup matches new batch against the stored index only") {
+    // history: docs 1-2 (exact dups of each other); batch: 4 (near-dup of
+    // 1), 5 (unrelated), 6 (exact copy of 1)
+    val history = docs.filter($"doc_id" <= 2)
+    val batch = docs.filter($"doc_id" >= 4)
+      .unionAll(Seq(TestDoc(6, "the quick brown fox jumps over the lazy dog")).toDF())
+    // bands = numHashes (one hash per band): catch probability 1-(1-s)^16,
+    // and the xxhash64 family is deterministic, so the near-dup hit below
+    // is a fixed property of these params, not a flaky draw (nh=8 is the
+    // fixed 1.7%-tail draw that MISSES the s=0.4 pair — verified)
+    val (bandIdx, shIdx) = Dedup.lshIndex(history, numHashes = 16, bands = 16)
+    val out = Dedup.incrementalNeardupPairs(batch, bandIdx, shIdx,
+      numHashes = 16, bands = 16, threshold = 0.4).collect()
+    val pairs = out.map(r => (r.getAs[Long]("new_id"), r.getAs[Long]("old_id"))).toSet
+    assert(pairs.contains((6L, 1L)) && pairs.contains((6L, 2L))) // exact hits
+    assert(pairs.contains((4L, 1L))) // near-dup hit
+    assert(!pairs.exists(_._1 == 5L)) // unrelated stays clean
+    assert(!pairs.exists(p => p._1 <= 2L)) // new_id is always from the batch
+    val exact = out.find(r => r.getAs[Long]("new_id") == 6L &&
+      r.getAs[Long]("old_id") == 1L).get
+    assert(exact.getAs[Double]("jaccard") == 1.0)
+  }
+
   test("jaccard pairs finds near-duplicates, not unrelated docs") {
     val pairs = Dedup.jaccardPairs(docs, shingleK = 3, threshold = 0.4)
       .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
@@ -564,6 +587,23 @@ class SimilaritySpec extends SparkSpec {
     val empty = Similarity.semDedup(intIds.filter($"vec_id" < 0), tau = 0.9, planes = 2)
     assert(full.schema == empty.schema,
       s"schema flips with emptiness:\n${full.schema}\nvs\n${empty.schema}")
+  }
+
+  test("sceneCuts reports energy jumps between consecutive frames only") {
+    // frames of 4 bytes: "aaaa" (energy 388), "aaab" (389), "zzzz" (488),
+    // "zzzz" (488) — with minDelta 50 only the aaab->zzzz seam is a cut
+    val df = Seq((7L, "aaaaaaabzzzzzzzz")).toDF("doc_id", "txt")
+      .withColumn("media", encode($"txt", "utf-8"))
+    val out = Multimodal.sceneCuts(df, idCol = "doc_id", binCol = "media",
+      frameBytes = 4, minDelta = 50L).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("cut_offset") == 8L)
+    assert(out.head.getAs[Long]("delta") == 99L)
+    // a single-frame payload has no previous frame, so no cuts
+    val short = Seq((8L, "ab")).toDF("doc_id", "txt")
+      .withColumn("media", encode($"txt", "utf-8"))
+    assert(Multimodal.sceneCuts(short, idCol = "doc_id", binCol = "media",
+      frameBytes = 4, minDelta = 0L).isEmpty)
   }
 
   test("keyframeDedup rejects string ids instead of nulling them away") {
