@@ -361,7 +361,26 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text",
       portableHash: Boolean = false
-  ): DataFrame = {
+  ): DataFrame =
+    incrementalNeardupPairsImpl(batch, historyBands, historyShingles,
+      numHashes, bands, shingleK, threshold, idCol, textCol, portableHash)._1
+
+  /** [[incrementalNeardupPairs]] plus the persisted per-batch signature
+    * table, so callers that own the lifecycle (the streaming wrapper, which
+    * would otherwise leak one cached table per micro-batch) can unpersist
+    * it once the pairs are consumed. */
+  private[graft] def incrementalNeardupPairsImpl(
+      batch: DataFrame,
+      historyBands: DataFrame,
+      historyShingles: DataFrame,
+      numHashes: Int,
+      bands: Int,
+      shingleK: Int,
+      threshold: Double,
+      idCol: String,
+      textCol: String,
+      portableHash: Boolean
+  ): (DataFrame, DataFrame) = {
     requireIntegralId(batch, idCol, "incrementalNeardupPairs")
     require(numHashes % bands == 0, "numHashes must divide into bands")
     // Persisted: feeds the band explode AND the verify join (same
@@ -376,7 +395,7 @@ object Dedup {
       .join(historyBands.select(col("doc_id").as("old_id"),
         col("band"), col("bucket")), Seq("band", "bucket"))
       .select("new_id", "old_id").dropDuplicates("new_id", "old_id")
-    cand
+    val out = cand
       .join(sig.select(col("doc_id").as("new_id"), col("sh").as("sa")), "new_id")
       .join(historyShingles.select(col("doc_id").as("old_id"),
         col("sh").as("sb")), "old_id")
@@ -385,6 +404,7 @@ object Dedup {
           / size(array_union(col("sa"), col("sb"))))
       .filter(col("jaccard") >= threshold)
       .select("new_id", "old_id", "jaccard")
+    (out, sig)
   }
 
   /** Asymmetric containment pairs: C(a→b) = |sh(a) ∩ sh(b)| / |sh(a)| — the

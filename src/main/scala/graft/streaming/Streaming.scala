@@ -154,6 +154,46 @@ object Streaming {
       }
   }
 
+  /** Streaming ingest-time near-dup against a STORED LSH index: each
+    * micro-batch of new documents runs the batch
+    * [[graft.operators.Dedup.incrementalNeardupPairs]] plan against the
+    * static `(band, bucket)` / shingle-set tables a
+    * [[graft.operators.Dedup.lshIndex]] build persisted — the production
+    * shape where a corpus grows continuously and history is never
+    * re-banded ([[lshCandidatesStream]] is the within-stream complement;
+    * this is the stream-vs-history half). Because candidates only ever
+    * cross batch→history, the union of per-batch outputs over any stream
+    * prefix EQUALS the batch answer on the union of those batches
+    * (spec-asserted on the real documents table) — micro-batch size is a
+    * latency knob, not a semantics knob.
+    *
+    * Static-side tables are read once per micro-batch from whatever the
+    * caller passes (cache them for a long-running stream); the per-batch
+    * signature cache the batch plan persists is released after `onPairs`
+    * returns, so a long-running stream holds no growing executor state —
+    * history lives on disk, not in the state store. */
+  def incrementalNeardupStream(
+      newDocs: DataFrame,
+      historyBands: DataFrame,
+      historyShingles: DataFrame,
+      numHashes: Int = 8,
+      bands: Int = 4,
+      shingleK: Int = 3,
+      threshold: Double = 0.5,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      portableHash: Boolean = false,
+      trigger: Trigger = Trigger.AvailableNow())(
+      onPairs: (DataFrame, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
+    newDocs.writeStream.trigger(trigger).foreachBatch {
+      (batch: DataFrame, id: Long) =>
+        val (pairs, sig) = graft.operators.Dedup.incrementalNeardupPairsImpl(
+          batch, historyBands, historyShingles, numHashes, bands, shingleK,
+          threshold, idCol, textCol, portableHash)
+        try onPairs(pairs, id)
+        finally sig.unpersist()
+    }
+
   /** Custom per-key running state via mapGroupsWithState: running count +
     * sum per key. NOTE: mapGroupsWithState/flatMapGroupsWithState are the
     * legacy arbitrary-state API — [[runningStatsTws]] is the

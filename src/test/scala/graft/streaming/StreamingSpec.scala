@@ -79,6 +79,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming incremental near-dup equals the d37 batch answer on real documents") {
+    implicit val sqlCtx = spark.sqlContext
+    // same split as d37: history = docs < 250 (indexed once), increment =
+    // docs >= 250, here fed as three micro-batches instead of one batch
+    val docs = graft.Tables.table(spark, sf(), "documents")
+    val (bandIdx, shIdx) = graft.operators.Dedup.lshIndex(
+      docs.filter(col("doc_id") < 250), numHashes = 8, bands = 4,
+      shingleK = 3, portableHash = true)
+    val (bandC, shC) = (bandIdx.cache(), shIdx.cache())
+    val batchAnswer = graft.SparkEntry.queries("d37_incremental_neardup")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batchAnswer.nonEmpty) // non-vacuous slice
+    val newDocs = docs.filter(col("doc_id") >= 250)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .collect().sortBy(_._1)
+    val mem = MemoryStream[(Long, String)]
+    val streamed = scala.collection.mutable.Set.empty[(Long, Long)]
+    val q = Streaming.incrementalNeardupStream(
+      mem.toDF().toDF("doc_id", "text"), bandC, shC,
+      numHashes = 8, bands = 4, shingleK = 3, threshold = 0.5,
+      portableHash = true,
+      // AvailableNow would stop at start (no data added yet); poll instead
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L)) { (pairs, _) =>
+      streamed ++= pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    }.start()
+    try {
+      newDocs.grouped(math.max(1, newDocs.length / 3 + 1)).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      assert(streamed.toSet == batchAnswer,
+        s"stream ${streamed.size} pairs vs batch ${batchAnswer.size}; " +
+          s"missing=${(batchAnswer -- streamed).take(3)} extra=${(streamed.toSet -- batchAnswer).take(3)}")
+    } finally { q.stop(); bandC.unpersist(); shC.unpersist() }
+  }
+
   test("typed pipeline stages run on a streaming Dataset (unified API)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Doc]
