@@ -877,6 +877,92 @@ object TextQueries {
           FROM j)
         WHERE score > 0""")),
 
+    GQ("x15_bm25_topk", // Multi-query BM25 top-k retrieval via an
+      // inverted-index postings join — the retrieval-filtering shape at
+      // corpus scale: score ONLY (query, doc) pairs sharing a term
+      // (postings ⋈ query terms), never query × corpus. Doc side: one
+      // explode → broadcast-filter by the query vocabulary → (doc, term)
+      // tf aggregation, so the shuffle carries matching postings only and
+      // the tf agg is map-side combined. idf uses x04's rational
+      // surrogate (no libm log, ranking unchanged); per-term
+      // contributions are quantized to integer millionths (x14's trick)
+      // so the per-(qid, doc) sum is order-free and engine-exact, with
+      // ranking ties broken by doc_id on both engines. Top-k per query is
+      // a rank-1..k window: WindowGroupLimit caps each map task at k rows
+      // per qid before the exchange. At 100 TB: df/stats are tiny
+      // broadcast aggregates; per-query cost ∝ matched postings, not
+      // corpus size — the corpus never self-joins and never crosses the
+      // query table.
+      (s, dir) => {
+        import s.implicits._
+        val qs = Seq((1L, "spark"), (1L, "vector"), (2L, "merge"),
+          (2L, "hash"), (2L, "join"), (3L, "stream"), (3L, "window"),
+          (4L, "filter"), (4L, "scan"), (4L, "key"))
+        val qterms = qs.toDF("qid", "term")
+        val docsW = Tables.table(s, dir, "documents")
+          .select(col("doc_id"), words(col("text")).as("ws"))
+          .select(col("doc_id"), col("ws"), size(col("ws")).as("dl"))
+        val stats = docsW.agg(count(lit(1)).as("n"), sum(col("dl")).as("totdl"))
+        // persisted: feeds BOTH the df aggregate and the scoring join —
+        // without it the corpus would be scanned+exploded a third time for
+        // dfq. Tiny after the vocabulary filter (≤ |query vocab| rows per
+        // doc); released by Verify's clearCache like the other finders'
+        // signature tables. Corpus is scanned exactly twice: once here,
+        // once for the global (n, totdl) stats row.
+        val postings = docsW
+          .select(col("doc_id"), col("dl"), explode(col("ws")).as("term"))
+          .join(broadcast(qterms.select("term").distinct()), "term")
+          .groupBy(col("doc_id"), col("dl"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+          .persist()
+        val dfq = postings.groupBy("term").agg(count(lit(1)).as("df"))
+        val tfd = col("tf").cast("double")
+        val r = (col("dl") * col("n")).cast("double") / col("totdl").cast("double")
+        val idf = (col("n").cast("double") - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5))
+        val contrib = floor(((idf * (tfd * lit(2.2))) /
+          (tfd + (lit(1.2) * (lit(0.25) + (lit(0.75) * r))))) * lit(1000000L))
+          .cast("long")
+        val scored = qterms.join(postings, "term").join(broadcast(dfq), "term")
+          .crossJoin(broadcast(stats))
+          .select(col("qid"), col("doc_id"), contrib.as("contrib"))
+          .groupBy("qid", "doc_id").agg(sum(col("contrib")).as("score_scaled"))
+        val w = Window.partitionBy(col("qid"))
+          .orderBy(col("score_scaled").desc, col("doc_id"))
+        scored.withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 10)
+          .select("qid", "doc_id", "rnk", "score_scaled")
+      },
+      Some("""WITH q(qid, term) AS (VALUES (1, 'spark'), (1, 'vector'),
+          (2, 'merge'), (2, 'hash'), (2, 'join'), (3, 'stream'),
+          (3, 'window'), (4, 'filter'), (4, 'scan'), (4, 'key')),
+        t AS (SELECT doc_id,
+          list_filter(string_split(text, ' '), w -> w <> '') AS ws FROM documents),
+        st AS (SELECT COUNT(*) AS n, CAST(SUM(len(ws)) AS BIGINT) AS totdl FROM t),
+        o AS (SELECT doc_id, len(ws) AS dl, UNNEST(ws) AS term FROM t),
+        p AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM o
+              WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1, 2, 3),
+        dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM p GROUP BY 1),
+        c AS (SELECT q.qid, p.doc_id,
+               CAST(FLOOR(
+                 ((((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                     / (CAST(df AS DOUBLE) + 0.5))
+                    * (CAST(tf AS DOUBLE) * 2.2))
+                  / (CAST(tf AS DOUBLE) + (1.2 * (0.25 + (0.75 *
+                      (CAST(dl * n AS DOUBLE) / CAST(totdl AS DOUBLE)))))))
+                 * 1000000) AS BIGINT) AS contrib
+              FROM q JOIN p ON q.term = p.term JOIN dfq ON p.term = dfq.term
+              CROSS JOIN st),
+        sc AS (SELECT qid, doc_id, CAST(SUM(contrib) AS BIGINT) AS score_scaled
+               FROM c GROUP BY 1, 2)
+        SELECT CAST(qid AS BIGINT) AS qid, doc_id,
+          CAST(rnk AS INTEGER) AS rnk, score_scaled
+        FROM (SELECT qid, doc_id, score_scaled,
+                ROW_NUMBER() OVER (PARTITION BY qid
+                  ORDER BY score_scaled DESC, doc_id) AS rnk
+              FROM sc)
+        WHERE rnk <= 10""")),
+
     GQ("x03_heavy_hitters", // Count-Min sketch, h01-style property oracle
       // The CMS estimate isn't DuckDB-replayable, but it is deterministic
       // (fixed seed) and one-sided: exact_n <= cms_n <= exact_n + eps*N with
