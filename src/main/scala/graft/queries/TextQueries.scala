@@ -963,6 +963,65 @@ object TextQueries {
               FROM sc)
         WHERE rnk <= 10""")),
 
+    GQ("x16_tfidf_keywords", // Per-doc top-5 tf-idf keywords via the
+      // bounded-heap `topk_by` aggregate — the keyword-extraction shape
+      // that composes the inverted-index build (x15's tf/df aggregates)
+      // with the custom TypedImperativeAggregate instead of a window:
+      // partial aggregation caps the final exchange at k rows per doc per
+      // map partition, and there is no per-doc sort. idf is the rational
+      // surrogate (n - df + 0.5)/(df + 0.5) (no libm log, ranking
+      // unchanged); scores quantize to integer millionths so both engines
+      // rank identical values, with ties broken by term DESC — topk_by's
+      // own tie rule, mirrored in the oracle's ROW_NUMBER. The tf table
+      // persists across the df aggregate and the scoring pass (the
+      // signature-table cache contract; at corpus scale this is the
+      // inverted index itself — drop the persist if it exceeds cluster
+      // storage and pay a second scan instead). Three exchanges total:
+      // (doc_id, term) tf agg, term df agg, final per-doc topk agg; df
+      // and the corpus-size row broadcast back.
+      (s, dir) => {
+        import graft.expressions.TopKBy
+        val docsW = Tables.table(s, dir, "documents")
+          .select(col("doc_id"), words(col("text")).as("ws"))
+        val nDocs = docsW.agg(count(lit(1)).as("n"))
+        val tf = docsW
+          .select(col("doc_id"), explode(col("ws")).as("term"))
+          .groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+          .persist()
+        val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val idf = (col("n").cast("double") - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5))
+        val score = floor((col("tf").cast("double") * idf) * lit(1000000L))
+          .cast("long")
+        tf.join(broadcast(dfT), "term")
+          .crossJoin(broadcast(nDocs))
+          .select(col("doc_id"), col("term"), score.as("score_scaled"))
+          .groupBy("doc_id")
+          .agg(TopKBy.topkBy(col("score_scaled"), col("term"), 5).as("top"))
+          .select(col("doc_id"),
+            expr("array_join(transform(top, s -> s.payload), ',')")
+              .as("top_terms"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+          list_filter(string_split(text, ' '), w -> w <> '') AS ws FROM documents),
+        nd AS (SELECT COUNT(*) AS n FROM t),
+        o AS (SELECT doc_id, UNNEST(ws) AS term FROM t),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM o GROUP BY 1, 2),
+        dft AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        sc AS (SELECT doc_id, term,
+                CAST(FLOOR((CAST(tf AS DOUBLE) *
+                  ((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                   / (CAST(df AS DOUBLE) + 0.5))) * 1000000) AS BIGINT)
+                  AS score_scaled
+               FROM tf JOIN dft USING (term) CROSS JOIN nd)
+        SELECT doc_id, string_agg(term, ',' ORDER BY rn) AS top_terms
+        FROM (SELECT doc_id, term,
+                ROW_NUMBER() OVER (PARTITION BY doc_id
+                  ORDER BY score_scaled DESC, term DESC) AS rn
+              FROM sc)
+        WHERE rn <= 5 GROUP BY doc_id""")),
+
     GQ("x03_heavy_hitters", // Count-Min sketch, h01-style property oracle
       // The CMS estimate isn't DuckDB-replayable, but it is deterministic
       // (fixed seed) and one-sided: exact_n <= cms_n <= exact_n + eps*N with
