@@ -1,0 +1,148 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sparse text retrieval over an inverted-index postings shape: BM25
+  * ranked search and tf-idf keyword extraction. The common scale
+  * discipline is that scoring only ever touches (query, doc) pairs that
+  * SHARE A TERM — a postings join against the query vocabulary — never
+  * query × corpus, and the corpus is scanned a constant number of times
+  * regardless of query count.
+  *
+  * Determinism: per-term contributions are quantized to integer
+  * millionths BEFORE summation, so per-document scores are sums of longs
+  * — order-free, hence identical across task retries, partitionings, and
+  * engines (the DuckDB oracles replay them exactly). idf uses the
+  * rational surrogate (n − df + 0.5)/(df + 0.5) — no libm `log`, whose
+  * last-bit rounding is libc-dependent; BM25's ranking is unchanged
+  * because x ↦ log(x) is monotone over the surrogate's range.
+  *
+  * Hot-term bound: a term present in a constant fraction of the corpus
+  * (a stopword) makes its postings list ∝ corpus size, so one query
+  * term can drag the whole corpus through the scoring join.
+  * `maxDfFrac < 1.0` prunes terms with df > maxDfFrac·n from scoring —
+  * the classic stopword cut. Default 1.0 (no pruning) keeps results
+  * exact; at 100 TB set ~0.3–0.5 (a term in a third of all documents
+  * carries ~no idf signal but all of the join cost). Pruned terms
+  * contribute nothing — documents matching ONLY pruned terms drop out.
+  *
+  * Cache contract: both operators persist the vocabulary-filtered (BM25)
+  * or full (keywords) postings table, which feeds BOTH the df aggregate
+  * and the scoring pass — same contract as the dedup signature tables;
+  * a long-lived session should `spark.catalog.clearCache()` between
+  * corpora, and at corpus scale the keyword tf table IS the inverted
+  * index — skip the persist and pay a second scan if it exceeds cluster
+  * storage.
+  */
+object Retrieval {
+
+  /** Multi-query BM25 top-k: for each query (a bag of terms in
+    * `queryTerms`: qidCol, termCol), the k highest-scoring documents.
+    *
+    * Plan: corpus scanned exactly twice — once for the global (n, totdl)
+    * stats row, once to build postings (explode → broadcast-filter by
+    * the query vocabulary → map-side-combined (doc, term) tf agg, so the
+    * exchange carries matching postings only). df and stats broadcast
+    * back; top-k per query is a rank-1..k window, `WindowGroupLimit`
+    * capping each map task at k rows per qid before the exchange. Per
+    * query the cost is ∝ its matched postings, not corpus size.
+    *
+    * Output: (qidCol, idCol, rnk, score_scaled) — score_scaled the
+    * integer-millionth quantized BM25 sum, ties broken by idCol
+    * ascending.
+    */
+  def bm25TopK(
+      docs: DataFrame,
+      queryTerms: DataFrame,
+      k: Int = 10,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      maxDfFrac: Double = 1.0,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      qidCol: String = "qid",
+      termCol: String = "term"
+  ): DataFrame = {
+    val docsW = docs
+      .select(col(idCol), words(col(textCol)).as("ws"))
+      .select(col(idCol), col("ws"), size(col("ws")).as("dl"))
+    val stats = docsW.agg(count(lit(1)).as("n"), sum(col("dl")).as("totdl"))
+    val postings = docsW
+      .select(col(idCol), col("dl"), explode(col("ws")).as(termCol))
+      .join(broadcast(queryTerms.select(termCol).distinct()), termCol)
+      .groupBy(col(idCol), col("dl"), col(termCol))
+      .agg(count(lit(1)).as("tf"))
+      .persist()
+    val dfq = postings.groupBy(termCol).agg(count(lit(1)).as("df"))
+    val tfd = col("tf").cast("double")
+    val r = (col("dl") * col("n")).cast("double") / col("totdl").cast("double")
+    val idf = (col("n").cast("double") - col("df").cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5))
+    val contrib = floor(((idf * (tfd * lit(k1 + 1.0))) /
+      (tfd + (lit(k1) * (lit(1.0 - b) + (lit(b) * r))))) * lit(1000000L))
+      .cast("long")
+    val scoredTerms = queryTerms.join(postings, termCol).join(broadcast(dfq), termCol)
+      .crossJoin(broadcast(stats))
+    val pruned =
+      if (maxDfFrac >= 1.0) scoredTerms
+      else scoredTerms.filter(
+        col("df").cast("double") <= lit(maxDfFrac) * col("n").cast("double"))
+    val scored = pruned
+      .select(col(qidCol), col(idCol), contrib.as("contrib"))
+      .groupBy(qidCol, idCol).agg(sum(col("contrib")).as("score_scaled"))
+    val w = Window.partitionBy(col(qidCol))
+      .orderBy(col("score_scaled").desc, col(idCol))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(qidCol, idCol, "rnk", "score_scaled")
+  }
+
+  /** Per-document top-k tf-idf keywords via the bounded-heap `topk_by`
+    * aggregate — no rank window, no per-doc sort: the partial aggregate
+    * caps the final exchange at k rows per document per map partition.
+    *
+    * Plan: three exchanges total — the (doc, term) tf agg, the term df
+    * agg over the persisted tf table, and the final per-doc topk agg
+    * (an ObjectHashAggregate pair); df and the corpus-size row
+    * broadcast back. Ties on the quantized score break by term
+    * descending (topk_by's own rule).
+    *
+    * Output: (idCol, top_terms ARRAY<STRING>) — terms in descending
+    * score order.
+    */
+  def tfidfKeywords(
+      docs: DataFrame,
+      k: Int = 5,
+      maxDfFrac: Double = 1.0,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    val docsW = docs.select(col(idCol), words(col(textCol)).as("ws"))
+    val nDocs = docsW.agg(count(lit(1)).as("n"))
+    val tf = docsW
+      .select(col(idCol), explode(col("ws")).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .persist()
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = (col("n").cast("double") - col("df").cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5))
+    val score = floor((col("tf").cast("double") * idf) * lit(1000000L))
+      .cast("long")
+    val joined = tf.join(broadcast(dfT), "term").crossJoin(broadcast(nDocs))
+    val pruned =
+      if (maxDfFrac >= 1.0) joined
+      else joined.filter(
+        col("df").cast("double") <= lit(maxDfFrac) * col("n").cast("double"))
+    pruned
+      .select(col(idCol), col("term"), score.as("score_scaled"))
+      .groupBy(idCol)
+      .agg(graft.expressions.TopKBy.topkBy(
+        col("score_scaled"), col("term"), k).as("top"))
+      .select(col(idCol),
+        expr("transform(top, s -> s.payload)").as("top_terms"))
+  }
+}

@@ -892,46 +892,15 @@ object TextQueries {
       // per qid before the exchange. At 100 TB: df/stats are tiny
       // broadcast aggregates; per-query cost ∝ matched postings, not
       // corpus size — the corpus never self-joins and never crosses the
-      // query table.
+      // query table. Retrieval.bm25TopK also carries the maxDfFrac
+      // stopword-prune hatch for query terms whose postings ∝ corpus.
       (s, dir) => {
         import s.implicits._
         val qs = Seq((1L, "spark"), (1L, "vector"), (2L, "merge"),
           (2L, "hash"), (2L, "join"), (3L, "stream"), (3L, "window"),
           (4L, "filter"), (4L, "scan"), (4L, "key"))
-        val qterms = qs.toDF("qid", "term")
-        val docsW = Tables.table(s, dir, "documents")
-          .select(col("doc_id"), words(col("text")).as("ws"))
-          .select(col("doc_id"), col("ws"), size(col("ws")).as("dl"))
-        val stats = docsW.agg(count(lit(1)).as("n"), sum(col("dl")).as("totdl"))
-        // persisted: feeds BOTH the df aggregate and the scoring join —
-        // without it the corpus would be scanned+exploded a third time for
-        // dfq. Tiny after the vocabulary filter (≤ |query vocab| rows per
-        // doc); released by Verify's clearCache like the other finders'
-        // signature tables. Corpus is scanned exactly twice: once here,
-        // once for the global (n, totdl) stats row.
-        val postings = docsW
-          .select(col("doc_id"), col("dl"), explode(col("ws")).as("term"))
-          .join(broadcast(qterms.select("term").distinct()), "term")
-          .groupBy(col("doc_id"), col("dl"), col("term"))
-          .agg(count(lit(1)).as("tf"))
-          .persist()
-        val dfq = postings.groupBy("term").agg(count(lit(1)).as("df"))
-        val tfd = col("tf").cast("double")
-        val r = (col("dl") * col("n")).cast("double") / col("totdl").cast("double")
-        val idf = (col("n").cast("double") - col("df").cast("double") + lit(0.5)) /
-          (col("df").cast("double") + lit(0.5))
-        val contrib = floor(((idf * (tfd * lit(2.2))) /
-          (tfd + (lit(1.2) * (lit(0.25) + (lit(0.75) * r))))) * lit(1000000L))
-          .cast("long")
-        val scored = qterms.join(postings, "term").join(broadcast(dfq), "term")
-          .crossJoin(broadcast(stats))
-          .select(col("qid"), col("doc_id"), contrib.as("contrib"))
-          .groupBy("qid", "doc_id").agg(sum(col("contrib")).as("score_scaled"))
-        val w = Window.partitionBy(col("qid"))
-          .orderBy(col("score_scaled").desc, col("doc_id"))
-        scored.withColumn("rnk", row_number().over(w))
-          .filter(col("rnk") <= 10)
-          .select("qid", "doc_id", "rnk", "score_scaled")
+        graft.operators.Retrieval.bm25TopK(
+          Tables.table(s, dir, "documents"), qs.toDF("qid", "term"), k = 10)
       },
       Some("""WITH q(qid, term) AS (VALUES (1, 'spark'), (1, 'vector'),
           (2, 'merge'), (2, 'hash'), (2, 'join'), (3, 'stream'),
@@ -980,28 +949,12 @@ object TextQueries {
       // (doc_id, term) tf agg, term df agg, final per-doc topk agg; df
       // and the corpus-size row broadcast back.
       (s, dir) => {
-        import graft.expressions.TopKBy
-        val docsW = Tables.table(s, dir, "documents")
-          .select(col("doc_id"), words(col("text")).as("ws"))
-        val nDocs = docsW.agg(count(lit(1)).as("n"))
-        val tf = docsW
-          .select(col("doc_id"), explode(col("ws")).as("term"))
-          .groupBy(col("doc_id"), col("term"))
-          .agg(count(lit(1)).as("tf"))
-          .persist()
-        val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
-        val idf = (col("n").cast("double") - col("df").cast("double") + lit(0.5)) /
-          (col("df").cast("double") + lit(0.5))
-        val score = floor((col("tf").cast("double") * idf) * lit(1000000L))
-          .cast("long")
-        tf.join(broadcast(dfT), "term")
-          .crossJoin(broadcast(nDocs))
-          .select(col("doc_id"), col("term"), score.as("score_scaled"))
-          .groupBy("doc_id")
-          .agg(TopKBy.topkBy(col("score_scaled"), col("term"), 5).as("top"))
+        graft.operators.Retrieval
+          .tfidfKeywords(Tables.table(s, dir, "documents"), k = 5)
           .select(col("doc_id"),
-            expr("array_join(transform(top, s -> s.payload), ',')")
-              .as("top_terms"))
+            // Stringified per repo convention (driver harness cannot
+            // hash raw arrays).
+            array_join(col("top_terms"), ",").as("top_terms"))
       },
       Some("""WITH t AS (SELECT doc_id,
           list_filter(string_split(text, ' '), w -> w <> '') AS ws FROM documents),
