@@ -244,6 +244,24 @@ object ScaleSmoke {
       graft.operators.RuntimeFilter.bloomPrune(
         probeB, "k", buildB, "bk", expectedItems = rows / 100).count()
     }
+    // BM25 retrieval (r09): per-query cost ∝ matched postings. The
+    // synthetic vocab is 16 words appearing in ~every doc, so any vocab
+    // term is a worst-case stopword (df frac ≈ 1); a rare marker term is
+    // planted in 1% of docs. The A/B measures one query holding both: the
+    // stopword drags ~every doc through the scoring join, the maxDfFrac
+    // cut keeps only the rare postings (~1% of docs) — same top-k for the
+    // rare term, corpus-fraction less join work.
+    val rdocs = docs.withColumn("text",
+      when(col("doc_id") % 100 === 0, concat(col("text"), lit(" rareterm")))
+        .otherwise(col("text")))
+    val rq = spark.range(1).select(lit(1L).as("qid"), lit("spark").as("term"))
+      .unionAll(spark.range(1).select(lit(1L).as("qid"), lit("rareterm").as("term")))
+    time(s"bm25 top-10, stopword + 1%-term query, $rows docs (no prune)")(
+      graft.operators.Retrieval.bm25TopK(rdocs, rq, k = 10).count())
+    time(s"bm25 top-10, same query, maxDfFrac=0.5 (stopword pruned)")(
+      graft.operators.Retrieval.bm25TopK(rdocs, rq, k = 10, maxDfFrac = 0.5).count())
+    time(s"tfidf top-5 keywords over $rows docs (heap agg)")(
+      graft.operators.Retrieval.tfidfKeywords(rdocs, k = 5).count())
     spark.stop()
   }
 }
