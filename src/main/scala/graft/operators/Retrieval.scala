@@ -145,4 +145,67 @@ object Retrieval {
       .select(col(idCol),
         expr("transform(top, s -> s.payload)").as("top_terms"))
   }
+
+  /** Hybrid retrieval with reciprocal-rank fusion (RRF): fuse a lexical
+    * BM25 ranking over `docs` with an exact cosine ranking over
+    * `embeddings` (ids shared with `docs`), score = Σ 1/(rrfK + rank)
+    * over the arms that returned the document — the standard fusion in
+    * production RAG stacks, robust to the two arms' incomparable score
+    * scales because only RANKS cross the boundary.
+    *
+    * Exactness: contributions are computed as `1000000 DIV (rrfK + rank)`
+    * — pure positive integer floor-division, so fused scores are sums of
+    * longs with no float anywhere and replay bit-identically on any
+    * engine.
+    *
+    * Scale: each arm is already top-`poolK` per query (BM25's postings
+    * join; the vector arm's broadcast-query scan — swap in lshTopK /
+    * ivfPqTopK output for corpus-scale ANN, anything with the same
+    * (q_id, neighbor_id, sim) shape fuses identically). The fusion join
+    * and final window touch ≤ 2·poolK rows per query — negligible at any
+    * corpus size; the corpus itself is only read inside the arms.
+    *
+    * Output: (qidCol, docIdCol, rnk, rrf_scaled), top-k per query by
+    * fused score, ties by document id ascending.
+    */
+  def hybridRrfTopK(
+      docs: DataFrame,
+      embeddings: DataFrame,
+      queryTerms: DataFrame,
+      queryVecs: DataFrame,
+      k: Int = 10,
+      poolK: Int = 20,
+      rrfK: Int = 60,
+      maxDfFrac: Double = 1.0,
+      docIdCol: String = "doc_id",
+      textCol: String = "text",
+      vecIdCol: String = "vec_id",
+      vecCol: String = "embedding",
+      qidCol: String = "qid",
+      termCol: String = "term"
+  ): DataFrame = {
+    val lex = bm25TopK(docs, queryTerms, k = poolK, maxDfFrac = maxDfFrac,
+      idCol = docIdCol, textCol = textCol, qidCol = qidCol, termCol = termCol)
+      .select(col(qidCol), col(docIdCol), col("rnk").as("lex_rnk"))
+    // Re-derive the vector ranks with bruteForceTopK's own ordering
+    // (sim DESC, id ASC) — k rows per query, so the window is trivial.
+    val wv = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    val vec = Similarity.bruteForceTopK(
+      embeddings, queryVecs, k = poolK, idCol = vecIdCol, vecCol = vecCol)
+      .withColumn("vec_rnk", row_number().over(wv))
+      .select(col("q_id").as(qidCol), col("neighbor_id").as(docIdCol),
+        col("vec_rnk"))
+    val contrib = (c: String) => coalesce(
+      expr(s"CAST(1000000 AS BIGINT) DIV (CAST($rrfK AS BIGINT) + CAST($c AS BIGINT))"),
+      lit(0L))
+    val fused = lex.join(vec, Seq(qidCol, docIdCol), "full_outer")
+      .select(col(qidCol), col(docIdCol),
+        (contrib("lex_rnk") + contrib("vec_rnk")).as("rrf_scaled"))
+    val w = Window.partitionBy(col(qidCol))
+      .orderBy(col("rrf_scaled").desc, col(docIdCol))
+    fused.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(qidCol, docIdCol, "rnk", "rrf_scaled")
+  }
 }

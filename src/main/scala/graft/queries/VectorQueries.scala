@@ -143,6 +143,87 @@ object VectorQueries {
         SELECT q_id, neighbor_id, sim, CAST(rn AS INTEGER) AS rank
         FROM r WHERE rn <= 3""")),
 
+    // Hybrid retrieval with reciprocal-rank fusion: a lexical BM25 arm
+    // over `documents` fused with an exact cosine arm over `embeddings`
+    // (shared id space) by score = Σ 1000000 DIV (60 + rank) — pure
+    // positive integer floor-division, so fused scores are sums of longs
+    // and replay bit-identically (no float crosses the fusion boundary;
+    // only RANKS leave each arm, which is what makes RRF robust to the
+    // arms' incomparable score scales). Each arm is top-20 per query, so
+    // the fusion join and final window touch ≤ 40 rows per query at ANY
+    // corpus size; the corpus is only read inside the arms (BM25's
+    // postings join, the vector arm's broadcast-query scan — swap in the
+    // LSH/IVFADC output for corpus-scale ANN, the fusion is shape-
+    // agnostic). The oracle replays BOTH arms end to end plus the fusion.
+    GQ("e13_hybrid_rrf",
+      (s, dir) => {
+        import s.implicits._
+        val qterms = Seq(
+          (0L, "spark"), (0L, "vector"), (1L, "merge"), (1L, "hash"),
+          (2L, "stream"), (2L, "window"), (3L, "filter"), (3L, "scan"),
+          (4L, "key"), (4L, "join")).toDF("qid", "term")
+        val emb = Tables.table(s, dir, "embeddings")
+        graft.operators.Retrieval.hybridRrfTopK(
+          docs = Tables.table(s, dir, "documents"),
+          embeddings = emb,
+          queryTerms = qterms,
+          queryVecs = emb.filter(col("vec_id") < 5),
+          k = 10, poolK = 20, rrfK = 60)
+      },
+      Some("""WITH q(qid, term) AS (VALUES (0, 'spark'), (0, 'vector'),
+          (1, 'merge'), (1, 'hash'), (2, 'stream'), (2, 'window'),
+          (3, 'filter'), (3, 'scan'), (4, 'key'), (4, 'join')),
+        t AS (SELECT doc_id,
+          list_filter(string_split(text, ' '), w -> w <> '') AS ws FROM documents),
+        st AS (SELECT COUNT(*) AS n, CAST(SUM(len(ws)) AS BIGINT) AS totdl FROM t),
+        o AS (SELECT doc_id, len(ws) AS dl, UNNEST(ws) AS term FROM t),
+        p AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM o
+              WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1, 2, 3),
+        dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM p GROUP BY 1),
+        c AS (SELECT q.qid, p.doc_id,
+               CAST(FLOOR(
+                 ((((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                     / (CAST(df AS DOUBLE) + 0.5))
+                    * (CAST(tf AS DOUBLE) * 2.2))
+                  / (CAST(tf AS DOUBLE) + (1.2 * (0.25 + (0.75 *
+                      (CAST(dl * n AS DOUBLE) / CAST(totdl AS DOUBLE)))))))
+                 * 1000000) AS BIGINT) AS contrib
+              FROM q JOIN p ON q.term = p.term JOIN dfq ON p.term = dfq.term
+              CROSS JOIN st),
+        sc AS (SELECT qid, doc_id, CAST(SUM(contrib) AS BIGINT) AS score_scaled
+               FROM c GROUP BY 1, 2),
+        lexr AS (SELECT CAST(qid AS BIGINT) AS qid, doc_id, rnk AS lex_rnk
+          FROM (SELECT qid, doc_id,
+                  ROW_NUMBER() OVER (PARTITION BY qid
+                    ORDER BY score_scaled DESC, doc_id) AS rnk
+                FROM sc)
+          WHERE rnk <= 20),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        nv AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        pv AS (SELECT q.vec_id AS qid, c.vec_id AS doc_id,
+                list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS sim
+              FROM nv q JOIN nv c ON c.vec_id <> q.vec_id
+              WHERE q.vec_id < 5),
+        vecr AS (SELECT qid, doc_id, rn AS vec_rnk
+          FROM (SELECT qid, doc_id,
+                  ROW_NUMBER() OVER (PARTITION BY qid
+                    ORDER BY sim DESC, doc_id) AS rn
+                FROM pv)
+          WHERE rn <= 20),
+        f AS (SELECT COALESCE(l.qid, v.qid) AS qid,
+                COALESCE(l.doc_id, v.doc_id) AS doc_id,
+                CAST(COALESCE(1000000 // (60 + l.lex_rnk), 0)
+                   + COALESCE(1000000 // (60 + v.vec_rnk), 0) AS BIGINT)
+                  AS rrf_scaled
+              FROM lexr l FULL JOIN vecr v
+                ON l.qid = v.qid AND l.doc_id = v.doc_id)
+        SELECT qid, doc_id, CAST(rnk AS INTEGER) AS rnk, rrf_scaled
+        FROM (SELECT qid, doc_id, rrf_scaled,
+                ROW_NUMBER() OVER (PARTITION BY qid
+                  ORDER BY rrf_scaled DESC, doc_id) AS rnk
+              FROM f)
+        WHERE rnk <= 10""")),
+
     // Embedding-cosine near-duplicate pairs on a systematic subset —
     // exact all-pairs, oracle-verified (the ground truth the LSH/IVF
     // approximate paths are judged against).

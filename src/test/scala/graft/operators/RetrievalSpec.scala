@@ -111,6 +111,32 @@ class RetrievalSpec extends SparkSpec {
     assert(!out.values.exists(_.contains("common")))
   }
 
+  test("hybridRrfTopK fuses ranks; single-arm docs get single contributions") {
+    // Embeddings: ids 1..4 share doc ids with the corpus. Query 0's
+    // vector is axis-aligned so cosine ranks are knowable: doc 2 ~ e1,
+    // doc 3 ~ e2, doc 4 mixed. Doc 5 has no embedding (lex-only);
+    // doc 2 has no query terms in text? (it does: "spark engine slow").
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f)), // query vec
+      (2L, Seq(0.9f, 0.1f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f, 0.0f)),
+      (4L, Seq(0.5f, 0.5f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val qt = Seq((0L, "probe")).toDF("qid", "term") // only doc 4 lexically
+    val out = Retrieval.hybridRrfTopK(
+      docs, emb, qt, emb.filter(col("vec_id") === 0L), k = 10, poolK = 5)
+      .collect().map(r => (r.getLong(1), r.getInt(2), r.getLong(3)))
+    val byDoc = out.map(r => r._1 -> r._3).toMap
+    // vector ranks for q0: doc2 (rank 1), doc4 (rank 2), doc3 (rank 3);
+    // lexical: doc4 rank 1 only. RRF with rrfK=60:
+    assert(byDoc(4L) == 1000000L / 61 + 1000000L / 62) // lex 1 + vec 2
+    assert(byDoc(2L) == 1000000L / 61)                 // vec 1 only
+    assert(byDoc(3L) == 1000000L / 63)                 // vec 3 only
+    // fused order: doc 4 (both arms) first
+    assert(out.find(_._2 == 1).get._1 == 4L)
+    assert(out.length == 3)
+  }
+
   test("tfidfKeywords plans the bounded-heap aggregate, not a window") {
     val plan = Retrieval.tfidfKeywords(docs, k = 3)
       .queryExecution.executedPlan.toString
