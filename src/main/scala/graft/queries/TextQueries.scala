@@ -263,6 +263,77 @@ object TextQueries {
             AS dup_bigram_ratio
         FROM b""")),
 
+    GQ("d38_curation_gate", // The composed keep/drop verdict a real corpus
+      // run executes: every quality signal (length, TTR-based quality,
+      // duplicate-bigram repetition, stopword lang-ID vs the stored lang
+      // column) evaluated in ONE scan-local pass, first failing rule wins
+      // as the reason — the per-doc audit trail curation pipelines need
+      // ("why was this dropped") without a second pass. All signals are
+      // the exact d03/d04/d05/d15 formulations, so the verdict is
+      // bit-replayable; the double thresholds compare identically on both
+      // engines because the underlying values are bit-identical. Zero
+      // shuffles, zero joins — the 100 TB shape is a pure map over the
+      // corpus that composes with any downstream dedup/sample stage.
+      (s, dir) => {
+        val gated = Tables.table(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), words(col("text")).as("ws"))
+          .select(col("doc_id"), col("lang"), col("ws"),
+            size(col("ws")).as("n_words"),
+            size(array_distinct(col("ws"))).as("n_distinct"),
+            shingles(col("ws"), 2).as("bg"),
+            stopwordHits(col("ws"), EnStop).as("en"),
+            stopwordHits(col("ws"), EsStop).as("es"),
+            stopwordHits(col("ws"), DeStop).as("de"))
+          .select(col("doc_id"), col("lang"), col("n_words"),
+            ((col("n_distinct").cast("double") / nullif(col("n_words"), lit(0))
+              * lit(0.5)) +
+              (least(col("n_words").cast("double") / lit(20.0), lit(1.0))
+                * lit(0.5))).as("quality"),
+            (lit(1.0) - size(array_distinct(col("bg"))).cast("double")
+              / nullif(size(col("bg")), lit(0))).as("dup_bigram_ratio"),
+            when(col("en") >= col("es") && col("en") >= col("de"), "en")
+              .when(col("es") >= col("de"), "es").otherwise("de")
+              .as("detected_lang"))
+        val reason = when(col("quality") < 0.62, "low_quality")
+          .when(col("n_words") < 15, "too_short")
+          .when(col("dup_bigram_ratio") > 0.12, "repetitive")
+          .when(col("detected_lang") =!= col("lang"), "lang_mismatch")
+          .otherwise("ok")
+        gated.select(col("doc_id"), col("n_words"), col("quality"),
+          col("dup_bigram_ratio"), col("detected_lang"),
+          reason.as("reason"), (reason === "ok").as("keep"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, lang,
+          list_filter(string_split(text, ' '), w -> w <> '') AS ws FROM documents),
+        sig AS (SELECT doc_id, lang,
+          CAST(len(ws) AS INTEGER) AS n_words,
+          (CAST(len(list_distinct(ws)) AS DOUBLE) / NULLIF(len(ws), 0) * 0.5)
+            + (least(CAST(len(ws) AS DOUBLE) / 20.0, 1.0) * 0.5) AS quality,
+          1.0 - CAST(len(list_distinct(CASE WHEN len(ws) < 2 THEN []
+              ELSE list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+            END)) AS DOUBLE)
+            / NULLIF(len(CASE WHEN len(ws) < 2 THEN []
+              ELSE list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+            END), 0) AS dup_bigram_ratio,
+          len(list_filter(ws, w -> w IN (${EnStop.map("'" + _ + "'").mkString(",")}))) AS en,
+          len(list_filter(ws, w -> w IN (${EsStop.map("'" + _ + "'").mkString(",")}))) AS es,
+          len(list_filter(ws, w -> w IN (${DeStop.map("'" + _ + "'").mkString(",")}))) AS de
+          FROM t),
+        d AS (SELECT doc_id, lang, n_words, quality, dup_bigram_ratio,
+          CASE WHEN en >= es AND en >= de THEN 'en'
+               WHEN es >= de THEN 'es' ELSE 'de' END AS detected_lang
+          FROM sig),
+        v AS (SELECT doc_id, n_words, quality, dup_bigram_ratio, detected_lang,
+          CASE WHEN quality < 0.62 THEN 'low_quality'
+               WHEN n_words < 15 THEN 'too_short'
+               WHEN dup_bigram_ratio > 0.12 THEN 'repetitive'
+               WHEN detected_lang <> lang THEN 'lang_mismatch'
+               ELSE 'ok' END AS reason
+          FROM d)
+        SELECT doc_id, n_words, quality, dup_bigram_ratio, detected_lang,
+          reason, (reason = 'ok') AS keep
+        FROM v""")),
+
     GQ("d16_stratified_sample", // reproducible mixture rebalancing
       // Deterministic hash-based stratified sampling: the sample is a pure
       // function of doc_id (portable PolyHash bucket), so any engine — and
