@@ -334,6 +334,40 @@ object TextQueries {
           reason, (reason = 'ok') AS keep
         FROM v""")),
 
+    GQ("d39_snapshot_diff", // Dataset-versioning diff: v2 is a
+      // deterministic transform of the corpus (docs % 7 == 0 removed,
+      // % 11 == 0 edited, % 13 == 0 re-added under a new id), diffed
+      // against v1 by md5 fingerprint through ONE full-outer join on the
+      // id — each side collapses to (id, fp) at the scan, so the
+      // exchange carries constant-width keys, never document bodies. The
+      // per-release audit report ("what changed in this snapshot") at
+      // 100 TB is this exact plan over bucketed snapshot tables
+      // (Bucketing.writeBucketed ⇒ zero Exchange on either side).
+      (s, dir) => {
+        val v1 = Tables.table(s, dir, "documents")
+        val v2 = v1.filter(col("doc_id") % 7 =!= 0)
+          .select(col("doc_id"),
+            when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
+              .otherwise(col("text")).as("text"))
+          .unionAll(v1.filter(col("doc_id") % 13 === 0)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        graft.operators.Snapshot.diff(v1, v2)
+      },
+      Some("""WITH v1 AS (SELECT doc_id, text FROM documents),
+        v2 AS (SELECT doc_id,
+                 CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text
+               FROM documents WHERE doc_id % 7 <> 0
+               UNION ALL
+               SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 13 = 0),
+        a AS (SELECT doc_id AS a_id, md5(text) AS a_fp FROM v1),
+        b AS (SELECT doc_id AS b_id, md5(text) AS b_fp FROM v2)
+        SELECT COALESCE(a_id, b_id) AS doc_id,
+          CASE WHEN b_id IS NULL THEN 'removed'
+               WHEN a_id IS NULL THEN 'added'
+               WHEN a_fp <> b_fp THEN 'changed'
+               ELSE 'unchanged' END AS status
+        FROM a FULL JOIN b ON a_id = b_id""")),
+
     GQ("d16_stratified_sample", // reproducible mixture rebalancing
       // Deterministic hash-based stratified sampling: the sample is a pure
       // function of doc_id (portable PolyHash bucket), so any engine — and
