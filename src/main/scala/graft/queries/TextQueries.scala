@@ -368,6 +368,49 @@ object TextQueries {
                ELSE 'unchanged' END AS status
         FROM a FULL JOIN b ON a_id = b_id""")),
 
+    GQ("d40_zipf_budget", // Vocabulary token-budget report: top-N terms
+      // by corpus frequency with rank and CUMULATIVE token share — the
+      // "how many terms cover 90% of tokens" question behind vocab/BPE
+      // sizing. Scale shape: one map-side-combined term count agg, then
+      // TakeOrderedAndProject for the top-N (per-partition heaps + an
+      // N-row driver merge — the FULL vocab is never globally sorted),
+      // and only then a single-partition running-sum window over the N
+      // surviving rows — bounded by the constant N, not by vocab size.
+      // cum_share is floor(cum*1e6/total) in pure integer arithmetic
+      // (cum ≤ total ≤ ~1e12 at 100 TB, ×1e6 fits a long), so the report
+      // is engine-exact; rank ties break by term on both engines.
+      (s, dir) => {
+        val toks = Tables.table(s, dir, "documents")
+          .select(explode(words(col("text"))).as("term"))
+        val tot = toks.agg(count(lit(1)).as("total"))
+        val top = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("term")).limit(40)
+        val w = Window.orderBy(col("cnt").desc, col("term"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        top.crossJoin(broadcast(tot))
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("cnt").desc, col("term"))))
+          .withColumn("cum_tokens", sum(col("cnt")).over(w))
+          .select(col("rank"), col("term"), col("cnt"), col("cum_tokens"),
+            expr("CAST(cum_tokens * 1000000 AS BIGINT) DIV total")
+              .as("cum_share_millionths"))
+      },
+      Some("""WITH o AS (SELECT UNNEST(list_filter(string_split(text, ' '),
+            w -> w <> '')) AS term FROM documents),
+        tot AS (SELECT COUNT(*) AS total FROM o),
+        v AS (SELECT term, COUNT(*) AS cnt FROM o GROUP BY 1
+              ORDER BY cnt DESC, term LIMIT 40),
+        r AS (SELECT term, cnt,
+                ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS rank,
+                SUM(cnt) OVER (ORDER BY cnt DESC, term
+                  ROWS UNBOUNDED PRECEDING) AS cum_tokens
+              FROM v)
+        SELECT CAST(rank AS INTEGER) AS rank, term, cnt,
+          CAST(cum_tokens AS BIGINT) AS cum_tokens,
+          CAST((cum_tokens * 1000000) // total AS BIGINT)
+            AS cum_share_millionths
+        FROM r CROSS JOIN tot""")),
+
     GQ("d16_stratified_sample", // reproducible mixture rebalancing
       // Deterministic hash-based stratified sampling: the sample is a pure
       // function of doc_id (portable PolyHash bucket), so any engine — and
