@@ -76,7 +76,25 @@ object Retrieval {
       .groupBy(col(idCol), col("dl"), col(termCol))
       .agg(count(lit(1)).as("tf"))
       .persist()
+    // df from the vocabulary-filtered postings equals df from the full
+    // index for every query term — the filter only removes OTHER terms.
     val dfq = postings.groupBy(termCol).agg(count(lit(1)).as("df"))
+    scorePostings(postings, dfq, stats, queryTerms,
+      k, k1, b, maxDfFrac, idCol, qidCol, termCol)
+  }
+
+  /** BM25 scoring core shared by the inline ([[bm25TopK]]) and stored-
+    * index ([[bm25SearchIndexed]]) paths: postings already restricted to
+    * the query vocabulary join the query terms, contributions quantize,
+    * sum per (query, doc), rank-1..k window. */
+  private def scorePostings(
+      postings: DataFrame,
+      dfq: DataFrame,
+      stats: DataFrame,
+      queryTerms: DataFrame,
+      k: Int, k1: Double, b: Double, maxDfFrac: Double,
+      idCol: String, qidCol: String, termCol: String
+  ): DataFrame = {
     val tfd = col("tf").cast("double")
     val r = (col("dl") * col("n")).cast("double") / col("totdl").cast("double")
     val idf = (col("n").cast("double") - col("df").cast("double") + lit(0.5)) /
@@ -98,6 +116,58 @@ object Retrieval {
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(qidCol, idCol, "rnk", "score_scaled")
+  }
+
+  /** Stored BM25 index: the three tables a retrieval service keeps on
+    * disk so queries never re-scan the corpus — full `(id, dl, term, tf)`
+    * postings (the inverted index), per-term `(term, df)`, and the
+    * one-row `(n, totdl)` stats. Built with exactly [[bm25TopK]]'s
+    * expressions, so an index written at ingest time and a query scored
+    * a year later produce the same ranks as the inline path. */
+  def bm25Index(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      termCol: String = "term"
+  ): (DataFrame, DataFrame, DataFrame) = {
+    val docsW = docs
+      .select(col(idCol), words(col(textCol)).as("ws"))
+      .select(col(idCol), col("ws"), size(col("ws")).as("dl"))
+    val stats = docsW.agg(count(lit(1)).as("n"), sum(col("dl")).as("totdl"))
+    val postings = docsW
+      .select(col(idCol), col("dl"), explode(col("ws")).as(termCol))
+      .groupBy(col(idCol), col("dl"), col(termCol))
+      .agg(count(lit(1)).as("tf"))
+    val dfT = postings.groupBy(termCol).agg(count(lit(1)).as("df"))
+    (postings, dfT, stats)
+  }
+
+  /** BM25 search against a STORED index ([[bm25Index]] tables): the
+    * postings scan is broadcast-filtered by the query vocabulary before
+    * scoring, so per-batch cost is ∝ the matched postings — the corpus
+    * text is never touched. Ranks equal [[bm25TopK]] on the same corpus
+    * and queries (spec + streaming test assert it). Unlike the inline
+    * path nothing persists: each of postings/df/stats feeds exactly one
+    * pass, which is what lets the streaming wrapper run per micro-batch
+    * with no cache lifecycle. */
+  def bm25SearchIndexed(
+      postings: DataFrame,
+      dfT: DataFrame,
+      stats: DataFrame,
+      queryTerms: DataFrame,
+      k: Int = 10,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      maxDfFrac: Double = 1.0,
+      idCol: String = "doc_id",
+      qidCol: String = "qid",
+      termCol: String = "term"
+  ): DataFrame = {
+    val vocab = broadcast(queryTerms.select(termCol).distinct())
+    scorePostings(
+      postings.join(vocab, termCol),
+      dfT.join(vocab, termCol),
+      stats, queryTerms, k, k1, b, maxDfFrac, idCol, qidCol, termCol)
   }
 
   /** Per-document top-k tf-idf keywords via the bounded-heap `topk_by`

@@ -194,6 +194,38 @@ object Streaming {
         finally sig.unpersist()
     }
 
+  /** Continuous BM25 search: a STREAM of query terms served against a
+    * stored [[graft.operators.Retrieval.bm25Index]] — the production
+    * retrieval-service shape (index built at ingest, queries arrive
+    * forever). Each micro-batch runs the indexed search plan: postings
+    * broadcast-filtered by the batch's vocabulary, so per-batch cost is
+    * ∝ matched postings, and NO executor state or cache accrues across
+    * batches (the index lives on disk; the search path persists
+    * nothing). Because the index is static and queries score
+    * independently, the union of per-batch outputs over any stream
+    * prefix EQUALS the batch [[graft.operators.Retrieval.bm25TopK]]
+    * answer on the union of those query batches — spec-asserted. */
+  def bm25SearchStream(
+      queryStream: DataFrame,
+      postings: DataFrame,
+      dfT: DataFrame,
+      stats: DataFrame,
+      k: Int = 10,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      maxDfFrac: Double = 1.0,
+      idCol: String = "doc_id",
+      qidCol: String = "qid",
+      termCol: String = "term",
+      trigger: Trigger = Trigger.AvailableNow())(
+      onResults: (DataFrame, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
+    queryStream.writeStream.trigger(trigger).foreachBatch {
+      (batch: DataFrame, id: Long) =>
+        onResults(graft.operators.Retrieval.bm25SearchIndexed(
+          postings, dfT, stats, batch, k, k1, b, maxDfFrac,
+          idCol, qidCol, termCol), id)
+    }
+
   /** Custom per-key running state via mapGroupsWithState: running count +
     * sum per key. NOTE: mapGroupsWithState/flatMapGroupsWithState are the
     * legacy arbitrary-state API — [[runningStatsTws]] is the

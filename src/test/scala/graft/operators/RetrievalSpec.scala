@@ -111,6 +111,18 @@ class RetrievalSpec extends SparkSpec {
     assert(!out.values.exists(_.contains("common")))
   }
 
+  test("bm25SearchIndexed over the stored index equals the inline bm25TopK") {
+    val qs = Seq((1L, "spark"), (1L, "fast"), (2L, "vector"), (3L, "engine"))
+      .toDF("qid", "term")
+    val inline = Retrieval.bm25TopK(docs, qs, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+    val (postings, dfT, stats) = Retrieval.bm25Index(docs)
+    val indexed = Retrieval.bm25SearchIndexed(postings, dfT, stats, qs, k = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+    assert(indexed == inline)
+  }
+
   test("hybridRrfTopK fuses ranks; single-arm docs get single contributions") {
     // Embeddings: ids 1..4 share doc ids with the corpus. Query 0's
     // vector is axis-aligned so cosine ranks are knowable: doc 2 ~ e1,

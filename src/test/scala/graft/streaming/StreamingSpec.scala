@@ -115,6 +115,38 @@ class StreamingSpec extends SparkSpec {
     } finally { q.stop(); bandC.unpersist(); shC.unpersist() }
   }
 
+  test("streaming BM25 search over a stored index equals the batch ranking") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.Tables.table(spark, sf(), "documents")
+    val qs = Seq((1L, "spark"), (1L, "vector"), (2L, "merge"), (2L, "hash"),
+      (3L, "stream"), (3L, "window"), (4L, "filter"), (4L, "scan"))
+    val batchAnswer = graft.operators.Retrieval.bm25TopK(
+      docs, qs.toDF("qid", "term"), k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+    assert(batchAnswer.nonEmpty)
+    val (postings, dfT, stats) = graft.operators.Retrieval.bm25Index(docs)
+    val (pC, dC, sC) = (postings.cache(), dfT.cache(), stats.cache())
+    val mem = MemoryStream[(Long, String)]
+    val streamed = scala.collection.mutable.Set.empty[(Long, Long, Int, Long)]
+    val q = Streaming.bm25SearchStream(
+      mem.toDF().toDF("qid", "term"), pC, dC, sC, k = 5,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L)) { (res, _) =>
+      streamed ++= res.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    }.start()
+    try {
+      // one query (both its terms) per micro-batch: queries score
+      // independently against the static index, so the union over any
+      // batching equals the batch answer
+      qs.grouped(2).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      assert(streamed.toSet == batchAnswer,
+        s"stream ${streamed.size} rows vs batch ${batchAnswer.size}")
+    } finally { q.stop(); pC.unpersist(); dC.unpersist(); sC.unpersist() }
+  }
+
   test("typed pipeline stages run on a streaming Dataset (unified API)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Doc]
