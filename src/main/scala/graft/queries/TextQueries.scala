@@ -435,6 +435,47 @@ object TextQueries {
         SELECT doc_id, lang, source, bucket FROM h
         WHERE bucket < CASE WHEN lang = 'en' THEN 200 ELSE 500 END""")),
 
+    GQ("d41_leakage_safe_split", // Train/val/test split that cannot leak
+      // duplicates across splits: the split key is the duplicate-GROUP
+      // representative (min doc_id per normalized fingerprint), not the
+      // document — every copy of a text lands in the same split by
+      // construction, closing the classic eval-contamination hole where
+      // hash-of-doc-id scatters near-identical docs into train AND test.
+      // The split is a pure function of the data (portable PolyHash of
+      // the representative id): identical across engines, re-runs, and
+      // task retries. Plan: one fingerprint agg (map-side combined) + one
+      // equi-join back on the constant-width fp — two shuffles at any
+      // scale; AQE handles fp skew. 80/10/10 by bucket.
+      (s, dir) => {
+        val f = Tables.table(s, dir, "documents")
+          .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+        val reps = f.groupBy("fp").agg(min(col("doc_id")).as("rep_id"))
+        val bucket = graft.expressions.PolyHash(
+          concat(lit("split|"), col("rep_id").cast("string"))) % 100
+        f.join(reps, "fp")
+          .select(col("doc_id"), col("rep_id"), bucket.as("bucket"))
+          .select(col("doc_id"), col("rep_id"),
+            when(col("bucket") < 80, "train")
+              .when(col("bucket") < 90, "val")
+              .otherwise("test").as("split"))
+      },
+      Some("""WITH f AS (SELECT doc_id,
+          md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+          FROM documents),
+        r AS (SELECT fp, MIN(doc_id) AS rep_id FROM f GROUP BY 1),
+        j AS (SELECT f.doc_id, r.rep_id FROM f JOIN r USING (fp)),
+        h AS (SELECT doc_id, rep_id,
+          CAST(list_reduce(
+            list_prepend(CAST(0 AS BIGINT),
+              list_transform(regexp_extract_all('split|' || CAST(rep_id AS VARCHAR), '.'),
+                c -> CAST(ascii(c) AS BIGINT))),
+            (h, b) -> (h * 257 + b) % 1000000007) AS BIGINT) % 100 AS bucket
+          FROM j)
+        SELECT doc_id, rep_id,
+          CASE WHEN bucket < 80 THEN 'train'
+               WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+        FROM h""")),
+
     GQ("d35_quota_sample", // EXACT per-stratum quotas: exactly min(k, n)
       // docs per language, not an expected rate like d16 — the policy when
       // a mixture spec says "exactly 10k docs of each language". Selection
