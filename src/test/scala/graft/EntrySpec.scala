@@ -18,6 +18,27 @@ class EntrySpec extends SparkSpec {
     assert(SparkEntry.oracleSql.size >= 75)
   }
 
+  test("r09 query plans keep their scale shapes") {
+    def plan(name: String): String =
+      SparkEntry.queries(name)(spark, sf())
+        .queryExecution.executedPlan.toString
+    // d40: top-N vocab via per-partition heaps — never a global sort of
+    // the vocabulary (the Window that follows sees only N rows)
+    val zipf = plan("d40_zipf_budget")
+    assert(zipf.contains("TakeOrderedAndProject"))
+    // d41: split decision is agg + join + scan-local hash — no window,
+    // no sort anywhere
+    val split = plan("d41_leakage_safe_split")
+    assert(!split.contains("Window"))
+    // x16: keyword extraction is the bounded-heap aggregate, not a
+    // per-doc rank window
+    val kw = plan("x16_tfidf_keywords")
+    assert(kw.contains("ObjectHashAggregate") && !kw.contains("Window"))
+    // d38: the gate is one scan-shaped pass — no exchange at all
+    val gate = plan("d38_curation_gate")
+    assert(!gate.contains("Exchange") && !gate.contains("Join"))
+  }
+
   test("TopKPerGroup custom node lowers to window+filter and runs") {
     import spark.implicits._
     val df = Seq(("a", 3), ("a", 1), ("a", 2), ("b", 9), ("b", 8)).toDF("g", "v")
