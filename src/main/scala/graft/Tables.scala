@@ -9,15 +9,27 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   * and projections push into the parquet scan.
   */
 object Tables {
-  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]). We read it as a
-    * nanosecond long (legacy knob) and floor-convert to a microsecond
-    * timestamp — bit-identical to DuckDB's `CAST(ts AS TIMESTAMP)` on the
-    * same column, which the oracle SQL uses. */
+  /** `events.ts` has shipped in two physical forms across driver testdata
+    * generations: parquet TIMESTAMP(NANOS) — which Spark's vectorized reader
+    * rejects ([PARQUET_TYPE_ILLEGAL]), so it must be read as a nanosecond
+    * long (legacy knob) and floor-converted — and plain TIMESTAMP(MICROS),
+    * which reads directly. Dispatch on the read type so either generation
+    * loads; both paths are bit-identical to DuckDB's `CAST(ts AS TIMESTAMP)`
+    * on the same column, which the oracle SQL uses. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampType => raw
+      case _ =>
+        // TIMESTAMP(MICROS, isAdjustedToUTC=false) reads as TimestampNTZ;
+        // the session timezone is pinned to UTC everywhere, so the cast is a
+        // pure reinterpretation to the TimestampType the query family expects.
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame =

@@ -6,12 +6,15 @@ import org.apache.spark.sql.functions._
   * events, which the whole events-query family depends on. */
 class TablesSpec extends SparkSpec {
 
-  test("events loader converts nanosecond longs to µs timestamps") {
+  test("events loader yields µs timestamps for either physical ts form") {
+    // The driver's testdata has shipped ts as both TIMESTAMP(NANOS) (read
+    // via the legacy long shim + floor) and TIMESTAMP(MICROS) (direct);
+    // the loader must produce the same µs value for either generation.
     val ev = Tables.events(spark, sf())
     assert(ev.schema("ts").dataType ==
       org.apache.spark.sql.types.TimestampType)
     val r = ev.orderBy("event_id").select("event_id", "ts").head()
-    // event 0 at sf0.001: 2024-01-01 00:09:58.778549829 ns → µs floor
+    // event 0 at sf0.001: 2024-01-01 00:09:58.778549(829) → µs floor
     assert(r.getLong(0) == 0L)
     assert(r.getTimestamp(1).toString == "2024-01-01 00:09:58.778549")
   }
