@@ -421,6 +421,190 @@ object Advanced {
            OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
            OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""")),
 
+    GQ("q48_min_cost_supplier", // TPC-H Q2 shape: correlated SCALAR AGG
+      // subquery over a multi-join — the decorrelation stress test. The
+      // inner min() re-joins lineitem/supplier/nation/region correlated on
+      // p_partkey; Catalyst's RewriteCorrelatedScalarSubquery turns it into
+      // a per-partkey aggregate + join (never a per-row re-execution), and
+      // the nation/region dims broadcast inside BOTH the outer join tree
+      // and the rewritten subquery. Price equality compares raw parquet
+      // doubles against min() of the same raw values — no arithmetic, so
+      // float equality is exact on both engines.
+      (s, dir) => {
+        Seq("part", "lineitem", "supplier", "nation", "region")
+          .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+        s.sql("""SELECT DISTINCT p_partkey, p_brand, s_suppkey, s_name,
+            n_name AS supp_nation, l_extendedprice AS best_price
+          FROM part
+          JOIN lineitem ON l_partkey = p_partkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          WHERE r_name = 'EUROPE' AND p_size < 10
+            AND l_extendedprice = (
+              SELECT min(l2.l_extendedprice)
+              FROM lineitem l2
+              JOIN supplier s2 ON l2.l_suppkey = s2.s_suppkey
+              JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+              JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+              WHERE l2.l_partkey = p_partkey AND r2.r_name = 'EUROPE')""")
+      },
+      Some("""SELECT DISTINCT p_partkey, p_brand, s_suppkey, s_name,
+            n_name AS supp_nation, l_extendedprice AS best_price
+          FROM part
+          JOIN lineitem ON l_partkey = p_partkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          WHERE r_name = 'EUROPE' AND p_size < 10
+            AND l_extendedprice = (
+              SELECT min(l2.l_extendedprice)
+              FROM lineitem l2
+              JOIN supplier s2 ON l2.l_suppkey = s2.s_suppkey
+              JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+              JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+              WHERE l2.l_partkey = p_partkey AND r2.r_name = 'EUROPE')""")),
+
+    GQ("q49_lone_late_supplier", // TPC-H Q21 shape: EXISTS + NOT EXISTS
+      // double correlation, rewritten Spark-first. The classic form runs a
+      // semi-join (another supplier on the order) AND an anti-join (no
+      // OTHER late supplier) — two more passes over the fact table. Over
+      // per-order groups both quantifiers collapse to distinct counts:
+      // EXISTS(other supp) ⇔ count(DISTINCT supp) ≥ 2, and for a late row
+      // NOT EXISTS(other late supp) ⇔ count(DISTINCT late supp) = 1. Both
+      // counts come from collect_set windows partitioned on l_orderkey —
+      // the SAME key the lineitem⋈orders join shuffles on, so the windows
+      // reuse the join's partitioning and the whole query costs ONE fact
+      // exchange. Set sizes are bounded by lines-per-order (~7), never
+      // corpus-scale. "Late" (ship > order + 180 days) is derived
+      // per-row, so the oracle can replay the EXISTS form verbatim and
+      // confirm the rewrite's equivalence.
+      (s, dir) => {
+        val o = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+          .select("o_orderkey", "o_orderdate")
+        val li = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .withColumn("late",
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 180 DAYS"))
+        val w = Window.partitionBy(col("l_orderkey"))
+        li.withColumn("nsupp", size(collect_set(col("l_suppkey")).over(w)))
+          .withColumn("nlate",
+            size(collect_set(when(col("late"), col("l_suppkey"))).over(w)))
+          .filter(col("late") && col("nsupp") >= 2 && col("nlate") === 1)
+          .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+          .groupBy("s_name")
+          .agg(count(lit(1)).as("numwait"))
+      },
+      Some("""WITH li AS (
+          SELECT l_orderkey, l_suppkey,
+                 CASE WHEN l_shipdate > o_orderdate + INTERVAL 180 DAY
+                      THEN 1 ELSE 0 END AS late
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_orderstatus = 'F')
+        SELECT s_name, count(*) AS numwait
+        FROM li l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+        WHERE l1.late = 1
+          AND EXISTS (SELECT 1 FROM li l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM li l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.late = 1)
+        GROUP BY s_name""")),
+
+    GQ("q50_sales_opportunity", // TPC-H Q22 shape: global scalar threshold
+      // + NOT EXISTS, per-segment rollup. Customers above the positive-
+      // balance average with no urgent order: the threshold is ONE
+      // broadcast row (decimal-exact sum / count, so the double it casts
+      // to is bit-identical on both engines), the NOT EXISTS compiles to a
+      // left-anti join against the filtered orders projection — at scale
+      // that's one shuffle of two key columns, and AQE broadcasts the
+      // surviving customer side when the balance filter is selective.
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val thr = c.filter(col("c_acctbal") > 0.0)
+          .agg(davg(col("c_acctbal")).as("avg_bal"))
+        val urgent = t(s, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+        c.join(broadcast(thr))
+          .filter(col("c_acctbal") > col("avg_bal"))
+          .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal")).as("totacctbal"))
+      },
+      Some("""SELECT c_mktsegment, count(*) AS numcust,
+          CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        FROM customer
+        WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                                  / COUNT(c_acctbal)
+                           FROM customer WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderpriority = '1-URGENT')
+        GROUP BY c_mktsegment""")),
+
+    GQ("q51_important_brands", // TPC-H Q11 shape: HAVING against a scalar
+      // fraction of the global total. Both sides of the comparison stay
+      // EXACT decimals all the way — the 4.05% threshold is the integer
+      // cross-multiplication val·10000 > total·405, so no division or
+      // double rounds differently across engines. The total comes from an
+      // empty-partition window OVER the 25 aggregated brand rows — a
+      // naive `v.crossJoin(v.agg(sum))` plans the lineitem⋈part aggregate
+      // TWICE (no exchange reuse in the static plan); the window keeps
+      // the fact side scanned exactly once, and its single partition is
+      // bounded by the constant brand count, never data volume.
+      (s, dir) => {
+        val v = t(s, dir, "lineitem")
+          .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+          .groupBy("p_brand")
+          .agg(sum(discPrice(col("l_extendedprice"), col("l_discount"))).as("val"))
+        v.withColumn("tot", sum(col("val")).over(Window.partitionBy()))
+          .filter(col("val") * 10000 > col("tot") * 405)
+          .select(col("p_brand"), col("val").cast("double").as("brand_value"))
+      },
+      Some("""WITH v AS (
+          SELECT p_brand,
+                 SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS val
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          GROUP BY p_brand)
+        SELECT p_brand, CAST(val AS DOUBLE) AS brand_value
+        FROM v WHERE val * 10000 > (SELECT SUM(val) * 405 FROM v)""")),
+
+    GQ("q52_top_supplier", // TPC-H Q15 shape: agg view + max-equality
+      // scalar subquery. Supplier revenue over one shipdate year, keep the
+      // supplier(s) achieving the maximum. Revenue sums are exact
+      // DECIMAL(18,4) so the = max() comparison is engine-independent
+      // (the double cast happens only in the output projection). The max
+      // comes from an empty-partition window over the PER-SUPPLIER
+      // aggregate rows — the `rev.agg(max)` scalar form plans the fact
+      // aggregate twice (no static exchange reuse). The window's single
+      // partition holds one narrow row per supplier (dimension
+      // cardinality, not fact volume); if even that is too hot, persist
+      // rev and take the scalar — ties all survive either way.
+      (s, dir) => {
+        val rev = t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+          .groupBy("l_suppkey")
+          .agg(sum(discPrice(col("l_extendedprice"), col("l_discount"))).as("total_rev"))
+          .withColumn("max_rev", max(col("total_rev")).over(Window.partitionBy()))
+          .filter(col("total_rev") === col("max_rev"))
+        t(s, dir, "supplier")
+          .join(rev, col("s_suppkey") === col("l_suppkey"))
+          .select(col("s_suppkey"), col("s_name"),
+            col("total_rev").cast("double").as("total_revenue"))
+      },
+      Some("""WITH rev AS (
+          SELECT l_suppkey,
+                 SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS total_rev
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+          GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+        FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        WHERE total_rev = (SELECT MAX(total_rev) FROM rev)""")),
+
     GQ("x12_mad_outliers", // robust per-group outlier stats: median and
       // MAD (median absolute deviation) of token counts per language,
       // plus the count past the 3-MAD fence. All integer arithmetic —

@@ -39,6 +39,34 @@ class EntrySpec extends SparkSpec {
     assert(!gate.contains("Exchange") && !gate.contains("Join"))
   }
 
+  test("r09 subquery-suite plans keep their scale shapes") {
+    def plan(name: String): String =
+      SparkEntry.queries(name)(spark, sf())
+        .queryExecution.executedPlan.toString
+    def scans(p: String): Int = "FileScan parquet".r.findAllIn(p).length
+    // q48: the correlated scalar min() was DECORRELATED — a per-partkey
+    // aggregate joined back, never a per-row subquery re-execution
+    val q48 = plan("q48_min_cost_supplier")
+    assert(q48.contains("partial_min"), "q48 lost the decorrelated min agg")
+    assert(!q48.toLowerCase.contains("scalarsubquery"),
+      "q48 executes the subquery per row")
+    // q49: EXISTS/NOT EXISTS collapsed to distinct-count windows — the
+    // plan must carry the two windows and NO semi/anti self-join passes
+    val q49 = plan("q49_lone_late_supplier")
+    assert(q49.contains("collect_set"), "q49 lost the window rewrite")
+    assert(!q49.contains("LeftSemi") && !q49.contains("LeftAnti"),
+      "q49 fell back to correlated semi/anti joins")
+    // q50: the NOT EXISTS is exactly one anti join
+    assert(plan("q50_sales_opportunity").contains("LeftAnti"))
+    // q51/q52: the scalar total/max comes from a window over the
+    // aggregated rows — the fact tables are scanned exactly once each
+    // (the crossJoin(agg) form plans the whole fact aggregate twice)
+    assert(scans(plan("q51_important_brands")) == 2,
+      "q51 rescans lineitem/part for the total")
+    assert(scans(plan("q52_top_supplier")) == 2,
+      "q52 rescans lineitem for the max")
+  }
+
   test("TopKPerGroup custom node lowers to window+filter and runs") {
     import spark.implicits._
     val df = Seq(("a", 3), ("a", 1), ("a", 2), ("b", 9), ("b", 8)).toDF("g", "v")
