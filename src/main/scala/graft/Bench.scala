@@ -30,7 +30,15 @@ object Bench {
     // so per-query timings measure the queries, not session bring-up.
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().count()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_ONLY=d07,d09 restricts the run to the named
+    // queries (full name or short code) — the attribution tool for "which
+    // commit moved this query", without paying a 150-query sweep per probe.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
+      only.forall(s => s.contains(n) || s.contains(n.takeWhile(_ != '_')))
+    }
+    val results = selected.map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -59,7 +67,7 @@ object Bench {
     val total = results.map(_._2).sum
     // Full-fidelity per-query dump (full names, median/min/max, n runs);
     // best-effort — the one-line contract must survive any IO failure.
-    try {
+    try if (only.isEmpty) {
       val detail = results.map { case (k, v, ts) =>
         s"""  "$k": {"median":${r3(v)},"min":${r3(ts.min)},"max":${r3(ts.max)}}"""
       }.mkString("{\n", ",\n", "\n}")
