@@ -23,12 +23,19 @@ object Tables {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       case org.apache.spark.sql.types.TimestampType => raw
-      case _ =>
+      case org.apache.spark.sql.types.TimestampNTZType =>
         // TIMESTAMP(MICROS, isAdjustedToUTC=false) reads as TimestampNTZ;
         // the session timezone is pinned to UTC everywhere, so the cast is a
         // pure reinterpretation to the TimestampType the query family expects.
         raw.withColumn("ts",
           col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case other =>
+        // Fail LOUD on a physical form we have never seen: a blanket cast
+        // would turn e.g. a corrupt string generation into silent nulls
+        // across the whole events query family.
+        throw new IllegalStateException(
+          s"events.ts read as unsupported type $other — teach Tables.events " +
+            "the new physical form instead of casting blindly")
     }
   }
 

@@ -554,6 +554,13 @@ object Advanced {
       // TWICE (no exchange reuse in the static plan); the window keeps
       // the fact side scanned exactly once, and its single partition is
       // bounded by the constant brand count, never data volume.
+      // Overflow headroom: the window sum is DECIMAL(38,4), so tot·10⁴
+      // (the wider side) overflows — returning null and silently dropping
+      // every brand under non-ANSI mode — only past ~10³⁰ in summed
+      // revenue; worldwide lineitem revenue at SF10⁶ is ~10¹⁶, fourteen
+      // orders of magnitude of headroom. If the engine ever runs with
+      // values near that bound, switch the comparison to
+      // val.cast(DECIMAL(38,8))/tot > 0.0405 and accept the division ULP.
       (s, dir) => {
         val v = t(s, dir, "lineitem")
           .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))

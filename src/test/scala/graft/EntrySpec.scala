@@ -48,7 +48,10 @@ class EntrySpec extends SparkSpec {
     // aggregate joined back, never a per-row subquery re-execution
     val q48 = plan("q48_min_cost_supplier")
     assert(q48.contains("partial_min"), "q48 lost the decorrelated min agg")
-    assert(!q48.toLowerCase.contains("scalarsubquery"),
+    // Spark prints these nodes hyphenated ("scalar-subquery#id") — the
+    // un-hyphenated spelling would never match and the guard would be
+    // vacuous.
+    assert(!q48.toLowerCase.contains("scalar-subquery"),
       "q48 executes the subquery per row")
     // q49: EXISTS/NOT EXISTS collapsed to distinct-count windows — the
     // plan must carry the two windows and NO semi/anti self-join passes

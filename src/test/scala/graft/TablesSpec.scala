@@ -19,6 +19,41 @@ class TablesSpec extends SparkSpec {
     assert(r.getTimestamp(1).toString == "2024-01-01 00:09:58.778549")
   }
 
+  test("events loader handles all three ts physical forms identically") {
+    // The local testdata only ever carries ONE physical form, so the
+    // loader's other branches would go untested without fixtures: write a
+    // one-row events.parquet in each form — nanos-as-long (what the legacy
+    // knob turns TIMESTAMP(NANOS) into), TIMESTAMP(MICROS) = TimestampType,
+    // and TIMESTAMP(MICROS, NTZ) = TimestampNTZType — and assert every
+    // branch floors to the same µs TimestampType value.
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val base = java.nio.file.Files.createTempDirectory("graft-ts-forms")
+    val micros = 1704067200123456L // 2024-01-01 00:00:00.123456 UTC
+    val nanos = micros * 1000L + 829L // sub-µs tail must floor away
+    def dir(form: String): String = s"$base/$form"
+    Seq((0L, nanos)).toDF("event_id", "ts")
+      .write.parquet(s"${dir("nanoslong")}/events.parquet")
+    Seq((0L, new java.sql.Timestamp(0L))).toDF("event_id", "ts")
+      .withColumn("ts", expr(s"timestamp_micros(${micros}L)"))
+      .write.parquet(s"${dir("micros")}/events.parquet")
+    Seq((0L, new java.sql.Timestamp(0L))).toDF("event_id", "ts")
+      .withColumn("ts", expr(s"timestamp_micros(${micros}L)").cast(TimestampNTZType))
+      .write.parquet(s"${dir("ntz")}/events.parquet")
+    val loaded = Seq("nanoslong", "micros", "ntz").map { f =>
+      val ev = Tables.events(spark, dir(f))
+      assert(ev.schema("ts").dataType == TimestampType, s"form $f")
+      ev.select(unix_micros(col("ts"))).head().getLong(0)
+    }
+    assert(loaded == Seq(micros, micros, micros),
+      s"ts forms disagree after load: $loaded")
+    // An unknown physical form must fail loud, not null out silently.
+    Seq((0L, "2024-01-01")).toDF("event_id", "ts")
+      .write.parquet(s"${dir("corrupt")}/events.parquet")
+    val e = intercept[IllegalStateException](Tables.events(spark, dir("corrupt")))
+    assert(e.getMessage.contains("unsupported type"))
+  }
+
   test("all star-schema tables load with pushdown-friendly scans") {
     for (t <- Seq("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "documents", "embeddings")) {
