@@ -28,6 +28,95 @@ object Similarity {
   /** i-th length-`sd` subvector of an array column (1-based slice). */
   private def subVec(c: Column, i: Int, sd: Int) = slice(c, i * sd + 1, sd)
 
+  /** Auto-sizing laws shared by the IVF family. Cells: ⌈√n⌉ keeps both the
+    * centroid table (broadcast) and the per-cell row count sublinear.
+    * Probes: ⌈3·√kCells⌉ keeps probed-candidate volume `probeN·n/kCells`
+    * sublinear when kCells tracks √n; the 3× constant is calibrated on the
+    * weakly-clustered synthetic corpus (IVF's adversarial case — see
+    * [[ivfPqTopK]]'s inline notes for the measured sweep). */
+  private def autoCellCount(n: Long): Int =
+    math.max(1, math.ceil(math.sqrt(n.toDouble)).toInt)
+  private def autoProbeCount(kCells: Int): Int =
+    math.min(kCells, math.ceil(3.0 * math.sqrt(kCells.toDouble)).toInt)
+
+  /** A fitted coarse quantizer (the IVF cell assignment), reusable across
+    * [[ivfTopK]] / [[ivfPqTopK]] calls and sessions-worth of queries over
+    * the same corpus: the fit is seeded and deterministic for a given
+    * input, so reuse changes wall-clock, never results. Features are the
+    * L2-normalized vectors as `fcoarse`; predictions land in `cluster`. */
+  final case class CoarseFit(model: org.apache.spark.ml.clustering.KMeansModel) {
+    def kCells: Int = model.clusterCenters.length
+    def dim: Int = model.clusterCenters.head.size
+  }
+
+  /** Fitted per-subspace PQ codebooks, reusable across [[pqTopK]] /
+    * [[ivfPqTopK]] (non-residual) calls over the same corpus — the verdict
+    * of the r09 bench audit: two queries over one corpus must not pay two
+    * identical seeded fits. For residual-mode IVFADC the codebooks are
+    * defined relative to a coarse quantizer (they encode v̂ − centroid);
+    * pass the pair that was fitted together. */
+  final case class PqFit(
+      models: IndexedSeq[org.apache.spark.ml.clustering.KMeansModel],
+      m: Int, sd: Int, ks: Int)
+
+  /** Fit the coarse quantizer alone: `nCentroids <= 0` auto-sizes to
+    * ⌈√n⌉ cells. One persisted pass over the normalized corpus (KMeans
+    * re-scans per iteration), released before returning. */
+  def fitCoarseQuantizer(
+      corpus: DataFrame,
+      nCentroids: Int = 16,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): CoarseFit = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val base = withVec(corpus, idCol, vecCol)
+      .withColumn("vh", transform(col("v"), x => x / col("nrm")))
+      .withColumn("fcoarse", array_to_vector(col("vh")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val kCells =
+      if (nCentroids > 0) nCentroids else autoCellCount(base.count())
+    val model = new KMeans().setK(kCells).setSeed(42).setMaxIter(3)
+      .setFeaturesCol("fcoarse").setPredictionCol("cluster").fit(base)
+    base.unpersist(blocking = false)
+    CoarseFit(model)
+  }
+
+  /** Fit PQ codebooks alone (the [[pqTopK]] / non-residual [[ivfPqTopK]]
+    * training stage as a standalone artifact). `dim` is read from the
+    * corpus and must split evenly into `m` subspaces. */
+  def fitPqCodebooks(
+      corpus: DataFrame,
+      m: Int = 4,
+      ks: Int = 16,
+      trainFraction: Double = 1.0,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): PqFit = {
+    val head = corpus.agg(min(size(col(vecCol))).as("mn"),
+      max(size(col(vecCol))).as("mx")).head()
+    require(!head.isNullAt(0), "fitPqCodebooks: empty corpus")
+    require(head.getInt(0) == head.getInt(1),
+      s"fitPqCodebooks: mixed dimensionality ${head.getInt(0)}..${head.getInt(1)}")
+    val dim = head.getInt(0)
+    require(dim % m == 0, s"fitPqCodebooks: dim $dim not divisible into $m subspaces")
+    val sd = dim / m
+    val n = withVec(corpus, idCol, vecCol)
+      .withColumn("vh", transform(col("v"), x => x / col("nrm")))
+    val trainBase =
+      if (trainFraction < 1.0) n.sample(withReplacement = false, trainFraction, seed = 42)
+      else n
+    PqFit(fitCodebooks(trainBase, m, sd, ks), m, sd, ks)
+  }
+
+  private def checkPqFit(f: PqFit, m: Int, sd: Int, ks: Int): IndexedSeq[
+      org.apache.spark.ml.clustering.KMeansModel] = {
+    require(f.m == m && f.sd == sd && f.ks == ks,
+      s"pre-fitted codebooks are (m=${f.m}, sd=${f.sd}, ks=${f.ks}); " +
+        s"call-site wants (m=$m, sd=$sd, ks=$ks)")
+    f.models
+  }
+
   /** One seeded KMeans codebook per length-`sd` subspace, fitted over a
     * single cached scan of `trainBase` (must carry the L2-normalized `vh`).
     * The m fits are independent — submitted as CONCURRENT Spark jobs
@@ -168,7 +257,12 @@ object Similarity {
     * `nCentroids <= 0` sizes cells from the data: ceil(√n) centroids — the
     * standard IVF balance point (cell size ≈ √n, so per-query probe work ≈
     * nProbe·√n) — so a pinned constant can't silently mis-size cells as
-    * the corpus grows. The count rides the cached fit input. */
+    * the corpus grows. `nProbe <= 0` composes: ⌈3·√kCells⌉ probes (the
+    * shared auto law), so auto-k at a new scale scales the probe count too
+    * instead of silently losing recall against more, smaller cells.
+    * Pass `coarseFitted` (from [[fitCoarseQuantizer]]) to reuse a
+    * quantizer across calls/operators — seeded fits are deterministic, so
+    * reuse changes wall-clock, never results. */
   def ivfTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -176,50 +270,48 @@ object Similarity {
       nCentroids: Int = 16,
       nProbe: Int = 2,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"
+      vecCol: String = "embedding",
+      coarseFitted: Option[CoarseFit] = None
   ): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.feature.Normalizer
     import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
-    // persist: KMeans re-scans the features once per iteration.
-    // Normalizer (not a transform() lambda) computes the norm once per row.
-    val c = new Normalizer().setInputCol("fraw").setOutputCol("features").setP(2.0)
-      .transform(withVec(corpus, idCol, vecCol)
-        .withColumn("fraw", array_to_vector(col("v"))))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val kCells =
-      if (nCentroids > 0) nCentroids
-      else math.max(1, math.ceil(math.sqrt(c.count().toDouble)).toInt)
-    val model = new KMeans().setK(kCells).setSeed(42).setMaxIter(3)
-      .setFeaturesCol("features").fit(c)
-    // the cache existed for KMeans' per-iteration re-scans; release it now —
-    // the single downstream assignment pass recomputes from lineage (scan +
-    // normalize), so repeated ivfTopK calls don't accumulate cache entries
-    c.unpersist(blocking = false)
-    val assigned = model.transform(c)
-      .select(col("vid"), col("v"), col("nrm"), col("prediction").as("cluster"))
+    // Fit (one persisted pass, released inside) or reuse a caller-supplied
+    // quantizer — the seeded fit is deterministic, so reuse changes
+    // wall-clock only. nCentroids is read from the supplied model's k when
+    // pre-fitted.
+    val fit = coarseFitted.getOrElse(
+      fitCoarseQuantizer(corpus, nCentroids, idCol, vecCol))
+    val kCells = fit.kCells
+    // nProbe <= 0 → the shared ⌈3·√kCells⌉ auto law (capped at kCells):
+    // composes with auto-k so turning on nCentroids <= 0 at a new scale
+    // scales the probe count too, instead of silently losing recall.
+    val probeN = if (nProbe > 0) nProbe else autoProbeCount(kCells)
+    val normalized = withVec(corpus, idCol, vecCol)
+      .withColumn("vh", transform(col("v"), x => x / col("nrm")))
+    val assigned = fit.model.transform(
+      normalized.withColumn("fcoarse", array_to_vector(col("vh"))))
+      .select(col("vid"), col("vh"), col("cluster"))
     import spark.implicits._
-    val centroids = model.clusterCenters.zipWithIndex
+    val centroids = fit.model.clusterCenters.zipWithIndex
       .map { case (cv, i) =>
         (i, cv.toArray.toSeq, cv.toArray.map(x => x * x).sum) }
       .toSeq.toDF("cluster", "cvec", "cnorm2")
     val q = withVec(queries, idCol, vecCol)
-      .withColumnRenamed("vid", "q_id")
-      .withColumnRenamed("v", "qv").withColumnRenamed("nrm", "qnrm")
-    // nProbe nearest cells per query, by the assignment metric: Euclidean
+      .withColumn("qvh", transform(col("v"), x => x / col("nrm")))
+      .select(col("vid").as("q_id"), col("qvh"))
+    // probeN nearest cells per query, by the assignment metric: Euclidean
     // distance between the normalized query and the centroid (the constant
     // ‖q̂‖² = 1 term drops out of the ranking). Centroid table broadcast.
     val wProbe = Window.partitionBy(col("q_id")).orderBy(col("cdist"), col("cluster"))
     val probes = q.crossJoin(broadcast(centroids))
       .withColumn("cdist",
-        col("cnorm2") - lit(2.0) * dot(col("qv"), col("cvec")) / col("qnrm"))
+        col("cnorm2") - lit(2.0) * dot(col("qvh"), col("cvec")))
       .withColumn("prn", row_number().over(wProbe))
-      .filter(col("prn") <= nProbe)
-      .select(col("q_id"), col("qv"), col("qnrm"), col("cluster"))
+      .filter(col("prn") <= probeN)
+      .select(col("q_id"), col("qvh"), col("cluster"))
     val cand = probes.join(assigned, "cluster")
       .filter(col("vid") =!= col("q_id"))
-      .withColumn("sim", dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
+      .withColumn("sim", dot(col("qvh"), col("vh")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vid"))
     cand.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select(col("q_id"), col("vid").as("neighbor_id"), col("sim"),
@@ -268,7 +360,8 @@ object Similarity {
       trainFraction: Double = 1.0,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      shortlistC: Double = 3.0
+      shortlistC: Double = 3.0,
+      fitted: Option[PqFit] = None
   ): DataFrame = {
     require(refine >= 1, s"refine must be >= 1, got $refine")
     val spark = corpus.sparkSession
@@ -301,12 +394,15 @@ object Similarity {
       .withColumn("vh", transform(col("v"), x => x / col("nrm")))
 
     // ---- train: one seeded KMeans per subspace, all over one cached scan
-    val trainBase = {
-      val n = normalized(corpus)
-      if (trainFraction < 1.0) n.sample(withReplacement = false, trainFraction, seed = 42)
-      else n
+    // — or a caller-supplied fit (deterministic seeded fits ⇒ same output)
+    val models = fitted.map(checkPqFit(_, m, sd, ks)).getOrElse {
+      val trainBase = {
+        val n = normalized(corpus)
+        if (trainFraction < 1.0) n.sample(withReplacement = false, trainFraction, seed = 42)
+        else n
+      }
+      fitCodebooks(trainBase, m, sd, ks)
     }
-    val models = fitCodebooks(trainBase, m, sd, ks)
 
     // ---- encode the corpus: m chained assignments, fused into one scan
     val encoded = encodeWith(models, normalized(corpus), m, sd)
@@ -397,12 +493,17 @@ object Similarity {
       trainFraction: Double = 1.0,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      residual: Boolean = true
+      residual: Boolean = true,
+      coarseFitted: Option[CoarseFit] = None,
+      fitted: Option[PqFit] = None
   ): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
     import spark.implicits._
+    require(!(residual && fitted.isDefined && coarseFitted.isEmpty),
+      "residual codebooks encode v̂ − centroid and are meaningless without " +
+        "the coarse quantizer they were fitted against — pass both")
     // same guards as pqTopK: empty corpus/queries → empty typed result
     // BEFORE KMeans is asked to fit nothing; ragged dims fail loudly
     val emptyResult = queries.select(col(idCol).as("q_id")).limit(0)
@@ -429,20 +530,26 @@ object Similarity {
 
     // ---- train: coarse quantizer + per-subspace codebooks over ONE cached
     // scan of the normalized corpus (the coarse fit re-scans per iteration,
-    // the m codebook fits run concurrently on top)
-    val base = normalized(corpus)
-      .withColumn("fcoarse", array_to_vector(col("vh")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val trainBase =
+    // the m codebook fits run concurrently on top). When BOTH fits arrive
+    // pre-computed the training base never materializes at all — `baseUsed`
+    // gates the persist/unpersist pair.
+    var baseUsed = false
+    lazy val base = {
+      baseUsed = true
+      normalized(corpus)
+        .withColumn("fcoarse", array_to_vector(col("vh")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    def trainBase =
       if (trainFraction < 1.0)
         base.sample(withReplacement = false, trainFraction, seed = 42)
       else base
     // nCentroids <= 0 → ceil(√n) cells (same auto-sizing as ivfTopK); the
-    // corpus count is already on hand from the dimensionality guard
+    // corpus count is already on hand from the dimensionality guard. A
+    // pre-fitted quantizer brings its own k.
     val nCorpus = cs.getLong(2)
-    val kCells =
-      if (nCentroids > 0) nCentroids
-      else math.max(1, math.ceil(math.sqrt(nCorpus.toDouble)).toInt)
+    val kCells = coarseFitted.map(_.kCells).getOrElse(
+      if (nCentroids > 0) nCentroids else autoCellCount(nCorpus))
     // nProbe <= 0 → ceil(3·√kCells), capped at kCells. The √kCells shape
     // keeps probed-candidate count (nProbe·n/kCells) sublinear when kCells
     // tracks √n; the 3× constant is calibrated on the weakly-clustered
@@ -450,9 +557,7 @@ object Similarity {
     // probes 9/71 cells at n=5000 for recall 0.59, 3·√kCells probes 24 for
     // 0.86). Clustered real corpora hold recall at lower multiples — pin
     // nProbe explicitly there; auto mode buys scale-safety, not optimality.
-    val probeN =
-      if (nProbe > 0) nProbe
-      else math.min(kCells, math.ceil(3.0 * math.sqrt(kCells.toDouble)).toInt)
+    val probeN = if (nProbe > 0) nProbe else autoProbeCount(kCells)
     // refine <= 0 → shortlist floored at 3·√n exact re-ranks per query
     // (pinned refine keeps the constant-work contract; auto mode accepts
     // the same 3√n law as pqTopK because ADC precision on weakly-clustered
@@ -470,40 +575,51 @@ object Similarity {
     // wall-clock). Residual mode trains codebooks ON the coarse residuals,
     // so the coarse fit must complete first; the m codebook fits still run
     // concurrently among themselves inside fitCodebooks.
+    val preModels = fitted.map(checkPqFit(_, m, sd, ks))
     val (coarse, models) =
       if (residual) {
-        val c = new KMeans().setK(kCells).setSeed(42).setMaxIter(3)
-          .setFeaturesCol("fcoarse").setPredictionCol("cluster").fit(base)
-        val cents = c.clusterCenters.zipWithIndex
-          .map { case (cv, i) => (i, cv.toArray.toSeq) }
-          .toSeq.toDF("cluster", "cvec")
-        // residual train base: vh := v̂ − centroid(assigned cell); the
-        // centroid lookup is a broadcast join on the cell id, so auto-√n
-        // cell counts never become a giant literal in the plan
-        val resTrain = c.transform(trainBase)
-          .join(broadcast(cents), "cluster")
-          .withColumn("vh", zip_with(col("vh"), col("cvec"), (a, b) => a - b))
-        (c, fitCodebooks(resTrain, m, sd, ks))
-      } else {
-        val coarseF = {
-          import scala.concurrent.Future
-          import scala.concurrent.ExecutionContext.Implicits.global
-          Future {
-            new KMeans().setK(kCells).setSeed(42).setMaxIter(3)
-              .setFeaturesCol("fcoarse").setPredictionCol("cluster").fit(base)
-          }
-        }
-        val ms = fitCodebooks(trainBase, m, sd, ks)
-        val c = {
-          import scala.concurrent.Await
-          import scala.concurrent.duration.Duration
-          Await.result(coarseF, Duration.Inf)
+        val c = coarseFitted.map(_.model).getOrElse(
+          new KMeans().setK(kCells).setSeed(42).setMaxIter(3)
+            .setFeaturesCol("fcoarse").setPredictionCol("cluster").fit(base))
+        val ms = preModels.getOrElse {
+          val cents = c.clusterCenters.zipWithIndex
+            .map { case (cv, i) => (i, cv.toArray.toSeq) }
+            .toSeq.toDF("cluster", "cvec")
+          // residual train base: vh := v̂ − centroid(assigned cell); the
+          // centroid lookup is a broadcast join on the cell id, so auto-√n
+          // cell counts never become a giant literal in the plan
+          val resTrain = c.transform(trainBase)
+            .join(broadcast(cents), "cluster")
+            .withColumn("vh", zip_with(col("vh"), col("cvec"), (a, b) => a - b))
+          fitCodebooks(resTrain, m, sd, ks)
         }
         (c, ms)
+      } else (coarseFitted.map(_.model), preModels) match {
+        case (Some(c), Some(ms)) => (c, ms)
+        case (Some(c), None) => (c, fitCodebooks(trainBase, m, sd, ks))
+        case (None, Some(ms)) =>
+          (new KMeans().setK(kCells).setSeed(42).setMaxIter(3)
+            .setFeaturesCol("fcoarse").setPredictionCol("cluster").fit(base), ms)
+        case (None, None) =>
+          val coarseF = {
+            import scala.concurrent.Future
+            import scala.concurrent.ExecutionContext.Implicits.global
+            Future {
+              new KMeans().setK(kCells).setSeed(42).setMaxIter(3)
+                .setFeaturesCol("fcoarse").setPredictionCol("cluster").fit(base)
+            }
+          }
+          val ms = fitCodebooks(trainBase, m, sd, ks)
+          val c = {
+            import scala.concurrent.Await
+            import scala.concurrent.duration.Duration
+            Await.result(coarseF, Duration.Inf)
+          }
+          (c, ms)
       }
     // fit-only cache, released eagerly (the ivfTopK contract): the single
     // downstream encode pass recomputes from lineage
-    base.unpersist(blocking = false)
+    if (baseUsed) base.unpersist(blocking = false)
 
     val centroids = coarse.clusterCenters.zipWithIndex
       .map { case (cv, i) =>
