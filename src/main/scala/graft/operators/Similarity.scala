@@ -21,12 +21,12 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  private def withVec(df: DataFrame, idCol: String, vecCol: String) =
+  private[operators] def withVec(df: DataFrame, idCol: String, vecCol: String) =
     df.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"))
       .withColumn("nrm", norm2(col("v")))
 
   /** i-th length-`sd` subvector of an array column (1-based slice). */
-  private def subVec(c: Column, i: Int, sd: Int) = slice(c, i * sd + 1, sd)
+  private[operators] def subVec(c: Column, i: Int, sd: Int) = slice(c, i * sd + 1, sd)
 
   /** Auto-sizing laws shared by the IVF family. Cells: ⌈√n⌉ keeps both the
     * centroid table (broadcast) and the per-cell row count sublinear.
@@ -34,9 +34,9 @@ object Similarity {
     * sublinear when kCells tracks √n; the 3× constant is calibrated on the
     * weakly-clustered synthetic corpus (IVF's adversarial case — see
     * [[ivfPqTopK]]'s inline notes for the measured sweep). */
-  private def autoCellCount(n: Long): Int =
+  private[operators] def autoCellCount(n: Long): Int =
     math.max(1, math.ceil(math.sqrt(n.toDouble)).toInt)
-  private def autoProbeCount(kCells: Int): Int =
+  private[operators] def autoProbeCount(kCells: Int): Int =
     math.min(kCells, math.ceil(3.0 * math.sqrt(kCells.toDouble)).toInt)
 
   /** A fitted coarse quantizer (the IVF cell assignment), reusable across
@@ -109,7 +109,44 @@ object Similarity {
     PqFit(fitCodebooks(trainBase, m, sd, ks), m, sd, ks)
   }
 
-  private def checkPqFit(f: PqFit, m: Int, sd: Int, ks: Int): IndexedSeq[
+  /** Residual-mode codebooks for a GIVEN coarse quantizer: codebooks are
+    * fitted on v̂ − centroid(assigned cell) — the Jégou §IV formulation.
+    * The pair (coarse, result) is what residual [[ivfPqTopK]] and a stored
+    * [[VectorIndex]] consume together; the codebooks are meaningless
+    * without exactly this quantizer. */
+  def fitResidualPqCodebooks(
+      corpus: DataFrame,
+      coarse: CoarseFit,
+      m: Int = 4,
+      ks: Int = 16,
+      trainFraction: Double = 1.0,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): PqFit = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val dim = coarse.dim
+    require(dim % m == 0,
+      s"fitResidualPqCodebooks: dim $dim not divisible into $m subspaces")
+    val sd = dim / m
+    val normalized = withVec(corpus, idCol, vecCol)
+      .withColumn("vh", transform(col("v"), x => x / col("nrm")))
+    val trainBase0 =
+      if (trainFraction < 1.0)
+        normalized.sample(withReplacement = false, trainFraction, seed = 42)
+      else normalized
+    val cents = coarse.model.clusterCenters.zipWithIndex
+      .map { case (cv, i) => (i, cv.toArray.toSeq) }
+      .toSeq.toDF("cluster", "cvec")
+    val resTrain = coarse.model.transform(
+      trainBase0.withColumn("fcoarse", array_to_vector(col("vh"))))
+      .join(broadcast(cents), "cluster")
+      .withColumn("vh", zip_with(col("vh"), col("cvec"), (a, b) => a - b))
+    PqFit(fitCodebooks(resTrain, m, sd, ks), m, sd, ks)
+  }
+
+  private[operators] def checkPqFit(f: PqFit, m: Int, sd: Int, ks: Int): IndexedSeq[
       org.apache.spark.ml.clustering.KMeansModel] = {
     require(f.m == m && f.sd == sd && f.ks == ks,
       s"pre-fitted codebooks are (m=${f.m}, sd=${f.sd}, ks=${f.ks}); " +
@@ -148,7 +185,7 @@ object Similarity {
 
   /** Append `codes` (per-subspace centroid ids) to a frame carrying `vh`:
     * m chained KMeans assignments, fused into one scan by Catalyst. */
-  private def encodeWith(
+  private[operators] def encodeWith(
       models: IndexedSeq[org.apache.spark.ml.clustering.KMeansModel],
       df: DataFrame, m: Int, sd: Int): DataFrame = {
     import org.apache.spark.ml.functions.array_to_vector
@@ -168,9 +205,16 @@ object Similarity {
   private def adcTable(
       models: IndexedSeq[org.apache.spark.ml.clustering.KMeansModel],
       sd: Int, qcol: Column = col("qvh")): Column =
-    array(models.zipWithIndex.map { case (mod, i) =>
-      array(mod.clusterCenters.toIndexedSeq.map { cv =>
-        val c = cv.toArray
+    adcTableFrom(
+      models.map(_.clusterCenters.toIndexedSeq.map(_.toArray)), sd, qcol)
+
+  /** [[adcTable]] from raw per-subspace center arrays — the form a STORED
+    * index reconstitutes its codebooks in (no KMeansModel round-trip). */
+  private[operators] def adcTableFrom(
+      centers: IndexedSeq[IndexedSeq[Array[Double]]],
+      sd: Int, qcol: Column): Column =
+    array(centers.zipWithIndex.map { case (cbook, i) =>
+      array(cbook.map { c =>
         lit(c.map(x => x * x).sum) -
           lit(2.0) * dot(subVec(qcol, i, sd), lit(c))
       }: _*)
@@ -178,7 +222,7 @@ object Similarity {
 
   /** ADC distance of a `codes` row against a `dtab` table: m lookups + adds,
     * no full-width arithmetic. */
-  private def adcDist(m: Int): Column =
+  private[operators] def adcDist(m: Int): Column =
     aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
       (acc, i) => acc +
         element_at(element_at(col("dtab"), i + 1),

@@ -398,6 +398,51 @@ object VectorQueries {
               FROM p)
         SELECT COUNT(*) AS n_truth, TRUE AS recall_ok FROM r WHERE rn <= 3""")),
 
+    // Stored-index ANN (r10): the vector-side persist-and-search analog of
+    // d37's LSH index and x15's BM25 postings. The index (centroids +
+    // codebooks + coded corpus + re-rank vectors) is written ONCE per
+    // (dir, session) to a temp dir; search replays the IVFADC pipeline
+    // from parquet without touching the corpus table. The oracle gates
+    // recall@3 vs the replayable brute-force truth (same 0.7 bar as e09 —
+    // search-from-index IS e09's pipeline, so recall is e09's). Exact row
+    // equality with the one-shot ivfPqTopK under the same fits is asserted
+    // per-mode (plain/residual/incremental-append) in VectorIndexSpec —
+    // kept out of the query so the bench measures one pipeline, not three.
+    GQ("e14_ann_index_search",
+      (s, dir) => {
+        val emb = Tables.table(s, dir, "embeddings")
+        val qs = emb.filter(col("vec_id") < 50)
+        val idxPath = memo(s"ivfindex:$dir") {
+          val p = java.nio.file.Files
+            .createTempDirectory("graft-ivfindex").toString
+          graft.operators.VectorIndex.write(emb, p,
+            nCentroids = 0, m = 8, ks = 32, residual = false,
+            coarseFitted = Some(sharedCoarse(s, dir)),
+            fitted = Some(sharedPq(s, dir)))
+          p
+        }
+        val fromIndex = graft.operators.VectorIndex.search(
+          qs, idxPath, k = 3, nProbe = 0, refine = 48)
+        val truth = Similarity.bruteForceTopK(corpus = emb, queries = qs, k = 3)
+        val hits = fromIndex.select("q_id", "neighbor_id")
+          .join(truth.select("q_id", "neighbor_id"), Seq("q_id", "neighbor_id"))
+        hits.agg(count(lit(1)).as("n_hits"))
+          .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+          .select(col("n_truth"),
+            (col("n_hits").cast("double") / col("n_truth") >= 0.7).as("recall_ok"))
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        p AS (SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+                list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS sim
+              FROM n q JOIN n c ON c.vec_id <> q.vec_id
+              WHERE q.vec_id < 50),
+        r AS (SELECT q_id, neighbor_id,
+                ROW_NUMBER() OVER (PARTITION BY q_id
+                                   ORDER BY sim DESC, neighbor_id) AS rn
+              FROM p)
+        SELECT COUNT(*) AS n_truth, TRUE AS recall_ok FROM r WHERE rn <= 3""")),
+
     // SemDeDup-style semantic dedup (Abbas et al. 2023): deterministic
     // hyperplane cells stand in for the paper's KMeans clusters so the
     // oracle can replay the ENTIRE decision — cell codes, within-cell pair
