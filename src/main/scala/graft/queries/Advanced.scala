@@ -612,6 +612,111 @@ object Advanced {
         FROM supplier JOIN rev ON s_suppkey = l_suppkey
         WHERE total_rev = (SELECT MAX(total_rev) FROM rev)""")),
 
+    GQ("q53_small_qty_revenue", // TPC-H Q17 shape: correlated AVG threshold
+      // per part — revenue of below-one-fifth-of-average-quantity lines.
+      // The classic correlated form re-aggregates lineitem per outer row;
+      // here the per-part average rides a window OVER THE SAME broadcast-
+      // joined scan, so lineitem is read exactly once (EntrySpec-asserted)
+      // and the only exchange is the window's partkey hash. The 0.2·avg
+      // threshold is the integer cross-multiplication 5·qty·cnt < sum —
+      // quantities are integral, and integral doubles add exactly, so the
+      // comparison is engine-exact with no decimal machinery. Revenue sums
+      // through DECIMAL(18,2) (the Dec contract); /7.0 happens once in
+      // double on the single output row, identical on both engines.
+      (s, dir) => {
+        val p = t(s, dir, "part")
+          .filter(col("p_brand") === "Brand#4" && col("p_size") < 20)
+          .select("p_partkey")
+        val w = Window.partitionBy(col("l_partkey"))
+        t(s, dir, "lineitem")
+          .select("l_partkey", "l_quantity", "l_extendedprice")
+          .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .withColumn("wsum", sum(col("l_quantity")).over(w))
+          .withColumn("wcnt", count(lit(1)).over(w))
+          .filter(col("l_quantity") * 5 * col("wcnt") < col("wsum"))
+          .agg((Dec.dsum(col("l_extendedprice")) / 7.0).as("avg_yearly"))
+      },
+      Some("""WITH j AS (
+          SELECT l_quantity, l_extendedprice,
+                 SUM(l_quantity) OVER (PARTITION BY l_partkey) AS wsum,
+                 COUNT(*) OVER (PARTITION BY l_partkey) AS wcnt
+          FROM lineitem JOIN part ON p_partkey = l_partkey
+          WHERE p_brand = 'Brand#4' AND p_size < 20)
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+                 AS avg_yearly
+        FROM j WHERE 5 * l_quantity * wcnt < wsum""")),
+
+    GQ("q54_large_orders", // TPC-H Q18 shape: HAVING-sum semi filter on the
+      // fact key, top-100 by order value. The textbook form runs the
+      // GROUP BY inside an IN-subquery and re-scans lineitem for the outer
+      // per-order sum; here the qualifying orders AND their totals come
+      // from one aggregate (874 survivors of 60k orders at sf0.01), which
+      // then joins the narrow dims — lineitem is scanned once
+      // (EntrySpec-asserted) and the dims join against a table five
+      // thousand times smaller than the fact. Quantity sums are integral
+      // doubles (exact); the limit is fully tiebroken (totalprice desc,
+      // orderdate, unique orderkey) so both engines keep the same 100. */
+      (s, dir) => {
+        val big = t(s, dir, "lineitem")
+          .groupBy("l_orderkey")
+          .agg(sum(col("l_quantity")).as("total_qty"))
+          .filter(col("total_qty") > 200)
+        big.join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+            col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+          .orderBy(col("o_totalprice").desc, col("o_orderdate"),
+            col("o_orderkey"))
+          .limit(100)
+      },
+      Some("""WITH q AS (
+          SELECT l_orderkey, SUM(l_quantity) AS total_qty
+          FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > 200)
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+               total_qty
+        FROM q JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100""")),
+
+    GQ("q55_dominant_supplier", // TPC-H Q20 shape: semi-join on DERIVED
+      // quantities (no partsupp table in this schema, so "availqty vs half
+      // of shipped" becomes "supplier shipped more than half a part's 1996
+      // volume, and materially so"). The derived table is a one-scan
+      // aggregate over the year's lineitem; the per-part total rides a
+      // window over the AGGREGATED (part, supplier) rows — fact volume
+      // crosses one exchange, the window and dominance filter see only
+      // dimension-cardinality rows. Suppliers semi-join the (tiny,
+      // broadcast) dominant set: 23 of 100 qualify at sf0.01, 21 of 1000
+      // at sf0.1 — selective in both directions, never vacuous. The
+      // dominance test is integer-exact (2·sq > tq over integral-double
+      // sums); the oracle replays the IN-subquery form to pin equivalence.
+      (s, dir) => {
+        val g = t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+          .groupBy("l_partkey", "l_suppkey")
+          .agg(sum(col("l_quantity")).as("supp_qty"))
+        val dom = g
+          .withColumn("part_qty",
+            sum(col("supp_qty")).over(Window.partitionBy(col("l_partkey"))))
+          .filter(col("supp_qty") * 2 > col("part_qty") &&
+            col("supp_qty") >= 60)
+          .select("l_suppkey")
+        t(s, dir, "supplier")
+          .join(dom, col("s_suppkey") === col("l_suppkey"), "left_semi")
+          .select("s_suppkey", "s_name", "s_acctbal")
+      },
+      Some("""WITH g AS (
+          SELECT l_partkey, l_suppkey, SUM(l_quantity) AS sq
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1997-01-01'
+          GROUP BY 1, 2),
+        w AS (SELECT *, SUM(sq) OVER (PARTITION BY l_partkey) AS tq FROM g)
+        SELECT s_suppkey, s_name, s_acctbal FROM supplier
+        WHERE s_suppkey IN
+          (SELECT l_suppkey FROM w WHERE 2 * sq > tq AND sq >= 60)""")),
+
     GQ("x12_mad_outliers", // robust per-group outlier stats: median and
       // MAD (median absolute deviation) of token counts per language,
       // plus the count past the 3-MAD fence. All integer arithmetic —

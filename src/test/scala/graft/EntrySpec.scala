@@ -68,6 +68,16 @@ class EntrySpec extends SparkSpec {
       "q51 rescans lineitem/part for the total")
     assert(scans(plan("q52_top_supplier")) == 2,
       "q52 rescans lineitem for the max")
+    // r10 additions — Q17/Q18/Q20 shapes: the correlated aggregate rides a
+    // window (q53), the HAVING-sum filter aggregates once (q54), and the
+    // dominance semi-join derives from one year-filtered aggregate (q55).
+    // Fact table scanned exactly once each: total scans = fact + dims.
+    assert(scans(plan("q53_small_qty_revenue")) == 2,
+      "q53 rescans lineitem for the per-part average")
+    assert(scans(plan("q54_large_orders")) == 3,
+      "q54 rescans lineitem for the qualifying-order sums")
+    assert(scans(plan("q55_dominant_supplier")) == 2,
+      "q55 rescans lineitem for the part totals")
   }
 
   test("TopKPerGroup custom node lowers to window+filter and runs") {
