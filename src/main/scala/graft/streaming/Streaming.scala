@@ -95,6 +95,57 @@ object Streaming {
           out.iterator
       }
 
+  /** [[burstDedupStream]] on Spark 4's `transformWithState` — the current
+    * arbitrary-state API (SPARK-46815; `flatMapGroupsWithState` is the
+    * legacy surface). Same semantics, same ONE-long-per-key state, spec-
+    * asserted to emit the identical row set as both the fMGWS variant and
+    * the x13 batch answer. Differences that matter at scale: typed state
+    * handles (`ValueState` here; List/Map state for richer operators),
+    * per-state TTL without timer bookkeeping, and schema-evolvable state —
+    * all on the RocksDB changelog store, which the API requires
+    * (`spark.sql.streaming.stateStore.providerClass` must be
+    * RocksDBStateStoreProvider; the spec sets it per-query). */
+  def burstDedupStreamTws(
+      events: Dataset[(Long, Long, Long)], // (event_id, key, ts_us)
+      gapUs: Long
+  )(implicit outEnc: Encoder[(Long, Long, Long)],
+      keyEnc: Encoder[Long]): Dataset[(Long, Long, Long)] =
+    events.groupByKey(_._2)
+      .transformWithState(new BurstDedupProcessor(gapUs),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+
+  /** The [[burstDedupStreamTws]] StatefulProcessor: keeps the key's last
+    * event-time (micros) in a ValueState; an input row survives only if it
+    * arrives more than `gapUs` after it. Rows inside a micro-batch are
+    * (ts, event_id)-ordered exactly like the fMGWS variant. */
+  private[streaming] class BurstDedupProcessor(gapUs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, Long), (Long, Long, Long)] {
+    @transient private var lastTs: org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      lastTs = getHandle.getValueState[Long]("lastTs",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, Long, Long)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, Long, Long)] = {
+      val ordered = rows.toVector.sortBy(e => (e._3, e._1))
+      var last = if (lastTs.exists()) Some(lastTs.get()) else None
+      val out = ordered.filter { e =>
+        val keep = last.forall(l => e._3 - l > gapUs)
+        last = Some(e._3)
+        keep
+      }
+      last.foreach(lastTs.update)
+      out.iterator
+    }
+  }
+
   /** Streaming MinHash-LSH near-duplicate CANDIDATE pairs: documents are
     * shingled, signed, and banded with exactly the batch expressions
     * ([[graft.operators.Dedup.minhashSigCol]] / `bandBucketsCol`), and

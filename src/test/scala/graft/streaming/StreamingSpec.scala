@@ -79,6 +79,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState burst dedup emits the identical row set (Spark 4 stateful API)") {
+    implicit val sqlCtx = spark.sqlContext
+    val evs = graft.Tables.events(spark, sf())
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(e => (e._3, e._1))
+    val batchAnswer = graft.SparkEntry.queries("x13_burst_dedup")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // transformWithState requires the RocksDB state store; scope the
+    // provider override to this query and restore the default after
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(Long, Long, Long)]
+      val out = Streaming.burstDedupStreamTws(mem.toDS(),
+        gapUs = 6L * 3600L * 1000000L)
+      val q = out.writeStream.format("memory").queryName("burst_dedup_tws")
+        .outputMode("append").start()
+      try {
+        evs.grouped(math.max(1, evs.length / 3 + 1)).foreach { chunk =>
+          mem.addData(chunk.toIndexedSeq)
+          q.processAllAvailable()
+        }
+        val streamed = spark.table("burst_dedup_tws").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        assert(streamed == batchAnswer,
+          s"tws stream ${streamed.size} rows vs batch ${batchAnswer.size}; " +
+            s"missing=${(batchAnswer -- streamed).take(3)} " +
+            s"extra=${(streamed -- batchAnswer).take(3)}")
+      } finally q.stop()
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("streaming incremental near-dup equals the d37 batch answer on real documents") {
     implicit val sqlCtx = spark.sqlContext
     // same split as d37: history = docs < 250 (indexed once), increment =
