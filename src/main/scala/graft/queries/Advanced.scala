@@ -3,7 +3,7 @@ package graft.queries
 import graft.{Dec, GQ, Tables}
 import graft.Dec._
 import graft.functions.TextFunctions._
-import graft.operators.AsOfJoin
+import graft.operators.{AsOfJoin, IntervalJoin}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -131,6 +131,62 @@ object Advanced {
           AS b(lo, hi, band)
         ON l_quantity >= lo AND l_quantity < hi
         GROUP BY band""")),
+
+    GQ("r03_overlap_join", // interval×interval: sessions × error windows
+      // Both sides are intervals (neither broadcast-small at scale), so this
+      // is the bucket-decomposed overlap join — per-task work bounded by
+      // (key, hour-bucket) density, exactly-once via the claim rule, no
+      // BroadcastNestedLoopJoin anywhere (plan-asserted in EntrySpec).
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        // activity sessions (non-error events, 30-min gap), active window
+        // extends through the timeout: [first_ts, last_ts + 30 min)
+        val sessions = ev.filter(col("event_type") =!= "error")
+          .withColumn("new_sess",
+            when(lag(col("ts"), 1).over(w).isNull
+              || unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)) > 1800L * 1000000L, 1L)
+              .otherwise(0L))
+          .withColumn("session_id", sum(col("new_sess")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id", "session_id")
+          .agg(min(unix_micros(col("ts"))).as("ss"),
+            (max(unix_micros(col("ts"))) + 1800L * 1000000L).as("se"))
+        // ±10-min incident window around each of the same user's errors
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("user_id"),
+            (unix_micros(col("ts")) - 600L * 1000000L).as("es"),
+            (unix_micros(col("ts")) + 600L * 1000000L).as("ee"))
+        IntervalJoin.overlapJoin(sessions, errors, Seq("user_id"),
+          "ss", "se", "es", "ee", bucketWidth = 3600L * 1000000L)
+          .groupBy("user_id", "session_id")
+          .agg(min(col("ss")).as("sess_start_us"),
+            count(lit(1)).as("n_error_windows"))
+      },
+      Some("""WITH ne AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tsm
+                FROM events WHERE event_type <> 'error'),
+        m AS (SELECT user_id, event_id, tsm,
+                CASE WHEN LAG(tsm, 1) OVER w IS NULL
+                          OR epoch_us(tsm) - epoch_us(LAG(tsm, 1) OVER w) > 1800 * 1000000
+                     THEN 1 ELSE 0 END AS new_sess
+              FROM ne WINDOW w AS (PARTITION BY user_id ORDER BY tsm, event_id)),
+        sess AS (SELECT user_id,
+                   CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tsm, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id,
+                   epoch_us(tsm) AS us
+                 FROM m),
+        iv AS (SELECT user_id, session_id, MIN(us) AS ss,
+                 MAX(us) + 1800 * 1000000 AS se
+               FROM sess GROUP BY user_id, session_id),
+        ew AS (SELECT user_id,
+                 epoch_us(CAST(ts AS TIMESTAMP)) - 600 * 1000000 AS es,
+                 epoch_us(CAST(ts AS TIMESTAMP)) + 600 * 1000000 AS ee
+               FROM events WHERE event_type = 'error')
+        SELECT iv.user_id, session_id, ss AS sess_start_us,
+          COUNT(*) AS n_error_windows
+        FROM iv JOIN ew ON iv.user_id = ew.user_id
+          AND iv.ss < ew.ee AND ew.es < iv.se
+        GROUP BY iv.user_id, session_id, ss""")),
 
     GQ("g01_grouping_sets",
       (s, dir) => {

@@ -80,6 +80,16 @@ class EntrySpec extends SparkSpec {
       "q55 rescans lineitem for the part totals")
   }
 
+  test("r03 overlap join plans as an equi-join, never nested-loop") {
+    // Spark's native plan for `key = key AND s < e2 AND s2 < e` keeps only
+    // the key as the equi-condition; the bucket decomposition must yield a
+    // hash-joinable (key, bucket) pair and no BNLJ/cartesian fallback.
+    val p = SparkEntry.queries("r03_overlap_join")(spark, sf())
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin"), "overlap join fell back to BNLJ")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("TopKPerGroup custom node lowers to window+filter and runs") {
     import spark.implicits._
     val df = Seq(("a", 3), ("a", 1), ("a", 2), ("b", 9), ("b", 8)).toDF("g", "v")
