@@ -262,6 +262,37 @@ object ScaleSmoke {
       graft.operators.Retrieval.bm25TopK(rdocs, rq, k = 10, maxDfFrac = 0.5).count())
     time(s"tfidf top-5 keywords over $rows docs (heap agg)")(
       graft.operators.Retrieval.tfidfKeywords(rdocs, k = 5).count())
+
+    // Overlap join hot key (r10): ALL intervals on ONE key. Spark's native
+    // plan (equi on key + range residual) funnels every same-key pair
+    // through one task — nL×nR predicate tests, quadratic. The grid-
+    // partitioned operator bounds work by per-bucket density. The naive
+    // side runs at a size where n²/2 pair tests are still feasible
+    // (~rows/2 × rows/10); the bucketed side ALSO runs at 10× that left
+    // cardinality, where the naive plan would be 100× the pair tests.
+    {
+      val nL = rows / 2
+      val nR = rows / 10
+      val horizon = 100000000L // timeline length; ~1k-wide intervals
+      def ivs(n: Long, salt: Int, width: Long) = spark.range(n)
+        .select(lit(1L).as("k"), col("id").as(s"id$salt"),
+          pmod(xxhash64(col("id"), lit(salt)), lit(horizon)).as("s"))
+        .withColumn("e", col("s") + pmod(xxhash64(col(s"id$salt"), lit(salt + 1)),
+          lit(width)) + 1L)
+      val l = ivs(nL, 1, 2000L)
+      val r = ivs(nR, 2, 2000L).withColumnRenamed("s", "s2")
+        .withColumnRenamed("e", "e2")
+      time(s"overlap join, 1 hot key, $nL x $nR intervals (native per-key plan)")(
+        l.join(r, l("k") === r("k") && l("s") < r("e2") && r("s2") < l("e"))
+          .count())
+      time(s"overlap join, 1 hot key, $nL x $nR intervals (grid-bucketed)")(
+        graft.operators.IntervalJoin.overlapJoin(l, r, Seq("k"),
+          "s", "e", "s2", "e2", bucketWidth = 4000L).count())
+      val lBig = ivs(nL * 10, 3, 2000L)
+      time(s"overlap join, 1 hot key, ${nL * 10} x $nR intervals (grid-bucketed)")(
+        graft.operators.IntervalJoin.overlapJoin(lBig, r, Seq("k"),
+          "s", "e", "s2", "e2", bucketWidth = 4000L).count())
+    }
     spark.stop()
   }
 }

@@ -123,4 +123,33 @@ object IntervalJoin {
     l.join(r, cond)
       .select((keyCols ++ lPayload ++ rPayload).toIndexedSeq: _*)
   }
+
+  /** [[overlapJoin]] with the bucket width derived from the data instead of
+    * hand-pinned — the same composed-auto contract as the ANN auto-k/nProbe
+    * modes: ANY width is correct (parity is width-independent), the width
+    * only trades per-row replication against per-bucket density. The rule
+    * `W = max(mean interval length of each side)` keeps the mean row's
+    * replication at ≤ ~2 buckets on both sides while buckets stay as
+    * fine-grained as the data allows. Costs one tiny two-column aggregate
+    * per side up front (same eager-fit precedent as `ivfTopK` auto-k); at
+    * 100 TB compute the means on a sample or pass the known width
+    * explicitly. Empty/degenerate sides fall back to width 1. */
+  def overlapJoinAuto(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftStart: String,
+      leftEnd: String,
+      rightStart: String,
+      rightEnd: String
+  ): DataFrame = {
+    def meanLen(df: DataFrame, s: String, e: String): Long =
+      Option(df.filter(col(e) > col(s))
+        .agg(avg(col(e).cast("long") - col(s).cast("long"))).head().get(0))
+        .map(v => math.ceil(v.asInstanceOf[Double]).toLong).getOrElse(1L)
+    val w = math.max(1L, math.max(
+      meanLen(left, leftStart, leftEnd), meanLen(right, rightStart, rightEnd)))
+    overlapJoin(left, right, keys,
+      leftStart, leftEnd, rightStart, rightEnd, w)
+  }
 }

@@ -157,8 +157,11 @@ object Advanced {
           .select(col("user_id"),
             (unix_micros(col("ts")) - 600L * 1000000L).as("es"),
             (unix_micros(col("ts")) + 600L * 1000000L).as("ee"))
-        IntervalJoin.overlapJoin(sessions, errors, Seq("user_id"),
-          "ss", "se", "es", "ee", bucketWidth = 3600L * 1000000L)
+        // auto mode: bucket width from the sides' mean interval lengths —
+        // the width only tunes replication vs density, parity-tested
+        // width-independent, so the oracle gates auto mode itself
+        IntervalJoin.overlapJoinAuto(sessions, errors, Seq("user_id"),
+          "ss", "se", "es", "ee")
           .groupBy("user_id", "session_id")
           .agg(min(col("ss")).as("sess_start_us"),
             count(lit(1)).as("n_error_windows"))

@@ -65,6 +65,23 @@ class IntervalJoinSpec extends SparkSpec {
     assert(got.select("s2").as[Long].head() == 400L)
   }
 
+  test("auto width equals any pinned width (parity is width-independent)") {
+    val left = mkIntervals(300, 4, 5)
+    val right = mkIntervals(250, 5, 5)
+      .withColumnRenamed("s", "s2").withColumnRenamed("e", "e2")
+    val auto = IntervalJoin.overlapJoinAuto(left, right, Seq("k"),
+        "s", "e", "s2", "e2")
+      .select(col("id4"), col("id5")).as[(Long, Long)].collect().sorted
+    val pinned = IntervalJoin.overlapJoin(left, right, Seq("k"),
+        "s", "e", "s2", "e2", 97L)
+      .select(col("id4"), col("id5")).as[(Long, Long)].collect().sorted
+    assert(auto.nonEmpty && auto.toSeq == pinned.toSeq)
+    // degenerate side: all-empty intervals → width falls back, no throw
+    val empty = left.filter(col("e") <= col("s"))
+    assert(IntervalJoin.overlapJoinAuto(empty, right, Seq("k"),
+      "s", "e", "s2", "e2").count() == 0)
+  }
+
   test("plan is an equi-join on (key, bucket) — no nested-loop, no cartesian") {
     val left = mkIntervals(100, 1, 3)
     val right = mkIntervals(100, 2, 3)
