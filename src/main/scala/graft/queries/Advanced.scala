@@ -191,6 +191,51 @@ object Advanced {
           AND iv.ss < ew.ee AND ew.es < iv.se
         GROUP BY iv.user_id, session_id, ss""")),
 
+    GQ("r04_interval_coverage", // per-key interval UNION (islands): merge
+      // overlapping [ts, ts+15min) activity windows per user → how many
+      // disjoint active stretches and total covered time. The complement
+      // of the overlap join: coverage/gap analysis over the same interval
+      // model. One shuffle on user_id; the island merge is the d26
+      // running-max gaps-and-islands on longs (tied rows are identical
+      // (st, en) pairs — st ties imply en ties — so tie order cannot
+      // change any flag). Linear at any scale; a pathologically hot key
+      // falls to the same bucketed-window hatch as the as-of family.
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("st"), col("en"))
+        val iv = Tables.events(s, dir).select(col("user_id"),
+          unix_micros(col("ts")).as("st"),
+          (unix_micros(col("ts")) + 900L * 1000000L).as("en"))
+        val pme = max(col("en")).over(w.rowsBetween(Window.unboundedPreceding, -1))
+        iv.withColumn("ni", when(pme.isNull || col("st") > pme, 1L).otherwise(0L))
+          .withColumn("island", sum(col("ni")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id", "island")
+          .agg(min(col("st")).as("is_s"), max(col("en")).as("is_e"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_islands"),
+            sum(col("is_e") - col("is_s")).as("covered_us"))
+      },
+      Some("""WITH iv AS (SELECT user_id,
+                epoch_us(CAST(ts AS TIMESTAMP)) AS st,
+                epoch_us(CAST(ts AS TIMESTAMP)) + 900 * 1000000 AS en
+              FROM events),
+        m AS (SELECT user_id, st, en,
+                MAX(en) OVER (PARTITION BY user_id ORDER BY st, en
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+              FROM iv),
+        f AS (SELECT user_id, st, en,
+                CASE WHEN pme IS NULL OR st > pme THEN 1 ELSE 0 END AS ni
+              FROM m),
+        g AS (SELECT user_id, st, en,
+                CAST(SUM(ni) OVER (PARTITION BY user_id ORDER BY st, en
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island
+              FROM f),
+        i AS (SELECT user_id, island, MIN(st) AS s, MAX(en) AS e
+              FROM g GROUP BY user_id, island)
+        SELECT user_id, COUNT(*) AS n_islands,
+          CAST(SUM(e - s) AS BIGINT) AS covered_us
+        FROM i GROUP BY user_id""")),
+
     GQ("g01_grouping_sets",
       (s, dir) => {
         t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
@@ -285,6 +330,43 @@ object Advanced {
           ORDER BY o_orderdate, o_orderkey
           ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS local_max
         FROM orders""")),
+
+    GQ("w05_time_weighted_avg", // step-function time integral per user:
+      // each event's value holds until the next event or a 1-hour timeout,
+      // whichever comes first (tick-data/billing semantics — a plain AVG
+      // ignores HOW LONG a value was in effect). One shuffle on user_id
+      // (lead + agg share it). Engine-exact by integer arithmetic: value
+      // quantized to millis (round-half-away in both engines on identical
+      // doubles), durations in whole seconds, integer DIV at the end —
+      // no double accumulates across rows, so ordering cannot matter.
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+        Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"), col("value"),
+            unix_micros(col("ts")).as("us"))
+          .withColumn("dur_s",
+            least(coalesce((lead(col("us"), 1).over(w) - col("us")),
+              lit(3600L * 1000000L)) , lit(3600L * 1000000L)) / lit(1000000L) cast "long")
+          .withColumn("vq", round(col("value") * 1000).cast("long"))
+          .groupBy("user_id")
+          .agg(sum(col("vq") * col("dur_s")).as("sum_vsec"),
+            sum(col("dur_s")).as("active_s"))
+          .withColumn("twa_milli",
+            expr("CAST(sum_vsec DIV active_s AS BIGINT)"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, value,
+                epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        d AS (SELECT user_id, value,
+                CAST(LEAST(COALESCE(LEAD(us, 1) OVER (PARTITION BY user_id
+                    ORDER BY us, event_id) - us, CAST(3600000000 AS BIGINT)),
+                  CAST(3600000000 AS BIGINT)) // 1000000 AS BIGINT) AS dur_s,
+                CAST(ROUND(value * 1000) AS BIGINT) AS vq
+              FROM e)
+        SELECT user_id,
+          CAST(SUM(vq * dur_s) AS BIGINT) AS sum_vsec,
+          CAST(SUM(dur_s) AS BIGINT) AS active_s,
+          CAST(SUM(vq * dur_s) // SUM(dur_s) AS BIGINT) AS twa_milli
+        FROM d GROUP BY user_id""")),
 
     GQ("q37_hof_suite", // higher-order array functions as first-class surface
       (s, dir) =>
