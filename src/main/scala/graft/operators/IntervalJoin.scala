@@ -66,6 +66,14 @@ object IntervalJoin {
   /** Overlap-join `left` and `right` on equal `keys` plus interval
     * intersection of `[leftStart, leftEnd)` × `[rightStart, rightEnd)`.
     *
+    * `mode` selects the Allen-style relation (all share the same grid plan;
+    * only the predicate differs, because in every mode the intersection
+    * start `max(l.s, r.s)` lies inside both intervals, so the exactly-once
+    * claim rule is mode-independent):
+    *  - `"overlaps"` — intervals intersect: `l.s < r.e && r.s < l.e`;
+    *  - `"contains"` — left contains right: `l.s <= r.s && r.e <= l.e`;
+    *  - `"during"`   — left inside right:   `r.s <= l.s && l.e <= r.e`.
+    *
     * Interval columns must be integral (LongType-castable). Non-key output
     * column names must be disjoint between the two sides (keys appear once,
     * from the left). Returns keys ++ left payload ++ right payload, one row
@@ -81,9 +89,12 @@ object IntervalJoin {
       leftEnd: String,
       rightStart: String,
       rightEnd: String,
-      bucketWidth: Long
+      bucketWidth: Long,
+      mode: String = "overlaps"
   ): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    require(Set("overlaps", "contains", "during")(mode),
+      s"mode must be overlaps/contains/during, got '$mode'")
     val overlapNonKey = (left.columns.toSet - leftStart - leftEnd)
       .intersect(right.columns.toSet - rightStart - rightEnd) -- keys
     require(overlapNonKey.isEmpty,
@@ -109,10 +120,14 @@ object IntervalJoin {
     val r = r0.select(r0.columns.map(c => col(c).as(s"__r_$c")).toIndexedSeq: _*)
     def rc(c: String): Column = r(s"__r_$c")
 
+    val rel = mode match {
+      case "overlaps" => l(leftStart) < rc(rightEnd) && rc(rightStart) < l(leftEnd)
+      case "contains" => l(leftStart) <= rc(rightStart) && rc(rightEnd) <= l(leftEnd)
+      case "during"   => rc(rightStart) <= l(leftStart) && l(leftEnd) <= rc(rightEnd)
+    }
     val cond = keys.map(k => l(k) === rc(k))
       .reduceOption(_ && _).getOrElse(lit(true)) &&
-      l("__bk") === rc("__bk") &&
-      l(leftStart) < rc(rightEnd) && rc(rightStart) < l(leftEnd) &&
+      l("__bk") === rc("__bk") && rel &&
       // claim: only the bucket holding the intersection start emits the pair
       floorDiv(greatest(l(leftStart).cast("long"),
         rc(rightStart).cast("long")), bucketWidth) === l("__bk")

@@ -236,6 +236,61 @@ object Advanced {
           CAST(SUM(e - s) AS BIGINT) AS covered_us
         FROM i GROUP BY user_id""")),
 
+    GQ("r05_containing_sessions", // Allen-relation variant of r03: sessions
+      // whose active window fully CONTAINS an error's ±10-min incident
+      // window (not merely touches it) — same grid plan, same claim rule
+      // (the intersection start is the contained side's start), only the
+      // join predicate changes. Pinned hour buckets exercise the
+      // non-auto path alongside r03's auto mode.
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val sessions = ev.filter(col("event_type") =!= "error")
+          .withColumn("new_sess",
+            when(lag(col("ts"), 1).over(w).isNull
+              || unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)) > 1800L * 1000000L, 1L)
+              .otherwise(0L))
+          .withColumn("session_id", sum(col("new_sess")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id", "session_id")
+          .agg(min(unix_micros(col("ts"))).as("ss"),
+            (max(unix_micros(col("ts"))) + 1800L * 1000000L).as("se"))
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("user_id"),
+            (unix_micros(col("ts")) - 600L * 1000000L).as("es"),
+            (unix_micros(col("ts")) + 600L * 1000000L).as("ee"))
+        IntervalJoin.overlapJoin(sessions, errors, Seq("user_id"),
+          "ss", "se", "es", "ee", bucketWidth = 3600L * 1000000L,
+          mode = "contains")
+          .groupBy("user_id", "session_id")
+          .agg(min(col("ss")).as("sess_start_us"),
+            count(lit(1)).as("n_contained"))
+      },
+      Some("""WITH ne AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tsm
+                FROM events WHERE event_type <> 'error'),
+        m AS (SELECT user_id, event_id, tsm,
+                CASE WHEN LAG(tsm, 1) OVER w IS NULL
+                          OR epoch_us(tsm) - epoch_us(LAG(tsm, 1) OVER w) > 1800 * 1000000
+                     THEN 1 ELSE 0 END AS new_sess
+              FROM ne WINDOW w AS (PARTITION BY user_id ORDER BY tsm, event_id)),
+        sess AS (SELECT user_id,
+                   CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tsm, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id,
+                   epoch_us(tsm) AS us
+                 FROM m),
+        iv AS (SELECT user_id, session_id, MIN(us) AS ss,
+                 MAX(us) + 1800 * 1000000 AS se
+               FROM sess GROUP BY user_id, session_id),
+        ew AS (SELECT user_id,
+                 epoch_us(CAST(ts AS TIMESTAMP)) - 600 * 1000000 AS es,
+                 epoch_us(CAST(ts AS TIMESTAMP)) + 600 * 1000000 AS ee
+               FROM events WHERE event_type = 'error')
+        SELECT iv.user_id, session_id, ss AS sess_start_us,
+          COUNT(*) AS n_contained
+        FROM iv JOIN ew ON iv.user_id = ew.user_id
+          AND iv.ss <= ew.es AND ew.ee <= iv.se
+        GROUP BY iv.user_id, session_id, ss""")),
+
     GQ("g01_grouping_sets",
       (s, dir) => {
         t(s, dir, "lineitem").createOrReplaceTempView("lineitem")

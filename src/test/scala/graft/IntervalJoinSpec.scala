@@ -65,6 +65,39 @@ class IntervalJoinSpec extends SparkSpec {
     assert(got.select("s2").as[Long].head() == 400L)
   }
 
+  test("contains/during modes equal the naive predicate join") {
+    val left = mkIntervals(300, 6, 4)
+    val right = mkIntervals(300, 7, 4)
+      .withColumnRenamed("s", "s2").withColumnRenamed("e", "e2")
+    def naive(pred: org.apache.spark.sql.Column) =
+      left.filter(col("e") > col("s"))
+        .join(right.filter(col("e2") > col("s2")), Seq("k"))
+        .where(pred).select(col("id6"), col("id7"))
+        .as[(Long, Long)].collect().sorted.toSeq
+    for (w <- Seq(10L, 250L)) {
+      val gotC = IntervalJoin.overlapJoin(left, right, Seq("k"),
+          "s", "e", "s2", "e2", w, mode = "contains")
+        .select(col("id6"), col("id7")).as[(Long, Long)].collect().sorted.toSeq
+      assert(gotC == naive(col("s") <= col("s2") && col("e2") <= col("e")),
+        s"contains mismatch at w=$w")
+      val gotD = IntervalJoin.overlapJoin(left, right, Seq("k"),
+          "s", "e", "s2", "e2", w, mode = "during")
+        .select(col("id6"), col("id7")).as[(Long, Long)].collect().sorted.toSeq
+      assert(gotD == naive(col("s2") <= col("s") && col("e") <= col("e2")),
+        s"during mismatch at w=$w")
+      assert(gotC.nonEmpty && gotD.nonEmpty, "fixture produced no matches")
+    }
+  }
+
+  test("unkeyed join (keys empty) buckets on time alone") {
+    val l = Seq((10L, 1L, 100L), (20L, 500L, 600L)).toDF("lid", "s", "e")
+    val r = Seq((30L, 50L, 120L), (40L, 700L, 800L)).toDF("rid", "s2", "e2")
+    val got = IntervalJoin.overlapJoin(l, r, Seq.empty,
+        "s", "e", "s2", "e2", 64L)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(got == Set((10L, 30L)))
+  }
+
   test("auto width equals any pinned width (parity is width-independent)") {
     val left = mkIntervals(300, 4, 5)
     val right = mkIntervals(250, 5, 5)
