@@ -156,7 +156,8 @@ object IntervalJoin {
       leftStart: String,
       leftEnd: String,
       rightStart: String,
-      rightEnd: String
+      rightEnd: String,
+      mode: String = "overlaps"
   ): DataFrame = {
     def meanLen(df: DataFrame, s: String, e: String): Long =
       Option(df.filter(col(e) > col(s))
@@ -165,6 +166,6 @@ object IntervalJoin {
     val w = math.max(1L, math.max(
       meanLen(left, leftStart, leftEnd), meanLen(right, rightStart, rightEnd)))
     overlapJoin(left, right, keys,
-      leftStart, leftEnd, rightStart, rightEnd, w)
+      leftStart, leftEnd, rightStart, rightEnd, w, mode)
   }
 }
