@@ -277,6 +277,36 @@ object Streaming {
           idCol, qidCol, termCol), id)
     }
 
+  /** Continuous ANN serving: a STREAM of query vectors served against a
+    * stored [[graft.operators.VectorIndex]] — the vector twin of
+    * [[bm25SearchStream]] (index built once at ingest, queries arrive
+    * forever, the corpus table is never touched). Each micro-batch
+    * replays the stored-index IVFADC search (centroid probes → ADC
+    * shortlist in probed cells → constant-size exact re-rank), so
+    * per-query work is corpus-size independent and NO executor state
+    * accrues across batches. The index is static and queries score
+    * independently, so the union of per-batch outputs over any stream
+    * prefix EQUALS one batch [[graft.operators.VectorIndex.search]] over
+    * the union of those query batches — spec-asserted. Pair with
+    * [[graft.operators.VectorIndex.appendBatch]] on the ingest side for
+    * the full serve-while-ingesting loop (appends encode with the frozen
+    * stored fits, so running queries never see a codebook change). */
+  def annSearchStream(
+      queryStream: DataFrame,
+      indexPath: String,
+      k: Int = 3,
+      nProbe: Int = 0,
+      refine: Int = 8,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      trigger: Trigger = Trigger.AvailableNow())(
+      onResults: (DataFrame, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
+    queryStream.writeStream.trigger(trigger).foreachBatch {
+      (batch: DataFrame, id: Long) =>
+        onResults(graft.operators.VectorIndex.search(
+          batch, indexPath, k, nProbe, refine, idCol, vecCol), id)
+    }
+
   /** Custom per-key running state via mapGroupsWithState: running count +
     * sum per key. NOTE: mapGroupsWithState/flatMapGroupsWithState are the
     * legacy arbitrary-state API — [[runningStatsTws]] is the

@@ -187,6 +187,39 @@ class StreamingSpec extends SparkSpec {
     } finally { q.stop(); pC.unpersist(); dC.unpersist(); sC.unpersist() }
   }
 
+  test("streaming ANN search over a stored index equals the batch answer") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val emb = graft.Tables.table(spark, sf(), "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("graft-annstream").toString
+    graft.operators.VectorIndex.write(emb, dir, nCentroids = 8, m = 8, ks = 8)
+    val queries = emb.filter(col("vec_id") < 16)
+      .collect().map(r => (r.getLong(0),
+        r.getAs[scala.collection.Seq[Float]](1).toArray))
+    val batchAnswer = graft.operators.VectorIndex.search(
+      emb.filter(col("vec_id") < 16), dir, k = 3, nProbe = 4, refine = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(batchAnswer.size == 16 * 3)
+    val mem = MemoryStream[(Long, Array[Float])]
+    val streamed = scala.collection.mutable.Set.empty[(Long, Long, Int)]
+    val q = Streaming.annSearchStream(
+      mem.toDF().toDF("vec_id", "embedding"), dir, k = 3, nProbe = 4,
+      refine = 8,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L)) { (res, _) =>
+      streamed ++= res.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    }.start()
+    try {
+      // 4 queries per micro-batch: the index is static and queries score
+      // independently, so the union over any batching equals batch search
+      queries.grouped(4).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      assert(streamed.toSet == batchAnswer,
+        s"stream ${streamed.size} rows vs batch ${batchAnswer.size}")
+    } finally q.stop()
+  }
+
   test("typed pipeline stages run on a streaming Dataset (unified API)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Doc]
