@@ -95,8 +95,11 @@ object IntervalJoin {
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
     require(Set("overlaps", "contains", "during")(mode),
       s"mode must be overlaps/contains/during, got '$mode'")
-    val overlapNonKey = (left.columns.toSet - leftStart - leftEnd)
-      .intersect(right.columns.toSet - rightStart - rightEnd) -- keys
+    // interval columns included: same-named start/end on both sides would
+    // silently emit duplicate output column names and break any downstream
+    // reference with AMBIGUOUS_REFERENCE
+    val overlapNonKey =
+      left.columns.toSet.intersect(right.columns.toSet) -- keys
     require(overlapNonKey.isEmpty,
       s"non-key columns ${overlapNonKey.mkString(", ")} appear on both " +
         "sides — rename before joining")

@@ -150,11 +150,30 @@ object VectorIndex {
       .sortBy(_.getAs[Int](sortField))
       .map(_.getAs[scala.collection.Seq[Double]](vecField).toArray).toSeq)
 
+  /** Index artifacts loaded once for repeated searches: the params row,
+    * the driver-collected codebook centers, and the centroids/codes
+    * DataFrames. A frozen index never changes under a reader, so a query
+    * STREAM should pay the driver head()/collect and parquet listing once —
+    * [[graft.streaming.Streaming.annSearchStream]] loads outside its
+    * micro-batch loop and calls [[searchLoaded]] per batch. */
+  final case class Loaded(
+      m: Int, sd: Int, ks: Int, dim: Int, residual: Boolean, kCells: Int,
+      centers: IndexedSeq[IndexedSeq[Array[Double]]],
+      centroids: DataFrame, codes: DataFrame)
+
+  def load(spark: SparkSession, path: String): Loaded = {
+    val (m, sd, ks, dim, residual, kCells) = readParams(spark, path)
+    Loaded(m, sd, ks, dim, residual, kCells,
+      loadCodebookCenters(spark, path),
+      spark.read.parquet(s"$path/centroids"),
+      spark.read.parquet(s"$path/codes"))
+  }
+
   /** Top-k search against a stored index: probes, ADC shortlist, exact
     * re-rank — the [[Similarity.ivfPqTopK]] pipeline replayed from parquet.
     * `nProbe <= 0` uses the stored cell count's auto law; `refine <= 0`
     * floors the shortlist at 3·√n like the one-shot. The corpus table is
-    * never touched. */
+    * never touched. One-shot convenience over [[searchLoaded]]. */
   def search(
       queries: DataFrame,
       path: String,
@@ -163,12 +182,21 @@ object VectorIndex {
       refine: Int = 8,
       idCol: String = "vec_id",
       vecCol: String = "embedding"
+  ): DataFrame =
+    searchLoaded(queries, load(queries.sparkSession, path),
+      k, nProbe, refine, idCol, vecCol)
+
+  /** [[search]] against pre-[[load]]ed artifacts — the repeated-query path. */
+  def searchLoaded(
+      queries: DataFrame,
+      idx: Loaded,
+      k: Int = 3,
+      nProbe: Int = 0,
+      refine: Int = 8,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
   ): DataFrame = {
-    val spark = queries.sparkSession
-    val (m, sd, _, dim, residual, kCells) = readParams(spark, path)
-    val centers = loadCodebookCenters(spark, path)
-    val centroids = spark.read.parquet(s"$path/centroids")
-    val codes = spark.read.parquet(s"$path/codes")
+    val Loaded(m, sd, _, dim, residual, kCells, centers, centroids, codes) = idx
     val probeN = if (nProbe > 0) nProbe else autoProbeCount(kCells)
     val shortlistN =
       if (refine > 0) k.toLong * refine

@@ -15,6 +15,35 @@ object Advanced {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.table(s, dir, n)
 
+  /** Shared by r03/r05: 30-min-gap activity sessions whose active window
+    * extends through the timeout ([first_ts, last_ts + 30 min), µs), and
+    * ±10-min incident windows around the same user's errors. Both sides
+    * persisted: auto width mode's mean-length fit and the join itself each
+    * consume them, and Verify/Bench clear the session cache between
+    * queries (the pair-finder cache contract). One definition keeps the
+    * r03/r05 oracles honest against the SAME session semantics. */
+  private def sessionsAndErrors(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val ev = Tables.events(s, dir)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val sessions = ev.filter(col("event_type") =!= "error")
+      .withColumn("new_sess",
+        when(lag(col("ts"), 1).over(w).isNull
+          || unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)) > 1800L * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_sess")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(min(unix_micros(col("ts"))).as("ss"),
+        (max(unix_micros(col("ts"))) + 1800L * 1000000L).as("se"))
+      .persist()
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"),
+        (unix_micros(col("ts")) - 600L * 1000000L).as("es"),
+        (unix_micros(col("ts")) + 600L * 1000000L).as("ee"))
+      .persist()
+    (sessions, errors)
+  }
+
   val queries: Seq[GQ] = Seq(
     GQ("a01_asof_join", // point-in-time: latest order at/before each event
       (s, dir) => {
@@ -138,25 +167,7 @@ object Advanced {
       // (key, hour-bucket) density, exactly-once via the claim rule, no
       // BroadcastNestedLoopJoin anywhere (plan-asserted in EntrySpec).
       (s, dir) => {
-        val ev = Tables.events(s, dir)
-        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-        // activity sessions (non-error events, 30-min gap), active window
-        // extends through the timeout: [first_ts, last_ts + 30 min)
-        val sessions = ev.filter(col("event_type") =!= "error")
-          .withColumn("new_sess",
-            when(lag(col("ts"), 1).over(w).isNull
-              || unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)) > 1800L * 1000000L, 1L)
-              .otherwise(0L))
-          .withColumn("session_id", sum(col("new_sess")).over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          .groupBy("user_id", "session_id")
-          .agg(min(unix_micros(col("ts"))).as("ss"),
-            (max(unix_micros(col("ts"))) + 1800L * 1000000L).as("se"))
-        // ±10-min incident window around each of the same user's errors
-        val errors = ev.filter(col("event_type") === "error")
-          .select(col("user_id"),
-            (unix_micros(col("ts")) - 600L * 1000000L).as("es"),
-            (unix_micros(col("ts")) + 600L * 1000000L).as("ee"))
+        val (sessions, errors) = sessionsAndErrors(s, dir)
         // auto mode: bucket width from the sides' mean interval lengths —
         // the width only tunes replication vs density, parity-tested
         // width-independent, so the oracle gates auto mode itself
@@ -243,22 +254,7 @@ object Advanced {
       // join predicate changes. Pinned hour buckets exercise the
       // non-auto path alongside r03's auto mode.
       (s, dir) => {
-        val ev = Tables.events(s, dir)
-        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-        val sessions = ev.filter(col("event_type") =!= "error")
-          .withColumn("new_sess",
-            when(lag(col("ts"), 1).over(w).isNull
-              || unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)) > 1800L * 1000000L, 1L)
-              .otherwise(0L))
-          .withColumn("session_id", sum(col("new_sess")).over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          .groupBy("user_id", "session_id")
-          .agg(min(unix_micros(col("ts"))).as("ss"),
-            (max(unix_micros(col("ts"))) + 1800L * 1000000L).as("se"))
-        val errors = ev.filter(col("event_type") === "error")
-          .select(col("user_id"),
-            (unix_micros(col("ts")) - 600L * 1000000L).as("es"),
-            (unix_micros(col("ts")) + 600L * 1000000L).as("ee"))
+        val (sessions, errors) = sessionsAndErrors(s, dir)
         IntervalJoin.overlapJoin(sessions, errors, Seq("user_id"),
           "ss", "se", "es", "ee", bucketWidth = 3600L * 1000000L,
           mode = "contains")

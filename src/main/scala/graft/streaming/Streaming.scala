@@ -300,12 +300,17 @@ object Streaming {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       trigger: Trigger = Trigger.AvailableNow())(
-      onResults: (DataFrame, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
+      onResults: (DataFrame, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] = {
+    // the index is frozen by design: pay the params head(), codebook
+    // collect, and parquet listing ONCE, not per micro-batch
+    val idx = graft.operators.VectorIndex.load(
+      queryStream.sparkSession, indexPath)
     queryStream.writeStream.trigger(trigger).foreachBatch {
       (batch: DataFrame, id: Long) =>
-        onResults(graft.operators.VectorIndex.search(
-          batch, indexPath, k, nProbe, refine, idCol, vecCol), id)
+        onResults(graft.operators.VectorIndex.searchLoaded(
+          batch, idx, k, nProbe, refine, idCol, vecCol), id)
     }
+  }
 
   /** Custom per-key running state via mapGroupsWithState: running count +
     * sum per key. NOTE: mapGroupsWithState/flatMapGroupsWithState are the

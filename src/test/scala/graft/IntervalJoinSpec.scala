@@ -89,6 +89,15 @@ class IntervalJoinSpec extends SparkSpec {
     }
   }
 
+  test("same-named interval columns on both sides are rejected, not duplicated") {
+    val l = Seq((1L, 10L, 20L)).toDF("k", "start", "end")
+    val r = Seq((1L, 15L, 25L)).toDF("k", "start", "end")
+    val e = intercept[IllegalArgumentException] {
+      IntervalJoin.overlapJoin(l, r, Seq("k"), "start", "end", "start", "end", 10L)
+    }
+    assert(e.getMessage.contains("rename before joining"))
+  }
+
   test("unkeyed join (keys empty) buckets on time alone") {
     val l = Seq((10L, 1L, 100L), (20L, 500L, 600L)).toDF("lid", "s", "e")
     val r = Seq((30L, 50L, 120L), (40L, 700L, 800L)).toDF("rid", "s2", "e2")
