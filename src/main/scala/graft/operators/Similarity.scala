@@ -74,8 +74,13 @@ object Similarity {
       .withColumn("vh", transform(col("v"), x => x / col("nrm")))
       .withColumn("fcoarse", array_to_vector(col("vh")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = base.count()
+    // fail LOUD here: an empty corpus would otherwise surface as mllib's
+    // cryptic "parameter k given invalid value 1" from auto-sizing
+    require(n > 0, "fitCoarseQuantizer: empty corpus — an IVF quantizer " +
+      "cannot be fit on zero vectors (check the corpus filter/path)")
     val kCells =
-      if (nCentroids > 0) nCentroids else autoCellCount(base.count())
+      if (nCentroids > 0) nCentroids else autoCellCount(n)
     val model = new KMeans().setK(kCells).setSeed(42).setMaxIter(3)
       .setFeaturesCol("fcoarse").setPredictionCol("cluster").fit(base)
     base.unpersist(blocking = false)
