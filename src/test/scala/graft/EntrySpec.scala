@@ -80,6 +80,20 @@ class EntrySpec extends SparkSpec {
       "q55 rescans lineitem for the part totals")
   }
 
+  test("r04/w05 temporal plans keep the one-Exchange shape") {
+    def plan(name: String): String =
+      SparkEntry.queries(name)(spark, sf())
+        .queryExecution.executedPlan.toString
+    // both: windows + aggregates all ride ONE hashpartitioning(user_id) —
+    // a second Exchange would mean the groupBy stopped reusing the
+    // window's partitioning
+    for (q <- Seq("r04_interval_coverage", "w05_time_weighted_avg")) {
+      val p = plan(q)
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(exchanges == 1, s"$q plans $exchanges exchanges, expected 1")
+    }
+  }
+
   test("r03 overlap join plans as an equi-join, never nested-loop") {
     // Spark's native plan for `key = key AND s < e2 AND s2 < e` keeps only
     // the key as the equi-condition; the bucket decomposition must yield a
