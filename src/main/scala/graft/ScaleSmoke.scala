@@ -105,6 +105,16 @@ object ScaleSmoke {
         bucketOf = t => floor(t / math.max(1L, nHot / 64)))
         .agg(count(col("asof_payload"))).head().getLong(0))
 
+    // Next-event (lead) A/B — w05's duration shape. Aggregate over the
+    // looked-up time so the lead can't be pruned.
+    time(s"next-event lead, ONE hot key, $nHot rows (plain window)")(
+      graft.operators.NextEvent.nextTime(hotLeft, "k", "t", Seq("event"))
+        .agg(count(col("next_t"))).head().getLong(0))
+    time(s"next-event lead, ONE hot key, $nHot rows (bucketed)")(
+      graft.operators.NextEvent.nextTimeBucketed(hotLeft, "k", "t",
+        Seq("event"), bucketWidth = math.max(1L, nHot / 64))
+        .agg(count(col("next_t"))).head().getLong(0))
+
     // Range-frame trailing sum A/B — no WindowGroupLimit rescue exists for
     // SUM frames, so this is the third hot-key hatch that must earn its keep.
     // Sized at nHot/5: the plain single-partition frame is so slow (measured

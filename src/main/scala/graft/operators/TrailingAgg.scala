@@ -124,3 +124,63 @@ object TrailingAgg {
       .filter(col("_ctx") === 0).drop("_bkt", "_ctx")
   }
 }
+
+/** Next-event lookup — `lead(time, 1)` per key (the w05 time-weighted-
+  * average shape: each row's value holds until the next event) — and its
+  * hot-key escape hatch, completing the per-family hatch set (rank →
+  * WindowGroupLimit; last_value carry → asofJoinBucketed; range-frame →
+  * trailingSumBucketed; running → runningSumBucketed; lead → this).
+  *
+  * The bucketed variant is exact for ANY column types because no
+  * arithmetic touches the carried value: lead within each (key, bucket),
+  * and the last row of a bucket takes the MIN time of the key's next
+  * non-empty bucket — which is precisely the next row's time, looked up
+  * via a lead over the one-row-per-bucket firsts table (a tiny window).
+  * Rows with no successor anywhere stay null, matching the plain lead. */
+object NextEvent {
+
+  /** Plain per-key next-event time. `timeCol +: tiebreak` must be a total
+    * order for determinism (same requirement as the plain window). */
+  def nextTime(
+      df: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      tiebreak: Seq[String],
+      out: String = "next_t"
+  ): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy((timeCol +: tiebreak).map(col): _*)
+    df.withColumn(out, lead(col(timeCol), 1).over(w))
+  }
+
+  /** Hot-key-safe variant, identical results for a numeric time column.
+    * Per-partition volume is bounded by bucket density; the cross-bucket
+    * carry is one row per (key, bucket). */
+  def nextTimeBucketed(
+      df: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      tiebreak: Seq[String],
+      bucketWidth: Long,
+      out: String = "next_t"
+  ): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    // exact long floor-bucketing (Column./ would round through DOUBLE)
+    val bkt = call_function("div",
+      col(timeCol).cast("long") - pmod(col(timeCol).cast("long"), lit(bucketWidth)),
+      lit(bucketWidth))
+    val withBkt = df.withColumn("_bkt", bkt)
+    val wIn = Window.partitionBy(col(keyCol), col("_bkt"))
+      .orderBy((timeCol +: tiebreak).map(col): _*)
+    val within = withBkt.withColumn("_next_in", lead(col(timeCol), 1).over(wIn))
+    val firsts = withBkt.groupBy(col(keyCol), col("_bkt"))
+      .agg(min(col(timeCol)).as("_first"))
+    val wB = Window.partitionBy(col(keyCol)).orderBy(col("_bkt"))
+    val carry = firsts
+      .withColumn("_nb_first", lead(col("_first"), 1).over(wB))
+      .select(col(keyCol), col("_bkt"), col("_nb_first"))
+    within.join(carry, Seq(keyCol, "_bkt"))
+      .withColumn(out, coalesce(col("_next_in"), col("_nb_first")))
+      .drop("_bkt", "_next_in", "_nb_first")
+  }
+}

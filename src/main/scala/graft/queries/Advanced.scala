@@ -419,6 +419,43 @@ object Advanced {
           CAST(SUM(vq * dur_s) // SUM(dur_s) AS BIGINT) AS twa_milli
         FROM d GROUP BY user_id""")),
 
+    GQ("w06_twa_bucketed", // hot-key escape hatch for the lead() family:
+      // identical rows to w05 via (key, 6-hour-bucket) leads + a one-row-
+      // per-bucket cross-bucket carry (operators.NextEvent), oracled with
+      // w05's plain-window SQL — completing the per-family hatch set
+      // (rank → WindowGroupLimit; last_value → asofJoinBucketed;
+      // range-frame → trailingSumBucketed; running → runningSumBucketed;
+      // lead → nextTimeBucketed).
+      (s, dir) => {
+        val base = Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"), col("value"),
+            unix_micros(col("ts")).as("us"))
+        graft.operators.NextEvent.nextTimeBucketed(base, "user_id", "us",
+          Seq("event_id"), bucketWidth = 6L * 3600L * 1000000L, out = "nxt")
+          .withColumn("dur_s",
+            least(coalesce(col("nxt") - col("us"), lit(3600L * 1000000L)),
+              lit(3600L * 1000000L)) / lit(1000000L) cast "long")
+          .withColumn("vq", round(col("value") * 1000).cast("long"))
+          .groupBy("user_id")
+          .agg(sum(col("vq") * col("dur_s")).as("sum_vsec"),
+            sum(col("dur_s")).as("active_s"))
+          .withColumn("twa_milli",
+            expr("CAST(sum_vsec DIV active_s AS BIGINT)"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, value,
+                epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        d AS (SELECT user_id, value,
+                CAST(LEAST(COALESCE(LEAD(us, 1) OVER (PARTITION BY user_id
+                    ORDER BY us, event_id) - us, CAST(3600000000 AS BIGINT)),
+                  CAST(3600000000 AS BIGINT)) // 1000000 AS BIGINT) AS dur_s,
+                CAST(ROUND(value * 1000) AS BIGINT) AS vq
+              FROM e)
+        SELECT user_id,
+          CAST(SUM(vq * dur_s) AS BIGINT) AS sum_vsec,
+          CAST(SUM(dur_s) AS BIGINT) AS active_s,
+          CAST(SUM(vq * dur_s) // SUM(dur_s) AS BIGINT) AS twa_milli
+        FROM d GROUP BY user_id""")),
+
     GQ("q37_hof_suite", // higher-order array functions as first-class surface
       (s, dir) =>
         t(s, dir, "documents")

@@ -117,6 +117,24 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("bucketed next-event time matches the plain lead on a hot-key workload") {
+    val rnd = new scala.util.Random(23)
+    val rows = (0 until 500).map { i =>
+      val k = if (i % 5 == 0) i % 2 else 9L // hot key 9 with 400 rows
+      (k.toLong, rnd.nextInt(300).toLong - 50L, i.toLong) // negatives too
+    }.toDF("k", "t", "row_id")
+    for (bw <- Seq(1L, 17L, 1000L)) {
+      val p = NextEvent.nextTime(rows, "k", "t", Seq("row_id"))
+        .collect().map(r => (r.getLong(2), Option(r.get(3)))).toSet
+      val b = NextEvent.nextTimeBucketed(rows, "k", "t", Seq("row_id"), bw)
+        .collect().map(r => (r.getLong(2), Option(r.get(3)))).toSet
+      assert(b == p, s"bucketWidth=$bw mismatch")
+    }
+    // each key's globally-last row must stay null in both
+    assert(NextEvent.nextTimeBucketed(rows, "k", "t", Seq("row_id"), 17L)
+      .filter(col("next_t").isNull).count() == 3)
+  }
+
   test("range join assigns rows to [lo, hi) intervals") {
     val iv = Seq((0L, 10L, "low"), (10L, 100L, "high")).toDF("lo", "hi", "band")
     val out = AsOfJoin.rangeJoin(left, iv, "t")
