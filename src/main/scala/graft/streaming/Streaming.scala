@@ -312,6 +312,38 @@ object Streaming {
     }
   }
 
+  /** Continuous interval matching: a STREAM of interval rows (sessions,
+    * spans, windows) overlap-joined per micro-batch against a STATIC
+    * interval table (maintenance windows, incident ranges, embargo
+    * periods) — the temporal member of the stream-against-stored-artifact
+    * family ([[incrementalNeardupStream]], [[bm25SearchStream]],
+    * [[annSearchStream]]). Each batch runs the grid-bucketed
+    * [[graft.operators.IntervalJoin.overlapJoin]] plan (equi-join on
+    * key + time-bucket, exactly-once claim, any Allen `mode`); rows match
+    * independently against the static side, so the union of per-batch
+    * outputs over any stream prefix EQUALS one batch overlapJoin over the
+    * union of those batches — spec-asserted. Spark's native stream-stream
+    * interval join (s04) covers the two-moving-sides case; this covers the
+    * common one-frozen-side case without watermark state. */
+  def overlapJoinStream(
+      intervalStream: DataFrame,
+      staticIntervals: DataFrame,
+      keys: Seq[String],
+      leftStart: String,
+      leftEnd: String,
+      rightStart: String,
+      rightEnd: String,
+      bucketWidth: Long,
+      mode: String = "overlaps",
+      trigger: Trigger = Trigger.AvailableNow())(
+      onMatches: (DataFrame, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
+    intervalStream.writeStream.trigger(trigger).foreachBatch {
+      (batch: DataFrame, id: Long) =>
+        onMatches(graft.operators.IntervalJoin.overlapJoin(
+          batch, staticIntervals, keys,
+          leftStart, leftEnd, rightStart, rightEnd, bucketWidth, mode), id)
+    }
+
   /** Custom per-key running state via mapGroupsWithState: running count +
     * sum per key. NOTE: mapGroupsWithState/flatMapGroupsWithState are the
     * legacy arbitrary-state API — [[runningStatsTws]] is the

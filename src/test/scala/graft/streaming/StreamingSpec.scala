@@ -220,6 +220,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming overlap join against static intervals equals the batch join") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // static: incident windows; stream: session intervals in three batches
+    val incidents = Seq((1L, 100L, 200L, "i1"), (1L, 500L, 600L, "i2"),
+      (2L, 50L, 900L, "i3")).toDF("k", "s2", "e2", "inc")
+    val sessions = (0 until 30).map { i =>
+      (i % 3 + 1L, i * 37L % 800L, i * 37L % 800L + 120L, i.toLong)
+    }
+    val batchAnswer = graft.operators.IntervalJoin.overlapJoin(
+      sessions.toDF("k", "s", "e", "sid"), incidents, Seq("k"),
+      "s", "e", "s2", "e2", 64L)
+      .select("sid", "inc").as[(Long, String)].collect().toSet
+    assert(batchAnswer.nonEmpty)
+    val mem = MemoryStream[(Long, Long, Long, Long)]
+    val got = scala.collection.mutable.Set.empty[(Long, String)]
+    val q = Streaming.overlapJoinStream(
+      mem.toDF().toDF("k", "s", "e", "sid"), incidents, Seq("k"),
+      "s", "e", "s2", "e2", bucketWidth = 64L,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L)) { (res, _) =>
+      got ++= res.select("sid", "inc").as[(Long, String)].collect()
+    }.start()
+    try {
+      sessions.grouped(10).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      assert(got.toSet == batchAnswer,
+        s"stream ${got.size} matches vs batch ${batchAnswer.size}")
+    } finally q.stop()
+  }
+
   test("typed pipeline stages run on a streaming Dataset (unified API)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Doc]
