@@ -287,6 +287,60 @@ object Advanced {
           AND iv.ss <= ew.es AND ew.ee <= iv.se
         GROUP BY iv.user_id, session_id, ss""")),
 
+    GQ("r06_interval_gaps", // the complement of r04: the IDLE stretches
+      // BETWEEN a user's merged activity islands — each gap row is
+      // (island_end, next_island_start). Same one-shuffle island merge as
+      // r04 (running-max gaps-and-islands; st ties imply en ties, so tie
+      // order cannot flip a flag), then a lead() over the per-user island
+      // rows — which number at most the island count, so the second window
+      // rides the agg's existing user_id partitioning with no new
+      // Exchange. Gap bounds are exact micros; no arithmetic beyond
+      // subtraction, so the DuckDB replay is bit-exact. Completes the
+      // temporal family: overlap (r03), union/coverage (r04), containment
+      // (r05), gaps (r06).
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("st"), col("en"))
+        val iv = Tables.events(s, dir).select(col("user_id"),
+          unix_micros(col("ts")).as("st"),
+          (unix_micros(col("ts")) + 900L * 1000000L).as("en"))
+        val pme = max(col("en")).over(w.rowsBetween(Window.unboundedPreceding, -1))
+        val islands = iv
+          .withColumn("ni", when(pme.isNull || col("st") > pme, 1L).otherwise(0L))
+          .withColumn("island", sum(col("ni")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id", "island")
+          .agg(min(col("st")).as("is_s"), max(col("en")).as("is_e"))
+        val wi = Window.partitionBy(col("user_id")).orderBy(col("is_s"))
+        islands
+          .select(col("user_id"), col("is_e").as("gap_s"),
+            lead(col("is_s"), 1).over(wi).as("gap_e"))
+          .where(col("gap_e").isNotNull)
+          .select(col("user_id"), col("gap_s"), col("gap_e"),
+            (col("gap_e") - col("gap_s")).as("gap_us"))
+      },
+      Some("""WITH iv AS (SELECT user_id,
+                epoch_us(CAST(ts AS TIMESTAMP)) AS st,
+                epoch_us(CAST(ts AS TIMESTAMP)) + 900 * 1000000 AS en
+              FROM events),
+        m AS (SELECT user_id, st, en,
+                MAX(en) OVER (PARTITION BY user_id ORDER BY st, en
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+              FROM iv),
+        f AS (SELECT user_id, st, en,
+                CASE WHEN pme IS NULL OR st > pme THEN 1 ELSE 0 END AS ni
+              FROM m),
+        g AS (SELECT user_id, st, en,
+                CAST(SUM(ni) OVER (PARTITION BY user_id ORDER BY st, en
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island
+              FROM f),
+        i AS (SELECT user_id, island, MIN(st) AS is_s, MAX(en) AS is_e
+              FROM g GROUP BY user_id, island),
+        l AS (SELECT user_id, is_e AS gap_s,
+                LEAD(is_s, 1) OVER (PARTITION BY user_id ORDER BY is_s) AS gap_e
+              FROM i)
+        SELECT user_id, gap_s, gap_e, gap_e - gap_s AS gap_us
+        FROM l WHERE gap_e IS NOT NULL""")),
+
     GQ("g01_grouping_sets",
       (s, dir) => {
         t(s, dir, "lineitem").createOrReplaceTempView("lineitem")

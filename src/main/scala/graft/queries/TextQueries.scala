@@ -263,6 +263,104 @@ object TextQueries {
             AS dup_bigram_ratio
         FROM b""")),
 
+    GQ("d42_gopher_repetition", // the rest of the Gopher repetition suite
+      // (Rae et al. 2021, Table A1) beyond d15's duplicate-bigram ratio:
+      // per-doc fraction of characters (a) inside occurrences of the MOST
+      // frequent word 2-gram and (b) inside all DUPLICATED word 5-grams —
+      // the two filters that catch boilerplate headers and templated spam
+      // that distinct-ratio signals dilute. Computed entirely SCAN-LOCAL:
+      // each doc's sorted shingle array is folded by a run-length
+      // `aggregate` HOF, so the corpus never shuffles (d38's zero-Exchange
+      // class — at 100 TB this is a map-only pass). Char counts exclude
+      // the joining spaces; fractions quantize to integer millionths
+      // (floor DIV — both engines truncate nonnegative values
+      // identically), capped at 1e6 because duplicated-gram chars can
+      // double-count overlapping occurrences; the top gram breaks ties
+      // lexicographically-smallest (a strictly-greater replacement rule
+      // over the ascending-sorted runs ≡ the oracle's ORDER BY cnt DESC,
+      // g ASC). All-integer arithmetic → the DuckDB replay is bit-exact.
+      (s, dir) => {
+        val base = Tables.table(s, dir, "documents")
+          .select(col("doc_id"), words(col("text")).as("ws"))
+          .select(col("doc_id"),
+            aggregate(col("ws"), lit(0L), (acc, w) => acc + length(w)).as("tot"),
+            array_sort(shingles(col("ws"), 2)).as("g2"),
+            array_sort(shingles(col("ws"), 5)).as("g5"))
+        val top2 = {
+          val init = struct(lit("").as("prev"), lit(0L).as("run"),
+            lit(0L).as("bestCnt"), lit(0L).as("bestChars"))
+          aggregate(col("g2"), init,
+            (acc, x) => {
+              val same = x === acc("prev")
+              val closes = !same && acc("run") > acc("bestCnt")
+              struct(x.as("prev"),
+                when(same, acc("run") + 1L).otherwise(lit(1L)).as("run"),
+                when(closes, acc("run")).otherwise(acc("bestCnt")).as("bestCnt"),
+                when(closes, acc("run") * (length(acc("prev")) - 1))
+                  .otherwise(acc("bestChars")).as("bestChars"))
+            },
+            acc => when(acc("run") > acc("bestCnt"),
+                acc("run") * (length(acc("prev")) - 1))
+              .otherwise(acc("bestChars")))
+        }
+        val dup5 = {
+          val init = struct(lit("").as("prev"), lit(0L).as("run"),
+            lit(0L).as("dup"))
+          aggregate(col("g5"), init,
+            (acc, x) => {
+              val same = x === acc("prev")
+              val closesDup = !same && acc("run") >= 2L
+              struct(x.as("prev"),
+                when(same, acc("run") + 1L).otherwise(lit(1L)).as("run"),
+                when(closesDup,
+                    acc("dup") + acc("run") * (length(acc("prev")) - 4))
+                  .otherwise(acc("dup")).as("dup"))
+            },
+            acc => when(acc("run") >= 2L,
+                acc("dup") + acc("run") * (length(acc("prev")) - 4))
+              .otherwise(acc("dup")))
+        }
+        base.select(col("doc_id"), col("tot"), top2.as("t2"), dup5.as("d5"))
+          .select(col("doc_id"),
+            least(lit(1000000L),
+              coalesce(expr("(t2 * 1000000) DIV NULLIF(tot, 0)"), lit(0L)))
+              .as("top2_millionths"),
+            least(lit(1000000L),
+              coalesce(expr("(d5 * 1000000) DIV NULLIF(tot, 0)"), lit(0L)))
+              .as("dup5_millionths"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+          list_filter(string_split(text, ' '), w -> w <> '') AS ws
+          FROM documents),
+        c AS (SELECT doc_id,
+          COALESCE(list_aggregate(list_transform(ws, w -> len(w)), 'sum'), 0)
+            AS tot FROM t),
+        b2 AS (SELECT doc_id, CASE WHEN len(ws) < 2 THEN [] ELSE
+          list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) END
+          AS gs FROM t),
+        g2 AS (SELECT doc_id, unnest(gs) AS g FROM b2),
+        c2 AS (SELECT doc_id, g, COUNT(*) AS cnt FROM g2 GROUP BY doc_id, g),
+        t2 AS (SELECT doc_id, cnt * (len(g) - 1) AS chars FROM c2
+               QUALIFY row_number() OVER (PARTITION BY doc_id
+                 ORDER BY cnt DESC, g ASC) = 1),
+        b5 AS (SELECT doc_id, CASE WHEN len(ws) < 5 THEN [] ELSE
+          list_transform(range(1, len(ws) - 3),
+            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+                 ws[i+3] || ' ' || ws[i+4]) END AS gs FROM t),
+        g5 AS (SELECT doc_id, unnest(gs) AS g FROM b5),
+        c5 AS (SELECT doc_id, g, COUNT(*) AS cnt FROM g5 GROUP BY doc_id, g),
+        d5 AS (SELECT doc_id, SUM(cnt * (len(g) - 4)) AS chars FROM c5
+               WHERE cnt >= 2 GROUP BY doc_id)
+        SELECT c.doc_id,
+          CAST(LEAST(1000000,
+            COALESCE(t2.chars * 1000000 // NULLIF(c.tot, 0), 0)) AS BIGINT)
+            AS top2_millionths,
+          CAST(LEAST(1000000,
+            COALESCE(d5.chars * 1000000 // NULLIF(c.tot, 0), 0)) AS BIGINT)
+            AS dup5_millionths
+        FROM c LEFT JOIN t2 ON c.doc_id = t2.doc_id
+               LEFT JOIN d5 ON c.doc_id = d5.doc_id""")),
+
     GQ("d38_curation_gate", // The composed keep/drop verdict a real corpus
       // run executes: every quality signal (length, TTR-based quality,
       // duplicate-bigram repetition, stopword lang-ID vs the stored lang

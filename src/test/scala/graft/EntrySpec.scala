@@ -87,11 +87,17 @@ class EntrySpec extends SparkSpec {
     // both: windows + aggregates all ride ONE hashpartitioning(user_id) —
     // a second Exchange would mean the groupBy stopped reusing the
     // window's partitioning
-    for (q <- Seq("r04_interval_coverage", "w05_time_weighted_avg")) {
+    for (q <- Seq("r04_interval_coverage", "w05_time_weighted_avg",
+        "r06_interval_gaps")) {
       val p = plan(q)
       val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
       assert(exchanges == 1, s"$q plans $exchanges exchanges, expected 1")
     }
+    // d42: the Gopher repetition suite is a pure scan-local fold — like
+    // d38, no exchange and no join may ever appear
+    val rep = plan("d42_gopher_repetition")
+    assert(!rep.contains("Exchange") && !rep.contains("Join"),
+      "d42 stopped being scan-local")
   }
 
   test("r03 overlap join plans as an equi-join, never nested-loop") {
