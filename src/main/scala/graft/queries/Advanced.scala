@@ -1000,6 +1000,244 @@ object Advanced {
         WHERE s_suppkey IN
           (SELECT l_suppkey FROM w WHERE 2 * sq > tq AND sq >= 60)""")),
 
+    // ------------------------------------------------------------------
+    // The remaining eight TPC-H query shapes (Q4/Q5/Q6/Q9/Q12/Q13/Q14/Q16)
+    // — with q01/q34-36/q44/q47-55 this completes all 22. Schema
+    // adaptations (no l_commitdate/l_receiptdate/l_shipmode/partsupp):
+    // "late" = shipped > N days after the order date; Q9's supplycost =
+    // p_retailprice as the unit-cost surrogate; Q16's supplier-part
+    // relation comes from lineitem's (l_partkey, l_suppkey) pairs and
+    // "complaints" = negative account balance. Each keeps its shape's
+    // distinctive plan pattern — that's what these exercise.
+    // ------------------------------------------------------------------
+
+    GQ("q56_priority_check", // TPC-H Q4 shape: EXISTS semi join with a
+      // non-equi residual (the late-shipment test compares both sides'
+      // columns), counted per priority. The semi join keeps the orders
+      // scan from ever duplicating rows — a plain inner join + distinct
+      // would shuffle the multiplicity out again.
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+        val li = t(s, dir, "lineitem").select("l_orderkey", "l_shipdate")
+        o.join(li, col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+            "left_semi")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("order_count"))
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-04-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        GROUP BY o_orderpriority""")),
+
+    GQ("q57_local_supplier_revenue", // TPC-H Q5 shape: 6-table star where
+      // the supplier join carries the LOCALITY residual c_nationkey =
+      // s_nationkey — the one TPC-H join that correlates two dimension
+      // paths through the fact row. nation/region broadcast (fixed size);
+      // the fact shuffles once for lineitem⋈orders; everything downstream
+      // is broadcast edges.
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        val n = broadcast(t(s, dir, "nation"))
+        val r = broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA"))
+        t(s, dir, "lineitem")
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(t(s, dir, "supplier"),
+            col("l_suppkey") === col("s_suppkey") &&
+              col("c_nationkey") === col("s_nationkey"))
+          .join(n, col("s_nationkey") === col("n_nationkey"))
+          .join(r, col("n_regionkey") === col("r_regionkey"))
+          .groupBy("n_name")
+          .agg(sum(discPrice(col("l_extendedprice"), col("l_discount")))
+            .cast("double").as("revenue"))
+      },
+      Some("""SELECT n_name,
+        CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY n_name""")),
+
+    GQ("q58_forecast_revenue", // TPC-H Q6 shape: the pure scan-aggregate —
+      // every predicate pushes to the parquet scan, no join, no window;
+      // the plan IS one WholeStageCodegen span over the filtered scan.
+      // revenue = Σ price·discount in exact decimal.
+      (s, dir) => {
+        t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+            col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+          .agg(sum((dec(col("l_extendedprice")) * dec(col("l_discount")))
+            .cast(D4)).cast("double").as("revenue"))
+      },
+      Some("""SELECT
+        CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""")),
+
+    GQ("q59_late_priority_mix", // TPC-H Q12 shape: join + conditional
+      // two-way counts (high/low priority among late shipments), grouped
+      // by a lineitem attribute. The CASE counts ride the same aggregate
+      // — one fact exchange, no second pass per priority class.
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+          .join(o, col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+          .groupBy("l_returnflag")
+          .agg(
+            sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+              .otherwise(0L)).as("high_line_count"),
+            sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+              .otherwise(1L)).as("low_line_count"))
+      },
+      Some("""SELECT l_returnflag,
+          CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+          CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+            THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM lineitem JOIN orders
+          ON l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY l_returnflag""")),
+
+    GQ("q60_promo_share", // TPC-H Q14 shape: conditional revenue share
+      // over one shipdate month — part joins the filtered fact slice (AQE
+      // broadcasts while small, SMJ at scale); the share is ONE division
+      // of two decimal-exact sums (q44's discipline).
+      (s, dir) => {
+        t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+          .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+          .agg(
+            sum(when(col("p_type") === "PROMO",
+                discPrice(col("l_extendedprice"), col("l_discount")))
+              .otherwise(lit(0).cast(D4))).cast("double").as("promo_revenue"),
+            sum(discPrice(col("l_extendedprice"), col("l_discount")))
+              .cast("double").as("total_revenue"))
+          .select(col("promo_revenue"), col("total_revenue"),
+            (col("promo_revenue") * 100.0 / col("total_revenue"))
+              .as("promo_share"))
+      },
+      Some("""WITH a AS (SELECT
+          CAST(SUM(CASE WHEN p_type = 'PROMO'
+            THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))
+            ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS promo_revenue,
+          CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01')
+        SELECT promo_revenue, total_revenue,
+          promo_revenue * 100.0 / total_revenue AS promo_share
+        FROM a""")),
+
+    GQ("q61_cust_distribution", // TPC-H Q13 shape: LEFT OUTER join with
+      // the filter INSIDE the join condition (moving it to WHERE would
+      // turn the outer join inner and drop the zero-order customers the
+      // query exists to count), then a two-level aggregate: orders per
+      // customer → customers per order-count. The histogram's second
+      // exchange moves only count-cardinality rows.
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+          .filter(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+          .select("o_orderkey", "o_custkey")
+        t(s, dir, "customer")
+          .join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+          .groupBy("c_custkey")
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy("c_count")
+          .agg(count(lit(1)).as("custdist"))
+      },
+      Some("""WITH co AS (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+          FROM customer LEFT JOIN orders
+            ON c_custkey = o_custkey
+            AND o_orderpriority <> '4-NOT SPECIFIED'
+          GROUP BY c_custkey)
+        SELECT c_count, COUNT(*) AS custdist
+        FROM co GROUP BY c_count""")),
+
+    GQ("q62_nation_profit", // TPC-H Q9 shape: profit per (nation, year)
+      // over the part⋈lineitem⋈orders⋈supplier⋈nation star; supplycost
+      // surrogate = p_retailprice per unit (no partsupp table). amount =
+      // disc revenue − cost, both exact scale-4 decimals, so the per-group
+      // sum is order-free; the p_name LIKE filter prunes the part side
+      // before the join.
+      (s, dir) => {
+        val p = t(s, dir, "part").filter(col("p_name").contains("g"))
+          .select("p_partkey", "p_retailprice")
+        val n = broadcast(t(s, dir, "nation"))
+        t(s, dir, "lineitem")
+          .join(p, col("l_partkey") === col("p_partkey"))
+          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+          .join(n, col("s_nationkey") === col("n_nationkey"))
+          .withColumn("amount",
+            discPrice(col("l_extendedprice"), col("l_discount")) -
+              (dec(col("p_retailprice")) * dec(col("l_quantity"))).cast(D4))
+          .groupBy(col("n_name"), year(col("o_orderdate")).as("o_year"))
+          .agg(sum(col("amount")).cast("double").as("profit"))
+      },
+      Some("""SELECT n_name, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+          CAST(SUM(
+            CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))
+            - CAST(CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(18,4))
+          ) AS DOUBLE) AS profit
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey AND p_name LIKE '%g%'
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name, year(o_orderdate)""")),
+
+    GQ("q63_supplier_cnt", // TPC-H Q16 shape: COUNT(DISTINCT supplier)
+      // per part attribute with a NOT IN exclusion. The supplier-part
+      // relation is lineitem's (l_partkey, l_suppkey) pairs; "complaint"
+      // suppliers = negative balance, a null-free tiny set → the NOT IN
+      // legitimately plans as one broadcast anti join (q50's rule). The
+      // distinct rides the aggregate — no separate dedup pass.
+      (s, dir) => {
+        val p = t(s, dir, "part")
+          .filter(col("p_brand") =!= "Brand#9" && col("p_type") =!= "PROMO" &&
+            col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
+        val complaints = broadcast(t(s, dir, "supplier")
+          .filter(col("s_acctbal") < 0).select("s_suppkey"))
+        t(s, dir, "lineitem").select("l_partkey", "l_suppkey")
+          .join(complaints, col("l_suppkey") === col("s_suppkey"), "left_anti")
+          .join(p, col("l_partkey") === col("p_partkey"))
+          .groupBy("p_brand", "p_type", "p_size")
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      },
+      Some("""SELECT p_brand, p_type, p_size,
+          COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#9' AND p_type <> 'PROMO'
+          AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+          AND l_suppkey NOT IN
+            (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size""")),
+
     GQ("x12_mad_outliers", // robust per-group outlier stats: median and
       // MAD (median absolute deviation) of token counts per language,
       // plus the count past the 3-MAD fence. All integer arithmetic —

@@ -80,6 +80,32 @@ class EntrySpec extends SparkSpec {
       "q55 rescans lineitem for the part totals")
   }
 
+  test("TPC-H completion shapes (q56-q63) keep their plan patterns") {
+    def plan(name: String): String =
+      SparkEntry.queries(name)(spark, sf())
+        .queryExecution.executedPlan.toString
+    // q56: the EXISTS is ONE semi join — never inner-join + distinct
+    val q56 = plan("q56_priority_check")
+    assert(q56.contains("LeftSemi"), "q56 lost the semi join")
+    assert(!q56.contains("HashAggregate(keys=[o_orderkey"),
+      "q56 re-deduplicates orders after an inner join")
+    // q58: the pure scan-aggregate — no join may ever appear, and the
+    // shipdate bounds must reach the parquet scan
+    val q58 = plan("q58_forecast_revenue")
+    assert(!q58.contains("Join"), "q58 grew a join")
+    assert(q58.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      "q58 shipdate filter not pushed to the scan")
+    // q61: the priority filter must stay INSIDE the outer join — the
+    // LeftOuter surviving proves it wasn't pushed into a WHERE
+    assert(plan("q61_cust_distribution").contains("LeftOuter"),
+      "q61 outer join collapsed to inner")
+    // q63: the NOT IN over the null-free complaint set is one broadcast
+    // anti join
+    val q63 = plan("q63_supplier_cnt")
+    assert(q63.contains("LeftAnti") && q63.contains("BroadcastHashJoin"),
+      "q63 NOT IN stopped planning as a broadcast anti join")
+  }
+
   test("r04/w05 temporal plans keep the one-Exchange shape") {
     def plan(name: String): String =
       SparkEntry.queries(name)(spark, sf())
