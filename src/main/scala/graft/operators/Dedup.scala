@@ -595,23 +595,22 @@ object Dedup {
     require(dupTestVia == "agg" || dupTestVia == "window",
       s"dupTestVia must be 'agg' or 'window', got '$dupTestVia'")
     import org.apache.spark.sql.expressions.Window
-    // The gram itself never leaves the scan: the duplicate test only needs
-    // gram EQUALITY, so each k-char gram collapses to its xxhash64 at the
-    // scan and every downstream exchange moves an 8-byte key instead of a
-    // k-char string (~5× smaller shuffles for k=30). A 64-bit collision
-    // (two distinct grams, same hash) would mark a non-duplicated anchor;
-    // at 10¹² corpus grams the birthday bound is ~3% for ONE such anchor
-    // corpus-wide — the same Bloom-style tradeoff the sketch operators make.
+    // The gram itself never leaves the scan — and never even EXISTS: the
+    // duplicate test only needs gram equality, so the anchors are the
+    // native RollingHashWindows pass (all k-char window hashes in one
+    // O(n) roll; the substr-then-xxhash64 form this replaced allocated a
+    // k-char string per POSITION, O(n·k) bytes per doc). Downstream
+    // exchanges move an 8-byte key instead of a k-char string (~5×
+    // smaller shuffles for k=30). A 64-bit collision (two distinct grams,
+    // same hash) would mark a non-duplicated anchor; at 10¹² corpus grams
+    // the birthday bound is ~3% for ONE such anchor corpus-wide — the
+    // same Bloom-style tradeoff the sketch operators make.
     val gramsRaw = docs
       .select(col(idCol).as("doc_id"), col(textCol).as("text"))
-      // filter first: sequence(1, 0) would generate a DESCENDING range for
-      // sub-k documents, not an empty one
       .filter(length(col("text")) >= k)
-      .select(col("doc_id"), posexplode(
-        transform(sequence(lit(1), length(col("text")) - (k - 1)),
-          i => col("text").substr(i, lit(k)))))
-      .select(col("doc_id"), (col("pos") + 1).as("p"),
-        xxhash64(col("col")).as("g"))
+      .select(col("doc_id"),
+        posexplode(graft.expressions.RollingHashWindows(col("text"), k)))
+      .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("g"))
     // The agg plan reads the gram table twice (count pass + probe pass);
     // persisting the narrow (doc_id, p, h) rows skips the second
     // explode+hash. Single-box/benchmark optimization ONLY: at corpus
