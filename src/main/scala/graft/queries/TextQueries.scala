@@ -372,35 +372,8 @@ object TextQueries {
       // engines because the underlying values are bit-identical. Zero
       // shuffles, zero joins — the 100 TB shape is a pure map over the
       // corpus that composes with any downstream dedup/sample stage.
-      (s, dir) => {
-        val gated = Tables.table(s, dir, "documents")
-          .select(col("doc_id"), col("lang"), words(col("text")).as("ws"))
-          .select(col("doc_id"), col("lang"), col("ws"),
-            size(col("ws")).as("n_words"),
-            size(array_distinct(col("ws"))).as("n_distinct"),
-            shingles(col("ws"), 2).as("bg"),
-            stopwordHits(col("ws"), EnStop).as("en"),
-            stopwordHits(col("ws"), EsStop).as("es"),
-            stopwordHits(col("ws"), DeStop).as("de"))
-          .select(col("doc_id"), col("lang"), col("n_words"),
-            ((col("n_distinct").cast("double") / nullif(col("n_words"), lit(0))
-              * lit(0.5)) +
-              (least(col("n_words").cast("double") / lit(20.0), lit(1.0))
-                * lit(0.5))).as("quality"),
-            (lit(1.0) - size(array_distinct(col("bg"))).cast("double")
-              / nullif(size(col("bg")), lit(0))).as("dup_bigram_ratio"),
-            when(col("en") >= col("es") && col("en") >= col("de"), "en")
-              .when(col("es") >= col("de"), "es").otherwise("de")
-              .as("detected_lang"))
-        val reason = when(col("quality") < 0.62, "low_quality")
-          .when(col("n_words") < 15, "too_short")
-          .when(col("dup_bigram_ratio") > 0.12, "repetitive")
-          .when(col("detected_lang") =!= col("lang"), "lang_mismatch")
-          .otherwise("ok")
-        gated.select(col("doc_id"), col("n_words"), col("quality"),
-          col("dup_bigram_ratio"), col("detected_lang"),
-          reason.as("reason"), (reason === "ok").as("keep"))
-      },
+      (s, dir) =>
+        graft.operators.Curation.gate(Tables.table(s, dir, "documents")),
       Some(s"""WITH t AS (SELECT doc_id, lang,
           list_filter(string_split(text, ' '), w -> w <> '') AS ws FROM documents),
         sig AS (SELECT doc_id, lang,

@@ -344,6 +344,25 @@ object Streaming {
           leftStart, leftEnd, rightStart, rightEnd, bucketWidth, mode), id)
     }
 
+  /** Ingest-time curation gating: [[graft.operators.Curation.gate]]
+    * applied DIRECTLY to an unbounded document stream. No foreachBatch
+    * indirection is needed — the gate is stateless scan-local narrow ops
+    * (zero shuffles/joins/aggregations), which Structured Streaming
+    * executes incrementally as-is: no watermark, no state store, nothing
+    * accrues across micro-batches, and each doc's verdict is identical to
+    * the batch d38 answer by construction (same expression tree). This is
+    * the degenerate — and cheapest — member of the
+    * stream-against-stored-artifact family: the "artifact" is just the
+    * expression constants, so exactly-once comes free with any idempotent
+    * sink. */
+  def curationGateStream(
+      docStream: DataFrame,
+      idCol: String = "doc_id",
+      langCol: String = "lang",
+      textCol: String = "text"
+  ): DataFrame =
+    graft.operators.Curation.gate(docStream, idCol, langCol, textCol)
+
   /** Custom per-key running state via mapGroupsWithState: running count +
     * sum per key. NOTE: mapGroupsWithState/flatMapGroupsWithState are the
     * legacy arbitrary-state API — [[runningStatsTws]] is the

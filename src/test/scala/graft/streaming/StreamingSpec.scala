@@ -336,6 +336,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming curation gate equals the batch d38 verdicts on real documents") {
+    // The full composed gate (quality/length/repetition/lang-ID, first
+    // failing rule wins) applied directly to a stream — no foreachBatch,
+    // no state store: stateless scan-local ops stream as-is. Union of the
+    // micro-batch outputs must equal one batch gate over the same docs.
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.Tables.table(spark, sf(), "documents")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val mem = MemoryStream[(Long, String, String)]
+    val q = graft.streaming.Streaming.curationGateStream(
+        mem.toDF().toDF("doc_id", "lang", "text"))
+      .writeStream.format("memory").queryName("gate_stream")
+      .outputMode("append").start()
+    try {
+      val (b1, rest) = docs.splitAt(docs.length / 3)
+      val (b2, b3) = rest.splitAt(rest.length / 2)
+      for (b <- Seq(b1, b2, b3)) { mem.addData(b: _*); q.processAllAvailable() }
+      def key(r: org.apache.spark.sql.Row) =
+        // generic get for the ratio columns: they are null for degenerate
+        // docs (n_words < 2) and getDouble would mask that as 0.0
+        (r.getLong(0), r.getInt(1), r.get(2), r.get(3),
+          r.getString(4), r.getString(5), r.getBoolean(6))
+      val streamed = spark.table("gate_stream").collect().map(key).toSet
+      val batch = graft.operators.Curation.gate(
+        graft.Tables.table(spark, sf(), "documents")).collect().map(key).toSet
+      assert(streamed == batch)
+      assert(batch.exists(!_._7) && batch.exists(_._7)) // both verdicts occur
+    } finally q.stop()
+  }
+
   test("streaming LSH candidates equal the batch banding across micro-batches") {
     import graft.operators.Dedup
     implicit val sqlCtx = spark.sqlContext
