@@ -1238,6 +1238,41 @@ object Advanced {
             (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
         GROUP BY p_brand, p_type, p_size""")),
 
+    GQ("z01_zorder_index", // Z-order data-layout index (`Layout
+      // .mortonValue`): the Morton interleave of rank-scaled
+      // (l_partkey, l_suppkey) — the value `Layout.zorderWrite`
+      // range-partitions on so every output file covers a compact
+      // 2-D rectangle and conjunctive box predicates skip files on BOTH
+      // columns (locality A/B in LayoutSpec). Scale = ((v−min)·255) DIV
+      // (max−min), interleave = literal shifts — all integer, so the
+      // oracle replays the curve bit-exactly; min/max come from one
+      // 1-row aggregate broadcast onto the scan. The dump is a 1%-of-
+      // orders slice; the statistics are the FULL table's.
+      (s, dir) => graft.operators.Layout.mortonValue(
+          t(s, dir, "lineitem")
+            .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+          Seq("l_partkey", "l_suppkey"), bits = 8)
+        .filter(col("l_orderkey") % 100 === 0)
+        .select("l_orderkey", "l_linenumber", "z_val"),
+      Some("""WITH mm AS (SELECT
+            CAST(MIN(l_partkey) AS BIGINT) AS mnp,
+            CAST(MAX(l_partkey) AS BIGINT) AS mxp,
+            CAST(MIN(l_suppkey) AS BIGINT) AS mns,
+            CAST(MAX(l_suppkey) AS BIGINT) AS mxs
+          FROM lineitem),
+        s AS (SELECT l_orderkey, l_linenumber,
+            CASE WHEN mxp = mnp THEN 0 ELSE
+              ((CAST(l_partkey AS BIGINT) - mnp) * 255) // (mxp - mnp) END AS xi,
+            CASE WHEN mxs = mns THEN 0 ELSE
+              ((CAST(l_suppkey AS BIGINT) - mns) * 255) // (mxs - mns) END AS yi
+          FROM lineitem, mm
+          WHERE l_orderkey % 100 = 0)
+        SELECT l_orderkey, l_linenumber,
+          CAST(list_sum(list_transform(range(0, 8), j ->
+            (((xi >> j) & 1) << (2*j)) + (((yi >> j) & 1) << (2*j + 1))))
+            AS BIGINT) AS z_val
+        FROM s""")),
+
     GQ("x12_mad_outliers", // robust per-group outlier stats: median and
       // MAD (median absolute deviation) of token counts per language,
       // plus the count past the 3-MAD fence. All integer arithmetic —

@@ -1,0 +1,53 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("mortonValue interleaves bits exactly (hand-computed cases)") {
+    // min=0, max=3 over 2 bits: scale is the identity on 0..3.
+    // z(x=1, y=2): x bits (1,0) -> positions 0,2; y bits (0,1) -> 1,3
+    //   => 0b1001 = 9.  z(3,3) = 0b1111 = 15.  z(0,0) = 0.
+    val df = Seq((0L, 0L), (1L, 2L), (3L, 3L), (2L, 1L), (0L, 3L))
+      .toDF("x", "y")
+    val z = Layout.mortonValue(df, Seq("x", "y"), bits = 2)
+      .select("x", "y", "z_val").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(z == Map((0L, 0L) -> 0L, (1L, 2L) -> 9L, (3L, 3L) -> 15L,
+      (2L, 1L) -> 6L, (0L, 3L) -> 10L))
+  }
+
+  test("constant columns scale to zero instead of dividing by zero") {
+    val z = Layout.mortonValue(Seq((5L, 1L), (5L, 9L)).toDF("x", "y"),
+      Seq("x", "y"), bits = 4).select("z_val").collect().map(_.getLong(0))
+    // x contributes nothing; z is y's bits spread to odd positions
+    assert(z.forall(v => (0 until 4).forall(j => ((v >> (2 * j)) & 1) == 0)))
+    assert(z.distinct.length == 2)
+  }
+
+  test("z-order layout touches fewer files than natural layout on a box predicate") {
+    // 40k uniform 2-D points, 16 files each way. A 10%x10% box intersects
+    // ~sqrt-many z-order rectangles but EVERY round-robin file.
+    val rnd = new scala.util.Random(11)
+    val pts = Seq.fill(40000)((rnd.nextInt(1000).toLong, rnd.nextInt(1000).toLong))
+      .zipWithIndex.map { case ((x, y), i) => (i.toLong, x, y) }
+      .toDF("id", "x", "y")
+    val dir = java.nio.file.Files.createTempDirectory("graft-layout").toFile
+    val natural = s"$dir/natural"
+    val zordered = s"$dir/zorder"
+    pts.repartition(16).write.mode("overwrite").parquet(natural)
+    Layout.zorderWrite(pts, Seq("x", "y"), zordered, nFiles = 16)
+    def filesTouched(path: String): Long = spark.read.parquet(path)
+      .filter(col("x").between(100, 199) && col("y").between(500, 599))
+      .select(input_file_name()).distinct().count()
+    val (nf, zf) = (filesTouched(natural), filesTouched(zordered))
+    // the box has ~400 points: round-robin scatters them over all 16
+    // files; the z-order layout confines them to a handful of rectangles
+    assert(nf >= 12, s"natural layout unexpectedly clustered ($nf files)")
+    assert(zf * 2 <= nf, s"z-order layout not local: $zf vs natural $nf")
+    // same rows either way — layout must never change content
+    assert(spark.read.parquet(zordered).count() == 40000)
+  }
+}
