@@ -112,6 +112,38 @@ object GraftExtensions {
             s"topk_by expects (ord, payload, k), got ${exprs.length} argument(s)")
         graft.expressions.TopKBy(exprs(0), exprs(1), exprs(2)).toAggregateExpression()
       }),
+    // Mergeable quantile sketches as stored data (x17's rollup pattern):
+    // build per-partition with qsketch_agg(v[, eps]), union stored sketch
+    // rows with qsketch_merge_agg(sk), read quantiles with
+    // qsketch_query(sk, p). eps defaults to 0.01 (accuracy 100), the x06
+    // operating point.
+    (FunctionIdentifier("qsketch_agg"),
+      new ExpressionInfo(classOf[graft.expressions.QSketchAgg].getName, "qsketch_agg"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.isEmpty || exprs.length > 2)
+          throw new IllegalArgumentException(
+            s"qsketch_agg expects (value[, eps]), got ${exprs.length} argument(s)")
+        val eps = if (exprs.length == 2) exprs(1) else Literal(0.01d)
+        graft.expressions.QSketchAgg(exprs(0), eps).toAggregateExpression()
+      }),
+    (FunctionIdentifier("qsketch_merge_agg"),
+      new ExpressionInfo(
+        classOf[graft.expressions.QSketchMergeAgg].getName, "qsketch_merge_agg"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 1)
+          throw new IllegalArgumentException(
+            s"qsketch_merge_agg expects (sketch), got ${exprs.length} argument(s)")
+        graft.expressions.QSketchMergeAgg(exprs(0)).toAggregateExpression()
+      }),
+    (FunctionIdentifier("qsketch_query"),
+      new ExpressionInfo(
+        classOf[graft.expressions.QSketchQuery].getName, "qsketch_query"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 2)
+          throw new IllegalArgumentException(
+            s"qsketch_query expects (sketch, p), got ${exprs.length} argument(s)")
+        graft.expressions.QSketchQuery(exprs(0), exprs(1))
+      }),
     (FunctionIdentifier("graft_might_contain"),
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,

@@ -1534,6 +1534,118 @@ object Advanced {
         SELECT day, exact_users, exact_total, TRUE AS merged_ok
         FROM d CROSS JOIN t""")),
 
+    GQ("x17_quantile_rollup", // mergeable QUANTILE-sketch pre-aggregation —
+      // x10's stored-sketch rollup pattern for percentiles: per-day GK
+      // summaries of the event value (qsketch_agg, a few KB each) are the
+      // stored artifact; the 30-day p50/p95 comes from qsketch_merge_agg
+      // over the SKETCH ROWS — history is never rescanned. At 100 TB the
+      // exact side below disappears (it exists only to power the property
+      // oracle) and the rollup touches |days| sketch rows, not events.
+      // h01-style property oracle: per-day exact counts are hash-compared;
+      // the merged estimates must land between exact percentile_disc rank
+      // bounds at p ∓ 4·eps (eps = 0.01 per sketch; GK merge degrades the
+      // bound by at most an additive eps, so 4× is comfortable slack).
+      // Raw estimates are partitioning-dependent (GK merge order) and are
+      // deliberately NOT in the output — only the exact payload and the
+      // property flags, which hold at any executor count.
+      (s, dir) => {
+        import graft.expressions.QSketch
+        val e = Tables.events(s, dir)
+          .select(date_trunc("day", col("ts")).as("day"), col("value"))
+        val daily = e.groupBy("day").agg(
+          QSketch.sketchAgg(col("value"), 0.01).as("sk"),
+          count(col("value")).as("n_vals"))
+        val merged = daily.agg(QSketch.mergeAgg(col("sk")).as("msk"))
+          .select(QSketch.query(col("msk"), 0.5).as("p50_est"),
+            QSketch.query(col("msk"), 0.95).as("p95_est"))
+        e.createOrReplaceTempView("x17_ev")
+        val bounds = s.sql("""SELECT
+            percentile_disc(0.46) WITHIN GROUP (ORDER BY value) AS lo50,
+            percentile_disc(0.54) WITHIN GROUP (ORDER BY value) AS hi50,
+            percentile_disc(0.91) WITHIN GROUP (ORDER BY value) AS lo95,
+            percentile_disc(0.99) WITHIN GROUP (ORDER BY value) AS hi95,
+            percentile_disc(0.5)  WITHIN GROUP (ORDER BY value) AS p50_exact,
+            percentile_disc(0.95) WITHIN GROUP (ORDER BY value) AS p95_exact
+          FROM x17_ev WHERE value IS NOT NULL""")
+        daily.select(col("day"), col("n_vals"))
+          .crossJoin(broadcast(merged)).crossJoin(broadcast(bounds))
+          .select(col("day"), col("n_vals"), col("p50_exact"), col("p95_exact"),
+            (col("p50_est") >= col("lo50") && col("p50_est") <= col("hi50")).as("p50_ok"),
+            (col("p95_est") >= col("lo95") && col("p95_est") <= col("hi95")).as("p95_ok"))
+      },
+      Some("""WITH e AS (SELECT
+            CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+            value FROM events),
+        d AS (SELECT day, COUNT(value) AS n_vals FROM e GROUP BY day),
+        b AS (SELECT
+            percentile_disc(0.5)  WITHIN GROUP (ORDER BY value) AS p50_exact,
+            percentile_disc(0.95) WITHIN GROUP (ORDER BY value) AS p95_exact
+          FROM e WHERE value IS NOT NULL)
+        SELECT day, n_vals, p50_exact, p95_exact,
+          TRUE AS p50_ok, TRUE AS p95_ok
+        FROM d CROSS JOIN b""")),
+
+    GQ("x18_column_profile", // ANALYZE-style column profiling in ONE pass —
+      // the stats a planner (or a data-quality gate) wants per column:
+      // row count, per-column null counts, distinct cardinalities. All
+      // metrics ride one aggregate over one scan; the wide single row is
+      // then unpivoted with stack() into one row per column. The exact
+      // countDistincts force Catalyst's Expand (one branch per distinct
+      // child — still ONE scan, but rows fan out ×5); they exist as the
+      // hash-compared oracle payload. The 100 TB shape drops them and
+      // keeps approx_count_distinct only — single-branch, no Expand —
+      // which is why the approx estimates are also computed and property-
+      // checked here (h01's ±15% HLL bound).
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val prof = li.agg(
+          count(lit(1)).as("n_rows"),
+          count(col("l_quantity")).as("nn_qty"),
+          countDistinct(col("l_quantity")).as("nd_qty"),
+          approx_count_distinct(col("l_quantity")).as("ad_qty"),
+          count(col("l_extendedprice")).as("nn_price"),
+          countDistinct(col("l_extendedprice")).as("nd_price"),
+          approx_count_distinct(col("l_extendedprice")).as("ad_price"),
+          count(col("l_returnflag")).as("nn_flag"),
+          countDistinct(col("l_returnflag")).as("nd_flag"),
+          approx_count_distinct(col("l_returnflag")).as("ad_flag"),
+          count(col("l_shipdate")).as("nn_ship"),
+          countDistinct(col("l_shipdate")).as("nd_ship"),
+          approx_count_distinct(col("l_shipdate")).as("ad_ship"))
+        prof.select(col("n_rows"), expr("""stack(4,
+            'l_quantity',      nn_qty,   nd_qty,   ad_qty,
+            'l_extendedprice', nn_price, nd_price, ad_price,
+            'l_returnflag',    nn_flag,  nd_flag,  ad_flag,
+            'l_shipdate',      nn_ship,  nd_ship,  ad_ship)
+          AS (col_name, n_nonnull, n_distinct, approx_d)"""))
+          .select(col("col_name"), col("n_rows"), col("n_nonnull"),
+            (col("n_rows") - col("n_nonnull")).as("n_null"), col("n_distinct"),
+            // nullif: a zero-row table profiles as n_distinct = 0 with a
+            // NULL flag instead of a divide-by-zero error under ANSI mode
+            (abs(col("approx_d") - col("n_distinct")).cast("double")
+              / nullif(col("n_distinct"), lit(0)) <= 0.15).as("approx_ok"))
+      },
+      Some("""WITH n AS (SELECT COUNT(*) AS n_rows FROM lineitem)
+        SELECT 'l_quantity' AS col_name, n_rows, COUNT(l_quantity) AS n_nonnull,
+               n_rows - COUNT(l_quantity) AS n_null,
+               COUNT(DISTINCT l_quantity) AS n_distinct, TRUE AS approx_ok
+        FROM lineitem CROSS JOIN n GROUP BY n_rows
+        UNION ALL
+        SELECT 'l_extendedprice', n_rows, COUNT(l_extendedprice),
+               n_rows - COUNT(l_extendedprice),
+               COUNT(DISTINCT l_extendedprice), TRUE
+        FROM lineitem CROSS JOIN n GROUP BY n_rows
+        UNION ALL
+        SELECT 'l_returnflag', n_rows, COUNT(l_returnflag),
+               n_rows - COUNT(l_returnflag),
+               COUNT(DISTINCT l_returnflag), TRUE
+        FROM lineitem CROSS JOIN n GROUP BY n_rows
+        UNION ALL
+        SELECT 'l_shipdate', n_rows, COUNT(l_shipdate),
+               n_rows - COUNT(l_shipdate),
+               COUNT(DISTINCT l_shipdate), TRUE
+        FROM lineitem CROSS JOIN n GROUP BY n_rows""")),
+
     GQ("x11_ks_drift", // exact two-sample Kolmogorov–Smirnov drift between
       // corpus slices (en vs de words-per-doc): D = max_v |F_en(v) − F_de(v)|
       // kept as the INTEGER cross-product |cum_en·n_de − cum_de·n_en| (the
