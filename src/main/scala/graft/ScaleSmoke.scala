@@ -303,6 +303,31 @@ object ScaleSmoke {
         graft.operators.IntervalJoin.overlapJoin(lBig, r, Seq("k"),
           "s", "e", "s2", "e2", bucketWidth = 4000L).count())
     }
+    // Quantile-sketch rollup (x17's pattern) at 100× the bench row count:
+    // the point of the stored sketch table is that PERIOD quantiles cost
+    // |days| sketch rows, not a history rescan — measure both sides.
+    {
+      val nVals = rows * 100
+      val days = 365L
+      val vals = spark.range(nVals)
+        .select(pmod(col("id"), lit(days)).as("day"),
+          (xxhash64(col("id")).cast("double") / 1e12).as("v"))
+      val daily = vals.groupBy("day").agg(
+        graft.expressions.QSketch.sketchAgg(col("v"), 0.01).as("sk"))
+      daily.persist()
+      time(s"quantile sketches: $nVals values -> $days daily rows (one pass)")(
+        daily.count())
+      val bytes = daily.agg(sum(length(col("sk")))).head().getLong(0)
+      println(s"[scale] sketch table: $bytes bytes total " +
+        s"(~${bytes / days} per day — the stored artifact)")
+      time(s"period p50/p95 from $days stored sketches (history untouched)")(
+        daily.agg(graft.expressions.QSketch.mergeAgg(col("sk")).as("msk"))
+          .select(graft.expressions.QSketch.query(col("msk"), 0.5),
+            graft.expressions.QSketch.query(col("msk"), 0.95)).count())
+      time(s"exact p50/p95 rescanning all $nVals values (the avoided cost)")(
+        vals.agg(expr("percentile(v, 0.5)"), expr("percentile(v, 0.95)")).count())
+      daily.unpersist()
+    }
     spark.stop()
   }
 }

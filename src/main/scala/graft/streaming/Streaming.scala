@@ -363,6 +363,35 @@ object Streaming {
   ): DataFrame =
     graft.operators.Curation.gate(docStream, idCol, langCol, textCol)
 
+  /** Continuous distribution-drift monitoring: each micro-batch of a value
+    * stream is sketched (one pass, no state store) and its quantiles are
+    * gated against a STORED reference sketch
+    * ([[graft.operators.Drift.writeReferenceSketch]]) — the distribution
+    * member of the stream-against-stored-artifact family
+    * ([[incrementalNeardupStream]], [[bm25SearchStream]],
+    * [[annSearchStream]], [[overlapJoinStream]]). The artifact is loaded
+    * ONCE (driver-side head() of a few-KB parquet row), each batch pays
+    * only its own scan + a single-row aggregate, and nothing accrues
+    * across batches. Batches are judged independently, so per-batch
+    * verdicts match running [[graft.operators.Drift.driftVerdicts]] on the
+    * same slice in batch mode. */
+  def quantileDriftStream(
+      valueStream: DataFrame,
+      referencePath: String,
+      probs: Seq[Double] = Seq(0.5, 0.95),
+      tolerance: Double = 0.1,
+      valueCol: String = "value",
+      trigger: Trigger = Trigger.AvailableNow())(
+      onVerdicts: (DataFrame, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] = {
+    val ref = graft.operators.Drift.loadReferenceSketch(
+      valueStream.sparkSession, referencePath)
+    valueStream.writeStream.trigger(trigger).foreachBatch {
+      (batch: DataFrame, id: Long) =>
+        onVerdicts(graft.operators.Drift.driftVerdicts(
+          batch, ref, probs, tolerance, valueCol), id)
+    }
+  }
+
   /** Custom per-key running state via mapGroupsWithState: running count +
     * sum per key. NOTE: mapGroupsWithState/flatMapGroupsWithState are the
     * legacy arbitrary-state API — [[runningStatsTws]] is the

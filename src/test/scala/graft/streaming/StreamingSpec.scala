@@ -252,6 +252,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("quantile drift stream gates batches against the stored reference sketch") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_drift").toString
+    // reference distribution: uniform 0..9999
+    graft.operators.Drift.writeReferenceSketch(
+      (0 until 10000).map(_.toDouble).toDF("value"), "value", 0.01, s"$dir/ref")
+    val inDist = (0 until 5000).map(i => (i * 2 + 1).toDouble)  // same dist
+    val shifted = (0 until 5000).map(i => i * 2 + 8000d)        // way up
+    val mem = MemoryStream[Double]
+    val verdicts = scala.collection.mutable.Map.empty[Long, Map[Double, Boolean]]
+    val q = Streaming.quantileDriftStream(mem.toDF(), s"$dir/ref",
+      probs = Seq(0.5, 0.95), tolerance = 0.1,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L)) {
+      (res, id) =>
+        verdicts(id) = res.select("p", "drifted")
+          .as[(Double, Boolean)].collect().toMap
+    }.start()
+    try {
+      mem.addData(inDist); q.processAllAvailable()
+      mem.addData(shifted); q.processAllAvailable()
+    } finally q.stop()
+    assert(verdicts(0L) == Map(0.5 -> false, 0.95 -> false))
+    assert(verdicts(1L) == Map(0.5 -> true, 0.95 -> true))
+    // batch-mode parity on the same slices (batches judged independently)
+    val ref = graft.operators.Drift.loadReferenceSketch(spark, s"$dir/ref")
+    assert(graft.operators.Drift.driftVerdicts(inDist.toDF("value"), ref)
+      .select("drifted").as[Boolean].collect().forall(!_))
+    assert(graft.operators.Drift.driftVerdicts(shifted.toDF("value"), ref)
+      .select("drifted").as[Boolean].collect().forall(identity))
+  }
+
   test("typed pipeline stages run on a streaming Dataset (unified API)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Doc]
