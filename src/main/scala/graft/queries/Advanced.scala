@@ -1585,6 +1585,49 @@ object Advanced {
           TRUE AS p50_ok, TRUE AS p95_ok
         FROM d CROSS JOIN b""")),
 
+    GQ("x19_drift_gate", // Drift.driftVerdicts end to end in batch mode:
+      // the 1995 orders distribution is the stored reference; the 1996
+      // slice must pass (true shift ~4% ≪ tolerance even with both
+      // sketches erring oppositely at eps=0.01; widest true shift across the
+      // three SFs is 4.9% at sf0.001 vs tolerance 0.2) and lineitem prices
+      // must fail (~78% below). The single-row head() pulls the few-KB sketch
+      // artifact to the driver — the stored-artifact contract (same as
+      // VectorIndex/bm25Index loading), bounded by construction. Sketch
+      // ESTIMATES stay out of the output (GK merge order); only the exact
+      // n_vals payload and the far-from-boundary flags surface, so the
+      // result is deterministic at any executor count.
+      (s, dir) => {
+        import graft.expressions.QSketch
+        val o = t(s, dir, "orders")
+        val refSk = o.filter(year(col("o_orderdate")) === 1995)
+          .agg(QSketch.sketchAgg(col("o_totalprice"), 0.01))
+          .head().getAs[Array[Byte]](0)
+        val same = o.filter(year(col("o_orderdate")) === 1996)
+          .select(col("o_totalprice").as("value"))
+        val cross = t(s, dir, "lineitem")
+          .select(col("l_extendedprice").as("value"))
+        graft.operators.Drift.driftVerdicts(same, refSk, Seq(0.5, 0.95), 0.2)
+          .withColumn("pair", lit("orders_1996"))
+          .union(graft.operators.Drift
+            .driftVerdicts(cross, refSk, Seq(0.5, 0.95), 0.2)
+            .withColumn("pair", lit("lineitem_price")))
+          .select(col("pair"), col("p"), col("n_vals"), col("drifted"))
+      },
+      Some("""SELECT 'orders_1996' AS pair, CAST(0.5 AS DOUBLE) AS p,
+               (SELECT COUNT(o_totalprice) FROM orders
+                WHERE year(o_orderdate) = 1996) AS n_vals,
+               FALSE AS drifted
+        UNION ALL
+        SELECT 'orders_1996', CAST(0.95 AS DOUBLE),
+               (SELECT COUNT(o_totalprice) FROM orders
+                WHERE year(o_orderdate) = 1996), FALSE
+        UNION ALL
+        SELECT 'lineitem_price', CAST(0.5 AS DOUBLE),
+               (SELECT COUNT(l_extendedprice) FROM lineitem), TRUE
+        UNION ALL
+        SELECT 'lineitem_price', CAST(0.95 AS DOUBLE),
+               (SELECT COUNT(l_extendedprice) FROM lineitem), TRUE""")),
+
     GQ("x18_column_profile", // ANALYZE-style column profiling in ONE pass —
       // the stats a planner (or a data-quality gate) wants per column:
       // row count, per-column null counts, distinct cardinalities. All
