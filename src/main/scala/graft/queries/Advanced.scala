@@ -1628,6 +1628,34 @@ object Advanced {
         SELECT 'lineitem_price', CAST(0.95 AS DOUBLE),
                (SELECT COUNT(l_extendedprice) FROM lineitem), TRUE""")),
 
+    GQ("x20_benford_digits", // leading-digit distribution (Benford screen) —
+      // the data-quality check run over numeric columns to catch synthetic
+      // or corrupted value populations. Engine-exact everywhere: the money
+      // double goes through the DECIMAL(18,2) discipline (bit-identical on
+      // both engines), ×100 is exact decimal → exact cents BIGINT, and the
+      // leading digit is integer division by 10^(decimal length − 1)
+      // (string length of a positive integer is portable; no float log10,
+      // whose x = 10^k boundary cases differ by ULP). One map-side-combined
+      // aggregate over the scan; the expected-share comparison is left to
+      // the reader of the counts (a chi-square needs float log — x11's KS
+      // machinery is the exact in-engine alternative).
+      (s, dir) => {
+        val cents = col("o_totalprice").cast("decimal(18,2)")
+          .multiply(lit(100)).cast("long")
+        val digit = cents / pow(lit(10d), length(cents.cast("string")) - 1)
+        t(s, dir, "orders")
+          .select(floor(digit).cast("int").as("lead_digit"))
+          .groupBy("lead_digit").agg(count(lit(1)).as("n_orders"))
+      },
+      Some("""WITH c AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+            AS BIGINT) AS cents FROM orders)
+        -- explicit floor(): DuckDB's // with a DOUBLE divisor is plain
+        -- division, and CAST(DOUBLE AS INTEGER) rounds instead of truncating
+        SELECT CAST(floor(cents / power(10, length(CAST(cents AS VARCHAR)) - 1))
+                 AS INTEGER) AS lead_digit,
+               COUNT(*) AS n_orders
+        FROM c GROUP BY 1""")),
+
     GQ("x18_column_profile", // ANALYZE-style column profiling in ONE pass —
       // the stats a planner (or a data-quality gate) wants per column:
       // row count, per-column null counts, distinct cardinalities. All
