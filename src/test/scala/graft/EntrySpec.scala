@@ -106,6 +106,31 @@ class EntrySpec extends SparkSpec {
       "q63 NOT IN stopped planning as a broadcast anti join")
   }
 
+  test("r10 profiling/sketch plans keep their scale shapes") {
+    def plan(name: String): String =
+      SparkEntry.queries(name)(spark, sf())
+        .queryExecution.executedPlan.toString
+    def scans(p: String): Int = "FileScan parquet".r.findAllIn(p).length
+    // x18: ALL profile metrics ride ONE lineitem scan; the exact
+    // countDistincts go through a single Expand (the documented oracle-
+    // payload price), never per-column rescans
+    val x18 = plan("x18_column_profile")
+    assert(scans(x18) == 1, "x18 rescans lineitem per column")
+    assert(x18.contains("Expand"), "x18 lost the multi-distinct Expand plan")
+    // x20: one map-side-combined aggregate — partial agg below the single
+    // exchange, one scan, no join
+    val x20 = plan("x20_benford_digits")
+    assert(scans(x20) == 1 && !x20.contains("Join"))
+    assert(x20.contains("partial_count"), "x20 lost map-side combine")
+    // x17: the period quantiles come from the DAILY SKETCH ROWS —
+    // qsketch_merge_agg must appear, and the events scan count stays at
+    // the designed 3 (daily sketch pass + the two oracle-scaffolding
+    // exact passes), guarding against an accidental per-quantile rescan
+    val x17 = plan("x17_quantile_rollup")
+    assert(x17.contains("qsketch_merge_agg"), "x17 lost the sketch union")
+    assert(scans(x17) <= 3, "x17 rescans events beyond the designed passes")
+  }
+
   test("r04/w05 temporal plans keep the one-Exchange shape") {
     def plan(name: String): String =
       SparkEntry.queries(name)(spark, sf())
