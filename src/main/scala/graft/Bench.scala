@@ -62,8 +62,23 @@ object Bench {
       val counts = pref.groupBy(_._2).map { case (k, v) => k -> v.size }
       pref.map { case (n, p) => n -> (if (counts(p) == 1) p else n) }.toMap
     }
-    val qs = results.map { case (k, v, _) => "\"" + shortKeys(k) + "\":" + r3(v) }
-      .mkString("{", ",", "}")
+    // The one-line JSON must survive the driver's ~2000-char tail window
+    // (and sbt's trailing "[success]" line). At 176 queries a full
+    // 3-decimal map is ~2200 chars — a truncated line fails the driver's
+    // json parse and zeroes the round's bench. Budget the per-query map:
+    // most-expensive queries first (the ones a reader acts on), remainder
+    // rolled up into other_n/other_sec; the COMPLETE per-query detail is
+    // always in BENCH_QUERIES.json, committed alongside.
+    val lineBudget = 1500 // chars for the queries map alone
+    val byCost = results.sortBy { case (k, v, _) => (-v, k) }
+    val entries = byCost.map { case (k, v, _) => "\"" + shortKeys(k) + "\":" + r3(v) }
+    val cum = entries.scanLeft(1)(_ + _.length + 1) // cum(j) = chars for first j
+    val nKeep = entries.indices.takeWhile(i => cum(i + 1) <= lineBudget).size
+    val kept = entries.take(nKeep)
+    val rest = byCost.drop(kept.length)
+    val qs = (kept ++ (if (rest.isEmpty) Nil
+      else Seq("\"other_n\":" + rest.length,
+        "\"other_sec\":" + r3(rest.map(_._2).sum)))).mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // Full-fidelity per-query dump (full names, median/min/max, n runs);
     // best-effort — the one-line contract must survive any IO failure.
