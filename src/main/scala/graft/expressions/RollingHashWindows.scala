@@ -24,9 +24,20 @@ import org.apache.spark.unsafe.types.UTF8String
   * Characters are UTF-8 code points folded to an int from their encoded
   * bytes (UTF-8 is a prefix code, so the fold is injective per char):
   * equal k-char windows hash equal on ANY input, and window indexing is
-  * char-positional, matching `substr` semantics byte-width or not. Equal
-  * hashes for distinct windows are the same 64-bit birthday tradeoff the
-  * xxhash64 form made (documented at the call site).
+  * char-positional, matching `substr` semantics byte-width or not.
+  *
+  * Collision bound: for RANDOM text this is the usual 64-bit birthday
+  * tradeoff, but a fixed-base polynomial over a power-of-two modulus is
+  * strictly weaker than a keyed avalanche hash (xxhash64) against
+  * structured inputs — low-entropy/periodic text and engineered
+  * anti-testcases fall into algebraic collision classes (e.g. windows
+  * whose difference polynomial is divisible by a large power of two). A
+  * collision marks a FALSE duplicate anchor in substringSpans — real,
+  * non-duplicated text gets treated as duplicated and dropped — so the
+  * random-text birthday bound quoted at the call site is an optimistic
+  * floor, not a guarantee. If adversarial or highly periodic corpora are
+  * in scope, draw a random odd base per run (or hash modulo a Mersenne
+  * prime) instead of this fixed default.
   */
 case class RollingHashWindows(child: Expression, k: Int)
     extends UnaryExpression with CodegenFallback {

@@ -603,8 +603,11 @@ object Dedup {
     // exchanges move an 8-byte key instead of a k-char string (~5×
     // smaller shuffles for k=30). A 64-bit collision (two distinct grams,
     // same hash) would mark a non-duplicated anchor; at 10¹² corpus grams
-    // the birthday bound is ~3% for ONE such anchor corpus-wide — the
-    // same Bloom-style tradeoff the sketch operators make.
+    // the RANDOM-text birthday bound is ~3% for ONE such anchor
+    // corpus-wide — but the fixed-base poly hash's bound is weaker than a
+    // keyed avalanche hash on periodic/adversarial text (structured
+    // collision classes; see RollingHashWindows doc), so treat 3% as the
+    // cooperative-corpus floor and re-key the hash if that ever matters.
     val gramsRaw = docs
       .select(col(idCol).as("doc_id"), col(textCol).as("text"))
       .filter(length(col("text")) >= k)

@@ -39,7 +39,15 @@ object Drift {
     * aggregate over the batch scan, so the whole verdict costs one pass
     * and no shuffle beyond the single-row final agg. The batch sketch is
     * built at the REFERENCE's eps — mixing resolutions would move the
-    * comparison's error budget silently. */
+    * comparison's error budget silently.
+    *
+    * An EMPTY (or all-null) batch has no quantiles: `batch_q` comes back
+    * NULL and the raw comparison would be NULL too — a streaming consumer
+    * checking `drifted == true` would silently treat that as non-drifted
+    * with no explicit verdict. The verdict is therefore coalesced to an
+    * explicit `false` ("no evidence of drift"), and `n_vals = 0` is the
+    * signal that the verdict is vacuous rather than earned — gate on
+    * `n_vals >= minBatch` upstream if empty micro-batches should alarm. */
   def driftVerdicts(
       batch: DataFrame,
       refSketch: Array[Byte],
@@ -55,8 +63,9 @@ object Drift {
       val refQ = QSketch.query(lit(refSketch), p)
       val batchQ = QSketch.query(col("sk"), p)
       struct(lit(p).as("p"), refQ.as("ref_q"), batchQ.as("batch_q"),
-        (abs(batchQ - refQ) >
-          lit(tolerance) * greatest(abs(refQ), lit(1e-12))).as("drifted"))
+        coalesce(abs(batchQ - refQ) >
+          lit(tolerance) * greatest(abs(refQ), lit(1e-12)),
+          lit(false)).as("drifted"))
     }: _*)
     sk.select(col("n_vals"), explode(perProb).as("v"))
       .select(col("v.p"), col("v.ref_q"), col("v.batch_q"),

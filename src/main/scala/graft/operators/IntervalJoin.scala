@@ -149,9 +149,16 @@ object IntervalJoin {
     * `W = max(mean interval length of each side)` keeps the mean row's
     * replication at ≤ ~2 buckets on both sides while buckets stay as
     * fine-grained as the data allows. Costs one tiny two-column aggregate
-    * per side up front (same eager-fit precedent as `ivfTopK` auto-k); at
-    * 100 TB compute the means on a sample or pass the known width
-    * explicitly. Empty/degenerate sides fall back to width 1. */
+    * per side up front (same eager-fit precedent as `ivfTopK` auto-k).
+    *
+    * `widthSampleFraction < 1` estimates each mean on a seeded
+    * `sample(f)` instead of the full side — at 100 TB the exact means
+    * would cost two extra FULL scans before the join, and since ANY width
+    * is correct, a 1 % sample buys the same order-of-magnitude width for
+    * 1 % of the scan (parity is width-independent — spec-asserted). A
+    * side whose sample comes up empty falls back to its exact mean, so
+    * small inputs keep the exact path automatically.
+    * Empty/degenerate sides fall back to width 1. */
   def overlapJoinAuto(
       left: DataFrame,
       right: DataFrame,
@@ -160,14 +167,25 @@ object IntervalJoin {
       leftEnd: String,
       rightStart: String,
       rightEnd: String,
-      mode: String = "overlaps"
+      mode: String = "overlaps",
+      widthSampleFraction: Double = 1.0
   ): DataFrame = {
-    def meanLen(df: DataFrame, s: String, e: String): Long =
+    require(widthSampleFraction > 0 && widthSampleFraction <= 1.0,
+      s"widthSampleFraction must be in (0, 1], got $widthSampleFraction")
+    def meanLen(df: DataFrame, s: String, e: String): Option[Long] =
       Option(df.filter(col(e) > col(s))
         .agg(avg(col(e).cast("long") - col(s).cast("long"))).head().get(0))
-        .map(v => math.ceil(v.asInstanceOf[Double]).toLong).getOrElse(1L)
+        .map(v => math.ceil(v.asInstanceOf[Double]).toLong)
+    def sideWidth(df: DataFrame, s: String, e: String): Long = {
+      val sampled =
+        if (widthSampleFraction < 1.0)
+          // seeded → the width (hence the plan) is replay-deterministic
+          meanLen(df.sample(withReplacement = false, widthSampleFraction, seed = 7L), s, e)
+        else None
+      sampled.orElse(meanLen(df, s, e)).getOrElse(1L)
+    }
     val w = math.max(1L, math.max(
-      meanLen(left, leftStart, leftEnd), meanLen(right, rightStart, rightEnd)))
+      sideWidth(left, leftStart, leftEnd), sideWidth(right, rightStart, rightEnd)))
     overlapJoin(left, right, keys,
       leftStart, leftEnd, rightStart, rightEnd, w, mode)
   }

@@ -1,0 +1,105 @@
+package graft.operators
+
+import graft.expressions.QSketch
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.NumericType
+
+/** One-pass ANALYZE-style column profiling — the generic operator behind
+  * the x18 query (which used to hard-code its four columns): for each
+  * requested column, row count, non-null/null counts, distinct
+  * cardinalities, min/max, and (numeric columns) sketched p50/p95, all
+  * riding ONE aggregate over ONE scan of the input. The wide single
+  * aggregate row is unpivoted by exploding a literal array of structs —
+  * the dynamic-arity equivalent of `stack()`.
+  *
+  * The reference's reusable "enrichment stage" idiom
+  * (smartpipeline/helpers.py:10-32 — a component you point at data rather
+  * than a copy-pasted query) is the shape this operator restores for
+  * profiling.
+  *
+  * == Exact vs approx: the 100 TB contract ==
+  *
+  * `exact = false` (the DEFAULT, and the at-scale shape) profiles with
+  * `approx_count_distinct` only: the plan is a single-branch
+  * map-side-combined aggregate — Scan → partial agg → 1-row exchange —
+  * with NO Expand, at any number of columns. `exact = true` adds exact
+  * `countDistinct` per column, which forces Catalyst's Expand (the input
+  * fans out ×(cols+1) through the scan): affordable when the profile IS
+  * the deliverable (x18 uses it as its hash-compared oracle payload),
+  * wrong as a routine pass over a 100 TB table. `n_distinct` is NULL when
+  * `exact = false`.
+  *
+  * Quantiles come from the mergeable GK sketch
+  * ([[graft.expressions.QSketch]], the x17 machinery) at `quantileEps`
+  * relative rank error, computed in the SAME pass — no second scan, no
+  * sort. Sketch estimates are merge-order (hence partitioning) dependent:
+  * like every sketch in this engine they are for HUMAN/planner
+  * consumption and must not be hash-compared or used in replay-exact
+  * gates (x18 keeps them OUT of its oracle payload; the spec checks rank
+  * bounds, not values). Non-numeric columns profile with NULL quantiles;
+  * min/max are cast to string after aggregating so heterogeneous column
+  * types share one output schema.
+  */
+object Profiler {
+
+  /** Profile `cols` of `df` in one pass. Output: one row per column —
+    * (col_name, n_rows, n_nonnull, n_null, n_distinct, approx_distinct,
+    * min_val, max_val, p50, p95). A zero-row input profiles as all-zero
+    * counts with NULL min/max/quantiles (the aggregate still emits its
+    * one row; the explode still emits one row per column). */
+  def profile(
+      df: DataFrame,
+      cols: Seq[String],
+      exact: Boolean = false,
+      quantileEps: Double = 0.01
+  ): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"columns not in input: ${missing.mkString(", ")}")
+    val isNum: Map[String, Boolean] = cols.map { c =>
+      c -> (df.schema(c).dataType match {
+        case _: NumericType => true
+        case _ => false
+      })
+    }.toMap
+
+    // every metric for every column in ONE agg — the operator's whole point
+    val aggs: Seq[Column] =
+      count(lit(1)).as("n_rows") +: cols.zipWithIndex.flatMap { case (c, i) =>
+        val base = Seq(
+          count(col(c)).as(s"nn_$i"),
+          approx_count_distinct(col(c)).as(s"ad_$i"),
+          min(col(c)).cast("string").as(s"mn_$i"),
+          max(col(c)).cast("string").as(s"mx_$i"))
+        val nd = if (exact) Seq(countDistinct(col(c)).as(s"nd_$i")) else Nil
+        val sk = if (isNum(c))
+          Seq(QSketch.sketchAgg(col(c).cast("double"), quantileEps).as(s"sk_$i"))
+        else Nil
+        base ++ nd ++ sk
+      }
+    val agged = df.agg(aggs.head, aggs.tail: _*)
+
+    val perCol = array(cols.zipWithIndex.map { case (c, i) =>
+      val ndCol = if (exact) col(s"nd_$i") else lit(null).cast("long")
+      val (p50, p95) =
+        if (isNum(c))
+          (QSketch.query(col(s"sk_$i"), 0.5), QSketch.query(col(s"sk_$i"), 0.95))
+        else (lit(null).cast("double"), lit(null).cast("double"))
+      struct(
+        lit(c).as("col_name"),
+        col(s"nn_$i").as("n_nonnull"),
+        ndCol.as("n_distinct"),
+        col(s"ad_$i").as("approx_distinct"),
+        col(s"mn_$i").as("min_val"),
+        col(s"mx_$i").as("max_val"),
+        p50.as("p50"),
+        p95.as("p95"))
+    }: _*)
+    agged.select(col("n_rows"), explode(perCol).as("m"))
+      .select(col("m.col_name"), col("n_rows"), col("m.n_nonnull"),
+        (col("n_rows") - col("m.n_nonnull")).as("n_null"),
+        col("m.n_distinct"), col("m.approx_distinct"),
+        col("m.min_val"), col("m.max_val"), col("m.p50"), col("m.p95"))
+  }
+}

@@ -1656,44 +1656,26 @@ object Advanced {
                COUNT(*) AS n_orders
         FROM c GROUP BY 1""")),
 
-    GQ("x18_column_profile", // ANALYZE-style column profiling in ONE pass —
-      // the stats a planner (or a data-quality gate) wants per column:
-      // row count, per-column null counts, distinct cardinalities. All
-      // metrics ride one aggregate over one scan; the wide single row is
-      // then unpivoted with stack() into one row per column. The exact
-      // countDistincts force Catalyst's Expand (one branch per distinct
-      // child — still ONE scan, but rows fan out ×5); they exist as the
-      // hash-compared oracle payload. The 100 TB shape drops them and
-      // keeps approx_count_distinct only — single-branch, no Expand —
-      // which is why the approx estimates are also computed and property-
-      // checked here (h01's ±15% HLL bound).
+    GQ("x18_column_profile", // ANALYZE-style column profiling in ONE pass,
+      // via the generic operator (`operators/Profiler.profile` — r11: the
+      // hard-coded 4-column aggregate became a reusable component; this
+      // query is now just a call site). exact=true here because the exact
+      // countDistincts ARE the hash-compared oracle payload — that's the
+      // variant whose plan carries Catalyst's Expand (rows fan ×5 through
+      // one scan). The 100 TB default (exact=false) is single-branch
+      // approx-only with NO Expand — plan-asserted in ProfilerSpec — which
+      // is why the approx estimates are also surfaced and property-checked
+      // here (h01's ±15% HLL bound). The operator's sketched p50/p95 stay
+      // OUT of the payload: GK estimates are merge-order dependent.
       (s, dir) => {
-        val li = t(s, dir, "lineitem")
-        val prof = li.agg(
-          count(lit(1)).as("n_rows"),
-          count(col("l_quantity")).as("nn_qty"),
-          countDistinct(col("l_quantity")).as("nd_qty"),
-          approx_count_distinct(col("l_quantity")).as("ad_qty"),
-          count(col("l_extendedprice")).as("nn_price"),
-          countDistinct(col("l_extendedprice")).as("nd_price"),
-          approx_count_distinct(col("l_extendedprice")).as("ad_price"),
-          count(col("l_returnflag")).as("nn_flag"),
-          countDistinct(col("l_returnflag")).as("nd_flag"),
-          approx_count_distinct(col("l_returnflag")).as("ad_flag"),
-          count(col("l_shipdate")).as("nn_ship"),
-          countDistinct(col("l_shipdate")).as("nd_ship"),
-          approx_count_distinct(col("l_shipdate")).as("ad_ship"))
-        prof.select(col("n_rows"), expr("""stack(4,
-            'l_quantity',      nn_qty,   nd_qty,   ad_qty,
-            'l_extendedprice', nn_price, nd_price, ad_price,
-            'l_returnflag',    nn_flag,  nd_flag,  ad_flag,
-            'l_shipdate',      nn_ship,  nd_ship,  ad_ship)
-          AS (col_name, n_nonnull, n_distinct, approx_d)"""))
+        graft.operators.Profiler.profile(t(s, dir, "lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_returnflag", "l_shipdate"),
+          exact = true)
           .select(col("col_name"), col("n_rows"), col("n_nonnull"),
-            (col("n_rows") - col("n_nonnull")).as("n_null"), col("n_distinct"),
+            col("n_null"), col("n_distinct"),
             // nullif: a zero-row table profiles as n_distinct = 0 with a
             // NULL flag instead of a divide-by-zero error under ANSI mode
-            (abs(col("approx_d") - col("n_distinct")).cast("double")
+            (abs(col("approx_distinct") - col("n_distinct")).cast("double")
               / nullif(col("n_distinct"), lit(0)) <= 0.15).as("approx_ok"))
       },
       Some("""WITH n AS (SELECT COUNT(*) AS n_rows FROM lineitem)

@@ -33,6 +33,35 @@ class IntervalJoinSpec extends SparkSpec {
     }
   }
 
+  test("overlapJoinAuto parity is width-independent: sampled width == exact width == pinned") {
+    // ANY bucket width yields the same pair set (only replication/density
+    // shift), so the 1%-sample width estimate can never change the answer
+    // — the property that makes sampling free at 100 TB.
+    val left = mkIntervals(400, 1, 7)
+    val right = mkIntervals(300, 2, 7)
+      .withColumnRenamed("s", "s2").withColumnRenamed("e", "e2")
+    def pairs(df: DataFrame): Seq[(Long, Long)] =
+      df.select(col("id1"), col("id2")).as[(Long, Long)].collect().sorted.toSeq
+    val exact = pairs(IntervalJoin.overlapJoinAuto(
+      left, right, Seq("k"), "s", "e", "s2", "e2"))
+    val sampled = pairs(IntervalJoin.overlapJoinAuto(
+      left, right, Seq("k"), "s", "e", "s2", "e2",
+      widthSampleFraction = 0.05))
+    val pinned = pairs(IntervalJoin.overlapJoin(
+      left, right, Seq("k"), "s", "e", "s2", "e2", 123L))
+    assert(exact.nonEmpty)
+    assert(sampled == exact && pinned == exact)
+    // a sample that comes up empty falls back to the exact mean: tiny
+    // input + minuscule fraction still produces the right answer
+    val tinyL = left.limit(5)
+    val tinyPairs = pairs(IntervalJoin.overlapJoinAuto(
+      tinyL, right, Seq("k"), "s", "e", "s2", "e2",
+      widthSampleFraction = 1e-6))
+    val tinyWant = pairs(IntervalJoin.overlapJoin(
+      tinyL, right, Seq("k"), "s", "e", "s2", "e2", 50L))
+    assert(tinyPairs == tinyWant)
+  }
+
   // mkIntervals(right) must share lineage with left for this to bite:
   // the operator re-aliases the right side internally, so a self-overlap
   // join (pairs within one table) resolves without ambiguity errors.

@@ -27,6 +27,32 @@ class LayoutSpec extends SparkSpec {
     assert(z.distinct.length == 2)
   }
 
+  test("an over-range column fails loud instead of silently wrapping the scale product") {
+    // range ±2^60 blows the Long.MaxValue/255 scale budget at bits=8: the
+    // old arithmetic wrapped silently (answers fine, layout scrambled);
+    // now the broadcast-stats check raises before any z value is emitted
+    val wild = Seq((-(1L << 60), 1L), ((1L << 60), 2L)).toDF("x", "y")
+    val ex = intercept[Exception] {
+      Layout.mortonValue(wild, Seq("x", "y"), bits = 8).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("mortonValue: range of column 'x'")),
+      s"expected the range-budget raise_error, got: $ex")
+    // in-budget data on the same frame still works (the guard is per-column)
+    val ok = Layout.mortonValue(
+      Seq((0L, 1L), (10L, 2L)).toDF("x", "y"), Seq("x", "y"), bits = 8)
+    assert(ok.select("z_val").collect().length == 2)
+  }
+
+  test("internal helper-column namespace is reserved, caller columns never shadowed") {
+    val clash = Seq((1L, 2L)).toDF("x", "__zi_x")
+    val ex = intercept[IllegalArgumentException] {
+      Layout.mortonValue(clash, Seq("x"), bits = 4)
+    }
+    assert(ex.getMessage.contains("__zi_x"))
+  }
+
   test("z-order layout touches fewer files than natural layout on a box predicate") {
     // 40k uniform 2-D points, 16 files each way. A 10%x10% box intersects
     // ~sqrt-many z-order rectangles but EVERY round-robin file.

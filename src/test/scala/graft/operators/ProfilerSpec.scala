@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ProfilerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val frame = Seq(
+    (Some(1), Some("a"), Some(1.5)),
+    (Some(2), Some("b"), None),
+    (Some(2), None, Some(2.5)),
+    (None, Some("a"), Some(2.5))
+  ).toDF("i", "s", "d")
+
+  test("exact profile: counts, distincts, min/max per column in one pass") {
+    val rows = Profiler.profile(frame, Seq("i", "s", "d"), exact = true)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("i", "s", "d"))
+    val i = rows("i")
+    assert(i.getLong(1) == 4 && i.getLong(2) == 3 && i.getLong(3) == 1) // rows/nonnull/null
+    assert(i.getLong(4) == 2 && i.getLong(5) == 2)                     // nd / approx
+    assert(i.getString(6) == "1" && i.getString(7) == "2")             // min/max as strings
+    val s = rows("s")
+    assert(s.getLong(2) == 3 && s.getLong(4) == 2)
+    assert(s.isNullAt(8) && s.isNullAt(9), "non-numeric column must have NULL quantiles")
+    val d = rows("d")
+    assert(d.getString(6) == "1.5" && d.getString(7) == "2.5")
+  }
+
+  test("approx-only default is the Expand-free 100 TB plan; exact pays Expand") {
+    val big = spark.range(1000).select(col("id"), (col("id") % 7).as("m"))
+    val approxPlan = Profiler.profile(big, Seq("id", "m"))
+      .queryExecution.executedPlan.toString
+    assert(!approxPlan.contains("Expand"),
+      "approx profile must stay a single-branch aggregate")
+    val exactPlan = Profiler.profile(big, Seq("id", "m"), exact = true)
+      .queryExecution.executedPlan.toString
+    assert(exactPlan.contains("Expand"),
+      "exact profile should show the known countDistinct Expand cost")
+    // approx mode leaves n_distinct NULL — the reader can't mistake an
+    // estimate for the exact cardinality
+    assert(Profiler.profile(big, Seq("id")).collect().forall(_.isNullAt(4)))
+  }
+
+  test("sketched quantiles respect the GK rank bound on a uniform column") {
+    val uni = spark.range(10000).select(col("id").cast("double").as("v"))
+    val r = Profiler.profile(uni, Seq("v"), quantileEps = 0.01).collect().head
+    val (p50, p95) = (r.getDouble(8), r.getDouble(9))
+    // eps=0.01 rank error on uniform 0..9999 → value within ~±100+ of the
+    // true quantile; assert a loose 5x band (merge order moves estimates)
+    assert(math.abs(p50 - 5000) <= 500, s"p50=$p50")
+    assert(math.abs(p95 - 9500) <= 500, s"p95=$p95")
+  }
+
+  test("zero-row input profiles as zero counts with NULL min/max/quantiles") {
+    val rows = Profiler.profile(frame.limit(0), Seq("i", "s"), exact = true).collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      assert(r.getLong(1) == 0 && r.getLong(2) == 0 && r.getLong(3) == 0)
+      assert(r.getLong(4) == 0)       // exact countDistinct of nothing is 0
+      assert(r.isNullAt(6) && r.isNullAt(7))
+    }
+  }
+
+  test("unknown columns fail loud") {
+    val ex = intercept[IllegalArgumentException] {
+      Profiler.profile(frame, Seq("i", "nope"))
+    }
+    assert(ex.getMessage.contains("nope"))
+  }
+}

@@ -283,6 +283,28 @@ class StreamingSpec extends SparkSpec {
       .select("drifted").as[Boolean].collect().forall(identity))
   }
 
+  test("empty / all-null drift batch yields an explicit false verdict, never NULL") {
+    // an empty micro-batch has no quantiles: batch_q is NULL, and before
+    // the coalesce the verdict was NULL too — a `drifted == true` consumer
+    // silently skipped it. Contract now: drifted = false (no evidence),
+    // n_vals = 0 marks the verdict vacuous.
+    import graft.expressions.QSketch
+    val refSk = (0 until 1000).map(_.toDouble).toDF("value")
+      .agg(QSketch.sketchAgg(col("value"), 0.01)).head().getAs[Array[Byte]](0)
+    for (batch <- Seq(
+        Seq.empty[Option[Double]].toDF("value"),
+        Seq[Option[Double]](None, None).toDF("value"))) {
+      val rows = graft.operators.Drift.driftVerdicts(batch, refSk)
+        .select("p", "n_vals", "drifted").collect()
+      assert(rows.length == 2)
+      rows.foreach { r =>
+        assert(r.getLong(1) == 0L)
+        assert(!r.isNullAt(2), "drifted must be an explicit verdict")
+        assert(!r.getBoolean(2))
+      }
+    }
+  }
+
   test("typed pipeline stages run on a streaming Dataset (unified API)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Doc]
