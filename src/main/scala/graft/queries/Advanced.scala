@@ -44,6 +44,32 @@ object Advanced {
     (sessions, errors)
   }
 
+  /** Session-scoped memo for the hive-partitioned layouts pp01/pp02 read —
+    * same contract as VectorQueries' fit/index memo: the layout is a
+    * DERIVED artifact (a partitioned copy of a testdata table in a temp
+    * dir), written once per (dir, JVM); every query run reads it fresh
+    * from disk, so the partition-pruning behavior under test is the real
+    * parquet-scan path, not a cache effect. At 100 TB this write IS the
+    * ingest job's layout decision — you pay it once at write time and
+    * every downstream date/key query stops scanning the other partitions. */
+  private val layoutMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ordersByYear(s: SparkSession, dir: String): String =
+    layoutMemo.computeIfAbsent(s"orders_by_year:$dir", _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft-pp-orders").toString
+      graft.sources.Sinks.parquetPartitioned(
+        t(s, dir, "orders").withColumn("o_year", year(col("o_orderdate"))),
+        p, Seq("o_year"))
+      p
+    })
+  private def customerByNation(s: SparkSession, dir: String): String =
+    layoutMemo.computeIfAbsent(s"customer_by_nation:$dir", _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft-pp-customer").toString
+      graft.sources.Sinks.parquetPartitioned(
+        t(s, dir, "customer"), p, Seq("c_nationkey"))
+      p
+    })
+
   val queries: Seq[GQ] = Seq(
     GQ("a01_asof_join", // point-in-time: latest order at/before each event
       (s, dir) => {
@@ -1272,6 +1298,57 @@ object Advanced {
             (((xi >> j) & 1) << (2*j)) + (((yi >> j) & 1) << (2*j + 1))))
             AS BIGINT) AS z_val
         FROM s""")),
+
+    GQ("pp01_partition_prune", // STATIC partition pruning — the single
+      // biggest 100 TB scan lever, bigger than Z-order: orders live in a
+      // hive-partitioned layout (o_year=YYYY directories, written once by
+      // `Sinks.parquetPartitioned`), and the year predicate is resolved
+      // against the directory LISTING at planning time — the scan's
+      // PartitionFilters (plan-asserted in EntrySpec) — so every other
+      // year's files are never opened, never footer-read, never counted.
+      // Z-order (z01) skips row-groups via min/max stats INSIDE files;
+      // partition pruning skips whole directories before any IO. The
+      // oracle replays over the unpartitioned table: layout must never
+      // change answers.
+      (s, dir) => {
+        s.read.parquet(ordersByYear(s, dir))
+          .filter(col("o_year") === 1995)
+          .groupBy(month(col("o_orderdate")).as("o_month"))
+          .agg(Dec.dsum(col("o_totalprice")).as("revenue"),
+            count(lit(1)).as("n_orders"))
+      },
+      Some("""SELECT CAST(month(o_orderdate) AS INTEGER) AS o_month,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+          COUNT(*) AS n_orders
+        FROM orders WHERE year(o_orderdate) = 1995
+        GROUP BY 1""")),
+
+    GQ("pp02_dpp_join", // DYNAMIC partition pruning — the join-time form
+      // of pp01: customer is partitioned by c_nationkey, the filter lives
+      // on the OTHER side of the join (region name → nation keys), so no
+      // static predicate touches the partition column at all. Catalyst's
+      // PartitionPruning rule injects a DynamicPruningExpression into the
+      // customer scan that reuses the broadcast dim join's build side as
+      // the partition filter (plan-asserted in EntrySpec) — at 100 TB the
+      // fact scan reads only the partitions the filtered dim actually
+      // names, without the user ever writing a partition predicate. The
+      // dims stay broadcast (tiny); the fact never shuffles before the
+      // pruned scan.
+      (s, dir) => {
+        val c = s.read.parquet(customerByNation(s, dir))
+        val dim = t(s, dir, "nation").join(
+          broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        c.join(dim, col("c_nationkey") === col("n_nationkey"))
+          .groupBy("n_name")
+          .agg(count(lit(1)).as("n_custs"),
+            Dec.dsum(col("c_acctbal")).as("total_acctbal"))
+      },
+      Some("""SELECT n_name, COUNT(*) AS n_custs,
+          CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA' GROUP BY n_name""")),
 
     GQ("x12_mad_outliers", // robust per-group outlier stats: median and
       // MAD (median absolute deviation) of token counts per language,

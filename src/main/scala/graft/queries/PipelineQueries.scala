@@ -21,7 +21,45 @@ case class LiRow(
   */
 object PipelineQueries {
 
+  /** Session-scoped memo for c01's text-format dumps (same contract as the
+    * pp01/pp02 layout memo): nation → csv, region → jsonl, written once
+    * per (dir, JVM) into a temp dir; the query then exercises the REAL
+    * csv/jsonl read paths (`Sources.csv` / `Sources.jsonl`, schema
+    * inference included) against the DuckDB oracle on the parquet
+    * originals — format must never change answers. */
+  private val dumpMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def textDumps(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    dumpMemo.computeIfAbsent(s"c01:$dir", _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft-textfmt").toString
+      graft.sources.Sinks.csv(
+        Tables.table(s, dir, "nation")
+          .select("n_nationkey", "n_name", "n_regionkey"), s"$p/nation_csv")
+      graft.sources.Sinks.jsonl(
+        Tables.table(s, dir, "region")
+          .select("r_regionkey", "r_name"), s"$p/region_jsonl")
+      p
+    })
+
   val queries: Seq[GQ] = Seq(
+    // The non-parquet read paths, oracled end to end: nation comes back
+    // through the csv reader (header + schema inference), region through
+    // the jsonl reader, and the join/aggregate must replay the parquet
+    // oracle exactly. Inferred key types (csv int vs jsonl bigint) stay
+    // internal to the join; the output columns are type-stable.
+    GQ("c01_text_formats",
+      (s, dir) => {
+        val p = textDumps(s, dir)
+        val nation = graft.sources.Sources.csv(s, s"$p/nation_csv")
+        val region = graft.sources.Sources.jsonl(s, s"$p/region_jsonl")
+        nation.join(region, col("n_regionkey") === col("r_regionkey"))
+          .groupBy("r_name")
+          .agg(count(lit(1)).as("n_nations"), min(col("n_name")).as("first_nation"))
+      },
+      Some("""SELECT r_name, COUNT(*) AS n_nations, MIN(n_name) AS first_nation
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name""")),
+
     // Stage 1 soft-fails on l_quantity > 45 (record continues; enrichment
     // skipped for it). Stage 2 critical-fails on l_discount > 0.09. Stage 3
     // only runs for records without critical errors. final_val therefore is

@@ -146,6 +146,43 @@ object Streaming {
     }
   }
 
+  /** Burst dedup on the ENGINE-NATIVE stateful primitive,
+    * `dropDuplicatesWithinWatermark` — the third member of the family
+    * next to [[burstDedupStream]] (fMGWS) and [[burstDedupStreamTws]]
+    * (transformWithState). Zero custom state code: Spark's own dedup
+    * operator keys on `user_id` with the gap as the watermark delay.
+    *
+    * SEMANTICS DIFFER from the rolling-gap x13 contract, deliberately
+    * documented rather than papered over (r10 verdict item 7):
+    *  - dDWW keeps the FIRST event per key and drops later ones while
+    *    that first event's state lives (state expires at
+    *    firstKept.ts + gap, relative to the event-time watermark) —
+    *    "first-in-watermark-window";
+    *  - the rolling-gap operators drop an event if it is within `gap` of
+    *    the PREVIOUS event (kept or not) — "first-of-gap-run".
+    * Consequences, both directions (spec-asserted on a hand-built
+    * stream): a chain a, a+5h, a+10h at gap 6h emits {a, a+10h} here
+    * (state expired before a+10h) but {a} under x13; and b, b+8h emits
+    * {b} here when the watermark has not yet passed b+6h (state still
+    * live) but {b, b+8h} under x13 (gap 8h > 6h). dDWW's window is also
+    * WATERMARK-relative: a kept event's state can only expire once some
+    * event advances the global watermark past its expiry — re-admission
+    * time depends on stream progress, not only on the key's own gaps.
+    *
+    * Use this form when "suppress repeats of a key for ~gap time" is the
+    * actual requirement (alert throttling, idempotency windows) — it is
+    * the cheapest and the only one that needs no user state code; use the
+    * rolling-gap operators when the batch x13 answer must be reproduced. */
+  def burstDedupStreamNative(
+      events: Dataset[(Long, Long, Long)], // (event_id, key, ts_us)
+      gapUs: Long
+  ): DataFrame =
+    events.toDF("event_id", "user_id", "ts_us")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", s"$gapUs microseconds")
+      .dropDuplicatesWithinWatermark("user_id")
+      .select("event_id", "user_id", "ts_us")
+
   /** Streaming MinHash-LSH near-duplicate CANDIDATE pairs: documents are
     * shingled, signed, and banded with exactly the batch expressions
     * ([[graft.operators.Dedup.minhashSigCol]] / `bandBucketsCol`), and

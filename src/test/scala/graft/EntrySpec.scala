@@ -151,6 +151,27 @@ class EntrySpec extends SparkSpec {
       "d42 stopped being scan-local")
   }
 
+  test("pp01/pp02 scans prune partitions: static PartitionFilters and DPP subquery") {
+    def plan(name: String): String =
+      SparkEntry.queries(name)(spark, sf())
+        .queryExecution.executedPlan.toString
+    // pp01: the year predicate must be a PARTITION filter (resolved
+    // against the directory listing — other years never opened), not a
+    // data filter evaluated per row after a full scan
+    val pp01 = plan("pp01_partition_prune")
+    assert(pp01.contains("PartitionFilters: [isnotnull(o_year"),
+      "pp01 lost the static partition filter")
+    assert(pp01.contains("= 1995)"), "pp01 year predicate not in PartitionFilters")
+    // pp02: no static predicate exists on c_nationkey — the partition
+    // filter must be the DynamicPruningExpression injected from the
+    // broadcast dim join's build side
+    val pp02 = plan("pp02_dpp_join")
+    assert(pp02.contains("dynamicpruningexpression(c_nationkey"),
+      "pp02 lost dynamic partition pruning on the customer scan")
+    assert(pp02.contains("BroadcastHashJoin"),
+      "pp02 dims stopped broadcasting — DPP reuse requires the broadcast")
+  }
+
   test("r03 overlap join plans as an equi-join, never nested-loop") {
     // Spark's native plan for `key = key AND s < e2 AND s2 < e` keeps only
     // the key as the equi-condition; the bucket decomposition must yield a

@@ -119,6 +119,54 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("native dropDuplicatesWithinWatermark burst dedup: first-in-window semantics, both deltas vs rolling-gap pinned") {
+    implicit val sqlCtx = spark.sqlContext
+    val H = 3600L * 1000000L // one hour in µs
+    val gap = 6 * H
+    // hours are relative to a 2020 base: an event AT epoch 0 would tie
+    // Spark's initial watermark (0) and be dropped as late
+    val B = 1577836800L * 1000000L
+    // Hand-built chronological batches (one event per key per batch, so
+    // within-batch processing order can never matter):
+    //  b1: (10, k1, 0h)            → emit (first k1)
+    //  b2: (11, k1, 5h)            → drop (k1 state live, 5h < 0h+6h)
+    //      (20, k2, 14h)           → emit; advances watermark to 8h
+    //  b3: (30, k3, 15h)           → emit; k1 state (expires 6h) is now
+    //                                 past the 8h watermark → evicted
+    //  b4: (12, k1, 10h)           → EMIT: dDWW re-admits after expiry —
+    //                                 the rolling-gap family drops it
+    //                                 (10h − 5h = 5h ≤ gap)
+    //  b5: (21, k2, 22h)           → DROP: k2 state (expires 20h) outlives
+    //                                 the 9h watermark — rolling-gap keeps
+    //                                 it (22h − 14h = 8h > gap)
+    val batches = Seq(
+      Seq((10L, 1L, B + 0 * H)),
+      Seq((11L, 1L, B + 5 * H), (20L, 2L, B + 14 * H)),
+      Seq((30L, 3L, B + 15 * H)),
+      Seq((12L, 1L, B + 10 * H)),
+      Seq((21L, 2L, B + 22 * H)))
+    val mem = MemoryStream[(Long, Long, Long)]
+    val out = Streaming.burstDedupStreamNative(mem.toDS(), gapUs = gap)
+    val q = out.writeStream.format("memory").queryName("burst_dedup_native")
+      .outputMode("append").start()
+    try {
+      batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+      val streamed = spark.table("burst_dedup_native").collect()
+        .map(_.getLong(0)).toSet
+      assert(streamed == Set(10L, 20L, 30L, 12L),
+        s"dDWW emitted $streamed")
+    } finally q.stop()
+    // the rolling-gap (x13) answer on the SAME events, via the family's
+    // reference fold — pins that the two semantics differ in BOTH
+    // directions (12 only in dDWW, 21 only in rolling-gap)
+    val rollingGap = batches.flatten.groupBy(_._2).values.flatMap { evs =>
+      val ordered = evs.sortBy(e => (e._3, e._1))
+      ordered.zip(None +: ordered.map(e => Some(e._3)))
+        .collect { case (e, prev) if prev.forall(p => e._3 - p > gap) => e._1 }
+    }.toSet
+    assert(rollingGap == Set(10L, 20L, 30L, 21L))
+  }
+
   test("streaming incremental near-dup equals the d37 batch answer on real documents") {
     implicit val sqlCtx = spark.sqlContext
     // same split as d37: history = docs < 250 (indexed once), increment =
