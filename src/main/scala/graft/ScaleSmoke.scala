@@ -328,6 +328,45 @@ object ScaleSmoke {
         vals.agg(expr("percentile(v, 0.5)"), expr("percentile(v, 0.95)")).count())
       daily.unpersist()
     }
+    // Profiler (r11): the approx-only default must stay a single-branch
+    // one-pass aggregate (no Expand) however many columns are profiled —
+    // vs the exact mode whose Expand fans the scan ×(cols+1). Same input,
+    // both timed; at 100 TB only the approx shape is a routine pass.
+    {
+      val nVals = rows * 20
+      val wide = spark.range(nVals).select(col("id"),
+        pmod(col("id"), lit(97L)).as("a"),
+        (xxhash64(col("id")).cast("double") / 1e12).as("b"),
+        pmod(xxhash64(col("id"), lit(1)), lit(5L)).cast("string").as("c"))
+      // exact first: the first profile run pays one-time codegen/agg
+      // warm-up, and charging that to the approx side would flatter the
+      // Expand plan in the comparison
+      time(s"exact profile (4 cols, $nVals rows, Expand x5 — the oracle-payload price)")(
+        graft.operators.Profiler.profile(wide, Seq("id", "a", "b", "c"),
+          exact = true).count())
+      time(s"approx profile (4 cols, $nVals rows, one pass, no Expand)")(
+        graft.operators.Profiler.profile(wide, Seq("id", "a", "b", "c")).count())
+    }
+    // Partition pruning (r11): a day-partitioned layout at 365 partitions —
+    // a one-day predicate must cost ~1/365th of the full scan, because the
+    // listing-level prune never opens the other directories. This is the
+    // at-scale form of pp01's plan guard (files skipped BEFORE IO, vs
+    // z01's in-file row-group skipping).
+    {
+      val nVals = rows * 20
+      val dir = java.nio.file.Files.createTempDirectory("graft-pp-smoke").toString
+      val facts = spark.range(nVals).select(col("id"),
+        pmod(col("id"), lit(365L)).as("day"),
+        (xxhash64(col("id")).cast("double") / 1e12).as("v"))
+      time(s"write $nVals rows day-partitioned (365 dirs)") {
+        graft.sources.Sinks.parquetPartitioned(facts, dir, Seq("day")); 365L
+      }
+      val reread = spark.read.parquet(dir)
+      time(s"full scan over all 365 partitions (checksum)")(
+        reread.agg(sum(col("id"))).head().getLong(0))
+      time("one-day pruned scan (directory-level skip)")(
+        reread.filter(col("day") === 7).agg(sum(col("id"))).head().getLong(0))
+    }
     spark.stop()
   }
 }

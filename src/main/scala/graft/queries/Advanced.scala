@@ -54,10 +54,18 @@ object Advanced {
     * every downstream date/key query stops scanning the other partitions. */
   private val layoutMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** A ZERO-ROW input degrades to a plain (unpartitioned) write: an empty
+    * partitioned layout has no `col=value` directories at all, so the
+    * read-back cannot even infer a schema — the plain parquet file keeps
+    * the schema self-describing and the queries return their correct
+    * empty answers (there is nothing to prune on nothing). */
+  private def writeLayout(df: DataFrame, p: String, parts: Seq[String]): Unit =
+    if (df.isEmpty) df.write.mode("overwrite").parquet(p)
+    else graft.sources.Sinks.parquetPartitioned(df, p, parts)
   private def ordersByYear(s: SparkSession, dir: String): String =
     layoutMemo.computeIfAbsent(s"orders_by_year:$dir", _ => {
       val p = java.nio.file.Files.createTempDirectory("graft-pp-orders").toString
-      graft.sources.Sinks.parquetPartitioned(
+      writeLayout(
         t(s, dir, "orders").withColumn("o_year", year(col("o_orderdate"))),
         p, Seq("o_year"))
       p
@@ -65,8 +73,7 @@ object Advanced {
   private def customerByNation(s: SparkSession, dir: String): String =
     layoutMemo.computeIfAbsent(s"customer_by_nation:$dir", _ => {
       val p = java.nio.file.Files.createTempDirectory("graft-pp-customer").toString
-      graft.sources.Sinks.parquetPartitioned(
-        t(s, dir, "customer"), p, Seq("c_nationkey"))
+      writeLayout(t(s, dir, "customer"), p, Seq("c_nationkey"))
       p
     })
 

@@ -51,7 +51,12 @@ object PipelineQueries {
       (s, dir) => {
         val p = textDumps(s, dir)
         val nation = graft.sources.Sources.csv(s, s"$p/nation_csv")
-        val region = graft.sources.Sources.jsonl(s, s"$p/region_jsonl")
+        // jsonl reads with the KNOWN schema (the at-scale contract — no
+        // inference scan, and a zero-row dump still resolves its columns);
+        // the csv side keeps header+inference, the schema-on-read demo
+        val region = graft.sources.Sources.jsonl(s, s"$p/region_jsonl",
+          Some(Tables.table(s, dir, "region")
+            .select("r_regionkey", "r_name").schema))
         nation.join(region, col("n_regionkey") === col("r_regionkey"))
           .groupBy("r_name")
           .agg(count(lit(1)).as("n_nations"), min(col("n_name")).as("first_nation"))

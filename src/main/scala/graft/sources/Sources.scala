@@ -29,8 +29,13 @@ object Sources {
   def orc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
 
-  def jsonl(spark: SparkSession, path: String): DataFrame =
-    spark.read.json(path)
+  /** JSONL. Pass `schema` in production: inference costs a FULL extra
+    * scan of the data before the real one (and collapses to an empty
+    * schema on an empty dump) — at 100 TB the schema is a contract you
+    * already know, not something to rediscover per job. */
+  def jsonl(spark: SparkSession, path: String,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame =
+    schema.fold(spark.read)(s => spark.read.schema(s)).json(path)
 
   /** JSONL with per-record error capture: malformed lines survive as rows
     * with the raw text in `_corrupt_record` instead of failing the read —
