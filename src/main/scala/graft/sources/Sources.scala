@@ -106,6 +106,20 @@ object Sinks {
   def parquetPartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
 
+  /** Dynamic partition overwrite — the DAILY-INGEST contract for the
+    * partitioned layout: replaces ONLY the partitions present in `df`,
+    * leaving every other directory untouched. At 100 TB this is the
+    * difference between "append today" costing |today| and costing
+    * |history|; a re-run of a failed day is idempotent (it replaces
+    * exactly that day's directory, never duplicating rows). Static
+    * overwrite ([[parquetPartitioned]]) rebuilds the WHOLE layout — use
+    * it for the initial backfill, this for the steady-state ingest. */
+  def parquetPartitionedUpsert(
+      df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*).parquet(path)
+
   /** Per-partition push sink with connection lifecycle — the ES-indexer
     * pattern (docs/usage.rst:285-295): `open` once per partition, `send` per
     * record, `close` at the end. */

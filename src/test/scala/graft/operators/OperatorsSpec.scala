@@ -856,6 +856,28 @@ class SourcesSpec extends SparkSpec {
       scan.selectedPartitions.totalNumberOfFiles)            // ...vs selected
   }
 
+  test("dynamic partition overwrite replaces only the written partitions (daily-ingest contract)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-dpo").toString
+    def rows(p: String): Set[(Int, Long)] =
+      spark.read.parquet(p).select("day", "id").collect()
+        .map(r => (r.getInt(0), r.getLong(1))).toSet
+    // backfill: days 1-3
+    graft.sources.Sinks.parquetPartitioned(
+      Seq((1, 10L), (2, 20L), (3, 30L)).toDF("day", "id"), dir, Seq("day"))
+    assert(rows(dir) == Set((1, 10L), (2, 20L), (3, 30L)))
+    // steady-state ingest: re-run day 2 (idempotent replace) + new day 4;
+    // days 1 and 3 must be untouched — |today| cost, not |history|
+    graft.sources.Sinks.parquetPartitionedUpsert(
+      Seq((2, 21L), (4, 40L)).toDF("day", "id"), dir, Seq("day"))
+    assert(rows(dir) == Set((1, 10L), (2, 21L), (3, 30L), (4, 40L)))
+    // contrast: a STATIC overwrite of the same frame drops days 1/3 —
+    // the reason the upsert form exists
+    graft.sources.Sinks.parquetPartitioned(
+      Seq((2, 22L)).toDF("day", "id"), dir, Seq("day"))
+    assert(rows(dir) == Set((2, 22L)))
+  }
+
   test("localFiles filters by postfix and exposes basename id") {
     val dir = java.nio.file.Files.createTempDirectory("graft-files").toFile
     for (n <- Seq("x.json", "y.json", "z.txt", ".hidden.json")) {
