@@ -614,6 +614,35 @@ object Advanced {
         UNION ALL
         SELECT o_orderpriority, 'n_orders', n_orders FROM w""")),
 
+    GQ("v03_variant_json", // Spark 4 VARIANT surface — the semi-structured
+      // column type an ingest pipeline stores raw JSON payloads in (crawl
+      // records, event bodies) so fields are extracted at QUERY time with
+      // no up-front schema: parse_json → binary variant, variant_get with
+      // a target type per path. Payloads here are synthesized from orders
+      // via to_json so the oracle can replay against the typed originals —
+      // the round trip is value-lossless (Jackson doubles round-trip,
+      // bigint/string exact), which is precisely the property that makes
+      // VARIANT safe for typed extraction. variant_get is codegen'd
+      // shredded access: at 100 TB only the requested paths are decoded,
+      // never the whole document (vs from_json materializing the full
+      // struct). One scan, one map-side-combined aggregate.
+      (s, dir) => {
+        val v = t(s, dir, "orders").select(parse_json(to_json(struct(
+          col("o_custkey"), col("o_totalprice"), col("o_orderstatus")))).as("v"))
+        v.select(
+            expr("variant_get(v, '$.o_orderstatus', 'string')").as("status"),
+            expr("variant_get(v, '$.o_custkey', 'bigint')").as("cust"),
+            expr("variant_get(v, '$.o_totalprice', 'double')").as("price"))
+          .groupBy("status")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("cust")).as("cust_sum"),
+            Dec.dsum(col("price")).as("revenue"))
+      },
+      Some("""SELECT o_orderstatus AS status, COUNT(*) AS n_orders,
+          CAST(SUM(o_custkey) AS BIGINT) AS cust_sum,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM orders GROUP BY 1""")),
+
     GQ("f02_map_funcs", // MapType surface: per-status totals folded into a
       // status→total MAP per customer (keys unique by construction — maps
       // reject duplicates), read back via size + element_at. The oracle
