@@ -3,7 +3,7 @@ package graft.queries
 import graft.{Dec, GQ, Tables}
 import graft.Dec._
 import graft.functions.TextFunctions._
-import graft.operators.{AsOfJoin, IntervalJoin}
+import graft.operators.{AsOfJoin, IntervalJoin, Merge}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -74,6 +74,66 @@ object Advanced {
     layoutMemo.computeIfAbsent(s"customer_by_nation:$dir", _ => {
       val p = java.nio.file.Files.createTempDirectory("graft-pp-customer").toString
       writeLayout(t(s, dir, "customer"), p, Seq("c_nationkey"))
+      p
+    })
+
+  /** u01's MERGED layout: orders partitioned by o_year, then a
+    * deterministic change batch (1996 updates + inserts) committed through
+    * [[Merge.upsert]] — memoized so every query run reads the POST-merge
+    * table from disk: the artifact under test is the committed layout
+    * after the copy-on-write rewrite, not an in-memory frame. A zero-row
+    * input degrades to a plain write and an empty batch (Merge no-ops). */
+  private def mergedOrders(s: SparkSession, dir: String): String =
+    layoutMemo.computeIfAbsent(s"merge_orders:$dir", _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft-mrg-orders").toString + "/t"
+      val base = t(s, dir, "orders").withColumn("o_year", year(col("o_orderdate")))
+      writeLayout(base, p, Seq("o_year"))
+      if (!base.isEmpty) {
+        val y96 = base.filter(col("o_year") === 1996)
+        val updates = y96.filter(col("o_orderkey") % 7 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+        val inserts = y96.filter(col("o_orderkey") % 97 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 1000000000L)
+        Merge.upsert(s, p, updates.unionByName(inserts),
+          keyCols = Seq("o_orderkey"), partCols = Seq("o_year"))
+      }
+      p
+    })
+
+  /** c02's COMPACTED layout: orders partitioned by o_year, deliberately
+    * fragmented (12-way repartition before the write → up to 12 small
+    * files per year directory — the shape a per-micro-batch ingest
+    * leaves), then bin-packed by [[graft.operators.Compaction.compact]]
+    * to one file per directory. Memoized so every run reads the
+    * POST-compaction layout from disk. */
+  private def compactedOrders(s: SparkSession, dir: String): String =
+    layoutMemo.computeIfAbsent(s"compact_orders:$dir", _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft-cmp-orders").toString + "/t"
+      writeLayout(
+        t(s, dir, "orders").withColumn("o_year", year(col("o_orderdate")))
+          .repartition(12),
+        p, Seq("o_year"))
+      graft.operators.Compaction.compact(
+        s, p, Seq("o_year"), targetBytes = 1L << 30)
+      p
+    })
+
+  /** u02's PURGED layout: the delete-side twin of [[mergedOrders]] — every
+    * fifth 1997 order purged by key through [[Merge.delete]] (the
+    * right-to-be-forgotten shape: keys ship WITH their partition values,
+    * so only the named directories are read or rewritten). */
+  private def purgedOrders(s: SparkSession, dir: String): String =
+    layoutMemo.computeIfAbsent(s"purge_orders:$dir", _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft-del-orders").toString + "/t"
+      val base = t(s, dir, "orders").withColumn("o_year", year(col("o_orderdate")))
+      writeLayout(base, p, Seq("o_year"))
+      if (!base.isEmpty) {
+        val keys = base
+          .filter(col("o_year") === 1997 && col("o_orderkey") % 5 === 0)
+          .select("o_orderkey", "o_year")
+        Merge.delete(s, p, keys,
+          keyCols = Seq("o_orderkey"), partCols = Seq("o_year"))
+      }
       p
     })
 
@@ -1385,6 +1445,86 @@ object Advanced {
         FROM customer JOIN nation ON c_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
         WHERE r_name = 'ASIA' GROUP BY n_name""")),
+
+    GQ("u01_merge_upsert", // MERGE INTO on a plain partitioned layout —
+      // copy-on-write upsert (`operators/Merge`): a 1996 change batch
+      // (every 7th order's price bumped, every 97th re-keyed as an insert)
+      // is committed by rewriting ONLY the yr=1996 directory; 1995 files
+      // are untouched (spec-asserted by mtime in MergeSpec). The query
+      // reads the POST-merge table for both years — the oracle replays
+      // target-anti-join-batch ∪ batch over the unpartitioned originals,
+      // so the committed layout must equal the declarative MERGE result,
+      // updates, inserts, untouched partitions and all. At 100 TB this is
+      // the |today|-not-|history| ingest contract with row-level edits.
+      (s, dir) => {
+        s.read.parquet(mergedOrders(s, dir))
+          .filter(col("o_year").isin(1995, 1996))
+          .groupBy("o_year")
+          .agg(count(lit(1)).as("n_orders"),
+            Dec.dsum(col("o_totalprice")).as("revenue"),
+            sum(when(col("o_orderkey") > 1000000000L, 1L).otherwise(0L))
+              .as("n_inserted"))
+      },
+      Some("""WITH base AS (SELECT o_orderkey, o_totalprice,
+            CAST(year(o_orderdate) AS INTEGER) AS o_year FROM orders),
+        upd AS (SELECT o_orderkey, o_totalprice + 1000.0 AS o_totalprice, o_year
+                FROM base WHERE o_year = 1996 AND o_orderkey % 7 = 0),
+        ins AS (SELECT o_orderkey + 1000000000 AS o_orderkey, o_totalprice, o_year
+                FROM base WHERE o_year = 1996 AND o_orderkey % 97 = 0),
+        final AS (
+          SELECT * FROM base WHERE NOT (o_year = 1996 AND o_orderkey % 7 = 0)
+          UNION ALL SELECT * FROM upd
+          UNION ALL SELECT * FROM ins)
+        SELECT o_year, COUNT(*) AS n_orders,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+          CAST(SUM(CASE WHEN o_orderkey > 1000000000 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_inserted
+        FROM final WHERE o_year IN (1995, 1996) GROUP BY 1""")),
+
+    GQ("u02_merge_delete", // the delete side of MERGE — the GDPR-purge
+      // shape: every 5th 1997 order deleted BY KEY, keys shipped with
+      // their partition values so only yr=1997 is read and rewritten
+      // (`operators/Merge.delete`; a fully-emptied directory is removed
+      // explicitly — dynamic partition overwrite cannot express "replace
+      // with nothing", the operator's documented blind-spot fix). The
+      // oracle replays the NOT-matched filter over the originals: the
+      // committed post-delete layout must equal the declarative answer.
+      (s, dir) => {
+        s.read.parquet(purgedOrders(s, dir))
+          .filter(col("o_year").isin(1996, 1997))
+          .groupBy("o_year")
+          .agg(count(lit(1)).as("n_orders"),
+            Dec.dsum(col("o_totalprice")).as("revenue"))
+      },
+      Some("""SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+          COUNT(*) AS n_orders,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM orders
+        WHERE year(o_orderdate) IN (1996, 1997)
+          AND NOT (year(o_orderdate) = 1997 AND o_orderkey % 5 = 0)
+        GROUP BY 1""")),
+
+    GQ("c02_compact_layout", // small-file compaction — the OPTIMIZE /
+      // bin-packing maintenance job (`operators/Compaction`): a
+      // fragmented per-micro-batch layout (≤12 files per year dir) is
+      // rewritten to one ~target-sized file per directory; healthy
+      // partitions are not read, not rewritten, not footer-opened
+      // (CompactionSpec asserts untouched mtimes). At 100 TB the
+      // per-file costs — listing, footers, task scheduling — are the
+      // scan bottleneck a thousand-file day creates; compaction is how
+      // the layout stays scannable under continuous ingest. The oracle
+      // replays the aggregate over the never-compacted originals:
+      // compaction moves rows between files, never changes them.
+      (s, dir) => {
+        s.read.parquet(compactedOrders(s, dir))
+          .groupBy("o_year")
+          .agg(count(lit(1)).as("n_orders"),
+            Dec.dsum(col("o_totalprice")).as("revenue"))
+      },
+      Some("""SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+          COUNT(*) AS n_orders,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM orders GROUP BY 1""")),
 
     GQ("x12_mad_outliers", // robust per-group outlier stats: median and
       // MAD (median absolute deviation) of token counts per language,

@@ -1,0 +1,79 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CompactionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/t"
+
+  private def fileSig(path: String, part: String): Set[(String, Long, Long)] = {
+    val base = new java.io.File(s"$path/$part")
+    if (!base.exists()) Set.empty
+    else base.listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.length(), f.lastModified())).toSet
+  }
+
+  test("compacts a many-small-files partition, leaves healthy partitions' files untouched") {
+    val path = tmp("graft-compact")
+    // yr=1 fragmented into 8 files; yr=2 healthy with 1 file
+    (1 to 400).map(i => (i.toLong, s"v$i", 1)).toDF("id", "v", "yr")
+      .repartition(8)
+      .write.partitionBy("yr").parquet(path)
+    (1 to 50).map(i => (1000L + i, s"w$i", 2)).toDF("id", "v", "yr")
+      .coalesce(1)
+      .write.mode("append").partitionBy("yr").parquet(path)
+    val sig2 = fileSig(path, "yr=2")
+    assert(fileSig(path, "yr=1").size == 8)
+
+    val st = Compaction.compact(spark, path, Seq("yr"), targetBytes = 1L << 30)
+    assert(st.partitionsCompacted == 1)
+    assert(fileSig(path, "yr=1").size == 1, "fragmented partition should coalesce to 1 file")
+    assert(fileSig(path, "yr=2") == sig2, "healthy partition must keep its exact files")
+
+    val got = spark.read.parquet(path).select("id", "v", "yr")
+      .as[(Long, String, Int)].collect().toSet
+    val want = ((1 to 400).map(i => (i.toLong, s"v$i", 1)) ++
+      (1 to 50).map(i => (1000L + i, s"w$i", 2))).toSet
+    assert(got == want, "compaction must be row-identical")
+  }
+
+  test("respects the per-partition size target (multiple output files when bytes demand it)") {
+    val path = tmp("graft-compact-sz")
+    (1 to 20000).map(i => (i.toLong, "x" * 100, 1)).toDF("id", "v", "yr")
+      .repartition(32)
+      .write.partitionBy("yr").parquet(path)
+    val bytes = Compaction.stats(spark, path, Seq("yr")).head.bytes
+    val target = bytes / 3 // expect ceil(bytes/target) = 3-4 files
+    val st = Compaction.compact(spark, path, Seq("yr"), targetBytes = target)
+    val after = fileSig(path, "yr=1").size
+    assert(after < 32 && after <= 4, s"expected ~3-4 files, got $after")
+    assert(spark.read.parquet(path).count() == 20000)
+  }
+
+  test("no-op when everything is healthy; stats lists every partition") {
+    val path = tmp("graft-compact-noop")
+    Seq((1L, 1), (2L, 2)).toDF("id", "yr")
+      .repartition(1)
+      .write.partitionBy("yr").parquet(path)
+    val sigs = Seq("yr=1", "yr=2").map(fileSig(path, _))
+    val st = Compaction.compact(spark, path, Seq("yr"), targetBytes = 1L << 30)
+    assert(st.partitionsCompacted == 0 && st.filesBefore == st.filesAfter)
+    assert(Seq("yr=1", "yr=2").map(fileSig(path, _)) == sigs)
+    assert(Compaction.stats(spark, path, Seq("yr")).size == 2)
+  }
+
+  test("string partition columns round-trip through the dir-name parse") {
+    val path = tmp("graft-compact-str")
+    (1 to 100).map(i => (i.toLong, if (i % 2 == 0) "en" else "de"))
+      .toDF("id", "lang").repartition(6)
+      .write.partitionBy("lang").parquet(path)
+    val st = Compaction.compact(spark, path, Seq("lang"), targetBytes = 1L << 30)
+    assert(st.partitionsCompacted == 2)
+    assert(fileSig(path, "lang=en").size == 1 && fileSig(path, "lang=de").size == 1)
+    assert(spark.read.parquet(path).groupBy("lang").count()
+      .as[(String, Long)].collect().toSet == Set(("en", 50L), ("de", 50L)))
+  }
+}

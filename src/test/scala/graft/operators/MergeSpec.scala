@@ -1,0 +1,111 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class MergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/t"
+
+  /** (relative path, length, mtime) of every data file under a partition
+    * dir — the copy-on-write invariant: untouched partitions keep their
+    * exact files, byte-for-byte and timestamp-for-timestamp. */
+  private def fileSig(path: String, part: String): Set[(String, Long, Long)] = {
+    val base = new java.io.File(s"$path/$part")
+    if (!base.exists()) Set.empty
+    else base.listFiles().filter(f => f.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.length(), f.lastModified())).toSet
+  }
+
+  private def base(): DataFrame =
+    Seq(
+      (1L, "a", 2023, 10.0), (2L, "b", 2023, 20.0), (3L, "c", 2023, 30.0),
+      (4L, "d", 2024, 40.0), (5L, "e", 2024, 50.0),
+      (6L, "f", 2025, 60.0)
+    ).toDF("id", "v", "yr", "amt")
+
+  test("upsert replaces matched rows, inserts the rest, leaves untouched partitions' files alone") {
+    val path = tmp("graft-merge-up")
+    graft.sources.Sinks.parquetPartitioned(base(), path, Seq("yr"))
+    val sig2023 = fileSig(path, "yr=2023")
+    val sig2025 = fileSig(path, "yr=2025")
+
+    // touches only 2024: one update (id=4), one insert (id=99)
+    val batch = Seq((4L, "D!", 2024, 44.0), (99L, "new", 2024, 99.0))
+      .toDF("id", "v", "yr", "amt")
+    val st = Merge.upsert(spark, path, batch, Seq("id"), Seq("yr"))
+    assert(st.partitionsTouched == 1 && st.targetRowsBefore == 2
+      && st.rowsReplaced == 1 && st.rowsWritten == 3)
+
+    val got = spark.read.parquet(path)
+      .select("id", "v", "yr", "amt").as[(Long, String, Int, Double)]
+      .collect().toSet
+    assert(got == Set(
+      (1L, "a", 2023, 10.0), (2L, "b", 2023, 20.0), (3L, "c", 2023, 30.0),
+      (4L, "D!", 2024, 44.0), (5L, "e", 2024, 50.0), (99L, "new", 2024, 99.0),
+      (6L, "f", 2025, 60.0)))
+    // COW invariant: 2023/2025 directories untouched (same files, same mtimes)
+    assert(fileSig(path, "yr=2023") == sig2023)
+    assert(fileSig(path, "yr=2025") == sig2025)
+    assert(fileSig(path, "yr=2024") != Set.empty)
+  }
+
+  test("upsert is idempotent: re-applying the same batch converges") {
+    val path = tmp("graft-merge-idem")
+    graft.sources.Sinks.parquetPartitioned(base(), path, Seq("yr"))
+    val batch = Seq((4L, "D!", 2024, 44.0), (99L, "new", 2024, 99.0))
+      .toDF("id", "v", "yr", "amt")
+    Merge.upsert(spark, path, batch, Seq("id"), Seq("yr"))
+    val first = spark.read.parquet(path).collect().map(_.toString).sorted
+    val st2 = Merge.upsert(spark, path, batch, Seq("id"), Seq("yr"))
+    val second = spark.read.parquet(path).collect().map(_.toString).sorted
+    assert(first.sameElements(second))
+    assert(st2.rowsReplaced == 2 && st2.rowsWritten == 3)
+  }
+
+  test("the target read is partition-pruned to the batch's partitions") {
+    val path = tmp("graft-merge-prune")
+    graft.sources.Sinks.parquetPartitioned(base(), path, Seq("yr"))
+    val batch = Seq((4L, "D!", 2024, 44.0)).toDF("id", "v", "yr", "amt")
+    // same filter Merge builds internally; assert it resolves to
+    // PartitionFilters with the literal year, not a post-scan Filter
+    val plan = spark.read.parquet(path).filter(col("yr") === 2024)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("2024"),
+      s"expected partition-pruned scan, got:\n$plan")
+    Merge.upsert(spark, path, batch, Seq("id"), Seq("yr"))
+    assert(spark.read.parquet(path).count() == 6)
+  }
+
+  test("delete removes matched keys, drops fully-emptied partition dirs, keeps the rest") {
+    val path = tmp("graft-merge-del")
+    graft.sources.Sinks.parquetPartitioned(base(), path, Seq("yr"))
+    val sig2023 = fileSig(path, "yr=2023")
+
+    // delete id=4 (partial: 2024 keeps id=5) and id=6 (empties 2025)
+    val keys = Seq((4L, 2024), (6L, 2025)).toDF("id", "yr")
+    val st = Merge.delete(spark, path, keys, Seq("id"), Seq("yr"))
+    assert(st.partitionsTouched == 2 && st.targetRowsBefore == 3
+      && st.rowsReplaced == 2 && st.rowsWritten == 1)
+
+    val got = spark.read.parquet(path).select("id").as[Long].collect().toSet
+    assert(got == Set(1L, 2L, 3L, 5L))
+    // the emptied directory is GONE (the dynamic-overwrite blind spot)
+    assert(!new java.io.File(s"$path/yr=2025").exists())
+    assert(fileSig(path, "yr=2023") == sig2023)
+  }
+
+  test("empty change batch is a no-op") {
+    val path = tmp("graft-merge-empty")
+    graft.sources.Sinks.parquetPartitioned(base(), path, Seq("yr"))
+    val sig = Seq("yr=2023", "yr=2024", "yr=2025").map(fileSig(path, _))
+    val empty = Seq.empty[(Long, String, Int, Double)].toDF("id", "v", "yr", "amt")
+    val st1 = Merge.upsert(spark, path, empty, Seq("id"), Seq("yr"))
+    val st2 = Merge.delete(spark, path, empty.select("id", "yr"), Seq("id"), Seq("yr"))
+    assert(st1.rowsWritten == 0 && st2.rowsWritten == 0)
+    assert(Seq("yr=2023", "yr=2024", "yr=2025").map(fileSig(path, _)) == sig)
+  }
+}
