@@ -118,6 +118,65 @@ object Advanced {
       p
     })
 
+  /** sv01's EVOLVED layout: two ingest generations in one partitioned
+    * table — 1995 written with the original schema, 1996 appended later
+    * with an extra `o_channel` column. Old files are NEVER rewritten
+    * (additive schema evolution, the only kind that is O(0) at 100 TB);
+    * the reader reconciles via parquet schema merging, old rows surface
+    * NULL for the new column. */
+  private def evolvedOrders(s: SparkSession, dir: String): String =
+    layoutMemo.computeIfAbsent(s"evolve_orders:$dir", _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft-ev-orders").toString + "/t"
+      val base = t(s, dir, "orders").withColumn("o_year", year(col("o_orderdate")))
+      val g1 = base.filter(col("o_year") === 1995)
+      val g2 = base.filter(col("o_year") === 1996)
+        .withColumn("o_channel",
+          when(col("o_orderkey") % 3 === 0, lit("web")).otherwise(lit("store")))
+      if (g2.isEmpty)
+        // no evolved generation (incl. the zero-row degenerate): keep the
+        // schema total by carrying the new column as NULLs so readers
+        // never face a column that exists in no file at all
+        writeLayout(g1.withColumn("o_channel", lit(null).cast("string")),
+          p, Seq("o_year"))
+      else {
+        g1.write.mode("overwrite").partitionBy("o_year").parquet(p)
+        g2.write.mode("append").partitionBy("o_year").parquet(p)
+      }
+      p
+    })
+
+  /** mv01's MAINTAINED rollup: a stored monthly revenue aggregate kept
+    * current by INCREMENTAL refresh — the materialized-view pattern. The
+    * backfill aggregates history up to a mid-month cutoff; when the delta
+    * (orders ≥ cutoff) arrives, only the months the delta TOUCHES are
+    * recomputed (from full month data — one month's scan, not history's)
+    * and upserted into the rollup via [[Merge.upsert]] keyed on
+    * (o_year, o_month). The stale partial June-1997 row is REPLACED, not
+    * double-counted — the correctness trap incremental aggregation must
+    * dodge. mv01's oracle recomputes the whole rollup from scratch:
+    * incremental maintenance must be indistinguishable from recompute. */
+  private def rollupOrders(s: SparkSession, dir: String): String =
+    layoutMemo.computeIfAbsent(s"rollup_orders:$dir", _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft-mv-orders").toString + "/t"
+      val base = t(s, dir, "orders")
+        .withColumn("o_year", year(col("o_orderdate")))
+        .withColumn("o_month", month(col("o_orderdate")))
+      def roll(df: DataFrame): DataFrame = df
+        .groupBy("o_year", "o_month")
+        .agg(count(lit(1)).as("n_orders"),
+          Dec.dsum(col("o_totalprice")).as("revenue"))
+      val cutoff = lit("1997-06-15").cast("date")
+      writeLayout(roll(base.filter(col("o_orderdate") < cutoff)), p, Seq("o_year"))
+      val delta = base.filter(col("o_orderdate") >= cutoff)
+      if (!delta.isEmpty) {
+        val touched = delta.select("o_year", "o_month").distinct()
+        val refreshed = roll(base.join(touched, Seq("o_year", "o_month")))
+        Merge.upsert(s, p, refreshed,
+          keyCols = Seq("o_year", "o_month"), partCols = Seq("o_year"))
+      }
+      p
+    })
+
   /** u02's PURGED layout: the delete-side twin of [[mergedOrders]] — every
     * fifth 1997 order purged by key through [[Merge.delete]] (the
     * right-to-be-forgotten shape: keys ship WITH their partition values,
@@ -1503,6 +1562,51 @@ object Advanced {
         WHERE year(o_orderdate) IN (1996, 1997)
           AND NOT (year(o_orderdate) = 1997 AND o_orderkey % 5 = 0)
         GROUP BY 1""")),
+
+    GQ("sv01_schema_evolution", // additive schema evolution — the only
+      // schema change that is O(0) at 100 TB: the 1996 ingest generation
+      // added `o_channel`, the 1995 files were NEVER rewritten, and the
+      // reader reconciles the generations with parquet schema merging
+      // (mergeSchema=true pays one footer read per file — at scale, pin
+      // the merged schema in a catalog and pass it instead). Old rows
+      // surface NULL for the new column; the query counts exactly which
+      // rows carry it. The oracle replays generation membership from the
+      // originals: evolution must change no existing value.
+      (s, dir) => {
+        s.read.option("mergeSchema", "true")
+          .parquet(evolvedOrders(s, dir))
+          .groupBy("o_year")
+          .agg(count(lit(1)).as("n_orders"),
+            count(col("o_channel")).as("n_channel_rows"),
+            sum(when(col("o_channel") === "web", 1L).otherwise(0L)).as("n_web"))
+      },
+      Some("""SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+          COUNT(*) AS n_orders,
+          CAST(SUM(CASE WHEN year(o_orderdate) = 1996 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_channel_rows,
+          CAST(SUM(CASE WHEN year(o_orderdate) = 1996 AND o_orderkey % 3 = 0
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_web
+        FROM orders WHERE year(o_orderdate) IN (1995, 1996) GROUP BY 1""")),
+
+    GQ("mv01_incremental_rollup", // materialized-view maintenance — the
+      // stored monthly revenue rollup is kept current by INCREMENTAL
+      // refresh: when the delta batch lands, only the months it touches
+      // are recomputed (one month's scan, not history's) and upserted
+      // into the rollup through `operators/Merge` keyed (o_year,
+      // o_month) — the stale partial-month row is REPLACED, never
+      // double-counted. The oracle recomputes the whole rollup from the
+      // raw originals: incremental maintenance must be indistinguishable
+      // from recompute — THE invariant that makes stored aggregates
+      // trustworthy at 100 TB (where recompute is not an option).
+      (s, dir) => {
+        s.read.parquet(rollupOrders(s, dir))
+          .select("o_year", "o_month", "n_orders", "revenue")
+      },
+      Some("""SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+          CAST(month(o_orderdate) AS INTEGER) AS o_month,
+          COUNT(*) AS n_orders,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM orders GROUP BY 1, 2""")),
 
     GQ("c02_compact_layout", // small-file compaction — the OPTIMIZE /
       // bin-packing maintenance job (`operators/Compaction`): a
