@@ -367,6 +367,63 @@ object ScaleSmoke {
       time("one-day pruned scan (directory-level skip)")(
         reread.filter(col("day") === 7).agg(sum(col("id"))).head().getLong(0))
     }
+    // MERGE copy-on-write (r11): the |today|-not-|history| contract
+    // measured. Upserting one day's change batch into a 365-day layout
+    // reads + anti-joins + rewrites ONE directory; the alternative a
+    // format-less table usually falls back to — rewrite the whole layout
+    // with the batch unioned in — pays |history|. Both timed on the same
+    // table so the gap IS the contract.
+    {
+      val nVals = rows * 20
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-merge-smoke").toString + "/t"
+      val facts = spark.range(nVals).select(col("id"),
+        pmod(col("id"), lit(365L)).as("day"),
+        (xxhash64(col("id")).cast("double") / 1e12).as("v"))
+      graft.sources.Sinks.parquetPartitioned(facts, dir, Seq("day"))
+      val batch = facts.filter(col("day") === 7 && pmod(col("id"), lit(4L)) === 0)
+        .withColumn("v", col("v") + 1.0)
+      time(s"merge one day's batch (COW: 1/365 dirs read+rewritten)") {
+        graft.operators.Merge.upsert(spark, dir, batch,
+          keyCols = Seq("id"), partCols = Seq("day")).rowsWritten
+      }
+      val alt = java.nio.file.Files
+        .createTempDirectory("graft-merge-alt").toString + "/t"
+      time(s"the avoided cost: full-history rewrite of all $nVals rows") {
+        val t = spark.read.parquet(dir)
+        t.join(batch.select("id"), Seq("id"), "left_anti")
+          .unionByName(batch.select(t.columns.map(col).toIndexedSeq: _*))
+          .write.partitionBy("day").parquet(alt)
+        nVals
+      }
+    }
+    // Compaction (r11): per-file costs measured. A 30-day layout
+    // fragmented to ~64 files/day (the per-micro-batch ingest shape) vs
+    // the same data bin-packed to 1 file/day — same rows, same bytes
+    // order, ~60x fewer files; the scan-time gap is pure listing/footer/
+    // task-scheduling overhead, which is exactly what grows unbounded
+    // under continuous ingest if nothing compacts.
+    {
+      val nVals = rows * 4
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-compact-smoke").toString + "/t"
+      val facts = spark.range(nVals).select(col("id"),
+        pmod(col("id"), lit(30L)).as("day"),
+        (xxhash64(col("id")).cast("double") / 1e12).as("v"))
+      facts.repartition(64).write.partitionBy("day").parquet(dir)
+      val before = graft.operators.Compaction
+        .stats(spark, dir, Seq("day")).map(_.files).sum
+      time(s"full scan, fragmented layout ($before files, checksum)")(
+        spark.read.parquet(dir).agg(sum(col("id"))).head().getLong(0))
+      time(s"compact 30 day-dirs ($before files -> ~30)") {
+        graft.operators.Compaction.compact(spark, dir, Seq("day"),
+          targetBytes = 1L << 30).filesAfter.toLong
+      }
+      val after = graft.operators.Compaction
+        .stats(spark, dir, Seq("day")).map(_.files).sum
+      time(s"full scan, compacted layout ($after files, checksum)")(
+        spark.read.parquet(dir).agg(sum(col("id"))).head().getLong(0))
+    }
     spark.stop()
   }
 }

@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken 2003,
+  * "Winnowing: Local Algorithms for Document Fingerprinting" — the MOSS
+  * algorithm). Reference tie-in: the reference's per-item "TextExtractor →
+  * fingerprint" stage idiom (FIXTURES.md §1.4); this is the published
+  * selection rule that makes such fingerprints POSITION-ROBUST.
+  *
+  * Why not just hash everything: the full k-gram hash set (d07/d26's
+  * candidate machinery) is 1:1 with document length — at 100 TB the
+  * fingerprint index is as big as the corpus. Winnowing selects the
+  * MINIMUM hash in each sliding window of `w` consecutive k-gram hashes
+  * (ties → rightmost), which guarantees two properties no random
+  * subsample has:
+  *   - density: ~2/(w+1) of positions selected (index shrinks ~w/2×),
+  *   - the matching GUARANTEE: any shared run of ≥ w+k−1 words produces
+  *     at least one shared selected fingerprint — misses have a hard
+  *     length bound, unlike mod-p sampling where a long match can vanish.
+  *
+  * Everything is scan-local array algebra over the existing portable
+  * pieces (word shingles + PolyHash), so selection adds ZERO shuffles and
+  * replays bit-for-bit in the DuckDB oracle; the only shuffle in pair
+  * matching is the fingerprint equi-join, hot-fingerprint-capped like
+  * every other pair finder in `Dedup`.
+  */
+object Winnowing {
+
+  /** Per-position winnowing selection over the k-gram PolyHashes of
+    * `textCol`: returns (idCol, fps) where `fps` is the DISTINCT selected
+    * hash array (sorted, for deterministic downstream digests). Documents
+    * shorter than k+w−1 words select nothing (empty array). */
+  def fingerprints(
+      docs: DataFrame,
+      k: Int = 3,
+      w: Int = 4,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    require(k >= 1 && w >= 1, s"k and w must be >= 1, got k=$k w=$w")
+    val hs = transform(
+      TextFunctions.shingles(TextFunctions.words(col(textCol)), k),
+      g => graft.expressions.PolyHash(g))
+    docs.select(col(idCol), winnowSelect(hs, w).as("fps"))
+  }
+
+  /** The selection core, exposed for composition: `hs` is an array<long>
+    * of position-ordered k-gram hashes; result is the sorted distinct
+    * array of window minima (ties → rightmost — the robust-winnowing tie
+    * direction, which keeps selections self-consistent across overlapping
+    * windows). O(n·w) per row, scan-local.
+    *
+    * Implemented as a sliding zip (the [[TextFunctions.shingles]]
+    * discipline): the window fold is w−1 `zip_with` passes of the array
+    * against its own shifted slices, so every `hs` reference sits at ROW
+    * level. The `element_at(hs, i+j)`-inside-a-lambda formulation reads
+    * more naturally but re-evaluates the whole hash-array producer once
+    * per WINDOW ELEMENT when Catalyst collapses projections — measured
+    * 13 s instead of 0.4 s on 500 docs once the expression sat under a
+    * join. */
+  private[operators] def winnowSelect(hs: Column, w: Int): Column = {
+    val n = size(hs)
+    // (hash, position) pairs; fold the w-1 shifted copies keeping the
+    // minimum, replacing on <= so equal hashes prefer the LATER position
+    val withPos = transform(hs, (x, i) => struct(x.as("h"), i.as("p")))
+    val folded = (1 until w).foldLeft(withPos) { (acc, j) =>
+      zip_with(acc, slice(withPos, lit(j + 1), greatest(n - j, lit(1))),
+        (a, b) => when(b.isNull || a.getField("h") < b.getField("h"), a)
+          .otherwise(b))
+    }
+    // folded(i) = rightmost-min over positions i..i+w-1; only the first
+    // n-w+1 entries cover a FULL window
+    val minima = slice(folded, lit(1), greatest(n - (w - 1), lit(0)))
+    when(n < w, array().cast("array<bigint>"))
+      .otherwise(array_sort(array_distinct(
+        transform(minima, s => s.getField("h")))))
+  }
+
+  /** Per-doc fingerprint summary for audits/oracles: shingle count,
+    * selected-fingerprint count, and an order-free md5 digest of the
+    * selected set. */
+  def fingerprintSummary(
+      docs: DataFrame,
+      k: Int = 3,
+      w: Int = 4,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame =
+    fingerprints(docs, k, w, idCol, textCol)
+      .select(col(idCol),
+        size(col("fps")).as("n_fps"),
+        md5(concat_ws(",", transform(col("fps"), _.cast("string"))))
+          .as("fp_digest"))
+
+  /** MOSS-style overlap pairs: documents sharing selected fingerprints,
+    * with the shared count and the overlap fraction vs the smaller side's
+    * fingerprint set. One shuffle on the fingerprint value; fingerprints
+    * present in more than `maxDocFreq` docs are dropped BEFORE the
+    * self-join (boilerplate/stopword shingles otherwise fan out
+    * quadratically per hot value — the same hot-key cap every pair finder
+    * here carries; at 100 TB this bound, not the corpus, sizes the
+    * join). */
+  def overlapPairs(
+      docs: DataFrame,
+      k: Int = 3,
+      w: Int = 4,
+      minShared: Int = 2,
+      maxDocFreq: Int = 1000,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    // Same cache contract as the Dedup pair finders: the posting table is
+    // consumed three times (doc-frequency cap + both self-join sides) —
+    // persist it so selection runs once; entries live until the caller's
+    // session cache clear (Verify/Bench clear between queries).
+    val posting = fingerprints(docs, k, w, idCol, textCol)
+      .select(col(idCol).as("did"), size(col("fps")).as("nfp"),
+        explode(col("fps")).as("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rare = posting.groupBy("fp")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDocFreq)
+      .select("fp")
+    val p = posting.join(rare, "fp")
+    val pairs = p.as("a").join(p.as("b"),
+        col("a.fp") === col("b.fp") && col("a.did") < col("b.did"))
+      .groupBy(col("a.did").as("doc_a"), col("b.did").as("doc_b"),
+        col("a.nfp").as("nfp_a"), col("b.nfp").as("nfp_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    pairs.select(col("doc_a"), col("doc_b"), col("n_shared"),
+      (col("n_shared").cast("double") /
+        least(col("nfp_a"), col("nfp_b"))).as("overlap_frac"))
+  }
+}

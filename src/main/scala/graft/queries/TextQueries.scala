@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{GQ, Tables}
 import graft.functions.TextFunctions._
-import graft.operators.Dedup
+import graft.operators.{Dedup, Winnowing}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1665,6 +1665,79 @@ object TextQueries {
         SELECT d.doc_id, CAST(NULL AS BIGINT) AS comp,
           CAST(1 AS BIGINT) AS cluster_size
         FROM documents d
-        WHERE d.doc_id NOT IN (SELECT doc_id FROM comp)"""))
+        WHERE d.doc_id NOT IN (SELECT doc_id FROM comp)""")),
+
+    GQ("d43_winnowing", // winnowing fingerprint selection (Schleimer,
+      // Wilkerson, Aiken 2003 — the MOSS algorithm): minimum PolyHash in
+      // each w=4 window of word-3-gram hashes, ties → rightmost. Unlike
+      // mod-p sampling, selection carries the matching GUARANTEE (any
+      // shared ≥ w+k−1 = 6-word run shares a fingerprint) at ~2/(w+1)
+      // density — the fingerprint index shrinks ~2.5× with a hard bound
+      // on what it can miss, which is what makes a 100 TB fingerprint
+      // store affordable. Selection is scan-local array algebra over the
+      // portable hashes, zero shuffles; the oracle replays window minima,
+      // tie direction and digest bit-for-bit.
+      (s, dir) => Winnowing.fingerprintSummary(
+        Tables.table(s, dir, "documents"), k = 3, w = 4),
+      Some("""WITH t AS (SELECT doc_id,
+            list_filter(string_split(text, ' '), w -> w <> '') AS ws FROM documents),
+        g AS (SELECT doc_id, CASE WHEN len(ws) < 3 THEN []
+            ELSE list_transform(range(1, len(ws) - 1),
+              i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END AS sh FROM t),
+        h AS (SELECT doc_id, list_transform(sh, s -> CAST(list_reduce(
+            list_prepend(CAST(0 AS BIGINT),
+              list_transform(regexp_extract_all(s, '.'), c -> CAST(ascii(c) AS BIGINT))),
+            (a, b) -> (a * 257 + b) % 1000000007) AS BIGINT)) AS hs FROM g),
+        mins AS (SELECT doc_id, CASE WHEN len(hs) < 4 THEN []
+            ELSE list_transform(range(0, len(hs) - 3),
+              i -> list_reduce(
+                list_transform(range(0, 4), j -> {'h': hs[i + j + 1], 'p': i + j}),
+                (acc, e) -> CASE WHEN e.h <= acc.h THEN e ELSE acc END)) END AS sel
+          FROM h),
+        fp AS (SELECT doc_id,
+            list_sort(list_distinct(list_transform(sel, s -> s.h))) AS fps FROM mins)
+        SELECT doc_id, CAST(len(fps) AS INTEGER) AS n_fps,
+          md5(array_to_string(list_transform(fps, x -> CAST(x AS VARCHAR)), ','))
+            AS fp_digest
+        FROM fp""")),
+
+    GQ("d44_winnow_pairs", // MOSS-style overlap detection over the d43
+      // fingerprints: docs sharing ≥2 rare selected fingerprints, scored
+      // by shared count / smaller fingerprint set. ONE shuffle on the
+      // fingerprint value; fingerprints in > 200 docs (boilerplate
+      // shingles) are dropped BEFORE the self-join — the hot-key cap that
+      // keeps the pair fan-out density-bounded at any corpus size, same
+      // contract as every other pair finder here. The oracle replays
+      // selection, cap, join and score exactly.
+      (s, dir) => Winnowing.overlapPairs(
+        Tables.table(s, dir, "documents"),
+        k = 3, w = 4, minShared = 2, maxDocFreq = 200),
+      Some("""WITH t AS (SELECT doc_id,
+            list_filter(string_split(text, ' '), w -> w <> '') AS ws FROM documents),
+        g AS (SELECT doc_id, CASE WHEN len(ws) < 3 THEN []
+            ELSE list_transform(range(1, len(ws) - 1),
+              i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END AS sh FROM t),
+        h AS (SELECT doc_id, list_transform(sh, s -> CAST(list_reduce(
+            list_prepend(CAST(0 AS BIGINT),
+              list_transform(regexp_extract_all(s, '.'), c -> CAST(ascii(c) AS BIGINT))),
+            (a, b) -> (a * 257 + b) % 1000000007) AS BIGINT)) AS hs FROM g),
+        mins AS (SELECT doc_id, CASE WHEN len(hs) < 4 THEN []
+            ELSE list_transform(range(0, len(hs) - 3),
+              i -> list_reduce(
+                list_transform(range(0, 4), j -> {'h': hs[i + j + 1], 'p': i + j}),
+                (acc, e) -> CASE WHEN e.h <= acc.h THEN e ELSE acc END)) END AS sel
+          FROM h),
+        fp AS (SELECT doc_id,
+            list_sort(list_distinct(list_transform(sel, s -> s.h))) AS fps FROM mins),
+        post AS (SELECT doc_id, len(fps) AS nfp, UNNEST(fps) AS f FROM fp),
+        rare AS (SELECT f FROM post GROUP BY f HAVING COUNT(*) <= 200),
+        p AS (SELECT post.* FROM post JOIN rare USING (f)),
+        pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            a.nfp AS nfp_a, b.nfp AS nfp_b, COUNT(*) AS n_shared
+          FROM p a JOIN p b ON a.f = b.f AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4 HAVING COUNT(*) >= 2)
+        SELECT doc_a, doc_b, n_shared,
+          CAST(n_shared AS DOUBLE) / LEAST(nfp_a, nfp_b) AS overlap_frac
+        FROM pr"""))
   )
 }

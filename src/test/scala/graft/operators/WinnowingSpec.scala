@@ -1,0 +1,89 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class WinnowingSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Reference implementation of the selection on plain Scala, for
+    * hand-verifiable parity: window minima over the k-gram PolyHashes,
+    * ties → rightmost, distinct positions, distinct sorted hashes. */
+  private def winnowRef(text: String, k: Int, w: Int): Seq[Long] = {
+    def poly(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(0L)((h, b) => (h * 257 + (b & 0xff)) % 1000000007L)
+    val ws = text.split(" ").filter(_.nonEmpty)
+    val grams = ws.sliding(k).filter(_.length == k).map(_.mkString(" ")).toArray
+    val hs = grams.map(poly)
+    if (hs.length < w) Seq.empty
+    else {
+      val sel = (0 to hs.length - w).map { i =>
+        var best = (Long.MaxValue, -1)
+        for (j <- 0 until w) if (hs(i + j) <= best._1) best = (hs(i + j), i + j)
+        best
+      }.distinct
+      sel.map(_._1).distinct.sorted
+    }
+  }
+
+  test("selection matches the hand-rolled reference on varied texts") {
+    val texts = Seq(
+      "a b c d e f g h i j",
+      "the cat sat on the mat the cat sat on the mat",
+      "x x x x x x x x",                        // all-equal hashes: tie rule
+      "one two three four five six seven",
+      "short text",                              // fewer than k+w-1 words
+      "")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = Winnowing.fingerprints(df, k = 3, w = 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) == winnowRef(t, 3, 4), s"doc $i ('$t')")
+    }
+  }
+
+  test("the winnowing guarantee: shared runs of >= w+k-1 words always share a fingerprint") {
+    // doc pairs embedding a common 6-word run (k=3, w=4 -> guarantee at 6)
+    // inside otherwise-distinct text
+    val common = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (1L, s"unrelated prefix words here $common and some tail content"),
+      (2L, s"totally different opening $common closing remarks differ"),
+      (3L, "no shared content in this document at all whatsoever")
+    ).toDF("doc_id", "text")
+    val fps = Winnowing.fingerprints(docs, k = 3, w = 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert((fps(1L) & fps(2L)).nonEmpty, "guaranteed shared fingerprint missing")
+    assert((fps(1L) & fps(3L)).isEmpty && (fps(2L) & fps(3L)).isEmpty)
+  }
+
+  test("density: selection keeps roughly 2/(w+1) of positions, far fewer than all k-grams") {
+    val text = (1 to 400).map(i => s"w${i % 97}x$i").mkString(" ")
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val nGrams = 400 - 3 + 1
+    val nSel = Winnowing.fingerprints(df, k = 3, w = 8)
+      .head().getSeq[Long](1).size
+    // expected density 2/(w+1) = 0.22; allow slack either way but require
+    // a real reduction against the full k-gram set
+    assert(nSel < nGrams / 2, s"selected $nSel of $nGrams")
+    assert(nSel > nGrams / 12, s"selected $nSel of $nGrams — too sparse to be winnowing")
+  }
+
+  test("overlapPairs finds the embedded near-dup pair and caps hot fingerprints") {
+    val common = "alpha beta gamma delta epsilon zeta eta theta"
+    val boiler = "standard footer text appears everywhere in every document"
+    val docs = ((1 to 30).map(i => (i.toLong, s"unique body $i content piece $i tail $boiler")) ++
+      Seq((101L, s"first variant $common more words after"),
+        (102L, s"second variant $common other words trail")))
+      .toDF("doc_id", "text")
+    val pairs = Winnowing.overlapPairs(docs, k = 3, w = 4,
+      minShared = 1, maxDocFreq = 5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((101L, 102L)), "embedded pair not found")
+    // the 30 boilerplate docs share only hot fingerprints (df=30 > 5):
+    // capped out, no quadratic pair blowup
+    assert(pairs.forall { case (a, b) => a > 100L && b > 100L },
+      s"boilerplate-only pairs leaked past the hot-fingerprint cap: $pairs")
+  }
+}
