@@ -590,6 +590,44 @@ object Streaming {
         ()
       }
     }
+
+  /** Streaming UPSERT sink: each micro-batch MERGEs into a partitioned
+    * parquet table through [[graft.operators.Merge.upsert]] — the
+    * CDC-stream-to-table pattern (what `MERGE INTO` under a streaming
+    * `foreachBatch` does on a Delta/Iceberg table, on plain directories).
+    *
+    * Exactly-once WITHOUT a manifest: Merge.upsert is idempotent by key
+    * (re-applying a batch replaces the same rows with the same rows), so
+    * a replayed micro-batch after a crash converges instead of
+    * duplicating — the key-based complement of
+    * [[idempotentForeachBatchSink]]'s marker protocol, with the stronger
+    * property that it also dedups ACROSS batches: a key updated in batch
+    * 3 and again in batch 7 holds batch 7's row, not two rows.
+    * Cost per batch is |touched partitions|, never |table| — the batch
+    * must carry its partition columns (stable row properties: event date,
+    * language). Within a batch, keys must be unique (dedup upstream —
+    * `dropDuplicates(keyCols)` — or two same-key rows both insert). */
+  def mergeUpsertSink(
+      df: DataFrame,
+      tablePath: String,
+      keyCols: Seq[String],
+      partCols: Seq[String],
+      trigger: Trigger = Trigger.AvailableNow()
+  ): DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream.trigger(trigger).foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val fs = new org.apache.hadoop.fs.Path(tablePath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(new org.apache.hadoop.fs.Path(tablePath))) {
+          // first batch bootstraps the table (Merge needs a target)
+          batch.write.mode("overwrite")
+            .partitionBy(partCols: _*).parquet(tablePath)
+        } else {
+          graft.operators.Merge.upsert(spark, tablePath, batch, keyCols, partCols)
+          ()
+        }
+    }
 }
 
 /** Async single-record processing — the Spark re-expression of

@@ -836,4 +836,52 @@ class StreamingSpec extends SparkSpec {
     assert(rows(1L) != rows(3L))
     assert(rows(1L).length == 4)
   }
+
+  test("streaming merge-upsert sink maintains the table; a replayed batch converges by key") {
+    // The CDC-stream-to-table pattern: each micro-batch MERGEs into the
+    // partitioned layout. Correctness claims, each asserted below:
+    //   (1) batch 1 bootstraps, batch 2 updates key 1 + inserts key 3,
+    //   (2) the untouched yr=2024 partition keeps its exact files,
+    //   (3) a crash-replay of a committed batch leaves the table
+    //       IDENTICAL — idempotence comes from the merge key, no manifest.
+    val base = java.nio.file.Files.createTempDirectory("graft-mus").toString
+    val (inDir, ckpt, table) = (s"$base/in", s"$base/ckpt", s"$base/table")
+    def addBatch(rows: Seq[(Long, String, Int, Double)]): Unit =
+      rows.toDF("id", "v", "yr", "amt")
+        .coalesce(1).write.mode("append").parquet(inDir)
+    addBatch(Seq((1L, "a", 2023, 10.0), (2L, "b", 2024, 20.0)))
+    val schema = spark.read.parquet(inDir).schema
+    def run(): Unit = {
+      val q = Streaming.mergeUpsertSink(
+        spark.readStream.schema(schema).parquet(inDir),
+        table, keyCols = Seq("id"), partCols = Seq("yr"))
+        .option("checkpointLocation", ckpt).start()
+      q.awaitTermination(60000)
+    }
+    run()
+    def snapshot(): Set[(Long, String, Int, Double)] =
+      spark.read.parquet(table).select("id", "v", "yr", "amt")
+        .as[(Long, String, Int, Double)].collect().toSet
+    assert(snapshot() == Set((1L, "a", 2023, 10.0), (2L, "b", 2024, 20.0)))
+    def files2024(): Set[(String, Long, Long)] = {
+      val d = new java.io.File(s"$table/yr=2024")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.length(), f.lastModified())).toSet
+    }
+    val sig2024 = files2024()
+    addBatch(Seq((1L, "a2", 2023, 11.0), (3L, "c", 2023, 30.0)))
+    run() // processes only the new file: update key 1, insert key 3
+    val want = Set((1L, "a2", 2023, 11.0), (2L, "b", 2024, 20.0), (3L, "c", 2023, 30.0))
+    assert(snapshot() == want)
+    assert(files2024() == sig2024, "untouched partition must keep its files")
+    // crash window: drop the newest checkpoint commit so the restarted
+    // query re-delivers the already-merged batch
+    val commits = new java.io.File(s"$ckpt/commits")
+      .listFiles().filterNot(_.getName.startsWith("."))
+    val newest = commits.maxBy(_.getName.toLong)
+    new java.io.File(s"$ckpt/commits", s".${newest.getName}.crc").delete()
+    assert(newest.delete())
+    run() // re-delivers batch 1
+    assert(snapshot() == want, "replayed batch must converge, not duplicate")
+  }
 }
