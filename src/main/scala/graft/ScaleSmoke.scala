@@ -424,6 +424,13 @@ object ScaleSmoke {
       time(s"full scan, compacted layout ($after files, checksum)")(
         spark.read.parquet(dir).agg(sum(col("id"))).head().getLong(0))
     }
+    // Winnowing (r11): selection is zero-shuffle scan-local array algebra
+    // — cost linear in corpus, and the fingerprint index it leaves behind
+    // is ~2/(w+1) of the full k-gram set (the affordability of a 100 TB
+    // fingerprint store), with the ≥ w+k−1-word matching guarantee.
+    time(s"winnowing selection over $rows docs (zero-shuffle, checksum)")(
+      graft.operators.Winnowing.fingerprints(docs, k = 3, w = 4)
+        .agg(sum(size(col("fps")))).head().getLong(0))
     spark.stop()
   }
 }

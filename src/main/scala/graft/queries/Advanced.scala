@@ -1563,6 +1563,37 @@ object Advanced {
           AND NOT (year(o_orderdate) = 1997 AND o_orderkey % 5 = 0)
         GROUP BY 1""")),
 
+    GQ("pp03_agg_pushdown", // parquet AGGREGATE pushdown — the third scan
+      // lever after directory pruning (pp01/pp02) and row-group skipping
+      // (z01): MIN/MAX/COUNT with no data filter answer from the parquet
+      // FOOTER statistics alone — zero row groups decompressed, zero rows
+      // materialized; at 100 TB the difference between a metadata read
+      // and a full table scan for the exact same answer. The plan guard
+      // (EntrySpec) asserts PushedAggregation on the scan node. Runs in a
+      // child session (`newSession` shares the context, isolates conf) so
+      // the opt-in flag never leaks into other queries' plans.
+      (s, dir) => {
+        val ns = s.newSession()
+        ns.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        // pushdown lives in the V2 ParquetScanBuilder; parquet defaults to
+        // the V1 path, so take it off the V1 list for this child session
+        ns.conf.set("spark.sql.sources.useV1SourceList",
+          "avro,csv,json,kafka,orc,text")
+        // timestamp columns are outside parquet's pushdown-supported type
+        // set (one unsupported column abandons the whole pushdown), so the
+        // probe sticks to bigint/double stats
+        ns.read.parquet(s"$dir/orders.parquet")
+          .agg(count(lit(1)).as("n_orders"),
+            min(col("o_orderkey")).as("min_key"),
+            max(col("o_orderkey")).as("max_key"),
+            min(col("o_totalprice")).as("min_price"),
+            max(col("o_totalprice")).as("max_price"))
+      },
+      Some("""SELECT COUNT(*) AS n_orders,
+          MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+          MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+        FROM orders""")),
+
     GQ("sv01_schema_evolution", // additive schema evolution — the only
       // schema change that is O(0) at 100 TB: the 1996 ingest generation
       // added `o_channel`, the 1995 files were NEVER rewritten, and the

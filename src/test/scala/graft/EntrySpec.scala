@@ -172,6 +172,25 @@ class EntrySpec extends SparkSpec {
       "pp02 dims stopped broadcasting — DPP reuse requires the broadcast")
   }
 
+  test("r11 second-wave plans keep their scale shapes (agg pushdown, winnow pairs)") {
+    def plan(name: String): String =
+      SparkEntry.queries(name)(spark, sf())
+        .queryExecution.executedPlan.toString
+    // pp03: MIN/MAX/COUNT must be answered from parquet footer stats —
+    // the scan node carries PushedAggregation, no row-level aggregation
+    // over materialized rows
+    val pp03 = plan("pp03_agg_pushdown")
+    assert(pp03.contains("PushedAggregation: [COUNT(*)"),
+      s"pp03 lost parquet aggregate pushdown:\n$pp03")
+    // d44: the pair join must stay an equi-join on the fingerprint value
+    // (hash/SMJ), never a nested-loop/cartesian fallback
+    val d44 = plan("d44_winnow_pairs")
+    assert(!d44.contains("BroadcastNestedLoopJoin") &&
+      !d44.contains("CartesianProduct"),
+      "d44 pair join fell out of the equi-join shape")
+    spark.catalog.clearCache() // d44's posting table rides the cache contract
+  }
+
   test("r03 overlap join plans as an equi-join, never nested-loop") {
     // Spark's native plan for `key = key AND s < e2 AND s2 < e` keeps only
     // the key as the equi-condition; the bucket decomposition must yield a
