@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Dataset-versioning diff between two corpus snapshots — the audit
@@ -35,5 +35,66 @@ object Snapshot {
           .when(col("a_id").isNull, "added")
           .when(col("a_fp") =!= col("b_fp"), "changed")
           .otherwise("unchanged").as("status"))
+  }
+
+  // ---- Versioned snapshots: poor-man's TIME TRAVEL on plain parquet ----
+  //
+  // The Merge/Compaction family mutates the LIVE table in place; publish()
+  // freezes an immutable copy per release so "which corpus version trained
+  // this model" stays answerable — the reproducibility question a mutable
+  // 100 TB lake cannot answer after the fact. Each version is a `v=K`
+  // directory (hive-style on purpose: reading the ROOT yields every
+  // version with a `v` column, so cross-version audits are one scan with
+  // version predicates pruning directories like any partition filter).
+  // A publish stages to a dot-prefixed dir (hidden from readers) and
+  // renames — readers never observe a half-written version.
+
+  /** Publish `df` as the next immutable version under `root`; returns the
+    * new version number (1-based). */
+  def publish(df: DataFrame, root: String): Int = {
+    val spark = df.sparkSession
+    val next = versions(spark, root).lastOption.getOrElse(0) + 1
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(rootP, s".v=$next.inprogress")
+    df.write.mode("overwrite").parquet(tmp.toString)
+    val fin = new org.apache.hadoop.fs.Path(rootP, s"v=$next")
+    require(fs.rename(tmp, fin),
+      s"publish: rename to $fin failed (concurrent publish of the same version?)")
+    next
+  }
+
+  /** Published version numbers under `root`, ascending. */
+  def versions(spark: SparkSession, root: String): Seq[Int] = {
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rootP)) Seq.empty
+    else fs.listStatus(rootP).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+      .map(_.getPath.getName.drop(2).toInt).sorted
+  }
+
+  /** Read one version (default: latest). The pin is a directory path, so
+    * a long-running job keeps its version even while newer ones publish. */
+  def readVersion(spark: SparkSession, root: String,
+      version: Option[Int] = None): DataFrame = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no published versions under $root")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"version $v not published under $root (have $vs)")
+    spark.read.parquet(s"$root/v=$v")
+  }
+
+  /** Drop all but the newest `keep` versions; returns the dropped ones.
+    * Retention is the storage half of the time-travel contract — without
+    * it every publish is a full extra copy forever. */
+  def retain(spark: SparkSession, root: String, keep: Int): Seq[Int] = {
+    require(keep >= 1, s"keep must be >= 1, got $keep")
+    val vs = versions(spark, root)
+    val drop = vs.dropRight(keep)
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    drop.foreach(v => fs.delete(new org.apache.hadoop.fs.Path(rootP, s"v=$v"), true))
+    drop
   }
 }

@@ -100,6 +100,25 @@ object Advanced {
       p
     })
 
+  /** u03's VERSIONED root: two immutable published snapshots of the 1996
+    * orders slice — v1 the original, v2 after the u01-style price bump on
+    * every 7th key. Time travel = reading a pinned `v=K` directory; the
+    * root itself is hive-readable, so the cross-version audit is ONE scan
+    * with `v` as a partition column. */
+  private def versionedOrders(s: SparkSession, dir: String): String =
+    layoutMemo.computeIfAbsent(s"ver_orders:$dir", _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft-ver-orders").toString + "/t"
+      val y96 = t(s, dir, "orders")
+        .filter(year(col("o_orderdate")) === 1996)
+        .select("o_orderkey", "o_totalprice")
+      graft.operators.Snapshot.publish(y96, p)
+      graft.operators.Snapshot.publish(
+        y96.withColumn("o_totalprice",
+          when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 1000.0)
+            .otherwise(col("o_totalprice"))), p)
+      p
+    })
+
   /** c02's COMPACTED layout: orders partitioned by o_year, deliberately
     * fragmented (12-way repartition before the write → up to 12 small
     * files per year directory — the shape a per-micro-batch ingest
@@ -1638,6 +1657,33 @@ object Advanced {
           COUNT(*) AS n_orders,
           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         FROM orders GROUP BY 1, 2""")),
+
+    GQ("u03_time_travel", // versioned snapshots — poor-man's TIME TRAVEL
+      // (`Snapshot.publish/readVersion`): each release is an immutable
+      // v=K directory (staged + renamed, never observed half-written);
+      // the live-table mutators (u01 Merge, c02 Compaction) answer
+      // "what is the table", this answers "what WAS it" — the
+      // which-corpus-trained-this-model reproducibility question. The
+      // audit here reads the ROOT hive-style: every version in one scan,
+      // `v` behaving as a partition column. Oracle replays both frozen
+      // states from the originals: published history must never drift.
+      (s, dir) => {
+        s.read.parquet(versionedOrders(s, dir))
+          .groupBy("v")
+          .agg(count(lit(1)).as("n_orders"),
+            Dec.dsum(col("o_totalprice")).as("revenue"))
+      },
+      Some("""WITH y96 AS (SELECT o_orderkey, o_totalprice FROM orders
+            WHERE year(o_orderdate) = 1996)
+        SELECT 1 AS v, COUNT(*) AS n_orders,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM y96
+        UNION ALL
+        SELECT 2, COUNT(*),
+          CAST(SUM(CAST(CASE WHEN o_orderkey % 7 = 0
+            THEN o_totalprice + 1000.0 ELSE o_totalprice END
+            AS DECIMAL(18,2))) AS DOUBLE)
+        FROM y96""")),
 
     GQ("c02_compact_layout", // small-file compaction — the OPTIMIZE /
       // bin-packing maintenance job (`operators/Compaction`): a

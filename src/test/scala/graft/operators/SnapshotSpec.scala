@@ -18,4 +18,29 @@ class SnapshotSpec extends SparkSpec {
     val v = Seq((1L, "x"), (2L, "y")).toDF("doc_id", "text")
     assert(Snapshot.diff(v, v).collect().forall(_.getString(1) == "unchanged"))
   }
+
+  test("versioned publish / time-travel read / retention") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ver").toString + "/t"
+    assert(Snapshot.versions(spark, root).isEmpty)
+    assert(Snapshot.publish(Seq((1L, "a")).toDF("id", "x"), root) == 1)
+    assert(Snapshot.publish(Seq((1L, "a2"), (2L, "b")).toDF("id", "x"), root) == 2)
+    assert(Snapshot.publish(Seq((3L, "c")).toDF("id", "x"), root) == 3)
+    assert(Snapshot.versions(spark, root) == Seq(1, 2, 3))
+    // pinned read: version 1 is immutable history
+    assert(Snapshot.readVersion(spark, root, Some(1))
+      .select("x").as[String].collect().toSeq == Seq("a"))
+    // latest by default
+    assert(Snapshot.readVersion(spark, root)
+      .select("x").as[String].collect().toSeq == Seq("c"))
+    // root is hive-readable: all versions, one scan, `v` column
+    val byV = spark.read.parquet(root).groupBy("v").count()
+      .as[(Int, Long)].collect().toMap
+    assert(byV == Map(1 -> 1L, 2 -> 2L, 3 -> 1L))
+    // retention drops the oldest
+    assert(Snapshot.retain(spark, root, keep = 2) == Seq(1))
+    assert(Snapshot.versions(spark, root) == Seq(2, 3))
+    intercept[IllegalArgumentException] {
+      Snapshot.readVersion(spark, root, Some(1))
+    }
+  }
 }
