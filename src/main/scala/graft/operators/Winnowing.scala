@@ -112,19 +112,21 @@ object Winnowing {
       idCol: String = "doc_id",
       textCol: String = "text"
   ): DataFrame = {
-    // Same cache contract as the Dedup pair finders: the posting table is
-    // consumed three times (doc-frequency cap + both self-join sides) —
-    // persist it so selection runs once; entries live until the caller's
-    // session cache clear (Verify/Bench clear between queries).
-    val posting = fingerprints(docs, k, w, idCol, textCol)
+    // Same cache contract as the Dedup pair finders: the CAPPED posting
+    // table is consumed twice (both self-join sides) — persist it so
+    // selection runs once; entries live until the caller's session cache
+    // clear (Verify/Bench clear between queries). The doc-frequency cap
+    // rides a count window over the same fp partitioning the join needs
+    // (one shuffle total for selection+cap) instead of a separate
+    // aggregate + semi-join pass.
+    val wFp = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+    val p = fingerprints(docs, k, w, idCol, textCol)
       .select(col(idCol).as("did"), size(col("fps")).as("nfp"),
         explode(col("fps")).as("fp"))
+      .withColumn("__df", count(lit(1)).over(wFp))
+      .filter(col("__df") <= maxDocFreq)
+      .drop("__df")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val rare = posting.groupBy("fp")
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDocFreq)
-      .select("fp")
-    val p = posting.join(rare, "fp")
     val pairs = p.as("a").join(p.as("b"),
         col("a.fp") === col("b.fp") && col("a.did") < col("b.did"))
       .groupBy(col("a.did").as("doc_a"), col("b.did").as("doc_b"),
