@@ -112,20 +112,25 @@ object Winnowing {
       idCol: String = "doc_id",
       textCol: String = "text"
   ): DataFrame = {
-    // Same cache contract as the Dedup pair finders: the CAPPED posting
-    // table is consumed twice (both self-join sides) — persist it so
-    // selection runs once; entries live until the caller's session cache
-    // clear (Verify/Bench clear between queries). The doc-frequency cap
-    // rides a count window over the same fp partitioning the join needs
-    // (one shuffle total for selection+cap) instead of a separate
-    // aggregate + semi-join pass.
-    val wFp = org.apache.spark.sql.expressions.Window.partitionBy("fp")
-    val p = fingerprints(docs, k, w, idCol, textCol)
+    // Same cache contract as the Dedup pair finders (entries live until
+    // the caller's session cache clear; Verify/Bench clear between
+    // queries). Two persists on purpose: `posting` so selection runs
+    // once under the doc-frequency aggregate AND the cap join, and the
+    // capped `p` so the self-join's two sides don't redo the cap join.
+    // The cap itself stays a map-side-combined aggregate + equi-join —
+    // NOT a count window over fp: a window partitions all postings of a
+    // fingerprint into ONE task and buffers them, so a degenerate
+    // boilerplate fingerprint (the exact thing the cap exists to absorb)
+    // would concentrate on a single executor before being filtered out.
+    val posting = fingerprints(docs, k, w, idCol, textCol)
       .select(col(idCol).as("did"), size(col("fps")).as("nfp"),
         explode(col("fps")).as("fp"))
-      .withColumn("__df", count(lit(1)).over(wFp))
-      .filter(col("__df") <= maxDocFreq)
-      .drop("__df")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rare = posting.groupBy("fp")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDocFreq)
+      .select("fp")
+    val p = posting.join(rare, "fp")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = p.as("a").join(p.as("b"),
         col("a.fp") === col("b.fp") && col("a.did") < col("b.did"))
