@@ -65,6 +65,21 @@ class CompactionSpec extends SparkSpec {
     assert(Compaction.stats(spark, path, Seq("yr")).size == 2)
   }
 
+  test("two-level partitioning: stats walks leaves, compaction rewrites only fragmented ones") {
+    val path = tmp("graft-compact-2lvl")
+    (1 to 200).map(i => (i.toLong, 2024, 1 + i % 2)).toDF("id", "yr", "mo")
+      .repartition(6)
+      .write.partitionBy("yr", "mo").parquet(path)
+    val st0 = Compaction.stats(spark, path, Seq("yr", "mo"))
+    assert(st0.size == 2 && st0.forall(_.values.head == "2024"))
+    assert(st0.forall(_.files > 1))
+    val st = Compaction.compact(spark, path, Seq("yr", "mo"), targetBytes = 1L << 30)
+    assert(st.partitionsCompacted == 2)
+    assert(fileSig(path, "yr=2024/mo=1").size == 1
+      && fileSig(path, "yr=2024/mo=2").size == 1)
+    assert(spark.read.parquet(path).count() == 200)
+  }
+
   test("string partition columns round-trip through the dir-name parse") {
     val path = tmp("graft-compact-str")
     (1 to 100).map(i => (i.toLong, if (i % 2 == 0) "en" else "de"))

@@ -98,6 +98,35 @@ class MergeSpec extends SparkSpec {
     assert(fileSig(path, "yr=2023") == sig2023)
   }
 
+  test("two-level partitioning: upsert and delete touch only the named leaf dirs") {
+    val path = tmp("graft-merge-2lvl")
+    val base2 = Seq(
+      (1L, 2023, 1, "a"), (2L, 2023, 2, "b"),
+      (3L, 2024, 1, "c"), (4L, 2024, 1, "d"), (5L, 2024, 2, "e")
+    ).toDF("id", "yr", "mo", "v")
+    graft.sources.Sinks.parquetPartitioned(base2, path, Seq("yr", "mo"))
+    val sig23_1 = fileSig(path, "yr=2023/mo=1")
+
+    // upsert into (2024, 1): replace id=3, insert id=99
+    val batch = Seq((3L, 2024, 1, "C!"), (99L, 2024, 1, "new"))
+      .toDF("id", "yr", "mo", "v")
+    val st = Merge.upsert(spark, path, batch, Seq("id"), Seq("yr", "mo"))
+    assert(st.partitionsTouched == 1 && st.rowsWritten == 3)
+    assert(fileSig(path, "yr=2023/mo=1") == sig23_1)
+    val got = spark.read.parquet(path).select("id", "v")
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "a", 2L -> "b", 3L -> "C!", 4L -> "d",
+      5L -> "e", 99L -> "new"))
+
+    // delete everything in (2023, 2): the LEAF dir goes, yr=2023 stays
+    val keys = Seq((2L, 2023, 2)).toDF("id", "yr", "mo")
+    Merge.delete(spark, path, keys, Seq("id"), Seq("yr", "mo"))
+    assert(!new java.io.File(s"$path/yr=2023/mo=2").exists())
+    assert(new java.io.File(s"$path/yr=2023/mo=1").exists())
+    assert(spark.read.parquet(path).select("id").as[Long].collect().toSet
+      == Set(1L, 3L, 4L, 5L, 99L))
+  }
+
   test("empty change batch is a no-op") {
     val path = tmp("graft-merge-empty")
     graft.sources.Sinks.parquetPartitioned(base(), path, Seq("yr"))
