@@ -127,6 +127,22 @@ class MergeSpec extends SparkSpec {
       == Set(1L, 3L, 4L, 5L, 99L))
   }
 
+  test("documented boundary: a key that MOVES partitions duplicates (partition cols must be stable)") {
+    // The scaladoc contract, pinned so it can't silently change: the
+    // touched-partition set comes from the BATCH's partition values, so a
+    // key whose batch row moved to a different partition leaves its old
+    // row alive in the untouched directory. Partition columns must be
+    // stable row properties (event date, language) — never mutable
+    // attributes.
+    val path = tmp("graft-merge-move")
+    graft.sources.Sinks.parquetPartitioned(base(), path, Seq("yr"))
+    val moved = Seq((1L, "a!", 2024, 99.0)).toDF("id", "v", "yr", "amt") // was yr=2023
+    Merge.upsert(spark, path, moved, Seq("id"), Seq("yr"))
+    val ids = spark.read.parquet(path).filter(col("id") === 1L)
+      .select("yr").as[Int].collect().sorted
+    assert(ids.toSeq == Seq(2023, 2024), "moving key should duplicate (documented)")
+  }
+
   test("empty change batch is a no-op") {
     val path = tmp("graft-merge-empty")
     graft.sources.Sinks.parquetPartitioned(base(), path, Seq("yr"))

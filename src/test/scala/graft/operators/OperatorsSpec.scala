@@ -886,4 +886,26 @@ class SourcesSpec extends SparkSpec {
     val out = graft.sources.Sources.localFiles(spark, dir.getPath, ".json").collect()
     assert(out.map(_.getAs[String]("id")).toSet == Set("x.json", "y.json"))
   }
+
+  test("schema evolution contract: ADDITIVE columns merge, type WIDENING fails loud") {
+    // sv01's documented boundary: parquet schema merging reconciles new
+    // columns (old rows -> NULL) but an int->long retype of an EXISTING
+    // column is a conflict, not a silent cast — widening means rewriting
+    // or view-casting, never mergeSchema. Pin both sides.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-sev").toString
+    Seq((1, "a")).toDF("id", "x").write.parquet(s"$dir/t/g=1")
+    Seq((2L, "b", 9.0)).toDF("id", "x", "extra").write.parquet(s"$dir/t2/g=1")
+    // additive: ok
+    Seq((3, "c", 1.5)).toDF("id", "x", "extra").write.parquet(s"$dir/t/g=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(s"$dir/t")
+    assert(merged.columns.toSet == Set("id", "x", "extra", "g"))
+    assert(merged.filter(col("extra").isNull).count() == 1)
+    // widening: int id vs long id -> loud failure at read/merge time
+    Seq((4, "d", 2.5)).toDF("id", "x", "extra").write.parquet(s"$dir/t2/g=2")
+    val ex = intercept[Exception] {
+      spark.read.option("mergeSchema", "true").parquet(s"$dir/t2").collect()
+    }
+    assert(ex.getMessage != null)
+  }
 }
