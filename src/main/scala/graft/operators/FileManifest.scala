@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Per-file min/max statistics manifest — the poor-man's Iceberg/Delta
+  * manifest on plain parquet: a tiny stored table of (file, rows, per-
+  * column min/max) built once at write time; a range query intersects its
+  * predicate with the ranges and hands Spark ONLY the surviving files.
+  *
+  * Why this exists when parquet already has footer stats: the footer must
+  * be OPENED per file per query — at 100 TB with 10⁶ files that is 10⁶
+  * remote reads (and their latency) before the first row group is
+  * considered. The manifest turns file-level skipping into ONE scan of a
+  * KB-scale metadata table. The three scan levers now stack cleanly:
+  * partition pruning (pp01/pp02) skips directories from the listing,
+  * the manifest skips FILES from a stored table, footer stats skip ROW
+  * GROUPS inside the files that survive. [[Layout.zorderWrite]] is the
+  * write-side half: clustering makes per-file ranges tight, which is what
+  * gives the intersection test its selectivity (z01 measures the
+  * clustering; z02 measures the skip).
+  *
+  * Freshness contract: the manifest describes the files it was built
+  * from. Rebuild (or incrementally append, same groupBy over the new
+  * files) after Merge/Compaction rewrites — same discipline as any
+  * secondary index.
+  */
+object FileManifest {
+
+  final case class PruneStats(filesTotal: Long, filesSelected: Long)
+
+  /** Build the manifest for `cols` over every file of the table at
+    * `tablePath` and store it at `manifestPath`. One scan of the table
+    * (column-pruned to `cols`) — the write-time cost; at corpus scale
+    * this rides the ingest job that just wrote the files. */
+  def build(
+      spark: SparkSession,
+      tablePath: String,
+      cols: Seq[String],
+      manifestPath: String
+  ): Unit = {
+    require(cols.nonEmpty, "cols must be non-empty")
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) :+
+      count(lit(1)).as("n_rows")
+    spark.read.parquet(tablePath)
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(manifestPath)
+  }
+
+  /** Files whose [min, max] range intersects every `(col, lo, hi)`
+    * predicate. Files with NULL stats for a predicated column are KEPT
+    * (all-null files can't prove non-overlap — conservative, never
+    * wrong). */
+  private def selectFiles(
+      spark: SparkSession,
+      manifestPath: String,
+      ranges: Seq[(String, Any, Any)]
+  ): (Seq[String], PruneStats) = {
+    val m = spark.read.parquet(manifestPath)
+    val total = m.count()
+    val cond = ranges.map { case (c, lo, hi) =>
+      col(s"min_$c").isNull || col(s"max_$c").isNull ||
+        (col(s"min_$c") <= lit(hi) && col(s"max_$c") >= lit(lo))
+    }.reduceOption(_ && _).getOrElse(lit(true))
+    val files = m.filter(cond).select("file").collect().map(_.getString(0)).toSeq
+    (files, PruneStats(total, files.length.toLong))
+  }
+
+  /** Range read through the manifest: scans ONLY the intersecting files,
+    * then applies the row-level predicate (stats prune files; rows inside
+    * a surviving file still need the filter). Result is row-identical to
+    * the full scan with the same predicate — layout and stats must never
+    * change answers. */
+  def prunedRead(
+      spark: SparkSession,
+      tablePath: String,
+      manifestPath: String,
+      ranges: Seq[(String, Any, Any)]
+  ): (DataFrame, PruneStats) = {
+    val (files, stats) = selectFiles(spark, manifestPath, ranges)
+    val rowFilter = ranges.map { case (c, lo, hi) =>
+      col(c) >= lit(lo) && col(c) <= lit(hi)
+    }.reduceOption(_ && _).getOrElse(lit(true))
+    val df =
+      if (files.isEmpty)
+        // nothing intersects: an empty frame with the table's schema (one
+        // listing, zero data reads)
+        spark.read.parquet(tablePath).filter(lit(false))
+      else spark.read.parquet(files: _*).filter(rowFilter)
+    (df, stats)
+  }
+}

@@ -119,6 +119,20 @@ object Advanced {
       p
     })
 
+  /** z02's stats-manifest root: orders z-ordered on (o_custkey,
+    * o_orderkey) into 16 files (tight per-file ranges — the write-side
+    * half), plus the stored per-file min/max manifest over both columns
+    * (`FileManifest.build` — the read-side half). */
+  private def manifestOrders(s: SparkSession, dir: String): String =
+    layoutMemo.computeIfAbsent(s"manifest_orders:$dir", _ => {
+      val root = java.nio.file.Files.createTempDirectory("graft-fm-orders").toString
+      graft.operators.Layout.zorderWrite(
+        t(s, dir, "orders"), Seq("o_custkey", "o_orderkey"), s"$root/t", nFiles = 16)
+      graft.operators.FileManifest.build(
+        s, s"$root/t", Seq("o_custkey", "o_orderkey"), s"$root/m")
+      root
+    })
+
   /** c02's COMPACTED layout: orders partitioned by o_year, deliberately
     * fragmented (12-way repartition before the write → up to 12 small
     * files per year directory — the shape a per-micro-batch ingest
@@ -1657,6 +1671,30 @@ object Advanced {
           COUNT(*) AS n_orders,
           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         FROM orders GROUP BY 1, 2""")),
+
+    GQ("z02_manifest_skip", // per-file min/max STATS MANIFEST — the
+      // stored-artifact form of file skipping (`operators/FileManifest`):
+      // parquet footers already skip row groups, but the footer is a
+      // per-file open — 10^6 files = 10^6 metadata reads per query. The
+      // manifest is ONE KB-scale table scanned once; only intersecting
+      // files are handed to the reader. Composes with z01: z-order makes
+      // the per-file ranges tight (that's where the selectivity comes
+      // from), the manifest makes them consultable without touching the
+      // files. FileManifestSpec asserts the skip counts + row-identity;
+      // the oracle replays the filter over the plain table — stats must
+      // never change answers.
+      (s, dir) => {
+        val root = manifestOrders(s, dir)
+        val (df, _) = graft.operators.FileManifest.prunedRead(
+          s, s"$root/t", s"$root/m", Seq(("o_custkey", 10L, 99L)))
+        df.groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_orders"),
+            Dec.dsum(col("o_totalprice")).as("revenue"))
+      },
+      Some("""SELECT o_orderstatus, COUNT(*) AS n_orders,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM orders WHERE o_custkey BETWEEN 10 AND 99
+        GROUP BY 1""")),
 
     GQ("u03_time_travel", // versioned snapshots — poor-man's TIME TRAVEL
       // (`Snapshot.publish/readVersion`): each release is an immutable

@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class FileManifestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("range read via the manifest skips non-intersecting files, result row-identical") {
+    val base = tmp("graft-fm")
+    val (table, man) = (s"$base/t", s"$base/m")
+    // 8 files with tight, disjoint id ranges (sorted write = the z01 idea)
+    spark.range(0, 8000).select(col("id"), (col("id") % 97).as("v"))
+      .repartitionByRange(8, col("id")).sortWithinPartitions("id")
+      .write.parquet(table)
+    FileManifest.build(spark, table, Seq("id"), man)
+    assert(spark.read.parquet(man).count() == 8)
+
+    val (df, st) = FileManifest.prunedRead(spark, table, man,
+      Seq(("id", 2000L, 2999L)))
+    assert(st.filesTotal == 8 && st.filesSelected <= 2,
+      s"expected <=2 of 8 files, got ${st.filesSelected}")
+    val want = spark.read.parquet(table)
+      .filter(col("id") >= 2000L && col("id") <= 2999L)
+      .select("id", "v").collect().map(_.toString).sorted
+    val got = df.select("id", "v").collect().map(_.toString).sorted
+    assert(got.sameElements(want), "pruned read must be row-identical to full scan")
+  }
+
+  test("conjunctive ranges intersect per column; no match returns empty with schema") {
+    val base = tmp("graft-fm2")
+    val (table, man) = (s"$base/t", s"$base/m")
+    spark.range(0, 1000).select(col("id"), (col("id") * 2).as("w"))
+      .repartitionByRange(4, col("id")).sortWithinPartitions("id")
+      .write.parquet(table)
+    FileManifest.build(spark, table, Seq("id", "w"), man)
+    val (df1, st1) = FileManifest.prunedRead(spark, table, man,
+      Seq(("id", 100L, 200L), ("w", 300L, 350L)))
+    // w = 2*id: [300,350] -> id in [150,175], inside the id range too
+    assert(df1.count() == 26 && st1.filesSelected < st1.filesTotal)
+    // disjoint from every file's range
+    val (df2, st2) = FileManifest.prunedRead(spark, table, man,
+      Seq(("id", 5000L, 6000L)))
+    assert(st2.filesSelected == 0 && df2.count() == 0)
+    assert(df2.columns.toSeq == Seq("id", "w"), "empty result keeps the schema")
+  }
+
+  test("files with NULL stats for a predicated column are kept, never wrongly skipped") {
+    val base = tmp("graft-fm3")
+    val (table, man) = (s"$base/t", s"$base/m")
+    Seq((1L, Some(5L)), (2L, Some(6L))).toDF("id", "x")
+      .coalesce(1).write.parquet(table)
+    Seq((3L, None: Option[Long]), (4L, None)).toDF("id", "x")
+      .coalesce(1).write.mode("append").parquet(table)
+    FileManifest.build(spark, table, Seq("x"), man)
+    val (_, st) = FileManifest.prunedRead(spark, table, man, Seq(("x", 100L, 200L)))
+    // the all-null file cannot prove non-overlap -> kept; the (5,6) file skipped
+    assert(st.filesTotal == 2 && st.filesSelected == 1)
+  }
+}
