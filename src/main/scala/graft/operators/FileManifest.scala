@@ -50,6 +50,49 @@ object FileManifest {
       .write.mode("overwrite").parquet(manifestPath)
   }
 
+  final case class RefreshStats(filesAdded: Long, filesDropped: Long, filesKept: Long)
+
+  /** Incremental refresh after the table changed (Merge commit,
+    * Compaction, new ingest files): stats are computed ONLY for files not
+    * yet in the manifest, rows for vanished files are dropped, everything
+    * else is carried over untouched — the manifest update rides the
+    * ingest delta instead of rescanning the table. This is the freshness
+    * half of the manifest contract; a daily-ingest layout refreshes in
+    * O(|today's files|). */
+  def refresh(
+      spark: SparkSession,
+      tablePath: String,
+      cols: Seq[String],
+      manifestPath: String
+  ): RefreshStats = {
+    require(cols.nonEmpty, "cols must be non-empty")
+    val current = spark.read.parquet(tablePath).inputFiles.toSet
+    val m = spark.read.parquet(manifestPath)
+    val known = m.select("file").collect().map(_.getString(0)).toSet
+    val added = (current -- known).toSeq.sorted
+    val dropped = known -- current
+    val kept = m.filter(col("file").isin((known & current).toSeq: _*))
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) :+
+      count(lit(1)).as("n_rows")
+    val fresh =
+      if (added.isEmpty) kept
+      else kept.unionByName(
+        spark.read.parquet(added: _*)
+          .groupBy(input_file_name().as("file"))
+          .agg(aggs.head, aggs.tail: _*))
+    // stage beside, then swap — the manifest is read by the union above,
+    // and a half-written manifest must never be observable
+    val staging = s"${manifestPath.stripSuffix("/")}__staging"
+    fresh.coalesce(1).write.mode("overwrite").parquet(staging)
+    spark.read.parquet(staging).coalesce(1)
+      .write.mode("overwrite").parquet(manifestPath)
+    val sp = new org.apache.hadoop.fs.Path(staging)
+    sp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(sp, true)
+    RefreshStats(added.length.toLong, dropped.size.toLong,
+      (known & current).size.toLong)
+  }
+
   /** Files whose [min, max] range intersects every `(col, lo, hi)`
     * predicate. Files with NULL stats for a predicated column are KEPT
     * (all-null files can't prove non-overlap — conservative, never

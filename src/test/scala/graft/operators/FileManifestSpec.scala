@@ -48,6 +48,30 @@ class FileManifestSpec extends SparkSpec {
     assert(df2.columns.toSeq == Seq("id", "w"), "empty result keeps the schema")
   }
 
+  test("incremental refresh rides the delta: new files added, vanished dropped, rest kept") {
+    val base = tmp("graft-fm4")
+    val (table, man) = (s"$base/t", s"$base/m")
+    spark.range(0, 100).select(col("id")).coalesce(1).write.parquet(table)
+    FileManifest.build(spark, table, Seq("id"), man)
+    // ingest delta: one new file with a disjoint range
+    spark.range(1000, 1100).select(col("id")).coalesce(1)
+      .write.mode("append").parquet(table)
+    val st = FileManifest.refresh(spark, table, Seq("id"), man)
+    assert(st.filesAdded == 1 && st.filesDropped == 0 && st.filesKept == 1)
+    // the refreshed manifest prunes correctly across old + new ranges
+    val (df, ps) = FileManifest.prunedRead(spark, table, man, Seq(("id", 1050L, 1060L)))
+    assert(ps.filesTotal == 2 && ps.filesSelected == 1 && df.count() == 11)
+    // merge-style rewrite: drop the old file, keep the new one
+    val old = spark.read.parquet(man).orderBy("min_id")
+      .select("file").head().getString(0)
+    val fs = new org.apache.hadoop.fs.Path(old)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(old), false)
+    val st2 = FileManifest.refresh(spark, table, Seq("id"), man)
+    assert(st2.filesDropped == 1 && st2.filesKept == 1 && st2.filesAdded == 0)
+    assert(spark.read.parquet(man).count() == 1)
+  }
+
   test("files with NULL stats for a predicated column are kept, never wrongly skipped") {
     val base = tmp("graft-fm3")
     val (table, man) = (s"$base/t", s"$base/m")
