@@ -112,6 +112,109 @@ object FileManifest {
     (files, PruneStats(total, files.length.toLong))
   }
 
+  /** Pruning-aware COUNT: files whose stats prove FULL containment in the
+    * range contribute their stored `n_rows` without being touched; only
+    * boundary files (intersecting but not contained) are scanned, with
+    * the row filter applied. At 100 TB a count over a clustered column
+    * costs a manifest scan plus the two boundary files — the
+    * metadata-only count a table format's planner performs. NULL-stats
+    * files are never counted as contained (they get scanned). */
+  def countFast(
+      spark: SparkSession,
+      tablePath: String,
+      manifestPath: String,
+      ranges: Seq[(String, Any, Any)]
+  ): (Long, PruneStats) = {
+    require(ranges.nonEmpty, "ranges must be non-empty")
+    val m = spark.read.parquet(manifestPath)
+    val intersects = ranges.map { case (c, lo, hi) =>
+      col(s"min_$c").isNull || col(s"max_$c").isNull ||
+        (col(s"min_$c") <= lit(hi) && col(s"max_$c") >= lit(lo))
+    }.reduce(_ && _)
+    val contained = ranges.map { case (c, lo, hi) =>
+      col(s"min_$c").isNotNull && col(s"max_$c").isNotNull &&
+        col(s"min_$c") >= lit(lo) && col(s"max_$c") <= lit(hi)
+    }.reduce(_ && _)
+    val rows = m.filter(intersects)
+      .select(col("file"), col("n_rows"), contained.as("__in"))
+      .collect()
+    val free = rows.filter(_.getBoolean(2)).map(_.getLong(1)).sum
+    val boundary = rows.filterNot(_.getBoolean(2)).map(_.getString(0)).toSeq
+    val rowFilter = ranges.map { case (c, lo, hi) =>
+      col(c) >= lit(lo) && col(c) <= lit(hi)
+    }.reduce(_ && _)
+    val scanned =
+      if (boundary.isEmpty) 0L
+      else spark.read.parquet(boundary: _*).filter(rowFilter).count()
+    (free + scanned, PruneStats(m.count(), boundary.length.toLong))
+  }
+
+  /** Build with per-file BLOOM FILTERS alongside the min/max stats: point
+    * lookups on high-cardinality columns that range stats cannot prune
+    * (unique keys interleaved across files by a multi-column layout)
+    * prune by membership instead. Reuses the engine's own
+    * BloomFilterAggregate ([[RuntimeFilter.bloomAgg]], xxhash64-keyed);
+    * `expectedPerFile` sizes each file's filter (~1.2 KB per 1k keys at
+    * 1% FP — the manifest stays KB-scale per file). */
+  def buildWithBloom(
+      spark: SparkSession,
+      tablePath: String,
+      rangeCols: Seq[String],
+      bloomCols: Seq[String],
+      manifestPath: String,
+      expectedPerFile: Long = 100000L,
+      fpp: Double = 0.01
+  ): Unit = {
+    require(rangeCols.nonEmpty || bloomCols.nonEmpty, "need at least one indexed column")
+    val bits = RuntimeFilter.optimalNumBits(expectedPerFile, fpp)
+    val aggs = rangeCols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) ++
+      bloomCols.map(c =>
+        RuntimeFilter.bloomAgg(col(c), expectedPerFile, bits).as(s"bloom_$c")) :+
+      count(lit(1)).as("n_rows")
+    spark.read.parquet(tablePath)
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(manifestPath)
+  }
+
+  /** Point-lookup read through the per-file blooms: keeps files whose
+    * bloom MIGHT contain any of `values` (no false negatives — a present
+    * key's file always survives), scans only those, applies the exact
+    * `isin` filter. The membership test runs ON the manifest scan (one
+    * row per file; the blooms never leave the executors — at 10⁶ files
+    * collecting MB-scale blooms to the driver would itself be the
+    * bottleneck); only surviving file NAMES are collected. */
+  def prunedReadPoint(
+      spark: SparkSession,
+      tablePath: String,
+      manifestPath: String,
+      column: String,
+      values: Seq[Any]
+  ): (DataFrame, PruneStats) = {
+    require(values.nonEmpty, "values must be non-empty")
+    // hash through the ENGINE's xxhash64 so insertion and probe agree on
+    // the key transform byte-for-byte
+    val hashes = spark.range(1)
+      .select(values.map(v => xxhash64(lit(v))).toIndexedSeq: _*)
+      .head().toSeq.map(_.asInstanceOf[Long])
+    val mightAny = udf { (bytes: Array[Byte]) =>
+      val bf = org.apache.spark.util.sketch.BloomFilter
+        .readFrom(new java.io.ByteArrayInputStream(bytes))
+      hashes.exists(bf.mightContainLong)
+    }
+    val m = spark.read.parquet(manifestPath)
+    val total = m.count()
+    val files = m.filter(mightAny(col(s"bloom_$column")))
+      .select("file").collect().map(_.getString(0)).toSeq
+    val df =
+      if (files.isEmpty) spark.read.parquet(tablePath).filter(lit(false))
+      else spark.read.parquet(files: _*)
+        .filter(col(column).isin(values: _*))
+    (df, PruneStats(total, files.length.toLong))
+  }
+
   /** Range read through the manifest: scans ONLY the intersecting files,
     * then applies the row-level predicate (stats prune files; rows inside
     * a surviving file still need the filter). Result is row-identical to

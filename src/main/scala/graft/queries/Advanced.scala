@@ -130,6 +130,12 @@ object Advanced {
         t(s, dir, "orders"), Seq("o_custkey", "o_orderkey"), s"$root/t", nFiles = 16)
       graft.operators.FileManifest.build(
         s, s"$root/t", Seq("o_custkey", "o_orderkey"), s"$root/m")
+      // bloom manifest for z04: o_orderkey is unique-per-row and the
+      // z-interleave scatters its range across every file, so range stats
+      // cannot prune a point lookup — membership can
+      graft.operators.FileManifest.buildWithBloom(
+        s, s"$root/t", Seq("o_custkey"), Seq("o_orderkey"), s"$root/mb",
+        expectedPerFile = 50000L)
       root
     })
 
@@ -1695,6 +1701,40 @@ object Advanced {
           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         FROM orders WHERE o_custkey BETWEEN 10 AND 99
         GROUP BY 1""")),
+
+    GQ("z03_manifest_count", // pruning-aware COUNT: files the manifest
+      // proves FULLY contained contribute their stored n_rows without
+      // being opened; only the two boundary files are scanned — at scale
+      // a count over a clustered column is a metadata read plus the range
+      // edges, the same trick a table format's planner plays. NULL-stats
+      // files always scan (never counted for free). Oracle recomputes
+      // over the plain table: stats may only move work, never answers.
+      (s, dir) => {
+        val root = manifestOrders(s, dir)
+        val (n, _) = graft.operators.FileManifest.countFast(
+          s, s"$root/t", s"$root/m", Seq(("o_custkey", 10L, 99L)))
+        s.range(1).select(lit(n).as("n_orders"))
+      },
+      Some("""SELECT COUNT(*) AS n_orders FROM orders
+        WHERE o_custkey BETWEEN 10 AND 99""")),
+
+    GQ("z04_bloom_lookup", // per-file BLOOM index for point lookups:
+      // o_orderkey is unique per row and the z-interleave scatters its
+      // range across every file, so min/max stats keep ~all files for a
+      // key probe; each file's bloom (engine BloomFilterAggregate,
+      // xxhash64-keyed) answers membership instead — no false negatives
+      // (a present key's file always survives), false positives only
+      // cost an extra file scan. The membership test runs ON the
+      // manifest scan; blooms never leave the executors. Oracle replays
+      // the IN-list over the plain table.
+      (s, dir) => {
+        val root = manifestOrders(s, dir)
+        val (df, _) = graft.operators.FileManifest.prunedReadPoint(
+          s, s"$root/t", s"$root/mb", "o_orderkey", Seq(17L, 423L, 1001L))
+        df.select("o_orderkey", "o_custkey", "o_totalprice")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        WHERE o_orderkey IN (17, 423, 1001)""")),
 
     GQ("u03_time_travel", // versioned snapshots — poor-man's TIME TRAVEL
       // (`Snapshot.publish/readVersion`): each release is an immutable

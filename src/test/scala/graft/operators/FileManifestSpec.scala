@@ -72,6 +72,46 @@ class FileManifestSpec extends SparkSpec {
     assert(spark.read.parquet(man).count() == 1)
   }
 
+  test("countFast: contained files counted from stats, only boundary files scanned") {
+    val base = tmp("graft-fm5")
+    val (table, man) = (s"$base/t", s"$base/m")
+    spark.range(0, 8000).select(col("id"))
+      .repartitionByRange(8, col("id")).sortWithinPartitions("id")
+      .write.parquet(table)
+    FileManifest.build(spark, table, Seq("id"), man)
+    // [1500, 4499]: files [2000,2999] and [3000,3999] fully contained,
+    // [1000,1999] and [4000,4999] are boundary scans
+    val (n, st) = FileManifest.countFast(spark, table, man, Seq(("id", 1500L, 4499L)))
+    assert(n == 3000L)
+    assert(st.filesSelected <= 2, s"expected <=2 boundary files, got ${st.filesSelected}")
+    // fully-contained range: zero files scanned
+    val (n2, st2) = FileManifest.countFast(spark, table, man, Seq(("id", 0L, 7999L)))
+    assert(n2 == 8000L && st2.filesSelected == 0)
+  }
+
+  test("per-file blooms prune point lookups range stats cannot, with no false negatives") {
+    val base = tmp("graft-fm6")
+    val (table, man) = (s"$base/t", s"$base/m")
+    // keys SHUFFLED across files (hash partitioning): every file's id
+    // range spans ~[0, 8000), so range stats prune nothing — the bloom
+    // is the only lever
+    spark.range(0, 8000).select(col("id"), (col("id") % 13).as("v"))
+      .repartition(8, col("id"))
+      .write.parquet(table)
+    FileManifest.buildWithBloom(spark, table, Seq("id"), Seq("id"), man,
+      expectedPerFile = 2000L)
+    // range stats indeed useless here
+    val (_, rangeSt) = FileManifest.prunedRead(spark, table, man, Seq(("id", 42L, 42L)))
+    assert(rangeSt.filesSelected >= 7, "shuffled layout should defeat range pruning")
+    // bloom point lookup: few files survive, exact rows come back
+    val (df, st) = FileManifest.prunedReadPoint(spark, table, man, "id",
+      Seq(17L, 423L, 7001L))
+    assert(st.filesTotal == 8 && st.filesSelected <= 4,
+      s"bloom should prune most files, kept ${st.filesSelected}")
+    assert(df.select("id").as[Long].collect().toSet == Set(17L, 423L, 7001L),
+      "no false negatives: every looked-up key must come back")
+  }
+
   test("files with NULL stats for a predicated column are kept, never wrongly skipped") {
     val base = tmp("graft-fm3")
     val (table, man) = (s"$base/t", s"$base/m")
