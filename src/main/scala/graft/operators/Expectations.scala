@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality expectations evaluated in ONE pass — the
+  * ingest-gate complement of [[Profiler]] (which DESCRIBES a table, this
+  * JUDGES it against a contract). Reference tie-in: the reference's
+  * per-item error channel (soft errors, usage.rst:106-111) validates
+  * records one at a time inside the pipeline; an expectation suite is
+  * the corpus-level form — declared once, checked before data is
+  * admitted downstream.
+  *
+  * Every expectation compiles to a violation-counting aggregate column,
+  * so a suite of any size costs ONE map-side-combined scan (plus the
+  * count-distinct branch when [[Unique]] is present — the same
+  * exact-payload price x18 documents). Results are exact integer counts:
+  * the verdict replays bit-for-bit on any engine and any partitioning.
+  *
+  * At 100 TB this runs as the admission step of the ingest job — one
+  * extra aggregate over data already being scanned; gate on
+  * `passed = false` rows to quarantine a batch before it pollutes the
+  * curated layout (compose with [[Merge]]: validate the batch, then
+  * upsert).
+  */
+object Expectations {
+
+  sealed trait Expectation {
+    def name: String
+    /** 1 when the row violates the expectation, else 0. */
+    private[operators] def violation: Column
+  }
+
+  /** Column must be non-null. */
+  final case class NotNull(column: String) extends Expectation {
+    val name = s"not_null($column)"
+    private[operators] def violation: Column =
+      when(col(column).isNull, 1L).otherwise(0L)
+  }
+
+  /** Column must lie in [lo, hi] (nulls violate — compose with NotNull
+    * semantics deliberately: an absent value cannot satisfy a range). */
+  final case class InRange(column: String, lo: Double, hi: Double) extends Expectation {
+    val name = s"in_range($column,$lo,$hi)"
+    private[operators] def violation: Column =
+      when(col(column).isNull
+        || col(column) < lit(lo) || col(column) > lit(hi), 1L).otherwise(0L)
+  }
+
+  /** String column must fully match the anchored regex (nulls violate). */
+  final case class MatchesRegex(column: String, regex: String) extends Expectation {
+    val name = s"matches_regex($column)"
+    private[operators] def violation: Column =
+      when(col(column).isNull
+        || !regexp_like(col(column), lit(regex)), 1L).otherwise(0L)
+  }
+
+  /** Column value must be one of the allowed set (nulls violate). */
+  final case class OneOf(column: String, values: Seq[String]) extends Expectation {
+    val name = s"one_of($column)"
+    private[operators] def violation: Column =
+      when(col(column).isNull
+        || !col(column).isin(values: _*), 1L).otherwise(0L)
+  }
+
+  /** Column must have no duplicate non-null values. Violations = rows
+    * beyond the first per duplicated value (n − distinct), the count a
+    * dedup pass would remove. This is the one expectation that is not
+    * scan-local: it adds an exact count-distinct branch to the pass. */
+  final case class Unique(column: String) extends Expectation {
+    val name = s"unique($column)"
+    private[operators] def violation: Column = lit(0L) // handled in aggregate
+  }
+
+  /** Evaluate the suite in one aggregate pass. Output: one row per
+    * expectation — (expectation, violations, passed) — plus a final
+    * `(_row_count, n, true)` audit row so an unexpectedly empty batch is
+    * visible (every expectation vacuously passes on zero rows; the row
+    * count is how callers gate on that). */
+  def check(df: DataFrame, expectations: Seq[Expectation]): DataFrame = {
+    require(expectations.nonEmpty, "expectation suite must be non-empty")
+    val scanAggs = expectations.map {
+      case u: Unique =>
+        (count(col(u.column)) - countDistinct(col(u.column))).as(u.name)
+      case e => sum(e.violation).as(e.name)
+    } :+ count(lit(1)).as("_row_count")
+    val one = df.agg(scanAggs.head, scanAggs.tail: _*)
+    // unpivot the 1-row aggregate into (expectation, violations) rows via
+    // an exploded literal struct array (the Profiler trick — arbitrary
+    // suite size, one schema)
+    val entries = expectations.map(e =>
+      struct(lit(e.name).as("expectation"),
+        coalesce(col(s"`${e.name}`"), lit(0L)).as("violations"))) :+
+      struct(lit("_row_count").as("expectation"),
+        col("_row_count").as("violations"))
+    one.select(explode(array(entries: _*)).as("e"))
+      .select(col("e.expectation").as("expectation"),
+        col("e.violations").as("violations"),
+        (col("e.expectation") === "_row_count"
+          || col("e.violations") === 0L).as("passed"))
+  }
+
+  /** True iff every expectation holds (driver-side convenience for gate
+    * code paths; the full report is [[check]]). */
+  def passes(df: DataFrame, expectations: Seq[Expectation]): Boolean =
+    check(df, expectations).filter(!col("passed")).isEmpty
+}

@@ -1736,6 +1736,55 @@ object Advanced {
       Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         WHERE o_orderkey IN (17, 423, 1001)""")),
 
+    GQ("dq01_expectations", // declarative expectation suite
+      // (`operators/Expectations`) — the ingest ADMISSION gate: the whole
+      // contract (nullability, ranges, formats, domains, key uniqueness)
+      // evaluates as ONE map-side-combined aggregate over the batch scan
+      // (plan-asserted no-join; Unique adds the exact count-distinct
+      // branch, the same exact-payload price x18 documents). Violations
+      // are exact integer counts — the verdict replays bit-for-bit — and
+      // the _row_count audit row makes a vacuously-passing empty batch
+      // visible. The range expectation is deliberately violated here so
+      // the gate is provably non-vacuous. Compose with Merge: validate,
+      // then upsert.
+      (s, dir) => {
+        import graft.operators.Expectations._
+        graft.operators.Expectations.check(t(s, dir, "orders"), Seq(
+          NotNull("o_orderpriority"),
+          InRange("o_totalprice", 0.0, 200000.0),
+          MatchesRegex("o_orderpriority", "^[0-9]-[A-Z ]+$"),
+          OneOf("o_orderstatus", Seq("F", "O", "P")),
+          Unique("o_orderkey")))
+      },
+      Some("""WITH v AS (
+          SELECT 'not_null(o_orderpriority)' AS expectation,
+            CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations
+          FROM orders
+          UNION ALL
+          SELECT 'in_range(o_totalprice,0.0,200000.0)',
+            CAST(SUM(CASE WHEN o_totalprice IS NULL
+              OR o_totalprice < 0.0 OR o_totalprice > 200000.0 THEN 1 ELSE 0 END) AS BIGINT)
+          FROM orders
+          UNION ALL
+          SELECT 'matches_regex(o_orderpriority)',
+            CAST(SUM(CASE WHEN o_orderpriority IS NULL
+              OR NOT regexp_matches(o_orderpriority, '^[0-9]-[A-Z ]+$') THEN 1 ELSE 0 END) AS BIGINT)
+          FROM orders
+          UNION ALL
+          SELECT 'one_of(o_orderstatus)',
+            CAST(SUM(CASE WHEN o_orderstatus IS NULL
+              OR o_orderstatus NOT IN ('F', 'O', 'P') THEN 1 ELSE 0 END) AS BIGINT)
+          FROM orders
+          UNION ALL
+          SELECT 'unique(o_orderkey)',
+            CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+          FROM orders
+          UNION ALL
+          SELECT '_row_count', COUNT(*) FROM orders)
+        SELECT expectation, COALESCE(violations, 0) AS violations,
+          (expectation = '_row_count' OR COALESCE(violations, 0) = 0) AS passed
+        FROM v""")),
+
     GQ("u03_time_travel", // versioned snapshots — poor-man's TIME TRAVEL
       // (`Snapshot.publish/readVersion`): each release is an immutable
       // v=K directory (staged + renamed, never observed half-written);

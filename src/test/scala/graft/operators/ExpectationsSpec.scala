@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import Expectations._
+
+class ExpectationsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val df = Seq(
+    (1L, Some(10.0), "ok", "A"),
+    (2L, Some(20.0), "ok", "B"),
+    (2L, Some(-5.0), "bad!", "A"),   // dup id, out of range, regex viol
+    (3L, None, "ok", "C")            // null amt, C not allowed
+  ).toDF("id", "amt", "tag", "cat")
+    .select(col("id"), col("amt"), col("tag"), col("cat"))
+
+  test("each expectation counts its violations exactly; suite runs as one report") {
+    val rep = Expectations.check(df, Seq(
+      NotNull("amt"),
+      InRange("amt", 0.0, 100.0),
+      MatchesRegex("tag", "^[a-z]+$"),
+      OneOf("cat", Seq("A", "B")),
+      Unique("id")
+    )).collect().map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(rep("not_null(amt)") == (1L, false))
+    assert(rep("in_range(amt,0.0,100.0)") == (2L, false)) // -5 and the null
+    assert(rep("matches_regex(tag)") == (1L, false))
+    assert(rep("one_of(cat)") == (1L, false))
+    assert(rep("unique(id)") == (1L, false)) // one extra copy of id=2
+    assert(rep("_row_count") == (4L, true))
+  }
+
+  test("a clean table passes everything; empty input is visible via _row_count") {
+    val clean = Seq((1L, 5.0), (2L, 6.0)).toDF("id", "amt")
+    assert(Expectations.passes(clean, Seq(NotNull("amt"), Unique("id"),
+      InRange("amt", 0.0, 10.0))))
+    val empty = clean.limit(0)
+    val rep = Expectations.check(empty, Seq(NotNull("amt"), Unique("id")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rep == Map("not_null(amt)" -> 0L, "unique(id)" -> 0L, "_row_count" -> 0L))
+  }
+
+  test("the suite is one aggregate pass (single scan, no join)") {
+    val plan = Expectations.check(df, Seq(NotNull("amt"), InRange("amt", 0, 1),
+      MatchesRegex("tag", "x"), OneOf("cat", Seq("A"))))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"suite must not join:\n$plan")
+    // scan-local suite (no Unique): no Expand either
+    assert(!plan.contains("Expand"), s"scan-local suite must not Expand:\n$plan")
+  }
+}
