@@ -614,20 +614,53 @@ object Streaming {
       partCols: Seq[String],
       trigger: Trigger = Trigger.AvailableNow()
   ): DataStreamWriter[org.apache.spark.sql.Row] =
+    validatedMergeUpsertSink(df, tablePath, keyCols, partCols,
+      expectations = Seq.empty, quarantinePath = "", trigger = trigger)
+
+  /** [[mergeUpsertSink]] with an ADMISSION gate: each micro-batch must
+    * pass the [[graft.operators.Expectations]] suite before it may merge;
+    * a failing batch is appended UNCHANGED to `quarantinePath` (with its
+    * violation report beside it as JSONL) and the curated table stays
+    * untouched — a poisoned upstream batch quarantines instead of
+    * polluting every downstream consumer. The gate costs one aggregate
+    * over the batch being processed anyway. Re-admission is a replay of
+    * the quarantined files through the same sink once the contract or
+    * the data is fixed. */
+  def validatedMergeUpsertSink(
+      df: DataFrame,
+      tablePath: String,
+      keyCols: Seq[String],
+      partCols: Seq[String],
+      expectations: Seq[graft.operators.Expectations.Expectation],
+      quarantinePath: String,
+      trigger: Trigger = Trigger.AvailableNow()
+  ): DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(expectations.isEmpty || quarantinePath.nonEmpty,
+      "a gated sink needs a quarantinePath for failing batches")
     df.writeStream.trigger(trigger).foreachBatch {
-      (batch: DataFrame, _: Long) =>
+      (batch: DataFrame, id: Long) =>
         val spark = batch.sparkSession
-        val fs = new org.apache.hadoop.fs.Path(tablePath)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (!fs.exists(new org.apache.hadoop.fs.Path(tablePath))) {
-          // first batch bootstraps the table (Merge needs a target)
-          batch.write.mode("overwrite")
-            .partitionBy(partCols: _*).parquet(tablePath)
+        val admitted = expectations.isEmpty ||
+          graft.operators.Expectations.passes(batch, expectations)
+        if (!admitted) {
+          batch.write.mode("append").parquet(s"$quarantinePath/batch-$id")
+          graft.operators.Expectations.check(batch, expectations)
+            .filter(!org.apache.spark.sql.functions.col("passed"))
+            .write.mode("overwrite").json(s"$quarantinePath/batch-$id.report")
         } else {
-          graft.operators.Merge.upsert(spark, tablePath, batch, keyCols, partCols)
-          ()
+          val fs = new org.apache.hadoop.fs.Path(tablePath)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (!fs.exists(new org.apache.hadoop.fs.Path(tablePath))) {
+            // first admitted batch bootstraps the table (Merge needs a target)
+            batch.write.mode("overwrite")
+              .partitionBy(partCols: _*).parquet(tablePath)
+          } else {
+            graft.operators.Merge.upsert(spark, tablePath, batch, keyCols, partCols)
+            ()
+          }
         }
     }
+  }
 }
 
 /** Async single-record processing — the Spark re-expression of

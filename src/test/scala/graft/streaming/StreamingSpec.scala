@@ -884,4 +884,37 @@ class StreamingSpec extends SparkSpec {
     run() // re-delivers batch 1
     assert(snapshot() == want, "replayed batch must converge, not duplicate")
   }
+
+  test("validated merge sink quarantines a contract-violating batch, table stays clean") {
+    import graft.operators.Expectations._
+    val base = java.nio.file.Files.createTempDirectory("graft-vmus").toString
+    val (inDir, ckpt, table, quar) =
+      (s"$base/in", s"$base/ckpt", s"$base/table", s"$base/quar")
+    def addBatch(rows: Seq[(Long, Double, Int)]): Unit =
+      rows.toDF("id", "amt", "yr")
+        .coalesce(1).write.mode("append").parquet(inDir)
+    val suite = Seq(NotNull("amt"), InRange("amt", 0.0, 100.0), Unique("id"))
+    addBatch(Seq((1L, 10.0, 2024), (2L, 20.0, 2024)))
+    val schema = spark.read.parquet(inDir).schema
+    def run(): Unit = {
+      val q = Streaming.validatedMergeUpsertSink(
+        spark.readStream.schema(schema).parquet(inDir),
+        table, Seq("id"), Seq("yr"), suite, quar)
+        .option("checkpointLocation", ckpt).start()
+      q.awaitTermination(60000)
+    }
+    run() // clean batch admits + bootstraps
+    assert(spark.read.parquet(table).count() == 2)
+    addBatch(Seq((3L, 999.0, 2024), (3L, 30.0, 2024))) // range viol + dup key
+    run() // poisoned batch must quarantine
+    assert(spark.read.parquet(table).count() == 2, "table must stay clean")
+    assert(spark.read.parquet(s"$quar/batch-1").count() == 2)
+    val report = spark.read.json(s"$quar/batch-1.report")
+      .select("expectation").as[String].collect().toSet
+    assert(report == Set("in_range(amt,0.0,100.0)", "unique(id)"))
+    addBatch(Seq((3L, 30.0, 2024))) // fixed re-send admits
+    run()
+    assert(spark.read.parquet(table).select("id").as[Long].collect().toSet
+      == Set(1L, 2L, 3L))
+  }
 }
