@@ -56,4 +56,53 @@ object Curation {
       col("dup_bigram_ratio"), col("detected_lang"),
       reason.as("reason"), (reason === "ok").as("keep"))
   }
+
+  /** Deterministic NEGATIVE-PAIR sampling for contrastive training: each
+    * document draws `negsPerDoc` pseudo-random partners from the corpus
+    * as a pure function of its own id — identical pairs on any engine,
+    * any partitioning, any retry (the same portable-PolyHash determinism
+    * contract as d16's sampler and d41's split).
+    *
+    * The naive formulations both die at scale: uniform-random partner
+    * choice needs a global row-number (one all-data sort) or a
+    * rand()-keyed join (non-replayable), and "pair with anything" is a
+    * cross join. Instead the corpus is carved into `buckets` hash cells
+    * and each cell elects one REPRESENTATIVE (min id — a map-side-
+    * combined aggregate of bucket→id, `buckets` rows total). A document's
+    * t-th negative is the representative of cell PolyHash(id,t) mod
+    * buckets: drawing is a scan-local expression plus one equi-join
+    * against the broadcast representative table. Self-pairs (a document
+    * drawing its own cell while being its representative) are dropped,
+    * so a document can emit fewer than `negsPerDoc` pairs; duplicate
+    * draws (two t landing in one cell) collapse — both edge rules are
+    * part of the replayable contract. Bias note: only representatives
+    * ever serve as negatives — fine for the hard-negative-mining warm
+    * start it feeds; rotate the representative choice (min id per
+    * (bucket, epoch-salt)) when epoch diversity matters.
+    *
+    * 100 TB shape: one aggregate (buckets rows) + one broadcast join —
+    * the corpus is scanned twice, shuffled never. */
+  def negativePairs(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      negsPerDoc: Int = 3,
+      buckets: Int = 64
+  ): DataFrame = {
+    require(negsPerDoc >= 1 && buckets >= 2,
+      s"need negsPerDoc >= 1 (got $negsPerDoc) and buckets >= 2 (got $buckets)")
+    val ids = docs.select(col(idCol).cast("string").as("doc_id"))
+    val bucketOf = (c: org.apache.spark.sql.Column) =>
+      graft.expressions.PolyHash(concat(lit("negbkt|"), c)) % buckets
+    val reps = ids.groupBy(bucketOf(col("doc_id")).as("bucket"))
+      .agg(min(col("doc_id")).as("neg_id"))
+    val draws = ids.select(col("doc_id"),
+        explode(array((1 to negsPerDoc).map(t =>
+          (graft.expressions.PolyHash(
+            concat(lit(s"negdraw$t|"), col("doc_id"))) % buckets)
+            .as(s"t$t")): _*)).as("bucket"))
+      .distinct() // duplicate draws collapse (replayable rule)
+    draws.join(broadcast(reps), "bucket")
+      .filter(col("neg_id") =!= col("doc_id")) // no self-pairs
+      .select(col("doc_id"), col("neg_id"))
+  }
 }

@@ -72,6 +72,26 @@ object Expectations {
     private[operators] def violation: Column = lit(0L) // handled in aggregate
   }
 
+  /** Referential-integrity contract: every NON-NULL value of `column`
+    * must exist in `dim`'s `dimColumn`. SQL FK semantics deliberately —
+    * a NULL fk does not violate (compose [[NotNull]] when absence is
+    * itself illegal). Not part of the scan-local suite because it needs
+    * a second input; [[checkWithRelations]] folds its verdicts into the
+    * same report schema so one gate covers both.
+    *
+    * Scale shape per relation: the dim side reduces to its DISTINCT keys
+    * (map-side-combined — a key column, never the dim's payload), the
+    * orphan probe is a LEFT ANTI join on that key (AQE broadcasts it
+    * when the key set fits, shuffles on the key otherwise), and the
+    * result collapses to one count row. The fact side is column-pruned
+    * to the fk alone, so a 100 TB fact costs one fk-column scan per
+    * relation — batch several relations against the same fact in one
+    * suite and the scans share the cached columnar batches. */
+  final case class ForeignKey(column: String, dimLabel: String,
+      dim: DataFrame, dimColumn: String) {
+    val name = s"foreign_key($column->$dimLabel.$dimColumn)"
+  }
+
   /** Evaluate the suite in one aggregate pass. Output: one row per
     * expectation — (expectation, violations, passed) — plus a final
     * `(_row_count, n, true)` audit row so an unexpectedly empty batch is
@@ -98,6 +118,34 @@ object Expectations {
         col("e.violations").as("violations"),
         (col("e.expectation") === "_row_count"
           || col("e.violations") === 0L).as("passed"))
+  }
+
+  /** [[check]] plus referential-integrity relations, one report: the
+    * scan-local suite costs its single aggregate pass, each
+    * [[ForeignKey]] adds its anti-join count branch, and everything
+    * unions into the same (expectation, violations, passed) schema —
+    * the complete admission contract (shape + content + references) as
+    * one gateable DataFrame. */
+  def checkWithRelations(
+      df: DataFrame,
+      expectations: Seq[Expectation],
+      relations: Seq[ForeignKey]
+  ): DataFrame = {
+    require(expectations.nonEmpty,
+      "checkWithRelations needs a scan suite (use check() alone otherwise)")
+    val base = check(df, expectations)
+    relations.foldLeft(base) { (acc, fk) =>
+      // the join key gets an internal name so fact and dim key columns
+      // can never collide with each other or with payload columns
+      val orphans = df.select(col(fk.column).as("__graft_fk"))
+        .filter(col("__graft_fk").isNotNull)
+        .join(fk.dim.select(col(fk.dimColumn).as("__graft_fk")).distinct(),
+          Seq("__graft_fk"), "left_anti")
+        .agg(count(lit(1)).as("violations"))
+        .select(lit(fk.name).as("expectation"), col("violations"),
+          (col("violations") === 0L).as("passed"))
+      acc.unionByName(orphans)
+    }
   }
 
   /** True iff every expectation holds (driver-side convenience for gate

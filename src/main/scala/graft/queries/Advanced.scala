@@ -1785,6 +1785,120 @@ object Advanced {
           (expectation = '_row_count' OR COALESCE(violations, 0) = 0) AS passed
         FROM v""")),
 
+    GQ("dq02_fk_integrity", // referential-integrity audit — the
+      // expectation family's JOIN-shaped member (`Expectations
+      // .checkWithRelations`): the scan suite still costs its one
+      // aggregate pass, and each ForeignKey adds an anti-join count
+      // branch — dim side reduced to DISTINCT keys (map-side combined),
+      // fact side column-pruned to the fk alone, AQE broadcasting the
+      // key set when it fits. NULL fks do not violate (SQL FK
+      // semantics; compose NotNull when absence is illegal). The third
+      // relation checks against "suppliers in good standing"
+      // (s_acctbal >= 0) — a realistic business contract the data
+      // genuinely violates, so the gate is provably non-vacuous.
+      (s, dir) => {
+        import graft.operators.Expectations._
+        graft.operators.Expectations.checkWithRelations(
+          t(s, dir, "lineitem"),
+          Seq(NotNull("l_orderkey"), InRange("l_discount", 0.0, 0.1)),
+          Seq(
+            ForeignKey("l_orderkey", "orders", t(s, dir, "orders"), "o_orderkey"),
+            ForeignKey("l_partkey", "part", t(s, dir, "part"), "p_partkey"),
+            ForeignKey("l_suppkey", "solvent_supplier",
+              t(s, dir, "supplier").filter(col("s_acctbal") >= 0), "s_suppkey")))
+      },
+      Some("""WITH v AS (
+          SELECT 'not_null(l_orderkey)' AS expectation,
+            CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations
+          FROM lineitem
+          UNION ALL
+          SELECT 'in_range(l_discount,0.0,0.1)',
+            CAST(SUM(CASE WHEN l_discount IS NULL
+              OR l_discount < 0.0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT)
+          FROM lineitem
+          UNION ALL
+          SELECT '_row_count', COUNT(*) FROM lineitem
+          UNION ALL
+          SELECT 'foreign_key(l_orderkey->orders.o_orderkey)',
+            CAST((SELECT COUNT(*) FROM lineitem l WHERE l.l_orderkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+          UNION ALL
+          SELECT 'foreign_key(l_partkey->part.p_partkey)',
+            CAST((SELECT COUNT(*) FROM lineitem l WHERE l.l_partkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM part p
+                WHERE p.p_partkey = l.l_partkey)) AS BIGINT)
+          UNION ALL
+          SELECT 'foreign_key(l_suppkey->solvent_supplier.s_suppkey)',
+            CAST((SELECT COUNT(*) FROM lineitem l WHERE l.l_suppkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM supplier su
+                WHERE su.s_acctbal >= 0 AND su.s_suppkey = l.l_suppkey)) AS BIGINT))
+        SELECT expectation, COALESCE(violations, 0) AS violations,
+          (expectation = '_row_count' OR COALESCE(violations, 0) = 0) AS passed
+        FROM v""")),
+
+    GQ("dq03_small_cells", // k-anonymity small-cell suppression
+      // (`operators/Privacy.suppressSmallCells`) — the PUBLISH-side
+      // disclosure gate: cells of the per-(nation, segment) customer
+      // aggregate with fewer than k=10 members fold into one
+      // `__suppressed__` residual row, so no released row describes
+      // fewer than 10 people while corpus totals are preserved exactly
+      // (coarsened, never dropped). Measures stay DECIMAL through the
+      // fold — the re-aggregation is exact, bit-replayable — and cast
+      // to double only on release. Cost: the expensive groupBy is the
+      // one the caller already pays; suppression re-aggregates the CELL
+      // table (125 rows here, key-cardinality-bounded at any corpus
+      // size). At sf0.01 both sides are exercised: cells run 5-21
+      // members, so k=10 suppresses some and publishes the rest.
+      (s, dir) => {
+        val cells = t(s, dir, "customer")
+          .groupBy("c_nationkey", "c_mktsegment")
+          .agg(count(lit(1)).as("n_customers"),
+            sum(col("c_acctbal").cast("decimal(18,2)")).as("bal"))
+        graft.operators.Privacy
+          .suppressSmallCells(cells, Seq("c_nationkey", "c_mktsegment"),
+            "n_customers", k = 10)
+          .select(col("c_nationkey"), col("c_mktsegment"),
+            col("n_customers"), col("bal").cast("double").as("total_acctbal"))
+      },
+      Some("""WITH cells AS (
+          SELECT CAST(c_nationkey AS VARCHAR) AS nk, c_mktsegment AS seg,
+            COUNT(*) AS n, SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS bal
+          FROM customer GROUP BY 1, 2),
+        m AS (SELECT
+            CASE WHEN n < 10 THEN '__suppressed__' ELSE nk END AS c_nationkey,
+            CASE WHEN n < 10 THEN '__suppressed__' ELSE seg END AS c_mktsegment,
+            n, bal FROM cells)
+        SELECT c_nationkey, c_mktsegment, CAST(SUM(n) AS BIGINT) AS n_customers,
+          CAST(SUM(bal) AS DOUBLE) AS total_acctbal
+        FROM m GROUP BY 1, 2""")),
+
+    GQ("pr01_provenance", // row-level LINEAGE via the engine's hidden
+      // `_metadata` scan columns: every row of the partitioned layout
+      // reports the physical file it came from, and the audit rebuilds
+      // the per-partition totals FROM THE PATHS ALONE (the layout's
+      // o_year column is deliberately dropped — the provenance surface
+      // is what answers). At 100 TB this is the incident-response
+      // primitive: "which ingest files produced these bad rows" is a
+      // group-by on _metadata.file_path, no sidecar bookkeeping, no
+      // schema change, zero extra IO (the path is scan metadata the
+      // reader already holds). Oracle replays from the unpartitioned
+      // originals: lineage must describe the data without changing it.
+      (s, dir) => {
+        s.read.parquet(ordersByYear(s, dir))
+          .select(col("_metadata.file_path").as("src_file"),
+            col("o_totalprice"))
+          .withColumn("o_year",
+            regexp_extract(col("src_file"), "o_year=(\\d+)", 1).cast("int"))
+          .groupBy("o_year")
+          .agg(count(lit(1)).as("n_orders"),
+            Dec.dsum(col("o_totalprice")).as("revenue"))
+      },
+      Some("""SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+          COUNT(*) AS n_orders,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM orders GROUP BY 1""")),
+
     GQ("u03_time_travel", // versioned snapshots — poor-man's TIME TRAVEL
       // (`Snapshot.publish/readVersion`): each release is an immutable
       // v=K directory (staged + renamed, never observed half-written);

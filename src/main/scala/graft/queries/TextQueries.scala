@@ -1738,6 +1738,103 @@ object TextQueries {
           GROUP BY 1, 2, 3, 4 HAVING COUNT(*) >= 2)
         SELECT doc_a, doc_b, n_shared,
           CAST(n_shared AS DOUBLE) / LEAST(nfp_a, nfp_b) AS overlap_frac
-        FROM pr"""))
+        FROM pr""")),
+
+    GQ("x21_pmi_collocations", // pointwise-mutual-information collocation
+      // extraction — the classic multiword-expression miner (Church &
+      // Hanks 1990): bigrams whose observed count beats what their
+      // parts' popularity predicts. PMI = log P(ab)/(P(a·)P(·b)) with
+      // the positional marginals of the bigram stream; the log is
+      // dropped (monotone) and the ratio kept as floor(1e6·cab·N /
+      // (ca·cb)) — pure integer arithmetic, order-free, engine-exact,
+      // the same no-libm discipline as x04/x14. Min support cab >= 5
+      // prunes the hapax noise PMI is notorious for BEFORE the marginal
+      // joins. Plan: one bigram-count shuffle (map-side combined), two
+      // marginal re-aggs over DISTINCT bigrams (not occurrences), two
+      // equi-joins (AQE-broadcast at vocab scale), global top-50 via
+      // TakeOrderedAndProject per-partition heaps — the full vocab is
+      // never sorted. The cab·N·1e6 numerator stays inside long below
+      // ~9e12 bigram occurrences; switch the score to DECIMAL(38,0)
+      // past that.
+      (s, dir) => {
+        val cnt = Tables.table(s, dir, "documents")
+          .select(explode(shingles(words(col("text")), 2)).as("bg"))
+          .groupBy("bg").agg(count(lit(1)).as("cab"))
+          .persist() // four consumers (N, both marginals, the scored join)
+        val tot = cnt.agg(sum(col("cab")).as("nn"))
+        val fst = cnt.groupBy(substring_index(col("bg"), " ", 1).as("a"))
+          .agg(sum(col("cab")).as("ca"))
+        val snd = cnt.groupBy(substring_index(col("bg"), " ", -1).as("b"))
+          .agg(sum(col("cab")).as("cb"))
+        cnt.filter(col("cab") >= 5)
+          .withColumn("a", substring_index(col("bg"), " ", 1))
+          .withColumn("b", substring_index(col("bg"), " ", -1))
+          .join(fst, "a").join(snd, "b").crossJoin(broadcast(tot))
+          .select(col("bg"), col("cab"),
+            expr("(cab * nn * 1000000) DIV (ca * cb)").as("pmi_millionths"))
+          .orderBy(col("pmi_millionths").desc, col("bg"))
+          .limit(50)
+      },
+      Some("""WITH t AS (SELECT
+            list_filter(string_split(text, ' '), w -> w <> '') AS ws
+          FROM documents),
+        bb AS (SELECT UNNEST(CASE WHEN len(ws) < 2 THEN []
+            ELSE list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+            END) AS bg FROM t),
+        cnt AS (SELECT bg, COUNT(*) AS cab FROM bb GROUP BY 1),
+        tot AS (SELECT CAST(SUM(cab) AS BIGINT) AS nn FROM cnt),
+        fst AS (SELECT split_part(bg, ' ', 1) AS a, CAST(SUM(cab) AS BIGINT) AS ca
+          FROM cnt GROUP BY 1),
+        snd AS (SELECT split_part(bg, ' ', 2) AS b2, CAST(SUM(cab) AS BIGINT) AS cb
+          FROM cnt GROUP BY 1)
+        SELECT cnt.bg, cnt.cab,
+          CAST((cnt.cab * tot.nn * 1000000) // (fst.ca * snd.cb) AS BIGINT)
+            AS pmi_millionths
+        FROM cnt CROSS JOIN tot
+          JOIN fst ON split_part(cnt.bg, ' ', 1) = fst.a
+          JOIN snd ON split_part(cnt.bg, ' ', 2) = snd.b2
+        WHERE cnt.cab >= 5
+        ORDER BY pmi_millionths DESC, bg LIMIT 50""")),
+
+    GQ("ns01_negative_pairs", // deterministic negative sampling for
+      // contrastive training (`operators/Curation.negativePairs`): each
+      // doc draws 3 pseudo-random partners as a pure function of its id
+      // — the same portable-PolyHash replay contract as d16/d41, so the
+      // pair set is identical across engines, retries, and partition
+      // counts. The scale trick: no global row-number (an all-data
+      // sort), no rand() join (non-replayable), no cross join — the
+      // corpus hashes into 64 cells, each cell elects a min-id
+      // representative (one map-side-combined agg, 64 rows), and a draw
+      // is a scan-local hash plus a broadcast join. Self-pairs drop and
+      // duplicate draws collapse — both rules replayed by the oracle.
+      (s, dir) => graft.operators.Curation.negativePairs(
+        Tables.table(s, dir, "documents"), "doc_id",
+        negsPerDoc = 3, buckets = 64),
+      Some("""WITH ids AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id FROM documents),
+        hb AS (SELECT doc_id,
+            CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(regexp_extract_all('negbkt|' || doc_id, '.'),
+                c -> CAST(ascii(c) AS BIGINT))),
+              (h, b) -> (h * 257 + b) % 1000000007) AS BIGINT) % 64 AS bucket
+          FROM ids),
+        reps AS (SELECT bucket, MIN(doc_id) AS neg_id FROM hb GROUP BY 1),
+        draws AS (SELECT DISTINCT doc_id, bucket FROM (
+          SELECT doc_id, UNNEST([
+            CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(regexp_extract_all('negdraw1|' || doc_id, '.'),
+                c -> CAST(ascii(c) AS BIGINT))),
+              (h, b) -> (h * 257 + b) % 1000000007) AS BIGINT) % 64,
+            CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(regexp_extract_all('negdraw2|' || doc_id, '.'),
+                c -> CAST(ascii(c) AS BIGINT))),
+              (h, b) -> (h * 257 + b) % 1000000007) AS BIGINT) % 64,
+            CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(regexp_extract_all('negdraw3|' || doc_id, '.'),
+                c -> CAST(ascii(c) AS BIGINT))),
+              (h, b) -> (h * 257 + b) % 1000000007) AS BIGINT) % 64
+          ]) AS bucket FROM ids))
+        SELECT d.doc_id, r.neg_id
+        FROM draws d JOIN reps r USING (bucket)
+        WHERE r.neg_id <> d.doc_id"""))
   )
 }

@@ -41,6 +41,34 @@ class ExpectationsSpec extends SparkSpec {
     assert(rep == Map("not_null(amt)" -> 0L, "unique(id)" -> 0L, "_row_count" -> 0L))
   }
 
+  test("foreign keys: orphans counted, nulls exempt, dup dim keys don't multiply") {
+    val fact = Seq(
+      (1L, Some(10L)), (2L, Some(20L)), (3L, Some(99L)), // 99 is an orphan
+      (4L, None)                                          // null fk: exempt
+    ).toDF("id", "fk")
+    val dim = Seq(10L, 10L, 20L).toDF("k") // 10 duplicated on purpose
+    val rep = Expectations.checkWithRelations(fact, Seq(NotNull("id")),
+        Seq(ForeignKey("fk", "dim", dim, "k")))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(rep("foreign_key(fk->dim.k)") == (1L, false)) // only id=3's 99
+    assert(rep("not_null(id)") == (0L, true))
+    assert(rep("_row_count") == (4L, true))
+  }
+
+  test("foreign keys: clean relation passes; empty fact yields zero orphans") {
+    val fact = Seq((1L, 10L), (2L, 20L)).toDF("id", "fk")
+    val dim = Seq(10L, 20L, 30L).toDF("k")
+    val rep = Expectations.checkWithRelations(fact, Seq(NotNull("fk")),
+        Seq(ForeignKey("fk", "dim", dim, "k")))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(rep("foreign_key(fk->dim.k)") == (0L, true))
+    val emptyRep = Expectations.checkWithRelations(fact.limit(0),
+        Seq(NotNull("fk")), Seq(ForeignKey("fk", "dim", dim, "k")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(emptyRep("foreign_key(fk->dim.k)") == 0L)
+    assert(emptyRep("_row_count") == 0L)
+  }
+
   test("the suite is one aggregate pass (single scan, no join)") {
     val plan = Expectations.check(df, Seq(NotNull("amt"), InRange("amt", 0, 1),
       MatchesRegex("tag", "x"), OneOf("cat", Seq("A"))))

@@ -1,0 +1,51 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PrivacySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val cells = Seq(
+    ("us", "auto", 12L, 120L),
+    ("us", "home", 3L, 30L),   // small
+    ("de", "auto", 2L, 20L),   // small
+    ("de", "home", 15L, 150L)
+  ).toDF("country", "segment", "n", "amount")
+
+  test("cells below k fold into one residual row; totals are preserved") {
+    val out = Privacy.suppressSmallCells(cells, Seq("country", "segment"), "n", k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out(("us", "auto")) == (12L, 120L))
+    assert(out(("de", "home")) == (15L, 150L))
+    assert(out(("__suppressed__", "__suppressed__")) == (5L, 50L)) // 3+2 folded
+    assert(out.size == 3)
+    // nothing dropped: totals match the input exactly
+    assert(out.values.map(_._1).sum == 32L)
+    assert(out.values.map(_._2).sum == 320L)
+  }
+
+  test("no small cells -> input unchanged; all small -> one residual row") {
+    val none = Privacy.suppressSmallCells(cells, Seq("country", "segment"), "n", k = 1)
+    assert(none.count() == 4)
+    val all = Privacy.suppressSmallCells(cells, Seq("country", "segment"), "n", k = 100)
+      .collect()
+    assert(all.length == 1)
+    assert(all(0).getString(0) == "__suppressed__" && all(0).getLong(2) == 32L)
+  }
+
+  test("null keys participate like values and mask when small") {
+    val withNull = Seq((Some("us"), 12L), (None: Option[String], 2L))
+      .toDF("country", "n")
+    val out = Privacy.suppressSmallCells(withNull, Seq("country"), "n", k = 5)
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(out(Some("us")) == 12L)
+    assert(out(Some("__suppressed__")) == 2L) // the null-key cell, masked
+  }
+
+  test("k-anonymity holds: no published non-residual row is below k") {
+    val out = Privacy.suppressSmallCells(cells, Seq("country", "segment"), "n", k = 10)
+      .filter(col("country") =!= "__suppressed__")
+    assert(out.filter(col("n") < 10).isEmpty)
+  }
+}
