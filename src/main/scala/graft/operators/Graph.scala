@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Weighted PageRank over a directed edge list — the link-authority score
+  * (Page et al. 1999) a training-data pipeline uses to weight crawl
+  * domains or browse-graph items by how much traffic flow concentrates on
+  * them. [[Components]] is the engine's reachability iterator; this is
+  * its weighted-flow sibling, the second member of the iterative-graph
+  * family.
+  *
+  * == Determinism: integer millionths, no floats ==
+  *
+  * Textbook PageRank iterates float sums, and float addition order
+  * differs across partitionings — the same graph would hash differently
+  * at local[8] vs local[32]. Every quantity here is an integer: ranks in
+  * millionths (node starts at 1 000 000), per-edge contribution
+  * `rank(u)·w(e) DIV wout(u)` (integral division), update
+  * `150000 + (850000 · Σcontrib) DIV 1000000` (damping 0.85 in
+  * millionths). Integer sums are order-free, so the result is
+  * bit-identical on any engine, partitioning, or retry — the same
+  * discipline as x14/x21's quantized scores. Quantization loses < 1e-6
+  * of rank mass per edge per round; dangling nodes (no out-edges) leak
+  * their mass like the standard simplification does — both are
+  * ranking-irrelevant and part of the replayable contract.
+  *
+  * == 100 TB shape ==
+  *
+  * Per round: one |E| equi-join (ranks onto edges by src), one
+  * map-side-combined |E|→|V| aggregate (contributions by dst), one |V|
+  * left join back onto the node set — all key-bounded shuffles, no
+  * all-pairs anything. The edge list (joined once with its out-weights)
+  * persists across rounds; rank lineage is truncated every round
+  * (localCheckpoint by default, durable parquet round-trip via
+  * `checkpointDir` under executor churn — [[Components]]' contract),
+  * without which the plan doubles per iteration and Catalyst analysis,
+  * not data, becomes the bottleneck. Fixed iteration count, not a
+  * convergence test: at 100 TB a convergence check is an extra |V|
+  * action per round, and fixed-K is what makes the result replayable.
+  */
+object Graph {
+
+  /** @param edges directed weighted edges (srcCol, dstCol: integral;
+    *              wCol: positive integral multiplicity, e.g. a transition
+    *              count). Parallel (src,dst) duplicates are combined.
+    * @return one row per node appearing in `edges`:
+    *         (node, rank_millionths). */
+  def pageRank(
+      edges: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      wCol: String = "w",
+      iterations: Int = 6,
+      checkpointDir: Option[String] = None
+  ): DataFrame = {
+    require(iterations >= 1, s"iterations must be positive, got $iterations")
+    val spark = edges.sparkSession
+    val runDir = checkpointDir.map(d =>
+      s"$d/graft-pr-${java.util.UUID.randomUUID().toString.take(8)}")
+    var round = 0
+    var prevPath: Option[String] = None
+    def truncate(df: DataFrame): DataFrame = runDir match {
+      case Some(base) =>
+        val p = s"$base/round-$round"
+        round += 1
+        df.write.mode("overwrite").parquet(p)
+        val back = spark.read.parquet(p)
+        prevPath.foreach { old =>
+          val path = new org.apache.hadoop.fs.Path(old)
+          path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .delete(path, true)
+        }
+        prevPath = Some(p)
+        back
+      case None => df.localCheckpoint(true)
+    }
+    val e0 = edges.groupBy(
+        col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .agg(sum(col(wCol).cast("long")).as("w"))
+    val wout = e0.groupBy("src").agg(sum(col("w")).as("wout"))
+    val e = e0.join(wout, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var pr = truncate(nodes.select(col("node"), lit(1000000L).as("rank")))
+    for (_ <- 1 to iterations) {
+      val contrib = e.join(pr.withColumnRenamed("node", "src"), "src")
+        .groupBy("dst").agg(sum(expr("(rank * w) DIV wout")).as("s"))
+      val next = truncate(
+        nodes.join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
+          .select(col("node"),
+            (lit(150000L) +
+              expr("(850000 * coalesce(s, 0L)) DIV 1000000")).as("rank")))
+      pr = next
+    }
+    e.unpersist()
+    nodes.unpersist()
+    pr.select(col("node"), col("rank").as("rank_millionths"))
+  }
+}

@@ -1899,6 +1899,70 @@ object Advanced {
           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         FROM orders GROUP BY 1""")),
 
+    GQ("g02_pagerank", // weighted PageRank over the item browse graph
+      // (`operators/Graph.pageRank`) — the iterative-graph family's
+      // weighted-flow member beside d18's connected components: edges
+      // are per-user item→item transitions (lag over the event stream),
+      // rank is flow authority after 6 damped rounds. Everything is
+      // INTEGER millionths — per-edge contribution rank·w DIV wout,
+      // update 150000 + 850000·Σ DIV 1e6 — because float PageRank sums
+      // in partition order and would hash differently at local[8] vs
+      // local[32]; the integer recurrence replays bit-for-bit in the
+      // oracle's six unrolled CTE rounds. Per round: one |E| join + one
+      // map-side-combined aggregate + one |V| left join, rank lineage
+      // truncated every round (Components' checkpoint contract) so the
+      // plan stays flat at any iteration count.
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"), col("ts"),
+            regexp_extract(col("props"), "\"k\": (\\d+)", 1)
+              .cast("long").as("item"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val edges = ev
+          .select(col("item").as("dst"), lag(col("item"), 1).over(w).as("src"))
+          .filter(col("src").isNotNull)
+          .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+        graft.operators.Graph.pageRank(edges, iterations = 6)
+      },
+      Some("""WITH ev AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t,
+            CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS item
+          FROM events),
+        tr AS (SELECT item AS dst,
+            LAG(item) OVER (PARTITION BY user_id ORDER BY t, event_id) AS src
+          FROM ev),
+        e0 AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w FROM tr
+          WHERE src IS NOT NULL GROUP BY 1, 2),
+        wo AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wout FROM e0 GROUP BY 1),
+        e AS (SELECT e0.src, e0.dst, e0.w, wo.wout FROM e0 JOIN wo USING (src)),
+        n AS (SELECT src AS node FROM e0 UNION SELECT dst FROM e0),
+        p0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rk FROM n),
+        p1 AS (SELECT n.node, CAST(150000 + (850000 *
+            COALESCE(SUM((p.rk * e.w) // e.wout), 0)) // 1000000 AS BIGINT) AS rk
+          FROM n LEFT JOIN e ON e.dst = n.node
+            LEFT JOIN p0 p ON p.node = e.src GROUP BY n.node),
+        p2 AS (SELECT n.node, CAST(150000 + (850000 *
+            COALESCE(SUM((p.rk * e.w) // e.wout), 0)) // 1000000 AS BIGINT) AS rk
+          FROM n LEFT JOIN e ON e.dst = n.node
+            LEFT JOIN p1 p ON p.node = e.src GROUP BY n.node),
+        p3 AS (SELECT n.node, CAST(150000 + (850000 *
+            COALESCE(SUM((p.rk * e.w) // e.wout), 0)) // 1000000 AS BIGINT) AS rk
+          FROM n LEFT JOIN e ON e.dst = n.node
+            LEFT JOIN p2 p ON p.node = e.src GROUP BY n.node),
+        p4 AS (SELECT n.node, CAST(150000 + (850000 *
+            COALESCE(SUM((p.rk * e.w) // e.wout), 0)) // 1000000 AS BIGINT) AS rk
+          FROM n LEFT JOIN e ON e.dst = n.node
+            LEFT JOIN p3 p ON p.node = e.src GROUP BY n.node),
+        p5 AS (SELECT n.node, CAST(150000 + (850000 *
+            COALESCE(SUM((p.rk * e.w) // e.wout), 0)) // 1000000 AS BIGINT) AS rk
+          FROM n LEFT JOIN e ON e.dst = n.node
+            LEFT JOIN p4 p ON p.node = e.src GROUP BY n.node),
+        p6 AS (SELECT n.node, CAST(150000 + (850000 *
+            COALESCE(SUM((p.rk * e.w) // e.wout), 0)) // 1000000 AS BIGINT) AS rk
+          FROM n LEFT JOIN e ON e.dst = n.node
+            LEFT JOIN p5 p ON p.node = e.src GROUP BY n.node)
+        SELECT node, rk AS rank_millionths FROM p6""")),
+
     GQ("u03_time_travel", // versioned snapshots — poor-man's TIME TRAVEL
       // (`Snapshot.publish/readVersion`): each release is an immutable
       // v=K directory (staged + renamed, never observed half-written);
@@ -2208,6 +2272,65 @@ object Advanced {
         t AS (SELECT COUNT(DISTINCT user_id) AS exact_total FROM e)
         SELECT day, exact_users, exact_total, TRUE AS merged_ok
         FROM d CROSS JOIN t""")),
+
+    GQ("x22_audience_overlap", // HLL SET ALGEBRA — audience overlap by
+      // inclusion-exclusion: |A∩B| ≈ est(A) + est(B) − est(A∪B), where
+      // A/B are the 1995/1996 repeat-customer sets and the union rides
+      // hll_union over the two stored-able sketches. This is the
+      // distinct-count question sketches cannot answer directly (HLL has
+      // no native intersect — register-wise min is NOT an intersection),
+      // and the IE identity is the standard workaround, with error
+      // compounding from all three estimates — which is why the output
+      // carries exact counts as the hash-compared payload and the
+      // estimates only as property flags (x10's discipline): union
+      // within 5%, IE intersection within 15% of exact. At 100 TB the
+      // exact branch disappears and the per-segment sketches are stored
+      // KB artifacts — cross-segment overlap matrices then cost
+      // |segments|² sketch merges, never a rescan.
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+          .select(year(col("o_orderdate")).as("y"), col("o_custkey"))
+          .filter(col("y").isin(1995, 1996))
+        val sk = o.filter(col("y") === 1995)
+          .agg(expr("hll_sketch_agg(o_custkey)").as("ska"),
+            countDistinct(col("o_custkey")).as("exact_a"))
+          .crossJoin(o.filter(col("y") === 1996)
+            .agg(expr("hll_sketch_agg(o_custkey)").as("skb"),
+              countDistinct(col("o_custkey")).as("exact_b")))
+        val exact = o.groupBy("o_custkey")
+          .agg(max(when(col("y") === 1995, 1L).otherwise(0L)).as("ia"),
+            max(when(col("y") === 1996, 1L).otherwise(0L)).as("ib"))
+          .agg(coalesce(sum(col("ia") * col("ib")), lit(0L)).as("exact_both"),
+            count(lit(1)).as("exact_union"))
+        sk.crossJoin(exact)
+          .select(col("exact_a"), col("exact_b"), col("exact_both"),
+            col("exact_union"),
+            expr("hll_sketch_estimate(ska)").as("est_a"),
+            expr("hll_sketch_estimate(skb)").as("est_b"),
+            expr("hll_sketch_estimate(hll_union(ska, skb))").as("est_u"))
+          .select(col("exact_a"), col("exact_b"), col("exact_both"),
+            col("exact_union"),
+            coalesce(abs(col("est_u") - col("exact_union")).cast("double")
+              / greatest(col("exact_union"), lit(1L)) <= 0.05, lit(true))
+              .as("union_ok"),
+            coalesce(abs(col("est_a") + col("est_b") - col("est_u")
+              - col("exact_both")).cast("double")
+              / greatest(col("exact_both"), lit(1L)) <= 0.15, lit(true))
+              .as("ie_ok"))
+      },
+      Some("""WITH o AS (SELECT year(o_orderdate) AS y, o_custkey FROM orders
+            WHERE year(o_orderdate) IN (1995, 1996)),
+        f AS (SELECT o_custkey,
+            MAX(CASE WHEN y = 1995 THEN 1 ELSE 0 END) AS ia,
+            MAX(CASE WHEN y = 1996 THEN 1 ELSE 0 END) AS ib
+          FROM o GROUP BY 1)
+        SELECT
+          (SELECT COUNT(DISTINCT o_custkey) FROM o WHERE y = 1995) AS exact_a,
+          (SELECT COUNT(DISTINCT o_custkey) FROM o WHERE y = 1996) AS exact_b,
+          CAST(COALESCE(SUM(ia * ib), 0) AS BIGINT) AS exact_both,
+          COUNT(*) AS exact_union,
+          TRUE AS union_ok, TRUE AS ie_ok
+        FROM f""")),
 
     GQ("x17_quantile_rollup", // mergeable QUANTILE-sketch pre-aggregation —
       // x10's stored-sketch rollup pattern for percentiles: per-day GK
