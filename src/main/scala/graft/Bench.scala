@@ -48,7 +48,8 @@ object Bench {
       "pp02_dpp_join", "c01_text_formats", "u01_merge_upsert",
       "u02_merge_delete", "c02_compact_layout", "sv01_schema_evolution",
       "mv01_incremental_rollup", "u03_time_travel", "z02_manifest_skip",
-      "z03_manifest_count", "z04_bloom_lookup", "pr01_provenance")
+      "z03_manifest_count", "z04_bloom_lookup", "pr01_provenance",
+      "c03_zorder_compact")
     selected.filter(q => prebuild(q._1)).foreach { case (_, fn) =>
       try { fn(spark, sfDir).count(); spark.catalog.clearCache() }
       catch { case _: Throwable => () }

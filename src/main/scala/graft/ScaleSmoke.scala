@@ -431,6 +431,21 @@ object ScaleSmoke {
     time(s"winnowing selection over $rows docs (zero-shuffle, checksum)")(
       graft.operators.Winnowing.fingerprints(docs, k = 3, w = 4)
         .agg(sum(size(col("fps")))).head().getLong(0))
+    // PageRank (r11): per-round cost must be bounded by |E| + |V|, never
+    // |E|·rounds of lineage — 100x the bench's edge count through the
+    // same 6 rounds. smallVertexSet keeps the 50k-node rank table
+    // broadcast (edges never shuffle); the checksum forces full
+    // materialization of the final ranks.
+    locally {
+      val nE = rows * 10
+      val edges = spark.range(nE).select(
+        pmod(xxhash64(col("id")), lit(50000L)).as("src"),
+        pmod(xxhash64(col("id") + lit(nE)), lit(50000L)).as("dst"),
+        (pmod(col("id"), lit(3L)) + 1L).as("w"))
+      time(s"pagerank 6 rounds over $nE edges / 50k nodes (rank checksum)")(
+        graft.operators.Graph.pageRank(edges, smallVertexSet = true)
+          .agg(sum(col("rank_millionths"))).head().getLong(0))
+    }
     spark.stop()
   }
 }

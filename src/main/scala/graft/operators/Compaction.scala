@@ -84,13 +84,27 @@ object Compaction {
 
   /** Compact partitions whose file count exceeds
     * max(minFiles, ceil(bytes/targetBytes)). Healthy partitions are not
-    * read, not rewritten, not even footer-opened. */
+    * read, not rewritten, not even footer-opened.
+    *
+    * `zorderBy` non-empty = the OPTIMIZE-ZORDER form: instead of hash
+    * slots, rewritten rows sort by their Morton interleave
+    * ([[Layout.mortonValue]]) and split into equal-depth z-ranges per
+    * directory (percent_rank ntile over the directory's own z order), so
+    * compaction RESTORES multi-dimensional clustering at the same time it
+    * fixes file counts — per-micro-batch ingest destroys both, and
+    * rewriting the data twice (compact, then re-cluster) would double the
+    * maintenance IO at 100 TB. The within-partition sort is the same cost
+    * any clustered write pays, and only over the fragmented directories'
+    * data. Row-identity is unchanged (still oracled); file z-locality is
+    * spec-asserted. */
   def compact(
       spark: SparkSession,
       path: String,
       partCols: Seq[String],
       targetBytes: Long,
-      minFiles: Int = 1
+      minFiles: Int = 1,
+      zorderBy: Seq[String] = Nil,
+      zorderBits: Int = 8
   ): CompactStats = {
     require(partCols.nonEmpty && targetBytes > 0, "partCols non-empty, targetBytes > 0")
     val all = stats(spark, path, partCols)
@@ -118,23 +132,58 @@ object Compaction {
       spark.sparkContext.parallelize(nfRows, 1), nfSchema)
 
     val dataCols = target.columns.filterNot(partCols.contains)
-    val slotted = target.filter(pruneFilter)
-      .join(broadcast(nfDf), partCols)
-      .withColumn("__graft_slot",
-        pmod(xxhash64(dataCols.map(col).toIndexedSeq: _*), col("__graft_nf")))
-    val spread = slotted
-      .repartition((partCols.map(col) :+ col("__graft_slot")): _*)
-      .drop("__graft_nf", "__graft_slot")
-      .select(target.columns.map(col).toIndexedSeq: _*)
+    val joined = target.filter(pruneFilter).join(broadcast(nfDf), partCols)
+    // The shuffle's partition count is the file-count mechanism, so it is
+    // pinned EXPLICITLY to the total slot budget: a bare repartition(cols)
+    // would let AQE coalesce the small post-shuffle partitions into one
+    // task — which then writes ONE file per directory and silently undoes
+    // the per-partition target (and, in z mode, the range split).
+    // User-specified partition counts are exempt from AQE coalescing.
+    val totalSlots = work.map(targetFiles).sum
+    val spread = (if (zorderBy.isEmpty) {
+      // bin packing only: hash rows into nf slots per directory (slot
+      // collisions inside a task merge files — fewer, larger, never more)
+      joined.withColumn("__graft_slot",
+          pmod(xxhash64(dataCols.map(col).toIndexedSeq: _*), col("__graft_nf")))
+        .repartition(totalSlots, (partCols.map(col) :+ col("__graft_slot")): _*)
+        .drop("__graft_nf", "__graft_slot")
+    } else {
+      // z-order restore: range-partition on (partition, z) — exactly
+      // [[Layout.zorderWrite]]'s plan over the fragmented directories
+      // only. The range sampler allocates tasks by data density, so each
+      // directory lands ≈ its byte-proportional share of the slot budget
+      // and every output file holds one contiguous z-run (a boundary
+      // task straddling two directories writes one file into each).
+      Layout.mortonValue(joined, zorderBy, zorderBits, out = "__graft_z")
+        .repartitionByRange(totalSlots, (partCols.map(col) :+ col("__graft_z")): _*)
+        .sortWithinPartitions((partCols.map(col) :+ col("__graft_z")): _*)
+        .drop("__graft_nf", "__graft_z")
+    }).select(target.columns.map(col).toIndexedSeq: _*)
 
     val staging = s"${path.stripSuffix("/")}__graft_staging"
     spread.write.mode("overwrite").partitionBy(partCols: _*).parquet(staging)
-    spark.read.parquet(staging)
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(partCols: _*).parquet(path)
+    // Commit by renaming the staged directories into place — NOT a second
+    // dataframe write: re-reading the staging files would let the scan
+    // coalesce small files back together (maxPartitionBytes packing), and
+    // the rewrite would both undo the per-partition file-count target and
+    // concatenate z-sorted files in arbitrary order, silently destroying
+    // the clustering this job just paid to restore. The rename keeps the
+    // staged files byte-for-byte (count, boundaries, internal sort); the
+    // delete+rename per directory is the same write-then-swap a table
+    // format's commit protocol performs, minus the manifest.
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    work.foreach { s =>
+      val rel = partCols.zip(s.values)
+        .map { case (c, v) => s"$c=$v" }.mkString("/")
+      val dst = new org.apache.hadoop.fs.Path(s"${path.stripSuffix("/")}/$rel")
+      val src = new org.apache.hadoop.fs.Path(s"$staging/$rel")
+      fs.delete(dst, true)
+      fs.mkdirs(dst.getParent)
+      require(fs.rename(src, dst), s"compaction commit failed renaming $src -> $dst")
+    }
     val sp = new org.apache.hadoop.fs.Path(staging)
-    sp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(sp, true)
+    fs.delete(sp, true)
 
     val after = stats(spark, path, partCols)
     CompactStats(work.size, all.map(_.files).sum, after.map(_.files).sum)

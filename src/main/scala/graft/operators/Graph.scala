@@ -45,6 +45,28 @@ object Graph {
   /** @param edges directed weighted edges (srcCol, dstCol: integral;
     *              wCol: positive integral multiplicity, e.g. a transition
     *              count). Parallel (src,dst) duplicates are combined.
+    * @param smallVertexSet when true, the per-round rank and contribution
+    *              tables ship as BROADCASTS instead of shuffling the edge
+    *              list: the |E| join becomes a broadcast hash join (edges
+    *              never move) and each round costs ONE map-side-combined
+    *              |V|-key shuffle. This is the right plan when |V| fits
+    *              executor memory while |E| is huge — item/domain/vocab
+    *              graphs, where vertices number thousands-to-millions but
+    *              transitions number billions; it is the wrong plan for
+    *              web-scale |V| (leave false: both sides shuffle on the
+    *              join key and AQE handles skew). Results identical
+    *              either way — it only moves the data.
+    * @param truncateEvery rounds between lineage truncations. Rounds in
+    *              between stay LAZY — they chain into one composed plan
+    *              and execute as a single job at the next truncation, so
+    *              the per-round fixed cost (job scheduling, checkpoint
+    *              materialization) is paid iterations/truncateEvery
+    *              times, not iterations times. The plan deepens by ~3
+    *              joins per untruncated round: 2-4 is the sweet spot;
+    *              past that Catalyst analysis time starts buying back
+    *              what the saved jobs gained. Results are identical at
+    *              any setting (it only moves WHERE materialization
+    *              happens).
     * @return one row per node appearing in `edges`:
     *         (node, rank_millionths). */
   def pageRank(
@@ -53,9 +75,12 @@ object Graph {
       dstCol: String = "dst",
       wCol: String = "w",
       iterations: Int = 6,
-      checkpointDir: Option[String] = None
+      checkpointDir: Option[String] = None,
+      truncateEvery: Int = 3,
+      smallVertexSet: Boolean = false
   ): DataFrame = {
     require(iterations >= 1, s"iterations must be positive, got $iterations")
+    require(truncateEvery >= 1, s"truncateEvery must be positive, got $truncateEvery")
     val spark = edges.sparkSession
     val runDir = checkpointDir.map(d =>
       s"$d/graft-pr-${java.util.UUID.randomUUID().toString.take(8)}")
@@ -84,16 +109,19 @@ object Graph {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst"))).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var pr = truncate(nodes.select(col("node"), lit(1000000L).as("rank")))
-    for (_ <- 1 to iterations) {
-      val contrib = e.join(pr.withColumnRenamed("node", "src"), "src")
+    def maybeBcast(df: DataFrame): DataFrame =
+      if (smallVertexSet) broadcast(df) else df
+    var pr = nodes.select(col("node"), lit(1000000L).as("rank"))
+    for (i <- 1 to iterations) {
+      val contrib = e.join(maybeBcast(pr.withColumnRenamed("node", "src")), "src")
         .groupBy("dst").agg(sum(expr("(rank * w) DIV wout")).as("s"))
-      val next = truncate(
-        nodes.join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
+      val next =
+        nodes.join(maybeBcast(contrib.withColumnRenamed("dst", "node")),
+            Seq("node"), "left")
           .select(col("node"),
             (lit(150000L) +
-              expr("(850000 * coalesce(s, 0L)) DIV 1000000")).as("rank")))
-      pr = next
+              expr("(850000 * coalesce(s, 0L)) DIV 1000000")).as("rank"))
+      pr = if (i % truncateEvery == 0 || i == iterations) truncate(next) else next
     }
     e.unpersist()
     nodes.unpersist()

@@ -157,6 +157,22 @@ object Advanced {
       p
     })
 
+  /** c03's layout: fragmented like c02's, but compacted in OPTIMIZE-ZORDER
+    * mode — bin packing AND (o_custkey, o_orderkey) Morton clustering
+    * restored in the same single rewrite of the fragmented directories. */
+  private def zCompactedOrders(s: SparkSession, dir: String): String =
+    layoutMemo.computeIfAbsent(s"zcompact_orders:$dir", _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft-zc-orders").toString + "/t"
+      writeLayout(
+        t(s, dir, "orders").withColumn("o_year", year(col("o_orderdate")))
+          .repartition(12),
+        p, Seq("o_year"))
+      graft.operators.Compaction.compact(
+        s, p, Seq("o_year"), targetBytes = 1L << 30,
+        zorderBy = Seq("o_custkey", "o_orderkey"))
+      p
+    })
+
   /** sv01's EVOLVED layout: two ingest generations in one partitioned
     * table — 1995 written with the original schema, 1996 appended later
     * with an extra `o_channel` column. Old files are NEVER rewritten
@@ -1923,7 +1939,10 @@ object Advanced {
           .select(col("item").as("dst"), lag(col("item"), 1).over(w).as("src"))
           .filter(col("src").isNotNull)
           .groupBy("src", "dst").agg(count(lit(1)).as("w"))
-        graft.operators.Graph.pageRank(edges, iterations = 6)
+        // 100 items vs 100k+ transitions: the small-vertex-set plan —
+        // ranks broadcast, edges never shuffle, one |V|-key agg per round
+        graft.operators.Graph.pageRank(edges, iterations = 6,
+          smallVertexSet = true)
       },
       Some("""WITH ev AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t,
             CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS item
@@ -2011,6 +2030,31 @@ object Advanced {
           COUNT(*) AS n_orders,
           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         FROM orders GROUP BY 1""")),
+
+    GQ("c03_zorder_compact", // OPTIMIZE-ZORDER compaction — c02's bin
+      // packing and z01's clustering in ONE rewrite (`Compaction.compact`
+      // with zorderBy): per-micro-batch ingest destroys both file counts
+      // and clustering, and fixing them in separate passes would read and
+      // write the fragmented data twice; here the rewritten rows sort by
+      // their Morton interleave and split into equal-depth z-ranges per
+      // directory, so the compacted files come back with tight
+      // (o_custkey, o_orderkey) min/max boxes (locality spec-asserted in
+      // CompactionSpec). Healthy directories still never open. The
+      // selective custkey-range aggregate below is the read shape the
+      // restored clustering serves; the oracle replays it over the
+      // never-compacted originals — maintenance must move rows, never
+      // change them.
+      (s, dir) => {
+        s.read.parquet(zCompactedOrders(s, dir))
+          .filter(col("o_custkey").between(100, 999))
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_orders"),
+            Dec.dsum(col("o_totalprice")).as("revenue"))
+      },
+      Some("""SELECT o_orderstatus, COUNT(*) AS n_orders,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM orders WHERE o_custkey BETWEEN 100 AND 999
+        GROUP BY 1""")),
 
     GQ("x12_mad_outliers", // robust per-group outlier stats: median and
       // MAD (median absolute deviation) of token counts per language,

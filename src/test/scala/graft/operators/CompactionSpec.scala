@@ -91,4 +91,37 @@ class CompactionSpec extends SparkSpec {
     assert(spark.read.parquet(path).groupBy("lang").count()
       .as[(String, Long)].collect().toSet == Set(("en", 50L), ("de", 50L)))
   }
+
+  test("zorder mode: row-identical, packed to target count, clustering restored") {
+    val path = tmp("graft-compact-z")
+    // one directory, 20k uniform 2-D points scattered across 16 files —
+    // the post-ingest worst case: fragmented AND unclustered
+    val rnd = new scala.util.Random(23)
+    val pts = Seq.fill(20000)((rnd.nextInt(1000).toLong, rnd.nextInt(1000).toLong))
+      .zipWithIndex.map { case ((x, y), i) => (i.toLong, x, y, 1) }
+      .toDF("id", "x", "y", "yr")
+    pts.repartition(16).write.partitionBy("yr").parquet(path)
+    assert(fileSig(path, "yr=1").size == 16)
+    def filesTouched(): Long = spark.read.parquet(path)
+      .filter(col("x").between(100, 199) && col("y").between(500, 599))
+      .select(input_file_name()).distinct().count()
+    assert(filesTouched() >= 12, "pre-compaction box should touch ~all files")
+
+    // target enough bytes per file that the directory packs to ~4 files
+    val bytes = fileSig(path, "yr=1").toSeq.map(_._2).sum
+    val st = Compaction.compact(spark, path, Seq("yr"),
+      targetBytes = bytes / 4 + 1, zorderBy = Seq("x", "y"))
+    assert(st.partitionsCompacted == 1)
+    val nAfter = fileSig(path, "yr=1").size
+    assert(nAfter <= 5, s"expected ~4 packed files, got $nAfter")
+    // equal-depth z-ranges: the 10%x10% box concentrates in a strict
+    // minority of the packed files instead of being smeared over all
+    assert(filesTouched() < nAfter,
+      s"z-order not restored: box touches all $nAfter files")
+    // maintenance must move rows, never change them
+    val got = spark.read.parquet(path).select("id", "x", "y")
+      .as[(Long, Long, Long)].collect().toSet
+    val want = pts.select("id", "x", "y").as[(Long, Long, Long)].collect().toSet
+    assert(got == want)
+  }
 }
