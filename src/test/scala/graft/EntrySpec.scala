@@ -228,6 +228,44 @@ class EntrySpec extends SparkSpec {
     assert(plan.contains("BroadcastRangeJoin"))
   }
 
+  test("r11 contract/graph/training plans keep their scale shapes") {
+    def plan(name: String): String =
+      SparkEntry.queries(name)(spark, sf())
+        .queryExecution.executedPlan.toString
+    // dq02: each ForeignKey relation is ONE anti join; nothing may plan
+    // as a nested-loop or cartesian pass over the fact
+    val dq02 = plan("dq02_fk_integrity")
+    assert("LeftAnti".r.findAllIn(dq02).length >= 3,
+      "dq02 lost an anti-join relation probe")
+    assert(!dq02.contains("CartesianProduct")
+      && !dq02.contains("BroadcastNestedLoopJoin"),
+      "dq02 planned a relation probe as a nested loop")
+    // x21: global top-50 is per-partition heaps, never a full vocab sort
+    // or a rank window
+    val x21 = plan("x21_pmi_collocations")
+    assert(x21.contains("TakeOrderedAndProject"), "x21 lost the top-k heaps")
+    assert(!x21.contains("Window"), "x21 grew a rank window")
+    // ns01: drawing is scan-local hash + broadcast join — no global
+    // row-number window, no sort, no cartesian anywhere
+    val ns01 = plan("ns01_negative_pairs")
+    assert(ns01.contains("BroadcastHashJoin"),
+      "ns01 representative join stopped broadcasting")
+    assert(!ns01.contains("Window") && !ns01.contains("CartesianProduct"),
+      "ns01 fell back to a global-ordering or all-pairs plan")
+    // g02: the returned frame reads the TRUNCATED final round — its plan
+    // is a checkpoint scan, not six rounds of composed joins (the
+    // lineage-flatness contract that keeps iteration count off the
+    // planner's critical path)
+    val g02 = plan("g02_pagerank")
+    assert(g02.contains("ExistingRDD"), "g02 lost per-round lineage truncation")
+    assert(!g02.contains("CartesianProduct"))
+    // pr01: the lineage audit reads file_path + the measure — the scan
+    // must NOT drag the date column the oracle groups by (the answer
+    // comes from _metadata alone)
+    assert(!plan("pr01_provenance").contains("o_orderdate"),
+      "pr01 reads o_orderdate instead of deriving the year from the path")
+  }
+
   test("GraftExtensions injects function + rule into a fresh session") {
     val base = spark
     org.apache.spark.sql.SparkSession.clearActiveSession()
