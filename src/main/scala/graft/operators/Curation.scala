@@ -77,8 +77,10 @@ object Curation {
     * draws (two t landing in one cell) collapse — both edge rules are
     * part of the replayable contract. Bias note: only representatives
     * ever serve as negatives — fine for the hard-negative-mining warm
-    * start it feeds; rotate the representative choice (min id per
-    * (bucket, epoch-salt)) when epoch diversity matters.
+    * start it feeds; pass a per-epoch `salt` to rotate BOTH the cell
+    * assignment and the draws (different epochs see different
+    * representatives and different pairings, each epoch still fully
+    * deterministic on its own).
     *
     * 100 TB shape: one aggregate (buckets rows) + one broadcast join —
     * the corpus is scanned twice, shuffled never. */
@@ -86,19 +88,20 @@ object Curation {
       docs: DataFrame,
       idCol: String = "doc_id",
       negsPerDoc: Int = 3,
-      buckets: Int = 64
+      buckets: Int = 64,
+      salt: String = ""
   ): DataFrame = {
     require(negsPerDoc >= 1 && buckets >= 2,
       s"need negsPerDoc >= 1 (got $negsPerDoc) and buckets >= 2 (got $buckets)")
     val ids = docs.select(col(idCol).cast("string").as("doc_id"))
     val bucketOf = (c: org.apache.spark.sql.Column) =>
-      graft.expressions.PolyHash(concat(lit("negbkt|"), c)) % buckets
+      graft.expressions.PolyHash(concat(lit(s"negbkt$salt|"), c)) % buckets
     val reps = ids.groupBy(bucketOf(col("doc_id")).as("bucket"))
       .agg(min(col("doc_id")).as("neg_id"))
     val draws = ids.select(col("doc_id"),
         explode(array((1 to negsPerDoc).map(t =>
           (graft.expressions.PolyHash(
-            concat(lit(s"negdraw$t|"), col("doc_id"))) % buckets)
+            concat(lit(s"negdraw$salt$t|"), col("doc_id"))) % buckets)
             .as(s"t$t")): _*)).as("bucket"))
       .distinct() // duplicate draws collapse (replayable rule)
     draws.join(broadcast(reps), "bucket")

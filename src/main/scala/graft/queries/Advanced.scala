@@ -2056,6 +2056,66 @@ object Advanced {
         FROM orders WHERE o_custkey BETWEEN 100 AND 999
         GROUP BY 1""")),
 
+    GQ("i01_item_cooccurrence", // "viewed X also viewed Y" — item-item
+      // co-occurrence LIFT from the event stream, the collaborative-
+      // filtering prep g02's transition graph is the sequential cousin
+      // of (co-occurrence is order-free set membership; the browse graph
+      // is ordered adjacency). Pair generation follows the engine's
+      // pair-finder discipline on a NEW domain: per-user DISTINCT item
+      // sets, users above the 80-item cap dropped BEFORE pairing (a
+      // bot/crawler user fans |items|²/2 pairs — the same density bound
+      // as d44's fingerprint doc-freq cap), and pairs stream from the
+      // lazy ordered_pairs_gen generator (never a materialized n²
+      // array). Denominators count the SAME capped universe the pairs
+      // come from — mixing universes silently biases lift. Integer lift
+      // millionths = cab·n_users·1e6 DIV (ca·cb), x21's no-log
+      // discipline; two key-bounded shuffles (user, pair) at any scale.
+      (s, dir) => {
+        val ui = Tables.events(s, dir)
+          .select(col("user_id"),
+            regexp_extract(col("props"), "\"k\": (\\d+)", 1)
+              .cast("long").as("k"))
+          .distinct()
+        val kept = ui.groupBy("user_id")
+          .agg(sort_array(collect_set(col("k"))).as("items"))
+          .filter(size(col("items")) <= 80)
+          .persist() // three consumers: pairs, item counts, user count
+        val cab = kept
+          .select(graft.expressions.OrderedPairsGen(col("items")))
+          .groupBy(col("a").as("ia"), col("b").as("ib"))
+          .agg(count(lit(1)).as("cab"))
+          .filter(col("cab") >= 5)
+        val cnt = kept.select(explode(col("items")).as("k"))
+          .groupBy("k").agg(count(lit(1)).as("cu"))
+        val nu = kept.agg(count(lit(1)).as("nu"))
+        cab
+          .join(cnt.select(col("k").as("ia"), col("cu").as("ca")), "ia")
+          .join(cnt.select(col("k").as("ib"), col("cu").as("cb")), "ib")
+          .crossJoin(broadcast(nu))
+          .select(col("ia"), col("ib"), col("cab"),
+            expr("(cab * nu * 1000000) DIV (ca * cb)").as("lift_millionths"))
+          .orderBy(col("lift_millionths").desc, col("ia"), col("ib"))
+          .limit(100)
+      },
+      Some("""WITH ev AS (SELECT DISTINCT user_id,
+            CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
+          FROM events),
+        sets AS (SELECT user_id, COUNT(*) AS ni FROM ev
+          GROUP BY 1 HAVING COUNT(*) <= 80),
+        kept AS (SELECT ev.user_id, ev.k FROM ev JOIN sets USING (user_id)),
+        cab AS (SELECT a.k AS ia, b.k AS ib, CAST(COUNT(*) AS BIGINT) AS cab
+          FROM kept a JOIN kept b ON a.user_id = b.user_id AND a.k < b.k
+          GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+        cnt AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS cu FROM kept GROUP BY 1),
+        nu AS (SELECT CAST(COUNT(*) AS BIGINT) AS nu FROM sets)
+        SELECT cab.ia, cab.ib, cab.cab,
+          CAST((cab.cab * nu.nu * 1000000) // (ca.cu * cb.cu) AS BIGINT)
+            AS lift_millionths
+        FROM cab CROSS JOIN nu
+          JOIN cnt ca ON ca.k = cab.ia
+          JOIN cnt cb ON cb.k = cab.ib
+        ORDER BY lift_millionths DESC, ia, ib LIMIT 100""")),
+
     GQ("x12_mad_outliers", // robust per-group outlier stats: median and
       // MAD (median absolute deviation) of token counts per language,
       // plus the count past the 3-MAD fence. All integer arithmetic —

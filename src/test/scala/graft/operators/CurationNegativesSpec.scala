@@ -43,4 +43,16 @@ class CurationNegativesSpec extends SparkSpec {
   test("empty corpus yields no pairs") {
     assert(Curation.negativePairs(docs.limit(0), "doc_id", 3, 16).isEmpty)
   }
+
+  test("epoch salt rotates representatives and draws, each epoch deterministic") {
+    def pairs(salt: String) =
+      Curation.negativePairs(docs, "doc_id", 3, 16, salt = salt)
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val e0a = pairs("")
+    val e1 = pairs("e1")
+    assert(pairs("") == e0a, "same salt must replay identically")
+    assert(e1 != e0a, "different epochs should draw different pairings")
+    // rotated representatives: epoch 1 uses negatives epoch 0 never elects
+    assert((e1.map(_._2) -- e0a.map(_._2)).nonEmpty)
+  }
 }
