@@ -1982,6 +1982,54 @@ object Advanced {
             LEFT JOIN p5 p ON p.node = e.src GROUP BY n.node)
         SELECT node, rk AS rank_millionths FROM p6""")),
 
+    GQ("g03_reachability", // WITH RECURSIVE — the engine's native
+      // recursion surface (Spark 4's UnionLoop): min-hop reachability
+      // from item 0 over the browse-graph edges. UNION ALL recursion
+      // enumerates WALKS — exponential on a dense graph (measured: the
+      // depth-3 variant of this query blows Spark's 1M recursion-row
+      // limit at sf0.1), and the per-step-dedup form is not yet in the
+      // engine (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE — tried), so the
+      // depth bound of TWO hops is what keeps the walk count
+      // ≤ |N(src)|·maxDeg over the DISTINCT-edge table at any corpus
+      // size. Unbounded closure at 100 TB belongs to
+      // `operators/Components`' per-round-deduped iteration (this query
+      // is the SQL-surface member of that family, not its replacement).
+      // The seed derives from the data (src = 0 rows), so a zero-row
+      // input recurses zero times; DuckDB replays the identical
+      // recursion.
+      (s, dir) => {
+        Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"), col("ts"),
+            regexp_extract(col("props"), "\"k\": (\\d+)", 1)
+              .cast("long").as("item"))
+          .createOrReplaceTempView("g03_ev")
+        s.sql("""WITH RECURSIVE
+            tr AS (SELECT item AS dst,
+                LAG(item) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
+              FROM g03_ev),
+            e AS (SELECT DISTINCT src, dst FROM tr WHERE src IS NOT NULL),
+            r(node, hops) AS (
+              SELECT DISTINCT src AS node, 0 AS hops FROM e WHERE src = 0
+              UNION ALL
+              SELECT e.dst, r.hops + 1 FROM r JOIN e ON e.src = r.node
+              WHERE r.hops < 2)
+          SELECT node, MIN(hops) AS min_hops FROM r GROUP BY node""")
+      },
+      Some("""WITH RECURSIVE
+          ev AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t,
+              CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS item
+            FROM events),
+          tr AS (SELECT item AS dst,
+              LAG(item) OVER (PARTITION BY user_id ORDER BY t, event_id) AS src
+            FROM ev),
+          e AS (SELECT DISTINCT src, dst FROM tr WHERE src IS NOT NULL),
+          r(node, hops) AS (
+            SELECT DISTINCT src AS node, 0 AS hops FROM e WHERE src = 0
+            UNION ALL
+            SELECT e.dst, r.hops + 1 FROM r JOIN e ON e.src = r.node
+            WHERE r.hops < 2)
+        SELECT node, MIN(hops) AS min_hops FROM r GROUP BY node""")),
+
     GQ("u03_time_travel", // versioned snapshots — poor-man's TIME TRAVEL
       // (`Snapshot.publish/readVersion`): each release is an immutable
       // v=K directory (staged + renamed, never observed half-written);
