@@ -446,6 +446,27 @@ object ScaleSmoke {
         graft.operators.Graph.pageRank(edges, smallVertexSet = true)
           .agg(sum(col("rank_millionths"))).head().getLong(0))
     }
+    // Co-occurrence hot-user cap (r11): i01's degenerate shape — one bot
+    // user holding 100k distinct items would fan 5·10⁹ pairs through the
+    // pair stage; the cap drops it BEFORE pairing, so the job is bounded
+    // by the honest users' |items|²/2. Same density-bound discipline as
+    // the d44 fingerprint cap.
+    locally {
+      val honest = spark.range(rows).select(
+        pmod(col("id"), lit(rows / 20)).as("user_id"),
+        pmod(xxhash64(col("id")), lit(500L)).as("k"))
+      val bot = spark.range(100000L).select(
+        lit(-1L).as("user_id"), col("id").as("k"))
+      val ui = honest.union(bot).distinct()
+      time(s"item co-occurrence over $rows events + 100k-item bot user (capped pairs)") {
+        val kept = ui.groupBy("user_id")
+          .agg(sort_array(collect_set(col("k"))).as("items"))
+          .filter(size(col("items")) <= 80)
+        kept.select(graft.expressions.OrderedPairsGen(col("items")))
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
+          .agg(sum(col("cab"))).head().getLong(0)
+      }
+    }
     spark.stop()
   }
 }

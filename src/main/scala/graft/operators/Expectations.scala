@@ -133,6 +133,11 @@ object Expectations {
   ): DataFrame = {
     require(expectations.nonEmpty,
       "checkWithRelations needs a scan suite (use check() alone otherwise)")
+    val clash = (df.columns ++ relations.flatMap(_.dim.columns))
+      .filter(_ == "__graft_fk")
+    require(clash.isEmpty,
+      "a column named __graft_fk collides with the relation probe's " +
+        "internal join-key namespace")
     val base = check(df, expectations)
     relations.foldLeft(base) { (acc, fk) =>
       // the join key gets an internal name so fact and dim key columns
