@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Reference-trained bigram language model — the CCNet-style quality
+  * gate (Wenzek et al. 2020: fit a small LM on a trusted reference
+  * corpus, score each crawled document against it, split the crawl
+  * into head/middle/tail by model agreement).
+  *
+  * This differs from x14's in-corpus LM in exactly the way that
+  * matters at 100 TB: the model is a FIXED, vocabulary-bounded
+  * artifact (a few MB — same storage class as x17's quantile sketches
+  * or e14's codebooks) fit ONCE on the curated reference slice.
+  * Scoring a new crawl is then one LEFT join of the crawl's bigram
+  * stream against that table — broadcastable when the vocabulary
+  * fits, sort-merge on the constant-width `bg` key otherwise — and
+  * the reference is never rescanned; the target corpus contributes
+  * no counts, so admission decisions are stable as the crawl grows.
+  *
+  * Probabilities follow the repo's integer-millionth discipline
+  * (floor(1e6·P) — see x14's rationale): per-doc scores are INTEGER
+  * sums, order-free and engine-exact, where a float log-prob sum is
+  * neither. At real scale you'd sum log-space doubles and accept
+  * approximate comparison; the quantization costs <1e-6 per
+  * transition and buys the hash oracle.
+  *
+  * Reference analog: SmartPipeline's enrichment stages
+  * (examples/custom_stage.py-style per-record scoring against a
+  * loaded model) — here the "loaded model" is a joined table, not
+  * per-worker state.
+  */
+object Lm {
+
+  /** Fit the conditional table: one row per reference bigram,
+    * `scaled = floor(1e6 · C(ab) / C(a·))` where C(a·) counts
+    * occurrences whose FIRST word is `a` — conditionals sum to ~1 per
+    * left word. Two map-side-combined aggregates; output cardinality
+    * is the reference's distinct-bigram count (vocabulary-bounded),
+    * independent of how much data it will later score. Persist this
+    * as the stored artifact at scale. */
+  def fitBigram(ref: DataFrame, textCol: String = "text"): DataFrame = {
+    val cnt = ref
+      .select(explode(shingles(words(col(textCol)), 2)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("cab"))
+    val fst = cnt
+      .withColumn("a", substring_index(col("bg"), " ", 1))
+      .groupBy("a").agg(sum(col("cab")).as("ca"))
+    cnt.withColumn("a", substring_index(col("bg"), " ", 1))
+      .join(fst, "a")
+      .select(col("bg"),
+        floor(col("cab") * lit(1000000L) / col("ca")).cast("long").as("scaled"))
+  }
+
+  /** Score a target corpus against a fitted model and bucket it.
+    * Out-of-vocabulary transitions back off to scaled=1 (one
+    * millionth — the floor any in-model transition can also hit), so
+    * unseen text degrades the mean instead of nulling it. Documents
+    * with fewer than two words have no transitions and are excluded
+    * (no evidence either way — gate them on length upstream, d23).
+    *
+    * `mean_scaled = floor(sum/n)` stays exact while `sum_scaled`
+    * < 2^53 (a 9e9-transition document — not a document). Buckets:
+    * head ≥ headMin > middle ≥ midMin > tail. */
+  def perplexityBuckets(
+      target: DataFrame,
+      lm: DataFrame,
+      headMin: Long,
+      midMin: Long,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    require(headMin > midMin, s"headMin ($headMin) must exceed midMin ($midMin)")
+    val occ = target.select(col(idCol),
+      explode(shingles(words(col(textCol)), 2)).as("bg"))
+    occ.join(lm, Seq("bg"), "left")
+      .select(col(idCol), coalesce(col("scaled"), lit(1L)).as("s"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("s")).as("sum_scaled"))
+      .withColumn("mean_scaled",
+        floor(col("sum_scaled") / col("n_bigrams")).cast("long"))
+      .withColumn("bucket",
+        when(col("mean_scaled") >= headMin, "head")
+          .when(col("mean_scaled") >= midMin, "middle")
+          .otherwise("tail"))
+  }
+}

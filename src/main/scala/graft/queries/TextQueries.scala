@@ -1074,6 +1074,70 @@ object TextQueries {
           CAST(SUM(scaled) AS BIGINT) AS sum_scaled, MIN(scaled) AS min_scaled
         FROM sc GROUP BY doc_id""")),
 
+    GQ("x23_perplexity_gate", // CCNet-style reference-LM quality gate
+      // (`operators/Lm`): fit a bigram LM on a hash-selected 30%
+      // reference slice (PolyHash split — deterministic across engines,
+      // re-runs, and retries), score the OTHER 70% against it with OOV
+      // backoff, bucket head/middle/tail. The at-scale difference from
+      // x14's in-corpus LM: the model is a fixed vocabulary-bounded
+      // artifact fit once — scoring a new crawl is one LEFT join against
+      // it (broadcast when the vocab fits), never a reference rescan, and
+      // scores don't drift as the crawl grows. Output is the 3-row gate
+      // verdict; the hash payload (exact integer sums of per-doc means)
+      // pins every per-doc score transitively. Thresholds are fixed
+      // curation policy (at 100 TB: calibrated once on a sample, stored
+      // beside the LM like x19's reference quantiles).
+      (s, dir) => {
+        val docs = Tables.table(s, dir, "documents")
+        val split = graft.expressions.PolyHash(
+          concat(lit("lmref|"), col("doc_id").cast("string"))) % 10
+        val lm = graft.operators.Lm.fitBigram(
+          docs.filter(split < 3).select(col("text")))
+        graft.operators.Lm.perplexityBuckets(
+            docs.filter(split >= 3).select(col("doc_id"), col("text")),
+            lm, headMin = 34700L, midMin = 32400L)
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_bigrams")).as("tot_bigrams"),
+            sum(col("mean_scaled")).as("sum_mean"))
+      },
+      Some("""WITH h AS (SELECT doc_id, text,
+          CAST(list_reduce(
+            list_prepend(CAST(0 AS BIGINT),
+              list_transform(regexp_extract_all('lmref|' || CAST(doc_id AS VARCHAR), '.'),
+                c -> CAST(ascii(c) AS BIGINT))),
+            (h, b) -> (h * 257 + b) % 1000000007) AS BIGINT) % 10 AS b10
+          FROM documents),
+        rw AS (SELECT list_filter(string_split(text, ' '), w -> w <> '') AS ws
+               FROM h WHERE b10 < 3),
+        rb AS (SELECT UNNEST(CASE WHEN len(ws) < 2 THEN []
+                ELSE list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+                END) AS bg
+              FROM rw),
+        cnt AS (SELECT bg, COUNT(*) AS cab FROM rb GROUP BY bg),
+        fst AS (SELECT split_part(bg, ' ', 1) AS a, CAST(SUM(cab) AS BIGINT) AS ca
+                FROM cnt GROUP BY 1),
+        lm AS (SELECT cnt.bg, CAST(FLOOR(cnt.cab * 1000000 / fst.ca) AS BIGINT) AS scaled
+               FROM cnt JOIN fst ON split_part(cnt.bg, ' ', 1) = fst.a),
+        tw AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+               FROM h WHERE b10 >= 3),
+        tb AS (SELECT doc_id, UNNEST(CASE WHEN len(ws) < 2 THEN []
+                ELSE list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+                END) AS bg
+              FROM tw),
+        sc AS (SELECT tb.doc_id, COALESCE(lm.scaled, 1) AS s
+               FROM tb LEFT JOIN lm ON tb.bg = lm.bg),
+        d AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+                CAST(FLOOR(SUM(s) / COUNT(*)) AS BIGINT) AS mean_scaled
+              FROM sc GROUP BY doc_id)
+        SELECT CASE WHEN mean_scaled >= 34700 THEN 'head'
+                    WHEN mean_scaled >= 32400 THEN 'middle'
+                    ELSE 'tail' END AS bucket,
+          COUNT(*) AS n_docs,
+          CAST(SUM(n_bigrams) AS BIGINT) AS tot_bigrams,
+          CAST(SUM(mean_scaled) AS BIGINT) AS sum_mean
+        FROM d GROUP BY 1""")),
+
     GQ("x04_bm25", // BM25 relevance scoring (k1=1.2, b=0.75) for a fixed
       // query over the corpus. The idf factor uses the rank-equivalent
       // rational surrogate (N - df + 0.5)/(df + 0.5) WITHOUT the log: ln()
