@@ -467,6 +467,23 @@ object ScaleSmoke {
           .agg(sum(col("cab"))).head().getLong(0)
       }
     }
+    // Reference-LM gate (x23/r11): the model is fit ONCE on a fixed
+    // reference slice (vocabulary-bounded — its size does not grow with
+    // the target), so gating `rows` docs is one broadcast LEFT join on
+    // the exploded bigram stream + per-doc agg: cost linear in target
+    // bigrams regardless of corpus growth.
+    locally {
+      val ref = docs.filter(graft.expressions.PolyHash(
+        concat(lit("lmref|"), col("doc_id").cast("string"))) % 100 < 3)
+        .select(col("text"))
+      val lm = graft.operators.Lm.fitBigram(ref)
+      time(s"reference-LM perplexity gate over $rows docs (bucket sums)")(
+        graft.operators.Lm.perplexityBuckets(
+            docs.select(col("doc_id"), col("text")), lm,
+            headMin = 34700L, midMin = 32400L)
+          .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+          .agg(sum(col("n"))).head().getLong(0))
+    }
     spark.stop()
   }
 }
