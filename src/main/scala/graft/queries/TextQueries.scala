@@ -1899,6 +1899,86 @@ object TextQueries {
           ]) AS bucket FROM ids))
         SELECT d.doc_id, r.neg_id
         FROM draws d JOIN reps r USING (bucket)
-        WHERE r.neg_id <> d.doc_id"""))
+        WHERE r.neg_id <> d.doc_id""")),
+
+    GQ("x24_source_similarity", // KMV (bottom-k) DATASET-similarity
+      // sketches (`operators/DatasetSketch` — Broder 1997 / Beyer et al.
+      // 2007 / Cohen & Kaplan 2007): per-SOURCE bottom-128 sketch over
+      // word-3-gram md5 hashes, pairwise source Jaccard estimated from
+      // the KB-scale sketch table alone — the dataset-level audit
+      // ("is crawl B mostly a copy of source A?") that never joins the
+      // corpora. The at-scale payoff over the doc-level pair finders
+      // (d07/d09): the sketch build is one (source, hash) distinct +
+      // one bounded-heap topk_by aggregate (partial state capped at k
+      // rows per source per map partition), the sketch table is
+      // |sources| rows × ~4 KB, and every pairwise comparison after
+      // that is array algebra on broadcast rows — |sources|² sketch
+      // ops, never a corpus rescan (x22's overlap-matrix economics for
+      // JACCARD instead of cardinality). Unlike HLL/GK estimates, a
+      // set's bottom-k is UNIQUE — independent of partitioning and
+      // merge order — so the ESTIMATE itself is hash-compared against
+      // the oracle bit-for-bit (no property-flag indirection): DuckDB
+      // replays the sketch as list_sort(list(h))[1:128] and the
+      // union-bottom-k estimator exactly. Exact inter/union/Jaccard
+      // ride along as the audit payload; at 100 TB that exact branch
+      // (an h-level cross-source join) disappears and only the sketch
+      // path runs. Integer-millionth floor division both sides.
+      (s, dir) => {
+        import graft.operators.DatasetSketch
+        val docs = Tables.table(s, dir, "documents")
+        val sk = DatasetSketch.kmvSketches(docs, k = 128, shingleK = 3)
+        val est = DatasetSketch.pairEstimates(sk, k = 128)
+        // Exact payload — oracle/audit-only branch (dropped at scale).
+        val e = docs
+          .select(col("source"), words(col("text")).as("ws"))
+          .select(col("source"), explode(shingles(col("ws"), 3)).as("sh"))
+          .select(col("source"), md5(col("sh")).as("h"))
+          .distinct()
+        val inter = e.as("a")
+          .join(e.as("b"),
+            col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+          .agg(count(lit(1)).as("exact_inter"))
+        est.join(inter, Seq("src_a", "src_b"), "left")
+          .withColumn("exact_inter",
+            coalesce(col("exact_inter"), lit(0L)))
+          .withColumn("exact_union",
+            col("n_a") + col("n_b") - col("exact_inter"))
+          .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+            col("exact_inter"), col("exact_union"),
+            expr("(CAST(1000000 AS BIGINT) * exact_inter) div exact_union")
+              .as("j_exact_millionths"),
+            col("j_est_millionths"))
+      },
+      Some("""WITH t AS (SELECT source,
+          list_filter(string_split(text, ' '), w -> w <> '') AS ws
+          FROM documents),
+        e AS (SELECT DISTINCT source, md5(s) AS h FROM (
+          SELECT source, UNNEST(list_transform(
+            range(1, greatest(len(ws) - 1, 1)),
+            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s FROM t)),
+        sk AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+            list_sort(list(h))[1:128] AS kmv FROM e GROUP BY source),
+        p AS (SELECT a.source AS src_a, b.source AS src_b,
+            a.n AS n_a, b.n AS n_b, a.kmv AS ka, b.kmv AS kb
+          FROM sk a JOIN sk b ON a.source < b.source),
+        m AS (SELECT src_a, src_b, n_a, n_b, ka, kb,
+            list_sort(list_distinct(ka || kb))[1:128] AS merged FROM p),
+        est AS (SELECT src_a, src_b, n_a, n_b,
+            CAST(len(list_filter(merged,
+              x -> list_contains(ka, x) AND list_contains(kb, x))) AS BIGINT)
+              AS est_inter,
+            CAST(len(merged) AS BIGINT) AS mk FROM m),
+        ix AS (SELECT a.source AS src_a, b.source AS src_b,
+            COUNT(*) AS exact_inter
+          FROM e a JOIN e b ON a.h = b.h AND a.source < b.source
+          GROUP BY 1, 2)
+        SELECT src_a, src_b, n_a, n_b,
+          COALESCE(exact_inter, 0) AS exact_inter,
+          n_a + n_b - COALESCE(exact_inter, 0) AS exact_union,
+          (1000000 * COALESCE(exact_inter, 0))
+            // (n_a + n_b - COALESCE(exact_inter, 0)) AS j_exact_millionths,
+          (1000000 * est_inter) // mk AS j_est_millionths
+        FROM est LEFT JOIN ix USING (src_a, src_b)"""))
   )
 }
