@@ -484,6 +484,26 @@ object ScaleSmoke {
           .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
           .agg(sum(col("n"))).head().getLong(0))
     }
+    // KMV dataset-similarity (x24/r11): sketch build is linear in the
+    // corpus (one distinct + one bounded-heap agg); every pairwise
+    // comparison after that is array algebra on the |sources|-row
+    // sketch table — constant in corpus size. Salted synthetic source
+    // ids give ~50 sources regardless of `rows`.
+    locally {
+      val src = docs.withColumn("source",
+        pmod(xxhash64(col("doc_id")), lit(50L)).cast("string"))
+      val t0 = System.nanoTime()
+      val sk = graft.operators.DatasetSketch
+        .kmvSketches(src, k = 128, shingleK = 3).persist()
+      val nSk = sk.count()
+      val tBuild = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val nPairs = graft.operators.DatasetSketch
+        .pairEstimates(sk, k = 128).count()
+      println(f"[scale] kmv sketch build over $rows%d docs / $nSk%d sources: ${tBuild}%.1fs; " +
+        f"all $nPairs%d pairwise estimates from sketches alone: ${(System.nanoTime() - t1) / 1e9}%.1fs")
+      sk.unpersist()
+    }
     spark.stop()
   }
 }
