@@ -49,7 +49,7 @@ object Bench {
       "u02_merge_delete", "c02_compact_layout", "sv01_schema_evolution",
       "mv01_incremental_rollup", "u03_time_travel", "z02_manifest_skip",
       "z03_manifest_count", "z04_bloom_lookup", "pr01_provenance",
-      "c03_zorder_compact")
+      "c03_zorder_compact", "z05_merge_manifest_fresh", "x23_perplexity_gate")
     selected.filter(q => prebuild(q._1)).foreach { case (_, fn) =>
       try { fn(spark, sfDir).count(); spark.catalog.clearCache() }
       catch { case _: Throwable => () }

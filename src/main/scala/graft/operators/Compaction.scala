@@ -104,7 +104,8 @@ object Compaction {
       targetBytes: Long,
       minFiles: Int = 1,
       zorderBy: Seq[String] = Nil,
-      zorderBits: Int = 8
+      zorderBits: Int = 8,
+      manifestPath: Option[String] = None
   ): CompactStats = {
     require(partCols.nonEmpty && targetBytes > 0, "partCols non-empty, targetBytes > 0")
     val all = stats(spark, path, partCols)
@@ -184,6 +185,11 @@ object Compaction {
     }
     val sp = new org.apache.hadoop.fs.Path(staging)
     fs.delete(sp, true)
+    // a stats manifest indexes FILES, and compaction just replaced them in
+    // the fragmented directories — refresh inside the commit (delta-sized:
+    // only the rewritten directories' new files are re-scanned), same
+    // contract as Merge's manifest half
+    manifestPath.foreach(mp => FileManifest.refresh(spark, path, mp))
 
     val after = stats(spark, path, partCols)
     CompactStats(work.size, all.map(_.files).sum, after.map(_.files).sum)

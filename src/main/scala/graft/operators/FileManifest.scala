@@ -21,9 +21,15 @@ import org.apache.spark.sql.functions._
   * clustering; z02 measures the skip).
   *
   * Freshness contract: the manifest describes the files it was built
-  * from. Rebuild (or incrementally append, same groupBy over the new
-  * files) after Merge/Compaction rewrites — same discipline as any
-  * secondary index.
+  * from — and the maintenance commits keep it that way MECHANICALLY:
+  * [[Merge.upsert]]/[[Merge.delete]] and [[Compaction.compact]] accept a
+  * `manifestPath` and call [[refresh]] inside the commit (after the
+  * rename, before returning), so a pruned read issued after the commit
+  * never sees a vanished file and always sees the rewritten ones. The
+  * schema-derived [[refresh]] recovers the stat columns (ranges AND
+  * blooms) from the manifest itself. A manifest maintained outside the
+  * operators still follows the secondary-index discipline: refresh after
+  * every rewrite.
   */
 object FileManifest {
 
@@ -40,9 +46,7 @@ object FileManifest {
       manifestPath: String
   ): Unit = {
     require(cols.nonEmpty, "cols must be non-empty")
-    val aggs = cols.flatMap(c =>
-      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) :+
-      count(lit(1)).as("n_rows")
+    val aggs = statAggs(cols, Nil, 0L, 0L)
     spark.read.parquet(tablePath)
       .groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
@@ -52,13 +56,29 @@ object FileManifest {
 
   final case class RefreshStats(filesAdded: Long, filesDropped: Long, filesKept: Long)
 
+  /** Manifest rows for files still present in the table — membership as a
+    * broadcast SEMI JOIN against the current file listing, never an `isin`
+    * literal list: at the 10⁶-file scale this operator is designed for, an
+    * In-expression is a million-element expression tree (analysis-time
+    * cost, 64 KB codegen limits) and a linear per-row membership scan; the
+    * hash join is O(1) per manifest row. Spec-asserted (FileManifestSpec
+    * pins LeftSemi-and-no-In on this exact plan). */
+  private[graft] def keepCurrent(m: DataFrame, currentFiles: DataFrame): DataFrame =
+    m.join(broadcast(currentFiles), Seq("file"), "left_semi")
+
+  private def fileListDf(spark: SparkSession, files: Seq[String]): DataFrame =
+    spark.createDataset(files)(org.apache.spark.sql.Encoders.STRING).toDF("file")
+
   /** Incremental refresh after the table changed (Merge commit,
     * Compaction, new ingest files): stats are computed ONLY for files not
     * yet in the manifest, rows for vanished files are dropped, everything
     * else is carried over untouched — the manifest update rides the
     * ingest delta instead of rescanning the table. This is the freshness
     * half of the manifest contract; a daily-ingest layout refreshes in
-    * O(|today's files|). */
+    * O(|today's files|). Membership tests are joins against the file
+    * listing (see [[keepCurrent]]); only the ADDED files' names are
+    * collected, because the reader needs concrete paths — planner-scale
+    * metadata proportional to the delta, not the table. */
   def refresh(
       spark: SparkSession,
       tablePath: String,
@@ -66,15 +86,57 @@ object FileManifest {
       manifestPath: String
   ): RefreshStats = {
     require(cols.nonEmpty, "cols must be non-empty")
-    val current = spark.read.parquet(tablePath).inputFiles.toSet
+    refreshImpl(spark, tablePath, cols, Nil, manifestPath)
+  }
+
+  /** Schema-derived refresh: the stat columns are recovered from the
+    * manifest itself (`min_*`/`max_*` pairs → range stats, `bloom_*` →
+    * per-file blooms, sized like the stored ones — each serialized bloom
+    * self-describes its bit count, sniffed from any existing row), so a
+    * maintenance commit ([[Merge]]/[[Compaction]] with `manifestPath`) can
+    * refresh whatever manifest flavor the table owner built without being
+    * told its configuration. */
+  def refresh(
+      spark: SparkSession,
+      tablePath: String,
+      manifestPath: String
+  ): RefreshStats = {
+    val schema = spark.read.parquet(manifestPath).schema
+    val rangeCols = schema.fieldNames.toSeq.collect {
+      case f if f.startsWith("min_") => f.stripPrefix("min_")
+    }
+    val bloomCols = schema.fieldNames.toSeq.collect {
+      case f if f.startsWith("bloom_") => f.stripPrefix("bloom_")
+    }
+    require(rangeCols.nonEmpty || bloomCols.nonEmpty,
+      s"manifest at $manifestPath carries no min_*/max_*/bloom_* stat columns")
+    refreshImpl(spark, tablePath, rangeCols, bloomCols, manifestPath)
+  }
+
+  private def refreshImpl(
+      spark: SparkSession,
+      tablePath: String,
+      rangeCols: Seq[String],
+      bloomCols: Seq[String],
+      manifestPath: String
+  ): RefreshStats = {
+    // inputFiles is the driver's directory listing — the same metadata any
+    // scan of the table already materializes
+    val current = spark.read.parquet(tablePath).inputFiles.toSeq.sorted
+    val currentDf = fileListDf(spark, current)
     val m = spark.read.parquet(manifestPath)
-    val known = m.select("file").collect().map(_.getString(0)).toSet
-    val added = (current -- known).toSeq.sorted
-    val dropped = known -- current
-    val kept = m.filter(col("file").isin((known & current).toSeq: _*))
-    val aggs = cols.flatMap(c =>
-      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) :+
-      count(lit(1)).as("n_rows")
+    val knownTotal = m.count()
+    val dropped = m.join(broadcast(currentDf), Seq("file"), "left_anti").count()
+    val kept = keepCurrent(m, currentDf)
+    // new files: anti-join, then collect — the parquet reader needs the
+    // concrete paths, and the set is delta-sized by construction
+    val added = currentDf.join(m.select("file"), Seq("file"), "left_anti")
+      .collect().map(_.getString(0)).sorted.toSeq
+    val bloomBits: Long =
+      if (bloomCols.isEmpty || added.isEmpty) 0L
+      else sniffBloomBits(m, bloomCols.head)
+        .getOrElse(RuntimeFilter.optimalNumBits(100000L, 0.01))
+    val aggs = statAggs(rangeCols, bloomCols, 100000L, bloomBits)
     val fresh =
       if (added.isEmpty) kept
       else kept.unionByName(
@@ -89,9 +151,29 @@ object FileManifest {
       .write.mode("overwrite").parquet(manifestPath)
     val sp = new org.apache.hadoop.fs.Path(staging)
     sp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(sp, true)
-    RefreshStats(added.length.toLong, dropped.size.toLong,
-      (known & current).size.toLong)
+    RefreshStats(added.length.toLong, dropped, knownTotal - dropped)
   }
+
+  /** Bit size of the stored blooms, read from any one serialized filter
+    * (the format self-describes). A refresh-built bloom thus matches the
+    * stored generation's size; hash-count may differ across generations,
+    * which is safe — every probe deserializes the row's own filter. */
+  private def sniffBloomBits(m: DataFrame, bloomCol: String): Option[Long] =
+    m.select(col(s"bloom_$bloomCol")).filter(col(s"bloom_$bloomCol").isNotNull)
+      .head(1).headOption.map { r =>
+        org.apache.spark.util.sketch.BloomFilter
+          .readFrom(new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](0)))
+          .bitSize()
+      }
+
+  private def statAggs(
+      rangeCols: Seq[String], bloomCols: Seq[String],
+      expectedPerFile: Long, numBits: Long): Seq[Column] =
+    rangeCols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) ++
+      bloomCols.map(c =>
+        RuntimeFilter.bloomAgg(col(c), expectedPerFile, numBits).as(s"bloom_$c")) :+
+      count(lit(1)).as("n_rows")
 
   /** Files whose [min, max] range intersects every `(col, lo, hi)`
     * predicate. Files with NULL stats for a predicated column are KEPT
@@ -145,7 +227,7 @@ object FileManifest {
     }.reduce(_ && _)
     val scanned =
       if (boundary.isEmpty) 0L
-      else spark.read.parquet(boundary: _*).filter(rowFilter).count()
+      else readFiles(spark, tablePath, boundary).filter(rowFilter).count()
     (free + scanned, PruneStats(m.count(), boundary.length.toLong))
   }
 
@@ -167,11 +249,7 @@ object FileManifest {
   ): Unit = {
     require(rangeCols.nonEmpty || bloomCols.nonEmpty, "need at least one indexed column")
     val bits = RuntimeFilter.optimalNumBits(expectedPerFile, fpp)
-    val aggs = rangeCols.flatMap(c =>
-      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) ++
-      bloomCols.map(c =>
-        RuntimeFilter.bloomAgg(col(c), expectedPerFile, bits).as(s"bloom_$c")) :+
-      count(lit(1)).as("n_rows")
+    val aggs = statAggs(rangeCols, bloomCols, expectedPerFile, bits)
     spark.read.parquet(tablePath)
       .groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
@@ -208,12 +286,28 @@ object FileManifest {
     val total = m.count()
     val files = m.filter(mightAny(col(s"bloom_$column")))
       .select("file").collect().map(_.getString(0)).toSeq
+    // exact filter as a broadcast SEMI JOIN against the values, not an
+    // `isin` literal list: a point-lookup batch can carry thousands of
+    // keys (a CDC key feed, a deletion list), and an In-expression is
+    // linear per row with a giant expression tree; the hash semi-join is
+    // O(1) per row and AQE-planned like any other join.
+    val valuesDf = spark.range(1)
+      .select(explode(array(values.map(lit).toIndexedSeq: _*)).as(column))
+      .distinct()
     val df =
       if (files.isEmpty) spark.read.parquet(tablePath).filter(lit(false))
-      else spark.read.parquet(files: _*)
-        .filter(col(column).isin(values: _*))
+      else readFiles(spark, tablePath, files)
+        .join(broadcast(valuesDf), Seq(column), "left_semi")
     (df, PruneStats(total, files.length.toLong))
   }
+
+  /** Read specific files of the table, with `basePath` pinned to the table
+    * root so hive partition columns (which live in the directory names,
+    * not the files) survive a file-level read — a pruned read of a
+    * partitioned table must present the same schema as the full scan. */
+  private def readFiles(
+      spark: SparkSession, tablePath: String, files: Seq[String]): DataFrame =
+    spark.read.option("basePath", tablePath).parquet(files: _*)
 
   /** Range read through the manifest: scans ONLY the intersecting files,
     * then applies the row-level predicate (stats prune files; rows inside
@@ -235,7 +329,7 @@ object FileManifest {
         // nothing intersects: an empty frame with the table's schema (one
         // listing, zero data reads)
         spark.read.parquet(tablePath).filter(lit(false))
-      else spark.read.parquet(files: _*).filter(rowFilter)
+      else readFiles(spark, tablePath, files).filter(rowFilter)
     (df, stats)
   }
 }

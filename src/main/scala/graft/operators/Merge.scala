@@ -121,7 +121,8 @@ object Merge {
       path: String,
       batch: DataFrame,
       keyCols: Seq[String],
-      partCols: Seq[String]
+      partCols: Seq[String],
+      manifestPath: Option[String] = None
   ): MergeStats = {
     require(keyCols.nonEmpty && partCols.nonEmpty, "keyCols and partCols must be non-empty")
     val tuples = partTuples(batch, partCols)
@@ -137,10 +138,20 @@ object Merge {
     val nWritten = written.count()
     stageAndCommit(spark, written, path, partCols)
     written.unpersist()
+    refreshManifest(spark, path, manifestPath)
     MergeStats(tuples.length.toLong, before,
       rowsReplaced = before - (nWritten - batch.count()) max 0L,
       rowsWritten = nWritten)
   }
+
+  /** The commit's manifest half: a stats manifest ([[FileManifest]]) is a
+    * secondary index over the table's FILES, and a COW commit replaces
+    * files — so the commit itself refreshes it (delta-sized: stats are
+    * recomputed only for the rewritten directories' new files). Without
+    * this, a post-merge pruned read would hand Spark vanished paths. */
+  private def refreshManifest(
+      spark: SparkSession, path: String, manifestPath: Option[String]): Unit =
+    manifestPath.foreach(mp => FileManifest.refresh(spark, path, mp))
 
   /** Delete rows matching `keys` on `keyCols`. `keys` must carry the
     * partition columns (the prune set); only those directories are read
@@ -151,7 +162,8 @@ object Merge {
       path: String,
       keys: DataFrame,
       keyCols: Seq[String],
-      partCols: Seq[String]
+      partCols: Seq[String],
+      manifestPath: Option[String] = None
   ): MergeStats = {
     require(keyCols.nonEmpty && partCols.nonEmpty, "keyCols and partCols must be non-empty")
     val tuples = partTuples(keys, partCols)
@@ -173,6 +185,7 @@ object Merge {
         .map { case (c, v) => s"$c=$v" }.mkString("/", "/", "")
       rmDir(spark, path + dir)
     }
+    refreshManifest(spark, path, manifestPath)
     MergeStats(tuples.length.toLong, before,
       rowsReplaced = before - nWritten, rowsWritten = nWritten)
   }

@@ -100,6 +100,36 @@ object Advanced {
       p
     })
 
+  /** z05's layout: the MERGE × MANIFEST composition — u01's COW upsert
+    * against a table that carries a stats manifest, with the manifest
+    * refresh wired INTO the commit (`Merge.upsert(manifestPath = …)`).
+    * The freshness failure this closes: a COW commit replaces the
+    * touched directories' files wholesale, so a manifest built before
+    * the merge holds paths that no longer exist — a pruned read through
+    * it would hand Spark dead files (or miss every rewritten row). With
+    * the refresh inside the commit, the post-merge pruned read is
+    * row-identical to the declarative MERGE result, which is exactly
+    * what the oracle replays. */
+  private def mergedManifestOrders(s: SparkSession, dir: String): String =
+    layoutMemo.computeIfAbsent(s"mergeman_orders:$dir", _ => {
+      val root = java.nio.file.Files.createTempDirectory("graft-mm-orders").toString
+      val p = s"$root/t"
+      val base = t(s, dir, "orders").withColumn("o_year", year(col("o_orderdate")))
+      writeLayout(base, p, Seq("o_year"))
+      graft.operators.FileManifest.build(s, p, Seq("o_custkey"), s"$root/m")
+      if (!base.isEmpty) {
+        val y96 = base.filter(col("o_year") === 1996)
+        val updates = y96.filter(col("o_orderkey") % 7 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+        val inserts = y96.filter(col("o_orderkey") % 97 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 1000000000L)
+        Merge.upsert(s, p, updates.unionByName(inserts),
+          keyCols = Seq("o_orderkey"), partCols = Seq("o_year"),
+          manifestPath = Some(s"$root/m"))
+      }
+      root
+    })
+
   /** u03's VERSIONED root: two immutable published snapshots of the 1996
     * orders slice — v1 the original, v2 after the u01-style price bump on
     * every 7th key. Time travel = reading a pinned `v=K` directory; the
@@ -1751,6 +1781,49 @@ object Advanced {
       },
       Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         WHERE o_orderkey IN (17, 423, 1001)""")),
+
+    GQ("z05_merge_manifest_fresh", // the MERGE × MANIFEST composition —
+      // manifest freshness as a MECHANISM, not a manual contract: the
+      // stats manifest is built before the merge, and the COW commit
+      // itself refreshes it (`Merge.upsert(manifestPath)` →
+      // `FileManifest.refresh` inside the commit, delta-sized — stats
+      // recomputed only for the rewritten directories' new files, via
+      // join-based membership, never an In-literal list). The query then
+      // range-prunes THROUGH the refreshed manifest over the post-merge
+      // table: with a stale manifest this read would either throw on the
+      // vanished pre-merge files or silently miss every rewritten 1996
+      // row — the oracle replays the declarative MERGE + filter over the
+      // originals, so the committed-layout/manifest pair must equal it
+      // exactly. At 100 TB this is the invariant that makes a stored file
+      // index trustworthy across daily ingest: every commit leaves the
+      // index consistent, the same reason table formats commit data and
+      // manifest atomically.
+      (s, dir) => {
+        val root = mergedManifestOrders(s, dir)
+        val (df, _) = graft.operators.FileManifest.prunedRead(
+          s, s"$root/t", s"$root/m", Seq(("o_custkey", 10L, 99L)))
+        df.groupBy("o_year")
+          .agg(count(lit(1)).as("n_orders"),
+            Dec.dsum(col("o_totalprice")).as("revenue"),
+            sum(when(col("o_orderkey") > 1000000000L, 1L).otherwise(0L))
+              .as("n_inserted"))
+      },
+      Some("""WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice,
+            CAST(year(o_orderdate) AS INTEGER) AS o_year FROM orders),
+        upd AS (SELECT o_orderkey, o_custkey, o_totalprice + 1000.0 AS o_totalprice,
+                  o_year FROM base WHERE o_year = 1996 AND o_orderkey % 7 = 0),
+        ins AS (SELECT o_orderkey + 1000000000 AS o_orderkey, o_custkey,
+                  o_totalprice, o_year
+                FROM base WHERE o_year = 1996 AND o_orderkey % 97 = 0),
+        final AS (
+          SELECT * FROM base WHERE NOT (o_year = 1996 AND o_orderkey % 7 = 0)
+          UNION ALL SELECT * FROM upd
+          UNION ALL SELECT * FROM ins)
+        SELECT o_year, COUNT(*) AS n_orders,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+          CAST(SUM(CASE WHEN o_orderkey > 1000000000 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_inserted
+        FROM final WHERE o_custkey BETWEEN 10 AND 99 GROUP BY 1""")),
 
     GQ("dq01_expectations", // declarative expectation suite
       // (`operators/Expectations`) — the ingest ADMISSION gate: the whole

@@ -112,6 +112,115 @@ class FileManifestSpec extends SparkSpec {
       "no false negatives: every looked-up key must come back")
   }
 
+  test("refresh membership plans as a broadcast semi-join, never an In-literal list") {
+    val base = tmp("graft-fm7")
+    val (table, man) = (s"$base/t", s"$base/m")
+    // 128 files — small enough to build fast, enough that an In-list would
+    // already be an expression-tree smell; the assertion is on the PLAN
+    // SHAPE, which is what survives to the 10^6-file design scale
+    spark.range(0, 12800).select(col("id"))
+      .repartition(128).write.parquet(table)
+    FileManifest.build(spark, table, Seq("id"), man)
+    val m = spark.read.parquet(man)
+    val current = spark.read.parquet(table).inputFiles.toSeq.sorted
+    val currentDf = spark.createDataset(current)(
+      org.apache.spark.sql.Encoders.STRING).toDF("file")
+    val kept = FileManifest.keepCurrent(m, currentDf)
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"kept-file membership must be a semi-join:\n$plan")
+    assert(!plan.contains(" IN (") && !plan.contains("isin"),
+      s"membership must not plan as an In-literal list:\n$plan")
+    assert(kept.count() == 128)
+    // end-to-end refresh over the same 128-file manifest stays correct
+    spark.range(20000, 20100).coalesce(1).write.mode("append").parquet(table)
+    val st = FileManifest.refresh(spark, table, Seq("id"), man)
+    assert(st.filesAdded == 1 && st.filesDropped == 0 && st.filesKept == 128)
+  }
+
+  test("merge commit refreshes the manifest: vanished files never served, new rows visible") {
+    val base = tmp("graft-fm8")
+    val (table, man) = (s"$base/t", s"$base/m")
+    spark.range(0, 2000)
+      .select(col("id"), (col("id") % 2).cast("int").as("part"),
+        (col("id") * 10).as("v"))
+      .write.partitionBy("part").parquet(table)
+    FileManifest.build(spark, table, Seq("id"), man)
+    val before = spark.read.parquet(man).select("file").as[String].collect().toSet
+
+    // COW merge rewrites part=1 wholesale; with manifestPath the commit
+    // refreshes the manifest in the same call
+    val batch = spark.range(0, 2000).filter(col("id") % 10 === 1)
+      .select(col("id"), lit(1).as("part"), lit(-5L).as("v"))
+    Merge.upsert(spark, table, batch,
+      keyCols = Seq("id"), partCols = Seq("part"),
+      manifestPath = Some(man))
+
+    val after = spark.read.parquet(man).select("file").as[String].collect().toSet
+    val live = spark.read.parquet(table).inputFiles.toSet
+    assert(after.subsetOf(live), "refreshed manifest must never hold a vanished file")
+    assert(live.subsetOf(after), "refreshed manifest must cover every live file")
+    assert(after != before, "the part=1 rewrite must have changed the manifest")
+
+    // the pruned read through the refreshed manifest sees the merged rows
+    val (df, _) = FileManifest.prunedRead(spark, table, man, Seq(("id", 0L, 1999L)))
+    assert(df.filter(col("v") === -5L).count() == 200,
+      "post-merge pruned read must surface every upserted row")
+    assert(df.count() == 2000)
+
+    // control: the same merge WITHOUT manifestPath leaves a stale manifest
+    // whose paths are gone — the failure mode the wiring exists to prevent
+    val base2 = tmp("graft-fm9")
+    val (table2, man2) = (s"$base2/t", s"$base2/m")
+    spark.range(0, 2000)
+      .select(col("id"), (col("id") % 2).cast("int").as("part"),
+        (col("id") * 10).as("v"))
+      .write.partitionBy("part").parquet(table2)
+    FileManifest.build(spark, table2, Seq("id"), man2)
+    Merge.upsert(spark, table2, batch, keyCols = Seq("id"), partCols = Seq("part"))
+    val stale = spark.read.parquet(man2).select("file").as[String].collect().toSet
+    val live2 = spark.read.parquet(table2).inputFiles.toSet
+    assert(!stale.subsetOf(live2),
+      "without the commit-side refresh the manifest must be stale (the hazard is real)")
+  }
+
+  test("compaction commit refreshes the manifest through the same contract") {
+    val base = tmp("graft-fm10")
+    val (table, man) = (s"$base/t", s"$base/m")
+    spark.range(0, 4000)
+      .select(col("id"), lit(1).cast("int").as("part"))
+      .repartition(8).write.partitionBy("part").parquet(table)
+    FileManifest.build(spark, table, Seq("id"), man)
+    assert(spark.read.parquet(man).count() == 8)
+    val st = Compaction.compact(spark, table, Seq("part"),
+      targetBytes = 1L << 30, manifestPath = Some(man))
+    assert(st.partitionsCompacted == 1)
+    val after = spark.read.parquet(man).select("file").as[String].collect().toSet
+    val live = spark.read.parquet(table).inputFiles.toSet
+    assert(after == live, "post-compaction manifest must describe exactly the live files")
+    val (df, ps) = FileManifest.prunedRead(spark, table, man, Seq(("id", 0L, 3999L)))
+    assert(df.count() == 4000 && ps.filesTotal == after.size.toLong)
+  }
+
+  test("schema-derived refresh rebuilds bloom stats with the stored bit size") {
+    val base = tmp("graft-fm11")
+    val (table, man) = (s"$base/t", s"$base/m")
+    spark.range(0, 4000).select(col("id"), (col("id") % 7).as("v"))
+      .repartition(4, col("id")).write.parquet(table)
+    FileManifest.buildWithBloom(spark, table, Seq("v"), Seq("id"), man,
+      expectedPerFile = 1000L)
+    // new ingest file, then the cols-free refresh (as a maintenance commit
+    // would call it): bloom_id must be rebuilt for the new file
+    spark.range(100000, 100100).select(col("id"), (col("id") % 7).as("v"))
+      .coalesce(1).write.mode("append").parquet(table)
+    val st = FileManifest.refresh(spark, table, man)
+    assert(st.filesAdded == 1 && st.filesKept == 4)
+    val (df, ps) = FileManifest.prunedReadPoint(spark, table, man, "id",
+      Seq(100050L, 17L))
+    assert(df.select("id").as[Long].collect().toSet == Set(100050L, 17L),
+      "a key in the refresh-added file must be findable through its new bloom")
+    assert(ps.filesTotal == 5)
+  }
+
   test("files with NULL stats for a predicated column are kept, never wrongly skipped") {
     val base = tmp("graft-fm3")
     val (table, man) = (s"$base/t", s"$base/m")
