@@ -79,6 +79,80 @@ object DatasetSketch {
     * Integer millionths via floor division — engine-exact. The non-equi
     * self-join is a broadcast nested loop over the |groups|-row sketch
     * table: |groups|² pairs IS the product, never corpus-sized. */
+  /** Asymmetric CONTAINMENT estimates from the SAME stored sketches —
+    * d34's question ("is B essentially a subset of A?") lifted one level,
+    * from documents to whole datasets. For M = bottomk(A∪B) (computed
+    * from the two sketches, see [[pairEstimates]]), M is a uniform sample
+    * of A∪B, so |A∩B| / |A| — the fraction of A also in B — is estimated
+    * by |M∩A∩B| / |M∩A| (membership against the sketches is sound: a
+    * union-bottom-k element of A is necessarily in K(A)). Deterministic
+    * like the Jaccard estimate (bottom-k is unique), so the estimates
+    * hash-compare against the oracle bit-for-bit. A side with no sampled
+    * element (|M∩A| = 0 — possible when A's smallest hashes all sort
+    * after B's k-th) carries no evidence and yields NULL, never a fake 0.
+    * Output: (src_a, src_b, n_a, n_b, c_a_in_b_millionths = est
+    * |A∩B|/|A|, c_b_in_a_millionths = est |A∩B|/|B|), integer millionths
+    * via floor division. Same |groups|²-on-KB-sketches economics as
+    * [[pairEstimates]] — the corpora are never rescanned. */
+  def containmentEstimates(sketches: DataFrame, k: Int = 128): DataFrame = {
+    val a = sketches.select(col("g").as("src_a"), col("kmv").as("ka"),
+      col("n_distinct").as("n_a"))
+    val b = sketches.select(col("g").as("src_b"), col("kmv").as("kb"),
+      col("n_distinct").as("n_b"))
+    a.join(b, col("src_a") < col("src_b"))
+      .withColumn("merged",
+        expr(s"slice(array_sort(array_union(ka, kb)), 1, $k)"))
+      .withColumn("m_ab",
+        expr("""CAST(size(filter(merged,
+          x -> array_contains(ka, x) AND array_contains(kb, x))) AS BIGINT)"""))
+      .withColumn("m_a",
+        expr("CAST(size(filter(merged, x -> array_contains(ka, x))) AS BIGINT)"))
+      .withColumn("m_b",
+        expr("CAST(size(filter(merged, x -> array_contains(kb, x))) AS BIGINT)"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        when(col("m_a") > 0,
+          expr("(CAST(1000000 AS BIGINT) * m_ab) div m_a"))
+          .as("c_a_in_b_millionths"),
+        when(col("m_b") > 0,
+          expr("(CAST(1000000 AS BIGINT) * m_ab) div m_b"))
+          .as("c_b_in_a_millionths"))
+  }
+
+  /** Incremental sketch refresh — e14's frozen-artifact ingest contract
+    * applied to synopses: bottom-k(A ∪ B) is computable from bottom-k(A)
+    * and B's raw hashes alone (any union-bottom-k element is in K(A) or
+    * in B), so absorbing a new ingest batch costs O(k + |batch shingles|)
+    * and NEVER re-reads the old corpus. Output: (g, kmv) — groups only in
+    * the old sketches carry over verbatim, groups only in the batch get a
+    * fresh sketch, shared groups merge. Spec-pinned: refresh(old half,
+    * new half) ≡ from-scratch over the whole, bit-for-bit. The exact
+    * `n_distinct` is NOT derivable from a sketch plus a batch (elements
+    * outside the sketch are unobservable) — maintain it with the ingest's
+    * own counter, or use the KMV estimator (k−1)/U(k) from the refreshed
+    * sketch (Beyer et al. 2007). */
+  def refreshSketches(
+      oldSketches: DataFrame,
+      batch: DataFrame,
+      k: Int = 128,
+      shingleK: Int = 3,
+      groupCol: String = "source",
+      textCol: String = "text"
+  ): DataFrame = {
+    require(k >= 1, s"refreshSketches: k must be >= 1, got $k")
+    val newH = batch
+      .select(col(groupCol).as("g"),
+        TextFunctions.words(col(textCol)).as("ws"))
+      .select(col("g"),
+        explode(TextFunctions.shingles(col("ws"), shingleK)).as("sh"))
+      .select(col("g"), md5(col("sh")).as("h"))
+    val oldH = oldSketches.select(col("g"), explode(col("kmv")).as("h"))
+    oldH.unionByName(newH).distinct()
+      .groupBy(col("g"))
+      .agg(graft.expressions.TopKBy.topkBy(revHex(col("h")), col("h"), k)
+        .as("top"))
+      .select(col("g"), expr("transform(top, s -> s.payload)").as("kmv"))
+  }
+
   def pairEstimates(sketches: DataFrame, k: Int = 128): DataFrame = {
     val a = sketches.select(col("g").as("src_a"), col("kmv").as("ka"),
       col("n_distinct").as("n_a"))

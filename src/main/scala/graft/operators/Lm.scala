@@ -53,7 +53,8 @@ object Lm {
         floor(col("cab") * lit(1000000L) / col("ca")).cast("long").as("scaled"))
   }
 
-  /** Score a target corpus against a fitted model and bucket it.
+  /** Per-document score against a fitted model — the bucket-free half of
+    * [[perplexityBuckets]], also what [[fitThresholds]] consumes.
     * Out-of-vocabulary transitions back off to scaled=1 (one
     * millionth — the floor any in-model transition can also hit), so
     * unseen text degrades the mean instead of nulling it. Documents
@@ -61,7 +62,24 @@ object Lm {
     * (no evidence either way — gate them on length upstream, d23).
     *
     * `mean_scaled = floor(sum/n)` stays exact while `sum_scaled`
-    * < 2^53 (a 9e9-transition document — not a document). Buckets:
+    * < 2^53 (a 9e9-transition document — not a document). */
+  def score(
+      target: DataFrame,
+      lm: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    val occ = target.select(col(idCol),
+      explode(shingles(words(col(textCol)), 2)).as("bg"))
+    occ.join(lm, Seq("bg"), "left")
+      .select(col(idCol), coalesce(col("scaled"), lit(1L)).as("s"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("s")).as("sum_scaled"))
+      .withColumn("mean_scaled",
+        floor(col("sum_scaled") / col("n_bigrams")).cast("long"))
+  }
+
+  /** Score a target corpus against a fitted model and bucket it:
     * head ≥ headMin > middle ≥ midMin > tail. */
   def perplexityBuckets(
       target: DataFrame,
@@ -72,17 +90,91 @@ object Lm {
       idCol: String = "doc_id"
   ): DataFrame = {
     require(headMin > midMin, s"headMin ($headMin) must exceed midMin ($midMin)")
-    val occ = target.select(col(idCol),
-      explode(shingles(words(col(textCol)), 2)).as("bg"))
-    occ.join(lm, Seq("bg"), "left")
-      .select(col(idCol), coalesce(col("scaled"), lit(1L)).as("s"))
-      .groupBy(idCol)
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("s")).as("sum_scaled"))
-      .withColumn("mean_scaled",
-        floor(col("sum_scaled") / col("n_bigrams")).cast("long"))
+    score(target, lm, textCol, idCol)
       .withColumn("bucket",
         when(col("mean_scaled") >= headMin, "head")
           .when(col("mean_scaled") >= midMin, "middle")
           .otherwise("tail"))
+  }
+
+  /** Fit the gate THRESHOLDS from the scored reference's own distribution
+    * — the step that turns a calibrated constant into a stored artifact:
+    * at 100 TB the reference slice is scored once (or a hash-sample of
+    * it), the two discrete quantiles are persisted beside the LM table,
+    * and every later crawl is gated by the SAME stored pair, so admission
+    * policy doesn't drift with the crawl.
+    *
+    * Quantile definition is DISCRETE and integer-exact so both engines
+    * replay it bit-for-bit (interpolating quantiles are float-assoc-
+    * dependent): q(p) = min{ m : cum(m)·1e6 ≥ p·n }, computed over the
+    * distinct-mean histogram (the cum-sum window runs on |distinct
+    * means| rows — bounded by the score quantization, not the corpus;
+    * `cum·1e6` needs n < 2^43 reference docs, far past any sample you'd
+    * fit on). Returns one row (head_min, mid_min). Degenerate
+    * distributions (all means equal, or an empty slice) fall back to
+    * (2, 1): every doc lands in one well-defined bucket and the gate
+    * stays total rather than failing the require in
+    * [[perplexityBuckets]]. */
+  def fitThresholds(
+      scored: DataFrame,
+      midMillionths: Long = 250000L,
+      headMillionths: Long = 750000L
+  ): DataFrame = {
+    require(0 < midMillionths && midMillionths < headMillionths
+      && headMillionths <= 1000000L,
+      s"need 0 < mid ($midMillionths) < head ($headMillionths) <= 1e6")
+    val byMean = scored.groupBy("mean_scaled").agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("mean_scaled"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    byMean.withColumn("cum", sum(col("c")).over(w))
+      .crossJoin(broadcast(byMean.agg(sum(col("c")).as("n"))))
+      .agg(
+        min(when(col("cum") * 1000000L >= col("n") * headMillionths,
+          col("mean_scaled"))).as("h"),
+        min(when(col("cum") * 1000000L >= col("n") * midMillionths,
+          col("mean_scaled"))).as("m"))
+      .select(
+        when(col("h").isNull || col("m").isNull || col("h") <= col("m"),
+          lit(2L)).otherwise(col("h")).cast("long").as("head_min"),
+        when(col("h").isNull || col("m").isNull || col("h") <= col("m"),
+          lit(1L)).otherwise(col("m")).cast("long").as("mid_min"))
+  }
+
+  /** Fit LM + thresholds on the reference slice and persist both as the
+    * stored gate artifact (`path/lm`, `path/thresholds`) — the storage
+    * class of x17's sketches / e14's codebooks: written once by the fit
+    * job, read by every later scoring run. */
+  def fitAndStoreGate(
+      ref: DataFrame,
+      path: String,
+      midMillionths: Long = 250000L,
+      headMillionths: Long = 750000L,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): Unit = {
+    val lm = fitBigram(ref.select(col(textCol)), textCol)
+    lm.write.mode("overwrite").parquet(s"$path/lm")
+    val stored = ref.sparkSession.read.parquet(s"$path/lm")
+    fitThresholds(score(ref, stored, textCol, idCol),
+      midMillionths, headMillionths)
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/thresholds")
+  }
+
+  /** Score + bucket a crawl through a stored gate artifact. The two
+    * threshold scalars are planner-scale metadata (one stored row). */
+  def gateWithStored(
+      spark: org.apache.spark.sql.SparkSession,
+      target: DataFrame,
+      path: String,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    val lm = spark.read.parquet(s"$path/lm")
+    val thr = spark.read.parquet(s"$path/thresholds").head()
+    perplexityBuckets(target, lm,
+      thr.getAs[Long]("head_min"), thr.getAs[Long]("mid_min"),
+      textCol, idCol)
   }
 }

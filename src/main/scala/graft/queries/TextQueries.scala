@@ -12,6 +12,25 @@ import org.apache.spark.sql.functions._
   * coefficients / PolyHash) bit-for-bit; no rows-only checks remain. */
 object TextQueries {
 
+  /** x23's STORED gate artifact (LM table + fitted thresholds), built once
+    * per (dir, JVM) by [[graft.operators.Lm.fitAndStoreGate]] on the
+    * hash-selected 30% reference slice — the same derived-artifact memo
+    * contract as VectorQueries' index memo: every query run READS the
+    * artifact from disk, so the surface under test is the stored-gate
+    * scoring path a 100 TB crawl admission job would run. */
+  private val gateMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def lmGate(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    gateMemo.computeIfAbsent(s"lmgate:$dir", _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft-lm-gate").toString
+      val docs = Tables.table(s, dir, "documents")
+      val split = graft.expressions.PolyHash(
+        concat(lit("lmref|"), col("doc_id").cast("string"))) % 10
+      graft.operators.Lm.fitAndStoreGate(
+        docs.filter(split < 3).select(col("doc_id"), col("text")), p)
+      p
+    })
+
   val queries: Seq[GQ] = Seq(
     GQ("d01_dedup_exact",
       (s, dir) => Dedup.exact(Tables.table(s, dir, "documents")),
@@ -1075,27 +1094,30 @@ object TextQueries {
         FROM sc GROUP BY doc_id""")),
 
     GQ("x23_perplexity_gate", // CCNet-style reference-LM quality gate
-      // (`operators/Lm`): fit a bigram LM on a hash-selected 30%
-      // reference slice (PolyHash split — deterministic across engines,
-      // re-runs, and retries), score the OTHER 70% against it with OOV
-      // backoff, bucket head/middle/tail. The at-scale difference from
-      // x14's in-corpus LM: the model is a fixed vocabulary-bounded
-      // artifact fit once — scoring a new crawl is one LEFT join against
-      // it (broadcast when the vocab fits), never a reference rescan, and
-      // scores don't drift as the crawl grows. Output is the 3-row gate
-      // verdict; the hash payload (exact integer sums of per-doc means)
-      // pins every per-doc score transitively. Thresholds are fixed
-      // curation policy (at 100 TB: calibrated once on a sample, stored
-      // beside the LM like x19's reference quantiles).
+      // (`operators/Lm`), now a fully STORED artifact: the LM is fit on a
+      // hash-selected 30% reference slice (PolyHash split — deterministic
+      // across engines, re-runs, and retries), the reference slice is
+      // scored against its own LM, and the head/mid thresholds are fit
+      // from that score distribution as exact DISCRETE quantiles
+      // (q(p) = min{m : cum(m)·1e6 ≥ p·n} over the distinct-mean
+      // histogram — integer arithmetic, engine-replayable bit-for-bit,
+      // where an interpolating percentile would be float-assoc-
+      // dependent). LM + thresholds persist together
+      // (`Lm.fitAndStoreGate`, the x17/e14 storage class); the query is
+      // the RUN-time path a crawl admission job executes: read the
+      // artifact, one broadcastable LEFT join to score the other 70%,
+      // bucket by the stored pair. Admission policy is now a versioned
+      // artifact — refit it deliberately, never drifting with the crawl.
+      // Output is the 3-row gate verdict; the hash payload (exact
+      // integer sums of per-doc means) pins every per-doc score AND the
+      // fitted thresholds transitively.
       (s, dir) => {
+        val root = lmGate(s, dir)
         val docs = Tables.table(s, dir, "documents")
         val split = graft.expressions.PolyHash(
           concat(lit("lmref|"), col("doc_id").cast("string"))) % 10
-        val lm = graft.operators.Lm.fitBigram(
-          docs.filter(split < 3).select(col("text")))
-        graft.operators.Lm.perplexityBuckets(
-            docs.filter(split >= 3).select(col("doc_id"), col("text")),
-            lm, headMin = 34700L, midMin = 32400L)
+        graft.operators.Lm.gateWithStored(s,
+            docs.filter(split >= 3).select(col("doc_id"), col("text")), root)
           .groupBy("bucket")
           .agg(count(lit(1)).as("n_docs"),
             sum(col("n_bigrams")).as("tot_bigrams"),
@@ -1108,9 +1130,9 @@ object TextQueries {
                 c -> CAST(ascii(c) AS BIGINT))),
             (h, b) -> (h * 257 + b) % 1000000007) AS BIGINT) % 10 AS b10
           FROM documents),
-        rw AS (SELECT list_filter(string_split(text, ' '), w -> w <> '') AS ws
+        rw AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
                FROM h WHERE b10 < 3),
-        rb AS (SELECT UNNEST(CASE WHEN len(ws) < 2 THEN []
+        rb AS (SELECT doc_id, UNNEST(CASE WHEN len(ws) < 2 THEN []
                 ELSE list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
                 END) AS bg
               FROM rw),
@@ -1119,6 +1141,26 @@ object TextQueries {
                 FROM cnt GROUP BY 1),
         lm AS (SELECT cnt.bg, CAST(FLOOR(cnt.cab * 1000000 / fst.ca) AS BIGINT) AS scaled
                FROM cnt JOIN fst ON split_part(cnt.bg, ' ', 1) = fst.a),
+        rsc AS (SELECT rb.doc_id, COALESCE(lm.scaled, 1) AS s
+                FROM rb LEFT JOIN lm ON rb.bg = lm.bg),
+        rd AS (SELECT doc_id, CAST(FLOOR(SUM(s) / COUNT(*)) AS BIGINT) AS mean_scaled
+               FROM rsc GROUP BY doc_id),
+        bym AS (SELECT mean_scaled, CAST(COUNT(*) AS BIGINT) AS c FROM rd GROUP BY 1),
+        cumh AS (SELECT mean_scaled,
+                  CAST(SUM(c) OVER (ORDER BY mean_scaled
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+                  (SELECT CAST(SUM(c) AS BIGINT) FROM bym) AS n
+                FROM bym),
+        rawthr AS (SELECT
+            MIN(CASE WHEN cum * 1000000 >= n * 750000 THEN mean_scaled END) AS h_raw,
+            MIN(CASE WHEN cum * 1000000 >= n * 250000 THEN mean_scaled END) AS m_raw
+          FROM cumh),
+        thr AS (SELECT
+            CASE WHEN h_raw IS NULL OR m_raw IS NULL OR h_raw <= m_raw
+              THEN 2 ELSE h_raw END AS head_min,
+            CASE WHEN h_raw IS NULL OR m_raw IS NULL OR h_raw <= m_raw
+              THEN 1 ELSE m_raw END AS mid_min
+          FROM rawthr),
         tw AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
                FROM h WHERE b10 >= 3),
         tb AS (SELECT doc_id, UNNEST(CASE WHEN len(ws) < 2 THEN []
@@ -1130,13 +1172,13 @@ object TextQueries {
         d AS (SELECT doc_id, COUNT(*) AS n_bigrams,
                 CAST(FLOOR(SUM(s) / COUNT(*)) AS BIGINT) AS mean_scaled
               FROM sc GROUP BY doc_id)
-        SELECT CASE WHEN mean_scaled >= 34700 THEN 'head'
-                    WHEN mean_scaled >= 32400 THEN 'middle'
+        SELECT CASE WHEN mean_scaled >= head_min THEN 'head'
+                    WHEN mean_scaled >= mid_min THEN 'middle'
                     ELSE 'tail' END AS bucket,
           COUNT(*) AS n_docs,
           CAST(SUM(n_bigrams) AS BIGINT) AS tot_bigrams,
           CAST(SUM(mean_scaled) AS BIGINT) AS sum_mean
-        FROM d GROUP BY 1""")),
+        FROM d CROSS JOIN thr GROUP BY 1""")),
 
     GQ("x04_bm25", // BM25 relevance scoring (k1=1.2, b=0.75) for a fixed
       // query over the corpus. The idf factor uses the rank-equivalent
@@ -1979,6 +2021,85 @@ object TextQueries {
           (1000000 * COALESCE(exact_inter, 0))
             // (n_a + n_b - COALESCE(exact_inter, 0)) AS j_exact_millionths,
           (1000000 * est_inter) // mk AS j_est_millionths
+        FROM est LEFT JOIN ix USING (src_a, src_b)""")),
+
+    GQ("x25_source_containment", // asymmetric dataset CONTAINMENT from
+      // the same KMV sketches as x24 (`DatasetSketch.containmentEstimates`
+      // — Beyer et al. 2007 multiset-operation synopses): Jaccard says
+      // "how similar", containment says "which way" — a small crawl can
+      // be 95% inside a big source while their Jaccard is tiny, and the
+      // license-audit / dedup-planning question is the directional one
+      // (d34's doc-level containment lifted to whole datasets). The
+      // union-bottom-k M = bottomk(A∪B) is a uniform sample of A∪B, so
+      // |A∩B|/|A| is estimated by |M∩A∩B| / |M∩A| — all from the two
+      // stored KB-scale sketches, no corpus rescan, and deterministic
+      // (bottom-k is unique), so the ESTIMATES hash-compare bit-for-bit
+      // like x24's. A side with no sampled element yields NULL, never a
+      // fake 0. Exact containments ride along as the audit payload (the
+      // h-level join drops at 100 TB). The refresh half of the artifact
+      // contract — bottom-k(old sketch ∪ batch) ≡ from-scratch, in
+      // O(k + batch) — is DatasetSketchSpec-pinned.
+      (s, dir) => {
+        import graft.operators.DatasetSketch
+        val docs = Tables.table(s, dir, "documents")
+        val sk = DatasetSketch.kmvSketches(docs, k = 128, shingleK = 3)
+        val est = DatasetSketch.containmentEstimates(sk, k = 128)
+        // Exact payload — oracle/audit-only branch (dropped at scale).
+        val e = docs
+          .select(col("source"), words(col("text")).as("ws"))
+          .select(col("source"), explode(shingles(col("ws"), 3)).as("sh"))
+          .select(col("source"), md5(col("sh")).as("h"))
+          .distinct()
+        val inter = e.as("a")
+          .join(e.as("b"),
+            col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+          .agg(count(lit(1)).as("exact_inter"))
+        est.join(inter, Seq("src_a", "src_b"), "left")
+          .withColumn("exact_inter", coalesce(col("exact_inter"), lit(0L)))
+          .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+            col("c_a_in_b_millionths"), col("c_b_in_a_millionths"),
+            expr("(CAST(1000000 AS BIGINT) * exact_inter) div n_a")
+              .as("c_exact_a_in_b_millionths"),
+            expr("(CAST(1000000 AS BIGINT) * exact_inter) div n_b")
+              .as("c_exact_b_in_a_millionths"))
+      },
+      Some("""WITH t AS (SELECT source,
+          list_filter(string_split(text, ' '), w -> w <> '') AS ws
+          FROM documents),
+        e AS (SELECT DISTINCT source, md5(s) AS h FROM (
+          SELECT source, UNNEST(list_transform(
+            range(1, greatest(len(ws) - 1, 1)),
+            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s FROM t)),
+        sk AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+            list_sort(list(h))[1:128] AS kmv FROM e GROUP BY source),
+        p AS (SELECT a.source AS src_a, b.source AS src_b,
+            a.n AS n_a, b.n AS n_b, a.kmv AS ka, b.kmv AS kb
+          FROM sk a JOIN sk b ON a.source < b.source),
+        m AS (SELECT src_a, src_b, n_a, n_b, ka, kb,
+            list_sort(list_distinct(ka || kb))[1:128] AS merged FROM p),
+        est AS (SELECT src_a, src_b, n_a, n_b,
+            CAST(len(list_filter(merged,
+              x -> list_contains(ka, x) AND list_contains(kb, x))) AS BIGINT)
+              AS m_ab,
+            CAST(len(list_filter(merged, x -> list_contains(ka, x))) AS BIGINT)
+              AS m_a,
+            CAST(len(list_filter(merged, x -> list_contains(kb, x))) AS BIGINT)
+              AS m_b
+          FROM m),
+        ix AS (SELECT a.source AS src_a, b.source AS src_b,
+            COUNT(*) AS exact_inter
+          FROM e a JOIN e b ON a.h = b.h AND a.source < b.source
+          GROUP BY 1, 2)
+        SELECT src_a, src_b, n_a, n_b,
+          CASE WHEN m_a > 0 THEN (1000000 * m_ab) // m_a END
+            AS c_a_in_b_millionths,
+          CASE WHEN m_b > 0 THEN (1000000 * m_ab) // m_b END
+            AS c_b_in_a_millionths,
+          (1000000 * COALESCE(exact_inter, 0)) // n_a
+            AS c_exact_a_in_b_millionths,
+          (1000000 * COALESCE(exact_inter, 0)) // n_b
+            AS c_exact_b_in_a_millionths
         FROM est LEFT JOIN ix USING (src_a, src_b)"""))
   )
 }

@@ -44,6 +44,49 @@ class LmSpec extends SparkSpec {
     }
   }
 
+  test("fitThresholds: exact discrete quantiles, partitioning-independent, degenerate-safe") {
+    // 8 docs with means 10,20,...,80: q(0.25) = min{m : cum·1e6 >= n·25e4}
+    // = 20 (cum(20)=2, 2e6 >= 8·25e4), q(0.75) = 60 (cum(60)=6).
+    val scored = (1 to 8).map(i => (i.toLong, i * 10L)).toDF("doc_id", "mean_scaled")
+    val t = Lm.fitThresholds(scored).head()
+    assert(t.getLong(0) == 60L && t.getLong(1) == 20L)
+    // partitioning must not move a quantile
+    val t13 = Lm.fitThresholds(scored.repartition(13)).head()
+    assert(t13.getLong(0) == 60L && t13.getLong(1) == 20L)
+    // degenerate: all means equal → head==mid → (2,1) fallback keeps the
+    // gate total instead of tripping perplexityBuckets' require
+    val flat = (1 to 5).map(i => (i.toLong, 42L)).toDF("doc_id", "mean_scaled")
+    val tf = Lm.fitThresholds(flat).head()
+    assert(tf.getLong(0) == 2L && tf.getLong(1) == 1L)
+    // empty slice → same fallback, no nulls
+    val te = Lm.fitThresholds(scored.filter(lit(false))).head()
+    assert(te.getLong(0) == 2L && te.getLong(1) == 1L)
+  }
+
+  test("stored gate artifact: fit once, score later runs identically from disk") {
+    val root = java.nio.file.Files.createTempDirectory("graft-lm-spec").toString
+    val refDocs = (1 to 40).map(i =>
+      (i.toLong, s"a b w${i % 5} a c token${i % 3} a b")).toDF("doc_id", "text")
+    Lm.fitAndStoreGate(refDocs, root)
+    val thr = spark.read.parquet(s"$root/thresholds").head()
+    assert(thr.getAs[Long]("head_min") > thr.getAs[Long]("mid_min"))
+    val target = (100 to 130).map(i =>
+      (i.toLong, s"a b w${i % 5} unseen${i} a c")).toDF("doc_id", "text")
+    // the stored path must equal fitting + bucketing in-memory
+    val stored = Lm.gateWithStored(spark, target, root)
+      .orderBy("doc_id").collect().map(_.mkString("|")).toSeq
+    val inline = Lm.perplexityBuckets(target,
+        Lm.fitBigram(refDocs.select(col("text"))),
+        thr.getAs[Long]("head_min"), thr.getAs[Long]("mid_min"))
+      .orderBy("doc_id").collect().map(_.mkString("|")).toSeq
+    assert(stored == inline)
+    // a second fit over the same slice reproduces the artifact bit-for-bit
+    val root2 = java.nio.file.Files.createTempDirectory("graft-lm-spec2").toString
+    Lm.fitAndStoreGate(refDocs.repartition(7), root2)
+    assert(spark.read.parquet(s"$root2/thresholds").head().toSeq ==
+      thr.toSeq, "threshold fit must be sample- and partitioning-deterministic")
+  }
+
   test("scoring is engine-deterministic: identical across partitionings") {
     val docs = spark.range(200).select(col("id").as("doc_id"),
       concat_ws(" ", lit("a"), lit("b"),
