@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Dev tool: measured recall@k of an ANN path against the brute-force truth
-  * on a testdata dir — the number the e05/e06/e09 property oracles gate on.
+  * on a testdata dir — the number the e05/e09 property oracles (and PqBaselineSpec) gate on.
   * Property bars need margin across session shapes (KMeans init sampling
   * depends on input partitioning), so run this under several
   * SPARK_GRAFT_CPUS values before pinning query parameters.

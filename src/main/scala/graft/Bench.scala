@@ -49,7 +49,8 @@ object Bench {
       "u02_merge_delete", "c02_compact_layout", "sv01_schema_evolution",
       "mv01_incremental_rollup", "u03_time_travel", "z02_manifest_skip",
       "z03_manifest_count", "z04_bloom_lookup", "pr01_provenance",
-      "c03_zorder_compact", "z05_merge_manifest_fresh", "x23_perplexity_gate")
+      "c03_zorder_compact", "z05_merge_manifest_fresh", "x23_perplexity_gate",
+      "u04_mor_delete")
     selected.filter(q => prebuild(q._1)).foreach { case (_, fn) =>
       try { fn(spark, sfDir).count(); spark.catalog.clearCache() }
       catch { case _: Throwable => () }
@@ -88,9 +89,15 @@ object Bench {
     // detail is always in BENCH_QUERIES.json, committed alongside.
     val total = results.map(_._2).sum
     val totalMin = results.map(_._3.min).sum
+    // per-tier subtotals (sum of medians): relational vs EXT — scoping
+    // for close-sweep comparisons and cheap A/B probes (r11 verdict #8)
+    val relNames = SparkEntry.relationalNames
+    val tierRel = results.filter(r => relNames(r._1)).map(_._2).sum
+    val tierExt = total - tierRel
+    val tiers = s""""tier_rel":${r3(tierRel)},"tier_ext":${r3(tierExt)}"""
     val lineBudget = 1800 // chars for the WHOLE printed line
     val envelope = (s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
-      s""""n":$runs,"total_min":${r3(totalMin)},"queries":{},"sf":"$sfDir"}""").length
+      s""""n":$runs,"total_min":${r3(totalMin)},$tiers,"queries":{},"sf":"$sfDir"}""").length
     val rollupMax = s""","other_n":9999,"other_sec":99999.999""".length
     val mapBudget = lineBudget - envelope - rollupMax
     val byCost = results.sortBy { case (k, v, _) => (-v, k) }
@@ -110,6 +117,7 @@ object Bench {
       }.mkString("{\n", ",\n", "\n}")
       val body =
         s"""{"n":$runs,"cpus":$cpus,"sf":"$sfDir","total_of_medians":${r3(total)},
+           |"tier_rel":${r3(tierRel)},"tier_ext":${r3(tierExt)},
            |"queries":$detail}""".stripMargin
       java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_QUERIES.json"),
@@ -120,7 +128,7 @@ object Bench {
     // runs with an empty diff, total_min moving is what distinguishes a
     // real regression from co-tenant noise (full per-query min/median/max
     // is in BENCH_QUERIES.json, committed alongside).
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":$runs,"total_min":${r3(totalMin)},"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":$runs,"total_min":${r3(totalMin)},$tiers,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

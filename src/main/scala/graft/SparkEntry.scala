@@ -44,6 +44,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.run).toMap
 
+  /** Bench tiering: the relational tier (TPC-H-ish + table maintenance)
+    * vs the EXT tier (text/vector/pipeline/multimodal). Bench records a
+    * subtotal per tier so close-sweep comparisons and A/B probes can be
+    * scoped cheaply (r11 verdict #8). */
+  def relationalNames: Set[String] = queries_relational.map(_.name).toSet
+
   def oracleSql: Map[String, String] =
     registry.flatMap(q => q.oracle.map(o => q.name -> o)).toMap
 }

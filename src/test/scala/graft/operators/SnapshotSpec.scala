@@ -43,4 +43,33 @@ class SnapshotSpec extends SparkSpec {
       Snapshot.readVersion(spark, root, Some(1))
     }
   }
+
+  test("retention past a pinned version fails LOUD on action, never silent-empty") {
+    // The race the reference's drain-ordering care guards against
+    // (pipeline.py:327-329), in storage form: a long-running job pins a
+    // version (plans a DataFrame on it), a retention sweep deletes it
+    // before the job acts. The contract: the pinned read must THROW at
+    // action time — a silent empty result would quietly train on nothing.
+    val root = java.nio.file.Files.createTempDirectory("graft-ret").toString + "/t"
+    Snapshot.publish(spark.range(0, 100).toDF("id"), root)
+    Snapshot.publish(spark.range(0, 50).toDF("id"), root)
+    val pinned = Snapshot.readVersion(spark, root, Some(1)) // planned, not acted
+    assert(Snapshot.retain(spark, root, keep = 1) == Seq(1))
+    // new reads of the retained-away version fail the version check
+    intercept[IllegalArgumentException] {
+      Snapshot.readVersion(spark, root, Some(1))
+    }
+    // the already-planned frame fails at action time (file listing is
+    // re-validated by the scan), with an exception — not 0 rows
+    val thrown = intercept[Throwable] { pinned.count() }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(thrown).exists(t =>
+      t.isInstanceOf[java.io.FileNotFoundException] ||
+        String.valueOf(t.getMessage).contains("PATH_NOT_FOUND") ||
+        String.valueOf(t.getMessage).contains("does not exist")),
+      s"expected a loud missing-path failure, got: $thrown")
+    // the survivor version still reads exactly
+    assert(Snapshot.readVersion(spark, root, Some(2)).count() == 50)
+  }
 }
