@@ -127,4 +127,71 @@ object Graph {
     nodes.unpersist()
     pr.select(col("node"), col("rank").as("rank_millionths"))
   }
+
+  /** Exact triangle count via DEGREE ORIENTATION — the third member of
+    * the iterative-graph family (community density beside [[Components]]'
+    * reachability and [[pageRank]]'s flow authority), and the canonical
+    * "curse of the last reducer" problem (Suri & Vassilvitskii 2011):
+    * counting wedges on the raw graph puts deg² work on every hub, so one
+    * celebrity vertex stalls the whole job. The fix is an ORIENTATION,
+    * not more hardware: direct each undirected edge from its lower
+    * (degree, id) endpoint to the higher, and every triangle {x,y,z}
+    * (ordered by that total order) appears as exactly one path x→y→z
+    * closed by x→z — counted once, no multiplicity corrections — while
+    * every vertex's OUT-degree is O(√m) regardless of its true degree
+    * (a vertex with out-degree d has d higher-ordered neighbors, each of
+    * degree ≥ d, so d² ≤ 2m). The wedge join is therefore Σ outdeg² ≤
+    * O(m^1.5) TOTAL and per-key bounded — the hub's work is spread over
+    * its low-degree neighbors, which is what survives a power-law graph
+    * at 100 TB. Three shuffles total (degree agg, wedge join, closure
+    * join); everything integer/exact, so the count replays bit-for-bit
+    * on any engine or partitioning.
+    *
+    * @param edges directed or undirected edge list; both directions and
+    *              duplicates collapse to one undirected edge, self-loops
+    *              drop. @return one row: (n_vertices, n_edges, n_wedges,
+    *              n_triangles) — wedges = oriented 2-paths, the candidate
+    *              count the closure join filters (the audit number that
+    *              shows the orientation bounding the work). */
+  def triangleCount(
+      edges: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst"
+  ): DataFrame = {
+    // canonical undirected edges: (a < b), loops dropped, both input
+    // directions collapsed
+    val und = edges.select(
+        least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("a"),
+        greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = und.select(col("a").as("v"))
+      .unionAll(und.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    // orient by the (degree, id) total order: with a < b by id already,
+    // a leads unless b's degree is strictly smaller (ties keep id order)
+    val o = und
+      .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+      .select(
+        when(col("db") < col("da"), col("b")).otherwise(col("a")).as("src_o"),
+        when(col("db") < col("da"), col("a")).otherwise(col("b")).as("dst_o"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // wedges u→v→w, closed by the oriented edge u→w
+    val wedges = o.select(col("src_o").as("u"), col("dst_o").as("v"))
+      .join(o.select(col("src_o").as("v"), col("dst_o").as("w")), "v")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nW = wedges.count()
+    val nT = wedges
+      .join(o.select(col("src_o").as("u"), col("dst_o").as("w")), Seq("u", "w"))
+      .count()
+    val nV = deg.count()
+    val nE = und.count()
+    und.unpersist(); o.unpersist(); wedges.unpersist()
+    val spark = edges.sparkSession
+    spark.range(1).select(
+      lit(nV).as("n_vertices"), lit(nE).as("n_edges"),
+      lit(nW).as("n_wedges"), lit(nT).as("n_triangles"))
+  }
 }

@@ -130,6 +130,26 @@ object Advanced {
       root
     })
 
+  /** u04's MERGE-ON-READ layout: orders partitioned by o_year plus an
+    * UNFOLDED equality-delete sidecar (every 11th 1995 order) — the query
+    * exercises the read path that subtracts the sidecar without any data
+    * rewrite having happened. The fold path (sidecar → COW → cleared,
+    * incl. manifest composition) is MergeOnReadSpec's territory. */
+  private def morOrders(s: SparkSession, dir: String): String =
+    layoutMemo.computeIfAbsent(s"mor_orders:$dir", _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft-mor-orders").toString + "/t"
+      val base = t(s, dir, "orders").withColumn("o_year", year(col("o_orderdate")))
+      writeLayout(base, p, Seq("o_year"))
+      if (!base.isEmpty) {
+        val keys = base
+          .filter(col("o_year") === 1995 && col("o_orderkey") % 11 === 0)
+          .select("o_orderkey", "o_year")
+        graft.operators.MergeOnRead.appendDeletes(s, p, keys,
+          keyCols = Seq("o_orderkey"), partCols = Seq("o_year"))
+      }
+      p
+    })
+
   /** u03's VERSIONED root: two immutable published snapshots of the 1996
     * orders slice — v1 the original, v2 after the u01-style price bump on
     * every 7th key. Time travel = reading a pinned `v=K` directory; the
@@ -2102,6 +2122,81 @@ object Advanced {
             SELECT e.dst, r.hops + 1 FROM r JOIN e ON e.src = r.node
             WHERE r.hops < 2)
         SELECT node, MIN(hops) AS min_hops FROM r GROUP BY node""")),
+
+    GQ("g04_triangles", // exact triangle count by DEGREE ORIENTATION
+      // (`operators/Graph.triangleCount` — Suri & Vassilvitskii 2011):
+      // community density over the undirected browse graph, the classic
+      // "curse of the last reducer" problem. Counting wedges on the raw
+      // graph puts deg² work on every hub; orienting each edge from its
+      // lower (degree, id) endpoint to the higher makes every triangle
+      // exactly one closed 2-path AND bounds every vertex's out-degree
+      // by O(√m), so the wedge join is O(m^1.5) total and per-key
+      // bounded — a celebrity item spreads its work over its low-degree
+      // neighbors instead of stalling one reducer. Three shuffles
+      // (degree agg, wedge join, closure join), all-integer counts, so
+      // the 1-row verdict replays bit-for-bit; n_wedges rides along as
+      // the audit number showing what the closure join had to filter.
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"), col("ts"),
+            regexp_extract(col("props"), "\"k\": (\\d+)", 1)
+              .cast("long").as("item"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val edges = ev
+          .select(col("item").as("dst"), lag(col("item"), 1).over(w).as("src"))
+          .filter(col("src").isNotNull)
+        graft.operators.Graph.triangleCount(edges)
+      },
+      Some("""WITH ev AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t,
+            CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS item
+          FROM events),
+        tr AS (SELECT item AS dst,
+            LAG(item) OVER (PARTITION BY user_id ORDER BY t, event_id) AS src
+          FROM ev),
+        und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          FROM tr WHERE src IS NOT NULL AND src <> dst),
+        deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM (
+            SELECT a AS v FROM und UNION ALL SELECT b FROM und)
+          GROUP BY v),
+        o AS (SELECT CASE WHEN db.d < da.d THEN und.b ELSE und.a END AS u,
+                CASE WHEN db.d < da.d THEN und.a ELSE und.b END AS w
+              FROM und JOIN deg da ON da.v = und.a JOIN deg db ON db.v = und.b),
+        wedges AS (SELECT o1.u, o2.w FROM o o1 JOIN o o2 ON o2.u = o1.w)
+        SELECT (SELECT COUNT(*) FROM deg) AS n_vertices,
+          (SELECT COUNT(*) FROM und) AS n_edges,
+          (SELECT COUNT(*) FROM wedges) AS n_wedges,
+          (SELECT COUNT(*) FROM wedges wg JOIN o
+             ON o.u = wg.u AND o.w = wg.w) AS n_triangles""")),
+
+    GQ("u04_mor_delete", // MERGE-ON-READ deletes (`operators/MergeOnRead`)
+      // — the deferred-rewrite half of the deletion design space beside
+      // u02's copy-on-write: the GDPR batch (every 11th 1995 order) is an
+      // O(|keys|) append to an underscore-invisible `_deletes` sidecar
+      // INSIDE the table — no partition was rewritten — and this query is
+      // the READ PATH that subtracts it: plain scan LEFT ANTI one
+      // broadcast of the distinct delete keys (Iceberg v2's
+      // equality-delete visibility re-expressed on plain directories).
+      // At 100 TB this is the right trade for sparse deletes: request
+      // cost O(|keys|), read cost one broadcast anti-join, and the
+      // physical rewrite happens once in a maintenance window
+      // (MergeOnRead.fold → Merge.delete COW → sidecar cleared, spec-
+      // asserted ≡ the pre-fold read, incl. the manifest composition).
+      // The oracle replays the NOT-matched filter over the originals:
+      // sidecar visibility must equal the declarative DELETE.
+      (s, dir) => {
+        graft.operators.MergeOnRead.read(
+            s, morOrders(s, dir), keyCols = Seq("o_orderkey"))
+          .groupBy("o_year")
+          .agg(count(lit(1)).as("n_orders"),
+            Dec.dsum(col("o_totalprice")).as("revenue"))
+      },
+      Some("""SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+          COUNT(*) AS n_orders,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM orders
+        WHERE NOT (year(o_orderdate) = 1995 AND o_orderkey % 11 = 0)
+        GROUP BY 1""")),
 
     GQ("u03_time_travel", // versioned snapshots — poor-man's TIME TRAVEL
       // (`Snapshot.publish/readVersion`): each release is an immutable

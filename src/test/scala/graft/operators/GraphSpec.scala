@@ -57,4 +57,47 @@ class GraphSpec extends SparkSpec {
     val empty = Seq.empty[(Long, Long, Long)].toDF("src", "dst", "w")
     assert(Graph.pageRank(empty, iterations = 3).isEmpty)
   }
+
+  private def tri(edges: Seq[(Long, Long)]): (Long, Long, Long, Long) = {
+    val r = Graph.triangleCount(edges.toDF("src", "dst")).collect().head
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+  }
+
+  test("triangleCount: K4 has 4 triangles; direction/dup/loop edges collapse") {
+    // complete graph on {1,2,3,4}: C(4,3) = 4 triangles, 6 edges
+    val k4 = for {
+      a <- 1L to 4L; b <- 1L to 4L if a != b
+    } yield (a, b) // both directions present
+    assert(tri(k4 ++ Seq((1L, 1L), (2L, 1L))) == ((4L, 6L, 4L, 4L)))
+    // 3-path: the wedge's center is its highest-degree vertex, so the
+    // orientation points BOTH edges into it — zero oriented wedges (the
+    // hub-protection doing its job even at degree 2)
+    assert(tri(Seq((1L, 2L), (2L, 3L))) == ((3L, 2L, 0L, 0L)))
+    // 4-path: 1→2→3 survives as an oriented wedge (2→3 by the id
+    // tiebreak), but nothing closes it
+    val (v, e, w, t) = tri(Seq((1L, 2L), (2L, 3L), (3L, 4L)))
+    assert(v == 4L && e == 3L && w == 1L && t == 0L)
+    // triangle + pendant: exactly one
+    assert(tri(Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)))._4 == 1L)
+  }
+
+  test("triangleCount: orientation bounds wedges on a star (no hub blow-up)") {
+    // star K1,50: raw wedge counting would give C(50,2)=1225 wedges on
+    // the hub; the (degree, id) orientation points every edge AT the hub,
+    // so out-degrees are all 1 and ZERO wedges form
+    val star = (2L to 51L).map(leaf => (1L, leaf))
+    val (v, e, w, t) = tri(star)
+    assert(v == 51L && e == 50L && w == 0L && t == 0L)
+  }
+
+  test("triangleCount is partitioning-independent and empty-safe") {
+    val edges = (1L to 400L).map(i => ((i * 13) % 23, (i * 7) % 23))
+      .filter(p => p._1 != p._2).toDF("src", "dst")
+    val a = Graph.triangleCount(edges).collect().head.toSeq
+    val b = Graph.triangleCount(edges.repartition(17)).collect().head.toSeq
+    assert(a == b)
+    assert(Graph.triangleCount(
+      Seq.empty[(Long, Long)].toDF("src", "dst")).collect().head.toSeq ==
+      Seq(0L, 0L, 0L, 0L))
+  }
 }
