@@ -71,4 +71,64 @@ object Drift {
       .select(col("v.p"), col("v.ref_q"), col("v.batch_q"),
         col("n_vals"), col("v.drifted"))
   }
+
+  /** CATEGORICAL drift — the family's third axis beside the quantile gate
+    * above (continuous, online) and x11's KS (continuous, offline): total
+    * variation distance between each group's category distribution and a
+    * reference slice's, TVD = ½ Σ_cat |o/No − r/Nr|. The natural drift
+    * metric for label/language/priority columns, where quantiles are
+    * meaningless; bounded [0,1], interpretable as "the fraction of mass
+    * that moved".
+    *
+    * EXACT integer arithmetic end to end (the x14/g02 discipline): the
+    * per-category term is |o·Nr − r·No| (longs — exact up to ~3e9-row
+    * slices, past that lift the products to DECIMAL), the final
+    * normalization floor(1e6·S / (2·No·Nr)) runs in DECIMAL(38,0)
+    * integral division, so the verdict replays bit-for-bit on any
+    * engine or partitioning — no χ²'s float division, no G-test's libm
+    * log. Categories absent on one side contribute their full mass
+    * (full-outer grid vs the reference's category set).
+    *
+    * Shape: one groupBy over each side (map-side combined), a
+    * |groups|×|categories| grid join (KB-scale — category columns are
+    * low-cardinality by definition), one |grid| aggregate. The reference
+    * distribution is a stored-artifact candidate like the quantile
+    * sketch: persist `ref`'s (cat, r) table and Nr once, score every
+    * later batch against it without rescanning.
+    *
+    * @return one row per group: (groupCol, n_current, tvd_millionths,
+    *         drifted). Groups or references with zero mass are excluded
+    *         (no distribution to compare — same no-evidence stance as
+    *         the quantile gate's n_vals). */
+  def categoricalDrift(
+      ref: DataFrame,
+      cur: DataFrame,
+      catCol: String,
+      groupCol: String,
+      driftMillionths: Long = 20000L
+  ): DataFrame = {
+    val r = ref.groupBy(col(catCol).as("cat"))
+      .agg(count(lit(1)).as("r"))
+    val rt = r.agg(sum(col("r")).as("nr"))
+    val c = cur.groupBy(col(groupCol).as("g"), col(catCol).as("cat"))
+      .agg(count(lit(1)).as("o"))
+    val ct = c.groupBy("g").agg(sum(col("o")).as("no"))
+    // grid = every group × every reference category, so ref-only
+    // categories contribute |0·Nr − r·No|; cur-only categories survive
+    // the full outer join with r = 0
+    val grid = ct.select("g").crossJoin(r)
+    val ap = grid.join(c, Seq("g", "cat"), "full_outer")
+      .select(col("g"), col("cat"),
+        coalesce(col("r"), lit(0L)).as("r"),
+        coalesce(col("o"), lit(0L)).as("o"))
+    ap.join(ct, "g").crossJoin(broadcast(rt))
+      .groupBy(col("g"), col("no"), col("nr"))
+      .agg(sum(abs(col("o") * col("nr") - col("r") * col("no"))).as("s"))
+      .filter(col("nr") > 0 && col("no") > 0)
+      .select(col("g").as(groupCol), col("no").as("n_current"),
+        expr("""CAST((CAST(1000000 AS DECIMAL(38,0)) * s)
+          DIV (2 * CAST(no AS DECIMAL(38,0)) * nr) AS BIGINT)""")
+          .as("tvd_millionths"))
+      .withColumn("drifted", col("tvd_millionths") >= driftMillionths)
+  }
 }

@@ -130,6 +130,32 @@ object Advanced {
       root
     })
 
+  /** mv02's JOIN VIEW: revenue by customer nation = orders ⋈ customer,
+    * maintained by the delta-join rule Δ(F ⋈ D) = ΔF ⋈ D
+    * (`operators/Ivm`): backfill aggregates history-before-cutoff through
+    * the join ONCE; the delta batch joins the broadcast dimension alone
+    * and merges additively — history is never rescanned. Stored revenue
+    * stays DECIMAL so additive merges are exact in any order. */
+  private def joinViewOrders(s: SparkSession, dir: String): String =
+    layoutMemo.computeIfAbsent(s"ivm_orders:$dir", _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft-ivm-orders").toString + "/v"
+      def view(df: DataFrame): DataFrame = df
+        .join(broadcast(t(s, dir, "customer").select("c_custkey", "c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(Dec.dec(col("o_totalprice"))).cast(Dec.D2).as("revenue"))
+      val base = t(s, dir, "orders")
+      val cutoff = lit("1997-06-15").cast("date")
+      view(base.filter(col("o_orderdate") < cutoff))
+        .coalesce(1).write.mode("overwrite").parquet(p)
+      val delta = base.filter(col("o_orderdate") >= cutoff)
+      if (!delta.isEmpty)
+        graft.operators.Ivm.maintainAdditive(s, p, view(delta),
+          keys = Seq("c_nationkey"), addCols = Seq("n_orders", "revenue"))
+      p
+    })
+
   /** u04's MERGE-ON-READ layout: orders partitioned by o_year plus an
     * UNFOLDED equality-delete sidecar (every 11th 1995 order) — the query
     * exercises the read path that subtracts the sidecar without any data
@@ -2197,6 +2223,74 @@ object Advanced {
         FROM orders
         WHERE NOT (year(o_orderdate) = 1995 AND o_orderkey % 11 = 0)
         GROUP BY 1""")),
+
+    GQ("mv02_ivm_join_rollup", // incremental maintenance of a JOIN view
+      // (`operators/Ivm`) — the delta-join rule Δ(F ⋈ D) = ΔF ⋈ D that
+      // every IVM engine applies: the stored revenue-by-nation view
+      // (orders ⋈ customer) absorbs the post-cutoff delta by joining
+      // ONLY the delta against the broadcast dimension and merging the
+      // delta-aggregate ADDITIVELY (union + one groups-sized re-agg +
+      // staged swap). mv01's sibling one step up: mv01 recomputes a
+      // single-table rollup's touched groups (replace semantics);
+      // this one never recomputes anything — append-only facts make
+      // pure addition correct, and DECIMAL sums keep it exact in any
+      // merge order. At 100 TB maintenance costs O(|Δ| ⋈ dims), and the
+      // oracle is the invariant that earns the stored view its trust:
+      // incremental must be indistinguishable from the from-scratch
+      // recompute over the raw originals.
+      (s, dir) => {
+        s.read.parquet(joinViewOrders(s, dir))
+          .select(col("c_nationkey"), col("n_orders"),
+            col("revenue").cast("double").as("revenue"))
+      },
+      Some("""SELECT c_nationkey, COUNT(*) AS n_orders,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1""")),
+
+    GQ("x26_categorical_drift", // total-variation drift per period
+      // (`Drift.categoricalDrift`) — the drift family's CATEGORICAL axis
+      // beside x19's online quantile gate and x11's offline KS: for each
+      // year, TVD = ½ Σ_cat |o/No − r/Nr| against the 1995 reference
+      // distribution of order priorities — "what fraction of probability
+      // mass moved", the right metric where quantiles are meaningless.
+      // EXACT integer arithmetic end to end (per-category |o·Nr − r·No|
+      // in longs, final floor(1e6·S/(2·No·Nr)) in DECIMAL(38,0) integral
+      // division — no χ² float division, no G-test libm log), so the
+      // verdict hash-compares bit-for-bit. The 1995-vs-itself row is the
+      // built-in zero: TVD = 0 by identity, proving the metric's floor.
+      // Shape: two map-side-combined groupBys + a |years|×|categories|
+      // grid — at 100 TB the reference (cat, count) table is a stored
+      // KB artifact and each batch scores against it in its own scan.
+      (s, dir) => {
+        val o = t(s, dir, "orders").select(
+          year(col("o_orderdate")).as("o_year"), col("o_orderpriority"))
+        graft.operators.Drift.categoricalDrift(
+          ref = o.filter(col("o_year") === 1995),
+          cur = o,
+          catCol = "o_orderpriority", groupCol = "o_year")
+      },
+      Some("""WITH o AS (SELECT CAST(year(o_orderdate) AS INTEGER) AS y,
+            o_orderpriority AS cat FROM orders),
+        ref AS (SELECT cat, CAST(COUNT(*) AS BIGINT) AS r FROM o
+          WHERE y = 1995 GROUP BY 1),
+        rt AS (SELECT CAST(SUM(r) AS BIGINT) AS nr FROM ref),
+        cur AS (SELECT y, cat, CAST(COUNT(*) AS BIGINT) AS oc FROM o GROUP BY 1, 2),
+        ct AS (SELECT y, CAST(SUM(oc) AS BIGINT) AS no FROM cur GROUP BY 1),
+        grid AS (SELECT ct.y, ref.cat, ref.r FROM ct CROSS JOIN ref),
+        ap AS (SELECT COALESCE(g.y, c.y) AS y, COALESCE(g.cat, c.cat) AS cat,
+                 COALESCE(g.r, 0) AS r, COALESCE(c.oc, 0) AS oc
+               FROM grid g FULL OUTER JOIN cur c ON g.y = c.y AND g.cat = c.cat),
+        s AS (SELECT ap.y, ct.no, rt.nr,
+                CAST(SUM(abs(oc * rt.nr - r * ct.no)) AS BIGINT) AS sd
+              FROM ap JOIN ct ON ct.y = ap.y CROSS JOIN rt
+              GROUP BY ap.y, ct.no, rt.nr)
+        SELECT y AS o_year, no AS n_current,
+          CAST((CAST(1000000 AS HUGEINT) * sd)
+            // (2 * CAST(no AS HUGEINT) * nr) AS BIGINT) AS tvd_millionths,
+          CAST((CAST(1000000 AS HUGEINT) * sd)
+            // (2 * CAST(no AS HUGEINT) * nr) AS BIGINT) >= 20000 AS drifted
+        FROM s WHERE nr > 0 AND no > 0""")),
 
     GQ("u03_time_travel", // versioned snapshots — poor-man's TIME TRAVEL
       // (`Snapshot.publish/readVersion`): each release is an immutable
