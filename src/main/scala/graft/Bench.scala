@@ -50,7 +50,8 @@ object Bench {
       "mv01_incremental_rollup", "u03_time_travel", "z02_manifest_skip",
       "z03_manifest_count", "z04_bloom_lookup", "pr01_provenance",
       "c03_zorder_compact", "z05_merge_manifest_fresh", "x23_perplexity_gate",
-      "u04_mor_delete", "mv02_ivm_join_rollup")
+      "u04_mor_delete", "mv02_ivm_join_rollup", "cdc01_change_feed",
+      "pp04_partition_evolution")
     selected.filter(q => prebuild(q._1)).foreach { case (_, fn) =>
       try { fn(spark, sfDir).count(); spark.catalog.clearCache() }
       catch { case _: Throwable => () }

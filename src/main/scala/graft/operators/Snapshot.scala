@@ -37,6 +37,48 @@ object Snapshot {
           .otherwise("unchanged").as("status"))
   }
 
+  /** CHANGE DATA FEED between two snapshots — [[diff]]'s row-level
+    * sibling: where diff reports per-id STATUS, this emits the actual
+    * change rows a downstream consumer applies or audits, in the shape
+    * Delta's CDF popularized: `insert` and `delete` rows carry the
+    * one-sided payload; a changed id emits BOTH an `update_pre` (old
+    * payload) and an `update_post` (new payload) row, so consumers can
+    * retract-then-apply without re-reading either snapshot. Unchanged
+    * ids emit nothing. Composed with [[publish]]/[[readVersion]], this
+    * turns the immutable version history into a CDC SOURCE — the
+    * producer side of the streaming `mergeUpsertSink` consumer.
+    *
+    * Shape: ONE full-outer sort-merge join on the id (both sides reduce
+    * to (id, payload-struct) at the scan), unchanged rows filtered
+    * BEFORE the update rows fan out 2×. Null-safe struct equality means
+    * NULL payload fields compare structurally. For a recurring feed,
+    * bucket both snapshots on the id and the join plans exchange-free
+    * ([[diff]]'s contract). Output: (op, idCol, payloadCols…). */
+  def changeFeed(
+      v1: DataFrame,
+      v2: DataFrame,
+      idCol: String = "doc_id",
+      payloadCols: Seq[String] = Seq("text")
+  ): DataFrame = {
+    require(payloadCols.nonEmpty, "changeFeed: payloadCols must be non-empty")
+    val a = v1.select(col(idCol).as("__id"),
+      struct(payloadCols.map(col): _*).as("__a"))
+    val b = v2.select(col(idCol).as("__id"),
+      struct(payloadCols.map(col): _*).as("__b"))
+    a.join(b, Seq("__id"), "full_outer")
+      .filter(!(col("__a") <=> col("__b"))) // drop unchanged before the 2× fan-out
+      .select(col("__id"), explode(
+        when(col("__a").isNull,
+          array(struct(lit("insert").as("op"), col("__b").as("p"))))
+          .when(col("__b").isNull,
+            array(struct(lit("delete").as("op"), col("__a").as("p"))))
+          .otherwise(array(
+            struct(lit("update_pre").as("op"), col("__a").as("p")),
+            struct(lit("update_post").as("op"), col("__b").as("p"))))).as("r"))
+      .select((col("r.op").as("op") +: col("__id").as(idCol) +:
+        payloadCols.map(c => col(s"r.p.$c").as(c))): _*)
+  }
+
   // ---- Versioned snapshots: poor-man's TIME TRAVEL on plain parquet ----
   //
   // The Merge/Compaction family mutates the LIVE table in place; publish()

@@ -130,6 +130,46 @@ object Advanced {
       root
     })
 
+  /** cdc01's VERSION PAIR: the 1996 orders slice published as v1, then
+    * v2 with every 7th price bumped, every 13th row deleted, and a new
+    * +1e9-keyed row inserted for every 17th — all four CDC row classes
+    * (insert / delete / update_pre / update_post) non-vacuous. */
+  private def cdcOrders(s: SparkSession, dir: String): String =
+    layoutMemo.computeIfAbsent(s"cdc_orders:$dir", _ => {
+      val root = java.nio.file.Files.createTempDirectory("graft-cdc-orders").toString + "/t"
+      val y96 = t(s, dir, "orders")
+        .filter(year(col("o_orderdate")) === 1996)
+        .select("o_orderkey", "o_totalprice")
+      graft.operators.Snapshot.publish(y96, root)
+      val bumped = y96.withColumn("o_totalprice",
+        when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 1000.0)
+          .otherwise(col("o_totalprice")))
+      val v2 = bumped.filter(col("o_orderkey") % 13 =!= 0)
+        .unionByName(y96.filter(col("o_orderkey") % 17 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 1000000000L))
+      graft.operators.Snapshot.publish(v2, root)
+      root
+    })
+
+  /** pp04's PARTITION-SPEC EVOLUTION layout: generation 1 (≤1995) is
+    * partitioned by o_year alone; generation 2 (≥1996) adopted the finer
+    * (o_year, o_month) spec. Old directories are NEVER rewritten when
+    * the spec changes — the only affordable evolution at 100 TB (a
+    * repartitioning rewrite of history is a full-table copy); the reader
+    * composes the generations with per-generation predicate translation
+    * (pp04's query body). */
+  private def partEvolvedOrders(s: SparkSession, dir: String): String =
+    layoutMemo.computeIfAbsent(s"pevolve_orders:$dir", _ => {
+      val root = java.nio.file.Files.createTempDirectory("graft-pe-orders").toString
+      val base = t(s, dir, "orders").withColumn("o_year", year(col("o_orderdate")))
+      writeLayout(base.filter(col("o_year") <= 1995), s"$root/g1", Seq("o_year"))
+      writeLayout(
+        base.filter(col("o_year") >= 1996)
+          .withColumn("o_month", month(col("o_orderdate"))),
+        s"$root/g2", Seq("o_year", "o_month"))
+      root
+    })
+
   /** mv02's JOIN VIEW: revenue by customer nation = orders ⋈ customer,
     * maintained by the delta-join rule Δ(F ⋈ D) = ΔF ⋈ D
     * (`operators/Ivm`): backfill aggregates history-before-cutoff through
@@ -2247,6 +2287,78 @@ object Advanced {
           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY 1""")),
+
+    GQ("cdc01_change_feed", // CHANGE DATA FEED between published
+      // snapshots (`Snapshot.changeFeed`) — the PRODUCER side of the CDC
+      // story whose consumer is the streaming mergeUpsertSink: v1→v2 of
+      // the versioned 1996 slice emits the actual row-level changes in
+      // Delta-CDF shape — insert/delete rows with the one-sided payload,
+      // changed ids as an update_pre + update_post PAIR so a consumer
+      // can retract-then-apply without re-reading either snapshot
+      // (diff's per-id status, upgraded to applicable rows). One
+      // full-outer join on the id, both sides reduced to (id, payload
+      // struct) at the scan, unchanged ids filtered BEFORE the 2×
+      // update fan-out; bucket both snapshots on the id for the
+      // recurring exchange-free form. All four op classes non-vacuous
+      // by construction (bump %7 / delete %13 / insert %17); the oracle
+      // rebuilds both versions from the originals and classifies with
+      // joins — the committed feed must equal the declarative diff.
+      (s, dir) => {
+        val root = cdcOrders(s, dir)
+        graft.operators.Snapshot.changeFeed(
+          graft.operators.Snapshot.readVersion(s, root, Some(1)),
+          graft.operators.Snapshot.readVersion(s, root, Some(2)),
+          idCol = "o_orderkey", payloadCols = Seq("o_totalprice"))
+      },
+      Some("""WITH v1 AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders
+            WHERE year(o_orderdate) = 1996),
+        bumped AS (SELECT k, CASE WHEN k % 7 = 0 THEN p + 1000.0 ELSE p END AS p
+                   FROM v1),
+        v2 AS (SELECT k, p FROM bumped WHERE k % 13 <> 0
+               UNION ALL
+               SELECT k + 1000000000, p FROM v1 WHERE k % 17 = 0)
+        SELECT 'delete' AS op, k AS o_orderkey, p AS o_totalprice
+          FROM v1 WHERE k % 13 = 0
+        UNION ALL
+        SELECT 'insert', k, p FROM v2 WHERE k > 1000000000
+        UNION ALL
+        SELECT 'update_pre', v1.k, v1.p FROM v1 JOIN v2 USING (k)
+          WHERE v1.p <> v2.p
+        UNION ALL
+        SELECT 'update_post', v1.k, v2.p FROM v1 JOIN v2 USING (k)
+          WHERE v1.p <> v2.p""")),
+
+    GQ("pp04_partition_evolution", // PARTITION-SPEC EVOLUTION — the
+      // fourth scan lever's schema-change twin: generation 1 (≤1995) was
+      // laid out by o_year alone, generation 2 (≥1996) adopted the finer
+      // (o_year, o_month) spec, and NOTHING was rewritten at the spec
+      // change (at 100 TB a history repartition is a full-table copy —
+      // the evolution Iceberg's partition-spec versioning exists to
+      // avoid). The reader composes the generations with PER-GENERATION
+      // predicate translation: the month predicate hits g2 as a
+      // partition filter (directories pruned from the listing) and g1 as
+      // the equivalent row filter on o_orderdate (files scanned, rows
+      // filtered) — each generation pays exactly what its layout can
+      // prove. The oracle replays the month filter over the unpartitioned
+      // originals: evolution must never change answers.
+      (s, dir) => {
+        val root = partEvolvedOrders(s, dir)
+        val common = Seq("o_year", "o_orderkey", "o_totalprice")
+        val g1 = s.read.parquet(s"$root/g1")
+          .filter(month(col("o_orderdate")) === 3)
+          .select(common.map(col): _*)
+        val g2 = s.read.parquet(s"$root/g2")
+          .filter(col("o_month") === 3)
+          .select(common.map(col): _*)
+        g1.unionByName(g2)
+          .groupBy("o_year")
+          .agg(count(lit(1)).as("n_orders"),
+            Dec.dsum(col("o_totalprice")).as("revenue"))
+      },
+      Some("""SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+          COUNT(*) AS n_orders,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM orders WHERE month(o_orderdate) = 3 GROUP BY 1""")),
 
     GQ("x26_categorical_drift", // total-variation drift per period
       // (`Drift.categoricalDrift`) — the drift family's CATEGORICAL axis

@@ -172,6 +172,25 @@ class EntrySpec extends SparkSpec {
       "pp02 dims stopped broadcasting — DPP reuse requires the broadcast")
   }
 
+  test("r12 plans: pp04 prunes the evolved generation; z05 prunes through the manifest") {
+    def plan(name: String): String =
+      SparkEntry.queries(name)(spark, sf())
+        .queryExecution.executedPlan.toString
+    // pp04: generation 2's month predicate must resolve as a PARTITION
+    // filter (the finer spec paying off), while generation 1 keeps the
+    // equivalent row filter — per-generation predicate translation
+    val pp04 = plan("pp04_partition_evolution")
+    assert(pp04.contains("PartitionFilters: [isnotnull(o_month"),
+      "pp04 lost partition pruning on the evolved generation")
+    assert(pp04.contains("month(cast(o_orderdate"),
+      "pp04 lost the row-filter translation on the legacy generation")
+    // z05: the post-merge pruned read must still push the range filter
+    // down to the scan of the manifest-selected files
+    val z05 = plan("z05_merge_manifest_fresh")
+    assert(z05.contains("PushedFilters: [IsNotNull(o_custkey"),
+      "z05 stopped pushing the range predicate into the pruned scan")
+  }
+
   test("r11 second-wave plans keep their scale shapes (agg pushdown, winnow pairs)") {
     def plan(name: String): String =
       SparkEntry.queries(name)(spark, sf())

@@ -44,6 +44,32 @@ class SnapshotSpec extends SparkSpec {
     }
   }
 
+  test("changeFeed emits all four CDC row classes; unchanged ids emit nothing") {
+    val v1 = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0))
+      .toDF("id", "x", "amt")
+    val v2 = Seq((2L, "b", 20.0),          // unchanged → absent
+      (3L, "c2", 30.0),                    // update (x changed)
+      (4L, "d", 41.0),                     // update (amt changed)
+      (5L, "e", 50.0))                     // insert; id 1 deleted
+      .toDF("id", "x", "amt")
+    val got = Snapshot.changeFeed(v1, v2, "id", Seq("x", "amt"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+      .toSet
+    assert(got == Set(
+      ("delete", 1L, "a", 10.0),
+      ("update_pre", 3L, "c", 30.0), ("update_post", 3L, "c2", 30.0),
+      ("update_pre", 4L, "d", 40.0), ("update_post", 4L, "d", 41.0),
+      ("insert", 5L, "e", 50.0)))
+    assert(!got.exists(_._2 == 2L), "unchanged id must emit nothing")
+    // null payload fields compare structurally (null-safe), not as changes
+    val n1 = Seq((1L, None: Option[String]), (2L, Some("y"))).toDF("id", "x")
+    val n2 = Seq((1L, None: Option[String]), (2L, None: Option[String])).toDF("id", "x")
+    val ops = Snapshot.changeFeed(n1, n2, "id", Seq("x"))
+      .collect().map(r => r.getLong(1) -> r.getString(0)).toSet
+    assert(ops == Set(2L -> "update_pre", 2L -> "update_post"),
+      "null==null is unchanged; value→null is an update")
+  }
+
   test("retention past a pinned version fails LOUD on action, never silent-empty") {
     // The race the reference's drain-ordering care guards against
     // (pipeline.py:327-329), in storage form: a long-running job pins a
