@@ -504,6 +504,72 @@ object ScaleSmoke {
         f"all $nPairs%d pairwise estimates from sketches alone: ${(System.nanoTime() - t1) / 1e9}%.1fs")
       sk.unpersist()
     }
+    // Merge-on-read deletes (u04/r12): the request-time cost is the
+    // sidecar append — O(|keys|), data untouched — vs the COW delete
+    // that rewrites every touched directory at request time. Fold pays
+    // the rewrite ONCE in the maintenance window.
+    locally {
+      val n = math.max(rows * 10, 1000000L)
+      val base = java.nio.file.Files.createTempDirectory("graft-scale-mor").toString
+      val t = s"$base/t"
+      spark.range(n)
+        .select(col("id"), pmod(col("id"), lit(8)).cast("int").as("part"),
+          (col("id") * 3).as("v"))
+        .write.partitionBy("part").parquet(t)
+      val keys = spark.range(n).filter(pmod(xxhash64(col("id")), lit(1000)) === 0)
+        .select(col("id"), pmod(col("id"), lit(8)).cast("int").as("part"))
+      val t0 = System.nanoTime()
+      val nDel = graft.operators.MergeOnRead.appendDeletes(
+        spark, t, keys, Seq("id"), Seq("part"))
+      val tApp = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val vis = graft.operators.MergeOnRead.read(spark, t, Seq("id")).count()
+      val tRead = (System.nanoTime() - t1) / 1e9
+      val t2 = System.nanoTime()
+      graft.operators.MergeOnRead.fold(spark, t, Seq("id"), Seq("part"))
+      println(f"[scale] mor delete over $n%d rows: append $nDel%d keys ${tApp}%.1fs " +
+        f"(no data rewritten), read-through ${tRead}%.1fs ($vis%d rows), " +
+        f"fold (the deferred COW, paid once) ${(System.nanoTime() - t2) / 1e9}%.1fs")
+    }
+    // Degree-oriented triangles (g04/r12): the orientation bounds wedge
+    // work on a deliberately hub-skewed graph — vertex 0 receives ~10%
+    // of all edges; naive wedge counting would enumerate C(deg_hub, 2)
+    // pairs on that one key (the curse of the last reducer), while the
+    // oriented wedge total stays near-linear in |E|.
+    locally {
+      val v = 100000L
+      val e = spark.range(rows).select(
+        when(pmod(xxhash64(col("id")), lit(10)) === 0, lit(0L))
+          .otherwise(pmod(xxhash64(col("id")), lit(v))).as("src"),
+        pmod(xxhash64(col("id") * 31 + 7), lit(v)).as("dst"))
+      val t0 = System.nanoTime()
+      val r = graft.operators.Graph.triangleCount(e).collect().head
+      val hub = rows / 10
+      println(f"[scale] oriented triangles over ${r.getLong(1)}%d edges " +
+        f"(hub degree ~$hub%d): ${r.getLong(2)}%d wedges / ${r.getLong(3)}%d " +
+        f"triangles in ${(System.nanoTime() - t0) / 1e9}%.1fs — naive wedges on " +
+        f"the hub alone would be ~${hub * (hub - 1) / 2}%d")
+    }
+    // Categorical TVD drift (x26/r12) + CDC feed (cdc01/r12): both are
+    // single-pass / single-join shapes — verdict cost rides the scan.
+    locally {
+      val t0 = System.nanoTime()
+      val periods = spark.range(rows).select(
+        pmod(col("id"), lit(20)).as("g"),
+        pmod(xxhash64(col("id")), lit(10)).cast("string").as("cat"))
+      val nV = graft.operators.Drift.categoricalDrift(
+        periods.filter(col("g") === 0), periods, "cat", "g").count()
+      println(f"[scale] categorical TVD over $rows%d rows / $nV%d period verdicts: " +
+        f"${(System.nanoTime() - t0) / 1e9}%.1fs")
+      val t1 = System.nanoTime()
+      val v1 = spark.range(rows).select(col("id"), (col("id") * 2).as("p"))
+      val v2 = spark.range(rows).select(col("id"),
+        when(pmod(col("id"), lit(100)) === 0, col("id") * 2 + 1)
+          .otherwise(col("id") * 2).as("p"))
+      val nC = graft.operators.Snapshot.changeFeed(v1, v2, "id", Seq("p")).count()
+      println(f"[scale] change feed over $rows%d-row snapshots: $nC%d change rows " +
+        f"in ${(System.nanoTime() - t1) / 1e9}%.1fs")
+    }
     spark.stop()
   }
 }

@@ -63,9 +63,20 @@ object Merge {
   )
 
   private def partTuples(
-      df: DataFrame, partCols: Seq[String]): Array[Seq[Any]] =
-    df.select(partCols.map(col): _*).distinct().collect()
-      .map(r => partCols.indices.map(r.get))
+      df: DataFrame, partCols: Seq[String]): Array[Seq[Any]] = {
+    val t = df.select(partCols.map(col): _*).distinct().collect()
+      .map(r => partCols.indices.map(r.get): Seq[Any])
+    // the collect is bounded driver METADATA by the layout contract
+    // (partition columns are low-cardinality row properties); a batch
+    // naming 10^5+ partitions means the partitioning is too fine for a
+    // COW merge — flag it loudly before the commit fans out
+    if (t.length > 100000)
+      org.slf4j.LoggerFactory.getLogger("graft.operators.Merge").warn(
+        s"change batch touches ${t.length} partitions — the touched-set " +
+          "collect and per-directory commit scale with this; coarsen the " +
+          "partitioning or split the batch")
+    t
+  }
 
   /** `isin`-conjunction over the touched partition tuples: resolves to the
     * scan's PartitionFilters (static pruning — EntrySpec-style guard in

@@ -661,6 +661,39 @@ object Streaming {
         }
     }
   }
+
+  /** Streaming DELETE sink — [[mergeUpsertSink]]'s retraction twin, the
+    * CDC-delete consumer: each micro-batch of keys is recorded in the
+    * table's merge-on-read sidecar
+    * ([[graft.operators.MergeOnRead.appendDeletes]]) — an O(|keys|)
+    * append at stream speed, NO data rewritten per batch (a COW delete
+    * per micro-batch would rewrite the same hot partitions over and
+    * over). Readers observe the deletes immediately through
+    * `MergeOnRead.read`; a maintenance-window `fold` applies the backlog
+    * physically once.
+    *
+    * Exactly-once without markers, one notch STRONGER than the upsert
+    * sink's convergence: delete-by-key is naturally idempotent, and the
+    * sidecar is deduped at every read and fold — so a crash-replayed
+    * batch appends redundant rows that change no answer, and even a key
+    * deleted by two different batches stays a single delete. Batches
+    * must carry the partition columns (fold's prune set, u02's
+    * contract). */
+  def morDeleteSink(
+      df: DataFrame,
+      tablePath: String,
+      keyCols: Seq[String],
+      partCols: Seq[String],
+      trigger: Trigger = Trigger.AvailableNow()
+  ): DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream.trigger(trigger).foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.MergeOnRead.appendDeletes(
+            batch.sparkSession, tablePath, batch, keyCols, partCols)
+          ()
+        }
+    }
 }
 
 /** Async single-record processing — the Spark re-expression of

@@ -885,6 +885,57 @@ class StreamingSpec extends SparkSpec {
     assert(snapshot() == want, "replayed batch must converge, not duplicate")
   }
 
+  test("streaming mor-delete sink records deletes without rewrites; replay converges") {
+    // The retraction twin of the merge-upsert sink: delete keys stream
+    // into the merge-on-read sidecar. Asserted below:
+    //   (1) reads through MergeOnRead see the streamed deletes at once,
+    //   (2) NO table data file is rewritten at stream speed,
+    //   (3) a crash-replayed batch appends redundant sidecar rows that
+    //       change no answer (delete-by-key idempotence),
+    //   (4) the maintenance fold applies the backlog and clears it.
+    val base = java.nio.file.Files.createTempDirectory("graft-mords").toString
+    val (inDir, ckpt, table) = (s"$base/in", s"$base/ckpt", s"$base/table")
+    spark.range(0, 500)
+      .select(col("id"), (col("id") % 2).cast("int").as("part"))
+      .write.partitionBy("part").parquet(table)
+    val dataFiles = spark.read.parquet(table).inputFiles.toSet
+    def addBatch(ids: Seq[Long]): Unit =
+      ids.map(i => (i, (i % 2).toInt)).toDF("id", "part")
+        .coalesce(1).write.mode("append").parquet(inDir)
+    addBatch(Seq(3L, 7L, 10L))
+    val schema = spark.read.parquet(inDir).schema
+    def run(): Unit = {
+      val q = Streaming.morDeleteSink(
+        spark.readStream.schema(schema).parquet(inDir),
+        table, keyCols = Seq("id"), partCols = Seq("part"))
+        .option("checkpointLocation", ckpt).start()
+      q.awaitTermination(60000)
+    }
+    run()
+    def visible(): Long =
+      graft.operators.MergeOnRead.read(spark, table, Seq("id")).count()
+    assert(visible() == 497)
+    assert(spark.read.parquet(table).inputFiles.toSet == dataFiles,
+      "stream-speed deletes must not rewrite any data file")
+    addBatch(Seq(10L, 42L)) // 10 deleted twice across batches — still one delete
+    run()
+    assert(visible() == 496)
+    // crash window: drop the newest commit so the batch re-delivers
+    val commits = new java.io.File(s"$ckpt/commits")
+      .listFiles().filterNot(_.getName.startsWith("."))
+    val newest = commits.maxBy(_.getName.toLong)
+    new java.io.File(s"$ckpt/commits", s".${newest.getName}.crc").delete()
+    assert(newest.delete())
+    run()
+    assert(visible() == 496, "replayed delete batch must converge, not over-delete")
+    // maintenance fold: physical table == the streamed view, sidecar gone
+    val st = graft.operators.MergeOnRead.fold(spark, table, Seq("id"), Seq("part"))
+    assert(st.rowsReplaced == 4)
+    assert(spark.read.parquet(table).count() == 496)
+    assert(graft.operators.MergeOnRead.fold(spark, table, Seq("id"), Seq("part"))
+      == graft.operators.Merge.MergeStats(0L, 0L, 0L, 0L))
+  }
+
   test("validated merge sink quarantines a contract-violating batch, table stays clean") {
     import graft.operators.Expectations._
     val base = java.nio.file.Files.createTempDirectory("graft-vmus").toString
