@@ -98,7 +98,7 @@ object Merge {
 
   /** Stage `out` beside `path`, then commit it with dynamic partition
     * overwrite and drop the staging directory. */
-  private def stageAndCommit(
+  private[operators] def stageAndCommit(
       spark: SparkSession, out: DataFrame, path: String,
       partCols: Seq[String]): Unit = {
     // Sibling, never inside `path`: parquet's "cannot overwrite a read
@@ -113,7 +113,7 @@ object Merge {
     rmDir(spark, staging)
   }
 
-  private def rmDir(spark: SparkSession, dir: String): Unit = {
+  private[operators] def rmDir(spark: SparkSession, dir: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(p, true)

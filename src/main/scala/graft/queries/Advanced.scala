@@ -3,7 +3,7 @@ package graft.queries
 import graft.{Dec, GQ, Tables}
 import graft.Dec._
 import graft.functions.TextFunctions._
-import graft.operators.{AsOfJoin, IntervalJoin, Merge}
+import graft.operators.{AsOfJoin, IntervalJoin, Merge, Scd}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -363,6 +363,40 @@ object Advanced {
           .select("o_orderkey", "o_year")
         Merge.delete(s, p, keys,
           keyCols = Seq("o_orderkey"), partCols = Seq("o_year"))
+      }
+      p
+    })
+
+  /** u05/fs01's SCD2 customer dimension (`operators/Scd`): initial load at
+    * v1, then two deterministic change batches —
+    *
+    *   v2: every 3rd customer's balance +100, plus CLONE inserts
+    *       (c_custkey + 10M) for every 97th customer;
+    *   v3: every 6th CURRENT key's balance +50 (built from the table's own
+    *       current slice, so it compounds on v2's bump — the realistic
+    *       feed shape where batches derive from live state).
+    *
+    * Memoized like [[mergedOrders]]: the artifact under test is the
+    * committed partitioned history on disk (open slice in `scd_part=cur`,
+    * versions closed at v in append-only `scd_part=v`), read fresh by the
+    * queries. */
+  private def scdCustomers(s: SparkSession, dir: String): String =
+    layoutMemo.computeIfAbsent(s"scd_customers:$dir", _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft-scd-cust").toString + "/t"
+      val c = t(s, dir, "customer")
+      Scd.init(s, p, c, version = 1L)
+      if (!c.isEmpty) {
+        val b2 = c.filter(col("c_custkey") % 3 === 0)
+          .withColumn("c_acctbal", col("c_acctbal") + 100.0)
+          .unionByName(c.filter(col("c_custkey") % 97 === 0)
+            .withColumn("c_custkey", col("c_custkey") + 10000000L)
+            .withColumn("c_mktsegment", lit("CLONE")))
+        Scd.applyChanges(s, p, b2, Seq("c_custkey"), version = 2L)
+        val b3 = Scd.current(s, p)
+          .filter(col("c_custkey") % 6 === 0)
+          .drop(Scd.FromCol, Scd.ToCol)
+          .withColumn("c_acctbal", col("c_acctbal") + 50.0)
+        Scd.applyChanges(s, p, b3, Seq("c_custkey"), version = 3L)
       }
       p
     })
@@ -2403,6 +2437,110 @@ object Advanced {
           CAST((CAST(1000000 AS HUGEINT) * sd)
             // (2 * CAST(no AS HUGEINT) * nr) AS BIGINT) >= 20000 AS drifted
         FROM s WHERE nr > 0 AND no > 0""")),
+
+    GQ("u05_scd2", // SCD Type-2 dimension maintenance (`operators/Scd`):
+      // change batches CLOSE the matched version (scd_valid_to stamped)
+      // and open a new one instead of overwriting — the Kimball pattern
+      // every warehouse dimension load runs, here as a COW commit whose
+      // layout (open slice in scd_part=cur, closings in append-only
+      // scd_part=v) makes an apply cost |current|+|closed@v|, never
+      // |history|. The audit groups the FULL committed history by
+      // validity span; the oracle rebuilds the same history declaratively
+      // from the originals (v2 = +100 on every 3rd key + CLONE inserts,
+      // v3 = +50 compounded on every 6th current key), so version
+      // stamping, close/open pairing, insert handling, and the
+      // no-rewrite layout must all agree bit-for-bit.
+      (s, dir) => {
+        Scd.history(s, scdCustomers(s, dir))
+          .groupBy("scd_valid_from", "scd_valid_to")
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct(col("c_custkey")).as("n_keys"),
+            Dec.dsum(col("c_acctbal")).as("sum_bal"))
+      },
+      Some("""WITH b2u AS (SELECT c_custkey, c_acctbal + 100.0 AS c_acctbal
+                FROM customer WHERE c_custkey % 3 = 0),
+        b2i AS (SELECT c_custkey + 10000000 AS c_custkey, c_acctbal
+                FROM customer WHERE c_custkey % 97 = 0),
+        s2 AS (SELECT c_custkey, c_acctbal, 1 AS vf FROM customer
+                 WHERE c_custkey % 3 <> 0
+               UNION ALL SELECT c_custkey, c_acctbal, 2 FROM b2u
+               UNION ALL SELECT c_custkey, c_acctbal, 2 FROM b2i),
+        closed2 AS (SELECT c_custkey, c_acctbal, 1 AS vf, 2 AS vt
+                    FROM customer WHERE c_custkey % 3 = 0),
+        closed3 AS (SELECT c_custkey, c_acctbal, vf, 3 AS vt FROM s2
+                    WHERE c_custkey % 6 = 0),
+        s3 AS (SELECT c_custkey, c_acctbal, vf, CAST(NULL AS INTEGER) AS vt
+                 FROM s2 WHERE c_custkey % 6 <> 0
+               UNION ALL SELECT c_custkey, c_acctbal + 50.0, 3, NULL
+                 FROM s2 WHERE c_custkey % 6 = 0),
+        hist AS (SELECT * FROM closed2 UNION ALL SELECT * FROM closed3
+                 UNION ALL SELECT * FROM s3)
+        SELECT CAST(vf AS BIGINT) AS scd_valid_from,
+          CAST(vt AS BIGINT) AS scd_valid_to,
+          COUNT(*) AS n_rows,
+          CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_keys,
+          CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        FROM hist GROUP BY 1, 2""")),
+
+    GQ("fs01_pit_join", // point-in-time-correct feature join over the SCD2
+      // history: each order is enriched with the customer attributes AS
+      // THEY WERE at order time (order years mapped to dim versions
+      // 1/2/3) — the feature-store discipline that prevents temporal
+      // leakage, where training joins against today's dimension and
+      // learns from the future. Because SCD2 validity intervals PARTITION
+      // each key's timeline, "the version valid at t" is exactly "the
+      // latest valid_from <= t" — so the lookup runs as the as-of join
+      // (one shuffle + window, no non-equi range join, a01's machinery)
+      // while the oracle states the same thing declaratively with the
+      // interval predicate. Facts joining versioned dims this way never
+      // rescan history: cost is one |facts|+|history| shuffle.
+      (s, dir) => {
+        val hist = Scd.history(s, scdCustomers(s, dir))
+          .select("c_custkey", "scd_valid_from", "c_acctbal")
+        val facts = t(s, dir, "orders").select(
+          col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          when(year(col("o_orderdate")) <= 1995, 1L)
+            .when(year(col("o_orderdate")) === 1996, 2L)
+            .otherwise(3L).as("fact_v"))
+        AsOfJoin.asofJoin(facts, hist,
+          leftKey = "o_custkey", rightKey = "c_custkey",
+          leftTime = "fact_v", rightTime = "scd_valid_from",
+          payload = Seq("scd_valid_from", "c_acctbal"),
+          rightTiebreak = "c_custkey")
+          .groupBy(col("fact_v"), col("asof_scd_valid_from").as("dim_v"))
+          .agg(count(lit(1)).as("n_orders"),
+            Dec.dsum(col("o_totalprice")).as("revenue"),
+            Dec.dsum(col("asof_c_acctbal")).as("bal_sum"))
+      },
+      Some("""WITH b2u AS (SELECT c_custkey, c_acctbal + 100.0 AS c_acctbal
+                FROM customer WHERE c_custkey % 3 = 0),
+        b2i AS (SELECT c_custkey + 10000000 AS c_custkey, c_acctbal
+                FROM customer WHERE c_custkey % 97 = 0),
+        s2 AS (SELECT c_custkey, c_acctbal, 1 AS vf FROM customer
+                 WHERE c_custkey % 3 <> 0
+               UNION ALL SELECT c_custkey, c_acctbal, 2 FROM b2u
+               UNION ALL SELECT c_custkey, c_acctbal, 2 FROM b2i),
+        closed2 AS (SELECT c_custkey, c_acctbal, 1 AS vf, 2 AS vt
+                    FROM customer WHERE c_custkey % 3 = 0),
+        closed3 AS (SELECT c_custkey, c_acctbal, vf, 3 AS vt FROM s2
+                    WHERE c_custkey % 6 = 0),
+        s3 AS (SELECT c_custkey, c_acctbal, vf, CAST(NULL AS INTEGER) AS vt
+                 FROM s2 WHERE c_custkey % 6 <> 0
+               UNION ALL SELECT c_custkey, c_acctbal + 50.0, 3, NULL
+                 FROM s2 WHERE c_custkey % 6 = 0),
+        hist AS (SELECT * FROM closed2 UNION ALL SELECT * FROM closed3
+                 UNION ALL SELECT * FROM s3),
+        facts AS (SELECT o_orderkey, o_custkey, o_totalprice,
+          CAST(CASE WHEN year(o_orderdate) <= 1995 THEN 1
+                    WHEN year(o_orderdate) = 1996 THEN 2
+                    ELSE 3 END AS BIGINT) AS fact_v FROM orders)
+        SELECT f.fact_v, CAST(h.vf AS BIGINT) AS dim_v,
+          COUNT(*) AS n_orders,
+          CAST(SUM(CAST(f.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+          CAST(SUM(CAST(h.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum
+        FROM facts f JOIN hist h ON f.o_custkey = h.c_custkey
+          AND h.vf <= f.fact_v AND (h.vt IS NULL OR h.vt > f.fact_v)
+        GROUP BY 1, 2""")),
 
     GQ("u03_time_travel", // versioned snapshots — poor-man's TIME TRAVEL
       // (`Snapshot.publish/readVersion`): each release is an immutable
