@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Annotation aggregation and inter-annotator agreement — the
+  * label-quality side of training-data curation (RLHF preference labels,
+  * classification gold sets, eval-set adjudication): collapse redundant
+  * human labels to one per item by majority vote, and score how much the
+  * annotators actually agree (per-item, and corpus-level chance-corrected
+  * kappa per Fleiss 1971), so a pipeline can route low-agreement items to
+  * re-annotation instead of training on noise.
+  *
+  * Reference tie-in: the reference aggregates per-stage counters and error
+  * rates (`pipeline.py` count/error surfaces) — this is the same
+  * "trust-the-batch?" observability applied to labels rather than stages.
+  *
+  * Exactness discipline (the repo-wide rule): no floats cross an
+  * aggregation boundary. Ratios are quantized to integer MILLIONTHS with
+  * explicit floor division, and floor is spelled out via the non-negative
+  * modulus — `(a - ((a mod b)+b) mod b) / b` — because Spark's `div` and
+  * DuckDB's `//` both truncate toward zero, which disagrees with floor
+  * exactly when a kappa numerator goes negative (poor agreement is a
+  * legitimate, testable state). Chance agreement is computed from
+  * label shares ALREADY quantized to millionths, so every intermediate
+  * fits a long at any corpus size (Σ p_u² ≤ |labels|·10¹²) — no decimal
+  * widening, no overflow cliff at 10⁹ annotations.
+  *
+  * Scale shape: everything is one groupBy chain on (item) / (item, label)
+  * keys — map-side combined, AQE-skew-splittable, no window wider than an
+  * item's label set (≤ |label vocabulary| rows per item, WindowGroupLimit-
+  * pruned rank-1). The corpus-level pass reduces to |labels|-row and 1-row
+  * aggregates; nothing driver-side scales with items.
+  */
+object Agreement {
+
+  /** Exact floor division as a Column (works for negative `a`; `b` > 0). */
+  def floorDiv(a: Column, b: Column): Column =
+    ((a - pmod(a, b)) / b).cast("long")
+
+  /** One label per (item, annotator): annotators sometimes submit twice —
+    * keep the deterministic minimum so the reduction is engine/retry-stable
+    * (same contract as d13's keep-best-representative). */
+  def oneLabelPerAnnotator(
+      ann: DataFrame, item: String, annotator: String, label: String
+  ): DataFrame =
+    ann.groupBy(col(item), col(annotator)).agg(min(col(label)).as(label))
+
+  /** Per-item majority vote: `modal_label` (most votes, ties to the
+    * lexicographically smallest label), `modal_votes`, `n_annotations`,
+    * and `agreement_millionths` — the pairwise agreement
+    * Σⱼ cⱼ(cⱼ−1) / (n(n−1)) (the per-item term of Fleiss' P̄), defined as
+    * 10⁶ for single-annotation items (nothing to disagree with). */
+  def majorityVote(ann: DataFrame, item: String, label: String): DataFrame = {
+    val v = ann.groupBy(col(item), col(label)).agg(count(lit(1)).as("_c"))
+    val it = v.groupBy(col(item)).agg(
+      sum(col("_c")).as("n_annotations"),
+      sum(col("_c") * (col("_c") - 1)).as("_pairs"))
+    val w = Window.partitionBy(col(item))
+      .orderBy(col("_c").desc, col(label).asc)
+    val modal = v.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1)
+      .select(col(item), col(label).as("modal_label"),
+        col("_c").as("modal_votes"))
+    it.join(modal, Seq(item))
+      .withColumn("agreement_millionths",
+        when(col("n_annotations") <= 1, lit(1000000L))
+          .otherwise(floorDiv(lit(1000000L) * col("_pairs"),
+            col("n_annotations") * (col("n_annotations") - 1))))
+      .drop("_pairs")
+  }
+
+  /** Corpus-level Fleiss-style kappa over items with ≥ 2 annotations:
+    * one row — `n_items`, `n_annotations`, `observed_millionths` (mean of
+    * the per-item agreement terms, each floored to millionths first so the
+    * mean is order-free), `chance_millionths` (Σ pⱼ² over millionth-
+    * quantized label shares), and `kappa_millionths` =
+    * ⌊10⁶·(P̄−Pₑ)/(10⁶−Pₑ)⌋ — NULL when Pₑ = 10⁶ (degenerate one-label
+    * corpus: kappa undefined) or when no item qualifies. */
+  def fleissKappa(ann: DataFrame, item: String, label: String): DataFrame = {
+    val v = ann.groupBy(col(item), col(label)).agg(count(lit(1)).as("_c"))
+    val it = v.groupBy(col(item)).agg(
+      sum(col("_c")).as("n"),
+      sum(col("_c") * (col("_c") - 1)).as("_pairs"))
+      .filter(col("n") >= 2)
+      .withColumn("agree_u", floorDiv(lit(1000000L) * col("_pairs"),
+        col("n") * (col("n") - 1)))
+    val s = it.agg(count(lit(1)).as("m"), sum(col("agree_u")).as("sa"),
+      sum(col("n")).as("nn"))
+    val cj = v.join(it.select(col(item)), Seq(item), "semi")
+      .groupBy(col(label)).agg(sum(col("_c")).as("cj"))
+    // label shares quantized BEFORE squaring: Σ p_u² ≤ |labels|·10¹² keeps
+    // every intermediate in long range at any annotation volume
+    val pe = cj.crossJoin(broadcast(s.select(col("nn"))))
+      .select(floorDiv(lit(1000000L) * col("cj"), col("nn")).as("p_u"))
+      .agg(sum(col("p_u") * col("p_u")).as("_s2"))
+      .select(floorDiv(col("_s2"), lit(1000000L)).as("pe_u"))
+    val pbar = floorDiv(col("sa"), col("m"))
+    s.crossJoin(pe).select(
+      col("m").as("n_items"),
+      col("nn").as("n_annotations"),
+      when(col("m") === 0, lit(null).cast("long"))
+        .otherwise(pbar).as("observed_millionths"),
+      when(col("m") === 0, lit(null).cast("long"))
+        .otherwise(col("pe_u")).as("chance_millionths"),
+      when(col("m") === 0 || col("pe_u") >= 1000000L, lit(null).cast("long"))
+        .otherwise(floorDiv(lit(1000000L) * (pbar - col("pe_u")),
+          lit(1000000L) - col("pe_u"))).as("kappa_millionths"))
+  }
+}

@@ -1945,6 +1945,90 @@ object Advanced {
             AS n_inserted
         FROM final WHERE o_custkey BETWEEN 10 AND 99 GROUP BY 1""")),
 
+    GQ("ag01_majority_vote", // annotation aggregation (`operators/
+      // Agreement`): redundant human labels collapsed to one per item by
+      // majority vote — the RLHF/gold-set adjudication step. Events stand
+      // in as the annotation log (item = event_id mod 500, annotator =
+      // user_id, label = event_type); duplicate submissions per
+      // (item, annotator) reduce to the deterministic minimum first. Ties
+      // break to the lexicographically smallest label, per-item pairwise
+      // agreement is floored to integer millionths — every choice the
+      // oracle replays bit-for-bit. Scale shape: two key-bounded groupBys
+      // + a rank-1 window over ≤|label-vocab| rows per item.
+      (s, dir) => {
+        import graft.operators.Agreement
+        val ann = Tables.events(s, dir).select(
+          (col("event_id") % 500).as("item"),
+          col("user_id").as("annotator"), col("event_type").as("label"))
+        val one = Agreement.oneLabelPerAnnotator(ann, "item", "annotator", "label")
+        Agreement.majorityVote(one, "item", "label")
+          .groupBy("modal_label")
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("n_annotations")).as("n_annotations"),
+            Agreement.floorDiv(sum(col("agreement_millionths")), count(lit(1)))
+              .as("mean_agreement_millionths"))
+      },
+      Some("""WITH ann AS (SELECT event_id % 500 AS item, user_id AS annotator,
+                MIN(event_type) AS label FROM events GROUP BY 1, 2),
+        v AS (SELECT item, label, COUNT(*) AS c FROM ann GROUP BY 1, 2),
+        it AS (SELECT item, SUM(c) AS n, SUM(c * (c - 1)) AS pairs
+               FROM v GROUP BY 1),
+        modal AS (SELECT item, label AS modal_label,
+                ROW_NUMBER() OVER (PARTITION BY item
+                  ORDER BY c DESC, label ASC) AS rk FROM v),
+        mj AS (SELECT i.item, i.n, m.modal_label,
+               CASE WHEN i.n <= 1 THEN 1000000
+                    ELSE (1000000 * i.pairs) // (i.n * (i.n - 1)) END AS agree_u
+               FROM it i JOIN modal m ON i.item = m.item AND m.rk = 1)
+        SELECT modal_label, COUNT(*) AS n_items,
+          CAST(SUM(n) AS BIGINT) AS n_annotations,
+          CAST(SUM(agree_u) // COUNT(*) AS BIGINT) AS mean_agreement_millionths
+        FROM mj GROUP BY 1""")),
+
+    GQ("ag02_fleiss_kappa", // corpus-level inter-annotator agreement —
+      // chance-corrected kappa per Fleiss 1971 over items with ≥2
+      // annotations, entirely in integer millionths: per-item agreement
+      // terms floored before the mean (order-free), chance agreement from
+      // label shares quantized BEFORE squaring (fits a long at any
+      // annotation volume), and kappa's possibly-NEGATIVE ratio floored
+      // via the explicit non-negative-mod formula — Spark `div` and
+      // DuckDB `//` both truncate toward zero, so the naive spelling
+      // silently disagrees exactly when annotators disagree. One
+      // (item,label) groupBy chain reducing to 1-row aggregates: the
+      // verdict costs the scan.
+      (s, dir) => {
+        import graft.operators.Agreement
+        val ann = Tables.events(s, dir).select(
+          (col("event_id") % 500).as("item"),
+          col("user_id").as("annotator"), col("event_type").as("label"))
+        Agreement.fleissKappa(
+          Agreement.oneLabelPerAnnotator(ann, "item", "annotator", "label"),
+          "item", "label")
+      },
+      Some("""WITH ann AS (SELECT event_id % 500 AS item, user_id AS annotator,
+                MIN(event_type) AS label FROM events GROUP BY 1, 2),
+        v AS (SELECT item, label, COUNT(*) AS c FROM ann GROUP BY 1, 2),
+        it AS (SELECT item, SUM(c) AS n,
+                 (1000000 * SUM(c * (c - 1))) // (SUM(c) * (SUM(c) - 1))
+                   AS agree_u
+               FROM v GROUP BY 1 HAVING SUM(c) >= 2),
+        s AS (SELECT COUNT(*) AS m, SUM(agree_u) AS sa, SUM(n) AS nn FROM it),
+        cj AS (SELECT v.label, SUM(v.c) AS cj FROM v
+               JOIN it ON v.item = it.item GROUP BY 1),
+        pe AS (SELECT SUM(((1000000 * cj) // (SELECT nn FROM s)) *
+                          ((1000000 * cj) // (SELECT nn FROM s)))
+                 // 1000000 AS pe_u FROM cj)
+        SELECT CAST(s.m AS BIGINT) AS n_items,
+          CAST(s.nn AS BIGINT) AS n_annotations,
+          CAST(s.sa // s.m AS BIGINT) AS observed_millionths,
+          CAST(pe.pe_u AS BIGINT) AS chance_millionths,
+          CAST(CASE WHEN pe.pe_u >= 1000000 THEN NULL ELSE
+            (1000000 * (s.sa // s.m - pe.pe_u)
+              - ((1000000 * (s.sa // s.m - pe.pe_u)) % (1000000 - pe.pe_u)
+                 + (1000000 - pe.pe_u)) % (1000000 - pe.pe_u))
+            // (1000000 - pe.pe_u) END AS BIGINT) AS kappa_millionths
+        FROM s, pe""")),
+
     GQ("dq01_expectations", // declarative expectation suite
       // (`operators/Expectations`) — the ingest ADMISSION gate: the whole
       // contract (nullability, ranges, formats, domains, key uniqueness)

@@ -1,0 +1,70 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class AgreementSpec extends SparkSpec {
+  import spark.implicits._
+
+  // item A: [x, x, y] ; item B: [x, y] (tie) ; item C: [z] (single)
+  private def ann() = Seq(
+    ("A", 1, "x"), ("A", 2, "x"), ("A", 3, "y"),
+    ("B", 1, "x"), ("B", 2, "y"),
+    ("C", 1, "z")
+  ).toDF("item", "annotator", "label")
+
+  test("majority vote: modal label, tie to smallest, exact pairwise agreement") {
+    val mv = Agreement.majorityVote(ann(), "item", "label")
+      .orderBy("item")
+      .select("item", "modal_label", "modal_votes", "n_annotations",
+        "agreement_millionths")
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    assert(mv == Seq(
+      ("A", "x", 2L, 3L, 333333L), // floor(1e6 * 2 / 6)
+      ("B", "x", 1L, 2L, 0L), // tie c=1 -> lexicographically smallest
+      ("C", "z", 1L, 1L, 1000000L))) // single annotation: perfect by definition
+  }
+
+  test("fleiss kappa: hand-computed, negative value floors (not truncates)") {
+    val k = Agreement.fleissKappa(ann(), "item", "label").head()
+    // over A and B only (C has n=1): m=2, sa=333333 -> pbar=166666
+    // nn=5, c_x=3, c_y=2 -> p_u 600000/400000 -> pe_u=520000
+    // kappa = floor(1e6*(166666-520000)/480000) = floor(-736112.5) = -736113
+    assert(k.getLong(0) == 2L && k.getLong(1) == 5L)
+    assert(k.getLong(2) == 166666L && k.getLong(3) == 520000L)
+    assert(k.getLong(4) == -736113L,
+      "negative kappa must FLOOR: truncation would give -736112")
+  }
+
+  test("oneLabelPerAnnotator collapses duplicate submissions deterministically") {
+    val dup = Seq(("A", 1, "y"), ("A", 1, "x"), ("A", 2, "y"))
+      .toDF("item", "annotator", "label")
+    val one = Agreement.oneLabelPerAnnotator(dup, "item", "annotator", "label")
+      .orderBy("annotator").select("annotator", "label")
+      .as[(Int, String)].collect().toSeq
+    assert(one == Seq((1, "x"), (2, "y")), "min label wins, engine-stable")
+  }
+
+  test("perfect and degenerate corpora") {
+    // unanimous two-label corpus: pbar=1e6, pe<1e6 -> kappa=1e6
+    val unan = Seq(("A", 1, "x"), ("A", 2, "x"), ("B", 1, "y"), ("B", 2, "y"))
+      .toDF("item", "annotator", "label")
+    val k1 = Agreement.fleissKappa(unan, "item", "label").head()
+    assert(k1.getLong(2) == 1000000L && k1.getLong(4) == 1000000L)
+    // one-label corpus: pe_u = 1e6 -> kappa undefined (NULL), never 0/0
+    val mono = Seq(("A", 1, "x"), ("A", 2, "x")).toDF("item", "annotator", "label")
+    val k2 = Agreement.fleissKappa(mono, "item", "label").head()
+    assert(k2.getLong(3) == 1000000L && k2.isNullAt(4))
+    // no item with n>=2: all NULL stats, zero counts, no crash
+    val thin = Seq(("A", 1, "x"), ("B", 2, "y")).toDF("item", "annotator", "label")
+    val k3 = Agreement.fleissKappa(thin, "item", "label").head()
+    assert(k3.getLong(0) == 0L && k3.isNullAt(2) && k3.isNullAt(4))
+  }
+
+  test("partitioning independence") {
+    val base = Agreement.fleissKappa(ann(), "item", "label").collect().toSeq
+    val re = Agreement.fleissKappa(ann().repartition(7), "item", "label")
+      .collect().toSeq
+    assert(base == re)
+  }
+}
