@@ -157,4 +157,50 @@ object Expectations {
     * code paths; the full report is [[check]]). */
   def passes(df: DataFrame, expectations: Seq[Expectation]): Boolean =
     check(df, expectations).filter(!col("passed")).isEmpty
+
+  /** A declared functional dependency `lhs → rhs` to audit. */
+  final case class Fd(lhs: Seq[String], rhs: String) {
+    require(lhs.nonEmpty && !lhs.contains(rhs), "lhs non-empty, rhs not in lhs")
+    val name = s"fd(${lhs.mkString(",")}->$rhs)"
+  }
+
+  /** Functional-dependency audit — the profiling companion to
+    * [[ForeignKey]]: where FK checks values AGAINST another table, an FD
+    * checks internal consistency (`source → lang`, `zip → city`, …), the
+    * schema assumptions joins and dedup keys silently rely on. Per
+    * declared FD one row: determinant-group counts, how many groups carry
+    * more than one dependent value, and the g₃'-style confidence — the
+    * row share a minimal repair would KEEP, Σₓ maxᵧ cnt(x,y) / N in
+    * integer millionths (Kivinen & Mannila 1995's error measure,
+    * complemented; 10⁶ ⇔ the FD holds exactly). NULLs group as values on
+    * both sides (two NULL-city rows agree; NULL vs 'Paris' violates) —
+    * the grouping semantics both engines share, stated rather than
+    * special-cased.
+    *
+    * Scale shape per FD: one (lhs, rhs) groupBy, re-aggregated by lhs,
+    * collapsed to one row — two map-side-combined key-bounded shuffles,
+    * nothing proportional to violations; declared FDs are audited
+    * independently so a suite is a union of verdict rows, gateable like
+    * [[check]]'s report. */
+  def fdAudit(df: DataFrame, fds: Seq[Fd]): DataFrame = {
+    require(fds.nonEmpty, "declare at least one functional dependency")
+    fds.map { fd =>
+      val g = df.groupBy((fd.lhs :+ fd.rhs).map(col): _*)
+        .agg(count(lit(1)).as("_c"))
+      val byLhs = g.groupBy(fd.lhs.map(col): _*)
+        .agg(sum(col("_c")).as("_n"), max(col("_c")).as("_keep"),
+          count(lit(1)).as("_nd"))
+      byLhs.agg(
+        count(lit(1)).as("n_groups"),
+        sum(when(col("_nd") > 1, 1L).otherwise(0L)).as("violating_groups"),
+        sum(col("_n")).as("n_rows"),
+        sum(col("_keep")).as("_kept"))
+        .select(lit(fd.name).as("fd"), col("n_groups"),
+          coalesce(col("violating_groups"), lit(0L)).as("violating_groups"),
+          coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+          when(col("n_rows").isNull, lit(null).cast("long"))
+            .otherwise(Agreement.floorDiv(lit(1000000L) * col("_kept"),
+              col("n_rows"))).as("confidence_millionths"))
+    }.reduce(_ unionByName _)
+  }
 }

@@ -2166,6 +2166,55 @@ object Advanced {
           CAST(SUM(bal) AS DOUBLE) AS total_acctbal
         FROM m GROUP BY 1, 2""")),
 
+    GQ("dq04_fd_profile", // functional-dependency audit
+      // (`Expectations.fdAudit`): the schema assumptions joins and dedup
+      // keys silently rely on, made checkable — per declared FD the
+      // determinant-group counts, groups carrying >1 dependent value, and
+      // the g3'-style confidence (row share a minimal repair keeps,
+      // Kivinen & Mannila 1995) in exact integer millionths. doc_id→source
+      // holds (a key determines everything); source→lang and lang→source
+      // are genuinely violated in the corpus, so the confidence arithmetic
+      // is non-vacuous in both directions. Two key-bounded shuffles per
+      // FD, verdicts union into one gateable report.
+      (s, dir) => {
+        import graft.operators.Expectations
+        Expectations.fdAudit(Tables.table(s, dir, "documents"), Seq(
+          Expectations.Fd(Seq("source"), "lang"),
+          Expectations.Fd(Seq("doc_id"), "source"),
+          Expectations.Fd(Seq("lang"), "source")))
+      },
+      Some("""WITH g1 AS (SELECT source, lang, COUNT(*) AS c
+                FROM documents GROUP BY 1, 2),
+        b1 AS (SELECT SUM(c) AS n, MAX(c) AS keep, COUNT(*) AS nd
+               FROM g1 GROUP BY source),
+        g2 AS (SELECT doc_id, source, COUNT(*) AS c
+               FROM documents GROUP BY 1, 2),
+        b2 AS (SELECT SUM(c) AS n, MAX(c) AS keep, COUNT(*) AS nd
+               FROM g2 GROUP BY doc_id),
+        g3 AS (SELECT lang, source, COUNT(*) AS c
+               FROM documents GROUP BY 1, 2),
+        b3 AS (SELECT SUM(c) AS n, MAX(c) AS keep, COUNT(*) AS nd
+               FROM g3 GROUP BY lang)
+        SELECT 'fd(source->lang)' AS fd, COUNT(*) AS n_groups,
+          CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS violating_groups,
+          CAST(SUM(n) AS BIGINT) AS n_rows,
+          CAST((1000000 * SUM(keep)) // SUM(n) AS BIGINT)
+            AS confidence_millionths
+        FROM b1
+        UNION ALL
+        SELECT 'fd(doc_id->source)', COUNT(*),
+          CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+          CAST(SUM(n) AS BIGINT),
+          CAST((1000000 * SUM(keep)) // SUM(n) AS BIGINT)
+        FROM b2
+        UNION ALL
+        SELECT 'fd(lang->source)', COUNT(*),
+          CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+          CAST(SUM(n) AS BIGINT),
+          CAST((1000000 * SUM(keep)) // SUM(n) AS BIGINT)
+        FROM b3""")),
+
     GQ("pr01_provenance", // row-level LINEAGE via the engine's hidden
       // `_metadata` scan columns: every row of the partitioned layout
       // reports the physical file it came from, and the audit rebuilds

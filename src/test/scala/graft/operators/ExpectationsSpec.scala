@@ -69,6 +69,30 @@ class ExpectationsSpec extends SparkSpec {
     assert(emptyRep("_row_count") == 0L)
   }
 
+  test("fdAudit: exact g3' confidence, null-as-value grouping, empty input") {
+    import Expectations.Fd
+    // x -> {1:2, 2:1} violates (keep 2 of 3); y -> {3:1} holds
+    val d = Seq(("x", "1"), ("x", "1"), ("x", "2"), ("y", "3"))
+      .toDF("src", "lang")
+    val rep = Expectations.fdAudit(d, Seq(Fd(Seq("src"), "lang")))
+      .head()
+    assert(rep.getString(0) == "fd(src->lang)")
+    assert((rep.getLong(1), rep.getLong(2), rep.getLong(3)) == (2L, 1L, 4L))
+    assert(rep.getLong(4) == 750000L) // floor(1e6 * 3 / 4)
+    // NULL dependent groups as a value: (x,NULL)+(x,NULL) agree,
+    // (y,NULL)+(y,'a') violate
+    val n = Seq(("x", None: Option[String]), ("x", None),
+      ("y", None), ("y", Some("a"))).toDF("src", "lang")
+    val repN = Expectations.fdAudit(n, Seq(Fd(Seq("src"), "lang"))).head()
+    assert((repN.getLong(2), repN.getLong(4)) == (1L, 750000L))
+    // exact FD: confidence 10^6, zero violating groups
+    val holds = Expectations.fdAudit(d, Seq(Fd(Seq("lang"), "src"))).head()
+    assert(holds.getLong(2) == 0L && holds.getLong(4) == 1000000L)
+    // empty input: zero counts, NULL confidence (not a fake 10^6)
+    val e = Expectations.fdAudit(d.limit(0), Seq(Fd(Seq("src"), "lang"))).head()
+    assert(e.getLong(1) == 0L && e.getLong(3) == 0L && e.isNullAt(4))
+  }
+
   test("the suite is one aggregate pass (single scan, no join)") {
     val plan = Expectations.check(df, Seq(NotNull("amt"), InRange("amt", 0, 1),
       MatchesRegex("tag", "x"), OneOf("cat", Seq("A"))))
