@@ -934,6 +934,58 @@ object TextQueries {
           string_agg(text, '<|eos|>' ORDER BY doc_id) AS payload
         FROM sh GROUP BY lang, shard_id""")),
 
+    GQ("pk01_nextfit_pack", // NO-SPLIT sequence packing (`operators/
+      // Packing`): documents assigned to fixed-token-budget training
+      // sequences without ever splitting one across sequences — the
+      // packing a pipeline needs when each max_seq_len window carries its
+      // own attention mask (d17's running-sum sharding is the
+      // split-allowed complement). Next-fit within PolyHash shards: the
+      // ONE classic packing rule with O(1) state per stream (first/best-
+      // fit keep every bin open — state ∝ corpus/budget), so shards pack
+      // independently with a single counter each and parallelism =
+      // nShards. Oversized docs get flagged singleton bins (pre-split
+      // with d36 and re-pack) and never corrupt a neighbor's budget; the
+      // padding report prices the no-split guarantee exactly. The oracle
+      // replays the hash, the order, and the whole sequential recurrence
+      // with a recursive CTE — bin boundaries must match bit-for-bit.
+      (s, dir) => {
+        import graft.operators.Packing
+        val docs = Tables.table(s, dir, "documents")
+          .select(col("doc_id"), tokenCount(col("text")).as("n_tokens"))
+        Packing.packingStats(
+          Packing.nextFitPack(docs, "doc_id", "n_tokens",
+            budget = 64L, nShards = 8), budget = 64L)
+      },
+      Some("""WITH RECURSIVE t0 AS (SELECT doc_id,
+          CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS size,
+          CAST(CAST(list_reduce(
+            list_prepend(CAST(0 AS BIGINT),
+              list_transform(regexp_extract_all('pack|' || CAST(doc_id AS VARCHAR), '.'),
+                c -> CAST(ascii(c) AS BIGINT))),
+            (h, b) -> (h * 257 + b) % 1000000007) AS BIGINT) % 8 AS INTEGER) AS shard
+          FROM documents),
+        t AS (SELECT doc_id, size, shard,
+          ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id) AS rn FROM t0),
+        pack AS (
+          SELECT shard, rn, size, CAST(0 AS BIGINT) AS bin,
+            64 - size AS rem FROM t WHERE rn = 1
+          UNION ALL
+          SELECT t.shard, t.rn, t.size,
+            CASE WHEN t.size <= p.rem THEN p.bin ELSE p.bin + 1 END,
+            CASE WHEN t.size <= p.rem THEN p.rem - t.size
+                 ELSE 64 - t.size END
+          FROM pack p JOIN t ON t.shard = p.shard AND t.rn = p.rn + 1),
+        b AS (SELECT shard, bin, COUNT(*) AS n_docs, SUM(size) AS fill,
+              MAX(CASE WHEN size > 64 THEN 1 ELSE 0 END) AS oversize
+              FROM pack GROUP BY 1, 2)
+        SELECT shard, COUNT(*) AS n_bins,
+          CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+          CAST(SUM(fill) AS BIGINT) AS tokens,
+          CAST(SUM(CASE WHEN oversize = 1 THEN 0 ELSE 64 - fill END) AS BIGINT)
+            AS padding,
+          CAST(SUM(oversize) AS BIGINT) AS oversize_bins
+        FROM b GROUP BY 1""")),
+
     GQ("d23_quality_gate", // corpus-relative quality threshold: keep docs
       // at or above the 25th percentile of words-per-doc. percentile_disc
       // picks an ACTUAL element (no interpolation), so the broadcast
