@@ -102,4 +102,60 @@ object Profiler {
         col("m.n_distinct"), col("m.approx_distinct"),
         col("m.min_val"), col("m.max_val"), col("m.p50"), col("m.p95"))
   }
+
+  /** Per-side key histograms for [[joinProfile]]/[[joinHotKeys]]: the
+    * full-outer join of the two (key → count) tables — each side reduced
+    * map-side to its distinct keys BEFORE anything crosses an exchange,
+    * so profiling a 100 TB ⋈ 100 TB join shuffles key histograms, never
+    * rows. NULL keys never equi-match, so each side's NULL group lands as
+    * an unmatched row (SQL join semantics, stated not special-cased). */
+  private def keyHistograms(
+      left: DataFrame, leftKey: String,
+      right: DataFrame, rightKey: String): DataFrame = {
+    val l = left.groupBy(col(leftKey).as("k")).agg(count(lit(1)).as("cl"))
+    val r = right.groupBy(col(rightKey).as("k")).agg(count(lit(1)).as("cr"))
+    l.join(r, Seq("k"), "full_outer")
+  }
+
+  /** Pre-flight JOIN cardinality and skew advisor — the "curse of the
+    * last reducer" check to run BEFORE committing a 100 TB equi-join to a
+    * plan: exact output cardinality (Σ over matched keys of cl·cr — the
+    * contribution a shuffle join materializes per key), matched /
+    * left-only / right-only key counts, and the largest single-key
+    * contribution (the one number that says whether j02's salting or
+    * AQE skew-split is needed, and how wide). One row; everything exact
+    * integer so the verdict replays bit-for-bit. Per-key products are
+    * longs and the total is summed in DECIMAL before the final BIGINT
+    * cast, so the estimate survives hot keys up to 2^63 output rows —
+    * past that the answer itself is the warning. */
+  def joinProfile(
+      left: DataFrame, leftKey: String,
+      right: DataFrame, rightKey: String): DataFrame = {
+    val matched = col("cl").isNotNull && col("cr").isNotNull
+    keyHistograms(left, leftKey, right, rightKey).agg(
+      coalesce(sum(when(matched, (col("cl") * col("cr"))
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+        .otherwise(lit(0))), lit(0)).cast("long").as("est_rows"),
+      coalesce(sum(when(matched, 1L).otherwise(0L)), lit(0L))
+        .as("n_keys_matched"),
+      coalesce(sum(when(col("cr").isNull, 1L).otherwise(0L)), lit(0L))
+        .as("n_keys_left_only"),
+      coalesce(sum(when(col("cl").isNull, 1L).otherwise(0L)), lit(0L))
+        .as("n_keys_right_only"),
+      max(when(matched, col("cl") * col("cr"))).as("max_contribution"))
+  }
+
+  /** The advisor's detail view: the `k` heaviest matched keys by output
+    * contribution (cl·cr), ties to the smallest key — the keys to salt.
+    * TakeOrderedAndProject keeps this a per-partition-heap top-k at any
+    * key cardinality. */
+  def joinHotKeys(
+      left: DataFrame, leftKey: String,
+      right: DataFrame, rightKey: String, k: Int): DataFrame =
+    keyHistograms(left, leftKey, right, rightKey)
+      .filter(col("cl").isNotNull && col("cr").isNotNull)
+      .select(col("k"), col("cl"), col("cr"),
+        (col("cl") * col("cr")).as("contribution"))
+      .orderBy(col("contribution").desc, col("k").asc)
+      .limit(k)
 }

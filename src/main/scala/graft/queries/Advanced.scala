@@ -2166,6 +2166,61 @@ object Advanced {
           CAST(SUM(bal) AS DOUBLE) AS total_acctbal
         FROM m GROUP BY 1, 2""")),
 
+    GQ("x27_join_profile", // pre-flight JOIN cardinality & skew advisor
+      // (`Profiler.joinProfile`): the check to run BEFORE committing a
+      // 100 TB equi-join — exact output cardinality Σ cl·cr over matched
+      // keys, matched/left-only/right-only key counts, and the largest
+      // single-key contribution (the number that says whether j02's
+      // salting or AQE skew-split is needed, and how wide). Each side
+      // reduces map-side to its key histogram before anything crosses an
+      // exchange: profiling shuffles histograms, never rows. NULL keys
+      // never equi-match (SQL semantics) and land as unmatched groups.
+      // Two realistic pairs: the FK-clean orders⋈lineitem and the
+      // asymmetric events⋈orders (150 users vs 1500 customers — 90% of
+      // the right key space unmatched), so every counter is non-vacuous.
+      (s, dir) => {
+        import graft.operators.Profiler
+        val p1 = Profiler.joinProfile(t(s, dir, "orders"), "o_orderkey",
+            t(s, dir, "lineitem"), "l_orderkey")
+          .select(lit("orders_lineitem").as("pair"), col("*"))
+        val p2 = Profiler.joinProfile(Tables.events(s, dir), "user_id",
+            t(s, dir, "orders"), "o_custkey")
+          .select(lit("events_orders").as("pair"), col("*"))
+        p1.unionByName(p2)
+      },
+      Some("""WITH l1 AS (SELECT o_orderkey AS k, COUNT(*) AS c
+                FROM orders GROUP BY 1),
+        r1 AS (SELECT l_orderkey AS k, COUNT(*) AS c FROM lineitem GROUP BY 1),
+        j1 AS (SELECT l1.c AS cl, r1.c AS cr
+               FROM l1 FULL OUTER JOIN r1 ON l1.k = r1.k),
+        l2 AS (SELECT user_id AS k, COUNT(*) AS c FROM events GROUP BY 1),
+        r2 AS (SELECT o_custkey AS k, COUNT(*) AS c FROM orders GROUP BY 1),
+        j2 AS (SELECT l2.c AS cl, r2.c AS cr
+               FROM l2 FULL OUTER JOIN r2 ON l2.k = r2.k)
+        SELECT 'orders_lineitem' AS pair,
+          CAST(SUM(CASE WHEN cl IS NOT NULL AND cr IS NOT NULL
+            THEN cl * cr ELSE 0 END) AS BIGINT) AS est_rows,
+          CAST(SUM(CASE WHEN cl IS NOT NULL AND cr IS NOT NULL
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_keys_matched,
+          CAST(SUM(CASE WHEN cr IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_keys_left_only,
+          CAST(SUM(CASE WHEN cl IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_keys_right_only,
+          CAST(MAX(CASE WHEN cl IS NOT NULL AND cr IS NOT NULL
+            THEN cl * cr END) AS BIGINT) AS max_contribution
+        FROM j1
+        UNION ALL
+        SELECT 'events_orders',
+          CAST(SUM(CASE WHEN cl IS NOT NULL AND cr IS NOT NULL
+            THEN cl * cr ELSE 0 END) AS BIGINT),
+          CAST(SUM(CASE WHEN cl IS NOT NULL AND cr IS NOT NULL
+            THEN 1 ELSE 0 END) AS BIGINT),
+          CAST(SUM(CASE WHEN cr IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+          CAST(SUM(CASE WHEN cl IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+          CAST(MAX(CASE WHEN cl IS NOT NULL AND cr IS NOT NULL
+            THEN cl * cr END) AS BIGINT)
+        FROM j2""")),
+
     GQ("dq04_fd_profile", // functional-dependency audit
       // (`Expectations.fdAudit`): the schema assumptions joins and dedup
       // keys silently rely on, made checkable — per declared FD the

@@ -69,4 +69,30 @@ class ProfilerSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("nope"))
   }
+
+  test("joinProfile: exact cardinality, unmatched sides, NULL keys never match") {
+    val l = Seq(Some("a"), Some("a"), Some("b"), Some("c"), None).toDF("k1")
+    val r = Seq(Some("a"), Some("b"), Some("b"), Some("d"), None).toDF("k2")
+    val p = Profiler.joinProfile(l, "k1", r, "k2").head()
+    // matched a (2*1) + b (1*2) = 4; c and the left NULL group unmatched;
+    // d and the right NULL group unmatched
+    assert((p.getLong(0), p.getLong(1), p.getLong(2), p.getLong(3)) ==
+      (4L, 2L, 2L, 2L))
+    assert(p.getLong(4) == 2L)
+    // empty sides: zero counts, NULL max, no crash
+    val e = Profiler.joinProfile(l.limit(0), "k1", r.limit(0), "k2").head()
+    assert(e.getLong(0) == 0L && e.getLong(1) == 0L && e.isNullAt(4))
+  }
+
+  test("joinHotKeys: contribution order with ties to the smallest key, heap-pruned plan") {
+    val l = Seq("a", "a", "b", "x").toDF("k1")
+    val r = Seq("a", "b", "b").toDF("k2")
+    val hot = Profiler.joinHotKeys(l, "k1", r, "k2", 2)
+    val rows = hot.select("k", "contribution").as[(String, Long)].collect().toSeq
+    // a and b both contribute 2 -> tie breaks to 'a'
+    assert(rows == Seq(("a", 2L), ("b", 2L)))
+    val plan = hot.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must heap-prune, not globally sort:\n$plan")
+  }
 }
