@@ -662,6 +662,50 @@ object Streaming {
     }
   }
 
+  /** Streaming SCD Type-2 sink — the DIMENSION-side member of the
+    * CDC-consumer family ([[mergeUpsertSink]] keeps only the latest row;
+    * this one keeps the full attribute history via
+    * [[graft.operators.Scd.applyChanges]]): each micro-batch of dimension
+    * rows is applied at version `baseVersion + batchId`, closing changed
+    * keys' open versions and opening new ones. Batch ids are monotone per
+    * checkpoint, so versions are monotone without any wall-clock read —
+    * the artifact stays retry/engine-deterministic.
+    *
+    * Exactly-once via Scd's own idempotence: a crash-replayed committed
+    * batch re-applies the SAME rows at the SAME version, change detection
+    * finds nothing different, and the apply is a detected no-op — no
+    * duplicate versions, no manifest needed.
+    *
+    * A CDC batch may carry several updates for one key; SCD2 can only
+    * open one version per key per apply, so the batch is first reduced to
+    * its latest row per key by `seqCol` (strictly increasing per key —
+    * the CDC sequence number; ties would make the reduction
+    * nondeterministic, so ship real sequence numbers). `seqCol` is
+    * dropped before the apply: it orders the feed, it is not a dimension
+    * attribute. */
+  def scdSink(
+      df: DataFrame,
+      tablePath: String,
+      keyCols: Seq[String],
+      seqCol: String,
+      baseVersion: Long = 1000L,
+      trigger: Trigger = Trigger.AvailableNow()
+  ): DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream.trigger(trigger).foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(keyCols.map(col): _*).orderBy(col(seqCol).desc)
+          val latest = batch
+            .withColumn("__graft_rk", row_number().over(w))
+            .filter(col("__graft_rk") === 1)
+            .drop("__graft_rk", seqCol)
+          graft.operators.Scd.applyChanges(batch.sparkSession, tablePath,
+            latest, keyCols, version = baseVersion + batchId)
+          ()
+        }
+    }
+
   /** Streaming DELETE sink — [[mergeUpsertSink]]'s retraction twin, the
     * CDC-delete consumer: each micro-batch of keys is recorded in the
     * table's merge-on-read sidecar

@@ -936,6 +936,53 @@ class StreamingSpec extends SparkSpec {
       == graft.operators.Merge.MergeStats(0L, 0L, 0L, 0L))
   }
 
+  test("streaming scd2 sink: per-batch versions, in-batch seq dedupe, replay converges") {
+    import graft.operators.Scd
+    val base = java.nio.file.Files.createTempDirectory("graft-scds").toString
+    val (inDir, ckpt, table) = (s"$base/in", s"$base/ckpt", s"$base/table")
+    Scd.init(spark,
+      table, Seq((1L, "GOLD"), (2L, "SILVER"), (3L, "GOLD")).toDF("id", "tier"),
+      version = 1L)
+    def addBatch(rows: Seq[(Long, String, Long)]): Unit =
+      rows.toDF("id", "tier", "seq")
+        .coalesce(1).write.mode("append").parquet(inDir)
+    // two updates for key 1 in ONE batch: the seq-20 row must win; key 9 inserts
+    addBatch(Seq((1L, "PLAT", 10L), (1L, "DIAMOND", 20L), (9L, "BRONZE", 5L)))
+    val schema = spark.read.parquet(inDir).schema
+    def run(): Unit = {
+      val q = Streaming.scdSink(
+        spark.readStream.schema(schema).parquet(inDir),
+        table, keyCols = Seq("id"), seqCol = "seq")
+        .option("checkpointLocation", ckpt).start()
+      q.awaitTermination(60000)
+    }
+    run()
+    val cur = Scd.current(spark, table).orderBy("id")
+      .select("id", "tier", "scd_valid_from").as[(Long, String, Long)]
+      .collect().toSeq
+    assert(cur == Seq((1L, "DIAMOND", 1000L), (2L, "SILVER", 1L),
+      (3L, "GOLD", 1L), (9L, "BRONZE", 1000L)),
+      "latest seq wins inside a batch; batch 0 applies at baseVersion+0")
+    // second batch at version 1001
+    addBatch(Seq((2L, "PLAT", 30L)))
+    run()
+    assert(Scd.current(spark, table).filter(col("id") === 2)
+      .select("scd_valid_from").as[Long].head() == 1001L)
+    val before = Scd.history(spark, table)
+      .orderBy("id", "scd_valid_from").collect().toSeq
+    // crash window: drop the newest commit so the batch re-delivers
+    val commits = new java.io.File(s"$ckpt/commits")
+      .listFiles().filterNot(_.getName.startsWith("."))
+    val newest = commits.maxBy(_.getName.toLong)
+    new java.io.File(s"$ckpt/commits", s".${newest.getName}.crc").delete()
+    assert(newest.delete())
+    run()
+    val after = Scd.history(spark, table)
+      .orderBy("id", "scd_valid_from").collect().toSeq
+    assert(after == before,
+      "replayed batch must be a detected no-op, never a duplicate version")
+  }
+
   test("validated merge sink quarantines a contract-violating batch, table stays clean") {
     import graft.operators.Expectations._
     val base = java.nio.file.Files.createTempDirectory("graft-vmus").toString
