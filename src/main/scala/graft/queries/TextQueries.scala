@@ -713,6 +713,70 @@ object TextQueries {
         FROM comp c JOIN (SELECT comp, COUNT(*) AS cluster_size
                           FROM comp GROUP BY comp) g USING (comp)""")),
 
+    GQ("d45_incremental_clusters", // INCREMENTAL dup clusters
+      // (`Components.incremental`): the d25/d37 stored-artifact ingest
+      // contract applied to the cluster labels themselves — yesterday's
+      // labels absorb today's pair delta by CONTRACTION (delta endpoints
+      // map through stored labels, the iterative part runs on |Δ| edges
+      // only, history pays one linear relabel join — never re-iterated).
+      // Sound because connected()'s labels are canonical min-ids, so a
+      // component can stand in for all members and the merged root is
+      // again the global min. Here doc_id % 5 == 0 plays today's batch:
+      // history pairs (old↔old) seed the stored labels, every pair
+      // touching a new doc is the delta (old↔old merges through new docs
+      // included). The oracle is d18's FULL from-scratch replay — the
+      // invariant that earns an incremental artifact its trust, asserted
+      // bit-for-bit.
+      (s, dir) => {
+        val pairs = Dedup.minhashPairs(
+          Tables.table(s, dir, "documents"),
+          numHashes = 8, bands = 4, shingleK = 3, threshold = 0.5,
+          portableHash = true).select("a_id", "b_id").persist()
+        val hist = pairs.filter(col("a_id") % 5 =!= 0 && col("b_id") % 5 =!= 0)
+        val delta = pairs.filter(col("a_id") % 5 === 0 || col("b_id") % 5 === 0)
+        val cc = graft.operators.Components.incremental(
+          graft.operators.Components.connected(hist), delta)
+        val sizes = cc.groupBy("comp").agg(count(lit(1)).as("cluster_size"))
+        cc.join(sizes, "comp")
+          .select(col("id").as("doc_id"), col("comp"), col("cluster_size"))
+      },
+      Some("""WITH RECURSIVE t AS (SELECT doc_id,
+          list_filter(string_split(text, ' '), w -> w <> '') AS ws FROM documents),
+        s AS (SELECT doc_id, list_distinct(list_transform(
+                range(1, greatest(len(ws) - 1, 1)),
+                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+              FROM t),
+        s2 AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
+        sig AS (SELECT doc_id, sh,
+                  list_transform(range(0, 8), i ->
+                    list_min(list_transform(sh, x -> md5(CAST(i AS VARCHAR) || '|' || x)))) AS sg
+                FROM s2),
+        banded AS (SELECT doc_id, b,
+                     md5(CAST(b AS VARCHAR) || '|' ||
+                         array_to_string(sg[b*2+1 : b*2+2], ',')) AS bucket
+                   FROM sig CROSS JOIN (SELECT UNNEST(range(0, 4)) AS b)),
+        cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                 FROM banded a JOIN banded b
+                   ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+        verified AS (SELECT c.a_id, c.b_id,
+                       CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS DOUBLE)
+                         / (len(sa.sh) + len(sb.sh)
+                            - len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))) AS jaccard
+                     FROM cand c
+                     JOIN s2 sa ON c.a_id = sa.doc_id
+                     JOIN s2 sb ON c.b_id = sb.doc_id),
+        pairs AS (SELECT a_id, b_id FROM verified WHERE jaccard >= 0.5),
+        sym AS (SELECT a_id AS u, b_id AS v FROM pairs
+                UNION ALL SELECT b_id, a_id FROM pairs),
+        reach(u, v) AS (
+          SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+          UNION
+          SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+        comp AS (SELECT u AS doc_id, MIN(v) AS comp FROM reach GROUP BY u)
+        SELECT c.doc_id, c.comp, g.cluster_size
+        FROM comp c JOIN (SELECT comp, COUNT(*) AS cluster_size
+                          FROM comp GROUP BY comp) g USING (comp)""")),
+
     GQ("d19_decontaminate", // eval-set leakage: shared word-5-grams vs a
       // held-out benchmark slice (doc_id % 10 = 0 plays the benchmark; at
       // scale it's the real eval corpus). One shingle-keyed equi-join; the

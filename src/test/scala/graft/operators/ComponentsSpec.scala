@@ -54,6 +54,40 @@ class ComponentsSpec extends SparkSpec {
     assert(got.size == 200 && got.values.forall(_ == 0L))
   }
 
+  test("incremental fold equals from-scratch on every delta shape") {
+    // history: {1-2-3}, {10-11}, {20-21}
+    val e1 = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
+    val stored = Components.connected(e1.toDF("a_id", "b_id"))
+    // delta exercises every case at once: old↔old across components
+    // (3-10 merges {1,2,3} with {10,11}), new↔old (21-30), new↔new
+    // (40-41), and a redundant old↔old INSIDE a component (20-21 again)
+    val e2 = Seq((3L, 10L), (21L, 30L), (40L, 41L), (20L, 21L))
+    val inc = Components.incremental(stored, e2.toDF("a_id", "b_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc == run(e1 ++ e2), "incremental must equal from-scratch")
+    assert(inc == unionFind(e1 ++ e2))
+    assert(inc(11L) == 1L && inc(30L) == 20L && inc(41L) == 40L)
+  }
+
+  test("incremental: empty delta is identity; random splits equal from-scratch") {
+    val e1 = Seq((1L, 2L), (5L, 6L))
+    val stored = Components.connected(e1.toDF("a_id", "b_id"))
+    val same = Components.incremental(stored,
+        Seq.empty[(Long, Long)].toDF("a_id", "b_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(same == run(e1))
+    val rnd = new Random(13)
+    for (_ <- 1 to 3) {
+      val all = Seq.fill(60)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+        .filter(e => e._1 != e._2)
+      val (h, d) = all.splitAt(all.size / 2)
+      val st = Components.connected(h.toDF("a_id", "b_id"))
+      val inc = Components.incremental(st, d.toDF("a_id", "b_id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(inc == unionFind(all))
+    }
+  }
+
   test("reliable-checkpoint mode produces the same labels as localCheckpoint") {
     // checkpointDir switches lineage truncation to durable checkpoint
     // blocks (the executor-churn-safe cluster mode); the labels — and the
