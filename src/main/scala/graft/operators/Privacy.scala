@@ -60,4 +60,35 @@ object Privacy {
       .agg(sum(col(measures.head)).as(measures.head),
         measures.tail.map(c => sum(col(c)).as(c)): _*)
   }
+
+  /** Deterministic keyed pseudonymization — the row-level privacy
+    * primitive beside [[suppressSmallCells]]'s aggregate one, and the
+    * structured-identifier complement of the d14 free-text PII scrub:
+    * each listed column's value is replaced by `md5(secret || '|' ||
+    * value)`, so direct identifiers leave the table while JOINS STILL
+    * WORK — the same (secret, value) maps to the same token in every
+    * table, every batch, every engine, so referential integrity and
+    * group-by cardinalities survive tokenization exactly (the property
+    * the pv01 oracle asserts end-to-end through a tokenized join).
+    *
+    * 128-bit tokens on purpose: a 10⁹-space hash (PolyHash's modulus)
+    * birthday-collides around 30k identities, silently MERGING people —
+    * the one failure mode a pseudonymization layer must not have. NULLs
+    * stay NULL (absence is not an identity). Scan-local, zero shuffles,
+    * codegen'd md5.
+    *
+    * This is pseudonymization, not anonymization: the mapping is
+    * recomputable by anyone holding the secret, and tokens are stable
+    * ACROSS releases by design (that stability is what keeps
+    * longitudinal joins alive). Rotate the secret per release when
+    * unlinkability between releases matters more. */
+  def pseudonymize(
+      df: DataFrame, cols: Seq[String], secret: String): DataFrame = {
+    require(cols.nonEmpty, "name the identifier columns to tokenize")
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"columns not in input: ${missing.mkString(", ")}")
+    cols.foldLeft(df)((acc, c) =>
+      acc.withColumn(c,
+        md5(concat(lit(secret), lit("|"), col(c).cast("string")))))
+  }
 }

@@ -2166,6 +2166,41 @@ object Advanced {
           CAST(SUM(bal) AS DOUBLE) AS total_acctbal
         FROM m GROUP BY 1, 2""")),
 
+    GQ("pv01_pseudonymize", // deterministic keyed pseudonymization
+      // (`Privacy.pseudonymize`) — dq03's row-level sibling and d14's
+      // structured-identifier complement: direct identifiers become
+      // md5(secret|value) tokens, so they leave the published table while
+      // JOINS STILL WORK — the same (secret, value) tokenizes identically
+      // in every table, which is exactly what this query proves
+      // end-to-end: revenue by market segment computed through a
+      // TOKENIZED orders⋈customer join, with the distinct-token count
+      // pinning that no two customers collided (128-bit tokens on
+      // purpose; a 1e9-space hash birthday-merges identities around 30k
+      // keys). Scan-local tokenization, zero extra shuffles over the
+      // plain join.
+      (s, dir) => {
+        import graft.operators.Privacy
+        val o = Privacy.pseudonymize(
+          t(s, dir, "orders").select(col("o_custkey").as("cust"),
+            col("o_totalprice")), Seq("cust"), "graft-release-1")
+        val c = Privacy.pseudonymize(
+          t(s, dir, "customer").select(col("c_custkey").as("cust"),
+            col("c_mktsegment")), Seq("cust"), "graft-release-1")
+        o.join(c, Seq("cust"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_orders"),
+            countDistinct(col("cust")).as("n_tokens"),
+            Dec.dsum(col("o_totalprice")).as("revenue"))
+      },
+      Some("""WITH o AS (SELECT md5('graft-release-1|' || CAST(o_custkey AS VARCHAR))
+                AS cust, o_totalprice FROM orders),
+        c AS (SELECT md5('graft-release-1|' || CAST(c_custkey AS VARCHAR))
+                AS cust, c_mktsegment FROM customer)
+        SELECT c_mktsegment, COUNT(*) AS n_orders,
+          CAST(COUNT(DISTINCT cust) AS BIGINT) AS n_tokens,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM o JOIN c USING (cust) GROUP BY 1""")),
+
     GQ("x27_join_profile", // pre-flight JOIN cardinality & skew advisor
       // (`Profiler.joinProfile`): the check to run BEFORE committing a
       // 100 TB equi-join — exact output cardinality Σ cl·cr over matched

@@ -43,6 +43,28 @@ class PrivacySpec extends SparkSpec {
     assert(out(Some("__suppressed__")) == 2L) // the null-key cell, masked
   }
 
+  test("pseudonymize: joins survive tokenization, raw ids leave, nulls stay null") {
+    val facts = Seq((Some(1L), 10.0), (Some(1L), 20.0), (Some(2L), 5.0),
+      (None, 7.0)).toDF("cust", "amt")
+    val dim = Seq((1L, "GOLD"), (2L, "SILVER"), (3L, "GOLD")).toDF("cust", "tier")
+    val tf = Privacy.pseudonymize(facts, Seq("cust"), "s3cret")
+    val td = Privacy.pseudonymize(dim, Seq("cust"), "s3cret")
+    // same (secret, value) -> same token across tables: the join still works
+    val joined = tf.join(td, Seq("cust"))
+      .groupBy("tier").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(joined == Map("GOLD" -> 2L, "SILVER" -> 1L))
+    // tokens are 32-hex md5, never the raw id; NULL stays NULL
+    val toks = tf.select("cust").collect().map(r =>
+      Option(r.getString(0)))
+    assert(toks.count(_.isEmpty) == 1)
+    assert(toks.flatten.forall(t => t.length == 32 && t.matches("[0-9a-f]+")))
+    // a different secret unlinks the releases
+    val other = Privacy.pseudonymize(dim, Seq("cust"), "other")
+      .select("cust").as[String].collect().toSet
+    assert(other.intersect(td.select("cust").as[String].collect().toSet).isEmpty)
+  }
+
   test("k-anonymity holds: no published non-residual row is below k") {
     val out = Privacy.suppressSmallCells(cells, Seq("country", "segment"), "n", k = 10)
       .filter(col("country") =!= "__suppressed__")
