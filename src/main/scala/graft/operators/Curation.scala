@@ -21,23 +21,29 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  /** @param carryCols input columns passed through UNTOUCHED to the
+    *        output (appended after the verdict columns) — lets callers
+    *        aggregate verdicts by source/date/shard without re-joining
+    *        the corpus on doc_id (the [[datasheet]] one-pass contract). */
   def gate(
       docs: DataFrame,
       idCol: String = "doc_id",
       langCol: String = "lang",
-      textCol: String = "text"
+      textCol: String = "text",
+      carryCols: Seq[String] = Nil
   ): DataFrame = {
+    val carry = carryCols.map(col)
     val gated = docs
-      .select(col(idCol).as("doc_id"), col(langCol).as("lang"),
-        words(col(textCol)).as("ws"))
-      .select(col("doc_id"), col("lang"), col("ws"),
-        size(col("ws")).as("n_words"),
-        size(array_distinct(col("ws"))).as("n_distinct"),
-        shingles(col("ws"), 2).as("bg"),
-        stopwordHits(col("ws"), EnStop).as("en"),
-        stopwordHits(col("ws"), EsStop).as("es"),
-        stopwordHits(col("ws"), DeStop).as("de"))
-      .select(col("doc_id"), col("lang"), col("n_words"),
+      .select(col(idCol).as("doc_id") +: col(langCol).as("lang") +:
+        words(col(textCol)).as("ws") +: carry: _*)
+      .select(col("doc_id") +: col("lang") +: col("ws") +:
+        size(col("ws")).as("n_words") +:
+        size(array_distinct(col("ws"))).as("n_distinct") +:
+        shingles(col("ws"), 2).as("bg") +:
+        stopwordHits(col("ws"), EnStop).as("en") +:
+        stopwordHits(col("ws"), EsStop).as("es") +:
+        stopwordHits(col("ws"), DeStop).as("de") +: carry: _*)
+      .select(Seq(col("doc_id"), col("lang"), col("n_words"),
         ((col("n_distinct").cast("double") / nullif(col("n_words"), lit(0))
           * lit(0.5)) +
           (least(col("n_words").cast("double") / lit(20.0), lit(1.0))
@@ -46,15 +52,56 @@ object Curation {
           / nullif(size(col("bg")), lit(0))).as("dup_bigram_ratio"),
         when(col("en") >= col("es") && col("en") >= col("de"), "en")
           .when(col("es") >= col("de"), "es").otherwise("de")
-          .as("detected_lang"))
+          .as("detected_lang")) ++ carry: _*)
     val reason = when(col("quality") < 0.62, "low_quality")
       .when(col("n_words") < 15, "too_short")
       .when(col("dup_bigram_ratio") > 0.12, "repetitive")
       .when(col("detected_lang") =!= col("lang"), "lang_mismatch")
       .otherwise("ok")
-    gated.select(col("doc_id"), col("n_words"), col("quality"),
-      col("dup_bigram_ratio"), col("detected_lang"),
-      reason.as("reason"), (reason === "ok").as("keep"))
+    gated.select(col("doc_id") +: col("n_words") +: col("quality") +:
+      col("dup_bigram_ratio") +: col("detected_lang") +:
+      reason.as("reason") +: (reason === "ok").as("keep") +: carry: _*)
+  }
+
+  /** Per-source DATASET CARD (Gebru et al. 2021's datasheet, the
+    * machine-computable slice): one row per source — document and token
+    * volume, language spread, exact-duplicate rows (n − distinct
+    * fingerprints, the d01 measure), gate-kept share — the at-a-glance
+    * audit a corpus release ships with, and the admission evidence a
+    * training run records for provenance.
+    *
+    * One pass + one groupBy, NO join: the [[gate]] verdict is computed
+    * scan-locally with `source`, the token count, and the md5 fingerprint
+    * carried through the same projection (`carryCols`), so the whole card
+    * costs a single corpus scan and one source-key-bounded exchange (the
+    * fingerprint distinct rides the same aggregate as x18's exact mode —
+    * the oracle-payload price, affordable because the card IS the
+    * deliverable). Shares in integer millionths, floor division. */
+  def datasheet(
+      docs: DataFrame,
+      sourceCol: String = "source",
+      idCol: String = "doc_id",
+      langCol: String = "lang",
+      textCol: String = "text"
+  ): DataFrame = {
+    val g = gate(
+      docs.withColumn("__graft_tok", tokenCount(col(textCol)).cast("long"))
+        .withColumn("__graft_fp", md5(col(textCol)))
+        .withColumn("__graft_lang", col(langCol)),
+      idCol, langCol, textCol,
+      carryCols = Seq(sourceCol, "__graft_tok", "__graft_fp", "__graft_lang"))
+    g.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__graft_tok")).as("n_tokens"),
+        countDistinct(col("__graft_lang")).as("n_langs"),
+        (count(lit(1)) - countDistinct(col("__graft_fp")))
+          .as("n_exact_dup_rows"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        Agreement.floorDiv(col("n_tokens"), col("n_docs")).as("mean_tokens"),
+        col("n_langs"), col("n_exact_dup_rows"), col("n_kept"),
+        Agreement.floorDiv(lit(1000000L) * col("n_kept"), col("n_docs"))
+          .as("kept_millionths"))
   }
 
   /** Deterministic NEGATIVE-PAIR sampling for contrastive training: each

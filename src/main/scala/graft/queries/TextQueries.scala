@@ -424,6 +424,57 @@ object TextQueries {
           reason, (reason = 'ok') AS keep
         FROM v""")),
 
+    GQ("ds01_datasheet", // per-source DATASET CARD (`Curation.datasheet`)
+      // — the machine-computable slice of Gebru et al. 2021's datasheet:
+      // one row per source with doc/token volume, language spread, exact-
+      // duplicate rows (the d01 measure), and the gate-kept share — the
+      // audit a corpus release ships with and the admission evidence a
+      // training run records. ONE pass + one groupBy, no join: the d38
+      // gate verdict computes scan-locally with source/token-count/md5
+      // fingerprint carried through the same projection (gate's new
+      // carryCols contract), so the card costs a single corpus scan and
+      // one source-key exchange; the fingerprint distinct is the x18
+      // exact-mode price, paid because the card IS the deliverable.
+      (s, dir) => graft.operators.Curation.datasheet(
+        Tables.table(s, dir, "documents")),
+      Some(s"""WITH t AS (SELECT doc_id, lang, source, text,
+          list_filter(string_split(text, ' '), w -> w <> '') AS ws FROM documents),
+        sig AS (SELECT doc_id, lang, source, text,
+          CAST(len(ws) AS INTEGER) AS n_words,
+          (CAST(len(list_distinct(ws)) AS DOUBLE) / NULLIF(len(ws), 0) * 0.5)
+            + (least(CAST(len(ws) AS DOUBLE) / 20.0, 1.0) * 0.5) AS quality,
+          1.0 - CAST(len(list_distinct(CASE WHEN len(ws) < 2 THEN []
+              ELSE list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+            END)) AS DOUBLE)
+            / NULLIF(len(CASE WHEN len(ws) < 2 THEN []
+              ELSE list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+            END), 0) AS dup_bigram_ratio,
+          len(list_filter(ws, w -> w IN (${EnStop.map("'" + _ + "'").mkString(",")}))) AS en,
+          len(list_filter(ws, w -> w IN (${EsStop.map("'" + _ + "'").mkString(",")}))) AS es,
+          len(list_filter(ws, w -> w IN (${DeStop.map("'" + _ + "'").mkString(",")}))) AS de
+          FROM t),
+        d AS (SELECT source, lang, text, quality, dup_bigram_ratio, n_words,
+          CASE WHEN en >= es AND en >= de THEN 'en'
+               WHEN es >= de THEN 'es' ELSE 'de' END AS detected_lang
+          FROM sig),
+        v AS (SELECT source, lang,
+          CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS tok,
+          md5(text) AS fp,
+          CASE WHEN (CASE WHEN quality < 0.62 THEN 'low_quality'
+               WHEN n_words < 15 THEN 'too_short'
+               WHEN dup_bigram_ratio > 0.12 THEN 'repetitive'
+               WHEN detected_lang <> lang THEN 'lang_mismatch'
+               ELSE 'ok' END) = 'ok' THEN 1 ELSE 0 END AS keep
+          FROM d)
+        SELECT source, COUNT(*) AS n_docs,
+          CAST(SUM(tok) AS BIGINT) AS n_tokens,
+          CAST(SUM(tok) // COUNT(*) AS BIGINT) AS mean_tokens,
+          CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+          CAST(COUNT(*) - COUNT(DISTINCT fp) AS BIGINT) AS n_exact_dup_rows,
+          CAST(SUM(keep) AS BIGINT) AS n_kept,
+          CAST((1000000 * SUM(keep)) // COUNT(*) AS BIGINT) AS kept_millionths
+        FROM v GROUP BY 1""")),
+
     GQ("d39_snapshot_diff", // Dataset-versioning diff: v2 is a
       // deterministic transform of the corpus (docs % 7 == 0 removed,
       // % 11 == 0 edited, % 13 == 0 re-added under a new id), diffed
