@@ -155,4 +155,74 @@ object Curation {
       .filter(col("neg_id") =!= col("doc_id")) // no self-pairs
       .select(col("doc_id"), col("neg_id"))
   }
+
+  /** Deterministic global training order — the "shuffle the corpus before
+    * training" step every LLM run performs, as a REPLAYABLE artifact: each
+    * document gets a pseudorandom sort key (PolyHash of a salted id — no
+    * rand(), so retries, engines, and re-runs agree bit-for-bit), the key
+    * space is RANGE-divided into `nShards` contiguous slices, and each
+    * document's position within its shard is its rank by (key, id). The
+    * global stream order is exactly (shard, pos) — a trainer reads shard
+    * files in shard order and gets the full permutation; epoch rotation is
+    * the `salt` (each epoch a fresh, equally deterministic permutation).
+    *
+    * Why range-sharding on the hash (not `hash % nShards`): modulo
+    * interleaves the global order across shards, so reproducing the
+    * stream would need a global merge; contiguous key ranges make
+    * shard-major concatenation ≡ global key order, which is what lets
+    * 1000 trainer workers each read one shard sequentially.
+    *
+    * 100 TB shape: ONE exchange (hash-range repartition to shards) + an
+    * in-partition sort and rank — the same cost as writing the shuffled
+    * copy at all. No global row_number (a single-partition window is the
+    * classic driver-choke); ranks are per-shard, where the window
+    * partitioning IS the data partitioning. Shard skew is hash-uniform
+    * (keys are PolyHash outputs, so shard fill is binomial — ±√n around
+    * n/nShards). */
+  def trainingOrder(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      nShards: Int = 8,
+      salt: String = ""
+  ): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val space = 1000000007L // PolyHash modulus = key-space size
+    val width = (space + nShards - 1) / nShards
+    // The id goes FIRST in the hashed string: a polynomial hash places the
+    // variation of its final characters in the low-order coefficients, so
+    // sequential ids under a salt-PREFIX form one contiguous key band and
+    // range-sharding piles them into a single shard (measured: 900/1000
+    // docs in one of 8 shards). Leading variation is multiplied by
+    // 257^|suffix| mod p — pseudorandom stride, uniform shard fill.
+    //
+    // The salt does NOT go into the string at all: PolyHash is affine in
+    // every character, so a salt that differs only in its own characters
+    // shifts every key by the SAME constant mod p — a constant shift
+    // preserves sort order except at the single wraparound point, i.e.
+    // "epoch rotation" would re-emit the identical permutation (measured:
+    // salt e1 vs e2, 1000/1000 docs in the same order). Instead the salt
+    // becomes an affine map of the key space onto itself:
+    //   key' = (key·mult + add) mod p,  mult ∈ [1, p−1]
+    // p prime ⇒ the map is a bijection (no collisions introduced), and a
+    // multiplier ≠ 1 scrambles relative order the way an LCG does. mult
+    // and add derive from the salt via the same PolyHash, computed once
+    // on the driver — pure function of the salt, so every engine and
+    // retry agrees.
+    def ph(s: String): Long = {
+      var h = 0L
+      s.getBytes("UTF-8").foreach(b => h = (h * 257L + (b & 0xff)) % space)
+      h
+    }
+    val mult = ph(s"mult|$salt") % (space - 1) + 1 // never 0 ⇒ bijective
+    val addc = ph(s"add|$salt")
+    // key < p and mult < p ⇒ product < ~1.0e18, inside Long range
+    val base = graft.expressions.PolyHash(
+      concat(col(idCol).cast("string"), lit("|shuffle")))
+    val key = (base * mult + addc) % space
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("sort_key"), col(idCol))
+    docs.select(col(idCol), key.as("sort_key"))
+      .withColumn("shard", floor(col("sort_key") / width).cast("int"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+  }
 }

@@ -790,4 +790,69 @@ object Dedup {
       .groupBy(col("a").as("a_id"), col("b").as("b_id"))
       .agg(min(col("hamming")).as("hamming"))
   }
+
+  /** Cross-document repeated-chunk removal — exact-substring dedup at
+    * fixed chunk granularity (Lee et al. 2021, "Deduplicating Training
+    * Data Makes Language Models Better"; CCNet's repeated-paragraph drop):
+    * text copied BETWEEN documents (mirrored articles, boilerplate,
+    * quoted passages) is removed from every copy except one, while each
+    * document keeps its unique text. Document-level dedup (exact /
+    * [[minhashLshPairs]]) cannot express this — a page that is 30% quoted
+    * boilerplate and 70% original survives doc-level dedup intact and
+    * still teaches the model the boilerplate n times.
+    *
+    * Unit of dedup: consecutive `chunkWords`-word windows at FIXED
+    * positions (word index div chunkWords; the final partial chunk
+    * counts). One global owner per distinct chunk text — the occurrence
+    * with the smallest (doc, position) — keeps its copy; every other
+    * occurrence is dropped. Documents are then reassembled from their
+    * surviving chunks in order. Zero-word documents yield no chunks and
+    * do not appear in the output (stated contract).
+    *
+    * 100 TB shape: three key-bounded shuffles — (1) chunk occurrences
+    * reduce to one keeper row per distinct chunk (md5 fingerprint key —
+    * 64-bit would birthday-collide at the 10^10..11 chunks a 100 TB
+    * corpus carries; min(struct) partial-aggregates map-side), (2) a hash
+    * join of occurrences against the keeper table on the fingerprint
+    * (AQE splits the skew of a boilerplate chunk present in millions of
+    * docs — the reason this is a join, not a window, which AQE cannot
+    * split), (3) per-doc reassembly. No pairwise anything: cost is linear
+    * in total chunk count at any corpus size. */
+  def crossDocChunkDedup(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      chunkWords: Int = 8
+  ): DataFrame = {
+    require(chunkWords >= 1, s"chunkWords must be >= 1, got $chunkWords")
+    val cw = chunkWords
+    val ws = words(col(textCol))
+    val nChunks = ceil(size(ws).cast("double") / cw).cast("int")
+    // sequence(0, -1) would DESCEND for an empty word list — guard to an
+    // empty chunk array instead (same contract as simhash chunking above)
+    val chunkTexts = when(size(ws) === 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), nChunks - 1),
+        ci => array_join(slice(ws, ci * cw + 1, lit(cw)), " ")))
+    val occ = docs
+      .select(col(idCol).as("doc_id"), posexplode(chunkTexts).as(Seq("ci", "ctext")))
+      .withColumn("fp", md5(col("ctext")))
+    val keepers = occ.groupBy(col("fp"))
+      .agg(count(lit(1)).as("df_n"),
+        min(struct(col("doc_id"), col("ci"))).as("keeper"))
+    val flagged = occ.join(keepers, "fp")
+      .withColumn("keep",
+        col("df_n") === 1 ||
+          (col("doc_id") === col("keeper.doc_id") && col("ci") === col("keeper.ci")))
+    flagged.groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when(col("keep"),
+            struct(col("ci"), col("ctext"))))),
+          s => s.getField("ctext")), " ").as("joined"))
+      .select(col("doc_id"), col("n_chunks"), col("n_kept"),
+        when(col("n_kept") === 0, lit(null).cast("string"))
+          .otherwise(col("joined")).as("kept_text"))
+  }
 }

@@ -496,6 +496,48 @@ object Relational {
               (PARTITION BY user_id ORDER BY tsm, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_error_ts
           FROM (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS tsm FROM events))
-        WHERE event_type = 'click'"""))
+        WHERE event_type = 'click'""")),
+
+    GQ("ts01_gapfill_locf", // fixed-interval resampling with gap fill +
+      // last-observation-carried-forward (`operators/Resample.gapFillLocf`):
+      // the irregular event stream densified to each user's hourly grid —
+      // empty hours materialize with n_events = 0 and carry the previous
+      // hour's last observed value forward. Buckets are epoch-microsecond
+      // integer division (timezone-free, replayable); the bucket's "last"
+      // observation is the (ts, event_id)-max row, so the carried double is
+      // one deterministic row's value, not a float fold. Plan: TWO post-agg
+      // exchanges — events reduce map-side to (key, bucket) cells, cells
+      // gather per key, and the grid expands IN PLACE via sequence() over a
+      // bucket→cell map (no grid×cells join); the LOCF window runs on the
+      // partitioning the groupBy produced (no third exchange). Per-key cost
+      // is span/step cells — the resample horizon, never event volume.
+      (s, dir) => graft.operators.Resample.gapFillLocf(
+        Tables.events(s, dir), "user_id", "ts", "event_id", "value",
+        stepMicros = 3600L * 1000000L),
+      Some("""WITH e AS (SELECT user_id, event_id, value,
+            epoch_us(CAST(ts AS TIMESTAMP)) AS tu FROM events),
+        r AS (SELECT user_id, tu // 3600000000 AS bucket, value,
+            ROW_NUMBER() OVER (PARTITION BY user_id, tu // 3600000000
+                               ORDER BY tu DESC, event_id DESC) AS rn
+          FROM e),
+        cells AS (SELECT user_id, bucket,
+            CAST(COUNT(*) AS BIGINT) AS n_events,
+            MAX(CASE WHEN rn = 1 THEN value END) AS last_v
+          FROM r GROUP BY 1, 2),
+        span AS (SELECT user_id, MIN(bucket) AS lo, MAX(bucket) AS hi
+          FROM cells GROUP BY 1),
+        grid AS (SELECT user_id, UNNEST(generate_series(lo, hi)) AS bucket
+          FROM span),
+        j AS (SELECT g.user_id, g.bucket,
+            COALESCE(c.n_events, 0) AS n_events, c.last_v
+          FROM grid g LEFT JOIN cells c
+            ON c.user_id = g.user_id AND c.bucket = g.bucket)
+        SELECT user_id,
+          make_timestamp(bucket * 3600000000) AS bucket_ts,
+          n_events,
+          last_value(last_v IGNORE NULLS) OVER (
+            PARTITION BY user_id ORDER BY bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_locf
+        FROM j"""))
   )
 }

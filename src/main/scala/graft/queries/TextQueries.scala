@@ -2267,6 +2267,84 @@ object TextQueries {
             AS c_exact_a_in_b_millionths,
           (1000000 * COALESCE(exact_inter, 0)) // n_b
             AS c_exact_b_in_a_millionths
-        FROM est LEFT JOIN ix USING (src_a, src_b)"""))
+        FROM est LEFT JOIN ix USING (src_a, src_b)""")),
+
+    GQ("ln01_chunk_dedup", // cross-document repeated-chunk removal
+      // (`Dedup.crossDocChunkDedup` — Lee et al. 2021 exact-substring
+      // dedup at fixed 8-word-chunk granularity; CCNet's repeated-line
+      // drop): text copied BETWEEN documents keeps exactly one copy (the
+      // smallest (doc, position) occurrence) and every other occurrence
+      // is cut; documents are reassembled from their surviving chunks in
+      // order. Doc-LEVEL dedup can't express this — a page that is 30%
+      // boilerplate and 70% original passes d01/d18 untouched. Three
+      // key-bounded shuffles (keeper agg on the md5 chunk fingerprint,
+      // occurrences⋈keepers hash join — a join, not a window, so AQE can
+      // split a million-doc boilerplate chunk's skew — and per-doc
+      // reassembly); linear in total chunks at any corpus size.
+      (s, dir) => Dedup.crossDocChunkDedup(
+        Tables.table(s, dir, "documents"), chunkWords = 8),
+      Some("""WITH w AS (SELECT doc_id,
+            list_filter(string_split(text, ' '), x -> x <> '') AS ws
+          FROM documents),
+        occ AS (SELECT doc_id, CAST(i AS INTEGER) AS ci,
+            array_to_string(ws[i*8+1 : i*8+8], ' ') AS ctext
+          FROM w, UNNEST(generate_series(0,
+            CAST(ceil(len(ws) / 8.0) AS BIGINT) - 1)) AS t(i)),
+        r AS (SELECT doc_id, ci, ctext,
+            COUNT(*) OVER (PARTITION BY ctext) AS df_n,
+            ROW_NUMBER() OVER (PARTITION BY ctext
+                               ORDER BY doc_id, ci) AS rn
+          FROM occ),
+        f AS (SELECT doc_id, ci, ctext,
+            (df_n = 1 OR rn = 1) AS keep FROM r)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+          CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+          CASE WHEN SUM(CASE WHEN keep THEN 1 ELSE 0 END) = 0 THEN NULL
+               ELSE string_agg(CASE WHEN keep THEN ctext END,
+                               ' ' ORDER BY ci) END AS kept_text
+        FROM f GROUP BY doc_id""")),
+
+    GQ("sh01_training_order", // deterministic global training order
+      // (`Curation.trainingOrder`): the pre-training corpus shuffle as a
+      // REPLAYABLE artifact — PolyHash sort keys (no rand(): retries,
+      // engines and re-runs agree bit-for-bit), the key space RANGE-cut
+      // into 8 contiguous shards so shard-major concatenation IS the
+      // global permutation (hash % n would interleave the order across
+      // shards and force a global merge at read time), per-shard rank by
+      // (key, id). ONE exchange + in-partition sort — no global
+      // row_number single-partition choke; epoch rotation = the salt,
+      // applied as a salt-derived AFFINE map of the key space (key·mult
+      // + add mod p) because PolyHash is affine per character — a salt
+      // inside the hashed string would shift every key by one constant
+      // and re-emit the identical permutation. Oracle replays PolyHash,
+      // the affine constants, the range cut, and the rank.
+      (s, dir) => graft.operators.Curation.trainingOrder(
+        Tables.table(s, dir, "documents").select(col("doc_id")), nShards = 8),
+      Some("""WITH k AS (SELECT
+          (list_reduce(
+            list_prepend(CAST(0 AS BIGINT),
+              list_transform(regexp_extract_all('mult|', '.'),
+                c -> CAST(ascii(c) AS BIGINT))),
+            (a, b) -> (a * 257 + b) % 1000000007) % 1000000006) + 1 AS mult,
+          list_reduce(
+            list_prepend(CAST(0 AS BIGINT),
+              list_transform(regexp_extract_all('add|', '.'),
+                c -> CAST(ascii(c) AS BIGINT))),
+            (a, b) -> (a * 257 + b) % 1000000007) AS addc),
+        h AS (SELECT doc_id,
+          (CAST(list_reduce(
+            list_prepend(CAST(0 AS BIGINT),
+              list_transform(
+                regexp_extract_all(CAST(doc_id AS VARCHAR) || '|shuffle', '.'),
+                c -> CAST(ascii(c) AS BIGINT))),
+            (a, b) -> (a * 257 + b) % 1000000007) AS BIGINT)
+           * (SELECT mult FROM k) + (SELECT addc FROM k))
+          % 1000000007 AS sort_key
+        FROM documents)
+        SELECT doc_id, sort_key,
+          CAST(sort_key // 125000001 AS INTEGER) AS shard,
+          CAST(ROW_NUMBER() OVER (PARTITION BY sort_key // 125000001
+                                  ORDER BY sort_key, doc_id) AS BIGINT) AS pos
+        FROM h"""))
   )
 }

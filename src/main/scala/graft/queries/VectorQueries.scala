@@ -500,7 +500,85 @@ object VectorQueries {
                                    ORDER BY sim DESC, neighbor_id) AS rn
               FROM p)
         SELECT q_id, neighbor_id, sim, CAST(rn AS INTEGER) AS rank
-        FROM r WHERE rn <= 3"""))
+        FROM r WHERE rn <= 3""")),
+
+    GQ("ev01_ann_recall", // retrieval-quality evaluation harness: the
+      // LSH ANN run (e02's exact configuration) scored against exact
+      // brute-force ground truth on the SAME sampled query set —
+      // recall@3 and MRR@3 in integer millionths, the go/no-go gate an
+      // ANN-driven curation job (e07 SemDeDup, e04 near-dup) runs before
+      // trusting its candidate generation. Ground truth is exact top-3
+      // over the sampled queries (evaluation on a query SAMPLE is the
+      // standard contract — the 100 TB corpus is scanned once for the 50
+      // probes, never all-pairs); metrics are integer: per-query
+      // floor(1e6·hits/3) and floor(1e6/first-hit-rank), macro-averaged
+      // with an integer floor, so the 1-row verdict replays bit-for-bit.
+      // The oracle replays BOTH pipelines end-to-end: brute-force truth,
+      // LSH signatures, bucket candidates, ranking, and the metric math.
+      (s, dir) => {
+        val emb = Tables.table(s, dir, "embeddings")
+        val qs = emb.filter(col("vec_id") < 50)
+        val truth = Similarity.bruteForceTopK(emb, qs, k = 3)
+        val run = Similarity.lshTopK(emb, qs, k = 3, planes = 6,
+          tables = 1, portableHash = true)
+        val hits = run.join(
+            truth.select(col("q_id"), col("neighbor_id")),
+            Seq("q_id", "neighbor_id"), "left_semi")
+          .groupBy(col("q_id"))
+          .agg(count(lit(1)).as("n_hits"), min(col("rank")).as("best_rank"))
+        val perQ = truth.select(col("q_id")).distinct()
+          .join(hits, Seq("q_id"), "left")
+          .select(
+            floor(lit(1000000L) * coalesce(col("n_hits"), lit(0L)) / lit(3))
+              .cast("long").as("recall_ppm"),
+            coalesce(floor(lit(1000000L) / col("best_rank")), lit(0L))
+              .cast("long").as("rr_ppm"))
+        perQ.agg(
+          count(lit(1)).as("n_queries"),
+          floor(sum(col("recall_ppm")) / count(lit(1)))
+            .cast("long").as("recall_at_3"),
+          floor(sum(col("rr_ppm")) / count(lit(1)))
+            .cast("long").as("mrr_at_3"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings),
+        n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        t0 AS (SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+            list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS sim
+          FROM n q JOIN n c ON c.vec_id <> q.vec_id
+          WHERE q.vec_id < 50),
+        truth AS (SELECT q_id, neighbor_id FROM (
+            SELECT q_id, neighbor_id,
+              ROW_NUMBER() OVER (PARTITION BY q_id
+                ORDER BY sim DESC, neighbor_id) AS rn
+            FROM t0) WHERE rn <= 3),
+        sg AS (SELECT vec_id, v, nrm, ${portableSigSql(6)} AS bucket FROM n),
+        cand AS (SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+            list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS sim
+          FROM sg q JOIN sg c
+            ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+          WHERE q.vec_id < 50),
+        run AS (SELECT q_id, neighbor_id, rn FROM (
+            SELECT q_id, neighbor_id,
+              ROW_NUMBER() OVER (PARTITION BY q_id
+                ORDER BY sim DESC, neighbor_id) AS rn
+            FROM cand) WHERE rn <= 3),
+        hits AS (SELECT r.q_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+            MIN(r.rn) AS best_rank
+          FROM run r JOIN truth t
+            ON t.q_id = r.q_id AND t.neighbor_id = r.neighbor_id
+          GROUP BY 1),
+        perq AS (SELECT
+            CAST(floor(1000000 * COALESCE(h.n_hits, 0) / 3) AS BIGINT)
+              AS recall_ppm,
+            CAST(COALESCE(floor(1000000 / h.best_rank), 0) AS BIGINT)
+              AS rr_ppm
+          FROM (SELECT DISTINCT q_id FROM truth) q
+          LEFT JOIN hits h USING (q_id))
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+          CAST(floor(SUM(recall_ppm) / COUNT(*)) AS BIGINT) AS recall_at_3,
+          CAST(floor(SUM(rr_ppm) / COUNT(*)) AS BIGINT) AS mrr_at_3
+        FROM perq"""))
   )
 
   /** DuckDB replay of the portable hyperplane coefficient (the md5-nibble
