@@ -51,7 +51,8 @@ object Bench {
       "z03_manifest_count", "z04_bloom_lookup", "pr01_provenance",
       "c03_zorder_compact", "z05_merge_manifest_fresh", "x23_perplexity_gate",
       "u04_mor_delete", "mv02_ivm_join_rollup", "cdc01_change_feed",
-      "pp04_partition_evolution")
+      "pp04_partition_evolution", "u05_scd2", "fs01_pit_join",
+      "bp01_bpe_merges", "bp02_bpe_tokenize")
     selected.filter(q => prebuild(q._1)).foreach { case (_, fn) =>
       try { fn(spark, sfDir).count(); spark.catalog.clearCache() }
       catch { case _: Throwable => () }

@@ -31,6 +31,20 @@ object TextQueries {
       p
     })
 
+  /** bp01/bp02's stored tokenizer artifact (merges + trained vocab),
+    * trained once per (dir, JVM) by [[graft.operators.Bpe.fitAndStore]] —
+    * same contract as [[lmGate]]: every query run READS the artifact, so
+    * the surface under test is the stored-tokenizer path a 100 TB
+    * pipeline runs (train once, score forever). */
+  private def bpeArtifact(
+      s: org.apache.spark.sql.SparkSession, dir: String): String =
+    gateMemo.computeIfAbsent(s"bpe:$dir", _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft-bpe").toString
+      graft.operators.Bpe.fitAndStore(
+        Tables.table(s, dir, "documents"), p, rounds = 4)
+      p
+    })
+
   val queries: Seq[GQ] = Seq(
     GQ("d01_dedup_exact",
       (s, dir) => Dedup.exact(Tables.table(s, dir, "documents")),
@@ -2345,6 +2359,92 @@ object TextQueries {
           CAST(sort_key // 125000001 AS INTEGER) AS shard,
           CAST(ROW_NUMBER() OVER (PARTITION BY sort_key // 125000001
                                   ORDER BY sort_key, doc_id) AS BIGINT) AS pos
-        FROM h"""))
+        FROM h""")),
+
+    GQ("bp01_bpe_merges", // BPE vocabulary induction (Sennrich et al.
+      // 2016) — tokenizer TRAINING (`operators/Bpe.learnMerges`): 4
+      // rounds of most-frequent-adjacent-pair merging over the
+      // word-frequency table. The corpus shuffles ONCE into the vocab;
+      // every round after that is |vocab|-scale (pair explode + one
+      // TakeOrderedAndProject(1) + a 1-row driver collect — g02's
+      // round-barrier class). Ties break (count DESC, pair lexicographic)
+      // so the learned vocabulary is engine/retry-deterministic; merge
+      // application is the identical greedy left-to-right string fold in
+      // both engines (Spark `aggregate` HOF / DuckDB `list_reduce`), so
+      // the oracle replays all 4 rounds' argmax AND re-segmentation
+      // bit-for-bit. Trained once per dir into a STORED artifact
+      // (merges + vocab parquet — the e14/Lm storage class); the query
+      // reads the artifact, as every downstream tokenization job would.
+      (s, dir) => graft.operators.Bpe.storedMerges(s, bpeArtifact(s, dir)),
+      Some(BpeOracle.chain(4) + """
+        SELECT CAST(round AS INTEGER) AS round, a, b, pair_count FROM (
+          SELECT 0 AS round, a, b, cnt AS pair_count FROM m0
+          UNION ALL SELECT 1, a, b, cnt FROM m1
+          UNION ALL SELECT 2, a, b, cnt FROM m2
+          UNION ALL SELECT 3, a, b, cnt FROM m3)""")),
+
+    GQ("bp02_bpe_tokenize", // per-doc token counts under the bp01-learned
+      // segmentation — the number every budget operator (d17/pk01/d40)
+      // consumes, now derived from a TRAINED tokenizer instead of a char
+      // heuristic. Token lengths come from the trained vocab itself
+      // (every distinct word was segmented during learning) broadcast
+      // back onto the exploded corpus — one scan + one map-side-combined
+      // doc agg, no per-row re-folding; a NEW corpus against a stored
+      // vocab runs the same join LEFT with a char-count OOV fallback.
+      // n_chars/n_words alongside n_tokens make the compression ratio
+      // auditable per document; OOV words (scoring a crawl the trainer
+      // never saw) fall back to character count via the LEFT join.
+      (s, dir) => graft.operators.Bpe.tokenCountsWithVocab(
+        Tables.table(s, dir, "documents"),
+        graft.operators.Bpe.storedVocab(s, bpeArtifact(s, dir))),
+      Some(BpeOracle.chain(4) + """
+        , tok AS (SELECT w,
+            CAST(len(string_split(seg, chr(31))) AS BIGINT) AS n_tok
+          FROM v4),
+        dw AS (SELECT doc_id, w
+          FROM (SELECT doc_id,
+              UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+            FROM documents)
+          WHERE strpos(w, chr(31)) = 0)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+          CAST(SUM(length(w)) AS BIGINT) AS n_chars,
+          CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+        FROM dw JOIN tok USING (w) GROUP BY doc_id"""))
   )
+}
+
+/** DuckDB replay of the BPE training chain (bp01/bp02): v0 = the word
+  * frequency table with character segmentation, then per round r the pair
+  * counts (p{r}), the deterministic argmax (m{r}), and the greedy
+  * left-to-right re-segmentation fold (v{r+1}) — `list_reduce` here is
+  * bit-identical to the Spark `aggregate` HOF in `operators/Bpe`. The
+  * merge row joins on via LEFT JOIN ON TRUE (not CROSS JOIN) so an
+  * exhausted round leaves segmentations unchanged instead of emptying the
+  * vocab — DuckDB forbids subqueries inside lambdas, which is why the
+  * merge is a row column rather than a scalar subquery. */
+private object BpeOracle {
+  def chain(rounds: Int): String = {
+    val v0 = """WITH v0 AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS freq,
+        array_to_string(regexp_extract_all(w, '.', 0, 's'), chr(31)) AS seg
+      FROM (SELECT UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+            FROM documents)
+      WHERE strpos(w, chr(31)) = 0
+      GROUP BY w)"""
+    val perRound = (0 until rounds).map { r =>
+      s"""p$r AS (
+        SELECT s[i] AS a, s[i+1] AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+        FROM (SELECT freq, string_split(seg, chr(31)) AS s FROM v$r),
+             UNNEST(generate_series(1, len(s) - 1)) AS g(i)
+        GROUP BY 1, 2),
+      m$r AS (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
+      v${r + 1} AS (
+        SELECT w, freq,
+          substr(list_reduce(list_prepend('', string_split(seg, chr(31))),
+            (acc, s) -> CASE WHEN ends_with(acc, chr(31) || ma) AND s = mb
+                        THEN acc || s ELSE acc || chr(31) || s END), 2) AS seg
+        FROM v$r LEFT JOIN (SELECT a AS ma, b AS mb FROM m$r) ON TRUE)"""
+    }
+    (v0 +: perRound).mkString(",\n")
+  }
 }
