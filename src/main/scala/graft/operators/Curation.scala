@@ -225,4 +225,43 @@ object Curation {
       .withColumn("shard", floor(col("sort_key") / width).cast("int"))
       .withColumn("pos", row_number().over(w).cast("long"))
   }
+
+  /** Temperature-flattened source mixing at α = 1/2 — the multilingual
+    * sampling recipe (p_i ∝ q_i^α, per mT5 / XLM-R / CC-mix practice)
+    * between [[graft.queries.TextQueries]] d27's uniform balance (α = 0)
+    * and no rebalancing (α = 1): each source keeps ~sqrt(min_cnt ·
+    * cnt_i) documents — the GEOMETRIC MEAN of the two endpoints — so
+    * dominant sources are damped without flattening real signal away.
+    *
+    * α = 1/2 is the integer-exact temperature: the per-mille keep
+    * threshold is floor(sqrt((10^6 · min_cnt) DIV cnt_i)), one integer
+    * division then one IEEE-754 sqrt — correctly rounded by spec in both
+    * the JVM and DuckDB, so the threshold (and thus every keep decision)
+    * replays bit-for-bit. Other temperatures need a rational-exponent
+    * ladder (repeated isqrt for α = k/2^m) — out of scope, stated.
+    * Membership is the portable PolyHash bucket (d16/d27's replay
+    * contract): deterministic across engines, retries, partitionings.
+    *
+    * 100 TB shape: d27's exactly — one tiny per-source aggregate
+    * broadcast back onto a scan-local filter; the corpus itself never
+    * shuffles. */
+  def temperatureSample(
+      docs: DataFrame,
+      keyCol: String = "source",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    val stats = docs.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+    val th = stats
+      .withColumn("min_cnt", min(col("cnt")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .select(col(keyCol),
+        floor(sqrt(expr("(min_cnt * 1000000) DIV cnt")))
+          .cast("long").as("th"))
+    val bucket = graft.expressions.PolyHash(
+      concat(lit("temp|"), col(idCol).cast("string"))) % 1000
+    docs.select(col(idCol), col(keyCol), bucket.as("bucket"))
+      .join(broadcast(th), Seq(keyCol))
+      .filter(col("bucket") < col("th"))
+      .select(col(idCol), col(keyCol), col("bucket"), col("th"))
+  }
 }

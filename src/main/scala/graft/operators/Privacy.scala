@@ -91,4 +91,57 @@ object Privacy {
       acc.withColumn(c,
         md5(concat(lit(secret), lit("|"), col(c).cast("string")))))
   }
+
+  /** l-diversity enforcement (Machanavajjhala et al. 2007) — the gap
+    * k-anonymity leaves open: a group can hold ≥ k people and STILL leak
+    * if they all share one sensitive value (locate your neighbor in a
+    * 50-person cell where every row says the same diagnosis and you've
+    * learned it). A published group must carry at least `l` DISTINCT
+    * sensitive values; homogeneous groups fold into one masked residual.
+    *
+    * Published columns: the (stringified) quasi-identifiers, `n_rows`,
+    * and `n_distinct_sensitive` — the residual's distinct count is
+    * computed over the UNION of the suppressed groups' sensitive values
+    * (distinct counts don't sum; recomputing from cells is exact).
+    *
+    * Scale shape: ONE corpus-scale aggregate — groupBy(QI, sensitive) —
+    * then everything (per-group diversity, verdicts, the residual's own
+    * distinct count) derives from that CELL table, which is bounded by
+    * |QI space| × |sensitive domain|, not corpus size. The same
+    * discipline as [[suppressSmallCells]]: the microdata is scanned
+    * once, privacy math runs on KBs of cells. */
+  def lDiversityPublish(
+      rows: DataFrame,
+      qiCols: Seq[String],
+      sensitiveCol: String,
+      l: Long,
+      otherLabel: String = "__suppressed__"
+  ): DataFrame = {
+    require(qiCols.nonEmpty, "name the quasi-identifier columns")
+    require(l >= 2, s"l must be >= 2 to mean anything, got $l")
+    val missing = (qiCols :+ sensitiveCol).filterNot(rows.columns.contains)
+    require(missing.isEmpty, s"columns not in input: ${missing.mkString(", ")}")
+    val cells = rows
+      .groupBy((qiCols.map(c => col(c).cast("string").as(c)) :+
+        col(sensitiveCol).cast("string").as("__sv")): _*)
+      .agg(count(lit(1)).as("__n"))
+    val diverse = cells
+      .groupBy(qiCols.map(col): _*)
+      .agg(sum(col("__n")).as("n_rows"),
+        count(lit(1)).as("n_distinct_sensitive"))
+      .filter(col("n_distinct_sensitive") >= l)
+    // the residual recounts distinct sensitive values over the union of
+    // all suppressed groups' cells — a second agg OF THE CELL TABLE, so
+    // the published number is exact, not a sum of per-group distincts
+    val suppressed = cells
+      .join(diverse.select(qiCols.map(col): _*),
+        qiCols, "left_anti")
+      .agg(sum(col("__n")).as("n_rows"),
+        countDistinct(col("__sv")).as("n_distinct_sensitive"))
+      .filter(col("n_rows").isNotNull)
+      .select(qiCols.map(_ => lit(otherLabel)) ++
+        Seq(col("n_rows"), col("n_distinct_sensitive")): _*)
+      .toDF(qiCols ++ Seq("n_rows", "n_distinct_sensitive"): _*)
+    diverse.unionByName(suppressed)
+  }
 }

@@ -2166,6 +2166,49 @@ object Advanced {
           CAST(SUM(bal) AS DOUBLE) AS total_acctbal
         FROM m GROUP BY 1, 2""")),
 
+    GQ("dq05_l_diversity", // l-diversity (Machanavajjhala et al. 2007)
+      // over (`Privacy.lDiversityPublish`) — the leak k-anonymity leaves
+      // open: a group can hold ≥ k people and still disclose if they all
+      // share one sensitive value. Quasi-identifiers (nation, segment,
+      // order year), sensitive attribute o_orderpriority, l=4: groups
+      // carrying < 4 distinct priorities fold into one masked residual
+      // whose OWN distinct count is recomputed over the union of the
+      // suppressed cells (distinct doesn't sum — the residual's number
+      // must be exact, not a sum of per-group distincts). ONE
+      // corpus-scale aggregate — groupBy(QI, sensitive) — then all
+      // privacy math runs on the cell table, bounded by |QI|×|domain| at
+      // any corpus size. At sf0.01: 41 groups suppressed, 834 published.
+      (s, dir) => {
+        val rows0 = t(s, dir, "orders")
+          .join(t(s, dir, "customer"),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("c_nationkey").as("nk"),
+            col("c_mktsegment").as("seg"),
+            year(col("o_orderdate")).as("yr"),
+            col("o_orderpriority"))
+        graft.operators.Privacy.lDiversityPublish(
+          rows0, Seq("nk", "seg", "yr"), "o_orderpriority", l = 4)
+      },
+      Some("""WITH rows0 AS (
+          SELECT CAST(c_nationkey AS VARCHAR) AS nk, c_mktsegment AS seg,
+            CAST(year(o_orderdate) AS VARCHAR) AS yr,
+            o_orderpriority AS sv
+          FROM orders JOIN customer ON o_custkey = c_custkey),
+        cells AS (SELECT nk, seg, yr, sv, CAST(COUNT(*) AS BIGINT) AS n
+          FROM rows0 GROUP BY 1, 2, 3, 4),
+        g AS (SELECT nk, seg, yr, CAST(SUM(n) AS BIGINT) AS n_rows,
+            CAST(COUNT(*) AS BIGINT) AS n_distinct_sensitive
+          FROM cells GROUP BY 1, 2, 3),
+        div AS (SELECT * FROM g WHERE n_distinct_sensitive >= 4),
+        sup AS (SELECT '__suppressed__' AS nk, '__suppressed__' AS seg,
+            '__suppressed__' AS yr, CAST(SUM(n) AS BIGINT) AS n_rows,
+            CAST(COUNT(DISTINCT sv) AS BIGINT) AS n_distinct_sensitive
+          FROM cells c
+          WHERE NOT EXISTS (SELECT 1 FROM div d
+            WHERE d.nk = c.nk AND d.seg = c.seg AND d.yr = c.yr)
+          HAVING SUM(n) IS NOT NULL)
+        SELECT * FROM div UNION ALL SELECT * FROM sup""")),
+
     GQ("pv01_pseudonymize", // deterministic keyed pseudonymization
       // (`Privacy.pseudonymize`) — dq03's row-level sibling and d14's
       // structured-identifier complement: direct identifiers become

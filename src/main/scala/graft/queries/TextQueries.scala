@@ -2409,7 +2409,82 @@ object TextQueries {
         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
           CAST(SUM(length(w)) AS BIGINT) AS n_chars,
           CAST(SUM(n_tok) AS BIGINT) AS n_tokens
-        FROM dw JOIN tok USING (w) GROUP BY doc_id"""))
+        FROM dw JOIN tok USING (w) GROUP BY doc_id""")),
+
+    GQ("d46_temperature_mix", // α=1/2 temperature source mixing
+      // (`Curation.temperatureSample`) — the multilingual sampling recipe
+      // (p_i ∝ q_i^α, mT5/XLM-R practice) between d27's uniform balance
+      // (α=0) and no rebalancing (α=1): each source keeps
+      // ~sqrt(min_cnt·cnt_i) docs, the geometric mean of the endpoints.
+      // α=1/2 is the INTEGER-EXACT temperature — per-mille threshold =
+      // floor(sqrt((1e6·min_cnt) DIV cnt)), one integer division + one
+      // IEEE sqrt (correctly rounded by spec in both engines, so every
+      // keep decision replays bit-for-bit); membership is the portable
+      // PolyHash bucket. Same 100 TB shape as d27: tiny stats aggregate
+      // broadcast onto a scan-local filter, the corpus never shuffles.
+      (s, dir) => graft.operators.Curation.temperatureSample(
+        Tables.table(s, dir, "documents")),
+      Some("""WITH stats AS (SELECT source, COUNT(*) AS cnt
+               FROM documents GROUP BY source),
+        th AS (SELECT source,
+            CAST(floor(sqrt((min_cnt * 1000000) // cnt)) AS BIGINT) AS th
+          FROM stats CROSS JOIN (SELECT MIN(cnt) AS min_cnt FROM stats)),
+        h AS (SELECT doc_id, source,
+            CAST(list_reduce(
+              list_prepend(CAST(0 AS BIGINT),
+                list_transform(
+                  regexp_extract_all('temp|' || CAST(doc_id AS VARCHAR), '.'),
+                  c -> CAST(ascii(c) AS BIGINT))),
+              (a, b) -> (a * 257 + b) % 1000000007) AS BIGINT) % 1000 AS bucket
+          FROM documents)
+        SELECT h.doc_id, h.source, h.bucket, th.th
+        FROM h JOIN th USING (source) WHERE h.bucket < th.th""")),
+
+    GQ("vg01_vocab_growth", // Heaps'-law vocabulary growth curve: per
+      // ingest batch (doc_id % 8 as the batch surrogate, d25's
+      // convention), token volume, FIRST-SEEN new words, and cumulative
+      // vocabulary — the "is the crawl still adding language or just
+      // duplicates" ROI signal a collection campaign reads before paying
+      // for the next slice. ONE corpus-scale shuffle: the (batch, word)
+      // count table is built once and persisted, then token volume
+      // (sum per batch), first-seen batch per word (min), and the new-word
+      // count all derive from it — vocab-scale aggregates. The running
+      // cumulative runs on the |batches|-row result (8 rows; the
+      // single-partition window is the point, not a choke).
+      (s, dir) => {
+        val bw = Tables.table(s, dir, "documents")
+          .select((col("doc_id") % 8).cast("int").as("batch"),
+            explode(words(col("text"))).as("w"))
+          .groupBy(col("batch"), col("w")).agg(count(lit(1)).as("n"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val tokens = bw.groupBy(col("batch"))
+          .agg(sum(col("n")).cast("long").as("n_tokens"))
+        val firsts = bw.groupBy(col("w")).agg(min(col("batch")).as("batch"))
+          .groupBy(col("batch")).agg(count(lit(1)).as("n_new_words"))
+        tokens.join(firsts, Seq("batch"), "left")
+          .select(col("batch"), col("n_tokens"),
+            coalesce(col("n_new_words"), lit(0L)).as("n_new_words"))
+          .withColumn("cum_vocab",
+            sum(col("n_new_words")).over(
+              org.apache.spark.sql.expressions.Window
+                .partitionBy().orderBy(col("batch")))
+              .cast("long"))
+      },
+      Some("""WITH occ AS (SELECT CAST(doc_id % 8 AS INTEGER) AS batch,
+            UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+          FROM documents),
+        bw AS (SELECT batch, w, CAST(COUNT(*) AS BIGINT) AS n
+          FROM occ GROUP BY 1, 2),
+        tk AS (SELECT batch, CAST(SUM(n) AS BIGINT) AS n_tokens
+          FROM bw GROUP BY 1),
+        fw AS (SELECT MIN(batch) AS batch FROM bw GROUP BY w),
+        nw AS (SELECT batch, CAST(COUNT(*) AS BIGINT) AS n_new_words
+          FROM fw GROUP BY 1)
+        SELECT batch, n_tokens,
+          COALESCE(n_new_words, 0) AS n_new_words,
+          CAST(SUM(COALESCE(n_new_words, 0))
+               OVER (ORDER BY batch) AS BIGINT) AS cum_vocab
+        FROM tk LEFT JOIN nw USING (batch)"""))
   )
 }
 

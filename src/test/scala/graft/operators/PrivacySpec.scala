@@ -70,4 +70,41 @@ class PrivacySpec extends SparkSpec {
       .filter(col("country") =!= "__suppressed__")
     assert(out.filter(col("n") < 10).isEmpty)
   }
+
+  test("l-diversity: homogeneous groups fold; residual distinct is over the UNION, not a sum") {
+    import spark.implicits._
+    // g1: 3 rows, 3 distinct (diverse at l=3)
+    // g2: 4 rows, 1 distinct (homogeneous) — sensitive value "x"
+    // g3: 2 rows, 2 distinct (below l)     — sensitive values "x","y"
+    val rows = Seq(
+      ("g1", "a"), ("g1", "b"), ("g1", "c"),
+      ("g2", "x"), ("g2", "x"), ("g2", "x"), ("g2", "x"),
+      ("g3", "x"), ("g3", "y")).toDF("qi", "sv")
+    val out = Privacy.lDiversityPublish(rows, Seq("qi"), "sv", l = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // residual unions g2+g3: 6 rows, distinct {x, y} = 2 (NOT 1+2=3)
+    assert(out == Set(("g1", 3L, 3L), ("__suppressed__", 6L, 2L)))
+  }
+
+  test("l-diversity: nothing suppressed -> no residual row; everything suppressed -> only the residual") {
+    import spark.implicits._
+    val diverse = Seq(("g", "a"), ("g", "b")).toDF("qi", "sv")
+    val d = Privacy.lDiversityPublish(diverse, Seq("qi"), "sv", l = 2).collect()
+    assert(d.length == 1 && d.head.getString(0) == "g")
+    val homog = Seq(("g", "a"), ("h", "b")).toDF("qi", "sv")
+    val h = Privacy.lDiversityPublish(homog, Seq("qi"), "sv", l = 2).collect()
+    assert(h.length == 1 && h.head.getString(0) == "__suppressed__")
+    assert(h.head.getLong(1) == 2L && h.head.getLong(2) == 2L)
+  }
+
+  test("l-diversity published groups all satisfy l; totals preserved") {
+    import spark.implicits._
+    val rows = spark.range(200).select(
+      (col("id") % 7).cast("string").as("qi"),
+      (col("id") % (col("id") % 7 + 1)).cast("string").as("sv"))
+    val out = Privacy.lDiversityPublish(rows, Seq("qi"), "sv", l = 4)
+    assert(out.filter(col("qi") =!= "__suppressed__" &&
+      col("n_distinct_sensitive") < 4).isEmpty)
+    assert(out.agg(sum("n_rows")).as[Long].head() == 200L)
+  }
 }
