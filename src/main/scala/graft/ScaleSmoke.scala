@@ -570,6 +570,40 @@ object ScaleSmoke {
       println(f"[scale] change feed over $rows%d-row snapshots: $nC%d change rows " +
         f"in ${(System.nanoTime() - t1) / 1e9}%.1fs")
     }
+    // Wave-9/10 (r12): chunk dedup is linear in total chunks (three
+    // key-bounded shuffles, no pairwise anything); training order is ONE
+    // exchange + in-partition sort with hash-uniform shard fill; BPE
+    // rounds run on the |vocab| table (the corpus is scanned once);
+    // gap-fill cost is per-key span, never event volume.
+    locally {
+      val t0 = System.nanoTime()
+      val nD = Dedup.crossDocChunkDedup(docs, chunkWords = 8).count()
+      println(f"[scale] cross-doc chunk dedup over $rows%d docs: $nD%d docs " +
+        f"rebuilt in ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      val t1 = System.nanoTime()
+      val ord = graft.operators.Curation.trainingOrder(
+        spark.range(rows * 10).select(col("id").as("doc_id")), nShards = 64)
+      val fill = ord.groupBy("shard").count()
+        .agg(min("count"), max("count")).head()
+      println(f"[scale] training order over ${rows * 10}%d docs / 64 shards: " +
+        f"fill ${fill.getLong(0)}%d..${fill.getLong(1)}%d " +
+        f"in ${(System.nanoTime() - t1) / 1e9}%.1fs")
+      val t2 = System.nanoTime()
+      val (vocab, merges) = graft.operators.Bpe.learn(docs, rounds = 4)
+      val nV = vocab.count(); vocab.unpersist()
+      println(f"[scale] BPE 4 rounds over $rows%d docs (vocab $nV%d): " +
+        f"${merges.size}%d merges in ${(System.nanoTime() - t2) / 1e9}%.1fs " +
+        f"(corpus scanned once; rounds are vocab-scale)")
+      val t3 = System.nanoTime()
+      val ev = spark.range(rows).select(
+        pmod(col("id"), lit(50000)).as("k"),
+        timestamp_micros(col("id") * 7919000000L % (86400L * 30 * 1000000L)).as("ts"),
+        col("id").as("eid"), (col("id") % 97).cast("double").as("v"))
+      val nG = graft.operators.Resample.gapFillLocf(
+        ev, "k", "ts", "eid", "v", 3600L * 1000000L).count()
+      println(f"[scale] gap-fill/LOCF over $rows%d events / 50k keys: $nG%d grid " +
+        f"rows in ${(System.nanoTime() - t3) / 1e9}%.1fs")
+    }
     spark.stop()
   }
 }

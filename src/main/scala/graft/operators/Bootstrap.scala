@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic Poisson bootstrap — a confidence interval for a corpus
+  * mean computed in ONE distributed pass, with zero randomness at run
+  * time. "The average document quality moved from 512 to 534" is only a
+  * finding if 22 exceeds the metric's own sampling noise; the bootstrap
+  * is the standard answer, and the classic obstacle to running it in a
+  * data engine — per-row random resampling — disappears under the repo's
+  * portable-hash discipline.
+  *
+  * == Poisson bootstrap (Chamandy et al. 2012, "Estimating Uncertainty
+  * for Massive Data Streams") ==
+  *
+  * Resampling n rows WITH replacement ≈ giving each row an independent
+  * Poisson(1) replicate count — no global coordination, so replica b's
+  * weight for row i is a pure function of (i, b): a PolyHash bucket in
+  * [0, 1000) read through the Poisson(1) pmf quantized to per-mille cells
+  * (368/368/184/61/15/3/1 for counts 0..6 — exact to the 1e-3 the bucket
+  * resolution carries; the stated contract, same class as the repo's
+  * integer-millionth quantizations). Every engine, retry, and
+  * partitioning draws the identical resample.
+  *
+  * == Shape ==
+  *
+  * One generate (B weights per row, scan-local) → one groupBy(replica)
+  * over INTEGER sums (map-side combine reduces each task to ≤B cells, so
+  * the exchange carries |tasks|·B rows whatever the corpus weighs) → a
+  * B-row table on which the percentile bounds are exact. Replica means
+  * are floor(1e6·Σwx / Σw) — a ratio of two integer sums, order-free and
+  * bit-replayable where a float mean is neither.
+  */
+object Bootstrap {
+
+  /** Per-mille cumulative Poisson(1) pmf: P(X=k) for k = 0..6 quantized
+    * to 368/368/184/61/15/3/1 (sums to 1000). */
+  private val cum = Seq(368L, 736L, 920L, 981L, 996L, 999L)
+
+  private def poissonWeight(bucket: Column): Column =
+    cum.zipWithIndex.foldRight(lit(6L): Column) { case ((th, k), els) =>
+      when(bucket < th, lit(k.toLong)).otherwise(els)
+    }
+
+  /** Bootstrap CI for the mean of `metricCol` (an INTEGER column — keep
+    * it quantized upstream, the repo-wide discipline). Returns one row:
+    * n_rows, the point mean, and the (lo, hi) percentile bounds over
+    * `replicas` resample means, all in integer millionths.
+    *
+    * @param loPct/hiPct  percentile bounds in per-mille (25 = 2.5%) —
+    *   applied as exact percentile_disc over the replica means, so with
+    *   small B the bound is a conservative order statistic, stated. */
+  def meanCi(
+      rows: DataFrame,
+      idCol: String,
+      metricCol: String,
+      replicas: Int = 40,
+      loPct: Int = 25,
+      hiPct: Int = 975,
+      salt: String = ""
+  ): DataFrame = {
+    require(replicas >= 2 && replicas <= 1000,
+      s"replicas must be in [2, 1000], got $replicas")
+    val weights = rows.select(
+      col(metricCol).cast("long").as("x"),
+      explode(transform(sequence(lit(0), lit(replicas - 1)), b => {
+        val bucket = graft.expressions.PolyHash(concat(
+          lit(s"boot$salt|"), b.cast("string"), lit("|"),
+          col(idCol).cast("string"))) % 1000
+        struct(b.as("b"), poissonWeight(bucket).as("w"))
+      })).as("r"))
+    val perReplica = weights
+      .groupBy(col("r.b").as("b"))
+      .agg(sum(col("r.w") * col("x")).as("wx"), sum(col("r.w")).as("w"))
+      // an (astronomically unlikely) all-zero-weight replica has no mean;
+      // NULL would poison percentile_disc's ordering differently per
+      // engine, so it is dropped, stated
+      .filter(col("w") > 0)
+      // integer millionths via long DIV — exact while Σw·x < 9.2e12 per
+      // replica (x21's documented long-overflow contract; past that, cast
+      // wx through DECIMAL(38,0) and divide there)
+      .select(expr("CAST((wx * 1000000) DIV w AS BIGINT)").as("mean_ppm"))
+    val point = rows
+      .agg(count(lit(1)).as("n"),
+        sum(col(metricCol).cast("long")).as("sx"))
+      .select(col("n").as("n_rows"),
+        expr("CAST((sx * 1000000) DIV n AS BIGINT)").as("mean_ppm"))
+    val lo = loPct / 1000.0
+    val hi = hiPct / 1000.0
+    val ci = perReplica.agg(
+      count(lit(1)).as("n_replicas"),
+      // Spark's percentile_disc returns DOUBLE even over longs; the value
+      // is an order statistic of exact longs, so the cast back is lossless
+      expr(s"CAST(percentile_disc($lo) WITHIN GROUP (ORDER BY mean_ppm) AS BIGINT)")
+        .as("ci_lo_ppm"),
+      expr(s"CAST(percentile_disc($hi) WITHIN GROUP (ORDER BY mean_ppm) AS BIGINT)")
+        .as("ci_hi_ppm"))
+    point.crossJoin(ci) // both sides are 1-row aggregates
+  }
+}

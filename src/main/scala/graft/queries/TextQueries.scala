@@ -2484,7 +2484,59 @@ object TextQueries {
           COALESCE(n_new_words, 0) AS n_new_words,
           CAST(SUM(COALESCE(n_new_words, 0))
                OVER (ORDER BY batch) AS BIGINT) AS cum_vocab
-        FROM tk LEFT JOIN nw USING (batch)"""))
+        FROM tk LEFT JOIN nw USING (batch)""")),
+
+    GQ("bs01_bootstrap_ci", // deterministic Poisson bootstrap
+      // (`operators/Bootstrap.meanCi`, Chamandy et al. 2012): a 95% CI
+      // for the corpus mean words/doc in ONE distributed pass with zero
+      // run-time randomness — replica b's weight for doc i is a pure
+      // function of (i, b): PolyHash bucket through the Poisson(1) pmf
+      // quantized to per-mille cells (368/368/184/61/15/3/1, exact to the
+      // bucket resolution — stated contract). The shape is the whole
+      // point: the 40 resamples are ONE generate + ONE groupBy(replica)
+      // over integer sums (map-side combine caps the exchange at
+      // |tasks|·40 cells), never 40 passes; replica means are integer
+      // DIV ratios; the percentile bounds are exact order statistics
+      // over the 40-row table. Oracle replays hash, pmf ladder, sums,
+      // and percentile_disc bit-for-bit.
+      (s, dir) => graft.operators.Bootstrap.meanCi(
+        Tables.table(s, dir, "documents")
+          .select(col("doc_id"),
+            size(words(col("text"))).cast("long").as("n_words")),
+        "doc_id", "n_words", replicas = 40),
+      Some("""WITH d AS (SELECT doc_id,
+            CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                 AS BIGINT) AS x
+          FROM documents),
+        r AS (SELECT d.x,
+            CAST(list_reduce(
+              list_prepend(CAST(0 AS BIGINT),
+                list_transform(
+                  regexp_extract_all('boot|' || CAST(b AS VARCHAR) || '|'
+                    || CAST(doc_id AS VARCHAR), '.'),
+                  c -> CAST(ascii(c) AS BIGINT))),
+              (a, v) -> (a * 257 + v) % 1000000007) AS BIGINT) % 1000
+              AS bucket, b
+          FROM d CROSS JOIN (SELECT UNNEST(generate_series(0, 39)) AS b)),
+        w AS (SELECT b, x,
+            CASE WHEN bucket < 368 THEN 0 WHEN bucket < 736 THEN 1
+                 WHEN bucket < 920 THEN 2 WHEN bucket < 981 THEN 3
+                 WHEN bucket < 996 THEN 4 WHEN bucket < 999 THEN 5
+                 ELSE 6 END AS wt
+          FROM r),
+        m AS (SELECT CAST((SUM(wt * x) * 1000000) // SUM(wt) AS BIGINT)
+              AS mean_ppm
+          FROM w GROUP BY b HAVING SUM(wt) > 0),
+        ci AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_replicas,
+            percentile_disc(0.025) WITHIN GROUP (ORDER BY mean_ppm)
+              AS ci_lo_ppm,
+            percentile_disc(0.975) WITHIN GROUP (ORDER BY mean_ppm)
+              AS ci_hi_ppm
+          FROM m),
+        pt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+            CAST((SUM(x) * 1000000) // COUNT(*) AS BIGINT) AS mean_ppm
+          FROM d)
+        SELECT * FROM pt CROSS JOIN ci"""))
   )
 }
 

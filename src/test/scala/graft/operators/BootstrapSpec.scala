@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class BootstrapSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("constant metric: every replica mean equals the constant, CI collapses to the point") {
+    val rows = spark.range(500).select(col("id"), lit(7L).as("x"))
+    val out = Bootstrap.meanCi(rows, "id", "x", replicas = 40).head()
+    assert(out.getAs[Long]("n_rows") == 500L)
+    assert(out.getAs[Long]("mean_ppm") == 7000000L)
+    assert(out.getAs[Long]("ci_lo_ppm") == 7000000L)
+    assert(out.getAs[Long]("ci_hi_ppm") == 7000000L)
+    assert(out.getAs[Long]("n_replicas") == 40L)
+  }
+
+  test("noisy metric: CI is non-degenerate, brackets the point mean, narrows with n") {
+    def ci(n: Long) = {
+      val rows = spark.range(n).select(col("id"), (col("id") % 100).as("x"))
+      val r = Bootstrap.meanCi(rows, "id", "x", replicas = 40).head()
+      (r.getAs[Long]("mean_ppm"), r.getAs[Long]("ci_lo_ppm"),
+        r.getAs[Long]("ci_hi_ppm"))
+    }
+    val (m1, lo1, hi1) = ci(400)
+    assert(lo1 < hi1)
+    assert(lo1 <= m1 && m1 <= hi1, (lo1, m1, hi1).toString)
+    val (_, lo2, hi2) = ci(40000)
+    // 100x the data: ~10x narrower interval (allow slack for 40 replicas)
+    assert((hi2 - lo2) * 4 < (hi1 - lo1), s"n=400: ${hi1 - lo1}, n=40000: ${hi2 - lo2}")
+  }
+
+  test("weights follow the quantized Poisson(1) pmf (hash-uniform buckets)") {
+    // measure the replica-0 weight distribution over 20k ids
+    val rows = spark.range(20000).select(col("id"), lit(1L).as("x"))
+    val w = rows.select(
+      graft.expressions.PolyHash(concat(lit("boot|0|"),
+        col("id").cast("string"))).%(1000).as("bucket"))
+      .select(when(col("bucket") < 368, 0).when(col("bucket") < 736, 1)
+        .when(col("bucket") < 920, 2).otherwise(3).as("w"))
+      .groupBy("w").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    def share(k: Int) = w.getOrElse(k, 0L) / 20000.0
+    assert(math.abs(share(0) - 0.368) < 0.02, w.toString)
+    assert(math.abs(share(1) - 0.368) < 0.02, w.toString)
+    assert(math.abs(share(2) - 0.184) < 0.02, w.toString)
+  }
+
+  test("deterministic under repartition; a different salt draws different resamples") {
+    val rows = spark.range(1000).select(col("id"), (col("id") % 13).as("x"))
+    val a = Bootstrap.meanCi(rows, "id", "x", replicas = 40).head()
+    val b = Bootstrap.meanCi(rows.repartition(7), "id", "x", replicas = 40).head()
+    assert(a == b)
+    val c = Bootstrap.meanCi(rows, "id", "x", replicas = 40, salt = "s2").head()
+    assert(a.getAs[Long]("mean_ppm") == c.getAs[Long]("mean_ppm")) // point mean is salt-free
+    assert((a.getAs[Long]("ci_lo_ppm"), a.getAs[Long]("ci_hi_ppm")) !=
+      (c.getAs[Long]("ci_lo_ppm"), c.getAs[Long]("ci_hi_ppm")))
+  }
+}
