@@ -62,15 +62,20 @@ object Bootstrap {
   ): DataFrame = {
     require(replicas >= 2 && replicas <= 1000,
       s"replicas must be in [2, 1000], got $replicas")
+    // replica -1 is the POINT estimate riding the same pass: weight 1 for
+    // every row, so its "mean" is the unweighted corpus mean and its Σw is
+    // n_rows — the whole query is ONE corpus scan + one ≤(B+1)-key
+    // exchange, not a separate aggregate per statistic
     val weights = rows.select(
       col(metricCol).cast("long").as("x"),
-      explode(transform(sequence(lit(0), lit(replicas - 1)), b => {
+      explode(transform(sequence(lit(-1), lit(replicas - 1)), b => {
         val bucket = graft.expressions.PolyHash(concat(
           lit(s"boot$salt|"), b.cast("string"), lit("|"),
           col(idCol).cast("string"))) % 1000
-        struct(b.as("b"), poissonWeight(bucket).as("w"))
+        struct(b.as("b"),
+          when(b === -1, lit(1L)).otherwise(poissonWeight(bucket)).as("w"))
       })).as("r"))
-    val perReplica = weights
+    val sums = weights
       .groupBy(col("r.b").as("b"))
       .agg(sum(col("r.w") * col("x")).as("wx"), sum(col("r.w")).as("w"))
       // an (astronomically unlikely) all-zero-weight replica has no mean;
@@ -80,12 +85,12 @@ object Bootstrap {
       // integer millionths via long DIV — exact while Σw·x < 9.2e12 per
       // replica (x21's documented long-overflow contract; past that, cast
       // wx through DECIMAL(38,0) and divide there)
-      .select(expr("CAST((wx * 1000000) DIV w AS BIGINT)").as("mean_ppm"))
-    val point = rows
-      .agg(count(lit(1)).as("n"),
-        sum(col(metricCol).cast("long")).as("sx"))
-      .select(col("n").as("n_rows"),
-        expr("CAST((sx * 1000000) DIV n AS BIGINT)").as("mean_ppm"))
+      .select(col("b"), col("w"),
+        expr("CAST((wx * 1000000) DIV w AS BIGINT)").as("mean_ppm"))
+      .persist()
+    val perReplica = sums.filter(col("b") >= 0).select(col("mean_ppm"))
+    val point = sums.filter(col("b") === -1)
+      .select(col("w").cast("long").as("n_rows"), col("mean_ppm"))
     val lo = loPct / 1000.0
     val hi = hiPct / 1000.0
     val ci = perReplica.agg(
