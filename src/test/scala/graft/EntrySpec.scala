@@ -210,6 +210,43 @@ class EntrySpec extends SparkSpec {
     spark.catalog.clearCache() // d44's posting table rides the cache contract
   }
 
+  test("r12 wave-9/10/11 plans keep their scale shapes") {
+    def plan(name: String): String =
+      SparkEntry.queries(name)(spark, sf())
+        .queryExecution.executedPlan.toString
+    // bs01: the point estimate rides the replica pass as a virtual
+    // replica — both output branches must read the persisted replica-sum
+    // table (one corpus scan builds it; a second FileScan branch would
+    // mean the point estimate re-scans the corpus)
+    val bs01 = plan("bs01_bootstrap_ci")
+    assert("InMemoryTableScan".r.findAllIn(bs01).length == 2,
+      s"bs01 stopped reusing the single-pass replica table:\n$bs01")
+    spark.catalog.clearCache()
+    // d46: per-source thresholds broadcast onto a scan-local filter —
+    // the corpus side must never sort-merge or go cartesian
+    val d46 = plan("d46_temperature_mix")
+    assert(d46.contains("BroadcastHashJoin"),
+      "d46 stats join stopped broadcasting")
+    assert(!d46.contains("CartesianProduct") &&
+      !d46.contains("BroadcastNestedLoopJoin"))
+    // bp02: token lengths come from the broadcast stored vocab — a
+    // sort-merge join here would shuffle the exploded corpus by word
+    val bp02 = plan("bp02_bpe_tokenize")
+    assert(bp02.contains("BroadcastHashJoin"),
+      "bp02 vocab join stopped broadcasting")
+    // ln01: the keeper lookup must be a JOIN (AQE can skew-split it),
+    // never a Window over the chunk text
+    val ln01 = plan("ln01_chunk_dedup")
+    assert(ln01.contains("Join"), "ln01 lost the keeper join")
+    assert(!ln01.contains("Window"),
+      "ln01 keeper selection fell back to a window — unsplittable on hot chunks")
+    // sh01: per-shard ranks only — a global row_number would plan a
+    // SinglePartition exchange
+    val sh01 = plan("sh01_training_order")
+    assert(!sh01.contains("SinglePartition"),
+      "sh01 planned a global single-partition stage")
+  }
+
   test("r03 overlap join plans as an equi-join, never nested-loop") {
     // Spark's native plan for `key = key AND s < e2 AND s2 < e` keeps only
     // the key as the equi-condition; the bucket decomposition must yield a
