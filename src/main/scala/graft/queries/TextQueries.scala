@@ -2536,7 +2536,61 @@ object TextQueries {
         pt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
             CAST((SUM(x) * 1000000) // COUNT(*) AS BIGINT) AS mean_ppm
           FROM d)
-        SELECT * FROM pt CROSS JOIN ci"""))
+        SELECT * FROM pt CROSS JOIN ci""")),
+
+    GQ("d47_ppjoin_pairs", // EXACT all-pairs similarity join by prefix
+      // filtering (`Dedup.ppjoinPairs` — Bayardo 2007 All-Pairs + Xiao
+      // 2008 PPJoin): every pair with shingle Jaccard >= 0.5, NO false
+      // negatives — the exact complement of d09's probabilistic LSH and
+      // a provably-lossless upgrade over d07's any-shared-shingle
+      // candidates. Docs' shingle sets sort by (df ASC, shingle ASC) —
+      // compared directly as a struct, no global rank window — and only
+      // the first n-ceil(t*n)+1 tokens join; length + positional filters
+      // (remaining-overlap bound vs ceil(t/(1+t)*(na+nb))) cut the rest:
+      // 977 -> 27 candidates for 25 real pairs at sf0.01. All thresholds
+      // in integer millionths, so candidates, survivors, and scores
+      // hash-replay. Verification intersects the two shingle arrays
+      // scan-locally, only for filter survivors.
+      (s, dir) => Dedup.ppjoinPairs(
+        Tables.table(s, dir, "documents"), shingleK = 3,
+        thresholdPpm = 500000L),
+      Some("""WITH t AS (
+          SELECT doc_id, list_distinct(list_transform(
+            range(1, greatest(len(ws) - 1, 1)),
+            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+          FROM (SELECT doc_id,
+              list_filter(string_split(text, ' '), w -> w <> '') AS ws
+            FROM documents)),
+        e AS (SELECT doc_id, UNNEST(sh) AS s FROM t WHERE len(sh) > 0),
+        df AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY s),
+        srt AS (SELECT doc_id,
+            list_sort(list(struct_pack(d := df.d, s := e.s))) AS toks
+          FROM e JOIN df USING (s) GROUP BY doc_id),
+        pre AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n,
+            toks[1 : CAST(len(toks)
+              - (len(toks) * 500000 + 999999) // 1000000 + 1 AS BIGINT)] AS pre
+          FROM srt),
+        pe AS (SELECT doc_id, n, CAST(i AS BIGINT) AS i, pre[i].s AS ts
+          FROM pre, UNNEST(generate_series(1, len(pre))) AS g(i)),
+        cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM pe a JOIN pe b ON a.ts = b.ts AND a.doc_id < b.doc_id
+          WHERE b.n * 1000000 >= 500000 * a.n
+            AND a.n * 1000000 >= 500000 * b.n
+            AND (least(a.n - a.i, b.n - b.i) + 1) * 1500000
+                >= 500000 * (a.n + b.n)),
+        inter AS (SELECT c.a_id, c.b_id, CAST(COUNT(*) AS BIGINT) AS inter_n
+          FROM cand c JOIN e ea ON ea.doc_id = c.a_id
+                      JOIN e eb ON eb.doc_id = c.b_id AND eb.s = ea.s
+          GROUP BY 1, 2),
+        nn AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+          FROM e GROUP BY doc_id)
+        SELECT i.a_id, i.b_id, i.inter_n,
+          CAST(na.n + nb.n - i.inter_n AS BIGINT) AS union_n,
+          CAST((1000000 * i.inter_n) // (na.n + nb.n - i.inter_n) AS BIGINT)
+            AS jaccard_ppm
+        FROM inter i JOIN nn na ON na.doc_id = i.a_id
+                     JOIN nn nb ON nb.doc_id = i.b_id
+        WHERE (1000000 * i.inter_n) // (na.n + nb.n - i.inter_n) >= 500000"""))
   )
 }
 
