@@ -603,6 +603,16 @@ object ScaleSmoke {
         ev, "k", "ts", "eid", "v", 3600L * 1000000L).count()
       println(f"[scale] gap-fill/LOCF over $rows%d events / 50k keys: $nG%d grid " +
         f"rows in ${(System.nanoTime() - t3) / 1e9}%.1fs")
+      // Exact similarity join at a dedup-grade threshold: the prefix
+      // filter's candidate volume is the honest number to watch — on a
+      // similar-content corpus it is the price of exactness.
+      val quarter = rows / 4
+      val qdocs = docs.limit(quarter.toInt)
+      val t4 = System.nanoTime()
+      val nP = Dedup.ppjoinPairs(qdocs, shingleK = 3,
+        thresholdPpm = 800000L).count()
+      println(f"[scale] exact ppjoin (t=0.8) over $quarter%d docs: $nP%d pairs " +
+        f"in ${(System.nanoTime() - t4) / 1e9}%.1fs")
     }
     spark.stop()
   }

@@ -885,10 +885,17 @@ object Dedup {
     * 100 TB shape: one shingle-keyed shuffle (df), one doc-keyed agg
     * (sorted sets), one prefix-token self-join (AQE-skew-splittable; the
     * positional predicate keeps hot prefix tokens from going quadratic),
-    * two pair-to-set joins for verification. The exact-join price is the
-    * verify fan-out on genuinely similar corpora — for "find everything
-    * above 0.8" dedup workloads the prefix is tiny and this beats
-    * LSH-plus-verify while guaranteeing completeness. */
+    * two pair-to-set joins for verification. The filter's power is
+    * proportional to shingle DIVERSITY: on real corpora shingle
+    * frequencies are Zipfian and the (rarest-first) prefix tokens have
+    * df ≈ 1, so candidates ≈ true pairs. The measured worst case is the
+    * opposite corpus: ScaleSmoke's synthetic 16-word vocabulary admits
+    * only 4096 distinct shingles, prefix df ≈ 600, and 100k docs cost
+    * 35 s for zero true pairs — on low-diversity / similar-content
+    * corpora the candidate volume is inherent to EXACTNESS, and the
+    * probabilistic LSH family ([[minhashLshPairs]]) is the right tool.
+    * Use this when completeness is a requirement (dedup audits, legal
+    * holds) and content diversity is real. */
   def ppjoinPairs(
       docs: DataFrame,
       shingleK: Int = 3,
