@@ -264,4 +264,66 @@ object Curation {
       .filter(col("bucket") < col("th"))
       .select(col(idCol), col(keyCol), col("bucket"), col("th"))
   }
+
+  /** EXACT budget allocation across sources — "take exactly `budget`
+    * documents, apportioned ∝ sqrt(source size)" — the mix-PLANNING step
+    * between [[temperatureSample]] (per-source RATES, keeps ~rate·n with
+    * binomial noise) and d35's fixed per-stratum quotas (a constant k,
+    * no budget notion). A training-data order is usually stated as a
+    * budget ("10M documents for the ablation"), and rates can't hit a
+    * budget exactly; this does, deterministically.
+    *
+    * Apportionment is Hamilton's method (largest remainder — the seat-
+    * allocation classic): seats_i = floor(budget·w_i / W), then the
+    * leftover budget − Σ seats goes to the largest remainders
+    * budget·w_i mod W, ties to the lexicographically smaller source.
+    * Weights are w_i = floor(sqrt(10^6 · cnt_i)) — the α=1/2 temperature
+    * in [[temperatureSample]]'s integer-exact form. Every step is
+    * integer arithmetic on the |sources|-row stats table (windows over
+    * planner-scale data), so the allocation replays bit-for-bit;
+    * `budget·w_i` stays in a long while budget ≤ 1e9 (require'd;
+    * DECIMAL(38,0) is the documented escape past that).
+    *
+    * A source smaller than its seats is CAPPED at its size (take_n =
+    * min(seats, cnt)) and the budget under-fills, stated — re-run with
+    * exhausted sources excluded when exact fill matters (the iterative
+    * water-fill a real allocator runs; one pass per exhausted tier).
+    *
+    * Selection inside a source is the portable-hash rank (d35's replay
+    * contract): the take_n smallest PolyHash("alloc|" + id) win, ties
+    * impossible (hash of distinct ids may collide — (hash, id) breaks
+    * it). One corpus shuffle (the per-source rank window; hot sources
+    * pay their size — d35's bucketed-rank hatch applies unchanged). */
+  def budgetAllocate(
+      docs: DataFrame,
+      budget: Long,
+      keyCol: String = "source",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    require(budget > 0 && budget <= 1000000000L,
+      s"budget must be in (0, 1e9], got $budget (DECIMAL escape documented)")
+    val w = org.apache.spark.sql.expressions.Window
+    val stats = docs.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+      .withColumn("wt", floor(sqrt(col("cnt") * lit(1000000L))).cast("long"))
+    val seats = stats
+      .withColumn("tw", sum(col("wt")).over(w.partitionBy()))
+      .withColumn("s", expr(s"($budget * wt) DIV tw"))
+      .withColumn("rem", expr(s"($budget * wt) % tw"))
+      .withColumn("extra",
+        (lit(budget) - sum(col("s")).over(w.partitionBy())).cast("long"))
+      .withColumn("rrank", row_number().over(
+        w.partitionBy().orderBy(col("rem").desc, col(keyCol))).cast("long"))
+      .withColumn("seats",
+        col("s") + when(col("rrank") <= col("extra"), 1L).otherwise(0L))
+      .select(col(keyCol), least(col("seats"), col("cnt")).as("take_n"))
+    val rank = row_number().over(
+      w.partitionBy(col(keyCol)).orderBy(
+        graft.expressions.PolyHash(
+          concat(lit("alloc|"), col(idCol).cast("string"))), col(idCol)))
+    docs.select(col(idCol), col(keyCol))
+      .withColumn("pos", rank.cast("long"))
+      .join(broadcast(seats), Seq(keyCol))
+      .filter(col("pos") <= col("take_n"))
+      .select(col(idCol), col(keyCol), col("pos"), col("take_n"))
+  }
 }

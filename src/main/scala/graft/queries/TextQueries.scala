@@ -2590,7 +2590,52 @@ object TextQueries {
             AS jaccard_ppm
         FROM inter i JOIN nn na ON na.doc_id = i.a_id
                      JOIN nn nb ON nb.doc_id = i.b_id
-        WHERE (1000000 * i.inter_n) // (na.n + nb.n - i.inter_n) >= 500000"""))
+        WHERE (1000000 * i.inter_n) // (na.n + nb.n - i.inter_n) >= 500000""")),
+
+    GQ("d48_budget_mix", // EXACT budget allocation across sources
+      // (`Curation.budgetAllocate`): "take exactly 300 documents,
+      // apportioned ~ sqrt(source size)" — the mix-PLANNING step between
+      // d46's rates (hit a budget only in expectation) and d35's fixed
+      // quotas (no budget notion). Hamilton largest-remainder
+      // apportionment on the |sources|-row stats table: seats =
+      // floor(budget*w/W), leftovers to the largest budget*w mod W
+      // (ties to the smaller source), sources smaller than their seats
+      // cap at their size with a stated under-fill (exact 300 at every
+      // SF here — the cap path is exercised by the spec's hand-built
+      // skew, where 900 seats against a 100-doc source fill 888).
+      // Selection is the
+      // take_n smallest portable-hash ranks per source. All integer
+      // arithmetic; one corpus shuffle (the per-source rank window).
+      (s, dir) => graft.operators.Curation.budgetAllocate(
+        Tables.table(s, dir, "documents"), budget = 300L),
+      Some("""WITH stats AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS cnt
+               FROM documents GROUP BY source),
+        st2 AS (SELECT source, cnt,
+            CAST(floor(sqrt(cnt * 1000000)) AS BIGINT) AS wt FROM stats),
+        ap AS (SELECT source, cnt, wt, SUM(wt) OVER () AS tw FROM st2),
+        ap2 AS (SELECT source, cnt, (300 * wt) // tw AS s,
+            (300 * wt) % tw AS rem FROM ap),
+        ap3 AS (SELECT source, cnt, s, rem,
+            300 - SUM(s) OVER () AS extra,
+            ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rrank
+          FROM ap2),
+        seats AS (SELECT source,
+            least(s + CASE WHEN rrank <= extra THEN 1 ELSE 0 END, cnt)
+              AS take_n
+          FROM ap3),
+        h AS (SELECT doc_id, source,
+            ROW_NUMBER() OVER (PARTITION BY source ORDER BY
+              CAST(list_reduce(
+                list_prepend(CAST(0 AS BIGINT),
+                  list_transform(
+                    regexp_extract_all('alloc|' || CAST(doc_id AS VARCHAR), '.'),
+                    c -> CAST(ascii(c) AS BIGINT))),
+                (a, b) -> (a * 257 + b) % 1000000007) AS BIGINT),
+              doc_id) AS pos
+          FROM documents)
+        SELECT h.doc_id, h.source, CAST(h.pos AS BIGINT) AS pos,
+          CAST(seats.take_n AS BIGINT) AS take_n
+        FROM h JOIN seats USING (source) WHERE h.pos <= seats.take_n"""))
   )
 }
 

@@ -43,4 +43,42 @@ class TemperatureSampleSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(a == b)
   }
+
+  test("budgetAllocate: Hamilton apportionment hand-check with remainder ties") {
+    // equal sources -> equal weights; budget 7 over 3 sources:
+    // s = 2 each, extra 1 goes to the lexicographically smallest
+    val eq = spark.range(30).select(col("id").as("doc_id"),
+      concat(lit("s"), (col("id") % 3).cast("string")).as("source"))
+    val take = Curation.budgetAllocate(eq, budget = 7L)
+      .groupBy("source").agg(max("take_n").as("t"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(take == Map("s0" -> (3L, 3L), "s1" -> (2L, 2L), "s2" -> (2L, 2L)))
+  }
+
+  test("budgetAllocate: exact budget when uncapped; caps at source size and under-fills") {
+    // weights 10000/20000/50000 (sqrt of 1e8/4e8/2.5e9); budget 640
+    // divides exactly: 80 + 160 + 400, no remainders, no caps
+    val out = Curation.budgetAllocate(docs, budget = 640L) // 3000 docs
+    assert(out.count() == 640L)
+    val per = out.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // sqrt weighting: "small" gets 12.5% of the budget vs its 3.3% raw share
+    assert(per == Map("small" -> 80L, "mid" -> 160L, "big" -> 400L))
+    // budget whose proportional seats exceed the small source's size:
+    // capped at 100, total under-fills (the stated contract)
+    val capped = Curation.budgetAllocate(docs, budget = 900L)
+    val perC = capped.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perC("small") == 100L) // seats 112 > its 100 docs -> capped
+    assert(perC("mid") == 225L && perC("big") == 563L)
+    assert(capped.count() == 888L) // 900 under-fills by the capped 12
+  }
+
+  test("budgetAllocate: deterministic under repartition") {
+    val a = Curation.budgetAllocate(docs, budget = 500L)
+      .select("doc_id").as[Long].collect().toSet
+    val b = Curation.budgetAllocate(docs.repartition(13), budget = 500L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b)
+  }
 }
