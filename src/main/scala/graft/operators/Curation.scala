@@ -326,4 +326,72 @@ object Curation {
       .filter(col("pos") <= col("take_n"))
       .select(col(idCol), col(keyCol), col("pos"), col("take_n"))
   }
+
+  /** [[budgetAllocate]] with the under-fill closed: when a source caps at
+    * its size, the shortfall is RE-APPORTIONED over the un-exhausted
+    * sources until the budget fills exactly (or the corpus runs out) —
+    * the iterative water-fill a real allocator runs. The fixpoint loop
+    * runs DRIVER-SIDE on the collected |sources|-row stats (planner-scale
+    * metadata, the Merge-partition-list / BPE-merge class; ≤ |sources|
+    * passes since each pass exhausts at least one source), then ships the
+    * final per-source quota back as one broadcast join — the corpus-side
+    * plan is identical to [[budgetAllocate]]'s single rank-filter pass.
+    * Same integer arithmetic per pass, so the allocation replays
+    * bit-for-bit. Equals [[budgetAllocate]] whenever no source caps. */
+  def budgetAllocateExact(
+      docs: DataFrame,
+      budget: Long,
+      keyCol: String = "source",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    require(budget > 0 && budget <= 1000000000L,
+      s"budget must be in (0, 1e9], got $budget (DECIMAL escape documented)")
+    val statsRows = docs.groupBy(col(keyCol).cast("string").as("k"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    def hamilton(b: Long, ws: Seq[(String, Long)]): Map[String, Long] = {
+      val tw = ws.map(_._2).sum
+      val base = ws.map { case (k, wt) => (k, b * wt / tw, b * wt % tw) }
+      val extra = b - base.map(_._2).sum
+      val bump = base.sortBy { case (k, _, rem) => (-rem, k) }
+        .take(extra.toInt).map(_._1).toSet
+      base.map { case (k, s, _) => k -> (s + (if (bump(k)) 1L else 0L)) }.toMap
+    }
+    // Per pass: apportion the remaining budget over the still-open
+    // sources; any source whose seats reach its size is frozen at that
+    // size and leaves the pool; open sources receive nothing until the
+    // final pass (the one with no new caps), where their seats land.
+    // Each non-final pass freezes ≥ 1 source, so ≤ |sources| passes.
+    val take = scala.collection.mutable.Map[String, Long]()
+    var active = statsRows.toSeq
+    var remaining = budget
+    while (remaining > 0 && active.nonEmpty) {
+      val ws = active.map { case (k, cnt) =>
+        (k, math.floor(math.sqrt(cnt.toDouble * 1000000.0)).toLong)
+      }
+      val seats = hamilton(remaining, ws)
+      val (capped, open) = active.partition { case (k, cnt) => seats(k) >= cnt }
+      if (capped.isEmpty) {
+        open.foreach { case (k, _) => take(k) = seats(k) }
+        remaining = 0
+      } else {
+        capped.foreach { case (k, cnt) => take(k) = cnt }
+        active = open
+        remaining = budget - take.values.sum
+      }
+    }
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val quota = take.toSeq.toDF(keyCol, "take_n")
+    val w = org.apache.spark.sql.expressions.Window
+    val rank = row_number().over(
+      w.partitionBy(col(keyCol)).orderBy(
+        graft.expressions.PolyHash(
+          concat(lit("alloc|"), col(idCol).cast("string"))), col(idCol)))
+    docs.select(col(idCol), col(keyCol))
+      .withColumn("pos", rank.cast("long"))
+      .join(broadcast(quota), Seq(keyCol))
+      .filter(col("pos") <= col("take_n"))
+      .select(col(idCol), col(keyCol), col("pos"), col("take_n"))
+  }
 }

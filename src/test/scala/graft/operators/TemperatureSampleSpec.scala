@@ -81,4 +81,29 @@ class TemperatureSampleSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(a == b)
   }
+
+  test("budgetAllocateExact: water-fill closes the under-fill exactly") {
+    // budget 900 caps "small" at 100 in the one-pass form (fills 888);
+    // the water-fill re-apportions the 12-doc shortfall over mid/big
+    val out = Curation.budgetAllocateExact(docs, budget = 900L)
+    assert(out.count() == 900L)
+    val per = out.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(per("small") == 100L)
+    assert(per("mid") + per("big") == 800L)
+    // equals the one-pass allocation whenever nothing caps
+    val a = Curation.budgetAllocate(docs, budget = 640L)
+      .select("doc_id").as[Long].collect().toSet
+    val b = Curation.budgetAllocateExact(docs, budget = 640L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b)
+    // budget beyond the corpus: everything, no more
+    assert(Curation.budgetAllocateExact(docs, budget = 5000L).count() == 3000L)
+    // deterministic under repartition
+    val r1 = Curation.budgetAllocateExact(docs, 900L)
+      .select("doc_id").as[Long].collect().toSet
+    val r2 = Curation.budgetAllocateExact(docs.repartition(13), 900L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(r1 == r2)
+  }
 }
