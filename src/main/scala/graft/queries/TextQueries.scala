@@ -45,6 +45,21 @@ object TextQueries {
       p
     })
 
+  /** bp03's REFERENCE tokenizer: trained on the hash-selected 30% slice
+    * only (the tokenizer fitted at time T), so the other 70% is a genuine
+    * "later crawl" with naturally-occurring OOV words — the same
+    * train/score split discipline as [[lmGate]], under its own salt. */
+  private def bpeRefArtifact(
+      s: org.apache.spark.sql.SparkSession, dir: String): String =
+    gateMemo.computeIfAbsent(s"bperef:$dir", _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft-bperef").toString
+      val docs = Tables.table(s, dir, "documents")
+      val split = graft.expressions.PolyHash(
+        concat(lit("bperef|"), col("doc_id").cast("string"))) % 10
+      graft.operators.Bpe.fitAndStore(docs.filter(split < 3), p, rounds = 4)
+      p
+    })
+
   val queries: Seq[GQ] = Seq(
     GQ("d01_dedup_exact",
       (s, dir) => Dedup.exact(Tables.table(s, dir, "documents")),
@@ -2411,6 +2426,68 @@ object TextQueries {
           CAST(SUM(n_tok) AS BIGINT) AS n_tokens
         FROM dw JOIN tok USING (w) GROUP BY doc_id""")),
 
+    GQ("bp03_tokenizer_drift", // "has the corpus drifted past the
+      // tokenizer" gate (`Bpe.driftMonitor`): per-source OOV share and
+      // token-rate delta of a later crawl against a STORED vocab trained
+      // on the hash-selected 30% reference slice (its own salt, so the
+      // split is independent of x23's) — the retrain-trigger that pairs
+      // with x19/x26's drift family but watches the tokenizer artifact
+      // itself. OOV words are exactly where bp02's char-count fallback
+      // kicks in (token budgets degrade to the untrained upper bound);
+      // the reference rate is the trainer's own frequency-weighted
+      // tokens/word, a pure function of the stored vocab — the training
+      // corpus is never rescanned. All ratios integer millionths
+      // (`div` = DuckDB `//` on nonnegatives), so every per-source
+      // verdict hash-replays; the oracle retrains the 4-round chain on
+      // the replayed slice and re-derives both rates. Shape: one batch
+      // scan, broadcast vocab join, group agg — the batch shuffles only
+      // on `source`.
+      (s, dir) => {
+        val docs = Tables.table(s, dir, "documents")
+        val split = graft.expressions.PolyHash(
+          concat(lit("bperef|"), col("doc_id").cast("string"))) % 10
+        graft.operators.Bpe.driftMonitor(
+          docs.filter(split >= 3),
+          graft.operators.Bpe.storedVocab(s, bpeRefArtifact(s, dir)))
+      },
+      Some(BpeOracle.chain(4,
+        prefix = """hs AS (SELECT doc_id, text, source,
+          CAST(list_reduce(
+            list_prepend(CAST(0 AS BIGINT),
+              list_transform(regexp_extract_all('bperef|' || CAST(doc_id AS VARCHAR), '.'),
+                c -> CAST(ascii(c) AS BIGINT))),
+            (h, b) -> (h * 257 + b) % 1000000007) AS BIGINT) % 10 AS b10
+          FROM documents),""",
+        from = "(SELECT text FROM hs WHERE b10 < 3)") + """
+        , tok AS (SELECT w,
+            CAST(len(string_split(seg, chr(31))) AS BIGINT) AS n_tok
+          FROM v4),
+        ref AS (SELECT CAST(
+            (CAST(1000000 AS BIGINT)
+              * CAST(SUM(freq * len(string_split(seg, chr(31)))) AS BIGINT))
+            // CAST(SUM(freq) AS BIGINT) AS BIGINT) AS ref_rate_ppm
+          FROM v4),
+        bw AS (SELECT source, w
+          FROM (SELECT source,
+              UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+            FROM hs WHERE b10 >= 3)
+          WHERE strpos(w, chr(31)) = 0),
+        g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_words,
+            CAST(SUM(CASE WHEN n_tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+            CAST(SUM(COALESCE(n_tok, 0)) AS BIGINT) AS n_tokens_iv
+          FROM bw LEFT JOIN tok USING (w) GROUP BY source)
+        SELECT source, n_words, n_oov,
+          (CAST(1000000 AS BIGINT) * n_oov) // n_words AS oov_ppm,
+          CASE WHEN n_words > n_oov THEN
+            (CAST(1000000 AS BIGINT) * n_tokens_iv) // (n_words - n_oov)
+          END AS tok_rate_ppm,
+          ref_rate_ppm,
+          CASE WHEN n_words > n_oov THEN
+            (CAST(1000000 AS BIGINT) * n_tokens_iv) // (n_words - n_oov)
+              - ref_rate_ppm
+          END AS rate_delta_ppm
+        FROM g CROSS JOIN ref""")),
+
     GQ("d46_temperature_mix", // α=1/2 temperature source mixing
       // (`Curation.temperatureSample`) — the multilingual sampling recipe
       // (p_i ∝ q_i^α, mT5/XLM-R practice) between d27's uniform balance
@@ -2649,12 +2726,15 @@ object TextQueries {
   * vocab — DuckDB forbids subqueries inside lambdas, which is why the
   * merge is a row column rather than a scalar subquery. */
 private object BpeOracle {
-  def chain(rounds: Int): String = {
-    val v0 = """WITH v0 AS (
+  /** `prefix` = leading CTEs (each ending with a comma) spliced right
+    * after WITH, for chains that train on a derived slice; `from` = the
+    * relation the word-frequency table is built from. */
+  def chain(rounds: Int, prefix: String = "", from: String = "documents"): String = {
+    val v0 = s"""WITH $prefix v0 AS (
       SELECT w, CAST(COUNT(*) AS BIGINT) AS freq,
         array_to_string(regexp_extract_all(w, '.', 0, 's'), chr(31)) AS seg
       FROM (SELECT UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) AS w
-            FROM documents)
+            FROM $from)
       WHERE strpos(w, chr(31)) = 0
       GROUP BY w)"""
     val perRound = (0 until rounds).map { r =>

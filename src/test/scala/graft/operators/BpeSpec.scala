@@ -118,4 +118,24 @@ class BpeSpec extends SparkSpec {
     }
     assert(got == ((9L, 2L, 6L, lowLen + 3L)))
   }
+
+  test("driftMonitor: OOV share, in-vocab token rate, and delta vs the trainer's own rate") {
+    // train on "aa aa bb": one merge round learns (a,a); aa → 1 token,
+    // bb → 2 tokens; ref rate = 1e6·(2·1 + 1·2) div 3 = 1333333
+    val train = Seq((0L, "aa aa bb")).toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("bpe-drift").toString
+    Bpe.fitAndStore(train, path, rounds = 1)
+    val vocab = Bpe.storedVocab(spark, path)
+    val batch = Seq(
+      ("g1", "aa bb aa"), // all in-vocab: 4 tokens / 3 words
+      ("g2", "aa zz"),    // one OOV word
+      ("g3", "zz qq")     // everything OOV: rates must be NULL, not 0
+    ).toDF("source", "text")
+    val got = Bpe.driftMonitor(batch, vocab)
+      .as[(String, Long, Long, Long, Option[Long], Long, Option[Long])]
+      .collect().map(r => (r._1, r)).toMap
+    assert(got("g1") == (("g1", 3L, 0L, 0L, Some(1333333L), 1333333L, Some(0L))))
+    assert(got("g2") == (("g2", 2L, 1L, 500000L, Some(1000000L), 1333333L, Some(-333333L))))
+    assert(got("g3") == (("g3", 2L, 2L, 1000000L, None, 1333333L, None)))
+  }
 }
