@@ -2623,11 +2623,14 @@ object TextQueries {
       // candidates. Docs' shingle sets sort by (df ASC, shingle ASC) —
       // compared directly as a struct, no global rank window — and only
       // the first n-ceil(t*n)+1 tokens join; length + positional filters
-      // (remaining-overlap bound vs ceil(t/(1+t)*(na+nb))) cut the rest:
-      // 977 -> 27 candidates for 25 real pairs at sf0.01. All thresholds
+      // (per-match min(i,j)+min(na-i,nb-j) bound as the join predicate,
+      // then PPJoin's ACCUMULATED bound m+min(na-i*,nb-j*) on the
+      // pair-dedup shuffle a distinct() would pay anyway) cut the rest:
+      // 772 -> 27 candidates for 25 real pairs at sf0.01. All thresholds
       // in integer millionths, so candidates, survivors, and scores
-      // hash-replay. Verification intersects the two shingle arrays
-      // scan-locally, only for filter survivors.
+      // hash-replay; the oracle replays BOTH positional stages.
+      // Verification intersects the two shingle arrays scan-locally,
+      // only for filter survivors.
       (s, dir) => Dedup.ppjoinPairs(
         Tables.table(s, dir, "documents"), shingleK = 3,
         thresholdPpm = 500000L),
@@ -2649,12 +2652,20 @@ object TextQueries {
           FROM srt),
         pe AS (SELECT doc_id, n, CAST(i AS BIGINT) AS i, pre[i].s AS ts
           FROM pre, UNNEST(generate_series(1, len(pre))) AS g(i)),
-        cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        cand0 AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+            a.n AS na, b.n AS nb, a.i AS i, b.i AS j
           FROM pe a JOIN pe b ON a.ts = b.ts AND a.doc_id < b.doc_id
           WHERE b.n * 1000000 >= 500000 * a.n
             AND a.n * 1000000 >= 500000 * b.n
-            AND (least(a.n - a.i, b.n - b.i) + 1) * 1500000
+            AND (least(a.i, b.i) + least(a.n - a.i, b.n - b.i)) * 1500000
                 >= 500000 * (a.n + b.n)),
+        cand AS (SELECT a_id, b_id FROM (
+            SELECT a_id, b_id, MAX(na) AS na, MAX(nb) AS nb,
+              CAST(COUNT(*) AS BIGINT) AS m,
+              MAX(i) AS ix, arg_max(j, i) AS jx
+            FROM cand0 GROUP BY a_id, b_id)
+          WHERE (m + least(na - ix, nb - jx)) * 1500000
+                >= 500000 * (na + nb)),
         inter AS (SELECT c.a_id, c.b_id, CAST(COUNT(*) AS BIGINT) AS inter_n
           FROM cand c JOIN e ea ON ea.doc_id = c.a_id
                       JOIN e eb ON eb.doc_id = c.b_id AND eb.s = ea.s
