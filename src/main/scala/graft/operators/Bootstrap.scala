@@ -103,4 +103,62 @@ object Bootstrap {
         .as("ci_hi_ppm"))
     point.crossJoin(ci) // both sides are 1-row aggregates
   }
+
+  /** Per-GROUP bootstrap CIs from the same single pass — the sliced
+    * evaluation report ("which sources moved, beyond their own noise")
+    * that turns per-source metric deltas into findings. Identical
+    * resampling contract to [[meanCi]]: replica b's weight for row i is
+    * the pure (i, b) hash — independent of the group, so a row keeps the
+    * same resample fate however the slicing changes — and the point
+    * estimate rides as weight-1 replica −1. The exchange carries at most
+    * |tasks|·(B+1)·|groups| integer cells; the percentile order
+    * statistics run per group on the |groups|·B-row table, and point
+    * joins CI on the group key (broadcast — both sides are group-scale).
+    * Use where per-group n is large enough that ±1/√n matters less than
+    * the decision; tiny slices get honest WIDE intervals, which is the
+    * point. */
+  def meanCiByGroup(
+      rows: DataFrame,
+      idCol: String,
+      metricCol: String,
+      groupCol: String,
+      replicas: Int = 40,
+      loPct: Int = 25,
+      hiPct: Int = 975,
+      salt: String = ""
+  ): DataFrame = {
+    require(replicas >= 2 && replicas <= 1000,
+      s"replicas must be in [2, 1000], got $replicas")
+    val weights = rows.select(
+      col(groupCol).as("g"),
+      col(metricCol).cast("long").as("x"),
+      explode(transform(sequence(lit(-1), lit(replicas - 1)), b => {
+        val bucket = graft.expressions.PolyHash(concat(
+          lit(s"boot$salt|"), b.cast("string"), lit("|"),
+          col(idCol).cast("string"))) % 1000
+        struct(b.as("b"),
+          when(b === -1, lit(1L)).otherwise(poissonWeight(bucket)).as("w"))
+      })).as("r"))
+    val sums = weights
+      .groupBy(col("g"), col("r.b").as("b"))
+      .agg(sum(col("r.w") * col("x")).as("wx"), sum(col("r.w")).as("w"))
+      .filter(col("w") > 0)
+      .select(col("g"), col("b"), col("w"),
+        expr("CAST((wx * 1000000) DIV w AS BIGINT)").as("mean_ppm"))
+      .persist()
+    val lo = loPct / 1000.0
+    val hi = hiPct / 1000.0
+    val ci = sums.filter(col("b") >= 0)
+      .groupBy(col("g"))
+      .agg(
+        count(lit(1)).as("n_replicas"),
+        expr(s"CAST(percentile_disc($lo) WITHIN GROUP (ORDER BY mean_ppm) AS BIGINT)")
+          .as("ci_lo_ppm"),
+        expr(s"CAST(percentile_disc($hi) WITHIN GROUP (ORDER BY mean_ppm) AS BIGINT)")
+          .as("ci_hi_ppm"))
+    val point = sums.filter(col("b") === -1)
+      .select(col("g"), col("w").cast("long").as("n_rows"), col("mean_ppm"))
+    point.join(broadcast(ci), Seq("g"))
+      .withColumnRenamed("g", groupCol)
+  }
 }

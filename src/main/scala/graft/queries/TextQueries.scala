@@ -2488,6 +2488,68 @@ object TextQueries {
           END AS rate_delta_ppm
         FROM g CROSS JOIN ref""")),
 
+    GQ("mc01_confidence_calibration", // reliability diagram + expected
+      // calibration error (`operators/Calibration.report`, binned ECE per
+      // Naeini et al. 2015) for d04's language-ID confidence against the
+      // corpus lang labels — the audit behind every confidence-gated
+      // admission policy: a pipeline thresholding on "classifier says
+      // 0.9" is trusting 0.9 to mean 90%, and the per-bin conf-vs-
+      // accuracy gap is where a fixed threshold silently over- or
+      // under-collects (here the detector only knows en/es/de, so
+      // zh/fr docs surface as guaranteed-miscalibrated mass — the
+      // exact failure mode the report exists to catch). Confidence is
+      // quantized to integer millionths (floor 1e6·hits/words), bins are
+      // equal-width with the top edge folded into bin 9, per-bin means/
+      // accuracies are floor-divided exact sums and ECE the doc-weighted
+      // gap — order-free, engine-replayable. One scan into a 10-key
+      // map-side-combined groupBy; ECE is a 1-row aggregate broadcast
+      // back.
+      (s, dir) => {
+        val scored = Tables.table(s, dir, "documents")
+          .select(col("lang"), words(col("text")).as("ws"))
+          .select(col("lang"),
+            stopwordHits(col("ws"), EnStop).as("en"),
+            stopwordHits(col("ws"), EsStop).as("es"),
+            stopwordHits(col("ws"), DeStop).as("de"),
+            size(col("ws")).as("n"))
+          .filter(col("n") > 0)
+          .select(
+            expr("(CAST(1000000 AS BIGINT) * CAST(greatest(en, es, de) AS BIGINT))"
+              + " div CAST(n AS BIGINT)").as("conf_ppm"),
+            (when(col("en") >= col("es") && col("en") >= col("de"), "en")
+              .when(col("es") >= col("de"), "es").otherwise("de")
+              === col("lang")).as("correct"))
+        graft.operators.Calibration.report(scored, "conf_ppm", "correct")
+      },
+      Some(s"""WITH t AS (SELECT lang,
+          list_filter(string_split(text, ' '), w -> w <> '') AS ws
+          FROM documents),
+        h AS (SELECT lang,
+          len(list_filter(ws, w -> w IN (${EnStop.map("'" + _ + "'").mkString(",")}))) AS en,
+          len(list_filter(ws, w -> w IN (${EsStop.map("'" + _ + "'").mkString(",")}))) AS es,
+          len(list_filter(ws, w -> w IN (${DeStop.map("'" + _ + "'").mkString(",")}))) AS de,
+          len(ws) AS n FROM t),
+        sc AS (SELECT
+            (1000000 * CAST(greatest(en, es, de) AS BIGINT)) // n AS c,
+            CASE WHEN (CASE WHEN en >= es AND en >= de THEN 'en'
+                            WHEN es >= de THEN 'es' ELSE 'de' END) = lang
+                 THEN 1 ELSE 0 END AS ok
+          FROM h WHERE n > 0),
+        per AS (SELECT least((c * 10) // 1000000, 9) AS bin,
+            CAST(COUNT(*) AS BIGINT) AS n_docs,
+            CAST(SUM(ok) AS BIGINT) AS n_correct,
+            CAST(SUM(c) AS BIGINT) AS sum_conf
+          FROM sc GROUP BY 1),
+        per3 AS (SELECT bin, n_docs, n_correct,
+            sum_conf // n_docs AS mean_conf_ppm,
+            (1000000 * n_correct) // n_docs AS acc_ppm,
+            abs(sum_conf // n_docs - (1000000 * n_correct) // n_docs) AS gap_ppm
+          FROM per),
+        e AS (SELECT CAST(SUM(n_docs * gap_ppm) // SUM(n_docs) AS BIGINT) AS ece_ppm
+          FROM per3)
+        SELECT bin, n_docs, n_correct, mean_conf_ppm, acc_ppm, gap_ppm, ece_ppm
+        FROM per3 CROSS JOIN e""")),
+
     GQ("d46_temperature_mix", // α=1/2 temperature source mixing
       // (`Curation.temperatureSample`) — the multilingual sampling recipe
       // (p_i ∝ q_i^α, mT5/XLM-R practice) between d27's uniform balance
@@ -2614,6 +2676,59 @@ object TextQueries {
             CAST((SUM(x) * 1000000) // COUNT(*) AS BIGINT) AS mean_ppm
           FROM d)
         SELECT * FROM pt CROSS JOIN ci""")),
+
+    GQ("bs02_slice_ci", // per-SOURCE bootstrap CIs from the same single
+      // pass (`Bootstrap.meanCiByGroup`) — the sliced evaluation report:
+      // "which sources' words/doc moved beyond their own sampling noise".
+      // Same deterministic Poisson resampling contract as bs01, and
+      // deliberately the same (i, b) hash — a row keeps its resample
+      // fate however the slicing changes, so slice CIs and the corpus CI
+      // are views of ONE resample universe. The exchange is capped at
+      // |tasks|·41·|sources| integer cells by map-side combine; the
+      // percentile order statistics run per source on the
+      // |sources|×40-row table; tiny slices get honest wide intervals.
+      // Oracle replays hash, pmf ladder, grouped sums, and grouped
+      // percentile_disc bit-for-bit.
+      (s, dir) => graft.operators.Bootstrap.meanCiByGroup(
+        Tables.table(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            size(words(col("text"))).cast("long").as("n_words")),
+        "doc_id", "n_words", "source", replicas = 40),
+      Some("""WITH d AS (SELECT doc_id, source,
+            CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                 AS BIGINT) AS x
+          FROM documents),
+        r AS (SELECT d.source, d.x,
+            CAST(list_reduce(
+              list_prepend(CAST(0 AS BIGINT),
+                list_transform(
+                  regexp_extract_all('boot|' || CAST(b AS VARCHAR) || '|'
+                    || CAST(doc_id AS VARCHAR), '.'),
+                  c -> CAST(ascii(c) AS BIGINT))),
+              (a, v) -> (a * 257 + v) % 1000000007) AS BIGINT) % 1000
+              AS bucket, b
+          FROM d CROSS JOIN (SELECT UNNEST(generate_series(0, 39)) AS b)),
+        w AS (SELECT source, b, x,
+            CASE WHEN bucket < 368 THEN 0 WHEN bucket < 736 THEN 1
+                 WHEN bucket < 920 THEN 2 WHEN bucket < 981 THEN 3
+                 WHEN bucket < 996 THEN 4 WHEN bucket < 999 THEN 5
+                 ELSE 6 END AS wt
+          FROM r),
+        m AS (SELECT source,
+            CAST((SUM(wt * x) * 1000000) // SUM(wt) AS BIGINT) AS mean_ppm
+          FROM w GROUP BY source, b HAVING SUM(wt) > 0),
+        ci AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_replicas,
+            percentile_disc(0.025) WITHIN GROUP (ORDER BY mean_ppm)
+              AS ci_lo_ppm,
+            percentile_disc(0.975) WITHIN GROUP (ORDER BY mean_ppm)
+              AS ci_hi_ppm
+          FROM m GROUP BY source),
+        pt AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows,
+            CAST((SUM(x) * 1000000) // COUNT(*) AS BIGINT) AS mean_ppm
+          FROM d GROUP BY source)
+        SELECT pt.source, pt.n_rows, pt.mean_ppm,
+          ci.n_replicas, ci.ci_lo_ppm, ci.ci_hi_ppm
+        FROM pt JOIN ci USING (source)""")),
 
     GQ("d47_ppjoin_pairs", // EXACT all-pairs similarity join by prefix
       // filtering (`Dedup.ppjoinPairs` — Bayardo 2007 All-Pairs + Xiao

@@ -56,4 +56,40 @@ class BootstrapSpec extends SparkSpec {
     assert((a.getAs[Long]("ci_lo_ppm"), a.getAs[Long]("ci_hi_ppm")) !=
       (c.getAs[Long]("ci_lo_ppm"), c.getAs[Long]("ci_hi_ppm")))
   }
+
+  test("grouped CIs: a single-group slice reproduces meanCi exactly (same resample universe)") {
+    val rows = spark.range(2000)
+      .select(col("id"), (col("id") % 17).as("x"), lit("only").as("src"))
+    val whole = Bootstrap.meanCi(rows, "id", "x", replicas = 40).head()
+    val sliced = Bootstrap.meanCiByGroup(rows, "id", "x", "src", replicas = 40).head()
+    assert(sliced.getAs[String]("src") == "only")
+    for (c <- Seq("n_rows", "mean_ppm", "n_replicas", "ci_lo_ppm", "ci_hi_ppm"))
+      assert(sliced.getAs[Long](c) == whole.getAs[Long](c), c)
+  }
+
+  test("grouped CIs: per-group means exact, constant group collapses, repartition-invariant") {
+    // group a: constant 5 -> CI collapses to the point; group b: id % 13
+    val rows = spark.range(3000).select(col("id"),
+      when(col("id") % 2 === 0, lit(5L)).otherwise(col("id") % 13).as("x"),
+      when(col("id") % 2 === 0, "a").otherwise("b").as("src"))
+    val out = Bootstrap.meanCiByGroup(rows, "id", "x", "src", replicas = 40)
+      .collect().map(r => r.getAs[String]("src") -> r).toMap
+    val a = out("a")
+    assert(a.getAs[Long]("mean_ppm") == 5000000L)
+    assert(a.getAs[Long]("ci_lo_ppm") == 5000000L
+      && a.getAs[Long]("ci_hi_ppm") == 5000000L)
+    val b = out("b")
+    assert(b.getAs[Long]("n_rows") == 1500L)
+    assert(b.getAs[Long]("ci_lo_ppm") <= b.getAs[Long]("mean_ppm")
+      && b.getAs[Long]("mean_ppm") <= b.getAs[Long]("ci_hi_ppm"))
+    assert(b.getAs[Long]("ci_lo_ppm") < b.getAs[Long]("ci_hi_ppm"))
+    val rep = Bootstrap.meanCiByGroup(
+      spark.range(3000).select(col("id"),
+        when(col("id") % 2 === 0, lit(5L)).otherwise(col("id") % 13).as("x"),
+        when(col("id") % 2 === 0, "a").otherwise("b").as("src"))
+        .repartition(11),
+      "id", "x", "src", replicas = 40)
+      .collect().map(r => r.getAs[String]("src") -> r).toMap
+    assert(rep("b") == b && rep("a") == a)
+  }
 }
