@@ -128,6 +128,103 @@ object Graph {
     pr.select(col("node"), col("rank").as("rank_millionths"))
   }
 
+  /** Synchronous weighted LABEL PROPAGATION communities (Raghavan et al.
+    * 2007, "Near linear time algorithm to detect community structures") —
+    * the clustering member of the iterative-graph family, beside
+    * [[Components]]' reachability, [[pageRank]]'s flow authority, and
+    * [[triangleCount]]'s density: components answer "connected at all?",
+    * LPA answers "densely connected to WHOM?", the browse-graph question
+    * behind topic pools and negative-sampling strata.
+    *
+    * Determinism, the same way as [[pageRank]]: the textbook algorithm
+    * breaks vote ties randomly and updates asynchronously — both
+    * engine-hostile. Here every node starts labeled with its own id,
+    * rounds are SYNCHRONOUS (all nodes update from the previous round's
+    * labels), a node adopts the neighbor label with the largest incident
+    * edge-weight sum, and ties break to the SMALLEST label — a total
+    * order, so K rounds replay bit-for-bit on any engine, partitioning,
+    * or retry. Fixed K, not convergence (a convergence test is an extra
+    * |V| action per round; synchronous LPA can also 2-cycle on bipartite
+    * structures, which fixed-K sidesteps — both stated contracts).
+    *
+    * Graph semantics: the edge list is symmetrized (both directions
+    * vote, weights of parallel edges combine), self-loops are dropped (a
+    * node never votes for itself — a self-loop would trivially freeze
+    * its label). A node whose only edges are self-loops leaves the node
+    * set, stated.
+    *
+    * 100 TB shape: identical to [[pageRank]] — per round one |E|
+    * equi-join (labels onto edges by src), one map-side-combined
+    * (dst, label)-key aggregate, one argmax per node (min over a
+    * (-weight, label) struct — no window, no sort), one |V| left join;
+    * `smallVertexSet` broadcasts the label table so the edges never
+    * move; lineage truncates every `truncateEvery` rounds.
+    *
+    * @return one row per node appearing in the (symmetrized, de-looped)
+    *         edge list: (node, label) — nodes sharing a label are one
+    *         community. */
+  def labelPropagation(
+      edges: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      wCol: String = "w",
+      iterations: Int = 4,
+      checkpointDir: Option[String] = None,
+      truncateEvery: Int = 2,
+      smallVertexSet: Boolean = false
+  ): DataFrame = {
+    require(iterations >= 1, s"iterations must be positive, got $iterations")
+    require(truncateEvery >= 1, s"truncateEvery must be positive, got $truncateEvery")
+    val spark = edges.sparkSession
+    val runDir = checkpointDir.map(d =>
+      s"$d/graft-lpa-${java.util.UUID.randomUUID().toString.take(8)}")
+    var round = 0
+    var prevPath: Option[String] = None
+    def truncate(df: DataFrame): DataFrame = runDir match {
+      case Some(base) =>
+        val p = s"$base/round-$round"
+        round += 1
+        df.write.mode("overwrite").parquet(p)
+        val back = spark.read.parquet(p)
+        prevPath.foreach { old =>
+          val path = new org.apache.hadoop.fs.Path(old)
+          path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .delete(path, true)
+        }
+        prevPath = Some(p)
+        back
+      case None => df.localCheckpoint(true)
+    }
+    val dir0 = edges.select(
+      col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"),
+      col(wCol).cast("long").as("w"))
+    val e = dir0
+      .unionAll(dir0.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      .filter(col("src") =!= col("dst"))
+      .groupBy("src", "dst").agg(sum(col("w")).as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def maybeBcast(df: DataFrame): DataFrame =
+      if (smallVertexSet) broadcast(df) else df
+    var lbl = nodes.select(col("node"), col("node").as("lbl"))
+    for (i <- 1 to iterations) {
+      val votes = e
+        .join(maybeBcast(lbl.withColumnRenamed("node", "src")), "src")
+        .groupBy(col("dst"), col("lbl")).agg(sum(col("w")).as("cw"))
+        .groupBy(col("dst"))
+        .agg(min(struct((-col("cw")).as("nc"), col("lbl").as("l"))).as("m"))
+        .select(col("dst").as("node"), col("m.l").as("newl"))
+      val next = lbl.join(maybeBcast(votes), Seq("node"), "left")
+        .select(col("node"), coalesce(col("newl"), col("lbl")).as("lbl"))
+      lbl = if (i % truncateEvery == 0 || i == iterations) truncate(next) else next
+    }
+    e.unpersist()
+    nodes.unpersist()
+    lbl.select(col("node"), col("lbl").as("label"))
+  }
+
   /** Exact triangle count via DEGREE ORIENTATION — the third member of
     * the iterative-graph family (community density beside [[Components]]'
     * reachability and [[pageRank]]'s flow authority), and the canonical

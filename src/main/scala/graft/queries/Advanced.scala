@@ -2535,6 +2535,80 @@ object Advanced {
           (SELECT COUNT(*) FROM wedges wg JOIN o
              ON o.u = wg.u AND o.w = wg.w) AS n_triangles""")),
 
+    GQ("g05_communities", // synchronous weighted LABEL PROPAGATION
+      // (`operators/Graph.labelPropagation`, Raghavan et al. 2007) over
+      // the item browse graph — the clustering member of the iterative
+      // family: d18 answers "connected at all?", this answers "densely
+      // connected to WHOM?" (topic pools, negative-sampling strata).
+      // The textbook algorithm's random tie-breaks and async updates are
+      // engine-hostile; here rounds are synchronous, a node adopts the
+      // neighbor label with the largest incident weight sum, ties break
+      // to the smallest label, and the round count is fixed — a total
+      // order, so the oracle replays all 4 rounds bit-for-bit. Edges
+      // symmetrized, self-loops dropped (a self-vote would freeze the
+      // label). The graph is kNN-SPARSIFIED first (each item keeps its
+      // top-2 outgoing transitions, ties (w DESC, dst ASC)) — the
+      // standard LPA preprocessing: on the dense raw browse graph every
+      // label floods everywhere and one community swallows the node set
+      // (measured: 1 community raw, 52 sparsified at sf0.01); the
+      // sparsifier is also what bounds |E| ≤ 2|V| at any corpus size.
+      // Per round: one |E| join + one (dst,label) map-side-combined agg
+      // + a struct-min argmax (no window, no sort) + one |V| left join;
+      // labels broadcast (smallVertexSet), edges never shuffle after the
+      // build.
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"), col("ts"),
+            regexp_extract(col("props"), "\"k\": (\\d+)", 1)
+              .cast("long").as("item"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val raw = ev
+          .select(col("item").as("dst"), lag(col("item"), 1).over(w).as("src"))
+          .filter(col("src").isNotNull)
+          .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+          .filter(col("src") =!= col("dst"))
+        val topw = Window.partitionBy(col("src"))
+          .orderBy(col("w").desc, col("dst"))
+        val edges = raw.withColumn("rn", row_number().over(topw))
+          .filter(col("rn") <= 2).drop("rn")
+        graft.operators.Graph.labelPropagation(edges, iterations = 4,
+          smallVertexSet = true)
+      },
+      Some {
+        val rounds = (1 to 4).map { r =>
+          s"""c$r AS (SELECT e.dst AS node, p.lbl, CAST(SUM(e.w) AS BIGINT) AS cw
+              FROM e JOIN l${r - 1} p ON p.node = e.src GROUP BY 1, 2),
+            m$r AS (SELECT node, lbl FROM (
+                SELECT node, lbl, ROW_NUMBER() OVER (
+                  PARTITION BY node ORDER BY cw DESC, lbl) AS rn FROM c$r)
+              WHERE rn = 1),
+            l$r AS (SELECT p.node, COALESCE(m.lbl, p.lbl) AS lbl
+              FROM l${r - 1} p LEFT JOIN m$r m ON m.node = p.node)"""
+        }.mkString(",\n")
+        s"""WITH ev AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t,
+            CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS item
+          FROM events),
+        tr AS (SELECT item AS dst,
+            LAG(item) OVER (PARTITION BY user_id ORDER BY t, event_id) AS src
+          FROM ev),
+        e0 AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w FROM tr
+          WHERE src IS NOT NULL GROUP BY 1, 2),
+        top AS (SELECT src, dst, w FROM (
+            SELECT src, dst, w, ROW_NUMBER() OVER (
+              PARTITION BY src ORDER BY w DESC, dst) AS rn
+            FROM e0 WHERE src <> dst)
+          WHERE rn <= 2),
+        sym AS (SELECT src, dst, w FROM top
+          UNION ALL SELECT dst, src, w FROM top),
+        e AS (SELECT src, dst, CAST(SUM(w) AS BIGINT) AS w FROM sym
+          WHERE src <> dst GROUP BY 1, 2),
+        n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        l0 AS (SELECT node, node AS lbl FROM n),
+        $rounds
+        SELECT node, lbl AS label FROM l4"""
+      }),
+
     GQ("u04_mor_delete", // MERGE-ON-READ deletes (`operators/MergeOnRead`)
       // — the deferred-rewrite half of the deletion design space beside
       // u02's copy-on-write: the GDPR batch (every 11th 1995 order) is an

@@ -100,4 +100,49 @@ class GraphSpec extends SparkSpec {
       Seq.empty[(Long, Long)].toDF("src", "dst")).collect().head.toSeq ==
       Seq(0L, 0L, 0L, 0L))
   }
+
+  private def lpa(edges: Seq[(Long, Long, Long)], rounds: Int = 4) =
+    Graph.labelPropagation(edges.toDF("src", "dst", "w"), iterations = rounds)
+      .as[(Long, Long)].collect().toMap
+
+  test("labelPropagation: two cliques joined by one weak edge settle into two communities") {
+    // clique {1,2,3} and clique {10,11,12}, bridge 3-10 with weight 1
+    val clique = Seq((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L), (10L, 12L), (11L, 12L))
+      .map { case (a, b) => (a, b, 5L) }
+    val out = lpa(clique :+ ((3L, 10L, 1L)))
+    assert(out(1L) == out(2L) && out(2L) == out(3L))
+    assert(out(10L) == out(11L) && out(11L) == out(12L))
+    assert(out(1L) != out(10L))
+  }
+
+  test("labelPropagation: weight beats degree, and vote ties break to the smallest label") {
+    // node 5's neighbors: 1 (weight 10) vs 2,3 (weight 3 each) — the
+    // heavy edge wins round 1
+    val heavy = lpa(Seq((1L, 5L, 10L), (2L, 5L, 3L), (3L, 5L, 3L)), rounds = 1)
+    assert(heavy(5L) == 1L)
+    // equal-weight tie between labels 1 and 2 -> smallest label
+    val tie = lpa(Seq((1L, 5L, 3L), (2L, 5L, 3L)), rounds = 1)
+    assert(tie(5L) == 1L)
+  }
+
+  test("labelPropagation: self-loops drop (a lone self-loop node leaves the node set)") {
+    val out = lpa(Seq((7L, 7L, 99L), (1L, 2L, 1L)), rounds = 2)
+    assert(!out.contains(7L))
+    assert(out.keySet == Set(1L, 2L))
+  }
+
+  test("labelPropagation is partitioning-independent; durable checkpoint mode agrees") {
+    val edges = (1L to 300L).map(i => ((i * 13) % 37, (i * 7) % 37, 1L + i % 3))
+      .filter(p => p._1 != p._2)
+    val a = lpa(edges)
+    val b = Graph.labelPropagation(
+      edges.toDF("src", "dst", "w").repartition(17), iterations = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(a == b)
+    val dir = java.nio.file.Files.createTempDirectory("lpa-ckpt").toString
+    val c = Graph.labelPropagation(edges.toDF("src", "dst", "w"),
+      iterations = 4, checkpointDir = Some(dir))
+      .as[(Long, Long)].collect().toMap
+    assert(a == c)
+  }
 }
