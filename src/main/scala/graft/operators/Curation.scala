@@ -265,6 +265,60 @@ object Curation {
       .select(col(idCol), col(keyCol), col("bucket"), col("th"))
   }
 
+  /** SIZE-BIASED sampling — exactly `k` documents with inclusion
+    * probability ∝ token count, by SEQUENTIAL POISSON / order sampling
+    * (Ohlsson 1998, the Swedish-CPI πps estimator; Rosén 1997): draw a
+    * uniform u_i per doc, take the k smallest priorities u_i / w_i. A
+    * token BUDGET is a size-weighted object — uniform doc sampling
+    * underweights exactly the long documents that dominate it; πps is
+    * the sampler whose Horvitz–Thompson estimates of token-weighted
+    * corpus statistics come out right. Complements the sampling family:
+    * d16 stratifies, d35 takes per-stratum constants, d46/d48 mix
+    * sources — this one biases by SIZE.
+    *
+    * Integer-exact throughout: u_i = PolyHash(salt|id) % 1e9 + 1 (a
+    * per-mille-fine uniform, never 0), priority = (u_i·1e6) DIV w_i —
+    * longs bounded by ~1e15 — ties (priority, id); the draw replays on
+    * any engine/retry/partitioning. The Horvitz–Thompson weight ships
+    * with each row as ht_weight_ppm = (W·1e6) DIV (k·w_i) (the
+    * first-order πps inclusion approximation π_i ≈ k·w_i/W; docs so
+    * large that k·w_i > W are certainty-class units whose weight caps
+    * below 1e6, stated — promote them out of the draw when exactness
+    * there matters). W·1e6 stays in a long while the corpus holds under
+    * ~9.2e12 tokens; past that, DECIMAL(38,0) is the documented escape
+    * (x21's contract). Docs with zero qualifying words carry no size and
+    * are excluded, stated.
+    *
+    * 100 TB shape: one scan computing (w, u, priority) scan-locally, a
+    * 1-row token-total aggregate broadcast back, and the global bottom-k
+    * via orderBy(...).limit(k) — TakeOrderedAndProject's per-partition
+    * heaps, never a global sort. */
+  def ppsSample(
+      docs: DataFrame,
+      k: Int,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      salt: String = ""
+  ): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val sized = docs.select(col(idCol).as("doc_id"),
+        size(graft.functions.TextFunctions.words(col(textCol)))
+          .cast("long").as("n_words"))
+      .filter(col("n_words") > 0)
+    val u = (graft.expressions.PolyHash(concat(
+      lit(s"pps$salt|"), col("doc_id").cast("string"))) % 1000000000L) + 1L
+    val keyed = sized
+      .select(col("doc_id"), col("n_words"), u.as("u"))
+      .select(col("doc_id"), col("n_words"),
+        expr("(u * 1000000) DIV n_words").as("priority"))
+    val tot = sized.agg(sum(col("n_words")).as("w_total"))
+    keyed.orderBy(col("priority"), col("doc_id")).limit(k)
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("n_words"), col("priority"),
+        expr(s"(w_total * 1000000) DIV (CAST($k AS BIGINT) * n_words)")
+          .as("ht_weight_ppm"))
+  }
+
   /** EXACT budget allocation across sources — "take exactly `budget`
     * documents, apportioned ∝ sqrt(source size)" — the mix-PLANNING step
     * between [[temperatureSample]] (per-source RATES, keeps ~rate·n with

@@ -2838,7 +2838,42 @@ object TextQueries {
           FROM documents)
         SELECT h.doc_id, h.source, CAST(h.pos AS BIGINT) AS pos,
           CAST(seats.take_n AS BIGINT) AS take_n
-        FROM h JOIN seats USING (source) WHERE h.pos <= seats.take_n"""))
+        FROM h JOIN seats USING (source) WHERE h.pos <= seats.take_n""")),
+
+    GQ("d49_pps_sample", // SIZE-BIASED πps sampling by sequential
+      // Poisson / order sampling (`Curation.ppsSample`, Ohlsson 1998,
+      // Rosén 1997): exactly k=200 docs with inclusion probability ∝
+      // token count — the sampler whose Horvitz–Thompson estimates of
+      // token-weighted corpus statistics come out right (uniform doc
+      // sampling underweights exactly the long docs that dominate a
+      // token budget). Priority = (PolyHash-uniform·1e6) DIV n_words,
+      // bottom-k by (priority, doc_id) via TakeOrderedAndProject's
+      // per-partition heaps — no global sort; the HT weight
+      // (W·1e6) DIV (k·w) ships on each row from a 1-row broadcast
+      // total. All integer, so draw and weights hash-replay.
+      (s, dir) => graft.operators.Curation.ppsSample(
+        Tables.table(s, dir, "documents"), k = 200),
+      Some("""WITH d AS (SELECT doc_id,
+            CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                 AS BIGINT) AS n_words
+          FROM documents),
+        dd AS (SELECT doc_id, n_words FROM d WHERE n_words > 0),
+        h AS (SELECT doc_id, n_words,
+            (CAST(list_reduce(
+              list_prepend(CAST(0 AS BIGINT),
+                list_transform(
+                  regexp_extract_all('pps|' || CAST(doc_id AS VARCHAR), '.'),
+                  c -> CAST(ascii(c) AS BIGINT))),
+              (a, b) -> (a * 257 + b) % 1000000007) AS BIGINT)
+              % 1000000000) + 1 AS u
+          FROM dd),
+        p AS (SELECT doc_id, n_words, (u * 1000000) // n_words AS priority
+          FROM h),
+        s AS (SELECT * FROM p ORDER BY priority, doc_id LIMIT 200),
+        t AS (SELECT CAST(SUM(n_words) AS BIGINT) AS w_total FROM dd)
+        SELECT doc_id, n_words, priority,
+          (w_total * 1000000) // (200 * n_words) AS ht_weight_ppm
+        FROM s CROSS JOIN t"""))
   )
 }
 
