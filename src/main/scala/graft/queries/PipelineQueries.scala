@@ -65,6 +65,34 @@ object PipelineQueries {
         FROM nation JOIN region ON n_regionkey = r_regionkey
         GROUP BY r_name""")),
 
+    // The ORC read/write paths (`Sinks.orc` / `Sources.orc` — Spark's
+    // native columnar sibling to parquet), oracled end to end the same
+    // way as c01: supplier round-trips through ORC once per (dir, JVM),
+    // the query aggregates the ORC read, and the DuckDB oracle runs on
+    // the parquet original — storage format must never change answers.
+    // DECIMAL/VARCHAR/BIGINT all cross the format boundary; the grouped
+    // sum stays DECIMAL-exact.
+    GQ("c04_orc_roundtrip",
+      (s, dir) => {
+        val p = dumpMemo.computeIfAbsent(s"c04:$dir", _ => {
+          val d = java.nio.file.Files.createTempDirectory("graft-orc").toString
+          graft.sources.Sinks.orc(
+            Tables.table(s, dir, "supplier")
+              .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
+            s"$d/supplier_orc")
+          d
+        })
+        graft.sources.Sources.orc(s, s"$p/supplier_orc")
+          .groupBy("s_nationkey")
+          .agg(count(lit(1)).as("n_suppliers"),
+            graft.Dec.dsum(col("s_acctbal")).as("sum_bal"),
+            min(col("s_name")).as("first_name"))
+      },
+      Some("""SELECT s_nationkey, COUNT(*) AS n_suppliers,
+          CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal,
+          MIN(s_name) AS first_name
+        FROM supplier GROUP BY s_nationkey""")),
+
     // Stage 1 soft-fails on l_quantity > 45 (record continues; enrichment
     // skipped for it). Stage 2 critical-fails on l_discount > 0.09. Stage 3
     // only runs for records without critical errors. final_val therefore is
