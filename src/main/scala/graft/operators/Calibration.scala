@@ -51,6 +51,9 @@ object Calibration {
         expr("sum_conf div n_docs").as("mean_conf_ppm"),
         expr("(CAST(1000000 AS BIGINT) * n_correct) div n_docs").as("acc_ppm"))
       .withColumn("gap_ppm", abs(col("mean_conf_ppm") - col("acc_ppm")))
+      // ≤`bins` rows, read by BOTH output branches (the report and the
+      // ECE aggregate) — without this the ECE branch re-scans the corpus
+      .persist()
     val ece = per
       .agg(sum(col("n_docs")).as("nn"),
         sum(col("n_docs") * col("gap_ppm")).as("wg"))

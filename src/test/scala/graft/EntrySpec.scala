@@ -247,6 +247,39 @@ class EntrySpec extends SparkSpec {
       "sh01 planned a global single-partition stage")
   }
 
+  test("r12 wave-14/15 plans keep their scale shapes") {
+    def plan(name: String): String =
+      SparkEntry.queries(name)(spark, sf())
+        .queryExecution.executedPlan.toString
+    // d49: global bottom-k must be TakeOrderedAndProject's per-partition
+    // heaps, never a global sort
+    val d49 = plan("d49_pps_sample")
+    assert(d49.contains("TakeOrderedAndProject"),
+      s"d49 lost the bounded-heap top-k:\n$d49")
+    // mc01: report and ECE branches both read the persisted <=bins-row
+    // bin table — a second FileScan would mean the ECE re-scans the corpus
+    val mc01 = plan("mc01_confidence_calibration")
+    assert("InMemoryTableScan".r.findAllIn(mc01).length == 2,
+      s"mc01 stopped reusing the single-pass bin table:\n$mc01")
+    spark.catalog.clearCache()
+    // bs02: same single-pass contract as bs01, grouped — both output
+    // branches read the persisted grouped replica table
+    val bs02 = plan("bs02_slice_ci")
+    assert("InMemoryTableScan".r.findAllIn(bs02).length == 2,
+      s"bs02 stopped reusing the single-pass grouped replica table:\n$bs02")
+    spark.catalog.clearCache()
+    // g05: lineage truncated after the fixed rounds — the returned plan
+    // reads the checkpoint, not a 4-round join tower (g02's contract)
+    val g05 = plan("g05_communities")
+    assert(g05.contains("Scan ExistingRDD"),
+      s"g05 lost its lineage truncation:\n$g05")
+    // bp03: token lengths come from the broadcast stored vocab — a
+    // sort-merge join would shuffle the exploded crawl by word
+    val bp03 = plan("bp03_tokenizer_drift")
+    assert(bp03.contains("BroadcastHashJoin"),
+      "bp03 vocab join stopped broadcasting")
+  }
+
   test("r03 overlap join plans as an equi-join, never nested-loop") {
     // Spark's native plan for `key = key AND s < e2 AND s2 < e` keeps only
     // the key as the equi-condition; the bucket decomposition must yield a
