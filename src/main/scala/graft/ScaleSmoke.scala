@@ -446,6 +446,26 @@ object ScaleSmoke {
         graft.operators.Graph.pageRank(edges, smallVertexSet = true)
           .agg(sum(col("rank_millionths"))).head().getLong(0))
     }
+    // Label propagation (r12): same per-round bound as pagerank — one
+    // |E| join + one (dst,label)-key agg + a struct-min argmax. The g05
+    // query sparsifies its graph to |E| <= 2|V| first; the operator
+    // itself must also hold on a DENSE graph (this one: 10 rows/node).
+    locally {
+      val nE = rows * 10
+      val edges = spark.range(nE).select(
+        pmod(xxhash64(col("id")), lit(50000L)).as("src"),
+        pmod(xxhash64(col("id") + lit(nE)), lit(50000L)).as("dst"),
+        (pmod(col("id"), lit(3L)) + 1L).as("w"))
+      time(s"label propagation 4 rounds over $nE edges / 50k nodes (label checksum)")(
+        graft.operators.Graph.labelPropagation(edges, smallVertexSet = true)
+          .agg(sum(col("label"))).head().getLong(0))
+    }
+    // Size-biased pips sample (r12): one scan computing priorities
+    // scan-locally + TakeOrderedAndProject's per-partition heaps — cost
+    // must stay scan-bound at any corpus size, never a global sort.
+    time(s"pps sample k=1000 over $rows docs (weight checksum)")(
+      graft.operators.Curation.ppsSample(docs, k = 1000)
+        .agg(sum(col("ht_weight_ppm"))).head().getLong(0))
     // Co-occurrence hot-user cap (r11): i01's degenerate shape — one bot
     // user holding 100k distinct items would fan 5·10⁹ pairs through the
     // pair stage; the cap drops it BEFORE pairing, so the job is bounded

@@ -108,4 +108,84 @@ object Agreement {
         .otherwise(floorDiv(lit(1000000L) * (pbar - col("pe_u")),
           lit(1000000L) - col("pe_u"))).as("kappa_millionths"))
   }
+
+  /** BRADLEY–TERRY preference ranking (Bradley & Terry 1952) by the MM
+    * algorithm (Hunter 2004) — the model behind RLHF preference
+    * aggregation and arena-style leaderboards: from pairwise "i beat j"
+    * counts, a strength s_i per item such that P(i beats j) =
+    * s_i/(s_i+s_j). [[majorityVote]] collapses redundant labels on ONE
+    * item; this aggregates comparisons ACROSS items into a ranking — the
+    * other half of preference-label curation.
+    *
+    * MM update, made engine-deterministic the pageRank way: s_i ←
+    * W_i / Σ_j m_ij/(s_i+s_j) (W_i = wins, m_ij = head-to-head count),
+    * run for a FIXED round count in integer millionths — per-pair term
+    * floor(m_ij·10¹² / (s_i+s_j)), update floor(W_i·10¹² / Σ) — so the
+    * fit replays bit-for-bit on any engine/partitioning/retry.
+    * Quantization: the 10¹² scale keeps per-term relative error under
+    * ~10⁻⁵ at ppm-scale strengths; m_ij and W_i must stay ≤ ~9.2·10⁶ for
+    * the long products (x21's documented overflow contract — cast
+    * through DECIMAL(38,0) past that). A never-winning item's true MLE
+    * is 0, which would zero-divide later rounds; scores floor at 1
+    * (Lm's 1-millionth floor discipline), stated. No normalization —
+    * BT is scale-invariant and a fixed anchor would add a join per
+    * round; compare scores WITHIN one fit, stated.
+    *
+    * Scale shape: the pairwise-count table is the corpus-scale input
+    * (built by the caller — one key-bounded aggregate); the fit itself
+    * runs on |items| + |item-pairs| rows (models, brands, arena
+    * entrants — planner-scale). Each round's score table is referenced
+    * TWICE (both endpoints), so lineage is truncated EVERY round —
+    * without that the plan doubles per round (2^K copies of the base).
+    *
+    * @param prefs one row per (winner, loser) observation group with a
+    *              count column; duplicates combine. Self-matches drop.
+    * @return (item, wins, matches, score_ppm) — higher = stronger. */
+  def bradleyTerry(
+      prefs: DataFrame,
+      winnerCol: String = "winner",
+      loserCol: String = "loser",
+      nCol: String = "n",
+      iterations: Int = 5
+  ): DataFrame = {
+    require(iterations >= 1, s"iterations must be positive, got $iterations")
+    val p = prefs.select(col(winnerCol).cast("long").as("w"),
+        col(loserCol).cast("long").as("l"), col(nCol).cast("long").as("n"))
+      .filter(col("w") =!= col("l"))
+      .groupBy("w", "l").agg(sum(col("n")).as("n"))
+      .persist()
+    val wins = p.groupBy(col("w").as("item")).agg(sum(col("n")).as("wins"))
+    val items = p.select(col("w").as("item"))
+      .union(p.select(col("l"))).distinct()
+    val m = p.select(col("w").as("i"), col("l").as("j"), col("n"))
+      .unionAll(p.select(col("l").as("i"), col("w").as("j"), col("n")))
+      .groupBy("i", "j").agg(sum(col("n")).as("n"))
+      .persist()
+    val matches = m.groupBy(col("i").as("item")).agg(sum(col("n")).as("matches"))
+    val base = items.join(wins, Seq("item"), "left")
+      .select(col("item"), coalesce(col("wins"), lit(0L)).as("wins"))
+      .persist()
+    var s = base.select(col("item"), lit(1000000L).as("s"))
+    for (_ <- 1 to iterations) {
+      val den = m
+        .join(s.select(col("item").as("i"), col("s").as("si")), "i")
+        .join(s.select(col("item").as("j"), col("s").as("sj")), "j")
+        .groupBy(col("i").as("item"))
+        .agg(sum(expr("(n * 1000000000000) DIV (si + sj)")).as("den"))
+      s = base.join(den, Seq("item"), "left")
+        .select(col("item"),
+          greatest(lit(1L), expr(
+            "CASE WHEN den IS NULL OR den = 0 THEN CAST(1 AS BIGINT)" +
+              " ELSE (wins * 1000000000000) DIV den END")).as("s"))
+        .localCheckpoint(true)
+    }
+    // p/m/base stay persisted for the returned plan's matches/wins
+    // branches — the pair-finders' session cache contract (header note):
+    // callers running many fits should clearCache between corpora
+    base.join(matches, Seq("item"), "left")
+      .join(s, Seq("item"))
+      .select(col("item"), col("wins"),
+        coalesce(col("matches"), lit(0L)).as("matches"),
+        col("s").as("score_ppm"))
+  }
 }

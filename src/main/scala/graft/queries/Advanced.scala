@@ -2029,6 +2029,74 @@ object Advanced {
             // (1000000 - pe.pe_u) END AS BIGINT) AS kappa_millionths
         FROM s, pe""")),
 
+    GQ("ag03_bt_ranking", // BRADLEY–TERRY preference ranking
+      // (`Agreement.bradleyTerry`, Bradley & Terry 1952 via Hunter 2004's
+      // MM algorithm) — the RLHF preference-aggregation / arena-
+      // leaderboard model: from pairwise "i beat j" counts, strengths
+      // with P(i beats j) = s_i/(s_i+s_j). Preferences here are the
+      // browse-graph transitions read as revealed preference (the item a
+      // user moved TO beats the one moved FROM — g02's edges,
+      // reinterpreted), so the corpus-scale half is one lag + one
+      // key-bounded count; the MM fit runs on the |items|+|pairs|
+      // planner-scale tables, 5 fixed rounds in integer millionths
+      // (per-pair term floor(m·1e12/(s_i+s_j)), update floor(W·1e12/Σ),
+      // never-winning items floor at 1 — all replayed by the oracle's
+      // unrolled rounds). Each round's score table feeds BOTH pair
+      // endpoints, so lineage truncates every round — without that the
+      // plan doubles per round.
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"), col("ts"),
+            regexp_extract(col("props"), "\"k\": (\\d+)", 1)
+              .cast("long").as("item"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val prefs = ev
+          .select(col("item").as("winner"),
+            lag(col("item"), 1).over(w).as("loser"))
+          .filter(col("loser").isNotNull)
+          .groupBy("winner", "loser").agg(count(lit(1)).as("n"))
+        graft.operators.Agreement.bradleyTerry(prefs, iterations = 5)
+      },
+      Some {
+        val rounds = (1 to 5).map { r =>
+          s"""d$r AS (SELECT m.i AS item,
+              CAST(SUM((m.n * 1000000000000) // (sa.s + sb.s)) AS BIGINT) AS den
+            FROM m JOIN s${r - 1} sa ON sa.item = m.i
+                   JOIN s${r - 1} sb ON sb.item = m.j
+            GROUP BY 1),
+          s$r AS (SELECT b.item, CAST(GREATEST(1,
+              CASE WHEN d.den IS NULL OR d.den = 0 THEN 1
+                   ELSE (b.wins * 1000000000000) // d.den END) AS BIGINT) AS s
+            FROM b LEFT JOIN d$r d ON d.item = b.item)"""
+        }.mkString(",\n")
+        s"""WITH ev AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t,
+            CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS item
+          FROM events),
+        tr AS (SELECT item AS winner,
+            LAG(item) OVER (PARTITION BY user_id ORDER BY t, event_id) AS loser
+          FROM ev),
+        p AS (SELECT winner AS w, loser AS l, CAST(COUNT(*) AS BIGINT) AS n
+          FROM tr WHERE loser IS NOT NULL AND winner <> loser GROUP BY 1, 2),
+        wins AS (SELECT w AS item, CAST(SUM(n) AS BIGINT) AS wins
+          FROM p GROUP BY 1),
+        items AS (SELECT w AS item FROM p UNION SELECT l FROM p),
+        m AS (SELECT i, j, CAST(SUM(n) AS BIGINT) AS n FROM (
+            SELECT w AS i, l AS j, n FROM p
+            UNION ALL SELECT l AS i, w AS j, n FROM p)
+          GROUP BY 1, 2),
+        mt AS (SELECT i AS item, CAST(SUM(n) AS BIGINT) AS matches
+          FROM m GROUP BY 1),
+        b AS (SELECT items.item, COALESCE(wins.wins, 0) AS wins
+          FROM items LEFT JOIN wins ON wins.item = items.item),
+        s0 AS (SELECT item, CAST(1000000 AS BIGINT) AS s FROM b),
+        $rounds
+        SELECT b.item, CAST(b.wins AS BIGINT) AS wins,
+          COALESCE(mt.matches, 0) AS matches, s5.s AS score_ppm
+        FROM b LEFT JOIN mt ON mt.item = b.item
+               JOIN s5 ON s5.item = b.item"""
+      }),
+
     GQ("dq01_expectations", // declarative expectation suite
       // (`operators/Expectations`) — the ingest ADMISSION gate: the whole
       // contract (nullability, ranges, formats, domains, key uniqueness)

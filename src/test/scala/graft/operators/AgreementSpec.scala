@@ -67,4 +67,37 @@ class AgreementSpec extends SparkSpec {
       .collect().toSeq
     assert(base == re)
   }
+
+  private def bt(prefs: Seq[(Long, Long, Long)], rounds: Int = 5) =
+    Agreement.bradleyTerry(prefs.toDF("winner", "loser", "n"), iterations = rounds)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+
+  test("bradleyTerry: two items reach the exact closed-form MLE in one round and hold it") {
+    // A beats B 3:1 -> P(A beats B) = 3/4 -> s_A = 1.5e6, s_B = 0.5e6
+    // (s_A + s_B stays 2e6, so round 1 is already the fixed point)
+    val out = bt(Seq((1L, 2L, 3L), (2L, 1L, 1L)))
+    assert(out(1L) == ((1L, 3L, 4L, 1500000L)))
+    assert(out(2L) == ((2L, 1L, 4L, 500000L)))
+  }
+
+  test("bradleyTerry: a never-winning item floors at 1; chains rank transitively") {
+    val shutout = bt(Seq((1L, 2L, 2L)))
+    assert(shutout(2L)._4 == 1L && shutout(2L)._2 == 0L)
+    assert(shutout(1L)._4 > 1000000L)
+    // A beats B 5:1, B beats C 5:1 -> s_A > s_B > s_C
+    val chain = bt(Seq((1L, 2L, 5L), (2L, 1L, 1L), (2L, 3L, 5L), (3L, 2L, 1L)))
+    assert(chain(1L)._4 > chain(2L)._4 && chain(2L)._4 > chain(3L)._4, chain.toString)
+  }
+
+  test("bradleyTerry: duplicate pref rows combine; self-matches drop; repartition-invariant") {
+    val prefs = Seq((1L, 2L, 2L), (1L, 2L, 1L), (2L, 1L, 1L), (3L, 3L, 9L))
+    val a = bt(prefs)
+    assert(a(1L) == ((1L, 3L, 4L, 1500000L))) // same 3:1 as the closed form
+    assert(!a.contains(3L))
+    val b = Agreement.bradleyTerry(
+      prefs.toDF("winner", "loser", "n").repartition(7), iterations = 5)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(a == b)
+  }
 }
