@@ -293,6 +293,39 @@ object Curation {
     * 1-row token-total aggregate broadcast back, and the global bottom-k
     * via orderBy(...).limit(k) — TakeOrderedAndProject's per-partition
     * heaps, never a global sort. */
+  /** The scan-local half of [[ppsSample]]: (doc_id, n_words, priority)
+    * per sized doc. Priorities are pure functions of (salt, id, size), so
+    * any two computations — batch vs batch, batch vs stream — agree
+    * row-for-row; this is what makes the streaming sample artifact
+    * ([[graft.streaming.Streaming.ppsSampleSink]]) converge to the batch
+    * draw regardless of arrival order or batch boundaries. */
+  private[graft] def ppsPriorities(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      salt: String
+  ): DataFrame = {
+    val sized = docs.select(col(idCol).as("doc_id"),
+        size(graft.functions.TextFunctions.words(col(textCol)))
+          .cast("long").as("n_words"))
+      .filter(col("n_words") > 0)
+    val u = (graft.expressions.PolyHash(concat(
+      lit(s"pps$salt|"), col("doc_id").cast("string"))) % 1000000000L) + 1L
+    sized
+      .select(col("doc_id"), col("n_words"), u.as("u"))
+      .select(col("doc_id"), col("n_words"),
+        expr("(u * 1000000) DIV n_words").as("priority"))
+  }
+
+  /** The Horvitz–Thompson weighting half of [[ppsSample]], reusable by
+    * the stored-artifact read path: weights a bottom-k priority table
+    * given the corpus token total it was drawn from. */
+  private[graft] def ppsWeighted(sample: DataFrame, k: Int, tot: DataFrame): DataFrame =
+    sample.crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("n_words"), col("priority"),
+        expr(s"(w_total * 1000000) DIV (CAST($k AS BIGINT) * n_words)")
+          .as("ht_weight_ppm"))
+
   def ppsSample(
       docs: DataFrame,
       k: Int,
@@ -301,22 +334,10 @@ object Curation {
       salt: String = ""
   ): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val sized = docs.select(col(idCol).as("doc_id"),
-        size(graft.functions.TextFunctions.words(col(textCol)))
-          .cast("long").as("n_words"))
-      .filter(col("n_words") > 0)
-    val u = (graft.expressions.PolyHash(concat(
-      lit(s"pps$salt|"), col("doc_id").cast("string"))) % 1000000000L) + 1L
-    val keyed = sized
-      .select(col("doc_id"), col("n_words"), u.as("u"))
-      .select(col("doc_id"), col("n_words"),
-        expr("(u * 1000000) DIV n_words").as("priority"))
-    val tot = sized.agg(sum(col("n_words")).as("w_total"))
-    keyed.orderBy(col("priority"), col("doc_id")).limit(k)
-      .crossJoin(broadcast(tot))
-      .select(col("doc_id"), col("n_words"), col("priority"),
-        expr(s"(w_total * 1000000) DIV (CAST($k AS BIGINT) * n_words)")
-          .as("ht_weight_ppm"))
+    val keyed = ppsPriorities(docs, idCol, textCol, salt)
+    val tot = keyed.agg(sum(col("n_words")).as("w_total"))
+    ppsWeighted(
+      keyed.orderBy(col("priority"), col("doc_id")).limit(k), k, tot)
   }
 
   /** EXACT budget allocation across sources — "take exactly `budget`

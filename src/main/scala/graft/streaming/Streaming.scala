@@ -706,6 +706,103 @@ object Streaming {
         }
     }
 
+  /** Stream-maintained πps SAMPLE artifact — the streaming counterpart of
+    * `Curation.ppsSample` (d49): the sample rides the ingest, so "give me
+    * a size-biased sample of everything ingested so far" is a KB-scale
+    * artifact read, never a corpus rescan. Because priorities are pure
+    * hash functions of (salt, id, size), bottom-k is associative, and
+    * re-delivered rows recompute identical priorities, the stored sample
+    * after ANY prefix of batches equals the batch-mode draw over those
+    * batches' distinct docs — arrival order, batch boundaries, and
+    * re-deliveries cannot change it (spec-pinned).
+    *
+    * Artifact layout: `path/sample` (the bottom-k priority rows) and
+    * `path/stats` (1 row: running token total + doc count + last applied
+    * batch id). The token total accumulates per BATCH, so it is guarded
+    * by the batch id — a crash-replayed committed batch is detected
+    * (`batchId <= last_batch_id`) and skipped whole, the standard
+    * idempotent-foreachBatch recipe. Per batch: one batch scan (its own
+    * bottom-k pre-cut), a k+k-row merge, two KB-scale staged overwrites.
+    * Read the weighted sample back with [[storedPpsSample]]. */
+  def ppsSampleSink(
+      docs: DataFrame,
+      path: String,
+      k: Int,
+      salt: String = "",
+      trigger: Trigger = Trigger.AvailableNow()
+  ): DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    docs.writeStream.trigger(trigger).foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        applyPpsBatch(batch, path, k, salt, batchId)
+        ()
+    }
+  }
+
+  /** One micro-batch of [[ppsSampleSink]], factored out so replay
+    * semantics are directly testable. Returns true when the batch was
+    * applied, false when it was recognized as already-committed. */
+  private[graft] def applyPpsBatch(
+      batch: DataFrame, path: String, k: Int, salt: String,
+      batchId: Long): Boolean = {
+    import org.apache.spark.sql.functions._
+    val spark = batch.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val statsPath = s"$path/stats"
+    val samplePath = s"$path/sample"
+    val hasStats = fs.exists(new org.apache.hadoop.fs.Path(statsPath))
+    val (oldW, oldN, lastId) =
+      if (!hasStats) (0L, 0L, -1L)
+      else {
+        val r = spark.read.parquet(statsPath).head()
+        (r.getAs[Long]("w_total"), r.getAs[Long]("n_docs"),
+          r.getAs[Long]("last_batch_id"))
+      }
+    if (batchId <= lastId) return false // replay of a committed batch
+    val pri = graft.operators.Curation
+      .ppsPriorities(batch, "doc_id", "text", salt)
+      .persist()
+    // batch-side aggregates land on the driver as scalars — the stats
+    // row is built from values, never from a plan that reads its own path
+    val agg = pri.agg(
+      coalesce(sum(col("n_words")), lit(0L)).as("w"),
+      count(lit(1)).as("n")).head()
+    val (bw, bn) = (agg.getAs[Long]("w"), agg.getAs[Long]("n"))
+    val cand = pri.orderBy(col("priority"), col("doc_id")).limit(k)
+    val merged =
+      (if (hasStats)
+        spark.read.parquet(samplePath).unionByName(cand)
+          // a re-delivered doc recomputes the same priority (identical
+          // rows); a MUTATED re-delivery keeps the smallest (priority,
+          // size) deterministically rather than an arbitrary row
+          .groupBy(col("doc_id"))
+          .agg(min(struct(col("priority"), col("n_words"))).as("m"))
+          .select(col("doc_id"), col("m.n_words").as("n_words"),
+            col("m.priority").as("priority"))
+      else cand)
+        .orderBy(col("priority"), col("doc_id")).limit(k)
+        .localCheckpoint(true) // materialize before overwriting its source
+    pri.unpersist()
+    merged.coalesce(1).write.mode("overwrite").parquet(samplePath)
+    import spark.implicits._
+    Seq((oldW + bw, oldN + bn, batchId))
+      .toDF("w_total", "n_docs", "last_batch_id")
+      .coalesce(1).write.mode("overwrite").parquet(statsPath)
+    true
+  }
+
+  /** The weighted read path of the [[ppsSampleSink]] artifact: the stored
+    * bottom-k rows with Horvitz–Thompson weights derived from the stored
+    * running token total — identical columns to `Curation.ppsSample`. */
+  def storedPpsSample(
+      spark: org.apache.spark.sql.SparkSession, path: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.operators.Curation.ppsWeighted(
+      spark.read.parquet(s"$path/sample"), k,
+      spark.read.parquet(s"$path/stats").select(col("w_total")))
+  }
+
   /** Streaming DELETE sink — [[mergeUpsertSink]]'s retraction twin, the
     * CDC-delete consumer: each micro-batch of keys is recorded in the
     * table's merge-on-read sidecar
