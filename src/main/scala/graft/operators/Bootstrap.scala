@@ -161,4 +161,78 @@ object Bootstrap {
     point.join(broadcast(ci), Seq("g"))
       .withColumnRenamed("g", groupCol)
   }
+
+  /** Bootstrap CI on the DIFFERENCE between two slices' means — the A/B
+    * verdict ("did the new crawl change quality, beyond noise?") that
+    * per-slice intervals can't give: overlapping slice CIs do NOT imply
+    * an insignificant difference. Because the resample universe is
+    * shared ([[meanCiByGroup]]'s group-independent (i, b) hash), the
+    * difference is computed WITHIN each replica — mean_a(b) − mean_b(b)
+    * — and the percentile bounds are exact order statistics over those B
+    * integer differences; a replica where either side drew zero weight
+    * carries no evidence for the difference and is dropped (stated, the
+    * all-zero-replica contract one level up). Returns one row:
+    * (n_a, n_b, mean_a_ppm, mean_b_ppm, delta_ppm, n_replicas,
+    * ci_lo_ppm, ci_hi_ppm) — a CI excluding 0 is the "real change"
+    * verdict. Same single-pass shape as the grouped CI, filtered to the
+    * two slices before the generate. */
+  def deltaCi(
+      rows: DataFrame,
+      idCol: String,
+      metricCol: String,
+      groupCol: String,
+      groupA: String,
+      groupB: String,
+      replicas: Int = 40,
+      loPct: Int = 25,
+      hiPct: Int = 975,
+      salt: String = ""
+  ): DataFrame = {
+    require(groupA != groupB, "groupA and groupB must differ")
+    val two = rows.filter(col(groupCol).isin(groupA, groupB))
+    val weights = two.select(
+      (col(groupCol) === groupA).as("isA"),
+      col(metricCol).cast("long").as("x"),
+      explode(transform(sequence(lit(-1), lit(replicas - 1)), b => {
+        val bucket = graft.expressions.PolyHash(concat(
+          lit(s"boot$salt|"), b.cast("string"), lit("|"),
+          col(idCol).cast("string"))) % 1000
+        struct(b.as("b"),
+          when(b === -1, lit(1L)).otherwise(poissonWeight(bucket)).as("w"))
+      })).as("r"))
+    val sums = weights
+      .groupBy(col("isA"), col("r.b").as("b"))
+      .agg(sum(col("r.w") * col("x")).as("wx"), sum(col("r.w")).as("w"))
+      .filter(col("w") > 0)
+      .select(col("isA"), col("b"), col("w"),
+        expr("CAST((wx * 1000000) DIV w AS BIGINT)").as("mean_ppm"))
+      .persist()
+    val byB = sums
+      .groupBy(col("b"))
+      .agg(
+        max(when(col("isA"), col("mean_ppm"))).as("ma"),
+        max(when(!col("isA"), col("mean_ppm"))).as("mb"),
+        max(when(col("isA"), col("w"))).as("na"),
+        max(when(!col("isA"), col("w"))).as("nb"))
+      .filter(col("ma").isNotNull && col("mb").isNotNull)
+      .select(col("b"), col("na"), col("nb"), (col("ma") - col("mb")).as("d"))
+    val point = byB.filter(col("b") === -1)
+      .select(col("na").cast("long").as("n_a"),
+        col("nb").cast("long").as("n_b"),
+        col("d").as("delta_ppm"))
+    val pointMeans = sums.filter(col("b") === -1)
+      .groupBy()
+      .agg(
+        max(when(col("isA"), col("mean_ppm"))).as("mean_a_ppm"),
+        max(when(!col("isA"), col("mean_ppm"))).as("mean_b_ppm"))
+    val lo = loPct / 1000.0
+    val hi = hiPct / 1000.0
+    val ci = byB.filter(col("b") >= 0).agg(
+      count(lit(1)).as("n_replicas"),
+      expr(s"CAST(percentile_disc($lo) WITHIN GROUP (ORDER BY d) AS BIGINT)")
+        .as("ci_lo_ppm"),
+      expr(s"CAST(percentile_disc($hi) WITHIN GROUP (ORDER BY d) AS BIGINT)")
+        .as("ci_hi_ppm"))
+    point.crossJoin(pointMeans).crossJoin(ci) // all 1-row aggregates
+  }
 }

@@ -2730,6 +2730,67 @@ object TextQueries {
           ci.n_replicas, ci.ci_lo_ppm, ci.ci_hi_ppm
         FROM pt JOIN ci USING (source)""")),
 
+    GQ("bs03_ab_delta_ci", // bootstrap CI on the DIFFERENCE between two
+      // slices' means (`Bootstrap.deltaCi`) — the A/B verdict per-slice
+      // intervals can't give (overlapping CIs do NOT imply an
+      // insignificant difference): because the resample universe is
+      // shared (bs01/bs02's group-independent (i,b) hash), the delta is
+      // computed WITHIN each replica — mean_src0(b) − mean_src1(b) —
+      // and the bounds are exact order statistics over the 40 integer
+      // differences; a CI excluding 0 is the "real change" verdict.
+      // Replicas where either side drew zero weight carry no evidence
+      // and drop (stated). One pass over the two slices; the oracle
+      // replays hash, pmf, per-replica means, within-replica deltas,
+      // and percentile_disc bit-for-bit.
+      (s, dir) => graft.operators.Bootstrap.deltaCi(
+        Tables.table(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            size(words(col("text"))).cast("long").as("n_words")),
+        "doc_id", "n_words", "source", "src0", "src1", replicas = 40),
+      Some("""WITH d AS (SELECT doc_id, source,
+            CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                 AS BIGINT) AS x
+          FROM documents WHERE source IN ('src0', 'src1')),
+        r AS (SELECT d.source = 'src0' AS isa, d.x,
+            CAST(list_reduce(
+              list_prepend(CAST(0 AS BIGINT),
+                list_transform(
+                  regexp_extract_all('boot|' || CAST(b AS VARCHAR) || '|'
+                    || CAST(doc_id AS VARCHAR), '.'),
+                  c -> CAST(ascii(c) AS BIGINT))),
+              (a, v) -> (a * 257 + v) % 1000000007) AS BIGINT) % 1000
+              AS bucket, b
+          FROM d CROSS JOIN (SELECT UNNEST(generate_series(-1, 39)) AS b)),
+        w AS (SELECT isa, b, x,
+            CASE WHEN b = -1 THEN 1
+                 WHEN bucket < 368 THEN 0 WHEN bucket < 736 THEN 1
+                 WHEN bucket < 920 THEN 2 WHEN bucket < 981 THEN 3
+                 WHEN bucket < 996 THEN 4 WHEN bucket < 999 THEN 5
+                 ELSE 6 END AS wt
+          FROM r),
+        m AS (SELECT isa, b, CAST(SUM(wt) AS BIGINT) AS w,
+            CAST((SUM(wt * x) * 1000000) // SUM(wt) AS BIGINT) AS mean_ppm
+          FROM w GROUP BY isa, b HAVING SUM(wt) > 0),
+        bb AS (SELECT * FROM (SELECT b,
+            MAX(CASE WHEN isa THEN mean_ppm END) AS ma,
+            MAX(CASE WHEN NOT isa THEN mean_ppm END) AS mb,
+            MAX(CASE WHEN isa THEN w END) AS na,
+            MAX(CASE WHEN NOT isa THEN w END) AS nb
+          FROM m GROUP BY b)
+          WHERE ma IS NOT NULL AND mb IS NOT NULL),
+        pt AS (SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+            ma AS mean_a_ppm, mb AS mean_b_ppm, ma - mb AS delta_ppm
+          FROM bb WHERE b = -1),
+        ci AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_replicas,
+            percentile_disc(0.025) WITHIN GROUP (ORDER BY ma - mb)
+              AS ci_lo_ppm,
+            percentile_disc(0.975) WITHIN GROUP (ORDER BY ma - mb)
+              AS ci_hi_ppm
+          FROM bb WHERE b >= 0)
+        SELECT n_a, n_b, mean_a_ppm, mean_b_ppm, delta_ppm,
+          n_replicas, ci_lo_ppm, ci_hi_ppm
+        FROM pt CROSS JOIN ci""")),
+
     GQ("d47_ppjoin_pairs", // EXACT all-pairs similarity join by prefix
       // filtering (`Dedup.ppjoinPairs` — Bayardo 2007 All-Pairs + Xiao
       // 2008 PPJoin): every pair with shingle Jaccard >= 0.5, NO false

@@ -92,4 +92,31 @@ class BootstrapSpec extends SparkSpec {
       .collect().map(r => r.getAs[String]("src") -> r).toMap
     assert(rep("b") == b && rep("a") == a)
   }
+
+  test("deltaCi: constant slices collapse to the exact difference; delta coheres with the slice means") {
+    def frame(n: Long) = spark.range(n).select(col("id"),
+      when(col("id") % 2 === 0, lit(9L)).otherwise(lit(4L)).as("x"),
+      when(col("id") % 2 === 0, "a").otherwise("b").as("src"))
+    val cst = Bootstrap.deltaCi(frame(2000), "id", "x", "src", "a", "b").head()
+    assert(cst.getAs[Long]("delta_ppm") == 5000000L)
+    assert(cst.getAs[Long]("ci_lo_ppm") == 5000000L
+      && cst.getAs[Long]("ci_hi_ppm") == 5000000L)
+    assert(cst.getAs[Long]("mean_a_ppm") == 9000000L
+      && cst.getAs[Long]("mean_b_ppm") == 4000000L)
+    // noisy slices: delta == difference of the grouped point means, the
+    // CI brackets it, and the result is repartition-invariant
+    def noisy(n: Long) = spark.range(n).select(col("id"),
+      when(col("id") % 2 === 0, col("id") % 17).otherwise(col("id") % 5).as("x"),
+      when(col("id") % 2 === 0, "a").otherwise("b").as("src"))
+    val d = Bootstrap.deltaCi(noisy(4000), "id", "x", "src", "a", "b").head()
+    val g = Bootstrap.meanCiByGroup(noisy(4000), "id", "x", "src")
+      .collect().map(r => r.getAs[String]("src") -> r.getAs[Long]("mean_ppm")).toMap
+    assert(d.getAs[Long]("delta_ppm") == g("a") - g("b"))
+    assert(d.getAs[Long]("ci_lo_ppm") <= d.getAs[Long]("delta_ppm")
+      && d.getAs[Long]("delta_ppm") <= d.getAs[Long]("ci_hi_ppm"))
+    assert(d.getAs[Long]("ci_lo_ppm") < d.getAs[Long]("ci_hi_ppm"))
+    val rep = Bootstrap.deltaCi(noisy(4000).repartition(13),
+      "id", "x", "src", "a", "b").head()
+    assert(rep == d)
+  }
 }
