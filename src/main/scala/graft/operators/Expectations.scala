@@ -63,6 +63,23 @@ object Expectations {
         || !col(column).isin(values: _*), 1L).otherwise(0L)
   }
 
+  /** CONDITIONAL contract — "rows where `whenExpr` holds must satisfy
+    * `thenExpr`" (if event_type = 'purchase' then amount > 0; if
+    * lang = 'en' then quality >= threshold): the cross-field rule the
+    * unconditional expectations can't express. Violation = whenExpr true
+    * AND thenExpr not true; a row where `whenExpr` is false or NULL is
+    * out of the rule's scope and passes, and a NULL `thenExpr` under a
+    * true `whenExpr` violates (an unknown consequence cannot discharge
+    * an obligation — mirrors [[InRange]]'s nulls-violate stance).
+    * Expressions are SQL strings compiled scan-local, so the rule joins
+    * the one-pass suite like every other row-local expectation. */
+  final case class Implies(whenSql: String, thenSql: String) extends Expectation {
+    val name = s"implies($whenSql -> $thenSql)"
+    private[operators] def violation: Column =
+      when(expr(whenSql) && !coalesce(expr(thenSql), lit(false)), 1L)
+        .otherwise(0L)
+  }
+
   /** Column must have no duplicate non-null values. Violations = rows
     * beyond the first per duplicated value (n − distinct), the count a
     * dedup pass would remove. This is the one expectation that is not

@@ -2115,6 +2115,9 @@ object Advanced {
           InRange("o_totalprice", 0.0, 200000.0),
           MatchesRegex("o_orderpriority", "^[0-9]-[A-Z ]+$"),
           OneOf("o_orderstatus", Seq("F", "O", "P")),
+          // conditional cross-field rule (r12): scoped to F orders, with
+          // real violations on both sides of the scope — non-vacuous
+          Implies("o_orderstatus = 'F'", "o_totalprice <= 150000.0"),
           Unique("o_orderkey")))
       },
       Some("""WITH v AS (
@@ -2135,6 +2138,12 @@ object Advanced {
           SELECT 'one_of(o_orderstatus)',
             CAST(SUM(CASE WHEN o_orderstatus IS NULL
               OR o_orderstatus NOT IN ('F', 'O', 'P') THEN 1 ELSE 0 END) AS BIGINT)
+          FROM orders
+          UNION ALL
+          SELECT 'implies(o_orderstatus = ''F'' -> o_totalprice <= 150000.0)',
+            CAST(SUM(CASE WHEN o_orderstatus = 'F'
+              AND NOT COALESCE(o_totalprice <= 150000.0, FALSE)
+              THEN 1 ELSE 0 END) AS BIGINT)
           FROM orders
           UNION ALL
           SELECT 'unique(o_orderkey)',

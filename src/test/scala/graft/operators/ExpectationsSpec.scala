@@ -93,6 +93,20 @@ class ExpectationsSpec extends SparkSpec {
     assert(e.getLong(1) == 0L && e.getLong(3) == 0L && e.isNullAt(4))
   }
 
+  test("Implies: out-of-scope rows pass, null consequence under a true premise violates") {
+    // scope = cat 'A': id 1 (amt 10 -> then holds), id 2b (amt -5 -> then
+    // fails); cat 'B'/'C' rows are out of scope however their amt looks;
+    // a null amt under a true premise must violate, not pass
+    val withNullA = df.unionByName(
+      Seq((9L, Option.empty[Double], "ok", "A")).toDF("id", "amt", "tag", "cat"))
+    val rep = Expectations.check(withNullA, Seq(
+      Implies("cat = 'A'", "amt >= 0.0"),
+      Implies("cat = 'Z'", "amt >= 1e9") // empty scope: vacuously clean
+    )).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rep("implies(cat = 'A' -> amt >= 0.0)") == 2L) // -5 and the null
+    assert(rep("implies(cat = 'Z' -> amt >= 1e9)") == 0L)
+  }
+
   test("the suite is one aggregate pass (single scan, no join)") {
     val plan = Expectations.check(df, Seq(NotNull("amt"), InRange("amt", 0, 1),
       MatchesRegex("tag", "x"), OneOf("cat", Seq("A"))))
