@@ -203,6 +203,36 @@ object MultimodalQueries {
          AND CAST(p.ts AS TIMESTAMP) <=
              CAST(c.ts AS TIMESTAMP) + INTERVAL 15 MINUTE""")),
 
+    // The OUTER form of s04 — the conversion-funnel shape: every click,
+    // matched to following-15-minute purchases OR null-padded when none
+    // arrived. In a live stream Spark holds the click in state until the
+    // watermark proves no purchase can still match, then emits the
+    // unmatched row (why both sides watermark and the predicate is
+    // time-bounded — unbounded outer state would never discharge); on
+    // bounded input the watermark is a no-op and the result equals this
+    // plain batch LEFT join, which is the contract being verified.
+    GQ("s05_stream_outer_join",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("click_ts"),
+            col("event_id").as("click_id"))
+        val buys = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("buy_ts"),
+            col("event_id").as("buy_id"))
+        Streaming.streamStreamJoin(clicks, buys,
+          leftTs = "click_ts", rightTs = "buy_ts", key = "user_id",
+          maxDelay = "15 minutes", joinType = "left_outer")
+          .select("user_id", "click_id", "buy_id")
+      },
+      Some("""SELECT c.user_id, c.event_id AS click_id, p.event_id AS buy_id
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id
+         AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+         AND CAST(p.ts AS TIMESTAMP) <=
+             CAST(c.ts AS TIMESTAMP) + INTERVAL 15 MINUTE""")),
+
     // Streaming windowed aggregation evaluated on the bounded events table.
     GQ("s01_tumbling_window",
       (s, dir) => Streaming.windowedCounts(

@@ -507,20 +507,37 @@ object Streaming {
     * the watermark + time-range condition require, so state is bounded —
     * the streaming analog of the batched lookup-enrichment pattern
     * (reference O24) when both sides are live. */
+  /** Watermarked stream-stream interval join. `joinType` "inner" (the
+    * default) or "left_outer" — the outer form is the conversion-funnel
+    * shape ("clicks WITHOUT a purchase within 15 minutes" — the
+    * unmatched rows ARE the signal): Spark emits the null-padded left
+    * row once the watermark proves no match can still arrive, which is
+    * exactly why BOTH sides must be watermarked and the join condition
+    * time-bounded (unbounded outer state would never discharge). On
+    * bounded input the watermarks are no-ops and the result equals the
+    * plain batch outer join with the same predicate — the batch-verified
+    * contract s04/s05 pin. */
   def streamStreamJoin(
       left: DataFrame, right: DataFrame,
       leftTs: String, rightTs: String,
       key: String,
       lateness: String = "10 minutes",
-      maxDelay: String = "15 minutes"
+      maxDelay: String = "15 minutes",
+      joinType: String = "inner"
   ): DataFrame = {
     val l = left.withWatermark(leftTs, lateness)
     val r = right.withWatermark(rightTs, lateness)
-    l.join(r,
+    val joined = l.join(r,
       l(key) === r(key) &&
         r(rightTs) >= l(leftTs) &&
-        r(rightTs) <= l(leftTs) + expr(s"INTERVAL $maxDelay"))
-      .drop(r(key))
+        r(rightTs) <= l(leftTs) + expr(s"INTERVAL $maxDelay"),
+      joinType)
+    // keep the LEFT key explicitly: drop(r(key)) can resolve to either
+    // duplicate — indistinguishable on an inner join (keys equal) but an
+    // outer join's unmatched rows would surface the null right key
+    joined.select(
+      (l.columns.map(l(_)) ++ r.columns.filterNot(_ == key).map(r(_)))
+        .toIndexedSeq: _*)
   }
 
   /** Rate-limited file stream — the engine's backpressure knob (reference:

@@ -300,6 +300,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer stream-stream join emits the unmatched click once the watermark discharges it") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    val clicks = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val buys = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val joined = Streaming.streamStreamJoin(
+      clicks.toDF().toDF("user_id", "click_ts", "click_id"),
+      buys.toDF().toDF("user_id", "buy_ts", "buy_id"),
+      leftTs = "click_ts", rightTs = "buy_ts", key = "user_id",
+      lateness = "1 minutes", maxDelay = "15 minutes",
+      joinType = "left_outer")
+      .select(col("click_id"), col("buy_id"))
+    val q = joined.writeStream
+      .format("memory").queryName("s05_live").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+      .start()
+    try {
+      // user 1 converts within 15 min; user 2's click never matches
+      clicks.addData((1L, ts(10), 101L), (2L, ts(12), 102L))
+      buys.addData((1L, ts(20), 201L))
+      q.processAllAvailable()
+      // advance both watermarks far past click 102's bound so the outer
+      // row must flush (these new rows themselves match nothing)
+      clicks.addData((9L, ts(500), 999L))
+      buys.addData((9L, ts(400), 998L))
+      q.processAllAvailable()
+      val got = spark.table("s05_live")
+        .as[(Long, Option[Long])].collect().toSet
+      assert(got.contains((101L, Some(201L))), got.toString)
+      assert(got.contains((102L, None)),
+        s"unmatched click not emitted after watermark: $got")
+    } finally q.stop()
+  }
+
   test("quantile drift stream gates batches against the stored reference sketch") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_drift").toString
