@@ -278,6 +278,17 @@ class EntrySpec extends SparkSpec {
     val bp03 = plan("bp03_tokenizer_drift")
     assert(bp03.contains("BroadcastHashJoin"),
       "bp03 vocab join stopped broadcasting")
+    // ag03: the MM rounds truncate lineage every round — the returned
+    // plan must read the final checkpoint, not a 5-round join tower
+    val ag03 = plan("ag03_bt_ranking")
+    assert(ag03.contains("Scan ExistingRDD"),
+      s"ag03 lost its per-round lineage truncation:\n$ag03")
+    // bs03: all output branches read the persisted replica-sum table —
+    // a FileScan branch would re-scan the corpus per statistic
+    val bs03 = plan("bs03_ab_delta_ci")
+    assert("InMemoryTableScan".r.findAllIn(bs03).length >= 3,
+      s"bs03 stopped reusing the single-pass replica table:\n$bs03")
+    spark.catalog.clearCache()
   }
 
   test("r03 overlap join plans as an equi-join, never nested-loop") {
