@@ -142,4 +142,60 @@ object Winnowing {
       (col("n_shared").cast("double") /
         least(col("nfp_a"), col("nfp_b"))).as("overlap_frac"))
   }
+
+  /** The stored-index half of incremental MOSS: the posting table
+    * `(did, nfp, fp)` of a corpus's selected fingerprints — what a
+    * submission-checking service keeps on disk so each new batch checks
+    * against history WITHOUT rescanning it (the d25/d37/e14 ingest
+    * contract applied to the plagiarism family). Built with exactly the
+    * batch-path selection expressions, so an index written at ingest
+    * time and a batch fingerprinted later land on the same values. */
+  def fingerprintIndex(
+      docs: DataFrame,
+      k: Int = 3,
+      w: Int = 4,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame =
+    fingerprints(docs, k, w, idCol, textCol)
+      .select(col(idCol).as("did"), size(col("fps")).as("nfp"),
+        explode(col("fps")).as("fp"))
+
+  /** Incremental MOSS overlap: a NEW batch against a stored
+    * [[fingerprintIndex]] — new×history pairs only, never
+    * history×history. The doc-frequency boilerplate cap is computed over
+    * index ∪ batch postings (an index-column scan, KB–MB metadata, not a
+    * corpus rescan), so the pair set equals [[overlapPairs]] on the
+    * union corpus restricted to cross pairs — the spec pins that
+    * equivalence, and appending the batch's postings to the index is the
+    * next day's index (same append contract as `Dedup.lshIndex`).
+    * Output: (new_id, old_id, n_shared, overlap_frac). */
+  def incrementalOverlapPairs(
+      batch: DataFrame,
+      index: DataFrame,
+      k: Int = 3,
+      w: Int = 4,
+      minShared: Int = 2,
+      maxDocFreq: Int = 1000,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    val bp = fingerprintIndex(batch, k, w, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rare = index.select(col("fp"))
+      .unionAll(bp.select(col("fp")))
+      .groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDocFreq)
+      .select("fp")
+    val bc = bp.join(rare, "fp")
+    val ic = index.join(rare, "fp")
+    bc.as("n").join(ic.as("h"), col("n.fp") === col("h.fp"))
+      .groupBy(col("n.did").as("new_id"), col("h.did").as("old_id"),
+        col("n.nfp").as("nfp_new"), col("h.nfp").as("nfp_old"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select(col("new_id"), col("old_id"), col("n_shared"),
+        (col("n_shared").cast("double") /
+          least(col("nfp_new"), col("nfp_old"))).as("overlap_frac"))
+  }
 }

@@ -2042,6 +2042,53 @@ object TextQueries {
           CAST(n_shared AS DOUBLE) / LEAST(nfp_a, nfp_b) AS overlap_frac
         FROM pr""")),
 
+    GQ("d51_incremental_winnow", // incremental MOSS: the increment (docs
+      // >= 250) against the STORED fingerprint index of history (docs
+      // < 250) — d37's never-history×history ingest contract applied to
+      // the plagiarism family (`Winnowing.incrementalOverlapPairs`). The
+      // submission-checking shape: history text is never re-read, only
+      // its posting table; the boilerplate doc-frequency cap computes
+      // over index ∪ batch postings (an index-column scan, not a corpus
+      // rescan), so the cross pairs equal d44's full-run pairs restricted
+      // to the split — the spec pins that equivalence and the oracle
+      // replays selection, cap, cross-join, and score exactly.
+      (s, dir) => {
+        val docs = Tables.table(s, dir, "documents")
+        Winnowing.incrementalOverlapPairs(
+          batch = docs.filter(col("doc_id") >= 250),
+          index = Winnowing.fingerprintIndex(
+            docs.filter(col("doc_id") < 250), k = 3, w = 4),
+          k = 3, w = 4, minShared = 2, maxDocFreq = 200)
+      },
+      Some("""WITH t AS (SELECT doc_id,
+            list_filter(string_split(text, ' '), w -> w <> '') AS ws FROM documents),
+        g AS (SELECT doc_id, CASE WHEN len(ws) < 3 THEN []
+            ELSE list_transform(range(1, len(ws) - 1),
+              i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END AS sh FROM t),
+        h AS (SELECT doc_id, list_transform(sh, s -> CAST(list_reduce(
+            list_prepend(CAST(0 AS BIGINT),
+              list_transform(regexp_extract_all(s, '.'), c -> CAST(ascii(c) AS BIGINT))),
+            (a, b) -> (a * 257 + b) % 1000000007) AS BIGINT)) AS hs FROM g),
+        mins AS (SELECT doc_id, CASE WHEN len(hs) < 4 THEN []
+            ELSE list_transform(range(0, len(hs) - 3),
+              i -> list_reduce(
+                list_transform(range(0, 4), j -> {'h': hs[i + j + 1], 'p': i + j}),
+                (acc, e) -> CASE WHEN e.h <= acc.h THEN e ELSE acc END)) END AS sel
+          FROM h),
+        fp AS (SELECT doc_id,
+            list_sort(list_distinct(list_transform(sel, s -> s.h))) AS fps FROM mins),
+        post AS (SELECT doc_id, len(fps) AS nfp, UNNEST(fps) AS f FROM fp),
+        rare AS (SELECT f FROM post GROUP BY f HAVING COUNT(*) <= 200),
+        p AS (SELECT post.* FROM post JOIN rare USING (f)),
+        pr AS (SELECT b.doc_id AS new_id, a.doc_id AS old_id,
+            b.nfp AS nfp_new, a.nfp AS nfp_old, COUNT(*) AS n_shared
+          FROM p a JOIN p b ON a.f = b.f
+           AND a.doc_id < 250 AND b.doc_id >= 250
+          GROUP BY 1, 2, 3, 4 HAVING COUNT(*) >= 2)
+        SELECT new_id, old_id, n_shared,
+          CAST(n_shared AS DOUBLE) / LEAST(nfp_new, nfp_old) AS overlap_frac
+        FROM pr""")),
+
     GQ("x21_pmi_collocations", // pointwise-mutual-information collocation
       // extraction — the classic multiword-expression miner (Church &
       // Hanks 1990): bigrams whose observed count beats what their

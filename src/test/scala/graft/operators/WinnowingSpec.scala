@@ -86,4 +86,37 @@ class WinnowingSpec extends SparkSpec {
     assert(pairs.forall { case (a, b) => a > 100L && b > 100L },
       s"boilerplate-only pairs leaked past the hot-fingerprint cap: $pairs")
   }
+
+  test("incremental overlap vs a stored index equals the full run's cross pairs; index appends compose") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val hist = docs.filter(col("doc_id") < 250)
+    val batch = docs.filter(col("doc_id") >= 250)
+    val full = Winnowing.overlapPairs(docs, k = 3, w = 4,
+      minShared = 2, maxDocFreq = 200)
+      .select("doc_a", "doc_b", "n_shared")
+      .as[(Long, Long, Long)].collect()
+      // full run orders pairs (a < b); cross pairs have a < 250 <= b
+      .filter { case (a, b, _) => a < 250 && b >= 250 }
+      .map { case (a, b, n) => (b, a, n) }.toSet
+    assert(full.nonEmpty, "no cross-split pairs — fixture vacuous")
+    val idx = Winnowing.fingerprintIndex(hist, k = 3, w = 4)
+    val inc = Winnowing.incrementalOverlapPairs(batch, idx, k = 3, w = 4,
+      minShared = 2, maxDocFreq = 200)
+      .select("new_id", "old_id", "n_shared")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(inc == full,
+      s"incremental diverged: missing=${(full -- inc).take(3)} extra=${(inc -- full).take(3)}")
+    // appending the batch's postings IS the next index: a day-2 doc
+    // overlapping a day-1 (batch) doc is found through the union index
+    val day2 = batch.limit(1)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    val unionIdx = idx.unionByName(
+      Winnowing.fingerprintIndex(batch, k = 3, w = 4))
+    val hits = Winnowing.incrementalOverlapPairs(day2, unionIdx,
+      k = 3, w = 4, minShared = 2, maxDocFreq = 200)
+      .select("new_id", "old_id").as[(Long, Long)].collect().toSet
+    val d2id = day2.head().getLong(0)
+    assert(hits.contains((d2id, d2id - 100000L)),
+      s"day-2 copy of a day-1 doc not found through the appended index: $hits")
+  }
 }
