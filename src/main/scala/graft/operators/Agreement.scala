@@ -141,12 +141,24 @@ object Agreement {
     * @param prefs one row per (winner, loser) observation group with a
     *              count column; duplicates combine. Self-matches drop.
     * @return (item, wins, matches, score_ppm) — higher = stronger. */
+  /** @param smallItemSet when true, the (item, wins) and symmetric-match
+    *        tables are COLLECTED and the MM rounds run driver-side in the
+    *        identical integer arithmetic — bit-for-bit the same scores
+    *        (spec-pinned), none of the per-round job barriers. This is
+    *        the right mode when items are leaderboard-scale (models,
+    *        brands, arena entrants — the common case); the distributed
+    *        path remains for item universes that don't fit a driver
+    *        (pageRank's smallVertexSet honesty about WHERE the data is:
+    *        the corpus-scale pair COUNTING happened upstream either
+    *        way). Guarded at 2M pair rows — past that, use the
+    *        distributed rounds. */
   def bradleyTerry(
       prefs: DataFrame,
       winnerCol: String = "winner",
       loserCol: String = "loser",
       nCol: String = "n",
-      iterations: Int = 5
+      iterations: Int = 5,
+      smallItemSet: Boolean = false
   ): DataFrame = {
     require(iterations >= 1, s"iterations must be positive, got $iterations")
     val p = prefs.select(col(winnerCol).cast("long").as("w"),
@@ -154,6 +166,7 @@ object Agreement {
       .filter(col("w") =!= col("l"))
       .groupBy("w", "l").agg(sum(col("n")).as("n"))
       .persist()
+    if (smallItemSet) return bradleyTerryLocal(p, iterations)
     val wins = p.groupBy(col("w").as("item")).agg(sum(col("n")).as("wins"))
     val items = p.select(col("w").as("item"))
       .union(p.select(col("l"))).distinct()
@@ -187,5 +200,38 @@ object Agreement {
       .select(col("item"), col("wins"),
         coalesce(col("matches"), lit(0L)).as("matches"),
         col("s").as("score_ppm"))
+  }
+
+  /** Driver-side MM rounds over the collected pair table — the identical
+    * integer recurrence (all operands non-negative, so Scala `/` equals
+    * Spark `DIV` / DuckDB `//` truncation), hence bit-identical scores. */
+  private def bradleyTerryLocal(p: DataFrame, iterations: Int): DataFrame = {
+    val spark = p.sparkSession
+    val rows = p.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    p.unpersist()
+    require(rows.length <= 2000000,
+      s"smallItemSet collected ${rows.length} pair rows (max 2e6) — " +
+        "use the distributed rounds for this item universe")
+    val wins = rows.groupBy(_._1).map { case (i, g) => i -> g.map(_._3).sum }
+    val m = (rows.map { case (w, l, n) => ((w, l), n) } ++
+      rows.map { case (w, l, n) => ((l, w), n) })
+      .groupBy(_._1).map { case (k, g) => k -> g.map(_._2).sum }
+    val items = rows.flatMap(r => Seq(r._1, r._2)).distinct.sorted
+    val matches = m.toSeq.groupBy(_._1._1)
+      .map { case (i, g) => i -> g.map(_._2).sum }
+    var s = items.map(_ -> 1000000L).toMap
+    for (_ <- 1 to iterations) {
+      val den = m.toSeq.groupBy(_._1._1).map { case (i, g) =>
+        i -> g.map { case ((_, j), n) => (n * 1000000000000L) / (s(i) + s(j)) }.sum
+      }
+      s = items.map { i =>
+        val d = den.getOrElse(i, 0L)
+        val w = wins.getOrElse(i, 0L)
+        i -> math.max(1L, if (d == 0) 1L else (w * 1000000000000L) / d)
+      }.toMap
+    }
+    import spark.implicits._
+    items.map(i => (i, wins.getOrElse(i, 0L), matches.getOrElse(i, 0L), s(i)))
+      .toSeq.toDF("item", "wins", "matches", "score_ppm")
   }
 }

@@ -2056,7 +2056,12 @@ object Advanced {
             lag(col("item"), 1).over(w).as("loser"))
           .filter(col("loser").isNotNull)
           .groupBy("winner", "loser").agg(count(lit(1)).as("n"))
-        graft.operators.Agreement.bradleyTerry(prefs, iterations = 5)
+        // 100 leaderboard items: the driver-side MM mode (identical
+        // integer recurrence, spec-pinned bit-equal) skips 5 rounds of
+        // job barriers; the distributed rounds remain for item universes
+        // that don't fit a driver
+        graft.operators.Agreement.bradleyTerry(prefs, iterations = 5,
+          smallItemSet = true)
       },
       Some {
         val rounds = (1 to 5).map { r =>

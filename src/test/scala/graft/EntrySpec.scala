@@ -278,11 +278,14 @@ class EntrySpec extends SparkSpec {
     val bp03 = plan("bp03_tokenizer_drift")
     assert(bp03.contains("BroadcastHashJoin"),
       "bp03 vocab join stopped broadcasting")
-    // ag03: the MM rounds truncate lineage every round — the returned
-    // plan must read the final checkpoint, not a 5-round join tower
+    // ag03: the returned plan must be the materialized fit (driver-side
+    // smallItemSet mode -> LocalTableScan; distributed mode's per-round
+    // truncation -> Scan ExistingRDD), never a 5-round join tower
     val ag03 = plan("ag03_bt_ranking")
-    assert(ag03.contains("Scan ExistingRDD"),
-      s"ag03 lost its per-round lineage truncation:\n$ag03")
+    assert(ag03.contains("LocalTableScan") || ag03.contains("Scan ExistingRDD"),
+      s"ag03 lost its materialized-fit shape:\n$ag03")
+    assert(!ag03.contains("SortMergeJoin"),
+      s"ag03 returned an unmaterialized join tower:\n$ag03")
     // bs03: all output branches read the persisted replica-sum table —
     // a FileScan branch would re-scan the corpus per statistic
     val bs03 = plan("bs03_ab_delta_ci")

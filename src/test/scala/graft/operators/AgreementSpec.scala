@@ -90,6 +90,20 @@ class AgreementSpec extends SparkSpec {
     assert(chain(1L)._4 > chain(2L)._4 && chain(2L)._4 > chain(3L)._4, chain.toString)
   }
 
+  test("bradleyTerry: smallItemSet driver-side rounds are bit-identical to the distributed rounds") {
+    val rnd = new scala.util.Random(7)
+    val prefs = (0 until 300).map { _ =>
+      val a = rnd.nextInt(12).toLong; val b = rnd.nextInt(12).toLong
+      (a, b, 1L + rnd.nextInt(5))
+    }.filter(p => p._1 != p._2)
+    val dist = Agreement.bradleyTerry(prefs.toDF("winner", "loser", "n"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val local = Agreement.bradleyTerry(prefs.toDF("winner", "loser", "n"),
+      smallItemSet = true)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(local == dist)
+  }
+
   test("bradleyTerry: duplicate pref rows combine; self-matches drop; repartition-invariant") {
     val prefs = Seq((1L, 2L, 2L), (1L, 2L, 1L), (2L, 1L, 1L), (3L, 3L, 9L))
     val a = bt(prefs)
