@@ -235,4 +235,52 @@ object Bootstrap {
         .as("ci_hi_ppm"))
     point.crossJoin(pointMeans).crossJoin(ci) // all 1-row aggregates
   }
+
+  /** Bootstrap CI on a PAIRED difference — two metrics measured on the
+    * SAME rows (quality before vs after a transform, tokens under two
+    * tokenizers), where [[deltaCi]]'s two-slice form is wrong: there the
+    * sides resample independently; here each resampled row carries BOTH
+    * measurements, so per-row correlation tightens the interval exactly
+    * as a paired t-test tightens an unpaired one. Mechanically it IS
+    * [[meanCi]] on the difference column — each replica's statistic is
+    * mean_b(a−b) = mean_b(a) − mean_b(b) over one shared resample — the
+    * wrapper exists because choosing paired vs independent resamples is
+    * a design decision worth a named surface (and a mis-pick is silent:
+    * both return plausible intervals). Returns one row: (n_rows,
+    * mean_a_ppm, mean_b_ppm, delta_ppm, n_replicas, ci_lo_ppm,
+    * ci_hi_ppm); a CI excluding 0 is the verdict.
+    *
+    * Division contract, stated: per-replica means ride [[meanCi]]'s
+    * integral DIV, which TRUNCATES toward zero — DuckDB's `//` FLOORS,
+    * so the two agree only while each replica's weighted diff sum is
+    * ≥ 0. Orient the pair so a−b is non-negative by construction (the
+    * shipped query measures bytes REMOVED by a scrub) or replay
+    * truncating division explicitly in the oracle; a mixed-sign metric
+    * that straddles 0 replica-by-replica is the one shape this wrapper
+    * does not hash-replay as-is. */
+  def pairedDeltaCi(
+      rows: DataFrame,
+      idCol: String,
+      metricACol: String,
+      metricBCol: String,
+      replicas: Int = 40,
+      loPct: Int = 25,
+      hiPct: Int = 975,
+      salt: String = ""
+  ): DataFrame = {
+    val withDiff = rows.select(col(idCol),
+      col(metricACol).cast("long").as("xa"),
+      col(metricBCol).cast("long").as("xb"))
+    val ci = meanCi(
+      withDiff.withColumn("xd", col("xa") - col("xb")),
+      idCol, "xd", replicas, loPct, hiPct, salt)
+      .select(col("n_rows"), col("mean_ppm").as("delta_ppm"),
+        col("n_replicas"), col("ci_lo_ppm"), col("ci_hi_ppm"))
+    val pointMeans = withDiff.agg(
+      expr("CAST((SUM(xa) * 1000000) DIV COUNT(*) AS BIGINT)").as("mean_a_ppm"),
+      expr("CAST((SUM(xb) * 1000000) DIV COUNT(*) AS BIGINT)").as("mean_b_ppm"))
+    ci.crossJoin(pointMeans) // both 1-row aggregates
+      .select(col("n_rows"), col("mean_a_ppm"), col("mean_b_ppm"),
+        col("delta_ppm"), col("n_replicas"), col("ci_lo_ppm"), col("ci_hi_ppm"))
+  }
 }

@@ -162,6 +162,63 @@ object Lm {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/thresholds")
   }
 
+  /** Gate-health monitor + refit decision — the mechanism that makes
+    * "refit the admission policy DELIBERATELY" operational instead of
+    * aspirational. The stored thresholds were fit as the reference
+    * slice's q25/q75; if the incoming crawl matched that distribution,
+    * the same discrete quantiles fit on the CRAWL's scores would land
+    * near the stored pair and the bucket shares near 25/50/25. This
+    * report computes both drift signals from one scored pass and turns
+    * them into a decision: `refit = true` when either crawl quantile
+    * moved more than `tolPpm` (relative, integer millionths) from its
+    * stored threshold. The x19 pattern (compare live distribution to a
+    * stored reference) applied to the gate's own admission artifact.
+    *
+    * One corpus scan (the scoring pass, persisted — two metadata-sized
+    * branches read it: the 1-row share aggregate and the distinct-mean
+    * quantile fit); everything downstream is planner-scale. All integer
+    * arithmetic, so the decision itself hash-replays. Relative moves
+    * use DIV against max(stored, 1) — quantiles are ≥ 1 by
+    * construction, so the division is total and non-negative. */
+  def gateDriftReport(
+      spark: org.apache.spark.sql.SparkSession,
+      crawl: DataFrame,
+      path: String,
+      tolPpm: Long = 200000L,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    require(tolPpm > 0, s"tolPpm must be positive, got $tolPpm")
+    val lm = spark.read.parquet(s"$path/lm")
+    val thr = spark.read.parquet(s"$path/thresholds").head()
+    val headMin = thr.getAs[Long]("head_min")
+    val midMin = thr.getAs[Long]("mid_min")
+    val scored = score(crawl, lm, textCol, idCol).persist()
+    val shares = scored.agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("mean_scaled") >= headMin, 1L).otherwise(0L)).as("nh"),
+      sum(when(col("mean_scaled") >= midMin
+        && col("mean_scaled") < headMin, 1L).otherwise(0L)).as("nm"))
+      .select(col("n_docs"),
+        expr("(1000000 * nh) DIV n_docs").as("head_share_ppm"),
+        expr("(1000000 * nm) DIV n_docs").as("mid_share_ppm"),
+        expr("(1000000 * (n_docs - nh - nm)) DIV n_docs").as("tail_share_ppm"))
+    val crawlQ = fitThresholds(scored)
+      .select(col("head_min").as("crawl_head_q"),
+        col("mid_min").as("crawl_mid_q"))
+    shares.crossJoin(crawlQ) // both 1-row aggregates
+      .withColumn("head_min_stored", lit(headMin))
+      .withColumn("mid_min_stored", lit(midMin))
+      .withColumn("head_move_ppm",
+        expr(s"(1000000 * abs(crawl_head_q - $headMin))"
+          + s" DIV greatest(CAST($headMin AS BIGINT), 1)"))
+      .withColumn("mid_move_ppm",
+        expr(s"(1000000 * abs(crawl_mid_q - $midMin))"
+          + s" DIV greatest(CAST($midMin AS BIGINT), 1)"))
+      .withColumn("refit",
+        col("head_move_ppm") > tolPpm || col("mid_move_ppm") > tolPpm)
+  }
+
   /** Score + bucket a crawl through a stored gate artifact. The two
     * threshold scalars are planner-scale metadata (one stored row). */
   def gateWithStored(

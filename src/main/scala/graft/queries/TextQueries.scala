@@ -31,6 +31,23 @@ object TextQueries {
       p
     })
 
+  /** ds01's stored DSIR selection artifact (target + raw bigram models),
+    * fit once per (dir, JVM) by [[graft.operators.Dsir.fitAndStore]] —
+    * [[lmGate]]'s contract: every query run READS the artifact, so the
+    * surface under test is the stored-model admission path a recurring
+    * selection job runs. Target = the 'en' slice (the trusted domain);
+    * raw model = every other document (the pool being selected from). */
+  private def dsirArtifact(
+      s: org.apache.spark.sql.SparkSession, dir: String): String =
+    gateMemo.computeIfAbsent(s"dsir:$dir", _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft-dsir").toString
+      val docs = Tables.table(s, dir, "documents")
+      graft.operators.Dsir.fitAndStore(
+        docs.filter(col("lang") === "en").select(col("text")),
+        docs.filter(col("lang") =!= "en").select(col("text")), p)
+      p
+    })
+
   /** bp01/bp02's stored tokenizer artifact (merges + trained vocab),
     * trained once per (dir, JVM) by [[graft.operators.Bpe.fitAndStore]] —
     * same contract as [[lmGate]]: every query run READS the artifact, so
@@ -2611,6 +2628,114 @@ object TextQueries {
         SELECT bin, n_docs, n_correct, mean_conf_ppm, acc_ppm, gap_ppm, ece_ppm
         FROM per3 CROSS JOIN e""")),
 
+    GQ("mc02_gate_refit_trigger", // drift-triggered refit decision on
+      // the x23 stored gate (`Lm.gateDriftReport`) — the mechanism that
+      // makes "refit the admission policy deliberately" operational:
+      // the stored thresholds are the REFERENCE slice's discrete
+      // q25/q75, so if the crawl matched that distribution, the same
+      // quantile fit on the CRAWL's scores would land near the stored
+      // pair (and bucket shares near 25/50/25). The report computes the
+      // crawl-side quantiles + shares from ONE scored pass (persisted;
+      // the two downstream branches are metadata-sized) and decides
+      // refit = either quantile moved > 20% relative — x19's
+      // stored-reference drift pattern applied to the gate's own
+      // admission artifact. All integer arithmetic: shares and moves
+      // are DIV millionths, so the DECISION hash-replays; the oracle
+      // refits the reference thresholds, rescores the crawl, and
+      // replays quantiles, shares, moves, and verdict bit-for-bit.
+      (s, dir) => {
+        val root = lmGate(s, dir)
+        val docs = Tables.table(s, dir, "documents")
+        val split = graft.expressions.PolyHash(
+          concat(lit("lmref|"), col("doc_id").cast("string"))) % 10
+        graft.operators.Lm.gateDriftReport(s,
+          docs.filter(split >= 3).select(col("doc_id"), col("text")), root)
+      },
+      Some("""WITH h AS (SELECT doc_id, text,
+          CAST(list_reduce(
+            list_prepend(CAST(0 AS BIGINT),
+              list_transform(regexp_extract_all('lmref|' || CAST(doc_id AS VARCHAR), '.'),
+                c -> CAST(ascii(c) AS BIGINT))),
+            (h, b) -> (h * 257 + b) % 1000000007) AS BIGINT) % 10 AS b10
+          FROM documents),
+        rw AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+               FROM h WHERE b10 < 3),
+        rb AS (SELECT doc_id, UNNEST(CASE WHEN len(ws) < 2 THEN []
+                ELSE list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+                END) AS bg
+              FROM rw),
+        cnt AS (SELECT bg, COUNT(*) AS cab FROM rb GROUP BY bg),
+        fst AS (SELECT split_part(bg, ' ', 1) AS a, CAST(SUM(cab) AS BIGINT) AS ca
+                FROM cnt GROUP BY 1),
+        lm AS (SELECT cnt.bg, CAST(FLOOR(cnt.cab * 1000000 / fst.ca) AS BIGINT) AS scaled
+               FROM cnt JOIN fst ON split_part(cnt.bg, ' ', 1) = fst.a),
+        rsc AS (SELECT rb.doc_id, COALESCE(lm.scaled, 1) AS s
+                FROM rb LEFT JOIN lm ON rb.bg = lm.bg),
+        rd AS (SELECT doc_id, CAST(FLOOR(SUM(s) / COUNT(*)) AS BIGINT) AS mean_scaled
+               FROM rsc GROUP BY doc_id),
+        bym AS (SELECT mean_scaled, CAST(COUNT(*) AS BIGINT) AS c FROM rd GROUP BY 1),
+        cumh AS (SELECT mean_scaled,
+                  CAST(SUM(c) OVER (ORDER BY mean_scaled
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+                  (SELECT CAST(SUM(c) AS BIGINT) FROM bym) AS n
+                FROM bym),
+        rawthr AS (SELECT
+            MIN(CASE WHEN cum * 1000000 >= n * 750000 THEN mean_scaled END) AS h_raw,
+            MIN(CASE WHEN cum * 1000000 >= n * 250000 THEN mean_scaled END) AS m_raw
+          FROM cumh),
+        thr AS (SELECT
+            CASE WHEN h_raw IS NULL OR m_raw IS NULL OR h_raw <= m_raw
+              THEN 2 ELSE h_raw END AS head_min,
+            CASE WHEN h_raw IS NULL OR m_raw IS NULL OR h_raw <= m_raw
+              THEN 1 ELSE m_raw END AS mid_min
+          FROM rawthr),
+        tw AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+               FROM h WHERE b10 >= 3),
+        tb AS (SELECT doc_id, UNNEST(CASE WHEN len(ws) < 2 THEN []
+                ELSE list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+                END) AS bg
+              FROM tw),
+        sc AS (SELECT tb.doc_id, COALESCE(lm.scaled, 1) AS s
+               FROM tb LEFT JOIN lm ON tb.bg = lm.bg),
+        d AS (SELECT doc_id, CAST(FLOOR(SUM(s) / COUNT(*)) AS BIGINT) AS mean_scaled
+              FROM sc GROUP BY doc_id),
+        shares AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+            CAST(SUM(CASE WHEN mean_scaled >= head_min THEN 1 ELSE 0 END) AS BIGINT) AS nh,
+            CAST(SUM(CASE WHEN mean_scaled >= mid_min
+              AND mean_scaled < head_min THEN 1 ELSE 0 END) AS BIGINT) AS nm
+          FROM d CROSS JOIN thr),
+        cb AS (SELECT mean_scaled, CAST(COUNT(*) AS BIGINT) AS c FROM d GROUP BY 1),
+        ccum AS (SELECT mean_scaled,
+                  CAST(SUM(c) OVER (ORDER BY mean_scaled
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+                  (SELECT CAST(SUM(c) AS BIGINT) FROM cb) AS n
+                FROM cb),
+        craw AS (SELECT
+            MIN(CASE WHEN cum * 1000000 >= n * 750000 THEN mean_scaled END) AS h_raw,
+            MIN(CASE WHEN cum * 1000000 >= n * 250000 THEN mean_scaled END) AS m_raw
+          FROM ccum),
+        cq AS (SELECT
+            CASE WHEN h_raw IS NULL OR m_raw IS NULL OR h_raw <= m_raw
+              THEN 2 ELSE h_raw END AS crawl_head_q,
+            CASE WHEN h_raw IS NULL OR m_raw IS NULL OR h_raw <= m_raw
+              THEN 1 ELSE m_raw END AS crawl_mid_q
+          FROM craw)
+        SELECT n_docs,
+          (1000000 * nh) // n_docs AS head_share_ppm,
+          (1000000 * nm) // n_docs AS mid_share_ppm,
+          (1000000 * (n_docs - nh - nm)) // n_docs AS tail_share_ppm,
+          crawl_head_q, crawl_mid_q,
+          CAST(head_min AS BIGINT) AS head_min_stored,
+          CAST(mid_min AS BIGINT) AS mid_min_stored,
+          (1000000 * abs(crawl_head_q - head_min)) // greatest(head_min, 1)
+            AS head_move_ppm,
+          (1000000 * abs(crawl_mid_q - mid_min)) // greatest(mid_min, 1)
+            AS mid_move_ppm,
+          ((1000000 * abs(crawl_head_q - head_min)) // greatest(head_min, 1) > 200000
+           OR (1000000 * abs(crawl_mid_q - mid_min)) // greatest(mid_min, 1) > 200000)
+            AS refit
+        FROM shares CROSS JOIN cq CROSS JOIN thr""")),
+
     GQ("d46_temperature_mix", // α=1/2 temperature source mixing
       // (`Curation.temperatureSample`) — the multilingual sampling recipe
       // (p_i ∝ q_i^α, mT5/XLM-R practice) between d27's uniform balance
@@ -2852,6 +2977,83 @@ object TextQueries {
           n_replicas, ci_lo_ppm, ci_hi_ppm
         FROM pt CROSS JOIN ci""")),
 
+    GQ("bs04_paired_scrub_ci", // bootstrap CI on a PAIRED difference
+      // (`Bootstrap.pairedDeltaCi`): bytes removed per document by the
+      // d14 PII scrub, measured before/after on the SAME rows — the
+      // paired complement of bs03's two-INDEPENDENT-slices delta. Each
+      // resampled row carries both measurements, so per-row correlation
+      // tightens the interval exactly as a paired t-test tightens an
+      // unpaired one (here the diff is near-constant ~28 bytes of
+      // injected PII, so the CI is dramatically narrower than either
+      // side's own bs01-style interval — the pairing demonstrated, not
+      // asserted). Diff oriented non-negative by construction (the
+      // scrub only shrinks its matches), satisfying the wrapper's
+      // stated DIV-vs-floor division contract; the oracle replays aug,
+      // scrub, hash, pmf, and percentile_disc bit-for-bit.
+      (s, dir) => {
+        val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+        val phone = "\\+\\d[\\d ]{6,}\\d"
+        val aug = concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com from 10.2."), (col("doc_id") % 200).cast("string"),
+          lit(".7 call +1 555 "), (lit(1000) + col("doc_id") % 9000).cast("string"))
+        val rows = Tables.table(s, dir, "documents")
+          .select(col("doc_id"), aug.as("aug"))
+          .select(col("doc_id"),
+            length(col("aug")).cast("long").as("n_raw"),
+            length(regexp_replace(regexp_replace(regexp_replace(col("aug"),
+              email, "<EMAIL>"), ip, "<IP>"), phone, "<PHONE>"))
+              .cast("long").as("n_clean"))
+        graft.operators.Bootstrap.pairedDeltaCi(
+          rows, "doc_id", "n_raw", "n_clean", replicas = 40)
+      },
+      Some("""WITH a AS (SELECT doc_id,
+          text || ' contact user' || CAST(doc_id AS VARCHAR)
+               || '@example.com from 10.2.' || CAST(doc_id % 200 AS VARCHAR)
+               || '.7 call +1 555 ' || CAST(1000 + doc_id % 9000 AS VARCHAR) AS aug
+          FROM documents),
+        d AS (SELECT doc_id, CAST(len(aug) AS BIGINT) AS xa,
+            CAST(len(regexp_replace(regexp_replace(regexp_replace(aug,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+              '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+              '\+\d[\d ]{6,}\d', '<PHONE>', 'g')) AS BIGINT) AS xb
+          FROM a),
+        r AS (SELECT xa - xb AS x, b,
+            CAST(list_reduce(
+              list_prepend(CAST(0 AS BIGINT),
+                list_transform(
+                  regexp_extract_all('boot|' || CAST(b AS VARCHAR) || '|'
+                    || CAST(doc_id AS VARCHAR), '.'),
+                  c -> CAST(ascii(c) AS BIGINT))),
+              (acc, v) -> (acc * 257 + v) % 1000000007) AS BIGINT) % 1000
+              AS bucket
+          FROM d CROSS JOIN (SELECT UNNEST(generate_series(-1, 39)) AS b)),
+        w AS (SELECT b, x,
+            CASE WHEN b = -1 THEN 1
+                 WHEN bucket < 368 THEN 0 WHEN bucket < 736 THEN 1
+                 WHEN bucket < 920 THEN 2 WHEN bucket < 981 THEN 3
+                 WHEN bucket < 996 THEN 4 WHEN bucket < 999 THEN 5
+                 ELSE 6 END AS wt
+          FROM r),
+        m AS (SELECT b, CAST(SUM(wt) AS BIGINT) AS w,
+            CAST((SUM(wt * x) * 1000000) // SUM(wt) AS BIGINT) AS mean_ppm
+          FROM w GROUP BY b HAVING SUM(wt) > 0),
+        pt AS (SELECT w AS n_rows, mean_ppm AS delta_ppm FROM m WHERE b = -1),
+        ci AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_replicas,
+            percentile_disc(0.025) WITHIN GROUP (ORDER BY mean_ppm)
+              AS ci_lo_ppm,
+            percentile_disc(0.975) WITHIN GROUP (ORDER BY mean_ppm)
+              AS ci_hi_ppm
+          FROM m WHERE b >= 0),
+        pm AS (SELECT
+            CAST((SUM(xa) * 1000000) // COUNT(*) AS BIGINT) AS mean_a_ppm,
+            CAST((SUM(xb) * 1000000) // COUNT(*) AS BIGINT) AS mean_b_ppm
+          FROM d)
+        SELECT n_rows, mean_a_ppm, mean_b_ppm, delta_ppm,
+          n_replicas, ci_lo_ppm, ci_hi_ppm
+        FROM pt CROSS JOIN pm CROSS JOIN ci""")),
+
     GQ("d47_ppjoin_pairs", // EXACT all-pairs similarity join by prefix
       // filtering (`Dedup.ppjoinPairs` — Bayardo 2007 All-Pairs + Xiao
       // 2008 PPJoin): every pair with shingle Jaccard >= 0.5, NO false
@@ -2995,7 +3197,71 @@ object TextQueries {
         t AS (SELECT CAST(SUM(n_words) AS BIGINT) AS w_total FROM dd)
         SELECT doc_id, n_words, priority,
           (w_total * 1000000) // (200 * n_words) AS ht_weight_ppm
-        FROM s CROSS JOIN t"""))
+        FROM s CROSS JOIN t""")),
+
+    GQ("ds01_dsir_select", // DSIR data selection (`operators/Dsir`, Xie
+      // et al. 2023): pick the 50 raw-pool documents whose bigram
+      // distribution most resembles the trusted 'en' target slice
+      // RELATIVE to the raw pool itself — weight_ppm = mean scaled
+      // conditional under the target-trained LM minus the same under
+      // the raw-trained LM (the two-model ratio cancels features common
+      // to both corpora; the integer mean-agreement form of the paper's
+      // log-ratio, deviation stated in the scaladoc). Both models are a
+      // STORED artifact (fitAndStore / weightsWithStored — the x23
+      // storage class); the run-time path is one bigram explode with
+      // BOTH models resolved as broadcast left joins in the same pass,
+      // one per-doc aggregate, and a TakeOrderedAndProject top-50 with
+      // (weight DESC, doc_id) ties. The k-row winners join back to the
+      // corpus broadcast for their lang — which languages sneak past a
+      // distribution gate is exactly what the report is for.
+      (s, dir) => {
+        val root = dsirArtifact(s, dir)
+        val docs = Tables.table(s, dir, "documents")
+        val raw = docs.filter(col("lang") =!= "en")
+          .select(col("doc_id"), col("text"))
+        val top = graft.operators.Dsir.selectTopK(
+          graft.operators.Dsir.weightsWithStored(s, raw, root), 50)
+        docs.join(broadcast(top), "doc_id")
+          .select(col("doc_id"), col("lang"), col("n_bigrams"),
+            col("mean_t"), col("mean_r"), col("weight_ppm"))
+      },
+      Some("""WITH tw AS (SELECT list_filter(string_split(text, ' '), w -> w <> '') AS ws
+          FROM documents WHERE lang = 'en'),
+        tb AS (SELECT UNNEST(CASE WHEN len(ws) < 2 THEN []
+                ELSE list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+                END) AS bg
+              FROM tw),
+        tcnt AS (SELECT bg, COUNT(*) AS cab FROM tb GROUP BY bg),
+        tfst AS (SELECT split_part(bg, ' ', 1) AS a, CAST(SUM(cab) AS BIGINT) AS ca
+                FROM tcnt GROUP BY 1),
+        tlm AS (SELECT tcnt.bg, CAST(FLOOR(tcnt.cab * 1000000 / tfst.ca) AS BIGINT) AS scaled
+               FROM tcnt JOIN tfst ON split_part(tcnt.bg, ' ', 1) = tfst.a),
+        rw AS (SELECT doc_id, lang, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+              FROM documents WHERE lang <> 'en'),
+        rb AS (SELECT UNNEST(CASE WHEN len(ws) < 2 THEN []
+                ELSE list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+                END) AS bg
+              FROM rw),
+        rcnt AS (SELECT bg, COUNT(*) AS cab FROM rb GROUP BY bg),
+        rfst AS (SELECT split_part(bg, ' ', 1) AS a, CAST(SUM(cab) AS BIGINT) AS ca
+                FROM rcnt GROUP BY 1),
+        rlm AS (SELECT rcnt.bg, CAST(FLOOR(rcnt.cab * 1000000 / rfst.ca) AS BIGINT) AS scaled
+               FROM rcnt JOIN rfst ON split_part(rcnt.bg, ' ', 1) = rfst.a),
+        occ AS (SELECT doc_id, lang, UNNEST(CASE WHEN len(ws) < 2 THEN []
+                ELSE list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+                END) AS bg
+              FROM rw),
+        sc AS (SELECT occ.doc_id, occ.lang,
+                COALESCE(tlm.scaled, 1) AS st, COALESCE(rlm.scaled, 1) AS sr
+              FROM occ LEFT JOIN tlm ON occ.bg = tlm.bg
+                       LEFT JOIN rlm ON occ.bg = rlm.bg),
+        d AS (SELECT doc_id, lang, COUNT(*) AS n_bigrams,
+                CAST(FLOOR(SUM(st) / COUNT(*)) AS BIGINT) AS mean_t,
+                CAST(FLOOR(SUM(sr) / COUNT(*)) AS BIGINT) AS mean_r
+              FROM sc GROUP BY doc_id, lang)
+        SELECT doc_id, lang, n_bigrams, mean_t, mean_r,
+          mean_t - mean_r AS weight_ppm
+        FROM d ORDER BY weight_ppm DESC, doc_id LIMIT 50"""))
   )
 }
 

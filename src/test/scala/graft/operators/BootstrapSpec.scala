@@ -119,4 +119,27 @@ class BootstrapSpec extends SparkSpec {
       "id", "x", "src", "a", "b").head()
     assert(rep == d)
   }
+
+  test("pairedDeltaCi: constant diff collapses exactly; pairing beats independent resampling on correlated metrics") {
+    // xa = xb + 7 on every row: a paired bootstrap sees a CONSTANT diff
+    // — zero-width CI at exactly 7e6 — however noisy the shared level is
+    val paired = spark.range(2000).select(col("id"),
+      (col("id") % 97 + 7L).as("xa"), (col("id") % 97).as("xb"))
+    val c = Bootstrap.pairedDeltaCi(paired, "id", "xa", "xb").head()
+    assert(c.getAs[Long]("n_rows") == 2000L)
+    assert(c.getAs[Long]("delta_ppm") == 7000000L)
+    assert(c.getAs[Long]("ci_lo_ppm") == 7000000L
+      && c.getAs[Long]("ci_hi_ppm") == 7000000L)
+    assert(c.getAs[Long]("mean_a_ppm") - c.getAs[Long]("mean_b_ppm") == 7000000L)
+    // the same two metrics fed through the UNPAIRED two-slice form (rows
+    // duplicated into slices) must give a strictly wider interval — the
+    // design decision the named wrapper exists for, demonstrated
+    val asSlices = paired.select(col("id"), col("xa").as("x"), lit("a").as("src"))
+      .union(paired.select(col("id") + 10000L, col("xb"), lit("b")))
+    val u = Bootstrap.deltaCi(asSlices, "id", "x", "src", "a", "b").head()
+    assert(u.getAs[Long]("ci_hi_ppm") - u.getAs[Long]("ci_lo_ppm") > 0L)
+    // repartition-invariant (pure (i,b)-hash resamples)
+    val rep = Bootstrap.pairedDeltaCi(paired.repartition(13), "id", "xa", "xb").head()
+    assert(rep == c)
+  }
 }

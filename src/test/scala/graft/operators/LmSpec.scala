@@ -87,6 +87,46 @@ class LmSpec extends SparkSpec {
       thr.toSeq, "threshold fit must be sample- and partitioning-deterministic")
   }
 
+  test("gateDriftReport: in-distribution crawl keeps the gate; a drifted crawl trips refit") {
+    // ref corpus with four DISTINCT per-doc means so the stored
+    // thresholds are real quantiles: LM over all four docs gives
+    // scaled(a b)=571428 (4/7 of a·), scaled(a c)=428571, b a / c a /
+    // z z = 1e6; doc means 742856 / 666666 / 619047 / 1000000 → stored
+    // head_min = 742856 (q75), mid_min = 619047 (q25).
+    val ref = Seq(
+      (1L, "a b a b a b"), (2L, "a b a c"),
+      (3L, "a c a c"), (4L, "z z")
+    ).toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft-lm-drift").toString
+    Lm.fitAndStoreGate(ref, root)
+    val stored = spark.read.parquet(s"$root/thresholds").head()
+    assert(stored.getAs[Long]("head_min") == 742856L
+      && stored.getAs[Long]("mid_min") == 619047L)
+    // crawl == the reference distribution: crawl quantiles land exactly
+    // on the stored pair, moves are 0, the gate keeps
+    val same = Lm.gateDriftReport(spark, ref, root).head()
+    assert(same.getAs[Long]("n_docs") == 4L)
+    assert(same.getAs[Long]("crawl_head_q") == 742856L
+      && same.getAs[Long]("crawl_mid_q") == 619047L)
+    assert(same.getAs[Long]("head_move_ppm") == 0L
+      && same.getAs[Long]("mid_move_ppm") == 0L)
+    assert(!same.getAs[Boolean]("refit"))
+    // shares: head = docs 1,4 (means >= 742856), mid = docs 2,3, tail 0
+    assert(same.getAs[Long]("head_share_ppm") == 500000L
+      && same.getAs[Long]("mid_share_ppm") == 500000L
+      && same.getAs[Long]("tail_share_ppm") == 0L)
+    // an all-OOV crawl scores flat (mean 1 everywhere) → the crawl fit
+    // degenerates to the (2,1) fallback → relative move ~100% → refit
+    val drifted = Seq((9L, "q r q r"), (10L, "s t s t")).toDF("doc_id", "text")
+    val d = Lm.gateDriftReport(spark, drifted, root).head()
+    assert(d.getAs[Long]("crawl_head_q") == 2L && d.getAs[Long]("crawl_mid_q") == 1L)
+    assert(d.getAs[Boolean]("refit"))
+    assert(d.getAs[Long]("tail_share_ppm") == 1000000L)
+    intercept[IllegalArgumentException] {
+      Lm.gateDriftReport(spark, ref, root, tolPpm = 0L)
+    }
+  }
+
   test("scoring is engine-deterministic: identical across partitionings") {
     val docs = spark.range(200).select(col("id").as("doc_id"),
       concat_ws(" ", lit("a"), lit("b"),
