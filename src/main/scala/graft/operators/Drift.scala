@@ -106,9 +106,37 @@ object Drift {
       catCol: String,
       groupCol: String,
       driftMillionths: Long = 20000L
-  ): DataFrame = {
-    val r = ref.groupBy(col(catCol).as("cat"))
+  ): DataFrame =
+    categoricalDriftAgainst(categoricalReference(ref, catCol),
+      cur, catCol, groupCol, driftMillionths)
+
+  /** The reference half of [[categoricalDrift]] as a separable (and
+    * storable) artifact: the `(cat, r)` count table — |categories| rows,
+    * KB-scale by definition. Persist once ([[writeCategoricalReference]]),
+    * score every later batch against it without rescanning the reference
+    * — the quantile gate's stored-sketch contract for the categorical
+    * axis. */
+  def categoricalReference(ref: DataFrame, catCol: String): DataFrame =
+    ref.groupBy(col(catCol).as("cat"))
       .agg(count(lit(1)).as("r"))
+
+  /** Persist the reference category distribution at `path`. */
+  def writeCategoricalReference(
+      ref: DataFrame, catCol: String, path: String): Unit =
+    categoricalReference(ref, catCol)
+      .coalesce(1).write.mode("overwrite").parquet(path)
+
+  /** [[categoricalDrift]] against a prebuilt `(cat, r)` reference table
+    * (in-memory or read back from [[writeCategoricalReference]]'s
+    * artifact) — the steady-state scoring path; identical arithmetic. */
+  def categoricalDriftAgainst(
+      refCounts: DataFrame,
+      cur: DataFrame,
+      catCol: String,
+      groupCol: String,
+      driftMillionths: Long = 20000L
+  ): DataFrame = {
+    val r = refCounts
     val rt = r.agg(sum(col("r")).as("nr"))
     val c = cur.groupBy(col(groupCol).as("g"), col(catCol).as("cat"))
       .agg(count(lit(1)).as("o"))

@@ -3936,6 +3936,58 @@ object Advanced {
       Some("""SELECT o_orderkey,
         o_orderstatus AS status_field,
         to_json({'status': o_orderstatus, 'pri': o_orderpriority}) AS meta_json
-        FROM orders"""))
+        FROM orders""")),
+
+    GQ("ts01_ewma_spike", // EWMA-smoothed daily event volume per type
+      // with spike flags (`operators/Smoothing` — Hunter 1986's EWMA
+      // control chart, the operational "is today anomalous" baseline
+      // beside x19/x26's whole-distribution gates). EWMA is a sequential
+      // recurrence, not a window aggregate: the corpus reduces map-side
+      // to the (type, day) cell table first (the ONLY corpus-scale
+      // work), each type's calendar-bounded series folds scan-locally
+      // via the aggregate HOF in integer fixed point — e_t = (x_t·α +
+      // e_{t−1}·(1−α)) DIV 1e6 millionths, e_0 = x_0 — so every step
+      // hash-replays and the oracle unrolls the same recurrence with a
+      // recursive CTE (pk01's replay discipline). Spike = the 2σ Poisson
+      // control band around the PRIOR day's smoothed level — integer
+      // form (x − e)² > 4·e, which scales the alarm width with √level
+      // (a fixed RATIO threshold goes silently vacuous as volume grows:
+      // relative noise shrinks ∝ 1/√n — measured 66 trips at sf0.001 vs
+      // 0 at sf0.1 for a 1.2× rule; the σ-scaled band trips both ways
+      // at every SF). Lag, not current ewma, so a spike can't mask
+      // itself through its own contribution; first days coalesce to
+      // false — no baseline, no evidence.
+      (s, dir) => {
+        val cells = Tables.events(s, dir)
+          .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
+          .agg(count(lit(1)).as("n_events"))
+        val sm = graft.operators.Ewma.smooth(
+          cells, "event_type", "d", "n_events", alphaPpm = 250000L)
+        val w = Window.partitionBy("event_type").orderBy("d")
+        val pe = lag(col("ewma"), 1).over(w)
+        sm.withColumn("spike",
+          coalesce((col("n_events") - pe) * (col("n_events") - pe)
+            > lit(4L) * pe, lit(false)))
+      },
+      Some("""WITH RECURSIVE c AS (SELECT event_type,
+            CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS d,
+            CAST(COUNT(*) AS BIGINT) AS x
+          FROM events GROUP BY 1, 2),
+        idx AS (SELECT event_type, d, x,
+            CAST(row_number() OVER (PARTITION BY event_type ORDER BY d) AS BIGINT) AS i
+          FROM c),
+        rec AS (
+          SELECT event_type, d, x, i, x AS ewma FROM idx WHERE i = 1
+          UNION ALL
+          SELECT idx.event_type, idx.d, idx.x, idx.i,
+            (idx.x * 250000 + rec.ewma * 750000) // 1000000 AS ewma
+          FROM idx JOIN rec
+            ON idx.event_type = rec.event_type AND idx.i = rec.i + 1),
+        lagd AS (SELECT event_type, d, x, ewma,
+            lag(ewma) OVER (PARTITION BY event_type ORDER BY d) AS pe
+          FROM rec)
+        SELECT event_type, d, x AS n_events, ewma,
+          COALESCE((x - pe) * (x - pe) > 4 * pe, FALSE) AS spike
+        FROM lagd"""))
   )
 }

@@ -429,6 +429,36 @@ object Streaming {
     }
   }
 
+  /** Continuous CATEGORICAL-drift gating — [[quantileDriftStream]]'s
+    * sibling for label/language/priority columns, closing the stored-
+    * artifact candidate x26's scaladoc states: the reference category
+    * distribution is persisted ONCE
+    * ([[graft.operators.Drift.writeCategoricalReference]], a
+    * |categories|-row KB table), loaded once at stream start, and every
+    * micro-batch's per-group TVD verdict is computed against it by
+    * [[graft.operators.Drift.categoricalDriftAgainst]] — the reference
+    * is never rescanned and there is no cross-batch state (each batch
+    * is its own distribution; TVD is not batch-decomposable, so the
+    * semantics ARE per-batch by design — the verdict answers "did THIS
+    * batch drift", which is the admission question). Stateless
+    * foreachBatch: batch-mode and stream-mode verdicts for the same
+    * rows are identical, spec-asserted. */
+  def categoricalDriftStream(
+      curStream: DataFrame,
+      referencePath: String,
+      catCol: String,
+      groupCol: String,
+      driftMillionths: Long = 20000L,
+      trigger: Trigger = Trigger.AvailableNow())(
+      onVerdicts: (DataFrame, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] = {
+    val refCounts = curStream.sparkSession.read.parquet(referencePath)
+    curStream.writeStream.trigger(trigger).foreachBatch {
+      (batch: DataFrame, id: Long) =>
+        onVerdicts(graft.operators.Drift.categoricalDriftAgainst(
+          refCounts, batch, catCol, groupCol, driftMillionths), id)
+    }
+  }
+
   /** Custom per-key running state via mapGroupsWithState: running count +
     * sum per key. NOTE: mapGroupsWithState/flatMapGroupsWithState are the
     * legacy arbitrary-state API — [[runningStatsTws]] is the

@@ -366,6 +366,39 @@ class StreamingSpec extends SparkSpec {
       .select("drifted").as[Boolean].collect().forall(identity))
   }
 
+  test("categorical drift stream gates batches against the stored reference distribution") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_catdrift").toString
+    val ref = (Seq.fill(50)("a") ++ Seq.fill(50)("b")).toDF("cat")
+    graft.operators.Drift.writeCategoricalReference(ref, "cat", s"$dir/ref")
+    val inDist = (0 until 25).flatMap(_ => Seq(("g1", "a"), ("g1", "b")))
+    val skew = (0 until 50).map(_ => ("g1", "a")) // all mass on 'a' → TVD ½
+    val mem = MemoryStream[(String, String)]
+    val verdicts =
+      scala.collection.mutable.Map.empty[Long, Map[String, (Long, Boolean)]]
+    val q = Streaming.categoricalDriftStream(mem.toDF().toDF("grp", "cat"),
+      s"$dir/ref", "cat", "grp", driftMillionths = 100000L,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L)) {
+      (res, id) =>
+        verdicts(id) = res.select("grp", "tvd_millionths", "drifted")
+          .collect()
+          .map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    }.start()
+    try {
+      mem.addData(inDist: _*); q.processAllAvailable()
+      mem.addData(skew: _*); q.processAllAvailable()
+    } finally q.stop()
+    // batch 0 matches the reference mix exactly; batch 1 moved half its mass
+    assert(verdicts(0L) == Map("g1" -> ((0L, false))))
+    assert(verdicts(1L) == Map("g1" -> ((500000L, true))))
+    // stateless foreachBatch ⇒ batch-mode parity on the same rows
+    val bat = graft.operators.Drift.categoricalDrift(ref,
+        skew.toDF("grp", "cat"), "cat", "grp", 100000L)
+      .select("grp", "tvd_millionths", "drifted").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(bat == verdicts(1L))
+  }
+
   test("empty / all-null drift batch yields an explicit false verdict, never NULL") {
     // an empty micro-batch has no quantiles: batch_q is NULL, and before
     // the coalesce the verdict was NULL too — a `drifted == true` consumer
