@@ -634,6 +634,23 @@ object ScaleSmoke {
       println(f"[scale] exact ppjoin (t=0.8) over $quarter%d docs: $nP%d pairs " +
         f"in ${(System.nanoTime() - t4) / 1e9}%.1fs")
     }
+    // DSIR selection (ds01/r12): both models vocabulary-bounded, fit on
+    // fixed slices; weighting `rows` docs is one bigram explode with TWO
+    // broadcast left joins resolved in the same pass + a top-k heap —
+    // linear in target bigrams, like the one-model gate above.
+    locally {
+      val split = graft.expressions.PolyHash(
+        concat(lit("dsir|"), col("doc_id").cast("string"))) % 100
+      val tLm = graft.operators.Lm.fitBigram(
+        docs.filter(split < 2).select(col("text")))
+      val rLm = graft.operators.Lm.fitBigram(
+        docs.filter(split >= 2 && split < 4).select(col("text")))
+      time(s"DSIR two-model weighting over $rows docs (top-100 checksum)")(
+        graft.operators.Dsir.selectTopK(
+            graft.operators.Dsir.importanceWeights(
+              docs.filter(split >= 4), tLm, rLm), 100)
+          .agg(sum(col("weight_ppm"))).head().getLong(0))
+    }
     spark.stop()
   }
 }

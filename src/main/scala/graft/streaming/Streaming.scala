@@ -839,6 +839,100 @@ object Streaming {
     true
   }
 
+  /** STREAM-MAINTAINED EWMA state — ts01's control chart as a continuously
+    * updated artifact (`path/state`: one row per key, (k, last_t, ewma)).
+    * Each micro-batch of (key, t, x) CELLS folds into the stored level with
+    * the same integer fixed-point recurrence as
+    * [[graft.operators.Ewma.smooth]], seeded per key by the stored ewma, so
+    * stored-state-after-any-prefix ≡ the batch fold over the delivered
+    * cells (spec-pinned across uneven batch boundaries) — PROVIDED cells
+    * arrive in per-key time order, which is the contract: a cell at or
+    * before the stored `last_t` is LATE by the artifact's own clock and is
+    * dropped (watermark semantics re-expressed against stored state; an
+    * EWMA is order-defined, so retro-inserting a day would require
+    * refolding history — rebuild from the cell table if that happens,
+    * stated). Replay is guarded by the last-batch-id stamp (ppsSampleSink's
+    * idempotent-foreachBatch recipe): a crash-replayed committed batch is
+    * recognized and skipped whole, so no cell ever double-folds. Everything
+    * is |keys|-scale — the corpus-scale reduction to cells happens
+    * upstream. */
+  def ewmaSink(
+      cells: DataFrame,
+      path: String,
+      keyCol: String,
+      tCol: String,
+      xCol: String,
+      alphaPpm: Long = 250000L,
+      trigger: Trigger = Trigger.AvailableNow()
+  ): DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(alphaPpm > 0 && alphaPpm < 1000000L,
+      s"alphaPpm must be in (0, 1e6), got $alphaPpm")
+    cells.writeStream.trigger(trigger).foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        applyEwmaBatch(batch, path, keyCol, tCol, xCol, alphaPpm, batchId)
+        ()
+    }
+  }
+
+  /** One micro-batch of [[ewmaSink]], factored out so replay and
+    * late-cell semantics are directly testable. Returns true when the
+    * batch was applied, false when recognized as already-committed. */
+  private[graft] def applyEwmaBatch(
+      batch: DataFrame, path: String, keyCol: String, tCol: String,
+      xCol: String, alphaPpm: Long, batchId: Long): Boolean = {
+    import org.apache.spark.sql.functions._
+    val spark = batch.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val statePath = s"$path/state"
+    val statsPath = s"$path/stats"
+    val lastId =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(statsPath))) -1L
+      else spark.read.parquet(statsPath).head().getAs[Long]("last_batch_id")
+    if (batchId <= lastId) return false // replay of a committed batch
+    val beta = 1000000L - alphaPpm
+    val newCells = batch
+      .select(col(keyCol).as("k"), col(tCol).as("t"), col(xCol).cast("long").as("x"))
+      .groupBy("k", "t").agg(sum(col("x")).as("x"))
+    val hasState = fs.exists(new org.apache.hadoop.fs.Path(statePath))
+    val st =
+      if (hasState) spark.read.parquet(statePath)
+      // typed empty frame: borrow the cell schema so k/t types always match
+      else newCells.select(col("k"), col("t").as("last_t"),
+        col("x").as("ewma")).limit(0)
+    val fresh = newCells.join(st, Seq("k"), "left")
+      // late by the artifact's clock → dropped, stated in the scaladoc
+      .filter(col("last_t").isNull || col("t") > col("last_t"))
+    val folded = fresh
+      .groupBy(col("k"), col("ewma").as("seed")) // seed constant per key
+      .agg(sort_array(collect_list(struct(col("t"), col("x")))).as("s"))
+      .select(col("k"),
+        expr("element_at(s, -1).t").as("last_t"),
+        expr(
+          s"""element_at(aggregate(transform(s, e -> e.x),
+             CASE WHEN seed IS NULL THEN CAST(array() AS ARRAY<BIGINT>)
+                  ELSE array(seed) END,
+             (acc, x) -> concat(acc, array(CASE WHEN size(acc) = 0 THEN x
+               ELSE (x * ${alphaPpm}L + element_at(acc, -1) * ${beta}L) DIV 1000000L
+               END))), -1)""").as("ewma"))
+    // keys untouched this batch (no cells, or only late cells) carry over
+    val newState = st.join(folded.select("k"), Seq("k"), "left_anti")
+      .unionByName(folded)
+      .localCheckpoint(true) // materialize before overwriting its source
+    newState.coalesce(1).write.mode("overwrite").parquet(statePath)
+    import spark.implicits._
+    Seq(batchId).toDF("last_batch_id")
+      .coalesce(1).write.mode("overwrite").parquet(statsPath)
+    true
+  }
+
+  /** The read path of the [[ewmaSink]] artifact: current per-key smoothed
+    * level — the |keys|-row table an alerting job joins today's volume
+    * against. */
+  def storedEwmaState(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/state")
+
   /** The weighted read path of the [[ppsSampleSink]] artifact: the stored
     * bottom-k rows with Horvitz–Thompson weights derived from the stored
     * running token total — identical columns to `Curation.ppsSample`. */

@@ -399,6 +399,37 @@ class StreamingSpec extends SparkSpec {
     assert(bat == verdicts(1L))
   }
 
+  test("ewma sink: state equals the batch fold at every prefix; replay and late cells no-op") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ewma").toString
+    def cells(rows: (String, Int, Long)*) = rows.toDF("k", "t", "x")
+    def state() = Streaming.storedEwmaState(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    // batch 0: SmoothingSpec's hand series, first half
+    val b0 = cells(("A", 1, 100L), ("A", 2, 200L), ("B", 1, 7L))
+    val b1 = cells(("A", 3, 0L), ("A", 4, 400L), ("B", 2, 7L), ("C", 1, 50L))
+    assert(Streaming.applyEwmaBatch(b0, dir, "k", "t", "x", 250000L, 0L))
+    assert(state() == Map("A" -> ((2, 125L)), "B" -> ((1, 7L))))
+    // batch 1 seeds each key from the stored level (A: 125 → 93 → 169),
+    // a brand-new key starts fresh (C), constants stay fixed points (B)
+    assert(Streaming.applyEwmaBatch(b1, dir, "k", "t", "x", 250000L, 1L))
+    val s1 = state()
+    assert(s1 == Map("A" -> ((4, 169L)), "B" -> ((2, 7L)), "C" -> ((1, 50L))))
+    // convergence: stored state == the one-shot batch fold's last row/key
+    val oneShot = graft.operators.Ewma.smooth(b0.union(b1), "k", "t", "x")
+      .groupBy("k").agg(max(struct(col("t"), col("ewma"))).as("m"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getStruct(1).getInt(0), r.getStruct(1).getLong(1)))).toMap
+    assert(oneShot == s1)
+    // crash-replay of a committed batch: recognized, skipped whole
+    assert(!Streaming.applyEwmaBatch(b1, dir, "k", "t", "x", 250000L, 1L))
+    assert(state() == s1)
+    // a late cell (A's day 2 redelivered, mutated) is behind the stored
+    // clock → dropped; the batch still commits and other keys are intact
+    assert(Streaming.applyEwmaBatch(cells(("A", 2, 999L)), dir, "k", "t", "x",
+      250000L, 2L))
+    assert(state() == s1)
+  }
+
   test("empty / all-null drift batch yields an explicit false verdict, never NULL") {
     // an empty micro-batch has no quantiles: batch_q is NULL, and before
     // the coalesce the verdict was NULL too — a `drifted == true` consumer
