@@ -251,13 +251,13 @@ object Bootstrap {
     * ci_hi_ppm); a CI excluding 0 is the verdict.
     *
     * Division contract, stated: per-replica means ride [[meanCi]]'s
-    * integral DIV, which TRUNCATES toward zero — DuckDB's `//` FLOORS,
-    * so the two agree only while each replica's weighted diff sum is
-    * ≥ 0. Orient the pair so a−b is non-negative by construction (the
-    * shipped query measures bytes REMOVED by a scrub) or replay
-    * truncating division explicitly in the oracle; a mixed-sign metric
-    * that straddles 0 replica-by-replica is the one shape this wrapper
-    * does not hash-replay as-is. */
+    * integral DIV, which truncates toward zero — DuckDB's `//` does
+    * too (verified: -7 // 2 = -3), so negative replica sums replay
+    * exactly; only an oracle written with floor-semantics division
+    * (e.g. FLOOR(a / b) over floats) would diverge on negatives. The
+    * shipped query orients the pair non-negative anyway (bytes REMOVED
+    * by a scrub) — the less sign-trapped framing, not a correctness
+    * requirement. */
   def pairedDeltaCi(
       rows: DataFrame,
       idCol: String,

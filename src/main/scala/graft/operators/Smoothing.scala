@@ -69,3 +69,112 @@ object Ewma {
         col("x").as(xCol), col("ewma"))
   }
 }
+
+/** Theil–Sen robust trend estimation (Theil 1950, Sen 1968) — the TREND
+  * member of the time-series monitoring family ([[Ewma]] watches the
+  * level; this asks "is the series drifting, robustly"): the median of
+  * all pairwise slopes, a 29%-breakdown estimator where the OLS slope
+  * is dragged by a single outlier day. Integer-exact: slope_ppm =
+  * (x_j − x_i)·1e6 DIV (t_j − t_i) on an integral time index (both
+  * engines' integral division truncates toward zero — verified, so
+  * negative slopes replay), and the median is percentile_disc's exact
+  * order statistic.
+  *
+  * 100 TB shape: the corpus reduces map-side to (key, t, x) cells first
+  * (the caller's aggregate); the pairwise self-join runs on the
+  * calendar-bounded cell table — |period|² per key of PLANNER-scale
+  * rows (30 days → 435 slope rows/key), never anything corpus-sized.
+  */
+object Trend {
+
+  /** Median pairwise slope per key. `tCol` must be integral (day index,
+    * epoch day — datediff upstream); one row per key:
+    * (keyCol, n_points, n_pairs, slope_ppm). Keys with a single point
+    * have no slope and are excluded, stated. */
+  def theilSen(
+      cells: DataFrame,
+      keyCol: String,
+      tCol: String,
+      xCol: String
+  ): DataFrame = {
+    val c = cells.select(col(keyCol).as("k"),
+      col(tCol).cast("long").as("t"), col(xCol).cast("long").as("x"))
+    val a = c.select(col("k"), col("t").as("ta"), col("x").as("xa"))
+    val b = c.select(col("k"), col("t").as("tb"), col("x").as("xb"))
+    a.join(b, Seq("k")).filter(col("ta") < col("tb"))
+      .select(col("k"),
+        expr("((xb - xa) * 1000000L) DIV (tb - ta)").as("sl"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY sl) AS BIGINT)")
+          .as("slope_ppm"))
+      .join(c.groupBy("k").agg(count(lit(1)).as("n_points")), "k")
+      .select(col("k").as(keyCol), col("n_points"), col("n_pairs"),
+        col("slope_ppm"))
+  }
+}
+
+/** One-sided upper CUSUM change-point chart (Page 1954) — the SHIFT
+  * member of the monitoring family: where [[Ewma]]'s band flags single
+  * anomalous days, CUSUM accumulates small SUSTAINED shifts until they
+  * cross a decision interval — the textbook detector for "volume crept
+  * up 1σ and stayed there", which a per-day band rarely trips on.
+  *
+  * Poisson-parameterized from the series itself: reference target =
+  * the key's own discrete median m (exact percentile_disc), allowance
+  * = ½σ with σ = isqrt(m) (Poisson), decision interval h = L·σ. The ½
+  * is kept integral by running the statistic in DOUBLED units:
+  * s2_t = max(0, s2_{t−1} + 2·x_t − (2m + isqrt(m))), alarm when
+  * s2 > 2·L·isqrt(m). isqrt is floor(sqrt(m)) — one IEEE-754 sqrt,
+  * correctly rounded by spec on both engines (d46's precedent) — so
+  * the whole chart replays bit-for-bit; the recurrence folds with the
+  * same aggregate-HOF machinery as [[Ewma]] and unrolls in the oracle
+  * as a recursive CTE. Same 100 TB shape: cells first, |keys|·|period|
+  * planner-scale everything after.
+  */
+object Cusum {
+
+  /** @param reference the IN-CONTROL window the target/allowance/interval
+    *        are fit on (proper chart usage: parameterize on a period known
+    *        healthy, monitor everything after) — defaults to `cells`
+    *        itself, the self-calibrating form whose median is robust to a
+    *        minority of shifted points. Keys absent from the reference
+    *        have no parameters and are excluded (no baseline, no
+    *        verdict — stated).
+    * @return one row per cell: (keyCol, tCol, xCol, cusum2 — the doubled
+    *         statistic, h2 — the doubled decision interval, alarm). */
+  def poissonUpper(
+      cells: DataFrame,
+      keyCol: String,
+      tCol: String,
+      xCol: String,
+      l: Int = 4,
+      reference: Option[DataFrame] = None
+  ): DataFrame = {
+    require(l >= 1, s"decision-interval multiplier l must be >= 1, got $l")
+    val c = cells.select(col(keyCol).as("k"), col(tCol).as("t"),
+      col(xCol).cast("long").as("x"))
+    val refC = reference.fold(c)(r => r.select(col(keyCol).as("k"),
+      col(tCol).as("t"), col(xCol).cast("long").as("x")))
+    val params = refC.groupBy("k")
+      .agg(expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY x) AS BIGINT)")
+        .as("med"))
+      .select(col("k"),
+        expr("2L * med + CAST(floor(sqrt(med)) AS BIGINT)").as("k2"),
+        expr(s"2L * ${l}L * CAST(floor(sqrt(med)) AS BIGINT)").as("h2"))
+    val packed = c.join(params, "k") // |keys|-row broadcast side
+      .groupBy(col("k"), col("k2"), col("h2"))
+      .agg(sort_array(collect_list(struct(col("t"), col("x")))).as("s"))
+    packed
+      .withColumn("cs", expr(
+        """aggregate(transform(s, e -> e.x), CAST(array() AS ARRAY<BIGINT>),
+           (acc, x) -> concat(acc, array(greatest(0L,
+             CASE WHEN size(acc) = 0 THEN 0L ELSE element_at(acc, -1) END
+               + 2L * x - k2))))"""))
+      .select(col("k"), col("h2"), expr(
+        "inline(zip_with(s, cs, (e, c) -> struct(e.t AS t, e.x AS x, c AS cusum2)))"))
+      .select(col("k").as(keyCol), col("t").as(tCol), col("x").as(xCol),
+        col("cusum2"), col("h2"),
+        (col("cusum2") > col("h2")).as("alarm"))
+  }
+}

@@ -3989,5 +3989,110 @@ object Advanced {
         SELECT event_type, d, x AS n_events, ewma,
           COALESCE((x - pe) * (x - pe) > 4 * pe, FALSE) AS spike
         FROM lagd"""))
+  ,
+
+    GQ("ts02_theilsen_trend", // Theil–Sen robust trend per event type
+      // (`operators/Smoothing.Trend` — Theil 1950 / Sen 1968): the
+      // median of all pairwise slopes of the daily-volume series, a
+      // 29%-breakdown estimator where OLS is dragged by one outlier
+      // day. The TREND member of the monitoring family (ts01 watches
+      // the level, ts03 sustained shifts). Integer-exact: slope_ppm =
+      // (x_j−x_i)·1e6 DIV (t_j−t_i) over an integral day index — both
+      // engines' integral division truncates toward zero (verified),
+      // so NEGATIVE slopes replay — and the median is percentile_disc's
+      // exact order statistic. The pairwise self-join runs on the
+      // calendar-bounded CELL table (30 days → 435 slope rows per key,
+      // planner-scale); the corpus reduced map-side first.
+      (s, dir) => {
+        val cells = Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            datediff(date_trunc("day", col("ts")),
+              lit("2024-01-01").cast("date")).as("d"))
+          .agg(count(lit(1)).as("x"))
+        graft.operators.Trend.theilSen(cells, "event_type", "d", "x")
+      },
+      Some("""WITH c AS (SELECT event_type,
+            CAST(date_diff('day', DATE '2024-01-01',
+              CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS BIGINT) AS d,
+            CAST(COUNT(*) AS BIGINT) AS x
+          FROM events GROUP BY 1, 2),
+        p AS (SELECT a.event_type,
+            ((b.x - a.x) * 1000000) // (b.d - a.d) AS sl
+          FROM c a JOIN c b ON a.event_type = b.event_type AND a.d < b.d),
+        med AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+            CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY sl) AS BIGINT)
+              AS slope_ppm
+          FROM p GROUP BY 1),
+        np AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_points
+          FROM c GROUP BY 1)
+        SELECT med.event_type, n_points, n_pairs, slope_ppm
+        FROM med JOIN np ON med.event_type = np.event_type""")),
+
+    GQ("ts03_cusum_shift", // one-sided upper CUSUM change-point chart
+      // (`operators/Smoothing.Cusum`, Page 1954): accumulates small
+      // SUSTAINED level shifts until they cross the decision interval —
+      // the detector for "volume crept up 1σ and stayed", which ts01's
+      // per-day band rarely trips on. Parameters fit on the IN-CONTROL
+      // reference window (days before Jan 22 — proper chart usage);
+      // target = the key's discrete median, allowance ½σ (kept integral
+      // by running the statistic in DOUBLED units), interval 4σ, σ =
+      // isqrt(median) (Poisson; one correctly-rounded IEEE sqrt, d46's
+      // precedent). The corpus carries no real level shift (measured:
+      // zero alarms at sf0.01/0.1 under these parameters — the series
+      // IS in control), so the query injects a DETERMINISTIC 1σ shift
+      // onto click's last 9 days (d14's injection discipline, replayed
+      // by the oracle) and the chart detects it: first alarm Jan 27 at
+      // sf0.01, Jan 23 at sf0.1 — detection lag shrinking with volume,
+      // exactly the CUSUM promise. All integer ⇒ every s2 value
+      // hash-replays; oracle unrolls the recurrence recursively.
+      (s, dir) => {
+        val cells0 = Tables.events(s, dir)
+          .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
+          .agg(count(lit(1)).as("x"))
+        val med0 = cells0.groupBy("event_type")
+          .agg(expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY x) AS BIGINT)")
+            .as("med"))
+        val shifted = cells0.join(broadcast(med0), "event_type")
+          .select(col("event_type"), col("d"),
+            (col("x") + when(col("event_type") === "click"
+                && col("d") >= lit("2024-01-22").cast("timestamp"),
+              expr("CAST(floor(sqrt(med)) AS BIGINT)")).otherwise(0L)).as("x"))
+        graft.operators.Cusum.poissonUpper(
+          shifted, "event_type", "d", "x", l = 4,
+          reference = Some(shifted.filter(
+            col("d") < lit("2024-01-22").cast("timestamp"))))
+      },
+      Some("""WITH RECURSIVE c0 AS (SELECT event_type,
+            CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS d,
+            CAST(COUNT(*) AS BIGINT) AS x
+          FROM events GROUP BY 1, 2),
+        m0 AS (SELECT event_type,
+            CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY x) AS BIGINT) AS med
+          FROM c0 GROUP BY 1),
+        c AS (SELECT c0.event_type, d,
+            x + CASE WHEN c0.event_type = 'click' AND d >= TIMESTAMP '2024-01-22'
+              THEN CAST(floor(sqrt(med)) AS BIGINT) ELSE 0 END AS x
+          FROM c0 JOIN m0 USING (event_type)),
+        m AS (SELECT event_type,
+            CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY x) AS BIGINT) AS med
+          FROM c WHERE d < TIMESTAMP '2024-01-22' GROUP BY 1),
+        m2 AS (SELECT event_type,
+            2 * med + CAST(floor(sqrt(med)) AS BIGINT) AS k2,
+            2 * 4 * CAST(floor(sqrt(med)) AS BIGINT) AS h2
+          FROM m),
+        idx AS (SELECT c.event_type, d, x, k2, h2,
+            CAST(row_number() OVER (PARTITION BY c.event_type ORDER BY d) AS BIGINT) AS i
+          FROM c JOIN m2 USING (event_type)),
+        rec AS (
+          SELECT event_type, d, x, k2, h2, i,
+            greatest(CAST(0 AS BIGINT), 2 * x - k2) AS s2
+          FROM idx WHERE i = 1
+          UNION ALL
+          SELECT idx.event_type, idx.d, idx.x, idx.k2, idx.h2, idx.i,
+            greatest(CAST(0 AS BIGINT), rec.s2 + 2 * idx.x - idx.k2)
+          FROM idx JOIN rec
+            ON idx.event_type = rec.event_type AND idx.i = rec.i + 1)
+        SELECT event_type, d, x, s2 AS cusum2, h2, s2 > h2 AS alarm
+        FROM rec"""))
   )
 }

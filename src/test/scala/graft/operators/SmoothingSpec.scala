@@ -32,6 +32,51 @@ class SmoothingSpec extends SparkSpec {
     }
   }
 
+  test("theilSen: exact median slope, truncating negative division, singles excluded") {
+    // slopes of (1,1)(2,3)(3,2)(4,10): 2e6, 5e5, 3e6, -1e6, 35e5, 8e6 →
+    // sorted -1e6, 5e5, 2e6, 3e6, 3.5e6, 8e6; percentile_disc(0.5) over 6
+    // values = the 3rd = 2e6
+    val series = Seq(("A", 1, 1L), ("A", 2, 3L), ("A", 3, 2L), ("A", 4, 10L),
+      ("S", 9, 5L)) // single point: no pairs, excluded
+      .toDF("k", "t", "x")
+    val out = Trend.theilSen(series, "k", "t", "x").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out.keySet == Set("A"))
+    assert(out("A") == ((4L, 6L, 2000000L)))
+    // a falling series: -7e6 over 3 steps = -2333333.33… and BOTH engines'
+    // integral division truncates toward zero → -2333333, not the floor
+    val neg = Seq(("B", 1, 7L), ("B", 4, 0L)).toDF("k", "t", "x")
+    assert(Trend.theilSen(neg, "k", "t", "x").head().getAs[Long]("slope_ppm")
+      == -2333333L)
+  }
+
+  test("poissonUpper: hand recurrence, alarm at the decision interval, reference-window params") {
+    // med = 4 (percentile_disc over 4,4,4,9,9,9), isqrt = 2, k2 = 10,
+    // h2 = 16; s2 walks 0,0,0,8,16,24 — only the last crosses
+    val series = Seq(("A", 1, 4L), ("A", 2, 4L), ("A", 3, 4L),
+      ("A", 4, 9L), ("A", 5, 9L), ("A", 6, 9L)).toDF("k", "t", "x")
+    val out = Cusum.poissonUpper(series, "k", "t", "x", l = 4).collect()
+      .map(r => r.getInt(1) -> ((r.getAs[Long]("cusum2"),
+        r.getAs[Long]("h2"), r.getAs[Boolean]("alarm")))).toMap
+    assert(out == Map(1 -> ((0L, 16L, false)), 2 -> ((0L, 16L, false)),
+      3 -> ((0L, 16L, false)), 4 -> ((8L, 16L, false)),
+      5 -> ((16L, 16L, false)), 6 -> ((24L, 16L, true))))
+    // params fit on an in-control window: med over the first 3 cells is
+    // the same 4 here, so verdicts agree; a key absent from the reference
+    // has no baseline and is excluded
+    val refWin = series.filter(col("t") <= 3)
+    val withNew = series.union(Seq(("Z", 1, 50L), ("Z", 2, 50L)).toDF("k", "t", "x"))
+    val ref = Cusum.poissonUpper(withNew, "k", "t", "x", l = 4,
+      reference = Some(refWin)).collect()
+    assert(ref.map(_.getString(0)).toSet == Set("A"))
+    assert(ref.map(r => r.getInt(1) -> r.getAs[Long]("cusum2")).toMap
+      == out.view.mapValues(_._1).toMap)
+    intercept[IllegalArgumentException] {
+      Cusum.poissonUpper(series, "k", "t", "x", l = 0)
+    }
+  }
+
   test("smooth: alpha extremes bracket the behavior") {
     val series = (1 to 10).map(i => ("k", i, if (i == 10) 1000L else 0L))
       .toDF("k", "t", "x")
