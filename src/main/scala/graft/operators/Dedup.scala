@@ -502,6 +502,63 @@ object Dedup {
     kept.unionByName(singletons.select(kept.columns.map(col).toIndexedSeq: _*))
   }
 
+  /** Field-level SURVIVORSHIP — the "golden record" step of
+    * master-data-management pipelines (Talburt 2011's merge phase), and
+    * the field-wise complement of [[collapseClusters]]: where collapse
+    * keeps ONE member row whole, survivorship assembles the canonical
+    * record column-by-column from ALL cluster members — the longest text
+    * from one member, the majority language from another — which is what
+    * consuming a near-dup cluster of syndicated copies actually wants
+    * (the fullest body, the most-attested metadata).
+    *
+    * Two rule families, both with deterministic total-order ties so the
+    * assembled record is a pure function of the cluster:
+    *   - `longest`: the maximum (length, value) member — longest wins,
+    *     ties to the lexicographically larger value;
+    *   - `modal`: the most frequent value — ties to the SMALLEST value
+    *     (most-attested metadata; the min(struct(−count, value)) trick
+    *     keeps it one aggregate, no window).
+    * Plus the fixed columns every golden record carries: `canon_id` =
+    * the smallest member id (the stable survivor key downstream joins
+    * use) and `cluster_size`.
+    *
+    * 100 TB shape: the label table is |docs-in-pairs| (broadcast join —
+    * the corpus never shuffles into it); all rules are map-side-combined
+    * aggregates on the comp key (one per modal column on (comp, value) —
+    * value-cardinality-bounded), so everything after the label join is
+    * cluster-table-scale. Only labeled (clustered) docs emit a record —
+    * singletons are their own golden record and pass through collapse,
+    * not here. */
+  def goldenRecord(
+      docs: DataFrame,
+      pairs: DataFrame,
+      idCol: String = "doc_id",
+      longest: Seq[String] = Seq.empty,
+      modal: Seq[String] = Seq.empty,
+      srcCol: String = "a_id",
+      dstCol: String = "b_id"
+  ): DataFrame = {
+    require(longest.nonEmpty || modal.nonEmpty,
+      "goldenRecord: at least one survivorship rule column is required")
+    val cc = Components.connected(pairs, srcCol, dstCol)
+    val labeled = docs.join(
+      cc.select(col("id").as(idCol), col("comp")), Seq(idCol))
+    val aggs =
+      min(col(idCol)).as("canon_id") +:
+        count(lit(1)).as("cluster_size") +:
+        longest.map(c =>
+          max(struct(length(col(c)).as("l"), col(c).as("v")))
+            .getField("v").as(c))
+    val base = labeled.groupBy("comp").agg(aggs.head, aggs.tail: _*)
+    modal.foldLeft(base) { (acc, c) =>
+      val m = labeled.groupBy(col("comp"), col(c)).agg(count(lit(1)).as("cnt"))
+        .groupBy("comp")
+        .agg(min(struct((-col("cnt")).as("nc"), col(c).as("v")))
+          .getField("v").as(c))
+      acc.join(m, "comp")
+    }
+  }
+
   /** Span-level (C4/RefinedWeb-style) exact dedup: documents are cut into
     * fixed `blockWords`-word blocks, each block is kept only at its GLOBAL
     * first occurrence (ordered by doc id, then block index), and surviving

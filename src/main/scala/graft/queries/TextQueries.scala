@@ -2001,6 +2001,83 @@ object TextQueries {
         FROM documents d
         WHERE d.doc_id NOT IN (SELECT doc_id FROM comp)""")),
 
+    GQ("d52_golden_record", // field-level SURVIVORSHIP over the near-dup
+      // clusters (`Dedup.goldenRecord` — the MDM golden-record merge,
+      // Talburt 2011): where d32 keeps one member ROW whole, this
+      // assembles the canonical record column-by-column from ALL
+      // members — longest text (ties to the lexicographically larger),
+      // modal lang and modal source (most-attested metadata, ties to the
+      // smallest value via the one-aggregate min(struct(−count, value))
+      // trick — no window), plus canon_id = smallest member id and
+      // cluster_size. Same pair chain as d32 (minhash-LSH, portable
+      // hashes), so the oracle replays shingles → signatures → banding →
+      // verify → recursive closure, then the survivorship rules' total
+      // orders, bit-for-bit. Label table broadcast; every rule a
+      // map-side-combined comp-key aggregate — cluster-table-scale after
+      // the label join.
+      (s, dir) => {
+        val docs = Tables.table(s, dir, "documents")
+        val pairs = Dedup.minhashPairs(
+          docs, numHashes = 8, bands = 4, shingleK = 3, threshold = 0.5,
+          portableHash = true).select("a_id", "b_id")
+        Dedup.goldenRecord(docs, pairs,
+          longest = Seq("text"), modal = Seq("lang", "source"))
+      },
+      Some("""WITH RECURSIVE t AS (SELECT doc_id,
+          list_filter(string_split(text, ' '), w -> w <> '') AS ws FROM documents),
+        s AS (SELECT doc_id, list_distinct(list_transform(
+                range(1, greatest(len(ws) - 1, 1)),
+                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+              FROM t),
+        s2 AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
+        sig AS (SELECT doc_id, sh,
+                  list_transform(range(0, 8), i ->
+                    list_min(list_transform(sh, x -> md5(CAST(i AS VARCHAR) || '|' || x)))) AS sg
+                FROM s2),
+        banded AS (SELECT doc_id, b,
+                     md5(CAST(b AS VARCHAR) || '|' ||
+                         array_to_string(sg[b*2+1 : b*2+2], ',')) AS bucket
+                   FROM sig CROSS JOIN (SELECT UNNEST(range(0, 4)) AS b)),
+        cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                 FROM banded a JOIN banded b
+                   ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+        verified AS (SELECT c.a_id, c.b_id,
+                       CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS DOUBLE)
+                         / (len(sa.sh) + len(sb.sh)
+                            - len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))) AS jaccard
+                     FROM cand c
+                     JOIN s2 sa ON c.a_id = sa.doc_id
+                     JOIN s2 sb ON c.b_id = sb.doc_id),
+        pairs AS (SELECT a_id, b_id FROM verified WHERE jaccard >= 0.5),
+        sym AS (SELECT a_id AS u, b_id AS v FROM pairs
+                UNION ALL SELECT b_id, a_id FROM pairs),
+        reach(u, v) AS (
+          SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+          UNION
+          SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+        comp AS (SELECT u AS doc_id, MIN(v) AS comp FROM reach GROUP BY u),
+        lab AS (SELECT c.comp, d.doc_id, d.text, d.lang, d.source
+                FROM comp c JOIN documents d USING (doc_id)),
+        base AS (SELECT comp, MIN(doc_id) AS canon_id,
+                   CAST(COUNT(*) AS BIGINT) AS cluster_size
+                 FROM lab GROUP BY comp),
+        tx AS (SELECT comp, text FROM (SELECT comp, text,
+                 ROW_NUMBER() OVER (PARTITION BY comp
+                   ORDER BY length(text) DESC, text DESC) AS rn FROM lab)
+               WHERE rn = 1),
+        lg AS (SELECT comp, lang FROM (SELECT comp, lang,
+                 ROW_NUMBER() OVER (PARTITION BY comp
+                   ORDER BY cnt DESC, lang ASC) AS rn
+                 FROM (SELECT comp, lang, COUNT(*) AS cnt FROM lab GROUP BY 1, 2))
+               WHERE rn = 1),
+        sr AS (SELECT comp, source FROM (SELECT comp, source,
+                 ROW_NUMBER() OVER (PARTITION BY comp
+                   ORDER BY cnt DESC, source ASC) AS rn
+                 FROM (SELECT comp, source, COUNT(*) AS cnt FROM lab GROUP BY 1, 2))
+               WHERE rn = 1)
+        SELECT base.comp, canon_id, cluster_size, text, lang, source
+        FROM base JOIN tx USING (comp) JOIN lg USING (comp) JOIN sr USING (comp)""")),
+
     GQ("d43_winnowing", // winnowing fingerprint selection (Schleimer,
       // Wilkerson, Aiken 2003 — the MOSS algorithm): minimum PolyHash in
       // each w=4 window of word-3-gram hashes, ties → rightmost. Unlike
@@ -3199,7 +3276,7 @@ object TextQueries {
           (w_total * 1000000) // (200 * n_words) AS ht_weight_ppm
         FROM s CROSS JOIN t""")),
 
-    GQ("ds01_dsir_select", // DSIR data selection (`operators/Dsir`, Xie
+    GQ("ds02_dsir_select", // DSIR data selection (`operators/Dsir`, Xie
       // et al. 2023): pick the 50 raw-pool documents whose bigram
       // distribution most resembles the trusted 'en' target slice
       // RELATIVE to the raw pool itself — weight_ppm = mean scaled

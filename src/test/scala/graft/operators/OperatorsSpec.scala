@@ -192,6 +192,35 @@ class DedupSpec extends SparkSpec {
     assert(out(6L) == (None, 1L))     // singleton passes through
   }
 
+  test("goldenRecord assembles the canonical record field-wise with deterministic ties") {
+    val gDocs = Seq(
+      (1L, "bb", "en", "s2"), // longest-tie candidate: same length as doc 2's
+      (2L, "aa", "de", "s1"),
+      (3L, "a longer body", "en", "s1"),
+      (10L, "solo", "fr", "s9") // unpaired: no golden record here
+    ).toDF("doc_id", "text", "lang", "source")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a_id", "b_id")
+    val out = Dedup.goldenRecord(gDocs, pairs,
+      longest = Seq("text"), modal = Seq("lang", "source")).collect()
+    assert(out.length == 1) // one cluster {1,2,3}; the singleton is absent
+    val r = out.head
+    assert(r.getAs[Long]("comp") == 1L && r.getAs[Long]("canon_id") == 1L
+      && r.getAs[Long]("cluster_size") == 3L)
+    assert(r.getAs[String]("text") == "a longer body") // longest member body
+    assert(r.getAs[String]("lang") == "en")   // 2 en vs 1 de
+    assert(r.getAs[String]("source") == "s1") // 2 s1 vs 1 s2
+    // tie discipline: drop doc 3 → texts "aa" vs "bb" tie on length and
+    // the lexicographically LARGER wins; langs en/de tie 1-1 and the
+    // SMALLEST wins; sources s1/s2 tie and s1 wins
+    val two = Dedup.goldenRecord(gDocs.filter(col("doc_id") =!= 3L),
+      Seq((1L, 2L)).toDF("a_id", "b_id"),
+      longest = Seq("text"), modal = Seq("lang", "source")).head()
+    assert(two.getAs[String]("text") == "bb")
+    assert(two.getAs[String]("lang") == "de")
+    assert(two.getAs[String]("source") == "s1")
+    intercept[IllegalArgumentException] { Dedup.goldenRecord(gDocs, pairs) }
+  }
+
   test("collapseClusters: stale pair ids absent from docs don't inflate sizes") {
     // ids 2 and 9 appear in pairs but not in docs (pre-filtered corpus /
     // stale pair table): cluster_size counts PRESENT docs only, and when
