@@ -3938,7 +3938,7 @@ object Advanced {
         to_json({'status': o_orderstatus, 'pri': o_orderpriority}) AS meta_json
         FROM orders""")),
 
-    GQ("ts01_ewma_spike", // EWMA-smoothed daily event volume per type
+    GQ("ts04_ewma_spike", // EWMA-smoothed daily event volume per type
       // with spike flags (`operators/Smoothing` — Hunter 1986's EWMA
       // control chart, the operational "is today anomalous" baseline
       // beside x19/x26's whole-distribution gates). EWMA is a sequential
@@ -3995,7 +3995,7 @@ object Advanced {
       // (`operators/Smoothing.Trend` — Theil 1950 / Sen 1968): the
       // median of all pairwise slopes of the daily-volume series, a
       // 29%-breakdown estimator where OLS is dragged by one outlier
-      // day. The TREND member of the monitoring family (ts01 watches
+      // day. The TREND member of the monitoring family (ts04 watches
       // the level, ts03 sustained shifts). Integer-exact: slope_ppm =
       // (x_j−x_i)·1e6 DIV (t_j−t_i) over an integral day index — both
       // engines' integral division truncates toward zero (verified),
@@ -4031,7 +4031,7 @@ object Advanced {
     GQ("ts03_cusum_shift", // one-sided upper CUSUM change-point chart
       // (`operators/Smoothing.Cusum`, Page 1954): accumulates small
       // SUSTAINED level shifts until they cross the decision interval —
-      // the detector for "volume crept up 1σ and stayed", which ts01's
+      // the detector for "volume crept up 1σ and stayed", which ts04's
       // per-day band rarely trips on. Parameters fit on the IN-CONTROL
       // reference window (days before Jan 22 — proper chart usage);
       // target = the key's discrete median, allowance ½σ (kept integral

@@ -839,7 +839,7 @@ object Streaming {
     true
   }
 
-  /** STREAM-MAINTAINED EWMA state — ts01's control chart as a continuously
+  /** STREAM-MAINTAINED EWMA state — ts04's control chart as a continuously
     * updated artifact (`path/state`: one row per key, (k, last_t, ewma)).
     * Each micro-batch of (key, t, x) CELLS folds into the stored level with
     * the same integer fixed-point recurrence as
