@@ -469,4 +469,61 @@ object Curation {
       .filter(col("pos") <= col("take_n"))
       .select(col(idCol), col(keyCol), col("pos"), col("take_n"))
   }
+
+  /** Per-group QUANTILE NORMALIZATION — cross-source score harmonization
+    * (Bolstad et al. 2003's quantile normalization, the FineWeb-style
+    * "threshold per-domain by percentile" made into a reusable mapping):
+    * a quality/length score is not comparable across sources when each
+    * source has its own distribution, so a single global cutoff
+    * systematically over-prunes some domains. This maps every (group,
+    * score) to the GLOBAL score at the same within-group rank — after
+    * normalization one global threshold means the same percentile
+    * everywhere.
+    *
+    * Integer-exact end to end (so the mapping replays): within-group
+    * discrete CDF p_ppm = cum(score)·1e6 DIV n_group, global mapping
+    * q(p) = min{ s : cum_global(s)·1e6 ≥ p·n_global } — the same
+    * discrete-quantile definition as Lm.fitThresholds, composed. When a
+    * group IS the whole corpus the mapping is the identity (exactly,
+    * while the corpus holds under 1e6 rows per distinct-score step —
+    * the floor argument in the spec; past that the mapping can snap to
+    * the previous distinct score, still rank-faithful).
+    *
+    * Shape: the corpus reduces map-side to per-group and global score
+    * HISTOGRAMS; the cum-sum windows and the non-equi rank join run on
+    * histogram-scale tables (|groups|·|distinct scores| ×
+    * |distinct scores| worst case — planner-scale for any quantized
+    * score), and the result is a KB mapping table to broadcast-join
+    * against the corpus (or persist as a stored artifact, the x17
+    * class). Returns one row per (group, score): (groupCol, score,
+    * n_docs, p_ppm, norm_score). */
+  def quantileNormalize(
+      scores: DataFrame,
+      groupCol: String,
+      scoreCol: String
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sc = scores.select(col(groupCol).as("g"),
+      col(scoreCol).cast("long").as("s"))
+    val h = sc.groupBy("g", "s").agg(count(lit(1)).as("c"))
+    val cumW = Window.partitionBy("g").orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val p = h.withColumn("cum", sum(col("c")).over(cumW))
+      .join(h.groupBy("g").agg(sum(col("c")).as("n")), "g")
+      .withColumn("p_ppm", expr("(cum * 1000000) DIV n"))
+    val gh = sc.groupBy("s").agg(count(lit(1)).as("c"))
+    val gCumW = Window.orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // single-partition window over the GLOBAL histogram — distinct-score
+    // scale by construction, the same planner-scale contract as
+    // Lm.fitThresholds' cum table
+    val gc = gh.select(col("s").as("gs"),
+        sum(col("c")).over(gCumW).as("cumg"))
+      .crossJoin(broadcast(gh.agg(sum(col("c")).as("ng"))))
+    p.join(broadcast(gc), expr("cumg * 1000000 >= p_ppm * ng"))
+      .groupBy(col("g"), col("s"), col("c"), col("p_ppm"))
+      .agg(min(col("gs")).as("norm_score"))
+      .select(col("g").as(groupCol), col("s").as("score"),
+        col("c").as("n_docs"), col("p_ppm"), col("norm_score"))
+  }
 }

@@ -291,4 +291,57 @@ object Graph {
       lit(nV).as("n_vertices"), lit(nE).as("n_edges"),
       lit(nW).as("n_wedges"), lit(nT).as("n_triangles"))
   }
+
+  /** k-CORE decomposition by iterative peeling (Seidman 1983; the
+    * distributed peel is Montresor et al. 2013's shape) — the cohesion
+    * member of the iterative family: d18 asks "connected at all?", g05
+    * "clustered with whom?", this "how deeply embedded?" — the k-core is
+    * the maximal subgraph where EVERY vertex keeps ≥ k neighbors, the
+    * standard dense-nucleus extractor (spam rings, core communities,
+    * bot cliques survive; tendrils peel away).
+    *
+    * Deterministic bounded-round form (g03's honesty contract): exactly
+    * `rounds` peel iterations — each drops vertices whose CURRENT degree
+    * is < k, which can cascade — then one final degree pass over the
+    * surviving subgraph. Equal to the true k-core whenever the peel has
+    * converged by `rounds` (the spec asserts rounds vs rounds+1 equality
+    * on the test graph; at scale, loop driver-side until a per-round
+    * count stops moving — one count per round, g02's class). Input edges
+    * are symmetrized to distinct undirected (a < b) pairs, self-loops
+    * dropped (a loop is not a neighbor).
+    *
+    * Per round: one map-side-combined degree aggregate + two LEFT SEMI
+    * joins of the edge table against the |V|-scale keep set (AQE
+    * broadcasts it when small) + a localCheckpoint — without the
+    * checkpoint the plan doubles per round, the iterative-family trap
+    * g02 documents. Never anything wider than the edge table shuffles.
+    *
+    * @return (item, degree) for every vertex of the surviving subgraph —
+    *         its within-core degree (≥ k at convergence). */
+  def kCore(
+      edges: DataFrame,
+      k: Int,
+      rounds: Int,
+      srcCol: String = "src",
+      dstCol: String = "dst"
+  ): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("d"))
+    var e = edges.filter(col(srcCol) =!= col(dstCol))
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .distinct()
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val keep = degrees(e).filter(col("d") >= k).select("v")
+      e = e
+        .join(keep.select(col("v").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("v").as("b")), Seq("b"), "left_semi")
+        .localCheckpoint(true)
+    }
+    degrees(e).select(col("v").as("item"), col("d").as("degree"))
+  }
 }

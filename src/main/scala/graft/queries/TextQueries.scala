@@ -2001,6 +2001,49 @@ object TextQueries {
         FROM documents d
         WHERE d.doc_id NOT IN (SELECT doc_id FROM comp)""")),
 
+    GQ("nq01_quantile_normalize", // cross-source score HARMONIZATION by
+      // per-group quantile normalization (`Curation.quantileNormalize` —
+      // Bolstad et al. 2003; the FineWeb-style "threshold per domain by
+      // percentile" as a reusable mapping): a length/quality score is
+      // not comparable across sources when each source has its own
+      // distribution, so one global cutoff systematically over-prunes
+      // some domains — this maps each (source, words-per-doc) to the
+      // GLOBAL score at the same within-source rank, after which one
+      // threshold means the same percentile everywhere. Integer-exact:
+      // within-source discrete CDF p_ppm = cum·1e6 DIV n, global
+      // mapping q(p) = min{s : cum_g(s)·1e6 ≥ p·n_g} (Lm.fitThresholds'
+      // quantile definition, composed). Corpus reduces map-side to
+      // histograms; windows and the non-equi rank join run on
+      // histogram-scale tables; the output is the KB mapping artifact a
+      // pipeline broadcast-joins (or persists, x17's class).
+      (s, dir) => graft.operators.Curation.quantileNormalize(
+        Tables.table(s, dir, "documents")
+          .select(col("source"), size(words(col("text"))).as("n_words")),
+        "source", "n_words"),
+      Some("""WITH sc AS (SELECT source,
+            CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+                 AS BIGINT) AS s
+          FROM documents),
+        h AS (SELECT source, s, CAST(COUNT(*) AS BIGINT) AS c
+          FROM sc GROUP BY 1, 2),
+        p AS (SELECT h.source, h.s, h.c,
+            (CAST(SUM(h.c) OVER (PARTITION BY h.source ORDER BY h.s
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              * 1000000) // n.n AS p_ppm
+          FROM h JOIN (SELECT source, CAST(SUM(c) AS BIGINT) AS n
+                       FROM h GROUP BY 1) n
+            ON h.source = n.source),
+        gh AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS c FROM sc GROUP BY 1),
+        gc AS (SELECT s AS gs,
+            CAST(SUM(c) OVER (ORDER BY s
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumg
+          FROM gh),
+        ng AS (SELECT CAST(SUM(c) AS BIGINT) AS ng FROM gh)
+        SELECT p.source, p.s AS score, p.c AS n_docs, p.p_ppm,
+          MIN(gc.gs) AS norm_score
+        FROM p CROSS JOIN ng JOIN gc ON gc.cumg * 1000000 >= p.p_ppm * ng.ng
+        GROUP BY 1, 2, 3, 4""")),
+
     GQ("d52_golden_record", // field-level SURVIVORSHIP over the near-dup
       // clusters (`Dedup.goldenRecord` — the MDM golden-record merge,
       // Talburt 2011): where d32 keeps one member ROW whole, this

@@ -145,4 +145,24 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(a == c)
   }
+
+  test("kCore: cascading peel reaches the clique fixpoint; symmetrization collapses noise") {
+    import spark.implicits._
+    // triangle {1,2,3} + tail 3-4-5: the 2-core is the triangle, but the
+    // peel CASCADES — round 1 drops only 5 (degree 1), which exposes 4
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),
+      // direction flips, duplicates and self-loops must not add degree
+      (2L, 1L), (3L, 3L)).toDF("src", "dst")
+    def run(rounds: Int) = Graph.kCore(edges, k = 2, rounds = rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val one = run(1)
+    assert(one.keySet == Set(1L, 2L, 3L, 4L),
+      s"round 1 must only drop the leaf: $one") // cascade not yet finished
+    val two = run(2)
+    assert(two == Map(1L -> 2L, 2L -> 2L, 3L -> 2L),
+      s"triangle with within-core degrees: $two")
+    assert(run(3) == two, "rounds vs rounds+1: fixpoint reached")
+    intercept[IllegalArgumentException] { Graph.kCore(edges, 0, 1) }
+    intercept[IllegalArgumentException] { Graph.kCore(edges, 2, 0) }
+  }
 }
