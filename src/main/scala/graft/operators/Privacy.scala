@@ -144,4 +144,66 @@ object Privacy {
       .toDF(qiCols ++ Seq("n_rows", "n_distinct_sensitive"): _*)
     diverse.unionByName(suppressed)
   }
+
+  /** t-CLOSENESS audit (Li, Li & Venkatasubramanian 2007) — the third
+    * rung of the disclosure ladder this object climbs: k-anonymity
+    * bounds group SIZE, l-diversity bounds distinct sensitive VALUES,
+    * and both still leak when a group's sensitive DISTRIBUTION skews
+    * far from the table's (a ≥k, ≥l group that is 95% one diagnosis
+    * discloses plenty). t-closeness demands every QI group's sensitive
+    * distribution stay within distance t of the global one.
+    *
+    * For a categorical sensitive attribute under the uniform ground
+    * distance, the paper's Earth-Mover's Distance reduces to total
+    * variation distance — computed with x26's exact integer arithmetic:
+    * per-value |o·Ng − g·No| in longs (exact to ~3e9-row slices, the
+    * stated x26 contract; lift to DECIMAL past that), normalized
+    * floor(1e6·S / (2·No·Ng)) in DECIMAL(38,0) integral division. The
+    * verdict replays bit-for-bit.
+    *
+    * Returns one AUDIT row per QI group: (qiCols…, n_rows,
+    * tvd_millionths, publish = tvd ≤ t). Small groups sit far from the
+    * global distribution by sampling alone, so tight budgets flag them
+    * wholesale — that is t-closeness behaving as designed (a small
+    * group cannot DEMONSTRATE closeness), not an artifact; coarsen the
+    * QI or merge cells upstream (dq03's machinery) when that bites.
+    *
+    * Shape: one corpus-scale groupBy builds the (QI, value) cell table;
+    * everything after — global histogram, |groups|×|domain| grid, the
+    * TVD aggregate — is cell-table-scale. */
+  def tClosenessAudit(
+      rows: DataFrame,
+      qiCols: Seq[String],
+      sensitiveCol: String,
+      tMillionths: Long
+  ): DataFrame = {
+    require(qiCols.nonEmpty, "name the quasi-identifier columns")
+    require(tMillionths > 0 && tMillionths < 1000000L,
+      s"t must be in (0, 1e6) millionths, got $tMillionths")
+    val missing = (qiCols :+ sensitiveCol).filterNot(rows.columns.contains)
+    require(missing.isEmpty, s"columns not in input: ${missing.mkString(", ")}")
+    val cells = rows
+      .groupBy((qiCols.map(c => col(c).cast("string").as(c)) :+
+        col(sensitiveCol).cast("string").as("__sv")): _*)
+      .agg(count(lit(1)).as("__n"))
+    val g = cells.groupBy("__sv").agg(sum(col("__n")).as("__gn"))
+    val ngDf = g.agg(sum(col("__gn")).as("__ng"))
+    val grp = cells.groupBy(qiCols.map(col): _*)
+      .agg(sum(col("__n")).as("n_rows"))
+    // every group × every GLOBAL sensitive value: values a group lacks
+    // contribute their full global mass — the same full-domain grid as
+    // the categorical drift gate
+    val grid = grp.crossJoin(broadcast(g))
+    val ap = grid.join(cells, qiCols :+ "__sv", "left")
+      .withColumn("__o", coalesce(col("__n"), lit(0L)))
+    ap.crossJoin(broadcast(ngDf))
+      .groupBy((qiCols.map(col) :+ col("n_rows") :+ col("__ng")): _*)
+      .agg(sum(abs(col("__o") * col("__ng") - col("__gn") * col("n_rows")))
+        .as("__s"))
+      .select(qiCols.map(col) ++ Seq(col("n_rows"),
+        expr("""CAST((CAST(1000000 AS DECIMAL(38,0)) * __s)
+          DIV (2 * CAST(n_rows AS DECIMAL(38,0)) * __ng) AS BIGINT)""")
+          .as("tvd_millionths")): _*)
+      .withColumn("publish", col("tvd_millionths") <= tMillionths)
+  }
 }

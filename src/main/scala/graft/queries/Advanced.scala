@@ -2381,6 +2381,52 @@ object Advanced {
             THEN cl * cr END) AS BIGINT)
         FROM j2""")),
 
+    GQ("dq06_t_closeness", // t-closeness audit (`Privacy.tClosenessAudit`
+      // — Li, Li & Venkatasubramanian 2007), the third rung of the
+      // disclosure ladder: dq03 bounds group SIZE, dq05 distinct
+      // sensitive VALUES, and both still leak when a ≥k, ≥l group's
+      // sensitive DISTRIBUTION skews far from the table's (a cell that
+      // is 95% one status discloses plenty). Categorical sensitive attr
+      // under the uniform ground distance ⇒ the paper's EMD reduces to
+      // total variation distance, computed with x26's exact integer
+      // arithmetic (per-value |o·Ng − g·No| longs, DECIMAL(38,0) final
+      // division) so the verdict hash-replays. t = 1% (10000 ppm) over
+      // (priority, year) cells vs the status distribution: splits
+      // 9/35 publish at sf0.01 and 27/35 at sf0.1; at sf0.001 every
+      // ~15-row group sits >1% away by sampling alone and ALL flag —
+      // t-closeness behaving as designed on small cells (a small group
+      // cannot demonstrate closeness), stated in the scaladoc.
+      (s, dir) => graft.operators.Privacy.tClosenessAudit(
+        t(s, dir, "orders").select(col("o_orderpriority"),
+          year(col("o_orderdate")).cast("int").as("o_year"),
+          col("o_orderstatus")),
+        Seq("o_orderpriority", "o_year"), "o_orderstatus",
+        tMillionths = 10000L),
+      Some("""WITH cells AS (SELECT o_orderpriority AS pri,
+            CAST(CAST(year(o_orderdate) AS INTEGER) AS VARCHAR) AS yr,
+            o_orderstatus AS sv, CAST(COUNT(*) AS BIGINT) AS n
+          FROM orders GROUP BY 1, 2, 3),
+        g AS (SELECT sv, CAST(SUM(n) AS BIGINT) AS gn FROM cells GROUP BY 1),
+        ng AS (SELECT CAST(SUM(gn) AS BIGINT) AS ng FROM g),
+        grp AS (SELECT pri, yr, CAST(SUM(n) AS BIGINT) AS no
+          FROM cells GROUP BY 1, 2),
+        grid AS (SELECT grp.pri, grp.yr, grp.no, g.sv, g.gn
+          FROM grp CROSS JOIN g),
+        ap AS (SELECT grid.pri, grid.yr, grid.no, grid.sv, grid.gn,
+            COALESCE(cells.n, 0) AS o
+          FROM grid LEFT JOIN cells
+            ON grid.pri = cells.pri AND grid.yr = cells.yr
+            AND grid.sv = cells.sv),
+        s AS (SELECT pri, yr, no,
+            CAST(SUM(abs(o * (SELECT ng FROM ng) - gn * no)) AS BIGINT) AS sm
+          FROM ap GROUP BY 1, 2, 3)
+        SELECT pri AS o_orderpriority, yr AS o_year, no AS n_rows,
+          CAST((1000000 * sm) // (2 * no * (SELECT ng FROM ng)) AS BIGINT)
+            AS tvd_millionths,
+          CAST((1000000 * sm) // (2 * no * (SELECT ng FROM ng)) AS BIGINT)
+            <= 10000 AS publish
+        FROM s""")),
+
     GQ("dq04_fd_profile", // functional-dependency audit
       // (`Expectations.fdAudit`): the schema assumptions joins and dedup
       // keys silently rely on, made checkable — per declared FD the

@@ -107,4 +107,36 @@ class PrivacySpec extends SparkSpec {
       col("n_distinct_sensitive") < 4).isEmpty)
     assert(out.agg(sum("n_rows")).as[Long].head() == 200L)
   }
+
+  test("t-closeness: hand-computed TVD, verdict at the boundary, skewed group flagged") {
+    import spark.implicits._
+    // global {x:3, y:1} over 4 rows; group A = {x,x,x} (no=3):
+    //   S = |3·4−3·3| + |0·4−1·3| = 6 → tvd = 1e6·6/(2·3·4) = 250000;
+    // group B = {y} (no=1): S = |0−3| + |4−1| = 6 → tvd = 6e6/8 = 750000
+    val rows = Seq(("A", "x"), ("A", "x"), ("A", "x"), ("B", "y"))
+      .toDF("qi", "sv")
+    val out = Privacy.tClosenessAudit(rows, Seq("qi"), "sv",
+      tMillionths = 500000L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_rows"), r.getAs[Long]("tvd_millionths"),
+          r.getAs[Boolean]("publish")))).toMap
+    assert(out("A") == ((3L, 250000L, true)))
+    assert(out("B") == ((1L, 750000L, false)))
+    // boundary is inclusive: t exactly at a group's tvd publishes it
+    val atBoundary = Privacy.tClosenessAudit(rows, Seq("qi"), "sv", 250000L)
+      .filter(col("qi") === "A").head().getAs[Boolean]("publish")
+    assert(atBoundary)
+    // a group distributed exactly like the global one has tvd 0
+    val uniform = Seq(("A", "x"), ("A", "y"), ("B", "x"), ("B", "y"))
+      .toDF("qi", "sv")
+    Privacy.tClosenessAudit(uniform, Seq("qi"), "sv", 10000L).collect()
+      .foreach(r => assert(r.getAs[Long]("tvd_millionths") == 0L
+        && r.getAs[Boolean]("publish")))
+    intercept[IllegalArgumentException] {
+      Privacy.tClosenessAudit(rows, Seq.empty, "sv", 1000L)
+    }
+    intercept[IllegalArgumentException] {
+      Privacy.tClosenessAudit(rows, Seq("qi"), "sv", 0L)
+    }
+  }
 }
