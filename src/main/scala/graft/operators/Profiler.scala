@@ -158,4 +158,65 @@ object Profiler {
         (col("cl") * col("cr")).as("contribution"))
       .orderBy(col("contribution").desc, col("k").asc)
       .limit(k)
+
+  /** SPEARMAN rank correlation between two integer signals (Spearman
+    * 1904) — the signal-REDUNDANCY audit of the profiling family: a
+    * curation pipeline gating on several quality scores is implicitly
+    * assuming they measure different things; a |ρ| near 1 says two
+    * gates are one gate (and a monotone-robust ρ is the right check —
+    * Pearson on raw values is dragged by the same outliers the gates
+    * exist to catch).
+    *
+    * Engine-exact throughout, no global sort and no libm sqrt:
+    *   - tie-averaged ranks come from the VALUE HISTOGRAM, not a
+    *     corpus-wide window — rank2(v) = 2·cum_before(v) + count(v) + 1
+    *     is twice the classical average rank, integral even at .5 ties;
+    *     the histogram cum-sum runs single-partition on distinct-value
+    *     scale (Lm.fitThresholds' contract) and joins back broadcast;
+    *   - ranks are CENTERED (a' = rank2 − (n+1), so Σa' = 0) which
+    *     collapses Pearson-on-ranks to ρ = Σa'b' / √(Σa'²·Σb'²);
+    *   - the root is avoided with x04's rational-surrogate move: report
+    *     sign(Σa'b') and ρ²_ppm = (Σa'b')²·1e6 DIV (Σa'²·Σb'²), exact
+    *     integral division in DECIMAL(38,0). Monotone in |ρ|, so
+    *     thresholding is unchanged. (Σa'b')²·1e6 holds under DECIMAL(38)
+    *     while n ≲ 1.4e5 rows (Σa'b' ≤ n³) — audit a hash-sample past
+    *     that, or quantize ranks to per-mille before centering (loses
+    *     tie resolution, gains ~1e9-row headroom), stated.
+    * NULL in either signal drops the row (no rank, no evidence).
+    *
+    * @return one row: (n_rows, sign, rho2_ppm). */
+  def spearman(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val base = df
+      .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
+    def rank2(c: String): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col(c))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      base.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+        .select(col(c),
+          (coalesce(sum(col("cnt")).over(w), lit(0L)) * 2
+            + col("cnt") + 1).as(s"r2$c"))
+    }
+    val n1 = base.agg(count(lit(1)).as("n"))
+    base
+      .join(broadcast(rank2("a")), "a")
+      .join(broadcast(rank2("b")), "b")
+      .crossJoin(broadcast(n1))
+      .select(col("n"), (col("r2a") - (col("n") + 1)).as("ca"),
+        (col("r2b") - (col("n") + 1)).as("cb"))
+      .groupBy("n")
+      .agg(
+        sum(expr("CAST(ca * cb AS DECIMAL(38,0))")).as("sab"),
+        sum(expr("CAST(ca * ca AS DECIMAL(38,0))")).as("sa2"),
+        sum(expr("CAST(cb * cb AS DECIMAL(38,0))")).as("sb2"))
+      .select(col("n").as("n_rows"),
+        when(col("sab") > 0, 1).when(col("sab") < 0, -1).otherwise(0)
+          .cast("int").as("sign"),
+        // a constant signal has zero rank variance: correlation is
+        // undefined — NULL, never a fake 0 (the x25 stance)
+        when(col("sa2") === 0 || col("sb2") === 0, lit(null))
+          .otherwise(expr(
+            "CAST((sab * sab * 1000000) DIV (sa2 * sb2) AS BIGINT)"))
+          .as("rho2_ppm"))
+  }
 }

@@ -2001,6 +2001,78 @@ object TextQueries {
         FROM documents d
         WHERE d.doc_id NOT IN (SELECT doc_id FROM comp)""")),
 
+    GQ("x28_signal_correlation", // Spearman rank correlation between
+      // curation signals (`Profiler.spearman`, Spearman 1904) — the
+      // signal-REDUNDANCY audit: a pipeline gating on several quality
+      // scores assumes they measure different things; |ρ| near 1 says
+      // two gates are one gate, and the monotone-robust rank form is
+      // the right check (Pearson on raw values is dragged by the same
+      // outliers the gates exist to catch). Tie-averaged ranks come
+      // from the value HISTOGRAM (rank2 = 2·cum_before + count + 1 —
+      // twice the classical average rank, integral at .5 ties; the
+      // cum-sum runs on distinct-value scale, never a corpus window),
+      // ranks centered so Pearson-on-ranks collapses to Σa'b'/√(Σa'²
+      // Σb'²), and the root is avoided with x04's rational-surrogate
+      // move: sign + ρ²_ppm by exact DECIMAL integral division. Two
+      // pairs reported: words-vs-chars (near-perfect redundancy,
+      // ρ²→1e6) and words-vs-hash-noise (the null control, ρ²→0) —
+      // both verdicts earned, not asserted.
+      (s, dir) => {
+        val docs = Tables.table(s, dir, "documents")
+          .select(size(words(col("text"))).cast("long").as("nw"),
+            col("n_chars").cast("long").as("nc"),
+            (graft.expressions.PolyHash(concat(lit("noise|"),
+              col("doc_id").cast("string"))) % 1000).as("noise"))
+        graft.operators.Profiler.spearman(docs, "nw", "nc")
+          .withColumn("pair", lit("words_vs_chars"))
+          .unionByName(graft.operators.Profiler.spearman(docs, "nw", "noise")
+            .withColumn("pair", lit("words_vs_noise")))
+          .select(col("pair"), col("n_rows"), col("sign"), col("rho2_ppm"))
+      },
+      Some {
+        def pairSql(b: String, label: String) = s"""
+          SELECT '$label' AS pair, n1.n AS n_rows,
+            CASE WHEN SUM((ra.r2 - (n1.n + 1)) * (rb.r2 - (n1.n + 1))) > 0 THEN 1
+                 WHEN SUM((ra.r2 - (n1.n + 1)) * (rb.r2 - (n1.n + 1))) < 0 THEN -1
+                 ELSE 0 END AS sign,
+            CASE WHEN SUM((ra.r2 - (n1.n + 1)) * (ra.r2 - (n1.n + 1))) = 0
+                   OR SUM((rb.r2 - (n1.n + 1)) * (rb.r2 - (n1.n + 1))) = 0
+                 THEN NULL
+                 ELSE CAST((SUM((ra.r2 - (n1.n + 1)) * (rb.r2 - (n1.n + 1)))
+                        * SUM((ra.r2 - (n1.n + 1)) * (rb.r2 - (n1.n + 1)))
+                        * 1000000)
+                   // (SUM((ra.r2 - (n1.n + 1)) * (ra.r2 - (n1.n + 1)))
+                      * SUM((rb.r2 - (n1.n + 1)) * (rb.r2 - (n1.n + 1))))
+                   AS BIGINT) END AS rho2_ppm
+          FROM d JOIN rnw ra ON d.nw = ra.v
+                 JOIN r$b rb ON d.$b = rb.v
+                 CROSS JOIN n1
+          GROUP BY n1.n"""
+        def rankSql(c: String) = s"""r$c AS (SELECT v,
+            CAST(2 * COALESCE(SUM(c) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              + c + 1 AS BIGINT) AS r2
+          FROM (SELECT $c AS v, CAST(COUNT(*) AS BIGINT) AS c
+                FROM d GROUP BY 1))"""
+        s"""WITH d AS (SELECT
+            CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+                 AS BIGINT) AS nw,
+            CAST(n_chars AS BIGINT) AS nc,
+            CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(
+                  regexp_extract_all('noise|' || CAST(doc_id AS VARCHAR), '.'),
+                  ch -> CAST(ascii(ch) AS BIGINT))),
+              (a, b) -> (a * 257 + b) % 1000000007) AS BIGINT) % 1000 AS noise
+          FROM documents),
+        n1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d),
+        ${rankSql("nw")},
+        ${rankSql("nc")},
+        ${rankSql("noise")}
+        ${pairSql("nc", "words_vs_chars")}
+        UNION ALL
+        ${pairSql("noise", "words_vs_noise")}"""
+      }),
+
     GQ("nq01_quantile_normalize", // cross-source score HARMONIZATION by
       // per-group quantile normalization (`Curation.quantileNormalize` —
       // Bolstad et al. 2003; the FineWeb-style "threshold per domain by

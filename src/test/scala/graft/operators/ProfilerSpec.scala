@@ -95,4 +95,30 @@ class ProfilerSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"),
       s"top-k must heap-prune, not globally sort:\n$plan")
   }
+
+  test("spearman: exact poles, tie-averaged ranks, constant-signal NULL, repartition-invariant") {
+    import spark.implicits._
+    def one(rows: Seq[(Long, Long)]) =
+      Profiler.spearman(rows.toDF("a", "b"), "a", "b").head()
+    // perfect monotone agreement / inversion hit the exact poles
+    val up = one(Seq((1L, 10L), (2L, 20L), (3L, 40L), (4L, 80L)))
+    assert(up.getAs[Int]("sign") == 1 && up.getAs[Long]("rho2_ppm") == 1000000L)
+    val down = one(Seq((1L, 80L), (2L, 40L), (3L, 20L), (4L, 10L)))
+    assert(down.getAs[Int]("sign") == -1
+      && down.getAs[Long]("rho2_ppm") == 1000000L)
+    // hand-computed tie case: a = 1,2,2,3 vs b = 10,20,30,40 —
+    // centered 2x ranks a' = -3,0,0,3, b' = -3,-1,1,3 →
+    // ρ²_ppm = 18²·1e6 / (18·20) = 900000
+    val tied = one(Seq((1L, 10L), (2L, 20L), (2L, 30L), (3L, 40L)))
+    assert(tied.getAs[Int]("sign") == 1
+      && tied.getAs[Long]("rho2_ppm") == 900000L)
+    // a constant signal has zero rank variance: NULL, never a fake 0
+    val const = one(Seq((7L, 1L), (7L, 2L), (7L, 3L)))
+    assert(const.isNullAt(const.fieldIndex("rho2_ppm")))
+    // resample-fate independence of layout
+    val big = (1L to 500L).map(i => (i % 23, (i * 7) % 41))
+    val base = Profiler.spearman(big.toDF("a", "b"), "a", "b").head()
+    val rep = Profiler.spearman(big.toDF("a", "b").repartition(13), "a", "b").head()
+    assert(base == rep)
+  }
 }
