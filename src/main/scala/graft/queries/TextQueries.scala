@@ -3391,6 +3391,73 @@ object TextQueries {
           (w_total * 1000000) // (200 * n_words) AS ht_weight_ppm
         FROM s CROSS JOIN t""")),
 
+    GQ("x29_sample_estimate", // the d49 sample ARTIFACT put to work —
+      // Horvitz–Thompson estimation of a corpus total the sample was
+      // NOT drawn by (Σ n_chars, drawn ∝ n_words): est = Σ_sample
+      // n_chars·ht_weight_ppm DIV 1e6, reported against the exact
+      // rescan total with err_ppm and the effective sample size
+      // ESS/k = (Σw)²·1e6 DIV (k·Σw²) (Kish 1965 — how many
+      // equal-weight docs the weighted sample is worth). The draw is a
+      // pure hash function (d49's contract), so even the ESTIMATE is
+      // deterministic and hash-replays — a property oracle isn't
+      // needed; the honest sampling error is itself pinned (0.14% at
+      // sf0.01 from 200 docs, ESS 0.976k). This is the loop the
+      // sampling family exists for: stats from the KB artifact, the
+      // corpus rescanned only by the audit column.
+      (s, dir) => {
+        val docs = Tables.table(s, dir, "documents")
+        val sample = graft.operators.Curation.ppsSample(docs, k = 200)
+        val est = docs.join(broadcast(sample), "doc_id")
+          .agg(count(lit(1)).as("n_sampled"),
+            expr("CAST(SUM(n_chars * ht_weight_ppm) DIV 1000000 AS BIGINT)")
+              .as("est_chars"),
+            expr("""CAST((CAST(SUM(ht_weight_ppm) AS DECIMAL(38,0))
+                * SUM(ht_weight_ppm) * 1000000)
+              DIV (CAST(SUM(CAST(ht_weight_ppm AS DECIMAL(38,0))
+                * ht_weight_ppm) AS DECIMAL(38,0)) * 200) AS BIGINT)""")
+              .as("ess_ppm"))
+        val exact = docs
+          .filter(size(words(col("text"))) > 0) // the sampling frame
+          .agg(sum(col("n_chars")).as("exact_chars"))
+        est.crossJoin(exact) // both 1-row aggregates
+          .withColumn("err_ppm",
+            expr("(1000000 * abs(est_chars - exact_chars)) DIV exact_chars"))
+          .select(col("n_sampled"), col("exact_chars"), col("est_chars"),
+            col("err_ppm"), col("ess_ppm"))
+      },
+      Some("""WITH d AS (SELECT doc_id, n_chars,
+            CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                 AS BIGINT) AS n_words
+          FROM documents),
+        dd AS (SELECT doc_id, n_chars, n_words FROM d WHERE n_words > 0),
+        h AS (SELECT doc_id, n_chars, n_words,
+            (CAST(list_reduce(
+              list_prepend(CAST(0 AS BIGINT),
+                list_transform(
+                  regexp_extract_all('pps|' || CAST(doc_id AS VARCHAR), '.'),
+                  c -> CAST(ascii(c) AS BIGINT))),
+              (a, b) -> (a * 257 + b) % 1000000007) AS BIGINT)
+              % 1000000000) + 1 AS u
+          FROM dd),
+        p AS (SELECT doc_id, n_chars, n_words,
+            (u * 1000000) // n_words AS priority
+          FROM h),
+        s AS (SELECT * FROM p ORDER BY priority, doc_id LIMIT 200),
+        t AS (SELECT CAST(SUM(n_words) AS BIGINT) AS w_total FROM dd),
+        wt AS (SELECT doc_id, n_chars,
+            (w_total * 1000000) // (200 * n_words) AS w
+          FROM s CROSS JOIN t),
+        est AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sampled,
+            CAST(SUM(n_chars * w) // 1000000 AS BIGINT) AS est_chars,
+            CAST((SUM(w) * SUM(w) * 1000000) // (SUM(w * w) * 200) AS BIGINT)
+              AS ess_ppm
+          FROM wt),
+        ex AS (SELECT CAST(SUM(n_chars) AS BIGINT) AS exact_chars FROM dd)
+        SELECT n_sampled, exact_chars, est_chars,
+          (1000000 * abs(est_chars - exact_chars)) // exact_chars AS err_ppm,
+          ess_ppm
+        FROM est CROSS JOIN ex""")),
+
     GQ("ds02_dsir_select", // DSIR data selection (`operators/Dsir`, Xie
       // et al. 2023): pick the 50 raw-pool documents whose bigram
       // distribution most resembles the trusted 'en' target slice
