@@ -1659,6 +1659,60 @@ object Advanced {
             AS BIGINT) AS z_val
         FROM s""")),
 
+    GQ("z06_hilbert_index", // HILBERT-curve layout index
+      // (`Layout.hilbertValue` — Hilbert 1891; Faloutsos & Roseman 1989
+      // for why: consecutive Hilbert cells are ALWAYS grid-neighbors
+      // where Morton takes a long diagonal jump at every quadrant
+      // boundary, so range partitions cut from the Hilbert order are
+      // rounder rectangles — z01 and this query are the two ends of the
+      // classic locality trade, spec-proven: Hilbert order-3 walk has
+      // 64/64 adjacent steps, Morton 22 jumps). Same rank-scaling and
+      // slice as z01 for direct comparability. The xy2d walk is a
+      // sequential per-bit recurrence → the aggregate-HOF fold with
+      // (x, y, d) PACKED into one BIGINT (struct accumulators measured
+      // miscompiled out of DuckDB 1.0 lambda folds — the scalar pack is
+      // the engine-portable form); n-based rotation keeps coordinates
+      // non-negative mid-fold (the s-based variant walks negative,
+      // measured, which would poison the pack). Oracle replays the
+      // identical fold via list_reduce.
+      (s, dir) => graft.operators.Layout.hilbertValue(
+          t(s, dir, "lineitem")
+            .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+          Seq("l_partkey", "l_suppkey"), bits = 8)
+        .filter(col("l_orderkey") % 100 === 0)
+        .select("l_orderkey", "l_linenumber", "h_val"),
+      Some("""WITH mm AS (SELECT
+            CAST(MIN(l_partkey) AS BIGINT) AS mnp,
+            CAST(MAX(l_partkey) AS BIGINT) AS mxp,
+            CAST(MIN(l_suppkey) AS BIGINT) AS mns,
+            CAST(MAX(l_suppkey) AS BIGINT) AS mxs
+          FROM lineitem),
+        s AS (SELECT l_orderkey, l_linenumber,
+            CASE WHEN mxp = mnp THEN 0 ELSE
+              ((CAST(l_partkey AS BIGINT) - mnp) * 255) // (mxp - mnp) END AS xi,
+            CASE WHEN mxs = mns THEN 0 ELSE
+              ((CAST(l_suppkey AS BIGINT) - mns) * 255) // (mxs - mns) END AS yi
+          FROM lineitem, mm
+          WHERE l_orderkey % 100 = 0)
+        SELECT l_orderkey, l_linenumber,
+          list_reduce(
+            list_prepend(CAST(xi AS BIGINT) * 256 + yi,
+              list_transform(range(7, -1, -1), k -> CAST(1 AS BIGINT) << k)),
+            (acc, s) ->
+              (((acc // 65536) + s * s * (CASE WHEN (((acc // 256) % 256) & s) = 0
+                    THEN (CASE WHEN ((acc % 256) & s) <> 0 THEN 1 ELSE 0 END)
+                    ELSE (CASE WHEN ((acc % 256) & s) <> 0 THEN 2 ELSE 3 END) END)
+               ) * 256
+               + (CASE WHEN ((acc % 256) & s) <> 0 THEN (acc // 256) % 256
+                   WHEN (((acc // 256) % 256) & s) <> 0 THEN 255 - (acc % 256)
+                   ELSE acc % 256 END)
+              ) * 256
+              + (CASE WHEN ((acc % 256) & s) <> 0 THEN acc % 256
+                  WHEN (((acc // 256) % 256) & s) <> 0 THEN 255 - (acc // 256) % 256
+                  ELSE (acc // 256) % 256 END)
+          ) // 65536 AS h_val
+        FROM s""")),
+
     GQ("pp01_partition_prune", // STATIC partition pruning — the single
       // biggest 100 TB scan lever, bigger than Z-order: orders live in a
       // hive-partitioned layout (o_year=YYYY directories, written once by

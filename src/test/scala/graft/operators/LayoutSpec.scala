@@ -37,7 +37,7 @@ class LayoutSpec extends SparkSpec {
     }
     def messages(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
-    assert(messages(ex).exists(_.contains("mortonValue: range of column 'x'")),
+    assert(messages(ex).exists(_.contains("layout: range of column 'x'")),
       s"expected the range-budget raise_error, got: $ex")
     // in-budget data on the same frame still works (the guard is per-column)
     val ok = Layout.mortonValue(
@@ -75,5 +75,42 @@ class LayoutSpec extends SparkSpec {
     assert(zf * 2 <= nf, s"z-order layout not local: $zf vs natural $nf")
     // same rows either way — layout must never change content
     assert(spark.read.parquet(zordered).count() == 40000)
+  }
+
+  test("hilbertValue: order-2 truth table; order-3 walk never jumps where Morton does") {
+    import spark.implicits._
+    // the classic 4x4 Hilbert grid (xy2d with the n-based rotation)
+    val truth = Map(
+      (0, 0) -> 0L, (1, 0) -> 1L, (2, 0) -> 14L, (3, 0) -> 15L,
+      (0, 1) -> 3L, (1, 1) -> 2L, (2, 1) -> 13L, (3, 1) -> 12L,
+      (0, 2) -> 4L, (1, 2) -> 7L, (2, 2) -> 8L, (3, 2) -> 11L,
+      (0, 3) -> 5L, (1, 3) -> 6L, (2, 3) -> 9L, (3, 3) -> 10L)
+    val g2 = (for (x <- 0 to 3; y <- 0 to 3) yield (x, y)).toDF("x", "y")
+    // ranges are already [0, 3] so min/max scaling is the identity
+    val got = Layout.hilbertValue(g2, Seq("x", "y"), bits = 2)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getAs[Long]("h_val"))
+      .toMap
+    assert(got == truth, s"hilbert grid mismatch: $got")
+    // order-3: every consecutive Hilbert step is a grid neighbor (the
+    // no-jump guarantee Faloutsos & Roseman measured); the Morton walk
+    // on the same grid jumps at quadrant boundaries — both facts exact
+    val g3 = (for (x <- 0 to 7; y <- 0 to 7) yield (x, y)).toDF("x", "y")
+    def walk(vals: Map[(Int, Int), Long]): Int = {
+      val pos = vals.map(_.swap)
+      (0L to 62L).count(d =>
+        (pos(d)._1 - pos(d + 1)._1).abs + (pos(d)._2 - pos(d + 1)._2).abs > 1)
+    }
+    val hJumps = walk(Layout.hilbertValue(g3, Seq("x", "y"), bits = 3)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getAs[Long]("h_val")).toMap)
+    val zJumps = walk(Layout.mortonValue(g3, Seq("x", "y"), bits = 3)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getAs[Long]("z_val")).toMap)
+    assert(hJumps == 0, s"hilbert walk must never jump, found $hJumps")
+    assert(zJumps > 0, s"morton walk should jump at quadrant boundaries")
+    intercept[IllegalArgumentException] {
+      Layout.hilbertValue(g2, Seq("x"), bits = 2)
+    }
+    intercept[IllegalArgumentException] {
+      Layout.hilbertValue(g2, Seq("x", "y"), bits = 16)
+    }
   }
 }
