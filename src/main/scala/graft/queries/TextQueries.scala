@@ -3391,6 +3391,32 @@ object TextQueries {
           (w_total * 1000000) // (200 * n_words) AS ht_weight_ppm
         FROM s CROSS JOIN t""")),
 
+    GQ("x30_source_diversity", // Gini–Simpson diversity of each source's
+      // language mix (Simpson 1949's 1 − Σp², the complement form): the
+      // corpus-report statistic behind "is this source monolingual or a
+      // mixed crawl" — Shannon entropy needs libm logs (x04's ban), but
+      // the Simpson index is RATIONAL: gs_ppm = 1e6 − (Σc_i²·1e6) DIV n²
+      // is exact in integers, and the effective-language count it
+      // implies (1/Σp²) is monotone in it. One map-side-combined
+      // (source, lang) cell aggregate, then per-source arithmetic on the
+      // cell table — nothing corpus-scale after the first groupBy.
+      // Long-safe while Σc² < 9.2e18 (n ≤ ~3e9 docs per source; lift to
+      // DECIMAL past that, x21's contract).
+      (s, dir) => Tables.table(s, dir, "documents")
+        .groupBy("source", "lang").agg(count(lit(1)).as("c"))
+        .groupBy("source")
+        .agg(sum(col("c")).as("n_docs"),
+          count(lit(1)).as("n_langs"),
+          expr("""CAST(1000000 - (SUM(c * c) * 1000000)
+            DIV (SUM(c) * SUM(c)) AS BIGINT)""").as("gini_simpson_ppm")),
+      Some("""WITH cells AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c
+          FROM documents GROUP BY 1, 2)
+        SELECT source, CAST(SUM(c) AS BIGINT) AS n_docs,
+          CAST(COUNT(*) AS BIGINT) AS n_langs,
+          CAST(1000000 - (SUM(c * c) * 1000000)
+            // (SUM(c) * SUM(c)) AS BIGINT) AS gini_simpson_ppm
+        FROM cells GROUP BY source""")),
+
     GQ("x29_sample_estimate", // the d49 sample ARTIFACT put to work —
       // Horvitz–Thompson estimation of a corpus total the sample was
       // NOT drawn by (Σ n_chars, drawn ∝ n_words): est = Σ_sample

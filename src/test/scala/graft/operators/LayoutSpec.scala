@@ -77,6 +77,28 @@ class LayoutSpec extends SparkSpec {
     assert(spark.read.parquet(zordered).count() == 40000)
   }
 
+  test("hilbert layout also confines a box predicate to few files; rows intact") {
+    val rnd = new scala.util.Random(11)
+    val pts = Seq.fill(40000)((rnd.nextInt(1000).toLong, rnd.nextInt(1000).toLong))
+      .zipWithIndex.map { case ((x, y), i) => (i.toLong, x, y) }
+      .toDF("id", "x", "y")
+    val dir = java.nio.file.Files.createTempDirectory("graft-hilbert").toFile
+    val natural = s"$dir/natural"
+    val hilberted = s"$dir/hilbert"
+    pts.repartition(16).write.mode("overwrite").parquet(natural)
+    Layout.hilbertWrite(pts, Seq("x", "y"), hilberted, nFiles = 16)
+    def filesTouched(path: String): Long = spark.read.parquet(path)
+      .filter(col("x").between(100, 199) && col("y").between(500, 599))
+      .select(input_file_name()).distinct().count()
+    val (nf, hf) = (filesTouched(natural), filesTouched(hilberted))
+    assert(nf >= 12, s"natural layout unexpectedly clustered ($nf files)")
+    // the same locality bar the z-order write clears; whether Hilbert
+    // edges out Morton by a file on a given draw is noise — the curve's
+    // structural advantage is the 0-jump walk, proven exactly below
+    assert(hf * 2 <= nf, s"hilbert layout not local: $hf vs natural $nf")
+    assert(spark.read.parquet(hilberted).count() == 40000)
+  }
+
   test("hilbertValue: order-2 truth table; order-3 walk never jumps where Morton does") {
     import spark.implicits._
     // the classic 4x4 Hilbert grid (xy2d with the n-based rotation)
