@@ -96,7 +96,14 @@ object Compaction {
     * maintenance IO at 100 TB. The within-partition sort is the same cost
     * any clustered write pays, and only over the fragmented directories'
     * data. Row-identity is unchanged (still oracled); file z-locality is
-    * spec-asserted. */
+    * spec-asserted.
+    *
+    * `curve` picks the space-filling curve the restore sorts by — it must
+    * match the table's WRITE-side layout, or the "restore" would quietly
+    * re-cluster the fragmented directories onto a different curve than
+    * the healthy ones: "morton" ([[Layout.mortonValue]], any dimension
+    * count, z01's layout) or "hilbert" ([[Layout.hilbertValue]], exactly
+    * 2 columns, z06's layout — the no-quadrant-jump curve). */
   def compact(
       spark: SparkSession,
       path: String,
@@ -105,9 +112,14 @@ object Compaction {
       minFiles: Int = 1,
       zorderBy: Seq[String] = Nil,
       zorderBits: Int = 8,
-      manifestPath: Option[String] = None
+      manifestPath: Option[String] = None,
+      curve: String = "morton"
   ): CompactStats = {
     require(partCols.nonEmpty && targetBytes > 0, "partCols non-empty, targetBytes > 0")
+    // eager: a typo'd curve must fail before ANY listing or file work,
+    // not only on runs that happen to find fragmented directories
+    require(curve == "morton" || curve == "hilbert",
+      s"unknown curve '$curve' — use 'morton' or 'hilbert'")
     val all = stats(spark, path, partCols)
     def targetFiles(s: PartStats): Int =
       math.max(minFiles, math.ceil(s.bytes.toDouble / targetBytes).toInt)
@@ -149,20 +161,31 @@ object Compaction {
         .repartition(totalSlots, (partCols.map(col) :+ col("__graft_slot")): _*)
         .drop("__graft_nf", "__graft_slot")
     } else {
-      // z-order restore: range-partition on (partition, z) — exactly
-      // [[Layout.zorderWrite]]'s plan over the fragmented directories
-      // only. The range sampler allocates tasks by data density, so each
-      // directory lands ≈ its byte-proportional share of the slot budget
-      // and every output file holds one contiguous z-run (a boundary
-      // task straddling two directories writes one file into each).
-      Layout.mortonValue(joined, zorderBy, zorderBits, out = "__graft_z")
+      // curve restore: range-partition on (partition, curve value) —
+      // exactly [[Layout.zorderWrite]]/[[Layout.hilbertWrite]]'s plan
+      // over the fragmented directories only. The range sampler
+      // allocates tasks by data density, so each directory lands ≈ its
+      // byte-proportional share of the slot budget and every output file
+      // holds one contiguous curve-run (a boundary task straddling two
+      // directories writes one file into each).
+      (curve match {
+        case "morton" =>
+          Layout.mortonValue(joined, zorderBy, zorderBits, out = "__graft_z")
+        case "hilbert" =>
+          Layout.hilbertValue(joined, zorderBy, zorderBits, out = "__graft_z")
+        case other => throw new IllegalArgumentException(
+          s"unknown curve '$other' — use 'morton' or 'hilbert'")
+      })
         .repartitionByRange(totalSlots, (partCols.map(col) :+ col("__graft_z")): _*)
         .sortWithinPartitions((partCols.map(col) :+ col("__graft_z")): _*)
         .drop("__graft_nf", "__graft_z")
     }).select(target.columns.map(col).toIndexedSeq: _*)
 
     val staging = s"${path.stripSuffix("/")}__graft_staging"
+    // generation bump before the first in-place mutation (the rename
+    // loop below) — the staging write is outside the table and safe
     spread.write.mode("overwrite").partitionBy(partCols: _*).parquet(staging)
+    FileManifest.bumpGeneration(spark, path)
     // Commit by renaming the staged directories into place — NOT a second
     // dataframe write: re-reading the staging files would let the scan
     // coalesce small files back together (maxPartitionBytes packing), and

@@ -30,6 +30,38 @@ import org.apache.spark.storage.StorageLevel
   * and the label table is one row per vertex that APPEARS in an edge —
   * singleton documents never enter the computation.
   */
+/** Per-round lineage truncation for the iterative-graph family — the shared
+  * mechanism [[Components.connected]]/[[Graph.pageRank]] inline: without a
+  * truncation the plan doubles per round and Catalyst analysis, not data,
+  * becomes the bottleneck. `localCheckpoint` by default (executor-local
+  * blocks); with a `checkpointDir`, a durable parquet round-trip that
+  * deletes round n−1 as soon as round n is materialized, so on-disk
+  * accumulation is O(|state|), not O(rounds·|state|). */
+private[operators] final class Truncator(
+    spark: org.apache.spark.sql.SparkSession,
+    checkpointDir: Option[String],
+    tag: String) {
+  private val runDir = checkpointDir.map(d =>
+    s"$d/graft-$tag-${java.util.UUID.randomUUID().toString.take(8)}")
+  private var round = 0
+  private var prevPath: Option[String] = None
+  def apply(df: DataFrame): DataFrame = runDir match {
+    case Some(base) =>
+      val p = s"$base/round-$round"
+      round += 1
+      df.write.mode("overwrite").parquet(p)
+      val back = spark.read.parquet(p)
+      prevPath.foreach { old =>
+        val path = new org.apache.hadoop.fs.Path(old)
+        path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(path, true)
+      }
+      prevPath = Some(p)
+      back
+    case None => df.localCheckpoint(true)
+  }
+}
+
 object Components {
 
   /** @param edges undirected edge list; (srcCol, dstCol) pairs, any

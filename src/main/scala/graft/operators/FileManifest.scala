@@ -30,10 +30,98 @@ import org.apache.spark.sql.functions._
   * blooms) from the manifest itself. A manifest maintained outside the
   * operators still follows the secondary-index discipline: refresh after
   * every rewrite.
+  *
+  * == Generation stamps: the crash-safety half of the freshness contract ==
+  *
+  * "Refresh inside the commit" is mechanical but not ATOMIC: a driver
+  * crash between the maintenance commit's rename and the refresh leaves a
+  * fresh table with a stale manifest whose listed files no longer exist —
+  * a pruned read would hand Spark dead paths, and [[countFast]]'s stored
+  * row counts could silently answer from the pre-commit state. The
+  * reference's only metadata is the live directory listing
+  * (helpers.py:10-32), which CANNOT go stale; a secondary index
+  * reintroduces exactly the failure mode table formats version-stamp
+  * away — so this one is version-stamped too. Every mutation
+  * ([[Merge.upsert]]/[[Merge.delete]]/[[Compaction.compact]]) writes a
+  * fresh generation id to `<table>/_graft_generation` BEFORE touching any
+  * file; [[refresh]] copies the table's stamp to
+  * `<manifest>/_graft_generation` after the manifest swap; every manifest
+  * read path ([[prunedRead]]/[[prunedReadPoint]]/[[countFast]]) verifies
+  * the two stamps match and FAILS LOUD on mismatch (IllegalStateException
+  * naming the fix: refresh). The fail-loud window thus covers the entire
+  * mutation — stamp-bump to refresh — and a table whose stamp was never
+  * written (no graft-managed commits yet) verifies trivially, so
+  * externally-maintained manifests keep working. Underscore-prefixed
+  * files are invisible to parquet scans and hive partition discovery
+  * (the `_SUCCESS` convention), so the stamp never perturbs reads.
   */
 object FileManifest {
 
   final case class PruneStats(filesTotal: Long, filesSelected: Long)
+
+  private val StampFile = "_graft_generation"
+
+  private def fsFor(spark: SparkSession, dir: String) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** Write a generation stamp into `dir` (table root or manifest root).
+    * Plain create-overwrite: the stamp is a single tiny file and every
+    * writer is the single maintenance driver by the COW contract. */
+  private[operators] def writeStamp(
+      spark: SparkSession, dir: String, gen: String): Unit = {
+    val (fs, p) = fsFor(spark, dir)
+    val out = fs.create(new org.apache.hadoop.fs.Path(p, StampFile), true)
+    try out.write(gen.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** The generation currently stamped on `dir`, None if never stamped. */
+  def readStamp(spark: SparkSession, dir: String): Option[String] = {
+    val (fs, p) = fsFor(spark, dir)
+    val f = new org.apache.hadoop.fs.Path(p, StampFile)
+    if (!fs.exists(f)) None
+    else {
+      val in = fs.open(f)
+      try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](256)
+        var n = in.read(buf)
+        while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+        Some(new String(bytes.toByteArray, java.nio.charset.StandardCharsets.UTF_8))
+      } finally in.close()
+    }
+  }
+
+  /** Bump the table's generation — called by every maintenance operator
+    * BEFORE its first file mutation, so the stamp-mismatch window covers
+    * the whole commit (a crash mid-commit leaves table gen ≠ manifest gen
+    * and every manifest read fails loud until a refresh). */
+  private[operators] def bumpGeneration(
+      spark: SparkSession, tablePath: String): String = {
+    val gen = java.util.UUID.randomUUID().toString
+    writeStamp(spark, tablePath, gen)
+    gen
+  }
+
+  /** Fail loud when the manifest's recorded generation does not match the
+    * table's — the state a crash between commit and refresh leaves behind.
+    * A never-stamped table (no graft-managed commit yet) verifies
+    * trivially; a stamped table REQUIRES the manifest to carry the same
+    * stamp (a manifest built before stamping reads as None → mismatch →
+    * the fix is one refresh). */
+  private def verifyGeneration(
+      spark: SparkSession, tablePath: String, manifestPath: String): Unit =
+    readStamp(spark, tablePath).foreach { tg =>
+      val mg = readStamp(spark, manifestPath)
+      if (!mg.contains(tg)) throw new IllegalStateException(
+        s"stale manifest at $manifestPath: table $tablePath is at generation " +
+          s"$tg but the manifest records ${mg.getOrElse("<none>")} — a " +
+          "maintenance commit ran without its manifest refresh (crash " +
+          "window, or a manifestPath-less Merge/Compaction call); run " +
+          "FileManifest.refresh before pruned reads")
+    }
 
   /** Build the manifest for `cols` over every file of the table at
     * `tablePath` and store it at `manifestPath`. One scan of the table
@@ -52,6 +140,18 @@ object FileManifest {
       .agg(aggs.head, aggs.tail: _*)
       .coalesce(1)
       .write.mode("overwrite").parquet(manifestPath)
+    alignStamps(spark, tablePath, manifestPath)
+  }
+
+  /** After a full build or refresh the manifest describes the table as it
+    * stands — record that by copying the table's generation onto the
+    * manifest (seeding a generation first if the table was never
+    * stamped, so the stamp discipline starts at build time). */
+  private def alignStamps(
+      spark: SparkSession, tablePath: String, manifestPath: String): Unit = {
+    val gen = readStamp(spark, tablePath)
+      .getOrElse(bumpGeneration(spark, tablePath))
+    writeStamp(spark, manifestPath, gen)
   }
 
   final case class RefreshStats(filesAdded: Long, filesDropped: Long, filesKept: Long)
@@ -151,6 +251,7 @@ object FileManifest {
       .write.mode("overwrite").parquet(manifestPath)
     val sp = new org.apache.hadoop.fs.Path(staging)
     sp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(sp, true)
+    alignStamps(spark, tablePath, manifestPath)
     RefreshStats(added.length.toLong, dropped, knownTotal - dropped)
   }
 
@@ -208,6 +309,7 @@ object FileManifest {
       ranges: Seq[(String, Any, Any)]
   ): (Long, PruneStats) = {
     require(ranges.nonEmpty, "ranges must be non-empty")
+    verifyGeneration(spark, tablePath, manifestPath)
     val m = spark.read.parquet(manifestPath)
     val intersects = ranges.map { case (c, lo, hi) =>
       col(s"min_$c").isNull || col(s"max_$c").isNull ||
@@ -255,6 +357,7 @@ object FileManifest {
       .agg(aggs.head, aggs.tail: _*)
       .coalesce(1)
       .write.mode("overwrite").parquet(manifestPath)
+    alignStamps(spark, tablePath, manifestPath)
   }
 
   /** Point-lookup read through the per-file blooms: keeps files whose
@@ -272,20 +375,11 @@ object FileManifest {
       values: Seq[Any]
   ): (DataFrame, PruneStats) = {
     require(values.nonEmpty, "values must be non-empty")
-    // hash through the ENGINE's xxhash64 so insertion and probe agree on
-    // the key transform byte-for-byte
-    val hashes = spark.range(1)
-      .select(values.map(v => xxhash64(lit(v))).toIndexedSeq: _*)
-      .head().toSeq.map(_.asInstanceOf[Long])
-    val mightAny = udf { (bytes: Array[Byte]) =>
-      val bf = org.apache.spark.util.sketch.BloomFilter
-        .readFrom(new java.io.ByteArrayInputStream(bytes))
-      hashes.exists(bf.mightContainLong)
-    }
+    verifyGeneration(spark, tablePath, manifestPath)
     val m = spark.read.parquet(manifestPath)
     val total = m.count()
-    val files = m.filter(mightAny(col(s"bloom_$column")))
-      .select("file").collect().map(_.getString(0)).toSeq
+    val files = bloomProbe(spark, manifestPath, column, values)
+      .collect().sorted.toSeq
     // exact filter as a broadcast SEMI JOIN against the values, not an
     // `isin` literal list: a point-lookup batch can carry thousands of
     // keys (a CDC key feed, a deletion list), and an In-expression is
@@ -299,6 +393,44 @@ object FileManifest {
       else readFiles(spark, tablePath, files)
         .join(broadcast(valuesDf), Seq(column), "left_semi")
     (df, PruneStats(total, files.length.toLong))
+  }
+
+  /** The bloom membership test over the manifest scan, as a typed
+    * mapPartitions — NOT a ScalaUDF (spec-asserted): a per-row `udf` pays
+    * the UDF boxing/conversion bridge on every manifest row and re-enters
+    * the Scala closure per probe; here each row's filter is deserialized
+    * exactly once inside a plain partition iterator and all K probe
+    * hashes test against it before moving on. Probe values hash through
+    * the ENGINE's xxhash64 so insertion ([[RuntimeFilter.bloomAgg]], which
+    * inserts xxhash64(key)) and probe agree byte-for-byte. (The engine's
+    * native BloomFilterMightContain was tried first — it requires a
+    * CONSTANT bloom side (literal or scalar subquery), and here the bloom
+    * varies per manifest row, so the typed iterator is the supported
+    * form.) Files with a NULL bloom are KEPT — an all-null or stat-less
+    * file can't prove absence; conservative, never wrong, the same rule
+    * [[selectFiles]] applies to NULL range stats. */
+  private[graft] def bloomProbe(
+      spark: SparkSession,
+      manifestPath: String,
+      column: String,
+      values: Seq[Any]
+  ): org.apache.spark.sql.Dataset[String] = {
+    import org.apache.spark.sql.Encoders
+    val hashes = spark.range(1)
+      .select(values.map(v => xxhash64(lit(v))).toIndexedSeq: _*)
+      .head().toSeq.map(_.asInstanceOf[Long])
+    spark.read.parquet(manifestPath)
+      .select(col("file"), col(s"bloom_$column").as("bloom"))
+      .as[(String, Array[Byte])](Encoders.tuple(Encoders.STRING, Encoders.BINARY))
+      .mapPartitions { it =>
+        it.filter { case (_, bytes) =>
+          bytes == null || {
+            val bf = org.apache.spark.util.sketch.BloomFilter
+              .readFrom(new java.io.ByteArrayInputStream(bytes))
+            hashes.exists(bf.mightContainLong)
+          }
+        }.map(_._1)
+      }(Encoders.STRING)
   }
 
   /** Read specific files of the table, with `basePath` pinned to the table
@@ -320,6 +452,7 @@ object FileManifest {
       manifestPath: String,
       ranges: Seq[(String, Any, Any)]
   ): (DataFrame, PruneStats) = {
+    verifyGeneration(spark, tablePath, manifestPath)
     val (files, stats) = selectFiles(spark, manifestPath, ranges)
     val rowFilter = ranges.map { case (c, lo, hi) =>
       col(c) >= lit(lo) && col(c) <= lit(hi)

@@ -147,6 +147,11 @@ object Merge {
     val out = survivors.unionByName(batch.select(target.columns.map(col): _*))
     val written = out.persist()
     val nWritten = written.count()
+    // generation bump BEFORE the first file mutation: a crash anywhere
+    // between here and the refresh leaves table gen ≠ manifest gen, and
+    // every manifest read path fails loud instead of serving vanished
+    // files (FileManifest's crash-safety contract)
+    FileManifest.bumpGeneration(spark, path)
     stageAndCommit(spark, written, path, partCols)
     written.unpersist()
     refreshManifest(spark, path, manifestPath)
@@ -187,6 +192,9 @@ object Merge {
       keys.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
     val written = survivors.persist()
     val nWritten = written.count()
+    // bump BEFORE any mutation (commit AND the emptied-directory removals
+    // below are one logical commit; the window must cover both)
+    FileManifest.bumpGeneration(spark, path)
     if (nWritten > 0) stageAndCommit(spark, written, path, partCols)
     // Directories the delete emptied entirely: touched minus still-present.
     val remaining = partTuples(written, partCols).toSet

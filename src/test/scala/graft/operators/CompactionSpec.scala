@@ -124,4 +124,59 @@ class CompactionSpec extends SparkSpec {
     val want = pts.select("id", "x", "y").as[(Long, Long, Long)].collect().toSet
     assert(got == want)
   }
+
+  test("hilbert curve mode: a hilbert-laid-out table re-clusters in the same rewrite") {
+    // z06's write-side layout fragments like any other; compact(curve =
+    // "hilbert") restores it without a second rewrite — same locality
+    // bar as the morton test, same row-identity contract, and the
+    // manifest refresh rides the commit like every maintenance op.
+    val path = tmp("graft-compact-h")
+    val man = tmp("graft-compact-h-man")
+    val rnd = new scala.util.Random(29)
+    val pts = Seq.fill(20000)((rnd.nextInt(1000).toLong, rnd.nextInt(1000).toLong))
+      .zipWithIndex.map { case ((x, y), i) => (i.toLong, x, y, 1) }
+      .toDF("id", "x", "y", "yr")
+    pts.repartition(16).write.partitionBy("yr").parquet(path)
+    FileManifest.build(spark, path, Seq("x", "y"), man)
+    def filesTouched(): Long = spark.read.parquet(path)
+      .filter(col("x").between(100, 199) && col("y").between(500, 599))
+      .select(input_file_name()).distinct().count()
+    assert(filesTouched() >= 12, "pre-compaction box should touch ~all files")
+
+    val bytes = fileSig(path, "yr=1").toSeq.map(_._2).sum
+    val st = Compaction.compact(spark, path, Seq("yr"),
+      targetBytes = bytes / 4 + 1, zorderBy = Seq("x", "y"),
+      curve = "hilbert", manifestPath = Some(man))
+    assert(st.partitionsCompacted == 1)
+    val nAfter = fileSig(path, "yr=1").size
+    assert(nAfter <= 5, s"expected ~4 packed files, got $nAfter")
+    assert(filesTouched() < nAfter,
+      s"hilbert clustering not restored: box touches all $nAfter files")
+    val got = spark.read.parquet(path).select("id", "x", "y")
+      .as[(Long, Long, Long)].collect().toSet
+    val want = pts.select("id", "x", "y").as[(Long, Long, Long)].collect().toSet
+    assert(got == want)
+    // the manifest half of the commit held: live files exactly covered,
+    // and a pruned read through it answers over the re-clustered layout
+    val after = spark.read.parquet(man).select("file").as[String].collect().toSet
+    assert(after == spark.read.parquet(path).inputFiles.toSet)
+    val (df, ps) = FileManifest.prunedRead(spark, path, man,
+      Seq(("x", 100L, 199L), ("y", 500L, 599L)))
+    assert(ps.filesSelected < ps.filesTotal,
+      "post-compaction manifest should prune through the restored clustering")
+    assert(df.count() == pts.filter(col("x").between(100, 199) &&
+      col("y").between(500, 599)).count())
+  }
+
+  test("unknown curve fails loud before any file is touched") {
+    val path = tmp("graft-compact-badcurve")
+    (1 to 100).map(i => (i.toLong, i % 10L, i % 7L, 1)).toDF("id", "x", "y", "yr")
+      .repartition(4).write.partitionBy("yr").parquet(path)
+    val sig = fileSig(path, "yr=1")
+    intercept[IllegalArgumentException] {
+      Compaction.compact(spark, path, Seq("yr"), targetBytes = 1L,
+        zorderBy = Seq("x", "y"), curve = "peano")
+    }
+    assert(fileSig(path, "yr=1") == sig, "failed compaction must leave files untouched")
+  }
 }
