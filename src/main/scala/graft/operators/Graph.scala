@@ -292,6 +292,78 @@ object Graph {
       lit(nW).as("n_wedges"), lit(nT).as("n_triangles"))
   }
 
+  /** Deduped-frontier REACHABILITY (level-synchronous BFS) from a source
+    * set over a directed edge list — the scale-safe form of the transitive
+    * closure g03's recursive CTE can only express depth-bounded: UNION ALL
+    * recursion enumerates WALKS (exponential on a dense graph — measured,
+    * g03's depth-3 form blows the engine's 1M recursion-row limit at
+    * sf0.1, and on any cyclic graph it never terminates without a cap),
+    * and per-step-dedup UNION recursion is not in the engine
+    * (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE). [[Components]] answers
+    * "connected at all?" over UNDIRECTED edges; this answers "which nodes
+    * derive from corpus X, and in how many hops?" — the lineage /
+    * contamination-spread question a training-data pipeline actually asks.
+    *
+    * Mechanism: classic frontier BFS with global dedup. Round d joins the
+    * CURRENT frontier (nodes first reached at d−1) onto the edge list,
+    * dedups the targets, drops everything already visited (one left-anti
+    * join against the visited set), and what remains IS the set of nodes
+    * whose minimum hop distance is exactly d — level-synchronous
+    * expansion makes first-arrival = min-hop by construction, and the
+    * dedup makes every round's work proportional to the NEW nodes' edges,
+    * never to the walk count. Terminates on any graph (cycles included)
+    * in ≤ eccentricity(sources) rounds; per round one key-bounded
+    * |frontier⋈E| join + one anti join, lineage truncated every round
+    * ([[Truncator]], the iterative-family contract).
+    *
+    * @param sources one-column DataFrame of seed node ids (any integral
+    *                type; duplicates collapse). Seeds absent from the
+    *                edge list still return at depth 0 — reachability of
+    *                an isolated seed is itself.
+    * @param maxDepth stop after this many expansion rounds (the capped
+    *                form replays g03's SQL contract exactly); default
+    *                unbounded — safe, the dedup bounds total work by |V|.
+    * @return (node, depth): every node reachable from the source set
+    *         within maxDepth hops, with its MINIMUM hop distance. */
+  def reachableFrom(
+      edges: DataFrame,
+      sources: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      maxDepth: Int = Int.MaxValue,
+      checkpointDir: Option[String] = None
+  ): DataFrame = {
+    require(maxDepth >= 0, s"maxDepth must be >= 0, got $maxDepth")
+    val spark = edges.sparkSession
+    val truncate = new Truncator(spark, checkpointDir, "bfs")
+    val e = edges
+      .select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("d"))
+      // adjacency only: parallel edges would re-derive the same target
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val seedCol = sources.columns.head
+    var visited = truncate(sources
+      .select(col(seedCol).cast("long").as("node")).distinct()
+      .withColumn("depth", lit(0)))
+    var frontier = visited.select("node")
+    var newCount = frontier.count()
+    var d = 0
+    while (newCount > 0 && d < maxDepth) {
+      d += 1
+      val next = e.join(frontier.withColumnRenamed("node", "s"), "s")
+        .select(col("d").as("node")).distinct()
+        .join(visited.select("node"), Seq("node"), "left_anti")
+        .withColumn("depth", lit(d))
+      visited = truncate(visited.unionByName(next))
+      // the new level re-read from the checkpointed blocks: one cheap
+      // filter+count, no recomputation of the round's joins
+      frontier = visited.filter(col("depth") === d).select("node")
+      newCount = frontier.count()
+    }
+    e.unpersist()
+    visited
+  }
+
   /** k-CORE decomposition by iterative peeling (Seidman 1983; the
     * distributed peel is Montresor et al. 2013's shape) — the cohesion
     * member of the iterative family: d18 asks "connected at all?", g05

@@ -2633,8 +2633,9 @@ object Advanced {
       // depth bound of TWO hops is what keeps the walk count
       // ≤ |N(src)|·maxDeg over the DISTINCT-edge table at any corpus
       // size. Unbounded closure at 100 TB belongs to
-      // `operators/Components`' per-round-deduped iteration (this query
-      // is the SQL-surface member of that family, not its replacement).
+      // `operators/Graph.reachableFrom`'s deduped-frontier BFS — g07 is
+      // that operator over the same graph (this query is the SQL-surface
+      // member of that family, not its replacement).
       // The seed derives from the data (src = 0 rows), so a zero-row
       // input recurses zero times; DuckDB replays the identical
       // recursion.
@@ -2669,6 +2670,55 @@ object Advanced {
             UNION ALL
             SELECT e.dst, r.hops + 1 FROM r JOIN e ON e.src = r.node
             WHERE r.hops < 2)
+        SELECT node, MIN(hops) AS min_hops FROM r GROUP BY node""")),
+
+    GQ("g07_frontier_reachability", // deduped-frontier BFS
+      // (`operators/Graph.reachableFrom`) — the scale-safe transitive
+      // closure g03 documents it cannot be: UNION ALL recursion
+      // enumerates WALKS (g03's depth-3 form blows the 1M recursion-row
+      // limit at sf0.1 — measured, GraphSpec executes the blow-up), so
+      // g03 is capped at two hops; this operator expands a DEDUPED
+      // frontier instead — per round one frontier⋈edges join + one
+      // left-anti against visited, work proportional to NEW nodes'
+      // edges, never to walks — and reaches depth 8 on the same graph
+      // at any corpus size (it terminates at the graph's eccentricity;
+      // the cap only replays the SQL contract). Level-synchronous
+      // expansion makes first-arrival = min-hop, which is exactly what
+      // the oracle's deduping UNION recursion computes: DuckDB's
+      // recursive UNION dedups (node, hops) pairs against everything
+      // produced so far, so its row count is ≤ |V|·depth, not the walk
+      // count — the per-step-dedup form Spark's own WITH RECURSIVE
+      // rejects (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE, tried in g03).
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"), col("ts"),
+            regexp_extract(col("props"), "\"k\": (\\d+)", 1)
+              .cast("long").as("item"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val edges = ev
+          .select(col("item").as("dst"), lag(col("item"), 1).over(w).as("src"))
+          .filter(col("src").isNotNull)
+        // seed derives from the data (src = 0 rows), so a zero-row input
+        // recurses zero times — g03's same contract
+        val seeds = edges.filter(col("src") === 0L)
+          .select(col("src").as("node"))
+        graft.operators.Graph.reachableFrom(edges, seeds, maxDepth = 8)
+          .select(col("node"), col("depth").as("min_hops"))
+      },
+      Some("""WITH RECURSIVE
+          ev AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t,
+              CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS item
+            FROM events),
+          tr AS (SELECT item AS dst,
+              LAG(item) OVER (PARTITION BY user_id ORDER BY t, event_id) AS src
+            FROM ev),
+          e AS (SELECT DISTINCT src, dst FROM tr WHERE src IS NOT NULL),
+          r(node, hops) AS (
+            SELECT DISTINCT src AS node, 0 AS hops FROM e WHERE src = 0
+            UNION
+            SELECT e.dst, r.hops + 1 FROM r JOIN e ON e.src = r.node
+            WHERE r.hops < 8)
         SELECT node, MIN(hops) AS min_hops FROM r GROUP BY node""")),
 
     GQ("g04_triangles", // exact triangle count by DEGREE ORIENTATION

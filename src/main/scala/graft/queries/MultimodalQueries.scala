@@ -233,6 +233,40 @@ object MultimodalQueries {
          AND CAST(p.ts AS TIMESTAMP) <=
              CAST(c.ts AS TIMESTAMP) + INTERVAL 15 MINUTE""")),
 
+    // The FULL-outer form completing s04/s05 — both funnel gaps at once:
+    // clicks with no purchase (left null-pad, s05's signal) AND purchases
+    // with no preceding click in the window (right null-pad — the
+    // attribution-gap rows a funnel audit needs). In a live stream each
+    // side's row is held until the watermark proves no match can arrive,
+    // then emitted null-padded — the case where the per-side key
+    // resolution matters most (the key must coalesce across sides or
+    // right-unmatched rows carry a null key; StreamingSpec pins the live
+    // both-sided discharge). On bounded input the watermark is a no-op
+    // and the result equals this plain batch FULL join, the verified
+    // contract.
+    GQ("s06_stream_full_outer_join",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("click_ts"),
+            col("event_id").as("click_id"))
+        val buys = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("buy_ts"),
+            col("event_id").as("buy_id"))
+        Streaming.streamStreamJoin(clicks, buys,
+          leftTs = "click_ts", rightTs = "buy_ts", key = "user_id",
+          maxDelay = "15 minutes", joinType = "full_outer")
+          .select("user_id", "click_id", "buy_id")
+      },
+      Some("""SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+          c.event_id AS click_id, p.event_id AS buy_id
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id
+         AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+         AND CAST(p.ts AS TIMESTAMP) <=
+             CAST(c.ts AS TIMESTAMP) + INTERVAL 15 MINUTE""")),
+
     // Streaming windowed aggregation evaluated on the bounded events table.
     GQ("s01_tumbling_window",
       (s, dir) => Streaming.windowedCounts(

@@ -538,15 +538,26 @@ object Streaming {
     * the streaming analog of the batched lookup-enrichment pattern
     * (reference O24) when both sides are live. */
   /** Watermarked stream-stream interval join. `joinType` "inner" (the
-    * default) or "left_outer" — the outer form is the conversion-funnel
-    * shape ("clicks WITHOUT a purchase within 15 minutes" — the
-    * unmatched rows ARE the signal): Spark emits the null-padded left
-    * row once the watermark proves no match can still arrive, which is
-    * exactly why BOTH sides must be watermarked and the join condition
-    * time-bounded (unbounded outer state would never discharge). On
-    * bounded input the watermarks are no-ops and the result equals the
-    * plain batch outer join with the same predicate — the batch-verified
-    * contract s04/s05 pin. */
+    * default), "left_outer", "right_outer", or "full_outer" — the outer
+    * forms are the conversion-funnel shapes ("clicks WITHOUT a purchase
+    * within 15 minutes" — the unmatched rows ARE the signal; the full
+    * form additionally surfaces purchases with no preceding click, the
+    * attribution-gap rows): Spark emits a null-padded row once the
+    * watermark proves no match can still arrive, which is exactly why
+    * BOTH sides must be watermarked and the join condition time-bounded
+    * (unbounded outer state would never discharge). On bounded input the
+    * watermarks are no-ops and the result equals the plain batch join
+    * with the same predicate — the batch-verified contract s04/s05/s06
+    * pin.
+    *
+    * Column-selection discipline (the bug class s05 surfaced, most
+    * dangerous in the full form where EITHER side can be the null-padded
+    * one): the join keeps both sides' key columns, and a bare
+    * `drop(r(key))` can resolve to either duplicate — indistinguishable
+    * on an inner join (keys equal) but an outer join's unmatched rows
+    * would surface a null key. Left/inner forms keep the LEFT key
+    * explicitly; right/full forms COALESCE the two (the only column
+    * that is non-null on every row class). */
   def streamStreamJoin(
       left: DataFrame, right: DataFrame,
       leftTs: String, rightTs: String,
@@ -556,18 +567,40 @@ object Streaming {
       joinType: String = "inner"
   ): DataFrame = {
     val l = left.withWatermark(leftTs, lateness)
-    val r = right.withWatermark(rightTs, lateness)
-    val joined = l.join(r,
-      l(key) === r(key) &&
-        r(rightTs) >= l(leftTs) &&
-        r(rightTs) <= l(leftTs) + expr(s"INTERVAL $maxDelay"),
-      joinType)
-    // keep the LEFT key explicitly: drop(r(key)) can resolve to either
-    // duplicate — indistinguishable on an inner join (keys equal) but an
-    // outer join's unmatched rows would surface the null right key
-    joined.select(
-      (l.columns.map(l(_)) ++ r.columns.filterNot(_ == key).map(r(_)))
-        .toIndexedSeq: _*)
+    val rightPadded = joinType match {
+      case "right_outer" | "rightouter" | "full_outer" | "fullouter" |
+           "full" | "outer" => true
+      case _ => false
+    }
+    if (!rightPadded) {
+      val r = right.withWatermark(rightTs, lateness)
+      val joined = l.join(r,
+        l(key) === r(key) &&
+          r(rightTs) >= l(leftTs) &&
+          r(rightTs) <= l(leftTs) + expr(s"INTERVAL $maxDelay"),
+        joinType)
+      joined.select(
+        (l.columns.map(l(_)) ++ r.columns.filterNot(_ == key).map(r(_)))
+          .toIndexedSeq: _*)
+    } else {
+      // right/full outer: the right key is RENAMED before the join so the
+      // post-join coalesce references two distinct names — dataset-id
+      // column disambiguation (l(key)/r(key)) breaks down when both sides
+      // derive from the same source (the batch-verified funnel query is
+      // exactly that self-join), and a name that exists once is
+      // unambiguous under any lineage
+      val rk = s"__graft_rkey_$key"
+      val r = right.withWatermark(rightTs, lateness).withColumnRenamed(key, rk)
+      val joined = l.join(r,
+        col(key) === col(rk) &&
+          col(rightTs) >= col(leftTs) &&
+          col(rightTs) <= col(leftTs) + expr(s"INTERVAL $maxDelay"),
+        joinType)
+      joined.select(
+        (coalesce(col(key), col(rk)).as(key) +:
+          (left.columns.filterNot(_ == key).map(col) ++
+            right.columns.filterNot(_ == key).map(col))).toIndexedSeq: _*)
+    }
   }
 
   /** Rate-limited file stream — the engine's backpressure knob (reference:

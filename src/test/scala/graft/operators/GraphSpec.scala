@@ -165,4 +165,94 @@ class GraphSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Graph.kCore(edges, 0, 1) }
     intercept[IllegalArgumentException] { Graph.kCore(edges, 2, 0) }
   }
+
+  test("reachableFrom: min-hop BFS, cycle-safe unbounded, maxDepth caps the wave") {
+    import spark.implicits._
+    // chain 0→1→2→3 plus a back-edge 2→0 (cycle) and a shortcut 0→2:
+    // min-hops are 0,1,1,2 — the shortcut must win over the chain path,
+    // and the cycle must not prevent termination without a depth cap
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (2L, 0L), (0L, 2L))
+      .toDF("src", "dst")
+    val seeds = Seq(0L).toDF("node")
+    val got = Graph.reachableFrom(edges, seeds)
+      .as[(Long, Int)].collect().toMap
+    assert(got == Map(0L -> 0, 1L -> 1, 2L -> 1, 3L -> 2), s"got $got")
+    // capped: depth-1 wave stops before node 3
+    val capped = Graph.reachableFrom(edges, seeds, maxDepth = 1)
+      .as[(Long, Int)].collect().toMap
+    assert(capped == Map(0L -> 0, 1L -> 1, 2L -> 1), s"got $capped")
+    // maxDepth = 0: the seed set itself
+    assert(Graph.reachableFrom(edges, seeds, maxDepth = 0)
+      .as[(Long, Int)].collect().toMap == Map(0L -> 0))
+  }
+
+  test("reachableFrom: multi-seed min, direction respected, isolated seed kept") {
+    import spark.implicits._
+    // 10→11→12, 20→12 (12 reachable from both arms at different depths),
+    // 30←31 (wrong direction — 31 unreachable from 30), seed 99 isolated
+    val edges = Seq((10L, 11L), (11L, 12L), (20L, 12L), (31L, 30L))
+      .toDF("src", "dst")
+    val seeds = Seq(10L, 20L, 30L, 99L, 99L).toDF("id") // dup seed collapses
+    val got = Graph.reachableFrom(edges, seeds, srcCol = "src", dstCol = "dst")
+      .as[(Long, Int)].collect().toMap
+    assert(got == Map(10L -> 0, 20L -> 0, 30L -> 0, 99L -> 0,
+      11L -> 1, 12L -> 1), s"got $got")
+  }
+
+  test("reachableFrom terminates in diameter rounds where walk enumeration explodes") {
+    import spark.implicits._
+    // complete digraph on 12 nodes: walks of length k number 12·11^k —
+    // the UNION ALL recursive-CTE form g03 documents (walk enumeration)
+    // is past 2.3M rows by depth 5 and NEVER terminates uncapped; the
+    // deduped frontier visits all 12 nodes in ONE round and stops
+    val n = 12
+    val edges = (for { a <- 0 until n; b <- 0 until n if a != b }
+      yield (a.toLong, b.toLong)).toDF("src", "dst")
+    val got = Graph.reachableFrom(edges, Seq(0L).toDF("node"))
+      .as[(Long, Int)].collect().toMap
+    assert(got.size == n && got(0L) == 0 &&
+      (1 until n).forall(i => got(i.toLong) == 1))
+    // the contrast, executed: the walk-enumerating CTE on the SAME graph
+    // blows the engine's recursion row limit (the g03-documented failure
+    // this operator exists to close) — assert it actually fails
+    edges.createOrReplaceTempView("bfs_blowup_e")
+    val err = intercept[Exception] {
+      spark.sql("""WITH RECURSIVE r(node, hops) AS (
+          SELECT CAST(0 AS BIGINT), 0
+          UNION ALL
+          SELECT e.dst, r.hops + 1 FROM r JOIN bfs_blowup_e e ON e.src = r.node
+          WHERE r.hops < 8)
+        SELECT node, MIN(hops) FROM r GROUP BY node""").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("recursion"),
+      s"expected the recursion row/depth limit, got: ${err.getMessage}")
+  }
+
+  test("reachableFrom: partitioning-independent; durable checkpoint mode agrees") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val edges = Seq.fill(400)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .toDF("src", "dst")
+    val seeds = Seq(0L, 7L).toDF("node")
+    val a = Graph.reachableFrom(edges, seeds).as[(Long, Int)].collect().toMap
+    val b = Graph.reachableFrom(edges.repartition(17), seeds)
+      .as[(Long, Int)].collect().toMap
+    assert(a == b)
+    val dir = java.nio.file.Files.createTempDirectory("bfs-ckpt").toString
+    val c = Graph.reachableFrom(edges, seeds, checkpointDir = Some(dir))
+      .as[(Long, Int)].collect().toMap
+    assert(a == c)
+    // reference BFS in plain Scala over the collected edge list
+    val adj = edges.as[(Long, Long)].collect().groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).toSet }
+    var vis = Map(0L -> 0, 7L -> 0)
+    var fr = Set(0L, 7L); var d = 0
+    while (fr.nonEmpty) {
+      d += 1
+      val nx = fr.flatMap(u => adj.getOrElse(u, Set.empty)) -- vis.keySet
+      nx.foreach(u => vis += u -> d)
+      fr = nx
+    }
+    assert(a == vis, "operator must equal the reference BFS")
+  }
 }

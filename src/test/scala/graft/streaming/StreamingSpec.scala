@@ -335,6 +335,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("full-outer stream-stream join null-pads BOTH sides on watermark discharge") {
+    // the case where the per-side column-selection bug class s05 surfaced
+    // is most dangerous: EITHER side can be the null-padded one, so the
+    // key column must coalesce across sides or right-unmatched rows
+    // would carry a null key
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    val clicks = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val buys = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val joined = Streaming.streamStreamJoin(
+      clicks.toDF().toDF("user_id", "click_ts", "click_id"),
+      buys.toDF().toDF("user_id", "buy_ts", "buy_id"),
+      leftTs = "click_ts", rightTs = "buy_ts", key = "user_id",
+      lateness = "1 minutes", maxDelay = "15 minutes",
+      joinType = "full_outer")
+      .select(col("user_id"), col("click_id"), col("buy_id"))
+    val q = joined.writeStream
+      .format("memory").queryName("s06_live").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+      .start()
+    try {
+      // user 1 converts; user 2's click never matches (left null-pad);
+      // user 3 buys with no click (right null-pad)
+      clicks.addData((1L, ts(10), 101L), (2L, ts(12), 102L))
+      buys.addData((1L, ts(20), 201L), (3L, ts(11), 301L))
+      q.processAllAvailable()
+      // advance both watermarks far past every pending row's bound so
+      // both outer classes must flush
+      clicks.addData((9L, ts(500), 999L))
+      buys.addData((9L, ts(400), 998L))
+      q.processAllAvailable()
+      val got = spark.table("s06_live")
+        .as[(Option[Long], Option[Long], Option[Long])].collect().toSet
+      assert(got.contains((Some(1L), Some(101L), Some(201L))), got.toString)
+      assert(got.contains((Some(2L), Some(102L), None)),
+        s"unmatched click not left-null-padded after watermark: $got")
+      assert(got.contains((Some(3L), None, Some(301L))),
+        s"unmatched purchase not right-null-padded after watermark: $got")
+      assert(!got.exists(_._1.isEmpty),
+        s"the coalesced key must be non-null on every row class: $got")
+    } finally q.stop()
+  }
+
   test("quantile drift stream gates batches against the stored reference sketch") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_drift").toString
