@@ -551,11 +551,17 @@ object Dedup {
             .getField("v").as(c))
     val base = labeled.groupBy("comp").agg(aggs.head, aggs.tail: _*)
     modal.foldLeft(base) { (acc, c) =>
-      val m = labeled.groupBy(col("comp"), col(c)).agg(count(lit(1)).as("cnt"))
+      // NULLs never compete: struct ordering sorts a NULL field FIRST, so
+      // an unfiltered (comp, NULL) group would WIN any count tie and the
+      // "most-attested" value could come back unattested. Only non-null
+      // values enter the vote; a cluster whose column is entirely null
+      // keeps NULL via the left join (nothing attested, nothing invented).
+      val m = labeled.filter(col(c).isNotNull)
+        .groupBy(col("comp"), col(c)).agg(count(lit(1)).as("cnt"))
         .groupBy("comp")
         .agg(min(struct((-col("cnt")).as("nc"), col(c).as("v")))
           .getField("v").as(c))
-      acc.join(m, "comp")
+      acc.join(m, Seq("comp"), "left")
     }
   }
 

@@ -206,7 +206,7 @@ object Lm {
     val crawlQ = fitThresholds(scored)
       .select(col("head_min").as("crawl_head_q"),
         col("mid_min").as("crawl_mid_q"))
-    shares.crossJoin(crawlQ) // both 1-row aggregates
+    val report = shares.crossJoin(crawlQ) // both 1-row aggregates
       .withColumn("head_min_stored", lit(headMin))
       .withColumn("mid_min_stored", lit(midMin))
       .withColumn("head_move_ppm",
@@ -217,6 +217,14 @@ object Lm {
           + s" DIV greatest(CAST($midMin AS BIGINT), 1)"))
       .withColumn("refit",
         col("head_move_ppm") > tolPpm || col("mid_move_ppm") > tolPpm)
+    // materialize the 1-row verdict EAGERLY so the corpus-scale scored
+    // cache can be released before returning — a lazily-returned report
+    // would otherwise pin corpus-scale blocks for the session lifetime
+    // (every other caching operator here releases inside its call)
+    val rows = report.collectAsList()
+    val schema = report.schema
+    scored.unpersist()
+    spark.createDataFrame(rows, schema)
   }
 
   /** Score + bucket a crawl through a stored gate artifact. The two

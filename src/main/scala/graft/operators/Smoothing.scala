@@ -140,7 +140,9 @@ object Cusum {
     *        itself, the self-calibrating form whose median is robust to a
     *        minority of shifted points. Keys absent from the reference
     *        have no parameters and are excluded (no baseline, no
-    *        verdict — stated).
+    *        verdict — stated). σ = isqrt(median) is FLOORED at 1: a
+    *        zero-median (sparse) key would otherwise degenerate to
+    *        k2 = h2 = 0 and alarm on its first nonzero cell.
     * @return one row per cell: (keyCol, tCol, xCol, cusum2 — the doubled
     *         statistic, h2 — the doubled decision interval, alarm). */
   def poissonUpper(
@@ -156,12 +158,16 @@ object Cusum {
       col(xCol).cast("long").as("x"))
     val refC = reference.fold(c)(r => r.select(col(keyCol).as("k"),
       col(tCol).as("t"), col(xCol).cast("long").as("x")))
+    // σ floored at 1: a key whose reference median is 0 (sparse series)
+    // would otherwise get k2 = h2 = 0 and alarm on its FIRST nonzero
+    // cell — with the floor it needs the same sustained evidence as any
+    // unit-variance series (k2 = 1, h2 = 2l), stated contract
     val params = refC.groupBy("k")
       .agg(expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY x) AS BIGINT)")
         .as("med"))
       .select(col("k"),
-        expr("2L * med + CAST(floor(sqrt(med)) AS BIGINT)").as("k2"),
-        expr(s"2L * ${l}L * CAST(floor(sqrt(med)) AS BIGINT)").as("h2"))
+        expr("2L * med + greatest(CAST(floor(sqrt(med)) AS BIGINT), 1L)").as("k2"),
+        expr(s"2L * ${l}L * greatest(CAST(floor(sqrt(med)) AS BIGINT), 1L)").as("h2"))
     val packed = c.join(params, "k") // |keys|-row broadcast side
       .groupBy(col("k"), col("k2"), col("h2"))
       .agg(sort_array(collect_list(struct(col("t"), col("x")))).as("s"))

@@ -4250,8 +4250,9 @@ object Advanced {
       // reference window (days before Jan 22 — proper chart usage);
       // target = the key's discrete median, allowance ½σ (kept integral
       // by running the statistic in DOUBLED units), interval 4σ, σ =
-      // isqrt(median) (Poisson; one correctly-rounded IEEE sqrt, d46's
-      // precedent). The corpus carries no real level shift (measured:
+      // max(isqrt(median), 1) (Poisson, floored so zero-median sparse
+      // keys don't alarm on their first nonzero cell; one
+      // correctly-rounded IEEE sqrt, d46's precedent). The corpus carries no real level shift (measured:
       // zero alarms at sf0.01/0.1 under these parameters — the series
       // IS in control), so the query injects a DETERMINISTIC 1σ shift
       // onto click's last 9 days (d14's injection discipline, replayed
@@ -4291,8 +4292,8 @@ object Advanced {
             CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY x) AS BIGINT) AS med
           FROM c WHERE d < TIMESTAMP '2024-01-22' GROUP BY 1),
         m2 AS (SELECT event_type,
-            2 * med + CAST(floor(sqrt(med)) AS BIGINT) AS k2,
-            2 * 4 * CAST(floor(sqrt(med)) AS BIGINT) AS h2
+            2 * med + greatest(CAST(floor(sqrt(med)) AS BIGINT), 1) AS k2,
+            2 * 4 * greatest(CAST(floor(sqrt(med)) AS BIGINT), 1) AS h2
           FROM m),
         idx AS (SELECT c.event_type, d, x, k2, h2,
             CAST(row_number() OVER (PARTITION BY c.event_type ORDER BY d) AS BIGINT) AS i

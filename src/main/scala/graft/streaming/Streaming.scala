@@ -451,7 +451,15 @@ object Streaming {
       driftMillionths: Long = 20000L,
       trigger: Trigger = Trigger.AvailableNow())(
       onVerdicts: (DataFrame, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] = {
-    val refCounts = curStream.sparkSession.read.parquet(referencePath)
+    // PINNED at stream start: spark.read.parquet is lazy, so handing the
+    // raw frame to foreachBatch would re-scan the reference every
+    // micro-batch — and a mid-stream rewrite of the file would silently
+    // change verdict semantics. Collect-and-recreate (the table is
+    // |categories|-row KB-scale by the writeCategoricalReference
+    // contract) fixes both: one read, one immutable snapshot.
+    val spark = curStream.sparkSession
+    val raw = spark.read.parquet(referencePath)
+    val refCounts = spark.createDataFrame(raw.collectAsList(), raw.schema)
     curStream.writeStream.trigger(trigger).foreachBatch {
       (batch: DataFrame, id: Long) =>
         onVerdicts(graft.operators.Drift.categoricalDriftAgainst(

@@ -221,6 +221,24 @@ class DedupSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Dedup.goldenRecord(gDocs, pairs) }
   }
 
+  test("goldenRecord modal vote: NULL never wins a tie, all-null cluster keeps NULL") {
+    // cluster {1,2,3}: lang 'en' ×1 vs NULL ×2 — NULL sorts first in the
+    // struct order, so unfiltered it would beat 'en' even OUTNUMBERED;
+    // the golden record must carry the attested value. Cluster {7,8}:
+    // lang entirely null — the record keeps NULL (nothing attested,
+    // nothing invented) and the cluster must not vanish from the output.
+    val gDocs = Seq(
+      (1L, "x", Some("en")), (2L, "yy", None: Option[String]), (3L, "z", None),
+      (7L, "pp", None), (8L, "q", None)
+    ).toDF("doc_id", "text", "lang")
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("a_id", "b_id")
+    val out = Dedup.goldenRecord(gDocs, pairs,
+      longest = Seq("text"), modal = Seq("lang"))
+      .collect().map(r => r.getAs[Long]("canon_id") ->
+        Option(r.getAs[String]("lang"))).toMap
+    assert(out == Map(1L -> Some("en"), 7L -> None), s"got $out")
+  }
+
   test("collapseClusters: stale pair ids absent from docs don't inflate sizes") {
     // ids 2 and 9 appear in pairs but not in docs (pre-filtered corpus /
     // stale pair table): cluster_size counts PRESENT docs only, and when

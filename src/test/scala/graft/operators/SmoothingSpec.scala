@@ -77,6 +77,27 @@ class SmoothingSpec extends SparkSpec {
     }
   }
 
+  test("poissonUpper: zero-median sparse key does not alarm on its first nonzero cell") {
+    // med = 0 → σ floored at 1 → k2 = 1, h2 = 8: a single 1 contributes
+    // 2·1−1 = 1 to the doubled statistic — far under the interval; only
+    // a sustained burst (here five 1s, s2 = 5·1... then a 3 pushing past
+    // 8) alarms. Unfloored, k2 = h2 = 0 and the FIRST 1 would alarm.
+    val sparse = Seq(("S", 1, 0L), ("S", 2, 0L), ("S", 3, 0L),
+      ("S", 4, 1L), ("S", 5, 0L), ("S", 6, 1L)).toDF("k", "t", "x")
+    val out = Cusum.poissonUpper(sparse, "k", "t", "x", l = 4).collect()
+      .map(r => r.getInt(1) -> ((r.getAs[Long]("cusum2"), r.getAs[Boolean]("alarm"))))
+      .toMap
+    assert(out.values.forall(!_._2), s"sparse blips must not alarm: $out")
+    assert(out(4) == ((1L, false)) && out(6) == ((1L, false)), s"got $out")
+    // a genuine sustained burst on the same baseline still alarms
+    val burst = Seq(("S", 1, 0L), ("S", 2, 0L), ("S", 3, 0L),
+      ("S", 4, 0L), ("S", 5, 5L), ("S", 6, 5L)).toDF("k", "t", "x")
+    val b = Cusum.poissonUpper(burst, "k", "t", "x", l = 4,
+      reference = Some(burst.filter(col("t") <= 4))).collect()
+      .map(r => r.getInt(1) -> r.getAs[Boolean]("alarm")).toMap
+    assert(b(6), s"sustained shift must still alarm: $b")
+  }
+
   test("smooth: alpha extremes bracket the behavior") {
     val series = (1 to 10).map(i => ("k", i, if (i == 10) 1000L else 0L))
       .toDF("k", "t", "x")
