@@ -13,7 +13,11 @@ import org.apache.spark.sql.functions._
   */
 object SparkEntry {
 
-  private def registry: Seq[GQ] =
+  // private[graft]: PropertySpec's registry pre-flight audits the RAW
+  // sequence — the `queries` Map silently drops one side of a name
+  // collision, which is exactly the class of shipping accident the
+  // pre-flight exists to catch (two collisions shipped in r12)
+  private[graft] def registry: Seq[GQ] =
     queries_relational ++ queries_ext
 
   private def queries_relational: Seq[GQ] =

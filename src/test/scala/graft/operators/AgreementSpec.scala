@@ -104,6 +104,31 @@ class AgreementSpec extends SparkSpec {
     assert(local == dist)
   }
 
+  test("bradleyTerry: local ≡ distributed on the real browse-transition pairs (ag03's corpus)") {
+    // the integer-recurrence claim the smallItemSet mode rests on, pinned
+    // on the exact preference table ag03 fits (sf0.001 events, the
+    // transition-pairs construction), not only on synthetic draws — 100
+    // items, ~thousands of pairs, well inside the 2e6 guard
+    val ev = graft.Tables.events(spark, sf())
+      .select(col("user_id"), col("event_id"), col("ts"),
+        regexp_extract(col("props"), "\"k\": (\\d+)", 1)
+          .cast("long").as("item"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val prefs = ev
+      .select(col("item").as("winner"), lag(col("item"), 1).over(w).as("loser"))
+      .filter(col("loser").isNotNull)
+      .groupBy("winner", "loser").agg(count(lit(1)).as("n"))
+      .persist()
+    val dist = Agreement.bradleyTerry(prefs, iterations = 5)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val local = Agreement.bradleyTerry(prefs, iterations = 5, smallItemSet = true)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    prefs.unpersist()
+    assert(dist.nonEmpty && local == dist,
+      s"driver MM and distributed rounds diverged: ${(local -- dist).take(3)} vs ${(dist -- local).take(3)}")
+  }
+
   test("bradleyTerry: duplicate pref rows combine; self-matches drop; repartition-invariant") {
     val prefs = Seq((1L, 2L, 2L), (1L, 2L, 1L), (2L, 1L, 1L), (3L, 3L, 9L))
     val a = bt(prefs)
