@@ -460,6 +460,21 @@ object ScaleSmoke {
         graft.operators.Graph.labelPropagation(edges, smallVertexSet = true)
           .agg(sum(col("label"))).head().getLong(0))
     }
+    // Frontier BFS (r13): a dense random digraph's walk count is
+    // astronomically past any recursion limit, but the deduped frontier
+    // saturates the 50k-node reachable set in ~a few rounds — per round
+    // one frontier⋈E join + one anti join, so cost is rounds·|E|, never
+    // walks. The checksum (node + depth sums) forces the full closure.
+    locally {
+      val nE = rows * 10
+      val edges = spark.range(nE).select(
+        pmod(xxhash64(col("id")), lit(50000L)).as("src"),
+        pmod(xxhash64(col("id") + lit(nE)), lit(50000L)).as("dst"))
+      val seeds = spark.range(1).select(lit(0L).as("node"))
+      time(s"frontier BFS over $nE edges / 50k nodes (closure checksum)")(
+        graft.operators.Graph.reachableFrom(edges, seeds)
+          .agg(sum(col("node") + col("depth"))).head().getLong(0))
+    }
     // Size-biased pips sample (r12): one scan computing priorities
     // scan-locally + TakeOrderedAndProject's per-partition heaps — cost
     // must stay scan-bound at any corpus size, never a global sort.

@@ -86,30 +86,12 @@ object Components {
       checkpointDir: Option[String] = None
   ): DataFrame = {
     val spark = edges.sparkSession
-    val runDir = checkpointDir.map(d =>
-      s"$d/graft-cc-${java.util.UUID.randomUUID().toString.take(8)}")
-    var round = 0
-    var prevPath: Option[String] = None
-    def truncate(df: DataFrame): DataFrame = runDir match {
-      case Some(base) =>
-        // Parquet write + read-back is the durable analog of
-        // df.checkpoint(eager = true): the write is an action (the round is
-        // fully materialized), the read-back has zero lineage, and the
-        // previous round's blocks — consumed entirely by this write — can
-        // be deleted immediately.
-        val p = s"$base/round-$round"
-        round += 1
-        df.write.mode("overwrite").parquet(p)
-        val back = spark.read.parquet(p)
-        prevPath.foreach { old =>
-          val path = new org.apache.hadoop.fs.Path(old)
-          path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-            .delete(path, true)
-        }
-        prevPath = Some(p)
-        back
-      case None => df.localCheckpoint(true)
-    }
+    // Parquet write + read-back (Truncator's durable mode) is the analog
+    // of df.checkpoint(eager = true): the write is an action (the round is
+    // fully materialized), the read-back has zero lineage, and the
+    // previous round's blocks — consumed entirely by this write — are
+    // deleted immediately.
+    val truncate = new Truncator(spark, checkpointDir, "cc")
     val sym = edges
       .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
     val und = sym.union(sym.select(col("v").as("u"), col("u").as("v")))

@@ -888,17 +888,7 @@ object Dedup {
       chunkWords: Int = 8
   ): DataFrame = {
     require(chunkWords >= 1, s"chunkWords must be >= 1, got $chunkWords")
-    val cw = chunkWords
-    val ws = words(col(textCol))
-    val nChunks = ceil(size(ws).cast("double") / cw).cast("int")
-    // sequence(0, -1) would DESCEND for an empty word list — guard to an
-    // empty chunk array instead (same contract as simhash chunking above)
-    val chunkTexts = when(size(ws) === 0, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(0), nChunks - 1),
-        ci => array_join(slice(ws, ci * cw + 1, lit(cw)), " ")))
-    val occ = docs
-      .select(col(idCol).as("doc_id"), posexplode(chunkTexts).as(Seq("ci", "ctext")))
-      .withColumn("fp", md5(col("ctext")))
+    val occ = chunkOccurrences(docs, idCol, textCol, chunkWords)
     val keepers = occ.groupBy(col("fp"))
       .agg(count(lit(1)).as("df_n"),
         min(struct(col("doc_id"), col("ci"))).as("keeper"))
@@ -917,6 +907,64 @@ object Dedup {
       .select(col("doc_id"), col("n_chunks"), col("n_kept"),
         when(col("n_kept") === 0, lit(null).cast("string"))
           .otherwise(col("joined")).as("kept_text"))
+  }
+
+  /** Fixed-position chunk occurrences of every document — the shared unit
+    * of [[crossDocChunkDedup]] and [[chunkShareEdges]]: consecutive
+    * `chunkWords`-word windows (word index div chunkWords, final partial
+    * chunk counts), md5-fingerprinted (64-bit would birthday-collide at
+    * the 10^10..11 chunks a 100 TB corpus carries). */
+  private def chunkOccurrences(
+      docs: DataFrame, idCol: String, textCol: String, chunkWords: Int
+  ): DataFrame = {
+    val cw = chunkWords
+    val ws = words(col(textCol))
+    val nChunks = ceil(size(ws).cast("double") / cw).cast("int")
+    // sequence(0, -1) would DESCEND for an empty word list — guard to an
+    // empty chunk array instead (same contract as simhash chunking above)
+    val chunkTexts = when(size(ws) === 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), nChunks - 1),
+        ci => array_join(slice(ws, ci * cw + 1, lit(cw)), " ")))
+    docs
+      .select(col(idCol).as("doc_id"), posexplode(chunkTexts).as(Seq("ci", "ctext")))
+      .withColumn("fp", md5(col("ctext")))
+  }
+
+  /** STAR-topology content-share edges: for every chunk that appears in
+    * MORE THAN ONE document, each carrying document links to the chunk's
+    * HUB (its smallest doc id) — the graph over which "transitively
+    * shares copied text with X" questions run ([[Graph.reachableFrom]]
+    * closes the transitive part; d53 is the composition).
+    *
+    * Why a star and not the clique: the clique form emits df² pairs per
+    * chunk — a boilerplate chunk carried by 10⁶ documents would emit
+    * 10¹² edges on its own, the all-pairs blow-up every pair-finder here
+    * avoids. The star emits df−1 edges per chunk (linear in total chunk
+    * occurrences) and has the SAME connected components — any two docs
+    * sharing a chunk are joined through its hub — so reachability
+    * closures are identical; only hop COUNTS differ (a direct share can
+    * be 2 hops through the hub), which is why the spread query reports
+    * the closure set, not distances. One distinct + one
+    * count-and-min aggregate + one hash join on the fingerprint (AQE
+    * skew-splits the mega-chunk hubs the same way ln01's keeper join
+    * does); within-doc repeats collapse before the aggregate so a chunk
+    * repeated inside one document creates no edge. */
+  def chunkShareEdges(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      chunkWords: Int = 8
+  ): DataFrame = {
+    require(chunkWords >= 1, s"chunkWords must be >= 1, got $chunkWords")
+    val docChunk = chunkOccurrences(docs, idCol, textCol, chunkWords)
+      .select(col("doc_id"), col("fp")).distinct()
+    val hubs = docChunk.groupBy("fp")
+      .agg(count(lit(1)).as("nd"), min(col("doc_id")).as("hub"))
+      .filter(col("nd") > 1)
+    docChunk.join(hubs, "fp")
+      .filter(col("doc_id") =!= col("hub"))
+      .select(col("doc_id").as("a_id"), col("hub").as("b_id"))
+      .distinct()
   }
 
   /** EXACT all-pairs similarity join by prefix filtering (Bayardo et al.

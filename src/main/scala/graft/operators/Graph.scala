@@ -82,25 +82,7 @@ object Graph {
     require(iterations >= 1, s"iterations must be positive, got $iterations")
     require(truncateEvery >= 1, s"truncateEvery must be positive, got $truncateEvery")
     val spark = edges.sparkSession
-    val runDir = checkpointDir.map(d =>
-      s"$d/graft-pr-${java.util.UUID.randomUUID().toString.take(8)}")
-    var round = 0
-    var prevPath: Option[String] = None
-    def truncate(df: DataFrame): DataFrame = runDir match {
-      case Some(base) =>
-        val p = s"$base/round-$round"
-        round += 1
-        df.write.mode("overwrite").parquet(p)
-        val back = spark.read.parquet(p)
-        prevPath.foreach { old =>
-          val path = new org.apache.hadoop.fs.Path(old)
-          path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-            .delete(path, true)
-        }
-        prevPath = Some(p)
-        back
-      case None => df.localCheckpoint(true)
-    }
+    val truncate = new Truncator(spark, checkpointDir, "pr")
     val e0 = edges.groupBy(
         col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .agg(sum(col(wCol).cast("long")).as("w"))
@@ -176,25 +158,7 @@ object Graph {
     require(iterations >= 1, s"iterations must be positive, got $iterations")
     require(truncateEvery >= 1, s"truncateEvery must be positive, got $truncateEvery")
     val spark = edges.sparkSession
-    val runDir = checkpointDir.map(d =>
-      s"$d/graft-lpa-${java.util.UUID.randomUUID().toString.take(8)}")
-    var round = 0
-    var prevPath: Option[String] = None
-    def truncate(df: DataFrame): DataFrame = runDir match {
-      case Some(base) =>
-        val p = s"$base/round-$round"
-        round += 1
-        df.write.mode("overwrite").parquet(p)
-        val back = spark.read.parquet(p)
-        prevPath.foreach { old =>
-          val path = new org.apache.hadoop.fs.Path(old)
-          path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-            .delete(path, true)
-        }
-        prevPath = Some(p)
-        back
-      case None => df.localCheckpoint(true)
-    }
+    val truncate = new Truncator(spark, checkpointDir, "lpa")
     val dir0 = edges.select(
       col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"),
       col(wCol).cast("long").as("w"))

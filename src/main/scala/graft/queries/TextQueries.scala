@@ -2603,6 +2603,52 @@ object TextQueries {
                                ' ' ORDER BY ci) END AS kept_text
         FROM f GROUP BY doc_id""")),
 
+    GQ("d53_contamination_spread", // transitive content-share closure —
+      // the lineage question decontamination (d19/d33) can only answer
+      // one hop of: given a seed set of known-contaminated documents
+      // (here the deterministic doc_id % 31 injection discipline — d14's
+      // precedent, standing in for "contains a benchmark passage"),
+      // which documents TRANSITIVELY share copied text with one? A doc
+      // that quotes a doc that quotes the benchmark leaks it just the
+      // same. Composition of two r13 pieces: `Dedup.chunkShareEdges`
+      // (star-topology edges through each shared chunk's hub — df−1
+      // edges per chunk, never the df² clique, SAME components so the
+      // closure is identical) and `Graph.reachableFrom` (deduped-frontier
+      // BFS — terminates at the graph's eccentricity on any cyclic share
+      // graph; work per round ∝ new docs' edges, never walks). Reports
+      // the closure SET: star hops aren't content distances, stated in
+      // the operator contract. The oracle replays the chunking, the hub
+      // construction, and the closure via deduping UNION recursion.
+      (s, dir) => {
+        val docs = Tables.table(s, dir, "documents")
+        val star = Dedup.chunkShareEdges(docs, chunkWords = 8)
+        // undirected spread: symmetrize the star edges
+        val edges = star.unionAll(
+          star.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+        val seeds = docs.filter(col("doc_id") % 31 === 0)
+          .select(col("doc_id"))
+        graft.operators.Graph.reachableFrom(
+            edges, seeds, srcCol = "a_id", dstCol = "b_id")
+          .select(col("node").as("doc_id"))
+      },
+      Some("""WITH RECURSIVE w AS (SELECT doc_id,
+            list_filter(string_split(text, ' '), x -> x <> '') AS ws
+          FROM documents),
+        occ AS (SELECT DISTINCT doc_id,
+            array_to_string(ws[i*8+1 : i*8+8], ' ') AS ctext
+          FROM w, UNNEST(generate_series(0,
+            CAST(ceil(len(ws) / 8.0) AS BIGINT) - 1)) AS t(i)),
+        hubs AS (SELECT ctext, MIN(doc_id) AS hub FROM occ
+          GROUP BY ctext HAVING COUNT(*) > 1),
+        e0 AS (SELECT DISTINCT o.doc_id AS a, h.hub AS b
+          FROM occ o JOIN hubs h USING (ctext) WHERE o.doc_id <> h.hub),
+        e AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+        r(node) AS (
+          SELECT DISTINCT doc_id AS node FROM documents WHERE doc_id % 31 = 0
+          UNION
+          SELECT e.b FROM r JOIN e ON e.a = r.node)
+        SELECT node AS doc_id FROM r""")),
+
     GQ("sh01_training_order", // deterministic global training order
       // (`Curation.trainingOrder`): the pre-training corpus shuffle as a
       // REPLAYABLE artifact — PolyHash sort keys (no rand(): retries,

@@ -239,6 +239,31 @@ class DedupSpec extends SparkSpec {
     assert(out == Map(1L -> Some("en"), 7L -> None), s"got $out")
   }
 
+  test("chunkShareEdges: star topology, within-doc repeats and unique chunks emit nothing") {
+    // 8-word chunks; docs 1/2/3 share chunk A (hub = 1), doc 4 repeats
+    // its own chunk B twice (no edge), doc 5 is all-unique (no edge)
+    val a = "a b c d e f g h"
+    val docs = Seq(
+      (1L, s"$a one extra tail"),
+      (2L, s"$a two different tail"),
+      (3L, a),
+      (4L, s"r s t u v w x y r s t u v w x y"),
+      (5L, "entirely unique words only here")
+    ).toDF("doc_id", "text")
+    val e = Dedup.chunkShareEdges(docs)
+      .as[(Long, Long)].collect().toSet
+    assert(e == Set((2L, 1L), (3L, 1L)), s"got $e")
+    // star preserves the closure: docs 2 and 3 are connected THROUGH the
+    // hub even though they never pair directly
+    val sym = Dedup.chunkShareEdges(docs)
+      .unionAll(Dedup.chunkShareEdges(docs)
+        .select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+    val reach = Graph.reachableFrom(sym, Seq(2L).toDF("id"),
+      srcCol = "a_id", dstCol = "b_id")
+      .select("node").as[Long].collect().toSet
+    assert(reach == Set(1L, 2L, 3L), s"got $reach")
+  }
+
   test("collapseClusters: stale pair ids absent from docs don't inflate sizes") {
     // ids 2 and 9 appear in pairs but not in docs (pre-filtered corpus /
     // stale pair table): cluster_size counts PRESENT docs only, and when
