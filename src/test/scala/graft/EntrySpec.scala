@@ -294,6 +294,32 @@ class EntrySpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("r13 plans keep their scale shapes") {
+    def plan(name: String): String =
+      SparkEntry.queries(name)(spark, sf())
+        .queryExecution.executedPlan.toString
+    // g07: the returned frame is the CHECKPOINTED closure — reading it
+    // must not replay any per-round join (the iterative-family lineage
+    // contract); BFS rounds are equi-joins, never a cartesian
+    val g07 = plan("g07_frontier_reachability")
+    assert(g07.contains("Scan ExistingRDD"),
+      s"g07 lost its per-round lineage truncation:\n$g07")
+    assert(!g07.contains("Join"),
+      s"g07 returned an unmaterialized join tower:\n$g07")
+    // d53: same closure contract over the chunk-share star graph
+    val d53 = plan("d53_contamination_spread")
+    assert(d53.contains("Scan ExistingRDD"),
+      s"d53 lost its closure materialization:\n$d53")
+    assert(!d53.contains("CartesianProduct") &&
+      !d53.contains("BroadcastNestedLoopJoin"),
+      s"d53 planned a non-equi pair join:\n$d53")
+    // s06: the batch-verified form must actually plan the FULL outer
+    // interval join (not silently degrade to inner after the key rename)
+    val s06 = plan("s06_stream_full_outer_join")
+    assert(s06.contains("FullOuter"),
+      s"s06 stopped planning a full-outer join:\n$s06")
+  }
+
   test("r03 overlap join plans as an equi-join, never nested-loop") {
     // Spark's native plan for `key = key AND s < e2 AND s2 < e` keeps only
     // the key as the equi-condition; the bucket decomposition must yield a
