@@ -3357,6 +3357,146 @@ object TextQueries {
                      JOIN nn nb ON nb.doc_id = i.b_id
         WHERE (1000000 * i.inter_n) // (na.n + nb.n - i.inter_n) >= 500000""")),
 
+    GQ("d54_lsh_recall", // measured RECALL of the MinHash-LSH dedup
+      // pipeline against the exact pair set — ev01's evaluation-harness
+      // discipline applied to dedup: banding theory gives the EXPECTED
+      // candidate probability (1-(1-s^r)^b), but the number you tune
+      // bands/hashes on before trusting them at 100 TB is the measured
+      // miss rate on your own corpus. Ground truth = d47's PPJoin
+      // (provably no false negatives at the threshold); candidate
+      // pipeline = d09's verified LSH output (8 hashes / 4 bands,
+      // portable md5 hashing so the oracle replays the signatures).
+      // Verified-LSH ⊆ exact by construction (both sides verify TRUE
+      // Jaccard at the same integer-ppm boundary — floor(1e6·i/u) ≥ 5e5
+      // ⟺ 2i ≥ u ⟺ i/u ≥ 0.5, so the double and ppm tests agree
+      // exactly), hence recall = |lsh| / |exact|; misses are still
+      // counted by an anti join, not derived, so a boundary bug would
+      // surface as n_exact ≠ n_lsh + n_missed. Two configs measured
+      // side by side — the production banding (4 bands of 2: catches
+      // everything here) and the coarse one (2 bands of 4: measurably
+      // misses 1/25 at sf0.01, 6/256 at sf0.1) — so the harness
+      // demonstrably DETECTS a bad config, not just blesses a good one.
+      // One all-integer row: the dedup-config acceptance gate a
+      // pipeline runs per corpus before committing to a banding.
+      (s, dir) => {
+        val docs = Tables.table(s, dir, "documents")
+        val exact = Dedup.ppjoinPairs(docs, shingleK = 3,
+          thresholdPpm = 500000L).select("a_id", "b_id")
+        def recallOf(bands: Int): (Long, Long) = {
+          val lsh = Dedup.minhashPairs(docs, numHashes = 8, bands = bands,
+            shingleK = 3, threshold = 0.5, portableHash = true)
+            .select("a_id", "b_id")
+          (lsh.count(),
+            exact.join(lsh, Seq("a_id", "b_id"), "left_anti").count())
+        }
+        val nE = exact.count()
+        val (nL2, nM2) = recallOf(bands = 4) // r = 2 rows/band
+        val (nL4, nM4) = recallOf(bands = 2) // r = 4 rows/band
+        def ppm(nl: Long) = if (nE == 0) lit(null).cast("long")
+          else lit(1000000L * nl / nE)
+        s.range(1).select(lit(nE).as("n_exact"),
+          lit(nL2).as("n_lsh_r2"), lit(nM2).as("n_missed_r2"),
+          ppm(nL2).as("recall_r2_ppm"),
+          lit(nL4).as("n_lsh_r4"), lit(nM4).as("n_missed_r4"),
+          ppm(nL4).as("recall_r4_ppm"))
+      },
+      Some("""WITH t AS (
+          SELECT doc_id, list_distinct(list_transform(
+            range(1, greatest(len(ws) - 1, 1)),
+            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+          FROM (SELECT doc_id,
+              list_filter(string_split(text, ' '), w -> w <> '') AS ws
+            FROM documents)),
+        e AS (SELECT doc_id, UNNEST(sh) AS s FROM t WHERE len(sh) > 0),
+        df AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY s),
+        srt AS (SELECT doc_id,
+            list_sort(list(struct_pack(d := df.d, s := e.s))) AS toks
+          FROM e JOIN df USING (s) GROUP BY doc_id),
+        pre AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n,
+            toks[1 : CAST(len(toks)
+              - (len(toks) * 500000 + 999999) // 1000000 + 1 AS BIGINT)] AS pre
+          FROM srt),
+        pe AS (SELECT doc_id, n, CAST(i AS BIGINT) AS i, pre[i].s AS ts
+          FROM pre, UNNEST(generate_series(1, len(pre))) AS g(i)),
+        cand0 AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+            a.n AS na, b.n AS nb, a.i AS i, b.i AS j
+          FROM pe a JOIN pe b ON a.ts = b.ts AND a.doc_id < b.doc_id
+          WHERE b.n * 1000000 >= 500000 * a.n
+            AND a.n * 1000000 >= 500000 * b.n
+            AND (least(a.i, b.i) + least(a.n - a.i, b.n - b.i)) * 1500000
+                >= 500000 * (a.n + b.n)),
+        cand AS (SELECT a_id, b_id FROM (
+            SELECT a_id, b_id, MAX(na) AS na, MAX(nb) AS nb,
+              CAST(COUNT(*) AS BIGINT) AS m,
+              MAX(i) AS ix, arg_max(j, i) AS jx
+            FROM cand0 GROUP BY a_id, b_id)
+          WHERE (m + least(na - ix, nb - jx)) * 1500000
+                >= 500000 * (na + nb)),
+        inter AS (SELECT c.a_id, c.b_id, CAST(COUNT(*) AS BIGINT) AS inter_n
+          FROM cand c JOIN e ea ON ea.doc_id = c.a_id
+                      JOIN e eb ON eb.doc_id = c.b_id AND eb.s = ea.s
+          GROUP BY 1, 2),
+        nn AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+          FROM e GROUP BY doc_id),
+        exact AS (SELECT i.a_id, i.b_id
+          FROM inter i JOIN nn na ON na.doc_id = i.a_id
+                       JOIN nn nb ON nb.doc_id = i.b_id
+          WHERE (1000000 * i.inter_n) // (na.n + nb.n - i.inter_n) >= 500000),
+        s2 AS (SELECT doc_id, sh FROM t WHERE len(sh) > 0),
+        sig AS (SELECT doc_id, sh,
+                  list_transform(range(0, 8), i ->
+                    list_min(list_transform(sh,
+                      x -> md5(CAST(i AS VARCHAR) || '|' || x)))) AS sg
+                FROM s2),
+        banded2 AS (SELECT doc_id, b,
+                     md5(CAST(b AS VARCHAR) || '|' ||
+                         array_to_string(sg[b*2+1 : b*2+2], ',')) AS bucket
+                   FROM sig CROSS JOIN (SELECT UNNEST(range(0, 4)) AS b)),
+        lcand2 AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                 FROM banded2 a JOIN banded2 b
+                   ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+        lsh2 AS (SELECT c.a_id, c.b_id
+                FROM lcand2 c
+                JOIN s2 sa ON c.a_id = sa.doc_id
+                JOIN s2 sb ON c.b_id = sb.doc_id
+                WHERE CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS DOUBLE)
+                      / (len(sa.sh) + len(sb.sh)
+                         - len(list_filter(sa.sh, x -> list_contains(sb.sh, x))))
+                      >= 0.5),
+        banded4 AS (SELECT doc_id, b,
+                     md5(CAST(b AS VARCHAR) || '|' ||
+                         array_to_string(sg[b*4+1 : b*4+4], ',')) AS bucket
+                   FROM sig CROSS JOIN (SELECT UNNEST(range(0, 2)) AS b)),
+        lcand4 AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                 FROM banded4 a JOIN banded4 b
+                   ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+        lsh4 AS (SELECT c.a_id, c.b_id
+                FROM lcand4 c
+                JOIN s2 sa ON c.a_id = sa.doc_id
+                JOIN s2 sb ON c.b_id = sb.doc_id
+                WHERE CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS DOUBLE)
+                      / (len(sa.sh) + len(sb.sh)
+                         - len(list_filter(sa.sh, x -> list_contains(sb.sh, x))))
+                      >= 0.5),
+        c AS (SELECT
+            (SELECT COUNT(*) FROM exact) AS ne,
+            (SELECT COUNT(*) FROM lsh2) AS nl2,
+            (SELECT COUNT(*) FROM exact x LEFT JOIN lsh2 l
+               ON x.a_id = l.a_id AND x.b_id = l.b_id
+             WHERE l.a_id IS NULL) AS nm2,
+            (SELECT COUNT(*) FROM lsh4) AS nl4,
+            (SELECT COUNT(*) FROM exact x LEFT JOIN lsh4 l
+               ON x.a_id = l.a_id AND x.b_id = l.b_id
+             WHERE l.a_id IS NULL) AS nm4)
+        SELECT CAST(ne AS BIGINT) AS n_exact,
+          CAST(nl2 AS BIGINT) AS n_lsh_r2, CAST(nm2 AS BIGINT) AS n_missed_r2,
+          CASE WHEN ne = 0 THEN NULL
+               ELSE CAST((1000000 * nl2) // ne AS BIGINT) END AS recall_r2_ppm,
+          CAST(nl4 AS BIGINT) AS n_lsh_r4, CAST(nm4 AS BIGINT) AS n_missed_r4,
+          CASE WHEN ne = 0 THEN NULL
+               ELSE CAST((1000000 * nl4) // ne AS BIGINT) END AS recall_r4_ppm
+        FROM c""")),
+
     GQ("d48_budget_mix", // EXACT budget allocation across sources
       // (`Curation.budgetAllocate`): "take exactly 300 documents,
       // apportioned ~ sqrt(source size)" — the mix-PLANNING step between
