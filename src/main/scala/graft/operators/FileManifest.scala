@@ -66,15 +66,23 @@ object FileManifest {
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
-  /** Write a generation stamp into `dir` (table root or manifest root).
-    * Plain create-overwrite: the stamp is a single tiny file and every
-    * writer is the single maintenance driver by the COW contract. */
+  /** Write a generation stamp into `dir` (table root or manifest root) —
+    * create-then-rename, never create-in-place: a reader racing a plain
+    * overwrite could observe an empty stamp file (a phantom third
+    * generation); the rename publishes the new stamp atomically on
+    * rename-atomic filesystems, the same discipline as the streaming
+    * sink's commit markers. Writers don't race each other: the single
+    * maintenance driver is the COW contract. */
   private[operators] def writeStamp(
       spark: SparkSession, dir: String, gen: String): Unit = {
     val (fs, p) = fsFor(spark, dir)
-    val out = fs.create(new org.apache.hadoop.fs.Path(p, StampFile), true)
+    val tmp = new org.apache.hadoop.fs.Path(p, s".$StampFile.inprogress")
+    val dst = new org.apache.hadoop.fs.Path(p, StampFile)
+    val out = fs.create(tmp, true)
     try out.write(gen.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    fs.delete(dst, false)
+    require(fs.rename(tmp, dst), s"failed to publish generation stamp at $dst")
   }
 
   /** The generation currently stamped on `dir`, None if never stamped. */

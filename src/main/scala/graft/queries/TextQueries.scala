@@ -3380,18 +3380,23 @@ object TextQueries {
       // pipeline runs per corpus before committing to a banding.
       (s, dir) => {
         val docs = Tables.table(s, dir, "documents")
+        // persisted: the exact set feeds one count and two anti joins —
+        // unpersisted, the PPJoin pipeline would execute three times
         val exact = Dedup.ppjoinPairs(docs, shingleK = 3,
-          thresholdPpm = 500000L).select("a_id", "b_id")
+          thresholdPpm = 500000L).select("a_id", "b_id").persist()
         def recallOf(bands: Int): (Long, Long) = {
           val lsh = Dedup.minhashPairs(docs, numHashes = 8, bands = bands,
             shingleK = 3, threshold = 0.5, portableHash = true)
-            .select("a_id", "b_id")
-          (lsh.count(),
+            .select("a_id", "b_id").persist()
+          val r = (lsh.count(),
             exact.join(lsh, Seq("a_id", "b_id"), "left_anti").count())
+          lsh.unpersist()
+          r
         }
         val nE = exact.count()
         val (nL2, nM2) = recallOf(bands = 4) // r = 2 rows/band
         val (nL4, nM4) = recallOf(bands = 2) // r = 4 rows/band
+        exact.unpersist()
         def ppm(nl: Long) = if (nE == 0) lit(null).cast("long")
           else lit(1000000L * nl / nE)
         s.range(1).select(lit(nE).as("n_exact"),
