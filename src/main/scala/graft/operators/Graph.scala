@@ -298,6 +298,24 @@ object Graph {
       checkpointDir: Option[String] = None
   ): DataFrame = {
     require(maxDepth >= 0, s"maxDepth must be >= 0, got $maxDepth")
+    val seedCol = sources.columns.head
+    val seeds = sources.select(col(seedCol).cast("long").as("node")).distinct()
+      .withColumn("depth", lit(0))
+    bfs(edges, srcCol, dstCol, visited0 = seeds, frontier0 = seeds.select("node"),
+      maxDepth, checkpointDir)
+  }
+
+  /** The shared level-synchronous BFS loop: expand `frontier0` over the
+    * edge list, never re-entering `visited0` (which must contain the
+    * frontier rows). Returns visited0 ∪ everything newly reached, each
+    * new node stamped with the round it first arrived in. */
+  private def bfs(
+      edges: DataFrame,
+      srcCol: String, dstCol: String,
+      visited0: DataFrame, frontier0: DataFrame,
+      maxDepth: Int,
+      checkpointDir: Option[String]
+  ): DataFrame = {
     val spark = edges.sparkSession
     val truncate = new Truncator(spark, checkpointDir, "bfs")
     val e = edges
@@ -305,11 +323,8 @@ object Graph {
       // adjacency only: parallel edges would re-derive the same target
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val seedCol = sources.columns.head
-    var visited = truncate(sources
-      .select(col(seedCol).cast("long").as("node")).distinct()
-      .withColumn("depth", lit(0)))
-    var frontier = visited.select("node")
+    var visited = truncate(visited0)
+    var frontier = frontier0
     var newCount = frontier.count()
     var d = 0
     while (newCount > 0 && d < maxDepth) {
@@ -326,6 +341,54 @@ object Graph {
     }
     e.unpersist()
     visited
+  }
+
+  /** INCREMENTAL reachability: fold an edge DELTA into a STORED closure
+    * without re-expanding history — [[Components.incremental]]'s
+    * stored-artifact ingest contract applied to directed reachability. A
+    * daily contamination job holds yesterday's closure (every node
+    * reachable from the seed set); today's ingest adds documents and
+    * share edges; re-running [[reachableFrom]] from the original seeds
+    * re-pays every historical round for a delta-sized change.
+    *
+    * Mechanism: the stored closure C is CLOSED under the old edge set —
+    * the only way out of C is a DELTA edge — so the incremental BFS
+    * seeds at exactly the delta edges' escape points (heads of new edges
+    * whose tail ∈ C, not already ∈ C) and expands over old ∪ new edges;
+    * rounds touch only the newly-reachable region, and the result is
+    * SET-identical to a from-scratch run over the union (the invariant
+    * the spec and the g08 oracle pin). Nodes already in C keep their
+    * stored depth; newly reached nodes are stamped with hops FROM THE
+    * DELTA FRONTIER (their global min-hop would require re-running
+    * history — the closure SET is the deliverable, stated).
+    *
+    * Cost: one |E'| semi-join to find the escape seeds + BFS rounds
+    * proportional to the new region. An empty or already-covered delta
+    * expands nothing. `edges` must be old ∪ new (the share graph is a
+    * stored table either way — the point is not re-ITERATING it, not
+    * not reading it). */
+  def incrementalReachable(
+      closure: DataFrame,
+      edges: DataFrame,
+      newEdges: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      maxDepth: Int = Int.MaxValue,
+      checkpointDir: Option[String] = None
+  ): DataFrame = {
+    require(maxDepth >= 0, s"maxDepth must be >= 0, got $maxDepth")
+    val c = closure.select(col(closure.columns.head).cast("long").as("node"),
+      (if (closure.columns.contains("depth")) col("depth") else lit(0))
+        .cast("int").as("depth"))
+    // escape points: heads of delta edges leaving the stored closure
+    val seeds = newEdges
+      .select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("node"))
+      .join(c.select(col("node").as("s")), Seq("s"), "left_semi")
+      .select("node").distinct()
+      .join(c.select("node"), Seq("node"), "left_anti")
+    bfs(edges, srcCol, dstCol,
+      visited0 = c.unionByName(seeds.withColumn("depth", lit(0))),
+      frontier0 = seeds, maxDepth, checkpointDir)
   }
 
   /** k-CORE decomposition by iterative peeling (Seidman 1983; the

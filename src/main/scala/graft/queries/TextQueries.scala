@@ -2649,6 +2649,63 @@ object TextQueries {
           SELECT e.b FROM r JOIN e ON e.a = r.node)
         SELECT node AS doc_id FROM r""")),
 
+    GQ("g08_incremental_reachable", // d53's DAILY steady state —
+      // `Graph.incrementalReachable`, the stored-artifact ingest
+      // contract (d45/d25/mv02's discipline) applied to the
+      // contamination closure: yesterday's job stored the closure over
+      // yesterday's share graph; today's ingest adds documents and
+      // edges; re-running the BFS from the original seeds re-pays every
+      // historical round for a delta-sized change. The stored closure is
+      // CLOSED under the old edges, so the only escapes are DELTA edges
+      // — the fold seeds exactly at delta-edge heads leaving the
+      // closure (plus today's new seed docs, unioned in at depth 0 —
+      // the stated caller recipe) and expands over the full stored
+      // graph; rounds touch only the newly-reachable region. Correct
+      // even though today's hubs differ from yesterday's (adding docs
+      // can MOVE a chunk's hub): sharing is monotone, star components
+      // are hub-invariant, and every old-graph escape is still a delta
+      // edge. Oracle = the from-scratch closure over everything (d53's
+      // oracle verbatim) — the strongest possible check for an
+      // incremental artifact, the d45 precedent.
+      (s, dir) => {
+        val docs = Tables.table(s, dir, "documents")
+        val oldDocs = docs.filter(col("doc_id") % 2 === 0)
+        def sym(star: org.apache.spark.sql.DataFrame) = star.unionAll(
+          star.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+        val oldEdges = sym(Dedup.chunkShareEdges(oldDocs)).persist()
+        val stored = graft.operators.Graph.reachableFrom(
+          oldEdges, oldDocs.filter(col("doc_id") % 31 === 0).select("doc_id"),
+          srcCol = "a_id", dstCol = "b_id")
+        val edges = sym(Dedup.chunkShareEdges(docs)).persist()
+        val delta = edges.join(oldEdges, Seq("a_id", "b_id"), "left_anti")
+        val newSeeds = docs
+          .filter(col("doc_id") % 31 === 0 && col("doc_id") % 2 =!= 0)
+          .select(col("doc_id").as("node")).withColumn("depth", lit(0))
+        val out = graft.operators.Graph.incrementalReachable(
+            stored.unionByName(newSeeds), edges, delta,
+            srcCol = "a_id", dstCol = "b_id")
+          .select(col("node").as("doc_id"))
+        oldEdges.unpersist(); edges.unpersist()
+        out
+      },
+      Some("""WITH RECURSIVE w AS (SELECT doc_id,
+            list_filter(string_split(text, ' '), x -> x <> '') AS ws
+          FROM documents),
+        occ AS (SELECT DISTINCT doc_id,
+            array_to_string(ws[i*8+1 : i*8+8], ' ') AS ctext
+          FROM w, UNNEST(generate_series(0,
+            CAST(ceil(len(ws) / 8.0) AS BIGINT) - 1)) AS t(i)),
+        hubs AS (SELECT ctext, MIN(doc_id) AS hub FROM occ
+          GROUP BY ctext HAVING COUNT(*) > 1),
+        e0 AS (SELECT DISTINCT o.doc_id AS a, h.hub AS b
+          FROM occ o JOIN hubs h USING (ctext) WHERE o.doc_id <> h.hub),
+        e AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+        r(node) AS (
+          SELECT DISTINCT doc_id AS node FROM documents WHERE doc_id % 31 = 0
+          UNION
+          SELECT e.b FROM r JOIN e ON e.a = r.node)
+        SELECT node AS doc_id FROM r""")),
+
     GQ("sh01_training_order", // deterministic global training order
       // (`Curation.trainingOrder`): the pre-training corpus shuffle as a
       // REPLAYABLE artifact — PolyHash sort keys (no rand(): retries,

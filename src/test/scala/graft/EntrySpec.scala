@@ -318,6 +318,12 @@ class EntrySpec extends SparkSpec {
     val s06 = plan("s06_stream_full_outer_join")
     assert(s06.contains("FullOuter"),
       s"s06 stopped planning a full-outer join:\n$s06")
+    // g08: the incremental fold returns the materialized closure too —
+    // the stored-artifact contract (reading the result must not replay
+    // the delta BFS, let alone history)
+    val g08 = plan("g08_incremental_reachable")
+    assert(g08.contains("Scan ExistingRDD") && !g08.contains("Join"),
+      s"g08 lost its materialized-closure shape:\n$g08")
   }
 
   test("r03 overlap join plans as an equi-join, never nested-loop") {

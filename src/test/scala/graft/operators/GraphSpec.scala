@@ -228,6 +228,39 @@ class GraphSpec extends SparkSpec {
       s"expected the recursion row/depth limit, got: ${err.getMessage}")
   }
 
+  test("incrementalReachable: delta fold equals from-scratch; covered delta is free") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(37)
+    val all = Seq.fill(500)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .distinct.toDF("src", "dst")
+    // "yesterday": arbitrary 60% of the edges; "today" adds the rest
+    val old = all.filter((col("src") * 7 + col("dst")) % 5 < 3)
+    val delta = all.join(old, Seq("src", "dst"), "left_anti")
+    val seeds = Seq(0L, 3L).toDF("node")
+    val stored = Graph.reachableFrom(old, seeds)
+    val inc = Graph.incrementalReachable(stored, all, delta)
+      .select("node").as[Long].collect().toSet
+    val scratch = Graph.reachableFrom(all, seeds)
+      .select("node").as[Long].collect().toSet
+    assert(inc == scratch, s"delta fold diverged from from-scratch: " +
+      s"extra=${(inc -- scratch).take(5)} missing=${(scratch -- inc).take(5)}")
+    // stored depths survive the fold untouched
+    val storedD = stored.as[(Long, Int)].collect().toMap
+    val incD = Graph.incrementalReachable(stored, all, delta)
+      .as[(Long, Int)].collect().toMap
+    assert(storedD.forall { case (n, d) => incD(n) == d },
+      "stored closure rows must keep their stored depths")
+    // a delta entirely INSIDE the stored closure expands nothing
+    val inside = old.limit(3)
+    val noop = Graph.incrementalReachable(stored, old, inside)
+      .as[(Long, Int)].collect().toMap
+    assert(noop == storedD, "covered delta must be a no-op")
+    // an empty delta returns the closure as-is
+    val empty = Graph.incrementalReachable(stored, old, old.limit(0))
+      .as[(Long, Int)].collect().toMap
+    assert(empty == storedD)
+  }
+
   test("reachableFrom: partitioning-independent; durable checkpoint mode agrees") {
     import spark.implicits._
     val rnd = new scala.util.Random(31)
