@@ -236,13 +236,44 @@ object Dedup {
       portableHash: Boolean = false
   ): DataFrame = {
     requireIntegralId(docs, idCol, "minhashPairs")
-    require(numHashes % bands == 0, "numHashes must divide into bands")
     // Persisted: the signature table feeds both sides of the band self-join
     // and the verify joins (at corpus scale this is the checkpoint you'd
     // take anyway before an LSH join).
-    val sig = shingleSets(docs, shingleK, idCol, textCol)
-      .withColumn("sig", minhashSigCol(numHashes, portableHash))
+    val sig = minhashSignatures(docs, numHashes, shingleK, idCol, textCol,
+        portableHash)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    minhashPairsFromSignatures(sig, numHashes, bands, threshold, portableHash)
+  }
+
+  /** The signature table [[minhashPairsFromSignatures]] consumes:
+    * (doc_id, sh, sig). This is the SHARED/STORED artifact of a banding
+    * sweep — signatures depend only on numHashes, so a tuning job (d54's
+    * acceptance gate run over candidate configs) builds them once and
+    * tries every banding against the same table; re-deriving them per
+    * config would re-shingle and re-hash the corpus per config. */
+  def minhashSignatures(
+      docs: DataFrame,
+      numHashes: Int = 8,
+      shingleK: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      portableHash: Boolean = false
+  ): DataFrame =
+    shingleSets(docs, shingleK, idCol, textCol)
+      .withColumn("sig", minhashSigCol(numHashes, portableHash))
+
+  /** Banding + candidate generation + exact-Jaccard verification over a
+    * prepared signature table ([[minhashSignatures]]; callers sweeping
+    * several bandings should persist it). Same pair set and plan as
+    * [[minhashPairs]] — that entry point is build-signatures + this. */
+  def minhashPairsFromSignatures(
+      sig: DataFrame,
+      numHashes: Int,
+      bands: Int,
+      threshold: Double,
+      portableHash: Boolean = false
+  ): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
     // Band rows carry ONLY (doc_id, band, bucket) — at corpus scale the
     // candidate shuffle must not replicate shingle arrays per band. The
     // arrays are re-joined once per verified candidate side afterwards.

@@ -3441,9 +3441,14 @@ object TextQueries {
         // unpersisted, the PPJoin pipeline would execute three times
         val exact = Dedup.ppjoinPairs(docs, shingleK = 3,
           thresholdPpm = 500000L).select("a_id", "b_id").persist()
+        // signatures depend only on numHashes — build ONCE, sweep the
+        // bandings against the shared table (the minhashSignatures
+        // contract; per-config rebuilds would re-shingle the corpus)
+        val sig = Dedup.minhashSignatures(docs, numHashes = 8,
+          shingleK = 3, portableHash = true).persist()
         def recallOf(bands: Int): (Long, Long) = {
-          val lsh = Dedup.minhashPairs(docs, numHashes = 8, bands = bands,
-            shingleK = 3, threshold = 0.5, portableHash = true)
+          val lsh = Dedup.minhashPairsFromSignatures(sig, numHashes = 8,
+            bands = bands, threshold = 0.5, portableHash = true)
             .select("a_id", "b_id").persist()
           val r = (lsh.count(),
             exact.join(lsh, Seq("a_id", "b_id"), "left_anti").count())
@@ -3453,7 +3458,7 @@ object TextQueries {
         val nE = exact.count()
         val (nL2, nM2) = recallOf(bands = 4) // r = 2 rows/band
         val (nL4, nM4) = recallOf(bands = 2) // r = 4 rows/band
-        exact.unpersist()
+        exact.unpersist(); sig.unpersist()
         def ppm(nl: Long) = if (nE == 0) lit(null).cast("long")
           else lit(1000000L * nl / nE)
         s.range(1).select(lit(nE).as("n_exact"),
