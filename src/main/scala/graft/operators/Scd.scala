@@ -80,12 +80,16 @@ object Scd {
         .withColumn(ToCol, lit(null).cast("long"))
         .withColumn(PartCol, lit(Current))
         .write.mode("overwrite").parquet(path)
+      FileManifest.bumpGeneration(spark, path)
       return
     }
     dim.withColumn(FromCol, lit(version))
       .withColumn(ToCol, lit(null).cast("long"))
       .withColumn(PartCol, lit(Current))
       .write.mode("overwrite").partitionBy(PartCol).parquet(path)
+    // stamp AFTER the overwrite (the write replaces the directory, stamp
+    // included) — init is generation zero of the stamped lifecycle
+    FileManifest.bumpGeneration(spark, path)
   }
 
   /** The open slice — one row per key, business columns + validity stamps.
@@ -173,7 +177,11 @@ object Scd {
       .withColumn(PartCol, lit(Current))
       .select(outCols.map(col): _*)
 
-    // one staged dynamic-overwrite commit covering exactly {cur, <v>}
+    // one staged dynamic-overwrite commit covering exactly {cur, <v>} —
+    // generation-stamped like every in-place table mutation, so a stats
+    // manifest maintained over the dimension fails loud (not stale)
+    // until its owner refreshes it after the commit
+    FileManifest.bumpGeneration(spark, path)
     Merge.stageAndCommit(spark,
       carried.unionByName(opened).unionByName(closed), path, Seq(PartCol))
     probe.unpersist()

@@ -36,6 +36,17 @@ class ScdSpec extends SparkSpec {
       .select("id", "tier", "scd_valid_from", "scd_valid_to")
       .as[(Long, String, Long, Long)].collect()
     assert(closed.toSeq == Seq((1L, "GOLD", 1L, 2L)))
+
+    // the dimension is generation-stamped like every in-place mutation:
+    // init seeded a stamp, applyChanges moved it — a stats manifest over
+    // the dimension fails loud instead of serving the pre-commit files
+    val g1 = FileManifest.readStamp(spark, p)
+    assert(g1.nonEmpty, "init must seed a generation stamp")
+    Scd.applyChanges(spark, p,
+      Seq((1L, "alice", "IRON", 1.0)).toDF("id", "name", "tier", "bal"),
+      Seq("id"), version = 3L)
+    assert(FileManifest.readStamp(spark, p) != g1,
+      "applyChanges must bump the generation")
   }
 
   test("re-applying a committed batch is a detected no-op (idempotent replay)") {
