@@ -88,15 +88,20 @@ object Bench {
         val top = results.sortBy { case (k, v, _) => (-v, k) }.take(10)
         val fns = SparkEntry.queries
         top.map { case (name, _, _) =>
-          val times = (1 to floorRuns).map { _ =>
+          // failed runs are EXCLUDED, never timed: min(time-to-exception)
+          // would publish a crash as a speedup — the floors exist for
+          // cross-round comparison, so a query with zero successful runs
+          // records the -1 failure marker instead of a number
+          val times = (1 to floorRuns).flatMap { _ =>
             val t0 = System.nanoTime()
-            try { fns(name)(spark, sfDir).count() } catch { case _: Throwable => -1L }
+            val ok = try { fns(name)(spark, sfDir).count(); true }
+              catch { case _: Throwable => false }
             val dt = (System.nanoTime() - t0) / 1e9
             spark.catalog.clearCache()
             System.gc()
-            dt
+            if (ok) Some(dt) else None
           }
-          name -> times.min
+          name -> (if (times.isEmpty) -1.0 else times.min)
         }
       }
     // Unique short key per query (prefix before first '_'); falls back to

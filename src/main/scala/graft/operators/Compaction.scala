@@ -116,10 +116,15 @@ object Compaction {
       curve: String = "morton"
   ): CompactStats = {
     require(partCols.nonEmpty && targetBytes > 0, "partCols non-empty, targetBytes > 0")
-    // eager: a typo'd curve must fail before ANY listing or file work,
-    // not only on runs that happen to find fragmented directories
+    // eager: an invalid curve CONFIG must fail before ANY listing or file
+    // work, not only on runs that happen to find fragmented directories —
+    // that includes hilbert's 2-D restriction, which would otherwise
+    // surface from Layout.hilbertValue only after the full stats walk
     require(curve == "morton" || curve == "hilbert",
       s"unknown curve '$curve' — use 'morton' or 'hilbert'")
+    require(curve != "hilbert" || zorderBy.isEmpty || zorderBy.size == 2,
+      s"curve 'hilbert' is 2-D (Layout.hilbertValue's xy2d walk), " +
+        s"got ${zorderBy.size} zorderBy columns")
     val all = stats(spark, path, partCols)
     def targetFiles(s: PartStats): Int =
       math.max(minFiles, math.ceil(s.bytes.toDouble / targetBytes).toInt)
@@ -168,14 +173,10 @@ object Compaction {
       // byte-proportional share of the slot budget and every output file
       // holds one contiguous curve-run (a boundary task straddling two
       // directories writes one file into each).
-      (curve match {
-        case "morton" =>
-          Layout.mortonValue(joined, zorderBy, zorderBits, out = "__graft_z")
-        case "hilbert" =>
-          Layout.hilbertValue(joined, zorderBy, zorderBits, out = "__graft_z")
-        case other => throw new IllegalArgumentException(
-          s"unknown curve '$other' — use 'morton' or 'hilbert'")
-      })
+      (if (curve == "morton")
+        Layout.mortonValue(joined, zorderBy, zorderBits, out = "__graft_z")
+      else // "hilbert" — the entry requires guarantee no third value
+        Layout.hilbertValue(joined, zorderBy, zorderBits, out = "__graft_z"))
         .repartitionByRange(totalSlots, (partCols.map(col) :+ col("__graft_z")): _*)
         .sortWithinPartitions((partCols.map(col) :+ col("__graft_z")): _*)
         .drop("__graft_nf", "__graft_z")

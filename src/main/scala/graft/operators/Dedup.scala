@@ -987,6 +987,10 @@ object Dedup {
       chunkWords: Int = 8
   ): DataFrame = {
     require(chunkWords >= 1, s"chunkWords must be >= 1, got $chunkWords")
+    // integral ids required loudly: the documented composition feeds these
+    // edges to Graph.reachableFrom, whose long cast would turn string ids
+    // into all-NULL endpoints and a silently-empty closure
+    requireIntegralId(docs, idCol, "chunkShareEdges")
     val docChunk = chunkOccurrences(docs, idCol, textCol, chunkWords)
       .select(col("doc_id"), col("fp")).distinct()
     val hubs = docChunk.groupBy("fp")

@@ -85,21 +85,26 @@ object FileManifest {
     require(fs.rename(tmp, dst), s"failed to publish generation stamp at $dst")
   }
 
-  /** The generation currently stamped on `dir`, None if never stamped. */
+  /** The generation currently stamped on `dir`, None if never stamped.
+    * A reader racing [[writeStamp]]'s delete-then-rename republication can
+    * see the stamp momentarily absent (the rename pair is not atomic as a
+    * whole) — one retry bridges that microsecond window; a second miss
+    * means genuinely unstamped. */
   def readStamp(spark: SparkSession, dir: String): Option[String] = {
     val (fs, p) = fsFor(spark, dir)
     val f = new org.apache.hadoop.fs.Path(p, StampFile)
-    if (!fs.exists(f)) None
-    else {
-      val in = fs.open(f)
+    def attempt(): Option[String] =
       try {
-        val bytes = new java.io.ByteArrayOutputStream()
-        val buf = new Array[Byte](256)
-        var n = in.read(buf)
-        while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
-        Some(new String(bytes.toByteArray, java.nio.charset.StandardCharsets.UTF_8))
-      } finally in.close()
-    }
+        val in = fs.open(f)
+        try {
+          val bytes = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](256)
+          var n = in.read(buf)
+          while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+          Some(new String(bytes.toByteArray, java.nio.charset.StandardCharsets.UTF_8))
+        } finally in.close()
+      } catch { case _: java.io.FileNotFoundException => None }
+    attempt().orElse { Thread.sleep(20); attempt() }
   }
 
   /** Bump the table's generation — called by every maintenance operator
@@ -386,7 +391,7 @@ object FileManifest {
     verifyGeneration(spark, tablePath, manifestPath)
     val m = spark.read.parquet(manifestPath)
     val total = m.count()
-    val files = bloomProbe(spark, manifestPath, column, values)
+    val files = bloomProbe(spark, m, column, values)
       .collect().sorted.toSeq
     // exact filter as a broadcast SEMI JOIN against the values, not an
     // `isin` literal list: a point-lookup batch can carry thousands of
@@ -416,10 +421,14 @@ object FileManifest {
     * varies per manifest row, so the typed iterator is the supported
     * form.) Files with a NULL bloom are KEPT — an all-null or stat-less
     * file can't prove absence; conservative, never wrong, the same rule
-    * [[selectFiles]] applies to NULL range stats. */
+    * [[selectFiles]] applies to NULL range stats. Takes the already-
+    * loaded manifest frame so the caller's one manifest read serves both
+    * the total and the probe (a second spark.read would double the
+    * metadata cost of the hot lookup path and let a concurrent refresh
+    * slip between the two reads). */
   private[graft] def bloomProbe(
       spark: SparkSession,
-      manifestPath: String,
+      manifest: DataFrame,
       column: String,
       values: Seq[Any]
   ): org.apache.spark.sql.Dataset[String] = {
@@ -427,7 +436,7 @@ object FileManifest {
     val hashes = spark.range(1)
       .select(values.map(v => xxhash64(lit(v))).toIndexedSeq: _*)
       .head().toSeq.map(_.asInstanceOf[Long])
-    spark.read.parquet(manifestPath)
+    manifest
       .select(col("file"), col(s"bloom_$column").as("bloom"))
       .as[(String, Array[Byte])](Encoders.tuple(Encoders.STRING, Encoders.BINARY))
       .mapPartitions { it =>

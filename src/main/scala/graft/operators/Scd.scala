@@ -72,24 +72,32 @@ object Scd {
   def init(
       spark: SparkSession, path: String, dim: DataFrame,
       version: Long = 1L): Unit = {
-    if (dim.isEmpty) {
+    // Stage-and-rename, stamp INSIDE the staging dir before the swap: a
+    // plain overwrite would delete the directory (old stamp included) and
+    // re-stamp only after the write — a crash in that window leaves a
+    // REWRITTEN table with NO stamp, which verifyGeneration treats as
+    // never-stamped and passes trivially, i.e. a pre-existing manifest
+    // would silently serve vanished files. With the rename, the stamp
+    // lands atomically WITH the data; a crash between delete and rename
+    // leaves no table at all — reads fail loud, never stale.
+    val staged = dim.withColumn(FromCol, lit(version))
+      .withColumn(ToCol, lit(null).cast("long"))
+      .withColumn(PartCol, lit(Current))
+    val staging = s"${path.stripSuffix("/")}__graft_staging"
+    if (dim.isEmpty)
       // an empty partitioned layout has no col=value dirs to infer a schema
       // from (the writeLayout degenerate case) — keep the schema
       // self-describing with a plain write of the zero-row frame
-      dim.withColumn(FromCol, lit(version))
-        .withColumn(ToCol, lit(null).cast("long"))
-        .withColumn(PartCol, lit(Current))
-        .write.mode("overwrite").parquet(path)
-      FileManifest.bumpGeneration(spark, path)
-      return
-    }
-    dim.withColumn(FromCol, lit(version))
-      .withColumn(ToCol, lit(null).cast("long"))
-      .withColumn(PartCol, lit(Current))
-      .write.mode("overwrite").partitionBy(PartCol).parquet(path)
-    // stamp AFTER the overwrite (the write replaces the directory, stamp
-    // included) — init is generation zero of the stamped lifecycle
-    FileManifest.bumpGeneration(spark, path)
+      staged.write.mode("overwrite").parquet(staging)
+    else
+      staged.write.mode("overwrite").partitionBy(PartCol).parquet(staging)
+    FileManifest.bumpGeneration(spark, staging)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(staging),
+      new org.apache.hadoop.fs.Path(path)),
+      s"Scd.init: commit rename $staging -> $path failed")
   }
 
   /** The open slice — one row per key, business columns + validity stamps.

@@ -591,23 +591,30 @@ object Streaming {
         (l.columns.map(l(_)) ++ r.columns.filterNot(_ == key).map(r(_)))
           .toIndexedSeq: _*)
     } else {
-      // right/full outer: the right key is RENAMED before the join so the
-      // post-join coalesce references two distinct names — dataset-id
-      // column disambiguation (l(key)/r(key)) breaks down when both sides
-      // derive from the same source (the batch-verified funnel query is
-      // exactly that self-join), and a name that exists once is
-      // unambiguous under any lineage
-      val rk = s"__graft_rkey_$key"
-      val r = right.withWatermark(rightTs, lateness).withColumnRenamed(key, rk)
+      // right/full outer: EVERY right column is RENAMED before the join
+      // (then renamed back in the select) so the post-join references are
+      // single-occurrence names — dataset-id disambiguation (l(key)/
+      // r(key)) breaks down when both sides derive from the same source
+      // (the batch-verified funnel query is exactly that self-join), and
+      // renaming only the key would still leave any SHARED non-key name
+      // (two sides both carrying "ts") ambiguous. Rename-then-watermark:
+      // the watermark must attach to the renamed event-time column.
+      def rn(c: String) = s"__graft_r_$c"
+      val r = right
+        .select(right.columns.map(c => col(c).as(rn(c))).toIndexedSeq: _*)
+        .withWatermark(rn(rightTs), lateness)
       val joined = l.join(r,
-        col(key) === col(rk) &&
-          col(rightTs) >= col(leftTs) &&
-          col(rightTs) <= col(leftTs) + expr(s"INTERVAL $maxDelay"),
+        l(key) === col(rn(key)) &&
+          col(rn(rightTs)) >= l(leftTs) &&
+          col(rn(rightTs)) <= l(leftTs) + expr(s"INTERVAL $maxDelay"),
         joinType)
-      joined.select(
-        (coalesce(col(key), col(rk)).as(key) +:
-          (left.columns.filterNot(_ == key).map(col) ++
-            right.columns.filterNot(_ == key).map(col))).toIndexedSeq: _*)
+      // same column ORDER as the inner/left branch (left columns in
+      // place, key coalesced in its original position, right non-key
+      // columns after) so switching joinType never moves positions
+      val outCols = left.columns.map { c =>
+        if (c == key) coalesce(l(key), col(rn(key))).as(key) else l(c)
+      } ++ right.columns.filterNot(_ == key).map(c => col(rn(c)).as(c))
+      joined.select(outCols.toIndexedSeq: _*)
     }
   }
 

@@ -177,6 +177,12 @@ class CompactionSpec extends SparkSpec {
       Compaction.compact(spark, path, Seq("yr"), targetBytes = 1L,
         zorderBy = Seq("x", "y"), curve = "peano")
     }
+    // hilbert is 2-D: a 3-column config must also fail eagerly, not after
+    // the stats walk inside Layout.hilbertValue
+    intercept[IllegalArgumentException] {
+      Compaction.compact(spark, path, Seq("yr"), targetBytes = 1L,
+        zorderBy = Seq("x", "y", "id"), curve = "hilbert")
+    }
     assert(fileSig(path, "yr=1") == sig, "failed compaction must leave files untouched")
   }
 }

@@ -286,7 +286,8 @@ class FileManifestSpec extends SparkSpec {
       .repartition(4, col("id")).write.parquet(table)
     FileManifest.buildWithBloom(spark, table, Nil, Seq("id"), man,
       expectedPerFile = 1000L)
-    val probe = FileManifest.bloomProbe(spark, man, "id", Seq(17L, 423L))
+    val probe = FileManifest.bloomProbe(
+      spark, spark.read.parquet(man), "id", Seq(17L, 423L))
     val plan = probe.queryExecution.executedPlan.toString
     assert(!plan.contains("ScalaUDF"),
       s"manifest bloom probe must not pay the per-row UDF bridge:\n$plan")

@@ -379,6 +379,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("full-outer join tolerates shared column names and keeps the inner branch's column order") {
+    // batch frames (watermarks no-op) BOTH carrying a column literally
+    // named "ts" — the shape that breaks bare-col() resolution; and the
+    // output order must match the inner/left branch so position-based
+    // consumers survive a joinType switch
+    import spark.implicits._
+    def t(min: Long) = new java.sql.Timestamp(min * 60000L)
+    val clicks = Seq((1L, t(10), "c1"), (2L, t(12), "c2"))
+      .toDF("user_id", "ts", "tag")
+    val buys = Seq((1L, t(20), "b1"), (3L, t(11), "b3"))
+      .toDF("user_id", "ts", "tag")
+    val full = Streaming.streamStreamJoin(clicks, buys,
+      leftTs = "ts", rightTs = "ts", key = "user_id",
+      maxDelay = "15 minutes", joinType = "full_outer")
+    assert(full.columns.toSeq == Seq("user_id", "ts", "tag", "ts", "tag"),
+      s"column order drifted: ${full.columns.toSeq}")
+    val got = full.collect().map(r =>
+      (Option(r.get(0)), Option(r.get(2)), Option(r.get(4)))).toSet
+    assert(got == Set(
+      (Some(1L), Some("c1"), Some("b1")),
+      (Some(2L), Some("c2"), None),
+      (Some(3L), None, Some("b3"))), s"got $got")
+    val inner = Streaming.streamStreamJoin(clicks, buys,
+      leftTs = "ts", rightTs = "ts", key = "user_id",
+      maxDelay = "15 minutes")
+    assert(inner.columns.toSeq == full.columns.toSeq,
+      "inner and full branches must present identical column orders")
+  }
+
   test("quantile drift stream gates batches against the stored reference sketch") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_drift").toString
