@@ -406,6 +406,16 @@ class StreamingSpec extends SparkSpec {
       maxDelay = "15 minutes")
     assert(inner.columns.toSeq == full.columns.toSeq,
       "inner and full branches must present identical column orders")
+    // right_outer rides the same renamed branch: unmatched RIGHT rows
+    // null-pad the left side, matched left rows that lack a purchase drop
+    val right = Streaming.streamStreamJoin(clicks, buys,
+      leftTs = "ts", rightTs = "ts", key = "user_id",
+      maxDelay = "15 minutes", joinType = "right_outer")
+      .collect().map(r =>
+        (Option(r.get(0)), Option(r.get(2)), Option(r.get(4)))).toSet
+    assert(right == Set(
+      (Some(1L), Some("c1"), Some("b1")),
+      (Some(3L), None, Some("b3"))), s"got $right")
   }
 
   test("quantile drift stream gates batches against the stored reference sketch") {
