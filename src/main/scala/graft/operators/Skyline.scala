@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** 2-D Pareto front (skyline) over a metric pair: the rows not dominated by
+  * any other row, where `q` dominates `p` iff `q.x <= p.x` and `q.y >= p.y`
+  * with at least one strict (x is MINIMIZED, y is MAXIMIZED — the classic
+  * skyline operator of Börzsönyi/Kossmann/Stocker, ICDE 2001). The curation
+  * use: pick the quality-per-cost frontier of a corpus (max vocabulary
+  * richness per char budget, max dedup-cluster coverage per token, …) —
+  * the non-dominated set IS the menu of optimal trade-offs, and every row
+  * off the front is strictly worse than some row on it.
+  *
+  * Scale shape — NO all-pairs join and NO corpus-wide global sort:
+  *   1. One map-side-combined aggregate builds a `buckets`-row grid:
+  *      fixed-width buckets over x (bounds from a 2-value stats agg — the
+  *      same planner-scale pattern as Layout's range stats), each bucket
+  *      keeping max(y).
+  *   2. A running strict-predecessor max over that TINY table gives, per
+  *      bucket, the best y seen at strictly smaller x. Broadcast-joined
+  *      back, every row with y <= that bound is provably dominated (a
+  *      strictly-lower bucket implies strictly smaller x) and dies
+  *      scan-locally — on any non-adversarial distribution this kills
+  *      ~everything; survivors are within one bucket-width of the front.
+  *   3. Survivors (front-sized, not corpus-sized) take the exact pass:
+  *      per-distinct-x max(y), a running strict-predecessor max over the
+  *      distinct-x rows, and the dominance test
+  *        dominated  ⇔  max{y' : x' < x} >= y  ∨  max{y' : x' = x} > y.
+  *      The single-partition window only ever sees distinct SURVIVOR xs —
+  *      the one place a skyline genuinely needs a total order, applied to
+  *      data that is small BECAUSE of stage 2. Ties on (x, y) are mutual
+  *      non-domination: duplicate front points all survive, matching the
+  *      NOT EXISTS definition the oracle states.
+  *
+  * Bucketing casts x to double only to pick a bucket: the cast is monotone,
+  * so a strictly-lower bucket still implies strictly-smaller x (equal
+  * doubles share a bucket), and non-injectivity at extreme magnitudes only
+  * merges buckets — a weaker prune, never a wrong one. Rows with NULL in
+  * either metric are excluded up front: NULL is incomparable under
+  * dominance, and letting it through would make the front definition-
+  * dependent instead of data-dependent.
+  *
+  * Reference tie-in: the reference exposes per-item filter stages
+  * (`stage.py` Stage.process) but no ranking across items; the skyline is
+  * the cross-item filter a curation pipeline needs when "keep the best"
+  * has two competing axes.
+  */
+object Skyline {
+
+  /** Non-dominated rows of `df` under (minimize `xCol`, maximize `yCol`).
+    * Returns the original columns. `buckets` sizes the prune grid — more
+    * buckets = tighter prune, always ≥ 1; exactness never depends on it. */
+  def pareto2d(df: DataFrame, xCol: String, yCol: String,
+      buckets: Int = 256): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val pts = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+    val xd = col(xCol).cast("double")
+
+    // planner-scale: 2 values on the driver, the bucket-width constants
+    val stats = pts.agg(min(xd), max(xd)).head()
+    if (stats.isNullAt(0)) return pts.limit(0) // empty input: empty front
+    val (xmin, xmax) = (stats.getDouble(0), stats.getDouble(1))
+    val width = math.max((xmax - xmin) / buckets, java.lang.Double.MIN_NORMAL)
+    val bucket: Column =
+      least(floor((xd - lit(xmin)) / lit(width)), lit(buckets - 1L)).cast("long")
+
+    // stage 1-2: buckets-row grid, strict-predecessor running max, broadcast
+    val grid = pts.groupBy(bucket.as("sk_b")).agg(max(col(yCol)).as("sk_by"))
+    val wb = Window.orderBy(col("sk_b")).rowsBetween(Window.unboundedPreceding, -1)
+    val cum = grid.select(col("sk_b"), max(col("sk_by")).over(wb).as("sk_lo"))
+    val survivors = pts
+      .join(broadcast(cum), bucket === col("sk_b"), "left")
+      .filter(col("sk_lo").isNull || col(yCol) > col("sk_lo"))
+      .drop("sk_b", "sk_lo")
+
+    // stage 3: exact dominance over the front-sized survivor set
+    val perX = survivors.groupBy(col(xCol).as("sk_x"))
+      .agg(max(col(yCol)).as("sk_xy"))
+    val wx = Window.orderBy(col("sk_x")).rowsBetween(Window.unboundedPreceding, -1)
+    val bounds = perX.select(col("sk_x"), col("sk_xy"),
+      max(col("sk_xy")).over(wx).as("sk_lt"))
+    survivors
+      .join(broadcast(bounds), col(xCol) === col("sk_x"))
+      .filter((col("sk_lt").isNull || col(yCol) > col("sk_lt")) &&
+        !(col("sk_xy") > col(yCol)))
+      .drop("sk_x", "sk_xy", "sk_lt")
+  }
+}

@@ -3799,7 +3799,35 @@ object TextQueries {
               FROM sc GROUP BY doc_id, lang)
         SELECT doc_id, lang, n_bigrams, mean_t, mean_r,
           mean_t - mean_r AS weight_ppm
-        FROM d ORDER BY weight_ppm DESC, doc_id LIMIT 50"""))
+        FROM d ORDER BY weight_ppm DESC, doc_id LIMIT 50""")),
+
+    GQ("sk01_pareto_front", // 2-D skyline (`operators/Skyline.pareto2d`,
+      // Börzsönyi 2001): the documents on the vocabulary-richness-per-
+      // char-budget Pareto front — every doc NOT dominated by one that is
+      // both shorter (n_chars <=) and lexically richer (distinct tokens
+      // >=, one strict). The curation menu of optimal quality/cost
+      // trade-offs; everything off the front is strictly worse than
+      // something on it. Scale shape: NO all-pairs join — a 256-row
+      // fixed-width grid of per-bucket max(richness) broadcast back kills
+      // provably-dominated rows scan-locally (one map-side-combined agg +
+      // one broadcast join), and only the front-sized survivor set takes
+      // the exact single-partition dominance pass. The oracle states the
+      // definitional NOT EXISTS; SkylineSpec pins operator == definition
+      // on adversarial tie/duplicate fixtures and bucket-count invariance.
+      (s, dir) => {
+        val pts = Tables.table(s, dir, "documents").select(
+          col("doc_id"), col("n_chars").as("x"),
+          size(array_distinct(filter(split(col("text"), " "),
+            w => w =!= ""))).cast("long").as("y"))
+        graft.operators.Skyline.pareto2d(pts, "x", "y")
+      },
+      Some("""WITH d AS (SELECT doc_id, n_chars AS x,
+          CAST(len(list_distinct(list_filter(string_split(text, ' '),
+            w -> w <> ''))) AS BIGINT) AS y
+        FROM documents)
+        SELECT p.doc_id, p.x, p.y FROM d p WHERE NOT EXISTS (
+          SELECT 1 FROM d q
+          WHERE q.x <= p.x AND q.y >= p.y AND (q.x < p.x OR q.y > p.y))"""))
   )
 }
 

@@ -1,0 +1,80 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class SkylineSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Definitional front via the all-pairs NOT EXISTS form — the oracle the
+    * operator must equal on data small enough to afford it. */
+  private def brute(df: DataFrame): Set[(Long, Long, Long)] = {
+    val pts = df.select(col("id").cast("long"), col("x").cast("long"),
+      col("y").cast("long")).as[(Long, Long, Long)].collect().toSeq
+    pts.filter { case (_, px, py) =>
+      !pts.exists { case (_, qx, qy) =>
+        qx <= px && qy >= py && (qx < px || qy > py)
+      }
+    }.toSet
+  }
+
+  private def front(df: DataFrame, buckets: Int = 256): Set[(Long, Long, Long)] =
+    Skyline.pareto2d(df, "x", "y", buckets)
+      .select(col("id").cast("long"), col("x").cast("long"), col("y").cast("long"))
+      .as[(Long, Long, Long)].collect().toSet
+
+  test("matches the all-pairs NOT EXISTS definition on pseudo-random points") {
+    // deterministic scatter with deliberate x-collisions (x mod 97) and
+    // y-collisions (y mod 89) so tie handling is exercised, not dodged
+    val df = spark.range(400).select(col("id"),
+      pmod(col("id") * 37 + 11, lit(97)).as("x"),
+      pmod(col("id") * 53 + 7, lit(89)).as("y"))
+    assert(front(df) == brute(df))
+  }
+
+  test("bucket count never changes the result (prune is a prune, not a heuristic)") {
+    val df = spark.range(300).select(col("id"),
+      pmod(col("id") * 29, lit(61)).as("x"),
+      pmod(col("id") * 41, lit(71)).as("y"))
+    val expected = brute(df)
+    for (b <- Seq(1, 2, 7, 1024)) assert(front(df, b) == expected, s"buckets=$b")
+  }
+
+  test("duplicate front points all survive; strictly-worse duplicates all die") {
+    val df = Seq(
+      (1L, 10L, 10L), (2L, 10L, 10L), // tied non-dominated pair: both stay
+      (3L, 10L, 5L),                  // same x, lower y: dominated
+      (4L, 5L, 8L),                   // cheaper but poorer: on the front
+      (5L, 20L, 9L)                   // dominated by id 1 (x 10<=20, y 10>=9)
+    ).toDF("id", "x", "y")
+    assert(front(df) == Set((1L, 10L, 10L), (2L, 10L, 10L), (4L, 5L, 8L)))
+  }
+
+  test("degenerate axes: all-equal x reduces to max(y); all-equal y to min(x)") {
+    val sameX = Seq((1L, 7L, 1L), (2L, 7L, 9L), (3L, 7L, 9L)).toDF("id", "x", "y")
+    assert(front(sameX) == Set((2L, 7L, 9L), (3L, 7L, 9L)))
+    val sameY = Seq((1L, 3L, 5L), (2L, 1L, 5L), (3L, 9L, 5L)).toDF("id", "x", "y")
+    assert(front(sameY) == Set((2L, 1L, 5L)))
+  }
+
+  test("NULL metrics are excluded and empty input yields an empty front") {
+    val df = Seq((Some(1L), Some(4L), Some(4L)), (Some(2L), None, Some(99L)),
+      (Some(3L), Some(1L), None)).toDF("id", "x", "y")
+    // the null-y row at x=1 must NOT shadow the real point at x=4
+    assert(front(df) == Set((1L, 4L, 4L)))
+    val empty = spark.range(0).select(col("id"), col("id").as("x"), col("id").as("y"))
+    assert(Skyline.pareto2d(empty, "x", "y").count() == 0)
+  }
+
+  test("partitioning independence and original columns preserved") {
+    val df = spark.range(200).select(col("id"),
+      pmod(col("id") * 17, lit(43)).as("x"),
+      pmod(col("id") * 23, lit(47)).as("y"),
+      concat(lit("tag"), col("id")).as("extra"))
+    val a = Skyline.pareto2d(df, "x", "y")
+    assert(a.columns.toSeq == Seq("id", "x", "y", "extra"))
+    val b = Skyline.pareto2d(df.repartition(13), "x", "y")
+    assert(a.orderBy("id").collect().toSeq == b.orderBy("id").collect().toSeq)
+  }
+}
