@@ -3827,7 +3827,82 @@ object TextQueries {
         FROM documents)
         SELECT p.doc_id, p.x, p.y FROM d p WHERE NOT EXISTS (
           SELECT 1 FROM d q
-          WHERE q.x <= p.x AND q.y >= p.y AND (q.x < p.x OR q.y > p.y))"""))
+          WHERE q.x <= p.x AND q.y >= p.y AND (q.x < p.x OR q.y > p.y))""")),
+
+    GQ("d55_editdist_pairs", // EXACT edit-distance similarity join
+      // (`operators/EditDistance.editDistancePairs` — Pass-Join segment
+      // filter, Li 2011): every title pair within Levenshtein distance
+      // 2, the character-level complement of the token-set families
+      // (d07/d47 catch rewording; this catches typo/OCR/mangling dups
+      // that flip whole tokens). Pigeonhole: k edits leave one of k+1
+      // segments untouched, so candidates are pairs sharing an ~l/3-char
+      // EXACT substring at a +-k-shifted position — measured 31k
+      // candidates at sf0.1 where q-gram prefix filters degenerate to
+      // 0.9-2.0M on this 113-distinct-bigram corpus (the decision is in
+      // the operator scaladoc). One shuffle on (segment, partner-len,
+      // index) keys, pair-dedup, ONE broadcast verify; both-short pairs
+      // (max len <= 5) take a banded length equi-join instead. The
+      // oracle states the DEFINITION (length band is also provably
+      // complete); EditDistanceSpec pins operator == DP brute force
+      // across the regime boundary.
+      (s, dir) => {
+        val titled = Tables.table(s, dir, "documents").select(col("doc_id"),
+          array_join(slice(split(col("text"), " "), 1, 5), " ").as("title"))
+        graft.operators.EditDistance.editDistancePairs(
+          titled, "doc_id", "title", maxDist = 2)
+      },
+      Some("""WITH t AS (SELECT doc_id,
+          array_to_string((string_split(text, ' '))[1:5], ' ') AS s
+        FROM documents)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(levenshtein(a.s, b.s) AS INTEGER) AS dist
+        FROM t a JOIN t b ON a.doc_id < b.doc_id
+          AND abs(len(a.s) - len(b.s)) <= 2
+          AND levenshtein(a.s, b.s) <= 2""")),
+
+    GQ("er01_entity_match", // cross-table record linkage
+      // (`operators/EditDistance.linkRecords`): a deterministically
+      // mangled registry (one char deleted at an arithmetic-hash
+      // position — pure integer ops, so the oracle replays the
+      // corruption bit-for-bit) is matched back to the clean titles.
+      // Same complete candidate filters as d55, then single-round
+      // MUTUAL BEST with (dist, partner-id) tie-break — the greedy 1:1
+      // core of entity resolution: a pair survives iff each side is the
+      // other's closest match. Near-dup titles in the corpus make some
+      // corrupted rows genuinely ambiguous; the tie rule resolves them
+      // identically in both engines. Corpus-scale shape: the corpus
+      // shuffles once on Pass-Join segment keys; best-match selection is
+      // two map-side-combined min(struct) aggs + two semi joins, never a
+      // window over the full pair set.
+      (s, dir) => {
+        val clean = Tables.table(s, dir, "documents").select(col("doc_id"),
+          array_join(slice(split(col("text"), " "), 1, 5), " ").as("title"))
+        val corrupt = clean
+          .withColumn("p",
+            (col("doc_id") * lit(2654435761L)) % length(col("title")))
+          .select(col("doc_id"),
+            concat(col("title").substr(lit(1), col("p").cast("int")),
+              col("title").substr(col("p").cast("int") + lit(2),
+                length(col("title")))).as("title"))
+        graft.operators.EditDistance.linkRecords(
+          clean, "doc_id", "title", corrupt, "doc_id", "title", maxDist = 2)
+      },
+      Some("""WITH l AS (SELECT doc_id AS lid,
+          array_to_string((string_split(text, ' '))[1:5], ' ') AS ls
+        FROM documents),
+        r0 AS (SELECT lid AS rid, ls,
+          CAST((lid * 2654435761) % length(ls) AS INTEGER) AS p FROM l),
+        r AS (SELECT rid,
+          substr(ls, 1, p) || substr(ls, p + 2) AS rs FROM r0),
+        sc AS (SELECT lid, rid, CAST(levenshtein(ls, rs) AS INTEGER) AS dist
+          FROM l JOIN r ON abs(len(ls) - len(rs)) <= 2
+            AND levenshtein(ls, rs) <= 2),
+        rk AS (SELECT lid, rid, dist,
+          row_number() OVER (PARTITION BY lid ORDER BY dist, rid) AS k1,
+          row_number() OVER (PARTITION BY rid ORDER BY dist, lid) AS k2
+          FROM sc)
+        SELECT lid AS left_id, rid AS right_id, dist
+        FROM rk WHERE k1 = 1 AND k2 = 1"""))
   )
 }
 

@@ -1,0 +1,121 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class EditDistanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Plain DP Levenshtein — the definitional reference for brute checks. */
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  /** Deterministic pseudo-random string over a tiny alphabet: small
+    * alphabets maximize close pairs, lengths 2..11 straddle the
+    * short/segment regime boundary (k=2 → shortMax=5). */
+  private def mkStr(id: Long): String = {
+    var h = id * 2654435761L + 99991L
+    val len = 2 + (math.abs(h) % 10).toInt
+    val sb = new StringBuilder
+    for (_ <- 0 until len) {
+      h = h * 6364136223846793005L + 1442695040888963407L
+      sb += "abc" (((math.abs(h) >>> 17) % 3).toInt)
+    }
+    sb.toString
+  }
+
+  private def bruteSelf(strs: Seq[(Long, String)], k: Int): Set[(Long, Long, Int)] =
+    (for {
+      (ia, sa) <- strs; (ib, sb) <- strs
+      if ia < ib
+      d = lev(sa, sb) if d <= k
+    } yield (ia, ib, d)).toSet
+
+  test("self-join matches DP brute force across the short/gram regime boundary") {
+    val strs = (0L until 200L).map(i => (i, mkStr(i)))
+    for (k <- Seq(1, 2)) {
+      val got = EditDistance.editDistancePairs(
+          strs.toDF("id", "s"), "id", "s", maxDist = k)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(got == bruteSelf(strs, k), s"maxDist=$k")
+    }
+  }
+
+  test("long-string pairs (segment regime only) stay exact") {
+    val strs = (0L until 120L).map(i => (i, mkStr(i) * 3)) // lengths 6..33
+    val got = EditDistance.editDistancePairs(
+        strs.toDF("id", "s"), "id", "s", maxDist = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == bruteSelf(strs, 2))
+  }
+
+  test("identical strings pair at distance 0 and output ids are ordered") {
+    val df = Seq((7L, "samestring"), (3L, "samestring"), (9L, "other"))
+      .toDF("id", "s")
+    val got = EditDistance.editDistancePairs(df, "id", "s", 1)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == Set((3L, 7L, 0)))
+  }
+
+  test("NULL ids and strings are dropped, not joined") {
+    val df = Seq((Some(1L), Some("abcd")), (Some(2L), None),
+      (None, Some("abcd")), (Some(3L), Some("abcd"))).toDF("id", "s")
+    val got = EditDistance.editDistancePairs(df, "id", "s", 2)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == Set((1L, 3L, 0)))
+  }
+
+  test("linkRecords finds mutual best 1:1 matches with deterministic ties") {
+    // right 10 is equidistant (d=1) from lefts 1 and 2 -> its best-left
+    // tie breaks to left 1; left 2 prefers its exact match 11 (d=0), and
+    // 11 agrees. Left 2 also sits at d=1 from right 10 (tie with left 1
+    // on 10's side) but mutual-best is single-round, not iterative: the
+    // (2,10) edge dies because 10 is not left 2's best AND 2 is not
+    // right 10's best. Left 3 matches nothing within maxDist.
+    val left = Seq((1L, "alpha"), (2L, "alphb"), (3L, "gamma"))
+      .toDF("lid", "ls")
+    val right = Seq((10L, "alph"), (11L, "alphb"), (12L, "delta"))
+      .toDF("rid", "rs")
+    val got = EditDistance.linkRecords(
+        left, "lid", "ls", right, "rid", "rs", maxDist = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == Set((1L, 10L, 1), (2L, 11L, 0)))
+  }
+
+  test("linkRecords candidate stage is complete: every true pair scored (brute parity)") {
+    val left = (0L until 90L).map(i => (i, mkStr(i)))
+    val right = (100L until 190L).map(i => (i, mkStr(i * 7 + 1)))
+    val expectedScored = (for {
+      (il, sl) <- left; (ir, sr) <- right
+      d = lev(sl, sr) if d <= 2
+    } yield (il, ir, d)).toSet
+    // mutual-best of the brute scored set, same tie rule
+    val bestR = expectedScored.groupBy(_._1).map { case (l, ps) =>
+      (l, ps.minBy(p => (p._3, p._2))._2) }
+    val bestL = expectedScored.groupBy(_._2).map { case (r, ps) =>
+      (r, ps.minBy(p => (p._3, p._1))._1) }
+    val expected = expectedScored.filter { case (l, r, _) =>
+      bestR.get(l).contains(r) && bestL.get(r).contains(l) }
+    val got = EditDistance.linkRecords(left.toDF("id", "s"), "id", "s",
+        right.toDF("id", "s"), "id", "s", maxDist = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == expected)
+  }
+
+  test("partitioning independence") {
+    val strs = (0L until 150L).map(i => (i, mkStr(i)))
+    val a = EditDistance.editDistancePairs(strs.toDF("id", "s"), "id", "s", 2)
+      .orderBy("id_a", "id_b").collect().toSeq
+    val b = EditDistance.editDistancePairs(
+        strs.toDF("id", "s").repartition(13), "id", "s", 2)
+      .orderBy("id_a", "id_b").collect().toSeq
+    assert(a == b)
+  }
+}
