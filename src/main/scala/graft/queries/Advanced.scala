@@ -401,6 +401,37 @@ object Advanced {
       p
     })
 
+  /** fs02's second and third SCD2 dimensions — supplier and part histories
+    * with ONE change round each (v2 bumps a deterministic key slice), so
+    * the two-dim point-in-time join has version skew to exercise on both
+    * axes while the oracle's replay CTEs stay readable. Same stored-table
+    * memo contract as [[scdCustomers]]. */
+  private def scdSuppliers(s: SparkSession, dir: String): String =
+    layoutMemo.computeIfAbsent(s"scd_suppliers:$dir", _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft-scd-supp").toString + "/t"
+      val sup = t(s, dir, "supplier")
+      Scd.init(s, p, sup, version = 1L)
+      if (!sup.isEmpty) {
+        val b2 = sup.filter(col("s_suppkey") % 4 === 0)
+          .withColumn("s_acctbal", col("s_acctbal") + 100.0)
+        Scd.applyChanges(s, p, b2, Seq("s_suppkey"), version = 2L)
+      }
+      p
+    })
+
+  private def scdParts(s: SparkSession, dir: String): String =
+    layoutMemo.computeIfAbsent(s"scd_parts:$dir", _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft-scd-part").toString + "/t"
+      val part = t(s, dir, "part")
+      Scd.init(s, p, part, version = 1L)
+      if (!part.isEmpty) {
+        val b2 = part.filter(col("p_partkey") % 5 === 0)
+          .withColumn("p_retailprice", col("p_retailprice") + 10.0)
+        Scd.applyChanges(s, p, b2, Seq("p_partkey"), version = 2L)
+      }
+      p
+    })
+
   val queries: Seq[GQ] = Seq(
     GQ("a01_asof_join", // point-in-time: latest order at/before each event
       (s, dir) => {
@@ -4308,6 +4339,113 @@ object Advanced {
           FROM idx JOIN rec
             ON idx.event_type = rec.event_type AND idx.i = rec.i + 1)
         SELECT event_type, d, x, s2 AS cusum2, h2, s2 > h2 AS alarm
-        FROM rec"""))
+        FROM rec""")),
+
+    GQ("cdc02_replica_apply", // the CONSUMER side of cdc01's change feed:
+      // reconstruct v2 from v1 plus the feed ALONE — the contract that
+      // makes a change feed a replication mechanism rather than a report.
+      // Retract = anti join on delete/update_pre ids (delta-sized, so
+      // broadcast — the same shape as MergeOnRead's read path), apply =
+      // union of insert/update_post payload rows; neither snapshot is
+      // re-read. The oracle rebuilds v2 declaratively from the base
+      // table, so feed production AND application are both under test:
+      // any drift between changeFeed's emitted ops and their intended
+      // semantics shows up as a replica mismatch here even if cdc01's
+      // shape check passes.
+      (s, dir) => {
+        val root = cdcOrders(s, dir)
+        val v1 = graft.operators.Snapshot.readVersion(s, root, Some(1))
+        val feed = graft.operators.Snapshot.changeFeed(
+          v1, graft.operators.Snapshot.readVersion(s, root, Some(2)),
+          idCol = "o_orderkey", payloadCols = Seq("o_totalprice"))
+        val retract = feed
+          .filter(col("op").isin("delete", "update_pre"))
+          .select(col("o_orderkey"))
+        val apply = feed
+          .filter(col("op").isin("insert", "update_post"))
+          .select(col("o_orderkey"), col("o_totalprice"))
+        v1.join(broadcast(retract), Seq("o_orderkey"), "left_anti")
+          .unionByName(apply)
+      },
+      Some("""WITH v1 AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders
+            WHERE year(o_orderdate) = 1996),
+        bumped AS (SELECT k, CASE WHEN k % 7 = 0 THEN p + 1000.0 ELSE p END AS p
+                   FROM v1)
+        SELECT k AS o_orderkey, p AS o_totalprice FROM bumped WHERE k % 13 <> 0
+        UNION ALL
+        SELECT k + 1000000000, p FROM v1 WHERE k % 17 = 0""")),
+
+    GQ("fs02_pit_two_dims", // point-in-time feature join over TWO SCD2
+      // dimension histories at once — the real feature-store shape
+      // (facts rarely reference a single dimension): each lineitem is
+      // enriched with the supplier balance AND the part retail price AS
+      // THEY WERE at ship time (ship years mapped to dim versions 1/2).
+      // Two chained as-of joins (fs01's machinery, one shuffle + window
+      // each, never a non-equi range join); the asof_* outputs rename
+      // between hops so the second dimension's columns never collide
+      // with the first's. Both dims bump disjoint key slices (%4 / %5),
+      // so all four (sup_v, part_v) version combinations appear and a
+      // temporal-leakage bug on EITHER axis breaks the aggregate. Oracle
+      // states both lookups declaratively with interval predicates.
+      (s, dir) => {
+        val supHist = Scd.history(s, scdSuppliers(s, dir))
+          .select("s_suppkey", "scd_valid_from", "s_acctbal")
+        val partHist = Scd.history(s, scdParts(s, dir))
+          .select("p_partkey", "scd_valid_from", "p_retailprice")
+        val facts = t(s, dir, "lineitem").select(
+          col("l_suppkey"), col("l_partkey"), col("l_extendedprice"),
+          when(year(col("l_shipdate")) <= 1996, 1L).otherwise(2L)
+            .as("fact_v"))
+        val withSup = AsOfJoin.asofJoin(facts, supHist,
+          leftKey = "l_suppkey", rightKey = "s_suppkey",
+          leftTime = "fact_v", rightTime = "scd_valid_from",
+          payload = Seq("scd_valid_from", "s_acctbal"),
+          rightTiebreak = "s_suppkey")
+          .withColumnRenamed("asof_scd_valid_from", "sup_v")
+          .withColumnRenamed("asof_s_acctbal", "sup_bal")
+        AsOfJoin.asofJoin(withSup, partHist,
+          leftKey = "l_partkey", rightKey = "p_partkey",
+          leftTime = "fact_v", rightTime = "scd_valid_from",
+          payload = Seq("scd_valid_from", "p_retailprice"),
+          rightTiebreak = "p_partkey")
+          .withColumnRenamed("asof_scd_valid_from", "part_v")
+          .withColumnRenamed("asof_p_retailprice", "part_retail")
+          .groupBy(col("fact_v"), col("sup_v"), col("part_v"))
+          .agg(count(lit(1)).as("n_items"),
+            Dec.dsum(col("l_extendedprice")).as("revenue"),
+            Dec.dsum(col("sup_bal")).as("bal_sum"),
+            Dec.dsum(col("part_retail")).as("retail_sum"))
+      },
+      Some("""WITH sh AS (
+          SELECT s_suppkey, s_acctbal AS bal, 1 AS vf, 2 AS vt
+            FROM supplier WHERE s_suppkey % 4 = 0
+          UNION ALL SELECT s_suppkey, s_acctbal, 1, NULL
+            FROM supplier WHERE s_suppkey % 4 <> 0
+          UNION ALL SELECT s_suppkey, s_acctbal + 100.0, 2, NULL
+            FROM supplier WHERE s_suppkey % 4 = 0),
+        ph AS (
+          SELECT p_partkey, p_retailprice AS retail, 1 AS vf, 2 AS vt
+            FROM part WHERE p_partkey % 5 = 0
+          UNION ALL SELECT p_partkey, p_retailprice, 1, NULL
+            FROM part WHERE p_partkey % 5 <> 0
+          UNION ALL SELECT p_partkey, p_retailprice + 10.0, 2, NULL
+            FROM part WHERE p_partkey % 5 = 0),
+        f AS (SELECT l_suppkey, l_partkey, l_extendedprice,
+          CAST(CASE WHEN year(l_shipdate) <= 1996 THEN 1 ELSE 2 END
+            AS BIGINT) AS fact_v FROM lineitem)
+        SELECT f.fact_v, CAST(sh.vf AS BIGINT) AS sup_v,
+          CAST(ph.vf AS BIGINT) AS part_v,
+          COUNT(*) AS n_items,
+          CAST(SUM(CAST(f.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+            AS revenue,
+          CAST(SUM(CAST(sh.bal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum,
+          CAST(SUM(CAST(ph.retail AS DECIMAL(18,2))) AS DOUBLE)
+            AS retail_sum
+        FROM f
+        JOIN sh ON f.l_suppkey = sh.s_suppkey AND sh.vf <= f.fact_v
+          AND (sh.vt IS NULL OR sh.vt > f.fact_v)
+        JOIN ph ON f.l_partkey = ph.p_partkey AND ph.vf <= f.fact_v
+          AND (ph.vt IS NULL OR ph.vt > f.fact_v)
+        GROUP BY 1, 2, 3"""))
   )
 }

@@ -981,6 +981,67 @@ object Streaming {
       spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/state")
 
+  /** STREAM-MAINTAINED PARETO FRONTIER — sk01's skyline as a continuously
+    * updated artifact (`path/front`): each micro-batch folds as
+    * frontier' = pareto2d(frontier ∪ batch). The skyline is an
+    * online-foldable summary under insert-only streams: dominance is
+    * monotone (points are only ever added, and it is transitive — a point
+    * dominated by a dropped point is dominated by that point's dominator
+    * on the front), so stored-front-after-any-prefix ≡ the batch skyline
+    * over exactly the rows delivered (spec-pinned across uneven batch
+    * boundaries). State is front-sized, never corpus-sized; replay is
+    * guarded by the last-batch-id stamp (ppsSampleSink's
+    * idempotent-foreachBatch recipe) so a crash-replayed committed batch
+    * is skipped whole. Batches must carry the same columns as the first
+    * batch (the artifact's schema). */
+  def paretoSink(
+      points: DataFrame,
+      path: String,
+      xCol: String,
+      yCol: String,
+      trigger: Trigger = Trigger.AvailableNow()
+  ): DataStreamWriter[org.apache.spark.sql.Row] =
+    points.writeStream.trigger(trigger).foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        applyParetoBatch(batch, path, xCol, yCol, batchId)
+        ()
+    }
+
+  /** One micro-batch of [[paretoSink]], factored out so replay semantics
+    * are directly testable. Returns true when the batch was applied,
+    * false when recognized as already-committed. */
+  private[graft] def applyParetoBatch(
+      batch: DataFrame, path: String, xCol: String, yCol: String,
+      batchId: Long): Boolean = {
+    val spark = batch.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val frontPath = s"$path/front"
+    val statsPath = s"$path/stats"
+    val lastId =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(statsPath))) -1L
+      else spark.read.parquet(statsPath).head().getAs[Long]("last_batch_id")
+    if (batchId <= lastId) return false // replay of a committed batch
+    val front =
+      if (fs.exists(new org.apache.hadoop.fs.Path(frontPath)))
+        spark.read.parquet(frontPath)
+      else batch.limit(0)
+    val merged = graft.operators.Skyline
+      .pareto2d(front.unionByName(batch), xCol, yCol)
+      .localCheckpoint(true) // materialize before overwriting its source
+    merged.coalesce(1).write.mode("overwrite").parquet(frontPath)
+    import spark.implicits._
+    Seq(batchId).toDF("last_batch_id")
+      .coalesce(1).write.mode("overwrite").parquet(statsPath)
+    true
+  }
+
+  /** The read path of the [[paretoSink]] artifact: the current
+    * non-dominated set over everything delivered so far. */
+  def storedParetoFront(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/front")
+
   /** The weighted read path of the [[ppsSampleSink]] artifact: the stored
     * bottom-k rows with Horvitz–Thompson weights derived from the stored
     * running token total — identical columns to `Curation.ppsSample`. */
