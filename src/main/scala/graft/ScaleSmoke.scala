@@ -666,6 +666,43 @@ object ScaleSmoke {
               docs.filter(split >= 4), tLm, rLm), 100)
           .agg(sum(col("weight_ppm"))).head().getLong(0))
     }
+    // r13 session-2: skyline + exact edit-distance join. The 2-D/3-D
+    // fronts run on 20x the doc count (pure point data — the operator
+    // never touches text), edit distance on the doc titles themselves;
+    // the numbers to watch are the survivor count (skyline: grid-prune
+    // effectiveness) and wall-clock (editdist: Pass-Join candidate
+    // volume on a low-diversity corpus).
+    locally {
+      // 32-bit mixing primes: id*const stays far below Long.Max at any
+      // plausible row count (ANSI mode makes a 64-bit constant here an
+      // ARITHMETIC_OVERFLOW crash, not a wrap)
+      val pts = spark.range(rows * 20).select(col("id"),
+        pmod(col("id") * 2654435761L + 11L, lit(1000003L)).as("x"),
+        pmod(col("id") * 2246822519L + 7L, lit(999983L)).as("y"),
+        pmod(col("id") * 3266489917L + 3L, lit(999979L)).as("z"))
+      val t0 = System.nanoTime()
+      val n2 = graft.operators.Skyline.pareto2d(pts, "x", "y").count()
+      println(f"[scale] 2-D skyline over ${rows * 20}%d points: $n2%d on the " +
+        f"front in ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      val t1 = System.nanoTime()
+      val n3 = graft.operators.Skyline.pareto3d(pts, "x", "y", "z").count()
+      println(f"[scale] 3-D skyline over ${rows * 20}%d points: $n3%d on the " +
+        f"front in ${(System.nanoTime() - t1) / 1e9}%.1fs")
+      // quarter corpus, the ppjoin discipline: exact pair joins pay for
+      // their true pair count, and this generator is pathologically
+      // dense — measured once at the full 200k titles: 19,215 real
+      // pairs in 420 s, completing where the earlier broadcast-verify
+      // design OOM'd the driver. The honest number to watch here is
+      // pairs-per-second against the corpus's true density.
+      val quarter2 = rows / 4
+      val titles = docs.limit(quarter2.toInt).select(col("doc_id"),
+        array_join(slice(split(col("text"), " "), 1, 5), " ").as("title"))
+      val t2 = System.nanoTime()
+      val nE = graft.operators.EditDistance.editDistancePairs(
+        titles, "doc_id", "title", maxDist = 2).count()
+      println(f"[scale] exact editdist(<=2) join over $quarter2%d titles: $nE%d " +
+        f"pairs in ${(System.nanoTime() - t2) / 1e9}%.1fs")
+    }
     spark.stop()
   }
 }

@@ -44,13 +44,16 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: one shuffle on (segment value, partner length, segment
   * index) keys — long exact substrings, selective even when every short
-  * gram is hot — then a pair-dedup shuffle on the candidate set and ONE
-  * broadcast of the (front-sized) candidates to fetch probe-side strings.
-  * The corpus never shuffles for the verify stage. A repeated-boilerplate
-  * adversary (many strings sharing an exact l/(k+1)-char run) degrades
-  * the candidate join to hash-join skew, which AQE splits; truncating hot
-  * segments would break completeness, so there deliberately is none —
-  * callers trading exactness for speed should use the LSH family instead.
+  * gram is hot — then a pair-dedup shuffle, with BOTH strings riding the
+  * rows so scoring is a scan-local codegen'd projection: no join-back,
+  * no broadcast, no driver-memory term (an earlier design broadcast the
+  * candidate set to fetch strings and OOM'd the driver on a degenerate
+  * 200k-title corpus whose candidates were corpus-scale). A repeated-
+  * boilerplate adversary (many strings sharing an exact l/(k+1)-char
+  * run) degrades the candidate join to hash-join skew, which AQE splits;
+  * truncating hot segments would break completeness, so there
+  * deliberately is none — callers trading exactness for speed should use
+  * the LSH family instead.
   */
 object EditDistance {
 
@@ -106,7 +109,12 @@ object EditDistance {
   }
 
   /** Segment-regime candidates between `a` (segmented) and `b` (probed):
-    * (id_a, id_b, s_a) pairs with max(len) > 2k+1, deduped. `ordered`
+    * (id_a, id_b, s_a, s_b) pairs with max(len) > 2k+1, deduped. Both
+    * strings ride the join (short strings, bounded fan-out), so scoring
+    * needs NO join-back — an earlier broadcast-the-candidates verify
+    * stage OOM'd the driver on a degenerate 200k-title corpus whose
+    * candidate set was corpus-scale; with the strings in place the
+    * candidate volume costs one exchange, never driver memory. `ordered`
     * adds id_a < id_b (self-join dedup; sound because the pigeonhole
     * holds with EITHER side segmented). */
   private def segmentCandidates(a: DataFrame, b: DataFrame, k: Int,
@@ -116,14 +124,14 @@ object EditDistance {
       col("v").as("v_a"), col("s").as("s_a"))
     val prb = probes(b, k).select(col("id").as("id_b"),
       col("len").as("len_b"), col("tl"), col("i").as("i_b"),
-      col("p"), col("v").as("v_b"))
+      col("p"), col("v").as("v_b"), col("s").as("s_b"))
     seg.join(prb,
         col("v_a") === col("v_b") && col("len_a") === col("tl") &&
         col("i_a") === col("i_b") &&
         abs(col("spos") - col("p")) <= k &&
         greatest(col("len_a"), col("len_b")) > 2 * k + 1 &&
         (if (ordered) col("id_a") < col("id_b") else lit(true)))
-      .select(col("id_a"), col("id_b"), col("s_a"))
+      .select(col("id_a"), col("id_b"), col("s_a"), col("s_b"))
       .dropDuplicates("id_a", "id_b")
   }
 
@@ -173,14 +181,11 @@ object EditDistance {
       .filter(col("dist") <= k)
   }
 
-  /** Levenshtein-verify candidate (id_a, id_b, s_a) pairs: ONE broadcast
-    * of the front-sized candidate set fetches the probe-side strings, so
-    * the corpus never shuffles. */
-  private def verify(cands: DataFrame, b: DataFrame, k: Int): DataFrame =
-    b.select(col("id"), col("s"))
-      .join(broadcast(cands), col("id") === col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        levenshtein(col("s_a"), col("s")).as("dist"))
+  /** Levenshtein-score candidate pairs scan-locally — both strings are
+    * already on the row, so this is a plain codegen'd projection. */
+  private def score(cands: DataFrame, k: Int): DataFrame =
+    cands.select(col("id_a"), col("id_b"),
+        levenshtein(col("s_a"), col("s_b")).as("dist"))
       .filter(col("dist") <= k)
 
   /** All unordered pairs (id_a < id_b) with levenshtein(s_a, s_b) <=
@@ -190,8 +195,7 @@ object EditDistance {
       maxDist: Int): DataFrame = {
     require(maxDist >= 1, "maxDist must be >= 1")
     val strs = strings(df, idCol, strCol)
-    verify(segmentCandidates(strs, strs, maxDist, ordered = true),
-        strs, maxDist)
+    score(segmentCandidates(strs, strs, maxDist, ordered = true), maxDist)
       .unionByName(shortPairs(strs, strs, maxDist, ordered = true))
   }
 
@@ -209,7 +213,7 @@ object EditDistance {
     val l = strings(left, leftId, leftStr)
     val r = strings(right, rightId, rightStr)
     val scored =
-      verify(segmentCandidates(l, r, maxDist, ordered = false), r, maxDist)
+      score(segmentCandidates(l, r, maxDist, ordered = false), maxDist)
         .unionByName(shortPairs(l, r, maxDist, ordered = false))
         .select(col("id_a").as("left_id"), col("id_b").as("right_id"),
           col("dist"))

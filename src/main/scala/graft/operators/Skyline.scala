@@ -87,4 +87,100 @@ object Skyline {
         !(col("sk_xy") > col(yCol)))
       .drop("sk_x", "sk_xy", "sk_lt")
   }
+
+  /** 3-D Pareto front: rows not dominated under (minimize `xCol`,
+    * maximize `yCol`, maximize `zCol`). Same two-stage architecture as
+    * [[pareto2d]] with one more prune dimension:
+    *   1. A `buckets`x`buckets` grid over (x, y) keeps max(z) per cell
+    *      — one map-side-combined aggregate, at most buckets^2 rows.
+    *   2. Two tiny windows turn the grid into per-cell bounds: the best
+    *      z among cells STRICTLY better in both x and y (suffix max
+    *      over y-buckets within each x-bucket row, then prefix max over
+    *      strictly-lower x-buckets). A row whose z does not beat its
+    *      cell's bound is dominated by a strictly-(x,y)-better point
+    *      and dies scan-locally after a broadcast join.
+    *   3. Survivors take the exact definitional pass as a broadcast
+    *      nested-loop anti join AGAINST THEMSELVES — sound because a
+    *      pruned dominator is itself dominated by a surviving one
+    *      (dominance is transitive), and affordable because stage 2
+    *      leaves a front-scale set. The nested loop is this operator's
+    *      single-partition-window analog: the one place 3-D dominance
+    *      genuinely needs all-pairs, applied to data that is small
+    *      BECAUSE of the prune.
+    * NULL metric rows are excluded, as in [[pareto2d]]. */
+  def pareto3d(df: DataFrame, xCol: String, yCol: String, zCol: String,
+      buckets: Int = 64): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val pts = df.filter(col(xCol).isNotNull && col(yCol).isNotNull &&
+      col(zCol).isNotNull)
+    val (xd, yd) = (col(xCol).cast("double"), col(yCol).cast("double"))
+    val stats = pts.agg(min(xd), max(xd), min(yd), max(yd)).head()
+    if (stats.isNullAt(0)) return pts.limit(0)
+    def bucketOf(c: Column, lo: Double, hi: Double): Column = {
+      val width = math.max((hi - lo) / buckets, java.lang.Double.MIN_NORMAL)
+      least(floor((c - lit(lo)) / lit(width)), lit(buckets - 1L)).cast("long")
+    }
+    val bx = bucketOf(xd, stats.getDouble(0), stats.getDouble(1))
+    val by = bucketOf(yd, stats.getDouble(2), stats.getDouble(3))
+
+    val cells = pts.groupBy(bx.as("sk_bx"), by.as("sk_by"))
+      .agg(max(col(zCol)).as("sk_bz"))
+    // best z among strictly-higher y-buckets within each x-bucket...
+    val wSuf = Window.partitionBy(col("sk_bx")).orderBy(col("sk_by").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // ...then among strictly-lower x-buckets: both axes strictly better
+    val wPre = Window.partitionBy(col("sk_by")).orderBy(col("sk_bx"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bounds = cells
+      .select(col("sk_bx"), col("sk_by"), max(col("sk_bz")).over(wSuf).as("sk_suf"))
+      .select(col("sk_bx"), col("sk_by"), max(col("sk_suf")).over(wPre).as("sk_lo"))
+    val survivors = pts
+      .join(broadcast(bounds),
+        bx === col("sk_bx") && by === col("sk_by"), "left")
+      .filter(col("sk_lo").isNull || col(zCol) > col("sk_lo"))
+      .drop("sk_bx", "sk_by", "sk_lo")
+
+    val q = survivors.select(col(xCol).as("sk_qx"), col(yCol).as("sk_qy"),
+      col(zCol).as("sk_qz"))
+    survivors.join(broadcast(q),
+      col("sk_qx") <= col(xCol) && col("sk_qy") >= col(yCol) &&
+        col("sk_qz") >= col(zCol) &&
+        (col("sk_qx") < col(xCol) || col("sk_qy") > col(yCol) ||
+          col("sk_qz") > col(zCol)),
+      "left_anti")
+  }
+
+  /** Onion-layer skyline peeling: layer 1 is the Pareto front, layer i
+    * the front of what remains after layers 1..i-1 — the ranking a
+    * budgeted curation run consumes ("take whole layers until the token
+    * budget is spent"), because layer k+1 is strictly worse than layer k
+    * in the dominance order while rows WITHIN a layer are incomparable.
+    * Returns the rows of the first `layers` fronts with a `sk_layer`
+    * column (1-based); deeper rows are not returned (at corpus scale the
+    * tail is the point — peel only what the budget can take). Each front
+    * MATERIALIZES via localCheckpoint as it is peeled — fronts are
+    * front-sized, and without it layer i's lineage re-derives every
+    * earlier front inside every later job (measured 4x on a 3-layer
+    * peel). Cost is `layers` input scans plus `layers` broadcast anti
+    * joins against materialized tiny fronts; the loop is driver-side but
+    * every step is a full cluster job — the same bounded-rounds contract
+    * as the graph family. `idCol` must be unique per row. */
+  def paretoLayers(df: DataFrame, idCol: String, xCol: String, yCol: String,
+      layers: Int, buckets: Int = 256): DataFrame = {
+    require(layers >= 1 && layers <= 64,
+      "layers must be in [1, 64] — each layer is a full pass; peel only " +
+        "what the budget can take")
+    var rest = df
+    var out: DataFrame = null
+    for (i <- 1 to layers) {
+      val front = pareto2d(rest, xCol, yCol, buckets)
+        .withColumn("sk_layer", lit(i.toLong))
+        .localCheckpoint(true)
+      out = if (out == null) front else out.unionByName(front)
+      if (i < layers)
+        rest = rest.join(broadcast(front.select(col(idCol))), Seq(idCol),
+          "left_anti")
+    }
+    out
+  }
 }

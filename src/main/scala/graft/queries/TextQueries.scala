@@ -3829,6 +3829,72 @@ object TextQueries {
           SELECT 1 FROM d q
           WHERE q.x <= p.x AND q.y >= p.y AND (q.x < p.x OR q.y > p.y))""")),
 
+    GQ("sk02_pareto3d", // 3-D skyline (`Skyline.pareto3d`): the documents
+      // not dominated on (chars DOWN, distinct tokens UP, total tokens
+      // UP) — the trade-off menu when richness AND raw volume both
+      // matter per char budget. The 2-D grid prune gains a dimension: a
+      // buckets^2 (x,y) cell grid keeps max(z); two tiny windows (suffix
+      // max over y-buckets, prefix max over strictly-lower x-buckets)
+      // yield each cell's best strictly-(x,y)-better z, broadcast back
+      // to kill provably-dominated rows scan-locally. Survivors
+      // (front-scale, 224 of 5000 docs at sf0.1) take the definitional
+      // anti join against themselves — sound by dominance transitivity
+      // (a pruned dominator has a surviving dominator). Oracle = the
+      // NOT EXISTS definition; SkylineSpec pins brute-force parity and
+      // bucket invariance.
+      (s, dir) => {
+        val ws = filter(split(col("text"), " "), w => w =!= "")
+        val pts = Tables.table(s, dir, "documents").select(
+          col("doc_id"), col("n_chars").as("x"),
+          size(array_distinct(ws)).cast("long").as("y"),
+          size(ws).cast("long").as("z"))
+        graft.operators.Skyline.pareto3d(pts, "x", "y", "z")
+      },
+      Some("""WITH d AS (SELECT doc_id, n_chars AS x,
+          CAST(len(list_distinct(list_filter(string_split(text, ' '),
+            w -> w <> ''))) AS BIGINT) AS y,
+          CAST(len(list_filter(string_split(text, ' '),
+            w -> w <> '')) AS BIGINT) AS z
+        FROM documents)
+        SELECT p.doc_id, p.x, p.y, p.z FROM d p WHERE NOT EXISTS (
+          SELECT 1 FROM d q
+          WHERE q.x <= p.x AND q.y >= p.y AND q.z >= p.z
+            AND (q.x < p.x OR q.y > p.y OR q.z > p.z))""")),
+
+    GQ("sk03_pareto_layers", // onion-layer skyline peeling
+      // (`Skyline.paretoLayers`): the first 3 Pareto layers of the
+      // richness-per-char-budget plane — the consumable form of sk01 for
+      // BUDGETED selection: take whole layers until the token budget is
+      // spent, because layer k+1 is strictly worse than layer k in the
+      // dominance order while rows within a layer are incomparable.
+      // Three peels, each one grid-pruned front + a broadcast anti join
+      // on doc_id; the oracle chains three NOT EXISTS fronts with ANTI
+      // JOIN remainders — definition replayed per layer, so a peel that
+      // leaks a dominated row into an earlier layer hash-mismatches.
+      (s, dir) => {
+        val pts = Tables.table(s, dir, "documents").select(
+          col("doc_id"), col("n_chars").as("x"),
+          size(array_distinct(filter(split(col("text"), " "),
+            w => w =!= ""))).cast("long").as("y"))
+        graft.operators.Skyline.paretoLayers(pts, "doc_id", "x", "y",
+          layers = 3)
+      },
+      Some("""WITH d AS (SELECT doc_id, n_chars AS x,
+          CAST(len(list_distinct(list_filter(string_split(text, ' '),
+            w -> w <> ''))) AS BIGINT) AS y
+        FROM documents),
+        l1 AS (SELECT * FROM d p WHERE NOT EXISTS (SELECT 1 FROM d q
+          WHERE q.x <= p.x AND q.y >= p.y AND (q.x < p.x OR q.y > p.y))),
+        r1 AS (SELECT d.* FROM d ANTI JOIN l1 USING (doc_id)),
+        l2 AS (SELECT * FROM r1 p WHERE NOT EXISTS (SELECT 1 FROM r1 q
+          WHERE q.x <= p.x AND q.y >= p.y AND (q.x < p.x OR q.y > p.y))),
+        r2 AS (SELECT r1.* FROM r1 ANTI JOIN l2 USING (doc_id)),
+        l3 AS (SELECT * FROM r2 p WHERE NOT EXISTS (SELECT 1 FROM r2 q
+          WHERE q.x <= p.x AND q.y >= p.y AND (q.x < p.x OR q.y > p.y)))
+        SELECT doc_id, x, y, CAST(1 AS BIGINT) AS sk_layer FROM l1
+        UNION ALL SELECT doc_id, x, y, 2 FROM l2
+        UNION ALL SELECT doc_id, x, y, 3 FROM l3""")),
+
     GQ("d55_editdist_pairs", // EXACT edit-distance similarity join
       // (`operators/EditDistance.editDistancePairs` — Pass-Join segment
       // filter, Li 2011): every title pair within Levenshtein distance
@@ -3840,7 +3906,9 @@ object TextQueries {
       // candidates at sf0.1 where q-gram prefix filters degenerate to
       // 0.9-2.0M on this 113-distinct-bigram corpus (the decision is in
       // the operator scaladoc). One shuffle on (segment, partner-len,
-      // index) keys, pair-dedup, ONE broadcast verify; both-short pairs
+      // index) keys, pair-dedup with both strings riding the rows, then
+      // scan-local levenshtein scoring (no join-back — a broadcast
+      // verify OOM'd at 200k degenerate titles); both-short pairs
       // (max len <= 5) take a banded length equi-join instead. The
       // oracle states the DEFINITION (length band is also provably
       // complete); EditDistanceSpec pins operator == DP brute force

@@ -401,6 +401,47 @@ class EntrySpec extends SparkSpec {
       "pr01 reads o_orderdate instead of deriving the year from the path")
   }
 
+  test("r13 session-2 plans keep their scale shapes") {
+    def plan(name: String): String =
+      SparkEntry.queries(name)(spark, sf())
+        .queryExecution.executedPlan.toString
+    // sk01: the skyline never plans an all-pairs pass — the grid prune
+    // and the exact pass are broadcast joins over tiny frames
+    val sk01 = plan("sk01_pareto_front")
+    assert(sk01.contains("BroadcastHashJoin"),
+      "sk01 grid/bounds join stopped broadcasting")
+    assert(!sk01.contains("CartesianProduct")
+      && !sk01.contains("BroadcastNestedLoopJoin")
+      && !sk01.contains("SortMergeJoin"),
+      "sk01 planned an all-pairs or corpus-shuffle join")
+    // d55: Pass-Join candidates hash-join on segment keys with both
+    // strings riding the rows — scoring is scan-local (no join-back: a
+    // broadcast-the-candidates verify OOM'd at 200k degenerate titles),
+    // and no rank window anywhere
+    val d55 = plan("d55_editdist_pairs")
+    assert(d55.contains("levenshtein"),
+      "d55 lost the scan-local scoring projection")
+    assert(!d55.contains("CartesianProduct") && !d55.contains("Window"),
+      "d55 fell back to an all-pairs or global-ordering plan")
+    // er01: best-match selection is min(struct) aggregates + semi joins,
+    // never a window over the scored pair set
+    val er01 = plan("er01_entity_match")
+    assert("LeftSemi".r.findAllIn(er01).length >= 2,
+      "er01 lost a mutual-best semi join")
+    assert(!er01.contains("Window") && !er01.contains("CartesianProduct"),
+      "er01 ranked pairs with a window or planned all-pairs")
+    // cdc02: the retract is a BROADCAST anti join (delta-sized side)
+    val cdc02 = plan("cdc02_replica_apply")
+    assert("BroadcastHashJoin .*LeftAnti".r.findFirstIn(cdc02).nonEmpty,
+      "cdc02 retract stopped broadcasting")
+    // fs02: two as-of hops stay window-form — no non-equi range join,
+    // no nested loop
+    val fs02 = plan("fs02_pit_two_dims")
+    assert(!fs02.contains("CartesianProduct")
+      && !fs02.contains("BroadcastNestedLoopJoin"),
+      "fs02 planned a dim hop as a non-equi join")
+  }
+
   test("GraftExtensions injects function + rule into a fresh session") {
     val base = spark
     org.apache.spark.sql.SparkSession.clearActiveSession()

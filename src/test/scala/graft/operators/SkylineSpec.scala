@@ -67,6 +67,65 @@ class SkylineSpec extends SparkSpec {
     assert(Skyline.pareto2d(empty, "x", "y").count() == 0)
   }
 
+  private def brute3(df: DataFrame): Set[(Long, Long, Long, Long)] = {
+    val pts = df.select(col("id").cast("long"), col("x").cast("long"),
+      col("y").cast("long"), col("z").cast("long"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    pts.filter { case (_, px, py, pz) =>
+      !pts.exists { case (_, qx, qy, qz) =>
+        qx <= px && qy >= py && qz >= pz &&
+          (qx < px || qy > py || qz > pz)
+      }
+    }.toSet
+  }
+
+  test("pareto3d matches the all-pairs definition, any bucket count") {
+    val df = spark.range(500).select(col("id"),
+      pmod(col("id") * 37 + 11, lit(59)).as("x"),
+      pmod(col("id") * 53 + 7, lit(61)).as("y"),
+      pmod(col("id") * 17 + 3, lit(67)).as("z"))
+    val expected = brute3(df)
+    for (b <- Seq(1, 4, 64)) {
+      val got = Skyline.pareto3d(df, "x", "y", "z", b)
+        .select(col("id").cast("long"), col("x").cast("long"),
+          col("y").cast("long"), col("z").cast("long"))
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got == expected, s"buckets=$b")
+    }
+  }
+
+  test("pareto3d degenerate axes: constant x+y reduces to max(z); ties all survive") {
+    val df = Seq((1L, 5L, 5L, 9L), (2L, 5L, 5L, 9L), (3L, 5L, 5L, 1L))
+      .toDF("id", "x", "y", "z")
+    val got = Skyline.pareto3d(df, "x", "y", "z")
+      .select(col("id").cast("long")).as[Long].collect().toSet
+    assert(got == Set(1L, 2L))
+  }
+
+  test("paretoLayers peels fronts in order: layer i is the front of the rest") {
+    val df = spark.range(300).select(col("id"),
+      pmod(col("id") * 29, lit(61)).as("x"),
+      pmod(col("id") * 41, lit(71)).as("y"))
+    val got = Skyline.paretoLayers(df, "id", "x", "y", layers = 3)
+      .select(col("id").cast("long"), col("x").cast("long"),
+        col("y").cast("long"), col("sk_layer").cast("long"))
+      .as[(Long, Long, Long, Long)].collect()
+    // replay the peel against the brute-force definition
+    var rows = df.select(col("id").cast("long"), col("x").cast("long"),
+      col("y").cast("long")).as[(Long, Long, Long)].collect().toSeq
+    for (layer <- 1L to 3L) {
+      val front = rows.filter { case (_, px, py) =>
+        !rows.exists { case (_, qx, qy) =>
+          qx <= px && qy >= py && (qx < px || qy > py) }
+      }.toSet
+      assert(got.filter(_._4 == layer).map(t => (t._1, t._2, t._3)).toSet
+        == front, s"layer $layer")
+      rows = rows.filterNot(front)
+    }
+    // nothing deeper than the requested layers leaks through
+    assert(got.forall(_._4 <= 3L))
+  }
+
   test("partitioning independence and original columns preserved") {
     val df = spark.range(200).select(col("id"),
       pmod(col("id") * 17, lit(43)).as("x"),
