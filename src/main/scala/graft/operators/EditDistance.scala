@@ -199,6 +199,82 @@ object EditDistance {
       .unionByName(shortPairs(strs, strs, maxDist, ordered = true))
   }
 
+  /** STORED segment index for incremental edit-distance dedup — the
+    * d25/d37 discipline applied to the character-level family: history
+    * is fingerprinted ONCE into `path/segs` (k+1 segment rows per
+    * string, strings riding along) and `path/shorts` (the short-regime
+    * slice), and each new batch probes those tables without ever
+    * re-fingerprinting or re-joining history against itself. `path/meta`
+    * pins maxDist: the segment scheme is a function of k, so probing
+    * with a different k would be silently incomplete — reads fail loud
+    * on mismatch instead. */
+  def writeIndex(df: DataFrame, idCol: String, strCol: String,
+      maxDist: Int, path: String): Unit = {
+    require(maxDist >= 1, "maxDist must be >= 1")
+    val strs = strings(df, idCol, strCol)
+    segments(strs, maxDist).write.mode("overwrite").parquet(s"$path/segs")
+    strs.filter(col("len") <= 2 * maxDist + 1)
+      .write.mode("overwrite").parquet(s"$path/shorts")
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq(maxDist).toDF("max_dist").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  private def indexK(spark: org.apache.spark.sql.SparkSession,
+      path: String): Int =
+    spark.read.parquet(s"$path/meta").head().getAs[Int]("max_dist")
+
+  /** Fold a new batch into the stored index — O(|batch|) fingerprinting,
+    * history untouched. Call AFTER [[incrementalPairs]] for the batch
+    * (the within-batch half is computed there). */
+  def appendIndex(batch: DataFrame, idCol: String, strCol: String,
+      path: String): Unit = {
+    val k = indexK(batch.sparkSession, path)
+    val strs = strings(batch, idCol, strCol)
+    segments(strs, k).write.mode("append").parquet(s"$path/segs")
+    strs.filter(col("len") <= 2 * k + 1)
+      .write.mode("append").parquet(s"$path/shorts")
+  }
+
+  /** Every pair within the index's maxDist with AT LEAST ONE side in
+    * `batch`: history×batch pairs probe the stored segments (pigeonhole
+    * with the SEGMENTED side = history — sound regardless of which side
+    * is longer), short×short pairs ride the banded length join against
+    * the stored short slice, and batch-internal pairs are
+    * [[editDistancePairs]] on the batch alone. History never joins
+    * against itself — per-batch cost is the batch's own fingerprinting
+    * plus candidates actually involving the batch. Output is the
+    * [[editDistancePairs]] contract (id_a < id_b, dist) over the
+    * implied union corpus, restricted to batch-touching pairs; ids must
+    * be unique ACROSS history and batch. */
+  def incrementalPairs(batch: DataFrame, idCol: String, strCol: String,
+      path: String): DataFrame = {
+    val spark = batch.sparkSession
+    val k = indexK(spark, path)
+    val bStrs = strings(batch, idCol, strCol)
+    val seg = spark.read.parquet(s"$path/segs").select(
+      col("id").as("id_a"), col("len").as("len_a"), col("i").as("i_a"),
+      col("spos"), col("v").as("v_a"), col("s").as("s_a"))
+    val prb = probes(bStrs, k).select(col("id").as("id_b"),
+      col("len").as("len_b"), col("tl"), col("i").as("i_b"),
+      col("p"), col("v").as("v_b"), col("s").as("s_b"))
+    val oldNew = score(
+      seg.join(prb,
+          col("v_a") === col("v_b") && col("len_a") === col("tl") &&
+          col("i_a") === col("i_b") &&
+          abs(col("spos") - col("p")) <= k &&
+          greatest(col("len_a"), col("len_b")) > 2 * k + 1)
+        .select(col("id_a"), col("id_b"), col("s_a"), col("s_b"))
+        .dropDuplicates("id_a", "id_b"), k)
+    val hShorts = spark.read.parquet(s"$path/shorts")
+    val shortOldNew = shortPairs(hShorts, bStrs, k, ordered = false)
+    oldNew.unionByName(shortOldNew)
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"), col("dist"))
+      .unionByName(editDistancePairs(batch, idCol, strCol, k))
+  }
+
   /** Cross-table record linkage: match `right` records to `left` records
     * within `maxDist`, then keep MUTUAL BEST pairs — each left's closest
     * right AND that right's closest left, ties broken by partner id. The

@@ -150,6 +150,39 @@ object Skyline {
       "left_anti")
   }
 
+  /** Per-group 2-D skyline: the Pareto front WITHIN each `keyCols` group
+    * (one curation menu per source/language/epoch). No grid prune here —
+    * the group key already distributes the work, so the exact dominance
+    * test runs directly as two windows PARTITIONED BY the keys: max(y)
+    * over same-group strictly-smaller x (per-distinct-x pre-aggregate +
+    * running max), and the same-x tie test. Parallelism = |groups|; one
+    * giant group degenerates to one partition — the same hot-key hatch
+    * note as every window family (split the key upstream or fall back to
+    * [[pareto2d]] per hot group). */
+  def pareto2dBy(df: DataFrame, keyCols: Seq[String], xCol: String,
+      yCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty — use pareto2d")
+    val pts = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+    // keys rename through the aggregate (sk_k*) so the join back to pts
+    // is never an ambiguous self-reference
+    val aliased = keyCols.zipWithIndex.map { case (k, i) =>
+      col(k).as(s"sk_k$i") }
+    val renamed = keyCols.indices.map(i => col(s"sk_k$i"))
+    val perX = pts.groupBy((aliased :+ col(xCol).as("sk_x")): _*)
+      .agg(max(col(yCol)).as("sk_xy"))
+    val wx = Window.partitionBy(renamed: _*).orderBy(col("sk_x"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bounds = perX.select((renamed :+ col("sk_x") :+ col("sk_xy") :+
+      max(col("sk_xy")).over(wx).as("sk_lt")): _*)
+    pts.join(bounds,
+        keyCols.zipWithIndex.map { case (k, i) =>
+          col(k) === col(s"sk_k$i") }.reduce(_ && _) &&
+          col(xCol) === col("sk_x"))
+      .filter((col("sk_lt").isNull || col(yCol) > col("sk_lt")) &&
+        !(col("sk_xy") > col(yCol)))
+      .select(pts.columns.map(col): _*)
+  }
+
   /** Onion-layer skyline peeling: layer 1 is the Pareto front, layer i
     * the front of what remains after layers 1..i-1 — the ranking a
     * budgeted curation run consumes ("take whole layers until the token

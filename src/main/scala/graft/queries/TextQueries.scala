@@ -20,6 +20,29 @@ object TextQueries {
     * scoring path a 100 TB crawl admission job would run. */
   private val gateMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** d55/er01/d56's shared title derivation (first five words). */
+  private def titled(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Tables.table(s, dir, "documents").select(col("doc_id"),
+      array_join(slice(split(col("text"), " "), 1, 5), " ").as("title"))
+
+  /** d56's STORED edit-distance segment index over the history slice
+    * (doc_id%10 != 7), built once per (dir, JVM) — the same derived-
+    * artifact memo contract as [[lmGate]]: every query run READS the
+    * stored tables, so the surface under test is the incremental probe
+    * path a recurring ingest job runs. */
+  private val edIndexMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def edIndex(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    edIndexMemo.computeIfAbsent(s"edindex:$dir", _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft-ed-index").toString
+      graft.operators.EditDistance.writeIndex(
+        titled(s, dir).filter(col("doc_id") % 10 =!= 7),
+        "doc_id", "title", maxDist = 2, p)
+      p
+    })
   private def lmGate(s: org.apache.spark.sql.SparkSession, dir: String): String =
     gateMemo.computeIfAbsent(s"lmgate:$dir", _ => {
       val p = java.nio.file.Files.createTempDirectory("graft-lm-gate").toString
@@ -3913,12 +3936,8 @@ object TextQueries {
       // oracle states the DEFINITION (length band is also provably
       // complete); EditDistanceSpec pins operator == DP brute force
       // across the regime boundary.
-      (s, dir) => {
-        val titled = Tables.table(s, dir, "documents").select(col("doc_id"),
-          array_join(slice(split(col("text"), " "), 1, 5), " ").as("title"))
-        graft.operators.EditDistance.editDistancePairs(
-          titled, "doc_id", "title", maxDist = 2)
-      },
+      (s, dir) => graft.operators.EditDistance.editDistancePairs(
+        titled(s, dir), "doc_id", "title", maxDist = 2),
       Some("""WITH t AS (SELECT doc_id,
           array_to_string((string_split(text, ' '))[1:5], ' ') AS s
         FROM documents)
@@ -3927,6 +3946,60 @@ object TextQueries {
         FROM t a JOIN t b ON a.doc_id < b.doc_id
           AND abs(len(a.s) - len(b.s)) <= 2
           AND levenshtein(a.s, b.s) <= 2""")),
+
+    GQ("sk04_pareto_by_source", // per-group skyline (`Skyline.pareto2dBy`):
+      // one Pareto menu PER SOURCE — the curation comparison that a
+      // global front hides (a source whose whole distribution is
+      // dominated still has its own internal trade-off curve). No grid
+      // prune: the group key distributes the work, so the exact
+      // dominance test is two windows partitioned by source over a
+      // per-distinct-x pre-aggregate — the hot-key hatch note of every
+      // window family applies. Oracle = the NOT EXISTS definition with
+      // group equality.
+      (s, dir) => {
+        val pts = Tables.table(s, dir, "documents").select(
+          col("doc_id"), col("source"), col("n_chars").as("x"),
+          size(array_distinct(filter(split(col("text"), " "),
+            w => w =!= ""))).cast("long").as("y"))
+        graft.operators.Skyline.pareto2dBy(pts, Seq("source"), "x", "y")
+      },
+      Some("""WITH d AS (SELECT doc_id, source, n_chars AS x,
+          CAST(len(list_distinct(list_filter(string_split(text, ' '),
+            w -> w <> ''))) AS BIGINT) AS y
+        FROM documents)
+        SELECT p.doc_id, p.source, p.x, p.y FROM d p WHERE NOT EXISTS (
+          SELECT 1 FROM d q WHERE q.source = p.source
+            AND q.x <= p.x AND q.y >= p.y AND (q.x < p.x OR q.y > p.y))""")),
+
+    GQ("d56_incremental_editdist", // INCREMENTAL edit-distance dedup vs a
+      // STORED segment index (`EditDistance.writeIndex/incrementalPairs`
+      // — the d25/d37 discipline for the character-level family): the
+      // history slice (90% of titles) is fingerprinted ONCE into stored
+      // segment + short tables; the arriving batch (doc_id%10==7) probes
+      // them for history×batch pairs (pigeonhole with the segmented side
+      // = history), rides the banded short join for the short regime,
+      // and runs the plain self-join within itself — history NEVER joins
+      // history, so per-batch cost is the batch's own fingerprinting
+      // plus true batch-touching candidates. `path/meta` pins maxDist
+      // (the scheme is a function of k — probing with another k would
+      // be silently incomplete; reads fail loud). Oracle: definitional
+      // pairs over the FULL corpus restricted to batch-touching pairs —
+      // the strongest check an incremental artifact can get (d45's
+      // precedent).
+      (s, dir) => {
+        val batch = titled(s, dir).filter(col("doc_id") % 10 === 7)
+        graft.operators.EditDistance.incrementalPairs(
+          batch, "doc_id", "title", edIndex(s, dir))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+          array_to_string((string_split(text, ' '))[1:5], ' ') AS s
+        FROM documents)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(levenshtein(a.s, b.s) AS INTEGER) AS dist
+        FROM t a JOIN t b ON a.doc_id < b.doc_id
+          AND abs(len(a.s) - len(b.s)) <= 2
+          AND levenshtein(a.s, b.s) <= 2
+        WHERE a.doc_id % 10 = 7 OR b.doc_id % 10 = 7""")),
 
     GQ("er01_entity_match", // cross-table record linkage
       // (`operators/EditDistance.linkRecords`): a deterministically
@@ -3943,8 +4016,7 @@ object TextQueries {
       // two map-side-combined min(struct) aggs + two semi joins, never a
       // window over the full pair set.
       (s, dir) => {
-        val clean = Tables.table(s, dir, "documents").select(col("doc_id"),
-          array_join(slice(split(col("text"), " "), 1, 5), " ").as("title"))
+        val clean = titled(s, dir)
         val corrupt = clean
           .withColumn("p",
             (col("doc_id") * lit(2654435761L)) % length(col("title")))

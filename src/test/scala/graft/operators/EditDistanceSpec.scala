@@ -109,6 +109,31 @@ class EditDistanceSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("incremental pairs vs a stored index equal the full join restricted to batch-touching pairs") {
+    val all = (0L until 220L).map(i => (i, mkStr(i)))
+    val (hist, batch) = all.partition(_._1 % 5 != 2)
+    val root = java.nio.file.Files.createTempDirectory("ed-index").toString
+    EditDistance.writeIndex(hist.toDF("id", "s"), "id", "s", 2, root)
+    val got = EditDistance.incrementalPairs(
+        batch.toDF("id", "s"), "id", "s", root)
+      .as[(Long, Long, Int)].collect().toSet
+    val batchIds = batch.map(_._1).toSet
+    val expected = bruteSelf(all, 2).filter { case (a, b, _) =>
+      batchIds(a) || batchIds(b) }
+    assert(got == expected)
+    // appendIndex folds the batch in: a second batch must now see it as
+    // history (pair (old-batch, new-batch) found via the stored probe)
+    EditDistance.appendIndex(batch.toDF("id", "s"), "id", "s", root)
+    val batch2 = (220L until 260L).map(i => (i, mkStr(i)))
+    val got2 = EditDistance.incrementalPairs(
+        batch2.toDF("id", "s"), "id", "s", root)
+      .as[(Long, Long, Int)].collect().toSet
+    val ids2 = batch2.map(_._1).toSet
+    val expected2 = bruteSelf(all ++ batch2, 2).filter { case (a, b, _) =>
+      ids2(a) || ids2(b) }
+    assert(got2 == expected2)
+  }
+
   test("partitioning independence") {
     val strs = (0L until 150L).map(i => (i, mkStr(i)))
     val a = EditDistance.editDistancePairs(strs.toDF("id", "s"), "id", "s", 2)

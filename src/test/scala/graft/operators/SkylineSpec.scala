@@ -126,6 +126,23 @@ class SkylineSpec extends SparkSpec {
     assert(got.forall(_._4 <= 3L))
   }
 
+  test("pareto2dBy equals pareto2d applied per group") {
+    val df = spark.range(400).select(col("id"),
+      pmod(col("id"), lit(5)).as("g"),
+      pmod(col("id") * 37 + 11, lit(53)).as("x"),
+      pmod(col("id") * 53 + 7, lit(59)).as("y"))
+    val got = Skyline.pareto2dBy(df, Seq("g"), "x", "y")
+      .select(col("id").cast("long"), col("g").cast("long"))
+      .as[(Long, Long)].collect().toSet
+    val expected = (0L until 5L).flatMap { g =>
+      Skyline.pareto2d(df.filter(col("g") === g), "x", "y")
+        .select(col("id").cast("long")).as[Long].collect().map((_, g))
+    }.toSet
+    assert(got == expected)
+    // a group whose whole distribution is dominated still gets its front
+    assert((0L until 5L).forall(g => got.exists(_._2 == g)))
+  }
+
   test("partitioning independence and original columns preserved") {
     val df = spark.range(200).select(col("id"),
       pmod(col("id") * 17, lit(43)).as("x"),
