@@ -57,11 +57,16 @@ import org.apache.spark.sql.functions._
   */
 object EditDistance {
 
-  /** Internal canonical shape: (id, s, len), nulls dropped. */
-  private def strings(df: DataFrame, idCol: String, strCol: String): DataFrame =
+  /** Internal canonical shape: (id, s, len), nulls dropped. The id must
+    * be integral — a string id would cast to NULL here and silently
+    * empty the result (the failure class Dedup.requireIntegralId
+    * exists for). */
+  private def strings(df: DataFrame, idCol: String, strCol: String): DataFrame = {
+    Dedup.requireIntegralId(df, idCol, "EditDistance")
     df.select(col(idCol).cast("long").as("id"), col(strCol).as("s"))
       .filter(col("id").isNotNull && col("s").isNotNull)
       .withColumn("len", length(col("s")).cast("long"))
+  }
 
   /** Segment length / start of segment `i` under the (k+1)-way even split
     * of a length-`l` string: big segments first, boundaries deterministic

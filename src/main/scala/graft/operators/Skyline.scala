@@ -49,12 +49,23 @@ import org.apache.spark.sql.functions._
   */
 object Skyline {
 
+  /** The operators stage helper columns under the `sk_` prefix and strip
+    * them before returning; an input column named `sk_*` would collide
+    * with (or be silently dropped by) that plumbing — fail loud instead. */
+  private def requireNoSkColumns(df: DataFrame, fn: String): Unit = {
+    val clash = df.columns.filter(_.startsWith("sk_"))
+    require(clash.isEmpty,
+      s"$fn: column names starting with 'sk_' are reserved for skyline " +
+        s"internals, found ${clash.mkString(", ")} — rename them first")
+  }
+
   /** Non-dominated rows of `df` under (minimize `xCol`, maximize `yCol`).
     * Returns the original columns. `buckets` sizes the prune grid — more
     * buckets = tighter prune, always ≥ 1; exactness never depends on it. */
   def pareto2d(df: DataFrame, xCol: String, yCol: String,
       buckets: Int = 256): DataFrame = {
     require(buckets > 0, "buckets must be positive")
+    requireNoSkColumns(df, "pareto2d")
     val pts = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
     val xd = col(xCol).cast("double")
 
@@ -111,6 +122,7 @@ object Skyline {
   def pareto3d(df: DataFrame, xCol: String, yCol: String, zCol: String,
       buckets: Int = 64): DataFrame = {
     require(buckets > 0, "buckets must be positive")
+    requireNoSkColumns(df, "pareto3d")
     val pts = df.filter(col(xCol).isNotNull && col(yCol).isNotNull &&
       col(zCol).isNotNull)
     val (xd, yd) = (col(xCol).cast("double"), col(yCol).cast("double"))
@@ -162,6 +174,7 @@ object Skyline {
   def pareto2dBy(df: DataFrame, keyCols: Seq[String], xCol: String,
       yCol: String): DataFrame = {
     require(keyCols.nonEmpty, "keyCols must be non-empty — use pareto2d")
+    requireNoSkColumns(df, "pareto2dBy")
     val pts = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
     // keys rename through the aggregate (sk_k*) so the join back to pts
     // is never an ambiguous self-reference
@@ -174,9 +187,11 @@ object Skyline {
       .rowsBetween(Window.unboundedPreceding, -1)
     val bounds = perX.select((renamed :+ col("sk_x") :+ col("sk_xy") :+
       max(col("sk_xy")).over(wx).as("sk_lt")): _*)
+    // null-SAFE key equality: groupBy put null-keyed rows in their own
+    // group, and a plain === would silently drop that whole group here
     pts.join(bounds,
         keyCols.zipWithIndex.map { case (k, i) =>
-          col(k) === col(s"sk_k$i") }.reduce(_ && _) &&
+          col(k) <=> col(s"sk_k$i") }.reduce(_ && _) &&
           col(xCol) === col("sk_x"))
       .filter((col("sk_lt").isNull || col(yCol) > col("sk_lt")) &&
         !(col("sk_xy") > col(yCol)))

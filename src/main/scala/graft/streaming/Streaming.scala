@@ -1009,7 +1009,11 @@ object Streaming {
 
   /** One micro-batch of [[paretoSink]], factored out so replay semantics
     * are directly testable. Returns true when the batch was applied,
-    * false when recognized as already-committed. */
+    * false when recognized as already-committed. The crash window
+    * between the front write and the stamp write is benign here, unlike
+    * ewma/pps: the fold is IDEMPOTENT (skyline(skyline(A∪B) ∪ B) =
+    * skyline(A∪B)), so a replay over an already-folded front changes
+    * nothing — the stamp only saves the redundant work. */
   private[graft] def applyParetoBatch(
       batch: DataFrame, path: String, xCol: String, yCol: String,
       batchId: Long): Boolean = {

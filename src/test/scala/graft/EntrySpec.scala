@@ -440,6 +440,25 @@ class EntrySpec extends SparkSpec {
     assert(!fs02.contains("CartesianProduct")
       && !fs02.contains("BroadcastNestedLoopJoin"),
       "fs02 planned a dim hop as a non-equi join")
+    // sk02: the ONLY nested loop allowed is the survivor-set exact pass,
+    // which must be the BROADCAST variant (survivors are front-scale);
+    // a corpus-side SortMergeJoin would mean the grid prune fell out
+    val sk02 = plan("sk02_pareto3d")
+    assert(sk02.contains("BroadcastNestedLoopJoin"),
+      "sk02 lost the broadcast exact pass")
+    assert(!sk02.contains("CartesianProduct") && !sk02.contains("SortMergeJoin"),
+      "sk02 planned an unbroadcast all-pairs or corpus shuffle join")
+    // sk04: per-group fronts are PARTITIONED windows — the degenerate
+    // global-order Window.orderBy form would single-partition the corpus
+    val sk04 = plan("sk04_pareto_by_source")
+    assert(sk04.contains("Window"), "sk04 lost the window form")
+    assert(!sk04.contains("CartesianProduct"))
+    // d56: incremental probe keeps the scan-local scoring (no join-back)
+    val d56 = plan("d56_incremental_editdist")
+    assert(d56.contains("levenshtein"),
+      "d56 lost the scan-local scoring projection")
+    assert(!d56.contains("CartesianProduct") && !d56.contains("Window"),
+      "d56 fell back to an all-pairs or global-ordering plan")
   }
 
   test("GraftExtensions injects function + rule into a fresh session") {

@@ -143,6 +143,19 @@ class SkylineSpec extends SparkSpec {
     assert((0L until 5L).forall(g => got.exists(_._2 == g)))
   }
 
+  test("pareto2dBy: a NULL group key is a group, not a dropped row") {
+    val df = Seq((1L, Some("a"), 1L, 5L), (2L, Some("a"), 2L, 9L),
+      (3L, None, 4L, 4L), (4L, None, 3L, 2L))
+      .toDF("id", "g", "x", "y")
+    val got = Skyline.pareto2dBy(df, Seq("g"), "x", "y")
+      .select(col("id").cast("long")).as[Long].collect().toSet
+    // group "a": both incomparable (x up with y up); NULL group: id 3
+    // dominates nothing (x 4 > 3) and id 4 has lower y — both on their
+    // group's front except neither dominates the other? id4 (3,2) vs
+    // id3 (4,4): x 3<=4 but y 2<4 — incomparable. All four survive.
+    assert(got == Set(1L, 2L, 3L, 4L))
+  }
+
   test("partitioning independence and original columns preserved") {
     val df = spark.range(200).select(col("id"),
       pmod(col("id") * 17, lit(43)).as("x"),
