@@ -99,7 +99,10 @@ object EditDistance {
     val hi = least(col("tpos") + k, col("len") - col("tlen"))
     strs.filter(col("len") > k + 1) // same regime bound as segments()
       .select(col("id"), col("len"),
-        explode(sequence(greatest(col("len") - k, lit(k + 1L)),
+        // partner lengths start at k+2: the segment side is filtered to
+        // len > k+1, so tl = k+1 rows could never match — enumerating
+        // them is pure fan-out
+        explode(sequence(greatest(col("len") - k, lit(k + 2L)),
           col("len") + k)).as("tl"),
         col("s"))
       .select(col("id"), col("len"), col("tl"), col("s"),
@@ -293,11 +296,16 @@ object EditDistance {
     require(maxDist >= 1, "maxDist must be >= 1")
     val l = strings(left, leftId, leftStr)
     val r = strings(right, rightId, rightStr)
+    // materialized: three consumers (bestR, bestL, the final semi joins)
+    // would otherwise replay the Pass-Join candidate shuffle up to 3x
+    // when exchange reuse doesn't unify the two aggregate shapes — the
+    // paretoLayers materialization discipline
     val scored =
       score(segmentCandidates(l, r, maxDist, ordered = false), maxDist)
         .unionByName(shortPairs(l, r, maxDist, ordered = false))
         .select(col("id_a").as("left_id"), col("id_b").as("right_id"),
           col("dist"))
+        .localCheckpoint(true)
     val bestR = scored.groupBy(col("left_id"))
       .agg(min(struct(col("dist"), col("right_id"))).as("br"))
       .select(col("left_id"), col("br.right_id").as("right_id"))

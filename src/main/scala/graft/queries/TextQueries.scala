@@ -4017,7 +4017,11 @@ object TextQueries {
       // window over the full pair set.
       (s, dir) => {
         val clean = titled(s, dir)
+        // the corruption position is mod length(title): an empty title
+        // would divide by zero (ANSI crash / engine-vs-oracle divergence
+        // otherwise) — excluded from the registry in BOTH engines
         val corrupt = clean
+          .filter(length(col("title")) > 0)
           .withColumn("p",
             (col("doc_id") * lit(2654435761L)) % length(col("title")))
           .select(col("doc_id"),
@@ -4031,7 +4035,8 @@ object TextQueries {
           array_to_string((string_split(text, ' '))[1:5], ' ') AS ls
         FROM documents),
         r0 AS (SELECT lid AS rid, ls,
-          CAST((lid * 2654435761) % length(ls) AS INTEGER) AS p FROM l),
+          CAST((lid * 2654435761) % length(ls) AS INTEGER) AS p
+          FROM l WHERE length(ls) > 0),
         r AS (SELECT rid,
           substr(ls, 1, p) || substr(ls, p + 2) AS rs FROM r0),
         sc AS (SELECT lid, rid, CAST(levenshtein(ls, rs) AS INTEGER) AS dist

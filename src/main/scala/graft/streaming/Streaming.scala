@@ -1009,10 +1009,20 @@ object Streaming {
 
   /** One micro-batch of [[paretoSink]], factored out so replay semantics
     * are directly testable. Returns true when the batch was applied,
-    * false when recognized as already-committed. The crash window
-    * between the front write and the stamp write is benign here, unlike
-    * ewma/pps: the fold is IDEMPOTENT (skyline(skyline(A∪B) ∪ B) =
-    * skyline(A∪B)), so a replay over an already-folded front changes
+    * false when recognized as already-committed.
+    *
+    * Crash safety: the front is never overwritten in place — an
+    * interrupted in-place overwrite (old directory deleted, new write
+    * uncommitted) would silently LOSE the accumulated frontier, and the
+    * stamp (still at the prior batch id) would have replay rebuild from
+    * an empty front. Instead the new front stages to a dot-prefixed dir
+    * (invisible to readers), the old front is renamed aside to
+    * `front.old`, the staging dir renames in, and `front.old` drops.
+    * Every crash point leaves a recoverable state: before the aside-
+    * rename, `front` is intact; between the renames, `front.old` IS the
+    * pre-batch front and the read path falls back to it; after the new
+    * front lands, the fold is IDEMPOTENT (skyline(skyline(A∪B) ∪ B) =
+    * skyline(A∪B)), so re-applying the batch over the new front changes
     * nothing — the stamp only saves the redundant work. */
   private[graft] def applyParetoBatch(
       batch: DataFrame, path: String, xCol: String, yCol: String,
@@ -1020,31 +1030,50 @@ object Streaming {
     val spark = batch.sparkSession
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val frontPath = s"$path/front"
     val statsPath = s"$path/stats"
     val lastId =
       if (!fs.exists(new org.apache.hadoop.fs.Path(statsPath))) -1L
       else spark.read.parquet(statsPath).head().getAs[Long]("last_batch_id")
     if (batchId <= lastId) return false // replay of a committed batch
-    val front =
-      if (fs.exists(new org.apache.hadoop.fs.Path(frontPath)))
-        spark.read.parquet(frontPath)
-      else batch.limit(0)
+    val front = currentParetoFront(spark, path).getOrElse(batch.limit(0))
     val merged = graft.operators.Skyline
       .pareto2d(front.unionByName(batch), xCol, yCol)
-      .localCheckpoint(true) // materialize before overwriting its source
-    merged.coalesce(1).write.mode("overwrite").parquet(frontPath)
+      .localCheckpoint(true) // materialize before swapping out its source
+    val frontP = new org.apache.hadoop.fs.Path(s"$path/front")
+    val oldP = new org.apache.hadoop.fs.Path(s"$path/front.old")
+    val stageP = new org.apache.hadoop.fs.Path(s"$path/.front.inprogress")
+    fs.delete(stageP, true)
+    merged.coalesce(1).write.mode("overwrite").parquet(stageP.toString)
+    fs.delete(oldP, true) // leftover from a crash after a completed swap
+    if (fs.exists(frontP))
+      require(fs.rename(frontP, oldP), s"paretoSink: rename-aside of $frontP failed")
+    require(fs.rename(stageP, frontP), s"paretoSink: publish of $frontP failed")
+    fs.delete(oldP, true)
     import spark.implicits._
     Seq(batchId).toDF("last_batch_id")
       .coalesce(1).write.mode("overwrite").parquet(statsPath)
     true
   }
 
+  /** The stored front if any batch ever committed: `front`, or the
+    * `front.old` a crash between the swap renames left behind. */
+  private def currentParetoFront(
+      spark: org.apache.spark.sql.SparkSession, path: String): Option[DataFrame] = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(s"$path/front", s"$path/front.old")
+      .find(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+      .map(spark.read.parquet(_))
+  }
+
   /** The read path of the [[paretoSink]] artifact: the current
-    * non-dominated set over everything delivered so far. */
+    * non-dominated set over everything delivered so far (falling back to
+    * the rename-aside copy if a crash interrupted a front swap — the
+    * pre-batch front, which the uncommitted stamp has replay re-fold). */
   def storedParetoFront(
       spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"$path/front")
+    currentParetoFront(spark, path).getOrElse(
+      throw new IllegalStateException(s"no pareto front stored under $path"))
 
   /** The weighted read path of the [[ppsSampleSink]] artifact: the stored
     * bottom-k rows with Horvitz–Thompson weights derived from the stored

@@ -50,6 +50,52 @@ class ParetoSinkSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet == before)
   }
 
+  test("crash between the swap renames: reads fall back to front.old and replaying the batch converges") {
+    val root = java.nio.file.Files.createTempDirectory("pareto-crash").toString
+    val all = pts(0 until 90)
+    assert(Streaming.applyParetoBatch(
+      all.take(50).toDF("id", "x", "y"), root, "x", "y", 0L))
+    val preBatch = Streaming.storedParetoFront(spark, root)
+      .as[(Long, Long, Long)].collect().toSet
+    // simulate a crash AFTER the rename-aside, BEFORE the publish rename:
+    // `front` is gone, `front.old` holds the pre-batch front, the stamp
+    // still says batch 0 — exactly the mid-swap state
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$root/front"),
+      new org.apache.hadoop.fs.Path(s"$root/front.old")))
+    // the read path serves the aside copy instead of failing or emptying
+    assert(Streaming.storedParetoFront(spark, root)
+      .as[(Long, Long, Long)].collect().toSet == preBatch)
+    // replay of the uncommitted batch folds against the aside copy and
+    // lands the same front a crash-free run would have
+    assert(Streaming.applyParetoBatch(
+      all.slice(50, 90).toDF("id", "x", "y"), root, "x", "y", 1L))
+    val expected = graft.operators.Skyline
+      .pareto2d(all.toDF("id", "x", "y"), "x", "y")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(Streaming.storedParetoFront(spark, root)
+      .as[(Long, Long, Long)].collect().toSet == expected)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/front.old")))
+  }
+
+  test("a partial staging write left by a crash is discarded, never read") {
+    val root = java.nio.file.Files.createTempDirectory("pareto-stage").toString
+    val all = pts(0 until 80)
+    assert(Streaming.applyParetoBatch(
+      all.take(40).toDF("id", "x", "y"), root, "x", "y", 0L))
+    // a crashed batch left a half-written staging dir with garbage rows
+    Seq((999L, -1L, -1L)).toDF("id", "x", "y")
+      .write.parquet(s"$root/.front.inprogress")
+    val expected = graft.operators.Skyline
+      .pareto2d(all.toDF("id", "x", "y"), "x", "y")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(Streaming.applyParetoBatch(
+      all.slice(40, 80).toDF("id", "x", "y"), root, "x", "y", 1L))
+    assert(Streaming.storedParetoFront(spark, root)
+      .as[(Long, Long, Long)].collect().toSet == expected)
+  }
+
   test("a batch that improves nothing leaves the front unchanged; one that dominates everything replaces it") {
     val root = java.nio.file.Files.createTempDirectory("pareto-fold").toString
     val base = Seq((1L, 10L, 10L), (2L, 20L, 20L)).toDF("id", "x", "y")
