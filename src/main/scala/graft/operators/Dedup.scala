@@ -985,21 +985,45 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text",
       chunkWords: Int = 8
+  ): DataFrame =
+    chunkShareEdgesFromPostings(chunkPostings(docs, idCol, textCol, chunkWords))
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+
+  /** The POSTING table behind [[chunkShareEdges]]: distinct
+    * (doc_id, fp) chunk occurrences — the storable half of the share
+    * graph. A daily contamination job persists these ([[ClosureStore]]):
+    * chunking is the expensive part (a full-text explode), and with the
+    * postings stored, tomorrow's run chunks ONLY the new documents and
+    * re-derives edges for just the chunks those documents touch. */
+  def chunkPostings(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      chunkWords: Int = 8
   ): DataFrame = {
     require(chunkWords >= 1, s"chunkWords must be >= 1, got $chunkWords")
     // integral ids required loudly: the documented composition feeds these
     // edges to Graph.reachableFrom, whose long cast would turn string ids
     // into all-NULL endpoints and a silently-empty closure
-    requireIntegralId(docs, idCol, "chunkShareEdges")
-    val docChunk = chunkOccurrences(docs, idCol, textCol, chunkWords)
+    requireIntegralId(docs, idCol, "chunkPostings")
+    chunkOccurrences(docs, idCol, textCol, chunkWords)
       .select(col("doc_id"), col("fp")).distinct()
-    val hubs = docChunk.groupBy("fp")
+  }
+
+  /** Per-chunk star edges over a posting table: (fp, a_id, b_id) — the
+    * fp rides along so incremental maintenance can swap out exactly the
+    * edges of chunks a new batch touched ([[ClosureStore.foldDelta]]);
+    * [[chunkShareEdges]] is this minus the fp, deduped. Rows are unique
+    * per (fp, a_id): the postings are distinct and each chunk emits one
+    * spoke per non-hub document. */
+  def chunkShareEdgesFromPostings(postings: DataFrame): DataFrame = {
+    val hubs = postings.groupBy("fp")
       .agg(count(lit(1)).as("nd"), min(col("doc_id")).as("hub"))
       .filter(col("nd") > 1)
-    docChunk.join(hubs, "fp")
+    postings.join(hubs, "fp")
       .filter(col("doc_id") =!= col("hub"))
-      .select(col("doc_id").as("a_id"), col("hub").as("b_id"))
-      .distinct()
+      .select(col("fp"), col("doc_id").as("a_id"), col("hub").as("b_id"))
   }
 
   /** EXACT all-pairs similarity join by prefix filtering (Bayardo et al.

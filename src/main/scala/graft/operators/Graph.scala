@@ -295,14 +295,15 @@ object Graph {
       srcCol: String = "src",
       dstCol: String = "dst",
       maxDepth: Int = Int.MaxValue,
-      checkpointDir: Option[String] = None
+      checkpointDir: Option[String] = None,
+      smallFrontier: Boolean = false
   ): DataFrame = {
     require(maxDepth >= 0, s"maxDepth must be >= 0, got $maxDepth")
     val seedCol = sources.columns.head
     val seeds = sources.select(col(seedCol).cast("long").as("node")).distinct()
       .withColumn("depth", lit(0))
     bfs(edges, srcCol, dstCol, visited0 = seeds, frontier0 = seeds.select("node"),
-      maxDepth, checkpointDir)
+      maxDepth, checkpointDir, smallFrontier)
   }
 
   /** The shared level-synchronous BFS loop: expand `frontier0` over the
@@ -314,22 +315,38 @@ object Graph {
       srcCol: String, dstCol: String,
       visited0: DataFrame, frontier0: DataFrame,
       maxDepth: Int,
-      checkpointDir: Option[String]
+      checkpointDir: Option[String],
+      smallFrontier: Boolean = false
   ): DataFrame = {
     val spark = edges.sparkSession
     val truncate = new Truncator(spark, checkpointDir, "bfs")
+    def maybeBcast(df: DataFrame): DataFrame =
+      if (smallFrontier) broadcast(df) else df
     val e = edges
       .select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("d"))
       // adjacency only: parallel edges would re-derive the same target
       .distinct()
+      // NOT pre-partitioned on the join key: a .repartition(col("s"))
+      // before the persist would save the per-round |E| exchange (the
+      // cached blocks would carry HashPartitioning(s)), but it pins the
+      // partition count and defeats AQE's coalescing — measured 18%
+      // SLOWER on the share-graph fold at bench scale, where levels are
+      // tiny and fixed per-task overhead dominates. On a cluster where
+      // |E| dwarfs executor memory, flip this trade (repartition before
+      // persist); recorded here because it is a measured reversal of the
+      // "obvious" scale optimization.
       .persist(StorageLevel.MEMORY_AND_DISK)
     var visited = truncate(visited0)
     var frontier = frontier0
     var newCount = frontier.count()
     var d = 0
+    // (a TWO-levels-per-barrier variant — g02's truncateEvery discipline —
+    // was measured and REVERSED here: the second level's lazy plan
+    // references level one three times, and the tripled subtree costs
+    // more AQE stage-jobs than the saved barrier, 81 vs 73 jobs per fold)
     while (newCount > 0 && d < maxDepth) {
       d += 1
-      val next = e.join(frontier.withColumnRenamed("node", "s"), "s")
+      val next = e.join(maybeBcast(frontier.withColumnRenamed("node", "s")), "s")
         .select(col("d").as("node")).distinct()
         .join(visited.select("node"), Seq("node"), "left_anti")
         .withColumn("depth", lit(d))
@@ -374,7 +391,8 @@ object Graph {
       srcCol: String = "src",
       dstCol: String = "dst",
       maxDepth: Int = Int.MaxValue,
-      checkpointDir: Option[String] = None
+      checkpointDir: Option[String] = None,
+      smallFrontier: Boolean = false
   ): DataFrame = {
     require(maxDepth >= 0, s"maxDepth must be >= 0, got $maxDepth")
     val c = closure.select(col(closure.columns.head).cast("long").as("node"),
@@ -388,7 +406,7 @@ object Graph {
       .join(c.select("node"), Seq("node"), "left_anti")
     bfs(edges, srcCol, dstCol,
       visited0 = c.unionByName(seeds.withColumn("depth", lit(0))),
-      frontier0 = seeds, maxDepth, checkpointDir)
+      frontier0 = seeds, maxDepth, checkpointDir, smallFrontier)
   }
 
   /** k-CORE decomposition by iterative peeling (Seidman 1983; the

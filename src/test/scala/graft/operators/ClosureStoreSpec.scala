@@ -1,0 +1,90 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ClosureStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Tiny deterministic corpus: 8-word chunks shared across docs create a
+    * share graph with a hub move when the batch arrives (doc 1 < hub 2). */
+  private val chunkA = "a b c d e f g h"
+  private val chunkB = "p q r s t u v w"
+  private val chunkC = "k l m n o aa bb cc"
+
+  private def oldDocs = Seq(
+    (2L, chunkA),                       // seed (2 % 31 != 0 — use explicit seeds)
+    (4L, chunkA + " " + chunkB),        // shares A with 2
+    (6L, chunkB),                       // shares B with 4
+    (8L, chunkC),                       // isolated from the seed side
+    (10L, "zz yy xx ww vv uu tt ss")    // unique text, no edges
+  ).toDF("doc_id", "text")
+
+  private def newDocs = Seq(
+    (1L, chunkA),                       // joins chunk A, MOVES its hub (1 < 2)
+    (3L, chunkC + " extra tail words here now"), // pulls 8 into reach if seeded
+    (5L, "completely fresh words nobody shares")
+  ).toDF("doc_id", "text")
+
+  private def fromScratch(seeds: Seq[Long]) = {
+    val docs = oldDocs.unionByName(newDocs)
+    val star = Dedup.chunkShareEdges(docs)
+    val edges = star.unionAll(
+      star.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+    Graph.reachableFrom(edges, seeds.toDF("doc_id"),
+        srcCol = "a_id", dstCol = "b_id")
+      .select("node").as[Long].collect().toSet
+  }
+
+  test("foldDelta equals the from-scratch closure over the union, hub move included") {
+    val p = java.nio.file.Files.createTempDirectory("cstore").toString
+    ClosureStore.build(oldDocs, Seq(2L).toDF("doc_id"), p)
+    val folded = ClosureStore.foldDelta(newDocs, spark.emptyDataset[Long].toDF("doc_id"), p)
+      .select("node").as[Long].collect().toSet
+    assert(folded == fromScratch(Seq(2L)))
+    // the hub of chunk A moved (2 → 1): doc 1 must be in the closure
+    assert(folded.contains(1L))
+  }
+
+  test("new seeds in the batch expand through the delta region") {
+    val p = java.nio.file.Files.createTempDirectory("cstore-seeds").toString
+    ClosureStore.build(oldDocs, Seq(2L).toDF("doc_id"), p)
+    val folded = ClosureStore.foldDelta(newDocs, Seq(3L).toDF("doc_id"), p)
+      .select("node").as[Long].collect().toSet
+    // seed 3 shares chunk C with old doc 8 — both join the closure
+    assert(folded == fromScratch(Seq(2L, 3L)))
+    assert(folded.contains(8L))
+    // each node appears exactly once even though seed handling unions
+    val rows = ClosureStore.foldDelta(newDocs, Seq(3L).toDF("doc_id"), p)
+      .select("node").as[Long].collect()
+    assert(rows.length == rows.toSet.size)
+  }
+
+  test("a torn store (one component rebuilt without restamping) fails loud") {
+    val p = java.nio.file.Files.createTempDirectory("cstore-torn").toString
+    ClosureStore.build(oldDocs, Seq(2L).toDF("doc_id"), p)
+    // simulate a crashed partial rebuild: the closure is rewritten alone —
+    // the parquet overwrite wipes its generation stamp
+    spark.read.parquet(s"$p/closure").limit(1)
+      .write.mode("overwrite").parquet(s"$p/closure.tmp")
+    spark.read.parquet(s"$p/closure.tmp")
+      .write.mode("overwrite").parquet(s"$p/closure")
+    val e = intercept[IllegalStateException] {
+      ClosureStore.foldDelta(newDocs, Seq(3L).toDF("doc_id"), p)
+    }
+    assert(e.getMessage.contains("torn or stale"))
+  }
+
+  test("stamps from two different builds never align") {
+    val p1 = java.nio.file.Files.createTempDirectory("cstore-g1").toString
+    val p2 = java.nio.file.Files.createTempDirectory("cstore-g2").toString
+    ClosureStore.build(oldDocs, Seq(2L).toDF("doc_id"), p1)
+    ClosureStore.build(oldDocs, Seq(2L).toDF("doc_id"), p2)
+    // cross-wiring components of two builds is the mixed-generation state
+    val e = intercept[IllegalStateException] {
+      ArtifactStamp.verifyAligned(spark, "cross",
+        Seq(s"$p1/postings", s"$p2/edges"))
+    }
+    assert(e.getMessage.contains("torn or stale"))
+  }
+}
