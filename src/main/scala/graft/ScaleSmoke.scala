@@ -688,6 +688,23 @@ object ScaleSmoke {
       val n3 = graft.operators.Skyline.pareto3d(pts, "x", "y", "z").count()
       println(f"[scale] 3-D skyline over ${rows * 20}%d points: $n3%d on the " +
         f"front in ${(System.nanoTime() - t1) / 1e9}%.1fs")
+      // r14: the ANTI-CORRELATED adversary — x and y rise together, so
+      // the true front IS the whole set, the grid prune keeps everything
+      // and the broadcast exact pass would OOM; the chunked fallback
+      // must complete (bounded memory, Ω(n²/cluster) comparisons — the
+      // honest cost of refuting quadratically many dominance pairs).
+      // maxBroadcastFront forces several chunks at this size.
+      val advN = rows.toLong
+      val adv = spark.range(advN).select(col("id"), col("id").as("x"),
+        col("id").as("y"),
+        pmod(col("id") * 2654435761L + 3L, lit(999979L)).as("z"))
+      val t1b = System.nanoTime()
+      val nAdv = graft.operators.Skyline.pareto3d(adv, "x", "y", "z",
+        maxBroadcastFront = advN / 6 + 1).count()
+      require(nAdv == advN,
+        s"anti-correlated front must be the whole set: $nAdv != $advN")
+      println(f"[scale] 3-D skyline ADVERSARY ($advN%d points, front = corpus," +
+        f" 6-chunk fallback): ${(System.nanoTime() - t1b) / 1e9}%.1fs")
       // quarter corpus, the ppjoin discipline: exact pair joins pay for
       // their true pair count, and this generator is pathologically
       // dense — measured once at the full 200k titles: 19,215 real

@@ -40,18 +40,78 @@ import org.apache.spark.sql.functions._
   * still crosses a delta edge (the g08 oracle pins set-equality with the
   * from-scratch closure over the union corpus).
   *
-  * Torn-state safety: all four directories are stamped with ONE
+  * Torn-state safety: all four base directories are stamped with ONE
   * generation id after the writes ([[ArtifactStamp]] — the
-  * [[FileManifest]] stamp mechanism); [[foldDelta]] verifies the stamps
-  * align and fails loud otherwise, so a crash between component writes
-  * (or a partial rebuild) can never silently join yesterday's closure
-  * against today's edges. Document ids must be unique ACROSS the store
-  * and every folded batch.
+  * [[FileManifest]] stamp mechanism); every read path verifies the
+  * stamps align and fails loud otherwise, so a crash between component
+  * writes (or a partial rebuild) can never silently join yesterday's
+  * closure against today's edges. [[advance]] commits go through a
+  * different mechanism fitting their shape — all four deltas in ONE
+  * batch directory published by a single atomic rename, so a batch is
+  * either wholly visible or not at all and needs no cross-directory
+  * stamp. Document ids must be unique ACROSS the store and every
+  * folded batch.
   */
 object ClosureStore {
 
   private def parts(path: String): Seq[String] =
     Seq(s"$path/postings", s"$path/edges", s"$path/closure", s"$path/meta")
+
+  private def hadoopFs(spark: SparkSession,
+      path: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Committed batch directories, ascending commit order (dir names are
+    * zero-padded sequence numbers assigned at commit — single-writer,
+    * the COW contract). */
+  private def batchDirs(spark: SparkSession, path: String): Seq[String] = {
+    val fs = hadoopFs(spark, path)
+    val root = new org.apache.hadoop.fs.Path(s"$path/batches")
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.filter(_.isDirectory)
+      .map(_.getPath.toString).sorted
+  }
+
+  /** Has `batchId` already been committed by [[advance]]? */
+  def batchIngested(spark: SparkSession, path: String, batchId: String): Boolean =
+    batchDirs(spark, path).exists(_.endsWith(s"-$batchId"))
+
+  /** The composed posting table: base + every committed batch. */
+  private def readPostings(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet((s"$path/postings" +:
+      batchDirs(spark, path).map(d => s"$d/postings")): _*)
+
+  /** The composed star-edge table: a chunk's CURRENT star lives in the
+    * LAST batch that touched it (or the base if none did) — each frame
+    * is anti-joined against the union of LATER batches' touched-chunk
+    * lists, the merge-on-read fold ([[MergeOnRead]]'s shape; read cost
+    * grows with the batch count, which is what [[build]]-compaction on a
+    * cadence is for). */
+  private def readEdges(spark: SparkSession, path: String): DataFrame = {
+    val dirs = batchDirs(spark, path)
+    var touchedAfter: DataFrame = null
+    var out: DataFrame = null
+    for (d <- dirs.reverse) {
+      val stars = spark.read.parquet(s"$d/stars")
+      val masked = if (touchedAfter == null) stars
+        else stars.join(touchedAfter, Seq("fp"), "left_anti")
+      out = if (out == null) masked else out.unionByName(masked)
+      val t = spark.read.parquet(s"$d/touched")
+      touchedAfter = if (touchedAfter == null) t else touchedAfter.unionByName(t)
+    }
+    val base = spark.read.parquet(s"$path/edges")
+    val baseMasked = if (touchedAfter == null) base
+      else base.join(touchedAfter, Seq("fp"), "left_anti")
+    if (out == null) baseMasked else baseMasked.unionByName(out)
+  }
+
+  /** The composed closure: base + every batch's newly-reached rows
+    * (disjoint node sets by construction — [[advance]] commits only the
+    * nodes the fold added). */
+  private def readClosure(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet((s"$path/closure" +:
+      batchDirs(spark, path).map(d => s"$d/closure")): _*)
 
   /** Bootstrap the store from scratch: chunk `docs`, derive the star
     * edges, run the full BFS from `seeds` (one-column id frame), write
@@ -89,23 +149,35 @@ object ClosureStore {
     * the union, at delta cost: chunking is |newDocs|-proportional, star
     * recomputation touches only chunks the batch occurs in, and the BFS
     * expands only the newly-reachable region. The store itself is not
-    * advanced — run [[build]] over the union on whatever cadence full
-    * compaction is worth (the stored postings/edges/closure remain valid
-    * inputs for every fold until then). */
+    * changed — [[advance]] is the committing form; rebuild with [[build]]
+    * on whatever cadence full compaction is worth. */
   def foldDelta(
       newDocs: DataFrame,
       newSeeds: DataFrame,
       path: String,
       idCol: String = "doc_id",
       textCol: String = "text"
-  ): DataFrame = {
+  ): DataFrame =
+    foldCore(newDocs, newSeeds, path, idCol, textCol).result
+
+  private final case class Fold(
+      newPostings: DataFrame, touched: DataFrame,
+      recomputedStars: DataFrame, closure: DataFrame, result: DataFrame)
+
+  private def foldCore(
+      newDocs: DataFrame,
+      newSeeds: DataFrame,
+      path: String,
+      idCol: String,
+      textCol: String
+  ): Fold = {
     val spark = newDocs.sparkSession
     ArtifactStamp.verifyAligned(spark, "ClosureStore", parts(path))
     val chunkWords =
       spark.read.parquet(s"$path/meta").head().getAs[Int]("chunk_words")
-    val storedPostings = spark.read.parquet(s"$path/postings")
-    val storedEdges = spark.read.parquet(s"$path/edges")
-    val closure = spark.read.parquet(s"$path/closure")
+    val storedPostings = readPostings(spark, path)
+    val storedEdges = readEdges(spark, path)
+    val closure = readClosure(spark, path)
 
     // delta-sized text explode; materialized — it feeds the touched-chunk
     // set, the star recomputation, and (via those) two join sides
@@ -118,9 +190,10 @@ object ClosureStore {
     val touchedPostings = storedPostings
       .join(touched, Seq("fp"), "left_semi")
       .unionByName(newPostings)
-    val recomputed = Dedup.chunkShareEdgesFromPostings(touchedPostings)
-      .select(col("a_id"), col("b_id")).distinct()
+    val recomputedStars = Dedup.chunkShareEdgesFromPostings(touchedPostings)
       .localCheckpoint(true) // consumed by the full graph AND the delta
+    val recomputed = recomputedStars
+      .select(col("a_id"), col("b_id")).distinct()
     // stars of untouched chunks carry over verbatim — their posting sets
     // did not change, so neither did their hubs or spokes
     val untouched = storedEdges.join(touched, Seq("fp"), "left_anti")
@@ -142,9 +215,69 @@ object ClosureStore {
     // the same delta-sized-broadcast contract as the CDC retract path.
     // A bulk backfill folded through this API should rebuild instead
     // (or call Graph.incrementalReachable directly with the default).
-    Graph.incrementalReachable(
+    val result = Graph.incrementalReachable(
       closure.unionByName(seedRows, allowMissingColumns = false),
       sym(fullEdges), sym(deltaEdges), srcCol = "a_id", dstCol = "b_id",
       smallFrontier = true)
+    Fold(newPostings, touched, recomputedStars, closure, result)
+  }
+
+  /** COMMIT today's fold — the write half of the daily cycle, so the
+    * store genuinely rolls forward instead of rebuilding on a cadence.
+    * One batch directory carries all four deltas and publishes with a
+    * SINGLE rename ([[EditDistance.appendIndex]]'s atomic-batch
+    * discipline):
+    *
+    *   - `postings` — the batch's chunk postings (append-only: history
+    *     postings never change).
+    *   - `stars` + `touched` — the recomputed stars of exactly the
+    *     chunks the batch touched, plus their fp list; the read side
+    *     masks every EARLIER version of a touched chunk (merge-on-read —
+    *     the star of a chunk lives in the last batch that touched it).
+    *   - `closure` — only the NEWLY-reached nodes (the closure is
+    *     append-only under inserts: old nodes keep their rows).
+    *
+    * A crash mid-stage leaves a dot-prefixed directory no reader lists;
+    * re-submitting a committed batchId fails loud ([[batchIngested]] is
+    * the retry probe). Read cost grows with the batch count — run
+    * [[build]] over the full corpus on whatever cadence that compaction
+    * is worth. Returns the post-commit closure (the fold result). */
+  def advance(
+      newDocs: DataFrame,
+      newSeeds: DataFrame,
+      path: String,
+      batchId: String,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    require(batchId.nonEmpty && !batchId.exists(c => c == '/' || c == '.'),
+      s"batchId must be a plain directory name, got '$batchId'")
+    val spark = newDocs.sparkSession
+    if (batchIngested(spark, path, batchId)) throw new IllegalStateException(
+      s"ClosureStore at $path already committed batch '$batchId' — a blind " +
+        "retry would re-mask chunks and duplicate postings; probe " +
+        "batchIngested before advancing, or pick a new batch id")
+    val fold = foldCore(newDocs, newSeeds, path, idCol, textCol)
+    val fs = hadoopFs(spark, path)
+    val staging = new org.apache.hadoop.fs.Path(s"$path/.batch-$batchId.inprogress")
+    fs.delete(staging, true) // leftover from a crashed attempt: restage whole
+    fold.newPostings.write.mode("overwrite").parquet(s"$staging/postings")
+    fold.recomputedStars.write.mode("overwrite").parquet(s"$staging/stars")
+    fold.touched.write.mode("overwrite").parquet(s"$staging/touched")
+    // the fold result is already materialized (the BFS returns
+    // checkpointed rows), so the anti join below re-reads blocks, not
+    // the whole fold lineage
+    fold.result
+      .join(fold.closure.select(col(fold.closure.columns.head).as("node")),
+        Seq("node"), "left_anti")
+      .write.mode("overwrite").parquet(s"$staging/closure")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/batches"))
+    val seq = batchDirs(spark, path).size
+    val target = new org.apache.hadoop.fs.Path(
+      f"$path%s/batches/$seq%06d-$batchId%s")
+    require(fs.rename(staging, target),
+      s"ClosureStore commit of batch '$batchId' failed to publish " +
+        "(concurrent advance?)")
+    fold.result
   }
 }

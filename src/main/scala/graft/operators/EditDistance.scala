@@ -233,16 +233,70 @@ object EditDistance {
       path: String): Int =
     spark.read.parquet(s"$path/meta").head().getAs[Int]("max_dist")
 
+  private def hadoopFs(spark: org.apache.spark.sql.SparkSession,
+      path: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Has `batchId` already been folded into the index? The idempotence
+    * probe a retrying ingest job runs before [[appendIndex]]. */
+  def batchIngested(spark: org.apache.spark.sql.SparkSession,
+      path: String, batchId: String): Boolean =
+    hadoopFs(spark, path).exists(
+      new org.apache.hadoop.fs.Path(s"$path/batches/$batchId"))
+
   /** Fold a new batch into the stored index — O(|batch|) fingerprinting,
     * history untouched. Call AFTER [[incrementalPairs]] for the batch
-    * (the within-batch half is computed there). */
+    * (the within-batch half is computed there).
+    *
+    * The fold is an ATOMIC, REPLAY-SAFE commit, not a parquet append: a
+    * plain append crashing between the segs and shorts writes would
+    * leave a half-folded batch, and a retry after a successful append
+    * would duplicate every segment — silently inflating candidates
+    * forever. Both tables stage under one dot-prefixed directory
+    * (invisible to readers) and publish with a SINGLE rename to
+    * `batches/<batchId>`; a crash leaves either nothing visible or the
+    * whole batch. Re-submitting a committed batchId fails loud —
+    * retrying jobs probe [[batchIngested]] first (delete-by-key
+    * idempotence cannot apply here: segment rows are not deduped at
+    * read, by design — the read side is a straight multi-directory
+    * scan). */
   def appendIndex(batch: DataFrame, idCol: String, strCol: String,
-      path: String): Unit = {
-    val k = indexK(batch.sparkSession, path)
+      path: String, batchId: String): Unit = {
+    require(batchId.nonEmpty && !batchId.exists(c => c == '/' || c == '.'),
+      s"batchId must be a plain directory name, got '$batchId'")
+    val spark = batch.sparkSession
+    val k = indexK(spark, path)
+    val fs = hadoopFs(spark, path)
+    val target = new org.apache.hadoop.fs.Path(s"$path/batches/$batchId")
+    if (fs.exists(target)) throw new IllegalStateException(
+      s"editdist index at $path already ingested batch '$batchId' — a blind " +
+        "retry would double every segment of the batch; probe batchIngested " +
+        "before appending, or pick a new batch id")
+    val staging = new org.apache.hadoop.fs.Path(s"$path/.batch-$batchId.inprogress")
+    fs.delete(staging, true) // leftover from a crashed attempt: restage whole
     val strs = strings(batch, idCol, strCol)
-    segments(strs, k).write.mode("append").parquet(s"$path/segs")
+    segments(strs, k).write.mode("overwrite").parquet(s"$staging/segs")
     strs.filter(col("len") <= 2 * k + 1)
-      .write.mode("append").parquet(s"$path/shorts")
+      .write.mode("overwrite").parquet(s"$staging/shorts")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/batches"))
+    require(fs.rename(staging, target),
+      s"editdist index commit of batch '$batchId' failed to publish " +
+        s"(concurrent append of the same id?)")
+  }
+
+  /** One index component (`segs`/`shorts`) across the base write and
+    * every committed batch directory — staging dirs are dot-prefixed and
+    * never listed, so readers see only whole batches. */
+  private def indexPart(spark: org.apache.spark.sql.SparkSession,
+      path: String, part: String): DataFrame = {
+    val fs = hadoopFs(spark, path)
+    val batchesDir = new org.apache.hadoop.fs.Path(s"$path/batches")
+    val dirs =
+      if (!fs.exists(batchesDir)) Seq.empty[String]
+      else fs.listStatus(batchesDir).toSeq.filter(_.isDirectory)
+        .map(s => s"${s.getPath.toString}/$part").sorted
+    spark.read.parquet((s"$path/$part" +: dirs): _*)
   }
 
   /** Every pair within the index's maxDist with AT LEAST ONE side in
@@ -261,7 +315,7 @@ object EditDistance {
     val spark = batch.sparkSession
     val k = indexK(spark, path)
     val bStrs = strings(batch, idCol, strCol)
-    val seg = spark.read.parquet(s"$path/segs").select(
+    val seg = indexPart(spark, path, "segs").select(
       col("id").as("id_a"), col("len").as("len_a"), col("i").as("i_a"),
       col("spos"), col("v").as("v_a"), col("s").as("s_a"))
     val prb = probes(bStrs, k).select(col("id").as("id_b"),
@@ -275,7 +329,7 @@ object EditDistance {
           greatest(col("len_a"), col("len_b")) > 2 * k + 1)
         .select(col("id_a"), col("id_b"), col("s_a"), col("s_b"))
         .dropDuplicates("id_a", "id_b"), k)
-    val hShorts = spark.read.parquet(s"$path/shorts")
+    val hShorts = indexPart(spark, path, "shorts")
     val shortOldNew = shortPairs(hShorts, bStrs, k, ordered = false)
     oldNew.unionByName(shortOldNew)
       .select(least(col("id_a"), col("id_b")).as("id_a"),

@@ -53,14 +53,46 @@ object Snapshot {
     * BEFORE the update rows fan out 2×. Null-safe struct equality means
     * NULL payload fields compare structurally. For a recurring feed,
     * bucket both snapshots on the id and the join plans exchange-free
-    * ([[diff]]'s contract). Output: (op, idCol, payloadCols…). */
+    * ([[diff]]'s contract). Output: (op, idCol, payloadCols…).
+    *
+    * SCHEMA EVOLUTION fails loud at the feed boundary: a column added,
+    * dropped, or retyped between the snapshots (the routine migration
+    * event) would otherwise be silently projected away — the feed keeps
+    * flowing while every consumer misses the new column, or an
+    * update_pre/update_post pair carries values of different types. The
+    * gate compares the two snapshots' full non-id schemas and raises
+    * with the exact drift list; a caller that has handled the migration
+    * (backfilled, or deliberately feeds a stable subset) acknowledges it
+    * with `tolerateSchemaDrift = true`, which scopes the feed to the
+    * stated payloadCols only. */
   def changeFeed(
       v1: DataFrame,
       v2: DataFrame,
       idCol: String = "doc_id",
-      payloadCols: Seq[String] = Seq("text")
+      payloadCols: Seq[String] = Seq("text"),
+      tolerateSchemaDrift: Boolean = false
   ): DataFrame = {
     require(payloadCols.nonEmpty, "changeFeed: payloadCols must be non-empty")
+    if (!tolerateSchemaDrift) {
+      def payloadSchema(df: DataFrame): Map[String, String] =
+        df.schema.fields.filterNot(_.name == idCol)
+          .map(f => f.name -> f.dataType.sql).toMap
+      val (a0, b0) = (payloadSchema(v1), payloadSchema(v2))
+      val added = (b0.keySet -- a0.keySet).toSeq.sorted
+      val dropped = (a0.keySet -- b0.keySet).toSeq.sorted
+      val retyped = a0.keySet.intersect(b0.keySet)
+        .filter(c => a0(c) != b0(c)).toSeq.sorted
+        .map(c => s"$c: ${a0(c)} -> ${b0(c)}")
+      if (added.nonEmpty || dropped.nonEmpty || retyped.nonEmpty)
+        throw new IllegalStateException(
+          "changeFeed: payload schema drifted between the snapshots — " +
+            (if (added.nonEmpty) s"added [${added.mkString(", ")}] " else "") +
+            (if (dropped.nonEmpty) s"dropped [${dropped.mkString(", ")}] " else "") +
+            (if (retyped.nonEmpty) s"retyped [${retyped.mkString(", ")}] " else "") +
+            "— migrate the feed and its consumers explicitly, or pass " +
+            "tolerateSchemaDrift = true to scope the feed to the stated " +
+            "payloadCols")
+    }
     val a = v1.select(col(idCol).as("__id"),
       struct(payloadCols.map(col): _*).as("__a"))
     val b = v2.select(col(idCol).as("__id"),

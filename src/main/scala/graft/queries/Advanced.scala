@@ -2752,6 +2752,78 @@ object Advanced {
             WHERE r.hops < 8)
         SELECT node, MIN(hops) AS min_hops FROM r GROUP BY node""")),
 
+    GQ("g09_shortest_paths", // weighted shortest paths from the seed
+      // item (`operators/Graph.shortestPaths` — bounded Bellman-Ford,
+      // Bellman 1958): the WEIGHTED member of the reachability family —
+      // g07 answers "reachable in how many hops", this "at what minimum
+      // cost", with cost = 1000000 DIV transition-count so well-travelled
+      // links are short (the traffic-weighted item distance a browse
+      // graph actually means; the inversion is the caller's contract,
+      // stated on the operator). Exactly 6 synchronous relaxations —
+      // the result is the exact min cost over paths of ≤ 6 edges, the
+      // fixed-K honesty contract of g02/g03, which is also what makes
+      // the oracle expressible: six unrolled min-folds, bit-identical
+      // integer arithmetic in both engines. Per round one |E| join +
+      // one map-side-combined MIN agg + one |reached| full-outer fold;
+      // the 100-item vertex set rides as a broadcast (smallVertexSet,
+      // g02's hatch) so the edge list never shuffles; lineage truncates
+      // every 2 rounds. A fewer-hops-but-costlier path loses to a
+      // longer-but-cheaper one — the case hop-count BFS cannot express
+      // (GraphSpec pins it on a hand-built graph).
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"), col("ts"),
+            regexp_extract(col("props"), "\"k\": (\\d+)", 1)
+              .cast("long").as("item"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val edges = ev
+          .select(col("item").as("dst"), lag(col("item"), 1).over(w).as("src"))
+          .filter(col("src").isNotNull)
+          .groupBy("src", "dst").agg(count(lit(1)).as("n"))
+          .select(col("src"), col("dst"), expr("1000000 DIV n").as("cost"))
+        // seed derives from the data (src = 0 rows) — g03/g07's contract
+        val seeds = edges.filter(col("src") === 0L).select(col("src").as("node"))
+        graft.operators.Graph.shortestPaths(edges, seeds, wCol = "cost",
+          rounds = 6, smallVertexSet = true)
+      },
+      Some("""WITH ev AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t,
+            CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS item
+          FROM events),
+        tr AS (SELECT item AS dst,
+            LAG(item) OVER (PARTITION BY user_id ORDER BY t, event_id) AS src
+          FROM ev),
+        e0 AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n FROM tr
+          WHERE src IS NOT NULL GROUP BY 1, 2),
+        e AS (SELECT src, dst, CAST(1000000 // n AS BIGINT) AS c FROM e0),
+        d0 AS (SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS dist
+          FROM e WHERE src = 0),
+        d1 AS (SELECT node, MIN(dist) AS dist FROM (
+            SELECT node, dist FROM d0 UNION ALL
+            SELECT e.dst, d0.dist + e.c FROM d0 JOIN e ON e.src = d0.node)
+          GROUP BY node),
+        d2 AS (SELECT node, MIN(dist) AS dist FROM (
+            SELECT node, dist FROM d1 UNION ALL
+            SELECT e.dst, d1.dist + e.c FROM d1 JOIN e ON e.src = d1.node)
+          GROUP BY node),
+        d3 AS (SELECT node, MIN(dist) AS dist FROM (
+            SELECT node, dist FROM d2 UNION ALL
+            SELECT e.dst, d2.dist + e.c FROM d2 JOIN e ON e.src = d2.node)
+          GROUP BY node),
+        d4 AS (SELECT node, MIN(dist) AS dist FROM (
+            SELECT node, dist FROM d3 UNION ALL
+            SELECT e.dst, d3.dist + e.c FROM d3 JOIN e ON e.src = d3.node)
+          GROUP BY node),
+        d5 AS (SELECT node, MIN(dist) AS dist FROM (
+            SELECT node, dist FROM d4 UNION ALL
+            SELECT e.dst, d4.dist + e.c FROM d4 JOIN e ON e.src = d4.node)
+          GROUP BY node),
+        d6 AS (SELECT node, MIN(dist) AS dist FROM (
+            SELECT node, dist FROM d5 UNION ALL
+            SELECT e.dst, d5.dist + e.c FROM d5 JOIN e ON e.src = d5.node)
+          GROUP BY node)
+        SELECT node, CAST(dist AS BIGINT) AS min_cost FROM d6""")),
+
     GQ("g04_triangles", // exact triangle count by DEGREE ORIENTATION
       // (`operators/Graph.triangleCount` — Suri & Vassilvitskii 2011):
       // community density over the undirected browse graph, the classic

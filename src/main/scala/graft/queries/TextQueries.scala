@@ -4082,7 +4082,58 @@ object TextQueries {
           row_number() OVER (PARTITION BY rid ORDER BY dist, lid) AS k2
           FROM sc)
         SELECT lid AS left_id, rid AS right_id, dist
-        FROM rk WHERE k1 = 1 AND k2 = 1"""))
+        FROM rk WHERE k1 = 1 AND k2 = 1""")),
+
+    GQ("d57_editdist_dedup", // the edit-distance dedup pipeline END TO
+      // END — d55's exact pairs composed through connected components
+      // into keep-best clusters, the character-level twin of the LSH
+      // family's d18 (pairs → clusters) + d32 (clusters → collapse):
+      // a user deduping OCR'd/typo'd titles runs THIS, not the pair
+      // list. Composition is the engine's whole contract (the reference
+      // promises stage composition, pipeline.py:548-587); each stage
+      // keeps its own scale shape — Pass-Join segment candidates (one
+      // exchange, scan-local levenshtein), min-label components with
+      // pointer jumping over the PAIR graph (|pairs|, orders below
+      // corpus), window'd keep-best per cluster (cluster-key
+      // partitioned). Representative = longest title (the most complete
+      // OCR variant), ties to the smallest id — d32's convention;
+      // singletons ride along with comp NULL / size 1. Oracle: d55's
+      // definitional pair SQL + deduping UNION recursion for the
+      // closure + the same collapse window.
+      (s, dir) => {
+        val t = titled(s, dir)
+        val pairs = graft.operators.EditDistance
+          .editDistancePairs(t, "doc_id", "title", maxDist = 2)
+          .select("id_a", "id_b")
+        Dedup.collapseClusters(t, pairs,
+            better = Seq(length(col("title")).desc),
+            srcCol = "id_a", dstCol = "id_b")
+          .select(col("doc_id"), col("comp"), col("cluster_size"))
+      },
+      Some("""WITH RECURSIVE t AS (SELECT doc_id,
+          array_to_string((string_split(text, ' '))[1:5], ' ') AS s
+        FROM documents),
+        pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM t a JOIN t b ON a.doc_id < b.doc_id
+            AND abs(len(a.s) - len(b.s)) <= 2
+            AND levenshtein(a.s, b.s) <= 2),
+        sym AS (SELECT a_id AS u, b_id AS v FROM pairs
+                UNION ALL SELECT b_id, a_id FROM pairs),
+        reach(u, v) AS (
+          SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+          UNION
+          SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+        comp AS (SELECT u AS doc_id, MIN(v) AS comp FROM reach GROUP BY u),
+        sz AS (SELECT comp, COUNT(*) AS cluster_size FROM comp GROUP BY comp),
+        ranked AS (SELECT c.doc_id, c.comp, sz.cluster_size,
+            ROW_NUMBER() OVER (PARTITION BY c.comp
+              ORDER BY length(t.s) DESC, c.doc_id) AS rn
+          FROM comp c JOIN t USING (doc_id) JOIN sz USING (comp))
+        SELECT doc_id, comp, cluster_size FROM ranked WHERE rn = 1
+        UNION ALL
+        SELECT t.doc_id, CAST(NULL AS BIGINT) AS comp,
+          CAST(1 AS BIGINT) AS cluster_size
+        FROM t WHERE t.doc_id NOT IN (SELECT doc_id FROM comp)"""))
   )
 }
 

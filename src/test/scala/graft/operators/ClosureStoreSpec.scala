@@ -60,6 +60,51 @@ class ClosureStoreSpec extends SparkSpec {
     assert(rows.length == rows.toSet.size)
   }
 
+  test("advance commits the daily cycle: two chained batches equal from-scratch") {
+    val p = java.nio.file.Files.createTempDirectory("cstore-adv").toString
+    ClosureStore.build(oldDocs, Seq(2L).toDF("doc_id"), p)
+    // day 1: the hub-moving batch commits
+    val day1 = ClosureStore.advance(newDocs, Seq(3L).toDF("doc_id"), p, "day1")
+      .select("node").as[Long].collect().toSet
+    assert(day1 == fromScratch(Seq(2L, 3L)))
+    // day 2: a batch that re-touches chunk A (hub moves again: 0 < 1) and
+    // brings a fresh isolated doc; folds must see day 1's committed state
+    val day2Docs = Seq((0L, chunkA), (9L, "isolated brand new content words"))
+      .toDF("doc_id", "text")
+    val day2 = ClosureStore.advance(
+        day2Docs, spark.emptyDataset[Long].toDF("doc_id"), p, "day2")
+      .select("node").as[Long].collect().toSet
+    val docs = oldDocs.unionByName(newDocs).unionByName(day2Docs)
+    val star = Dedup.chunkShareEdges(docs)
+    val edges = star.unionAll(
+      star.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+    val expected = Graph.reachableFrom(edges,
+        Seq(2L, 3L).toDF("doc_id"), srcCol = "a_id", dstCol = "b_id")
+      .select("node").as[Long].collect().toSet
+    assert(day2 == expected)
+    assert(day2.contains(0L), "the re-moved hub must be in the closure")
+    // a later read-only fold composes base + both committed batches
+    val fold = ClosureStore.foldDelta(
+        Seq((20L, chunkA)).toDF("doc_id", "text"),
+        spark.emptyDataset[Long].toDF("doc_id"), p)
+      .select("node").as[Long].collect().toSet
+    assert(fold == expected + 20L)
+    // double-commit of a batch id fails loud; the probe answers first
+    assert(ClosureStore.batchIngested(spark, p, "day1"))
+    assert(!ClosureStore.batchIngested(spark, p, "day3"))
+    val e = intercept[IllegalStateException] {
+      ClosureStore.advance(day2Docs, Seq.empty[Long].toDF("doc_id"), p, "day2")
+    }
+    assert(e.getMessage.contains("already committed"), e.getMessage)
+    // a crashed staging dir is invisible to every reader
+    Seq((99L, "junk")).toDF("doc_id", "text").write
+      .parquet(s"$p/.batch-crashed.inprogress/postings")
+    assert(ClosureStore.foldDelta(
+        Seq((20L, chunkA)).toDF("doc_id", "text"),
+        spark.emptyDataset[Long].toDF("doc_id"), p)
+      .select("node").as[Long].collect().toSet == expected + 20L)
+  }
+
   test("a torn store (one component rebuilt without restamping) fails loud") {
     val p = java.nio.file.Files.createTempDirectory("cstore-torn").toString
     ClosureStore.build(oldDocs, Seq(2L).toDF("doc_id"), p)

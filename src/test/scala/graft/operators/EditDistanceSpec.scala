@@ -123,7 +123,7 @@ class EditDistanceSpec extends SparkSpec {
     assert(got == expected)
     // appendIndex folds the batch in: a second batch must now see it as
     // history (pair (old-batch, new-batch) found via the stored probe)
-    EditDistance.appendIndex(batch.toDF("id", "s"), "id", "s", root)
+    EditDistance.appendIndex(batch.toDF("id", "s"), "id", "s", root, "day1")
     val batch2 = (220L until 260L).map(i => (i, mkStr(i)))
     val got2 = EditDistance.incrementalPairs(
         batch2.toDF("id", "s"), "id", "s", root)
@@ -132,6 +132,38 @@ class EditDistanceSpec extends SparkSpec {
     val expected2 = bruteSelf(all ++ batch2, 2).filter { case (a, b, _) =>
       ids2(a) || ids2(b) }
     assert(got2 == expected2)
+  }
+
+  test("appendIndex commits whole batches: double-append fails loud, a crashed staging dir is invisible") {
+    val all = (0L until 120L).map(i => (i, mkStr(i)))
+    val (hist, batch) = all.partition(_._1 % 4 != 3)
+    val root = java.nio.file.Files.createTempDirectory("ed-atomic").toString
+    EditDistance.writeIndex(hist.toDF("id", "s"), "id", "s", 2, root)
+    EditDistance.appendIndex(batch.toDF("id", "s"), "id", "s", root, "b1")
+    assert(EditDistance.batchIngested(spark, root, "b1"))
+    assert(!EditDistance.batchIngested(spark, root, "b2"))
+    // the retry-after-success crash window: a blind re-append of a
+    // committed batch would double its segments — it must refuse
+    val e = intercept[IllegalStateException] {
+      EditDistance.appendIndex(batch.toDF("id", "s"), "id", "s", root, "b1")
+    }
+    assert(e.getMessage.contains("already ingested"), e.getMessage)
+    // a crash mid-append leaves only the dot-prefixed staging dir; the
+    // reader scans committed batches only, so results are as if the
+    // crashed append never started
+    val before = EditDistance.incrementalPairs(
+        Seq((500L, mkStr(3L))).toDF("id", "s"), "id", "s", root)
+      .as[(Long, Long, Int)].collect().toSet
+    Seq((999L, "zz")).toDF("id", "s").write.mode("overwrite")
+      .parquet(s"$root/.batch-crashed.inprogress/segs")
+    val after = EditDistance.incrementalPairs(
+        Seq((500L, mkStr(3L))).toDF("id", "s"), "id", "s", root)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(after == before)
+    // recovery from the crash: the SAME batch id re-stages cleanly
+    EditDistance.appendIndex(
+      Seq((600L, mkStr(7L))).toDF("id", "s"), "id", "s", root, "crashed")
+    assert(EditDistance.batchIngested(spark, root, "crashed"))
   }
 
   test("partitioning independence") {

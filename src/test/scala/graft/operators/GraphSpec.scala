@@ -261,6 +261,50 @@ class GraphSpec extends SparkSpec {
     assert(empty == storedD)
   }
 
+  test("shortestPaths: cheap long path beats costly short path; parallel edges keep the cheapest") {
+    import spark.implicits._
+    // 0→3 direct costs 10; 0→1→2→3 costs 1+1+1 = 3 — the case hop-count
+    // BFS cannot express. A parallel 0→3 at cost 7 must also lose to the
+    // min over parallel edges (7 beats 10, 3 beats 7). Node 4 enters via
+    // the cycle edge 3→4 (cycle 4→0 must not prevent termination).
+    val edges = Seq(
+      (0L, 3L, 10L), (0L, 3L, 7L),
+      (0L, 1L, 1L), (1L, 2L, 1L), (2L, 3L, 1L),
+      (3L, 4L, 2L), (4L, 0L, 1L)).toDF("src", "dst", "w")
+    val got = Graph.shortestPaths(edges, Seq(0L).toDF("node"), rounds = 6)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 5L),
+      s"got $got")
+    // converged: one more round changes nothing (the fixed-K contract's
+    // convergence check), and the smallVertexSet plan agrees bit-for-bit
+    assert(Graph.shortestPaths(edges, Seq(0L).toDF("node"), rounds = 7)
+      .as[(Long, Long)].collect().toMap == got)
+    assert(Graph.shortestPaths(edges, Seq(0L).toDF("node"), rounds = 6,
+      smallVertexSet = true).as[(Long, Long)].collect().toMap == got)
+    // under-provisioned rounds: exact min over ≤ 2 edges — node 3 sees
+    // only the direct edges (min 7), node 4 only the 2-edge 0→3→4 path
+    // through the cheaper direct edge (7 + 2 = 9)
+    val capped = Graph.shortestPaths(edges, Seq(0L).toDF("node"), rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(capped == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 7L, 4L -> 9L),
+      s"got $capped")
+  }
+
+  test("shortestPaths: multi-seed min and partitioning independence") {
+    import spark.implicits._
+    val edges = Seq((0L, 2L, 5L), (1L, 2L, 3L), (2L, 3L, 1L))
+      .toDF("src", "dst", "w")
+    val seeds = Seq(0L, 1L, 1L).toDF("id") // dup seed collapses
+    val got = Graph.shortestPaths(edges, seeds, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    // node 2: min(5 from seed 0, 3 from seed 1) = 3
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 3L, 3L -> 4L), s"got $got")
+    val repartitioned = Graph.shortestPaths(
+        edges.repartition(7), seeds.repartition(3), rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(repartitioned == got)
+  }
+
   test("reachableFrom: partitioning-independent; durable checkpoint mode agrees") {
     import spark.implicits._
     val rnd = new scala.util.Random(31)

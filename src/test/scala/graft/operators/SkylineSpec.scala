@@ -94,6 +94,32 @@ class SkylineSpec extends SparkSpec {
     }
   }
 
+  test("pareto3d chunked fallback equals the broadcast exact pass") {
+    // the same pseudo-random cloud as the definitional test, run once
+    // through the broadcast pass and once forced through the chunked
+    // anti-join loop (maxBroadcastFront far below the survivor count,
+    // several chunks incl. a mid-loop truncation at chunk 4)
+    val df = spark.range(500).select(col("id"),
+      pmod(col("id") * 37 + 11, lit(59)).as("x"),
+      pmod(col("id") * 53 + 7, lit(61)).as("y"),
+      pmod(col("id") * 17 + 3, lit(67)).as("z"))
+    val broadcastPath = Skyline.pareto3d(df, "x", "y", "z")
+      .select(col("id").cast("long")).as[Long].collect().toSet
+    val chunked = Skyline.pareto3d(df, "x", "y", "z",
+        maxBroadcastFront = 20L)
+      .select(col("id").cast("long")).as[Long].collect().toSet
+    assert(chunked == broadcastPath)
+    assert(broadcastPath == brute3(df).map(_._1))
+    // anti-correlated adversary: x and y rise together, so the WHOLE set
+    // is the front and the grid prune keeps everything — the regime the
+    // broadcast pass must never be fed; the fallback returns it intact
+    val adv = spark.range(300).select(col("id"), col("id").as("x"),
+      col("id").as("y"), pmod(col("id") * 17 + 3, lit(67)).as("z"))
+    val got = Skyline.pareto3d(adv, "x", "y", "z", maxBroadcastFront = 50L)
+      .count()
+    assert(got == 300L)
+  }
+
   test("pareto3d degenerate axes: constant x+y reduces to max(z); ties all survive") {
     val df = Seq((1L, 5L, 5L, 9L), (2L, 5L, 5L, 9L), (3L, 5L, 5L, 1L))
       .toDF("id", "x", "y", "z")

@@ -70,6 +70,31 @@ class SnapshotSpec extends SparkSpec {
       "null==null is unchanged; value→null is an update")
   }
 
+  test("changeFeed fails loud on payload schema drift; tolerance scopes to payloadCols") {
+    val v1 = Seq((1L, "a"), (2L, "b")).toDF("id", "x")
+    // the routine migration event: v2 gained a column
+    val v2added = Seq((1L, "a", 9L), (2L, "b2", 7L)).toDF("id", "x", "extra")
+    val eAdd = intercept[IllegalStateException] {
+      Snapshot.changeFeed(v1, v2added, "id", Seq("x"))
+    }
+    assert(eAdd.getMessage.contains("added [extra]"), eAdd.getMessage)
+    // dropped and retyped are named too
+    val v2retyped = Seq((1L, 5L), (2L, 6L)).toDF("id", "x")
+    val eTy = intercept[IllegalStateException] {
+      Snapshot.changeFeed(v1, v2retyped, "id", Seq("x"))
+    }
+    assert(eTy.getMessage.contains("retyped [x:"), eTy.getMessage)
+    val eDrop = intercept[IllegalStateException] {
+      Snapshot.changeFeed(v2added, v1, "id", Seq("x"))
+    }
+    assert(eDrop.getMessage.contains("dropped [extra]"), eDrop.getMessage)
+    // an acknowledged migration: the feed scopes to the stated payload
+    val got = Snapshot.changeFeed(v1, v2added, "id", Seq("x"),
+        tolerateSchemaDrift = true)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == Set(("update_pre", 2L, "b"), ("update_post", 2L, "b2")))
+  }
+
   test("retention past a pinned version fails LOUD on action, never silent-empty") {
     // The race the reference's drain-ordering care guards against
     // (pipeline.py:327-329), in storage form: a long-running job pins a
