@@ -113,6 +113,14 @@ object ClosureStore {
     spark.read.parquet((s"$path/closure" +:
       batchDirs(spark, path).map(d => s"$d/closure")): _*)
 
+  /** The current stored closure — base build + every committed
+    * [[advance]] batch: (node, depth). The read path a consumer job
+    * ("is this document contaminated?") semi-joins against. */
+  def storedClosure(spark: SparkSession, path: String): DataFrame = {
+    ArtifactStamp.verifyAligned(spark, "ClosureStore", parts(path))
+    readClosure(spark, path)
+  }
+
   /** Bootstrap the store from scratch: chunk `docs`, derive the star
     * edges, run the full BFS from `seeds` (one-column id frame), write
     * and stamp all four components. This is the once-per-corpus cost;

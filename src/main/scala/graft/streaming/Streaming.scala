@@ -1055,6 +1055,57 @@ object Streaming {
     true
   }
 
+  /** STREAM-MAINTAINED contamination closure —
+    * [[graft.operators.ClosureStore.advance]] as a streaming consumer:
+    * each micro-batch of documents folds into the stored closure state
+    * (batch chunking, touched-chunk star swap, escape-point BFS — all
+    * delta-proportional), with the batch's own seed rows (those matching
+    * `seedPredicate`) entering the seed set at depth 0. The continuous
+    * form of the daily g08 job: contamination lineage that is current to
+    * the last micro-batch.
+    *
+    * Exactly-once WITHOUT a separate marker: ClosureStore's commit is a
+    * single atomic rename of one batch directory keyed by the streaming
+    * batch id — a crash mid-batch leaves nothing visible (replay simply
+    * re-runs the fold), and a crash AFTER the commit but before the
+    * checkpoint records it is caught by the `batchIngested` probe on
+    * re-delivery, which skips the batch whole. The commit IS the marker
+    * — strictly stronger than [[idempotentForeachBatchSink]]'s
+    * manifest-beside-the-data pattern, because here the data write and
+    * the marker are one filesystem operation. Empty micro-batches commit
+    * nothing (skipped consistently on replay too). */
+  def closureSink(
+      docs: DataFrame,
+      path: String,
+      seedPredicate: org.apache.spark.sql.Column,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      trigger: Trigger = Trigger.AvailableNow()
+  ): DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.trigger(trigger).foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        applyClosureBatch(batch, path, seedPredicate, idCol, textCol, batchId)
+        ()
+    }
+
+  /** One micro-batch of [[closureSink]], factored out so replay
+    * semantics are directly testable. Returns true when the batch was
+    * committed, false when recognized as already-committed or empty. */
+  private[graft] def applyClosureBatch(
+      batch: DataFrame, path: String,
+      seedPredicate: org.apache.spark.sql.Column,
+      idCol: String, textCol: String, batchId: Long): Boolean = {
+    val spark = batch.sparkSession
+    val id = s"b$batchId"
+    if (graft.operators.ClosureStore.batchIngested(spark, path, id))
+      return false // crash-after-commit replay: skip whole
+    if (batch.isEmpty) return false
+    graft.operators.ClosureStore.advance(
+      batch, batch.filter(seedPredicate).select(idCol), path, id,
+      idCol, textCol)
+    true
+  }
+
   /** The stored front if any batch ever committed: `front`, or the
     * `front.old` a crash between the swap renames left behind. */
   private def currentParetoFront(

@@ -326,6 +326,26 @@ class EntrySpec extends SparkSpec {
       s"g08 lost its materialized-closure shape:\n$g08")
   }
 
+  test("r14 plans keep their scale shapes") {
+    def plan(name: String): String =
+      SparkEntry.queries(name)(spark, sf())
+        .queryExecution.executedPlan.toString
+    // g09: Bellman-Ford returns the truncated distance table — reading
+    // it must not replay any relaxation round (the iterative-family
+    // lineage contract shared with g02/g07)
+    val g09 = plan("g09_shortest_paths")
+    assert(g09.contains("Scan ExistingRDD") && !g09.contains("Join"),
+      s"g09 lost its materialized-distance shape:\n$g09")
+    // d57: the composed dedup chain must stay equi-joined end to end —
+    // pairs from Pass-Join segment keys, components from the label
+    // table, collapse via the comp-partitioned window; a cartesian or
+    // BNLJ anywhere means a stage regressed to all-pairs
+    val d57 = plan("d57_editdist_dedup")
+    assert(!d57.contains("CartesianProduct") &&
+      !d57.contains("BroadcastNestedLoopJoin"),
+      s"d57 planned a non-equi pair join:\n$d57")
+  }
+
   test("r03 overlap join plans as an equi-join, never nested-loop") {
     // Spark's native plan for `key = key AND s < e2 AND s2 < e` keeps only
     // the key as the equi-condition; the bucket decomposition must yield a
