@@ -24,6 +24,25 @@ import org.apache.spark.sql.functions._
   *     function of it, and probing with a different value would produce
   *     disjoint fps and a silently-empty delta ([[EditDistance]]'s
   *     maxDist-pin precedent). Reads fail loud on mismatch.
+  *   - `ingested/` — the replay ledger: every batch id ever folded by
+  *     [[advance]] and carried through a [[compact]] or rebuild, so
+  *     [[batchIngested]] keeps answering truthfully after the batch
+  *     directories themselves are compacted away.
+  *
+  * == Generations ==
+  *
+  * All five components plus the `batches/` directory live inside ONE
+  * generation directory `gen-NNNNNNN/`; a base rewrite ([[build]] over a
+  * live store, [[compact]]) stages the next generation complete under a
+  * dot-prefixed name and publishes it with a SINGLE atomic rename —
+  * readers always resolve the highest committed generation, so every
+  * crash point of a rewrite leaves the PREVIOUS generation fully
+  * readable (staging is invisible; a crash after the publish rename but
+  * before old-generation cleanup leaves two complete generations and
+  * readers pick the newer). This is what makes rebuilding over a live
+  * store safe: the new base can never silently compose with the old
+  * generation's batch directories, because those live inside the old
+  * generation and are superseded wholesale.
   *
   * [[foldDelta]] then chunks ONLY the new documents, recomputes stars
   * for ONLY the touched chunks (one semi join of the stored postings
@@ -40,11 +59,11 @@ import org.apache.spark.sql.functions._
   * still crosses a delta edge (the g08 oracle pins set-equality with the
   * from-scratch closure over the union corpus).
   *
-  * Torn-state safety: all four base directories are stamped with ONE
-  * generation id after the writes ([[ArtifactStamp]] — the
-  * [[FileManifest]] stamp mechanism); every read path verifies the
+  * Torn-state safety: within a generation the five base directories are
+  * stamped with ONE generation id after the writes ([[ArtifactStamp]] —
+  * the [[FileManifest]] stamp mechanism); every read path verifies the
   * stamps align and fails loud otherwise, so a crash between component
-  * writes (or a partial rebuild) can never silently join yesterday's
+  * writes of a hand-rolled rebuild can never silently join yesterday's
   * closure against today's edges. [[advance]] commits go through a
   * different mechanism fitting their shape — all four deltas in ONE
   * batch directory published by a single atomic rename, so a batch is
@@ -54,42 +73,86 @@ import org.apache.spark.sql.functions._
   */
 object ClosureStore {
 
-  private def parts(path: String): Seq[String] =
-    Seq(s"$path/postings", s"$path/edges", s"$path/closure", s"$path/meta")
+  private def parts(gen: String): Seq[String] =
+    Seq(s"$gen/postings", s"$gen/edges", s"$gen/closure", s"$gen/meta",
+      s"$gen/ingested")
 
   private def hadoopFs(spark: SparkSession,
       path: String): org.apache.hadoop.fs.FileSystem =
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Committed batch directories, ascending commit order (dir names are
-    * zero-padded sequence numbers assigned at commit — single-writer,
-    * the COW contract). */
-  private def batchDirs(spark: SparkSession, path: String): Seq[String] = {
+  private val GenName = "gen-(\\d{7})".r
+
+  /** Committed generation directories, ascending. Staging is
+    * dot-prefixed and never matches. */
+  private def genDirs(spark: SparkSession, path: String): Seq[String] = {
     val fs = hadoopFs(spark, path)
-    val root = new org.apache.hadoop.fs.Path(s"$path/batches")
+    val root = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.filter(_.isDirectory)
+      .filter(s => GenName.pattern.matcher(s.getPath.getName).matches())
+      .map(_.getPath.toString).sorted
+  }
+
+  /** The live generation — the highest committed `gen-NNNNNNN`. Every
+    * read and every [[advance]] resolves through here, which is the
+    * whole crash-safety argument for base rewrites: an interrupted
+    * rewrite either never published (readers keep the old generation) or
+    * published completely (readers see the new one). */
+  private def currentGen(spark: SparkSession, path: String): String = {
+    val gens = genDirs(spark, path)
+    require(gens.nonEmpty,
+      s"no ClosureStore at $path — run build() first")
+    gens.last
+  }
+
+  /** Committed batch directories of the CURRENT generation, ascending
+    * commit order (dir names are zero-padded sequence numbers assigned
+    * at commit — single-writer, the COW contract). */
+  private def batchDirs(spark: SparkSession, gen: String): Seq[String] = {
+    val fs = hadoopFs(spark, gen)
+    val root = new org.apache.hadoop.fs.Path(s"$gen/batches")
     if (!fs.exists(root)) Seq.empty
     else fs.listStatus(root).toSeq.filter(_.isDirectory)
       .map(_.getPath.toString).sorted
   }
 
-  /** Has `batchId` already been committed by [[advance]]? */
-  def batchIngested(spark: SparkSession, path: String, batchId: String): Boolean =
-    batchDirs(spark, path).exists(_.endsWith(s"-$batchId"))
+  /** The batch id a committed batch directory carries: dir names are
+    * `NNNNNN-<batchId>` — strip the fixed 7-char zero-padded sequence
+    * prefix and compare EQUALITY (an endsWith probe would false-positive
+    * on batch ids containing '-': committed "x-b1" ends with "-b1"). */
+  private def dirBatchId(dir: String): String =
+    dir.substring(dir.lastIndexOf('/') + 1).drop(7)
+
+  /** Has `batchId` already been folded in — by a live [[advance]] batch
+    * directory of the current generation, or by one compacted into the
+    * base (the `ingested` ledger)? The idempotence probe a retrying or
+    * replaying ingest job runs before advancing. */
+  def batchIngested(spark: SparkSession, path: String, batchId: String): Boolean = {
+    val gen = currentGen(spark, path)
+    batchDirs(spark, gen).exists(dirBatchId(_) == batchId) ||
+      ingestedLedger(spark, gen).contains(batchId)
+  }
+
+  private def ingestedLedger(spark: SparkSession, gen: String): Set[String] =
+    spark.read.parquet(s"$gen/ingested")
+      .select(col("batch_id").cast("string"))
+      .collect().map(_.getString(0)).toSet
 
   /** The composed posting table: base + every committed batch. */
-  private def readPostings(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet((s"$path/postings" +:
-      batchDirs(spark, path).map(d => s"$d/postings")): _*)
+  private def readPostings(spark: SparkSession, gen: String): DataFrame =
+    spark.read.parquet((s"$gen/postings" +:
+      batchDirs(spark, gen).map(d => s"$d/postings")): _*)
 
   /** The composed star-edge table: a chunk's CURRENT star lives in the
     * LAST batch that touched it (or the base if none did) — each frame
     * is anti-joined against the union of LATER batches' touched-chunk
     * lists, the merge-on-read fold ([[MergeOnRead]]'s shape; read cost
-    * grows with the batch count, which is what [[build]]-compaction on a
-    * cadence is for). */
-  private def readEdges(spark: SparkSession, path: String): DataFrame = {
-    val dirs = batchDirs(spark, path)
+    * grows with the batch count, which is what [[compact]] on a cadence
+    * is for). */
+  private def readEdges(spark: SparkSession, gen: String): DataFrame = {
+    val dirs = batchDirs(spark, gen)
     var touchedAfter: DataFrame = null
     var out: DataFrame = null
     for (d <- dirs.reverse) {
@@ -100,7 +163,7 @@ object ClosureStore {
       val t = spark.read.parquet(s"$d/touched")
       touchedAfter = if (touchedAfter == null) t else touchedAfter.unionByName(t)
     }
-    val base = spark.read.parquet(s"$path/edges")
+    val base = spark.read.parquet(s"$gen/edges")
     val baseMasked = if (touchedAfter == null) base
       else base.join(touchedAfter, Seq("fp"), "left_anti")
     if (out == null) baseMasked else baseMasked.unionByName(out)
@@ -109,22 +172,59 @@ object ClosureStore {
   /** The composed closure: base + every batch's newly-reached rows
     * (disjoint node sets by construction — [[advance]] commits only the
     * nodes the fold added). */
-  private def readClosure(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet((s"$path/closure" +:
-      batchDirs(spark, path).map(d => s"$d/closure")): _*)
+  private def readClosure(spark: SparkSession, gen: String): DataFrame =
+    spark.read.parquet((s"$gen/closure" +:
+      batchDirs(spark, gen).map(d => s"$d/closure")): _*)
 
   /** The current stored closure — base build + every committed
     * [[advance]] batch: (node, depth). The read path a consumer job
     * ("is this document contaminated?") semi-joins against. */
   def storedClosure(spark: SparkSession, path: String): DataFrame = {
-    ArtifactStamp.verifyAligned(spark, "ClosureStore", parts(path))
-    readClosure(spark, path)
+    val gen = currentGen(spark, path)
+    ArtifactStamp.verifyAligned(spark, "ClosureStore", parts(gen))
+    readClosure(spark, gen)
+  }
+
+  /** Publish `write`'s output as the next generation: stage complete
+    * under a dot-prefixed name (stamping all five components with one
+    * fresh generation id), commit with a single rename, then best-effort
+    * delete superseded generations — a crash before the rename leaves
+    * the old generation untouched; after it, readers already resolve the
+    * new one. */
+  private def publishGen(spark: SparkSession, path: String)(
+      write: String => Unit): Unit = {
+    val fs = hadoopFs(spark, path)
+    val old = genDirs(spark, path)
+    val seq = old.lastOption
+      .map(d => d.substring(d.lastIndexOf('/') + 1).drop(4).toInt)
+      .getOrElse(0) + 1
+    val name = f"gen-$seq%07d"
+    val staging = new org.apache.hadoop.fs.Path(s"$path/.$name.inprogress")
+    fs.delete(staging, true) // leftover from a crashed attempt: restage whole
+    write(staging.toString)
+    ArtifactStamp.stampAll(spark, parts(staging.toString))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(path))
+    require(fs.rename(staging, new org.apache.hadoop.fs.Path(s"$path/$name")),
+      s"ClosureStore publish of $name failed (concurrent rewrite?)")
+    old.foreach(d => fs.delete(new org.apache.hadoop.fs.Path(d), true))
   }
 
   /** Bootstrap the store from scratch: chunk `docs`, derive the star
     * edges, run the full BFS from `seeds` (one-column id frame), write
-    * and stamp all four components. This is the once-per-corpus cost;
-    * every subsequent day is [[foldDelta]]. */
+    * and stamp all components as generation 1. This is the
+    * once-per-corpus cost; every subsequent day is [[foldDelta]] /
+    * [[advance]].
+    *
+    * Rebuilding over a LIVE store is safe and supported — the rebuild
+    * publishes a whole new generation and the old base AND its batch
+    * directories are superseded together (never composed with the new
+    * base). The caller owns the corpus contract: `docs` must be the full
+    * corpus the store should now describe. The `ingested` ledger carries
+    * forward (old ledger ∪ old batch ids), so a streaming replay of a
+    * batch folded before the rebuild is still recognized and skipped —
+    * for a genuinely fresh store, use a fresh path. Prefer [[compact]]
+    * when the goal is just folding batch directories into the base: it
+    * reuses the stored artifacts and re-chunks nothing. */
   def build(
       docs: DataFrame,
       seeds: DataFrame,
@@ -134,17 +234,56 @@ object ClosureStore {
       chunkWords: Int = 8
   ): Unit = {
     val spark = docs.sparkSession
-    val postings = Dedup.chunkPostings(docs, idCol, textCol, chunkWords)
-    postings.write.mode("overwrite").parquet(s"$path/postings")
-    val stored = spark.read.parquet(s"$path/postings")
-    Dedup.chunkShareEdgesFromPostings(stored)
-      .write.mode("overwrite").parquet(s"$path/edges")
-    val edges = spark.read.parquet(s"$path/edges")
-    Graph.reachableFrom(sym(edges), seeds, srcCol = "a_id", dstCol = "b_id")
-      .write.mode("overwrite").parquet(s"$path/closure")
-    spark.range(1).select(lit(chunkWords).as("chunk_words"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
-    ArtifactStamp.stampAll(spark, parts(path))
+    import spark.implicits._
+    val carried: Seq[String] = genDirs(spark, path).lastOption.toSeq.flatMap {
+      gen => (ingestedLedger(spark, gen) ++
+        batchDirs(spark, gen).map(dirBatchId)).toSeq.sorted
+    }
+    publishGen(spark, path) { staging =>
+      val postings = Dedup.chunkPostings(docs, idCol, textCol, chunkWords)
+      postings.write.mode("overwrite").parquet(s"$staging/postings")
+      val stored = spark.read.parquet(s"$staging/postings")
+      Dedup.chunkShareEdgesFromPostings(stored)
+        .write.mode("overwrite").parquet(s"$staging/edges")
+      val edges = spark.read.parquet(s"$staging/edges")
+      Graph.reachableFrom(sym(edges), seeds, srcCol = "a_id", dstCol = "b_id")
+        .write.mode("overwrite").parquet(s"$staging/closure")
+      spark.range(1).select(lit(chunkWords).as("chunk_words"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$staging/meta")
+      carried.toDF("batch_id")
+        .coalesce(1).write.mode("overwrite").parquet(s"$staging/ingested")
+    }
+  }
+
+  /** Fold the current generation's batch directories into a fresh base —
+    * from the STORED artifacts only, zero re-chunking: the composed
+    * posting/edge/closure reads (exactly what every fold consumes) are
+    * rewritten as plain single-directory tables, the replay ledger
+    * absorbs the batch ids, and the result publishes as the next
+    * generation with a single rename. Read cost of the merge-on-read
+    * edge composition grows with the batch count; this is the cadence
+    * job that resets it. A crash anywhere mid-compact leaves the old
+    * generation fully readable (staging is invisible; the publish rename
+    * is the commit point). Folding, reading, and [[batchIngested]]
+    * answers are invariant across a compact — spec-pinned. */
+  def compact(spark: SparkSession, path: String): Unit = {
+    import spark.implicits._
+    val gen = currentGen(spark, path)
+    ArtifactStamp.verifyAligned(spark, "ClosureStore", parts(gen))
+    val ledger = (ingestedLedger(spark, gen) ++
+      batchDirs(spark, gen).map(dirBatchId)).toSeq.sorted
+    publishGen(spark, path) { staging =>
+      readPostings(spark, gen)
+        .write.mode("overwrite").parquet(s"$staging/postings")
+      readEdges(spark, gen)
+        .write.mode("overwrite").parquet(s"$staging/edges")
+      readClosure(spark, gen)
+        .write.mode("overwrite").parquet(s"$staging/closure")
+      spark.read.parquet(s"$gen/meta")
+        .coalesce(1).write.mode("overwrite").parquet(s"$staging/meta")
+      ledger.toDF("batch_id")
+        .coalesce(1).write.mode("overwrite").parquet(s"$staging/ingested")
+    }
   }
 
   private def sym(star: DataFrame): DataFrame =
@@ -157,8 +296,8 @@ object ClosureStore {
     * the union, at delta cost: chunking is |newDocs|-proportional, star
     * recomputation touches only chunks the batch occurs in, and the BFS
     * expands only the newly-reachable region. The store itself is not
-    * changed — [[advance]] is the committing form; rebuild with [[build]]
-    * on whatever cadence full compaction is worth. */
+    * changed — [[advance]] is the committing form; run [[compact]] on
+    * whatever cadence folding the batch directories is worth. */
   def foldDelta(
       newDocs: DataFrame,
       newSeeds: DataFrame,
@@ -180,12 +319,13 @@ object ClosureStore {
       textCol: String
   ): Fold = {
     val spark = newDocs.sparkSession
-    ArtifactStamp.verifyAligned(spark, "ClosureStore", parts(path))
+    val gen = currentGen(spark, path)
+    ArtifactStamp.verifyAligned(spark, "ClosureStore", parts(gen))
     val chunkWords =
-      spark.read.parquet(s"$path/meta").head().getAs[Int]("chunk_words")
-    val storedPostings = readPostings(spark, path)
-    val storedEdges = readEdges(spark, path)
-    val closure = readClosure(spark, path)
+      spark.read.parquet(s"$gen/meta").head().getAs[Int]("chunk_words")
+    val storedPostings = readPostings(spark, gen)
+    val storedEdges = readEdges(spark, gen)
+    val closure = readClosure(spark, gen)
 
     // delta-sized text explode; materialized — it feeds the touched-chunk
     // set, the star recomputation, and (via those) two join sides
@@ -248,8 +388,8 @@ object ClosureStore {
     * A crash mid-stage leaves a dot-prefixed directory no reader lists;
     * re-submitting a committed batchId fails loud ([[batchIngested]] is
     * the retry probe). Read cost grows with the batch count — run
-    * [[build]] over the full corpus on whatever cadence that compaction
-    * is worth. Returns the post-commit closure (the fold result). */
+    * [[compact]] on whatever cadence folding the batches in is worth.
+    * Returns the post-commit closure (the fold result). */
   def advance(
       newDocs: DataFrame,
       newSeeds: DataFrame,
@@ -261,13 +401,14 @@ object ClosureStore {
     require(batchId.nonEmpty && !batchId.exists(c => c == '/' || c == '.'),
       s"batchId must be a plain directory name, got '$batchId'")
     val spark = newDocs.sparkSession
+    val gen = currentGen(spark, path)
     if (batchIngested(spark, path, batchId)) throw new IllegalStateException(
       s"ClosureStore at $path already committed batch '$batchId' — a blind " +
         "retry would re-mask chunks and duplicate postings; probe " +
         "batchIngested before advancing, or pick a new batch id")
     val fold = foldCore(newDocs, newSeeds, path, idCol, textCol)
     val fs = hadoopFs(spark, path)
-    val staging = new org.apache.hadoop.fs.Path(s"$path/.batch-$batchId.inprogress")
+    val staging = new org.apache.hadoop.fs.Path(s"$gen/.batch-$batchId.inprogress")
     fs.delete(staging, true) // leftover from a crashed attempt: restage whole
     fold.newPostings.write.mode("overwrite").parquet(s"$staging/postings")
     fold.recomputedStars.write.mode("overwrite").parquet(s"$staging/stars")
@@ -279,10 +420,10 @@ object ClosureStore {
       .join(fold.closure.select(col(fold.closure.columns.head).as("node")),
         Seq("node"), "left_anti")
       .write.mode("overwrite").parquet(s"$staging/closure")
-    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/batches"))
-    val seq = batchDirs(spark, path).size
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$gen/batches"))
+    val seq = batchDirs(spark, gen).size
     val target = new org.apache.hadoop.fs.Path(
-      f"$path%s/batches/$seq%06d-$batchId%s")
+      f"$gen%s/batches/$seq%06d-$batchId%s")
     require(fs.rename(staging, target),
       s"ClosureStore commit of batch '$batchId' failed to publish " +
         "(concurrent advance?)")

@@ -145,6 +145,30 @@ object Skyline {
     * NULL metric rows are excluded, as in [[pareto2d]]. */
   def pareto3d(df: DataFrame, xCol: String, yCol: String, zCol: String,
       buckets: Int = 64, maxBroadcastFront: Long = 2000000L): DataFrame = {
+    val (out, release) =
+      pareto3dStaged(df, xCol, yCol, zCol, buckets, maxBroadcastFront)
+    // Materialize the result, then release every internal cache: without
+    // this, repeated calls in a long-lived session accumulate survivor
+    // blocks until LRU pressure evicts them. The returned frame is its own
+    // (front-sized) checkpoint — the ONE persisted artifact a call leaves,
+    // freed when the caller drops it (the g02/g08 materialized-result
+    // contract: reading the front never replays the prune or exact pass).
+    val res = out.localCheckpoint(true)
+    release()
+    res
+  }
+
+  /** [[pareto3d]] before its final materialization: the lazy exact-pass
+    * frame plus the hook that releases the survivor cache and lineage-
+    * truncation checkpoints. Package-private so specs can pin the exact
+    * pass's PLAN shape (broadcast nested loop over the front-scale
+    * survivor set; never a corpus-side cartesian or shuffle join) — the
+    * public operator materializes before returning, so its plan is a
+    * checkpoint scan by design. Callers must invoke the release hook
+    * only after consuming the frame. */
+  private[graft] def pareto3dStaged(df: DataFrame, xCol: String, yCol: String,
+      zCol: String, buckets: Int = 64, maxBroadcastFront: Long = 2000000L)
+      : (DataFrame, () => Unit) = {
     require(buckets > 0, "buckets must be positive")
     require(maxBroadcastFront >= 1, "maxBroadcastFront must be positive")
     requireNoSkColumns(df, "pareto3d")
@@ -152,7 +176,7 @@ object Skyline {
       col(zCol).isNotNull)
     val (xd, yd) = (col(xCol).cast("double"), col(yCol).cast("double"))
     val stats = pts.agg(min(xd), max(xd), min(yd), max(yd)).head()
-    if (stats.isNullAt(0)) return pts.limit(0)
+    if (stats.isNullAt(0)) return (pts.limit(0), () => ())
     def bucketOf(c: Column, lo: Double, hi: Double): Column = {
       val width = math.max((hi - lo) / buckets, java.lang.Double.MIN_NORMAL)
       least(floor((c - lit(lo)) / lit(width)), lit(buckets - 1L)).cast("long")
@@ -171,11 +195,20 @@ object Skyline {
     val bounds = cells
       .select(col("sk_bx"), col("sk_by"), max(col("sk_bz")).over(wSuf).as("sk_suf"))
       .select(col("sk_bx"), col("sk_by"), max(col("sk_suf")).over(wPre).as("sk_lo"))
+    // sk_cid is a per-row unique id for the chunked fallback's split: a
+    // VALUE hash of the metrics would send every duplicate of a hot point
+    // to one chunk, so a heavily-duplicated corpus could push a single
+    // chunk far past maxBroadcastFront and OOM the broadcast the fallback
+    // exists to avoid. monotonically_increasing_id is unique per row and
+    // shuffle-free; consecutive ids round-robin across chunks, so chunk
+    // sizes stay ~n/chunks regardless of value skew. Stable across block
+    // eviction: the persisted plan under it is a deterministic scan.
     val survivors = pts
       .join(broadcast(bounds),
         bx === col("sk_bx") && by === col("sk_by"), "left")
       .filter(col("sk_lo").isNull || col(zCol) > col("sk_lo"))
       .drop("sk_bx", "sk_by", "sk_lo")
+      .withColumn("sk_cid", monotonically_increasing_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val dominated: Column =
@@ -186,6 +219,8 @@ object Skyline {
     def qSide(s: DataFrame): DataFrame = s.select(col(xCol).as("sk_qx"),
       col(yCol).as("sk_qy"), col(zCol).as("sk_qz"))
 
+    val scratch = scala.collection.mutable.ListBuffer
+      .empty[org.apache.spark.rdd.RDD[_]]
     val n = survivors.count()
     val out =
       if (n <= maxBroadcastFront)
@@ -193,22 +228,40 @@ object Skyline {
       else {
         // chunked exact pass: dominator chunks come from the ORIGINAL
         // survivor set (a point removed from the running set is still a
-        // valid dominator — transitivity is not needed), split by a
-        // value hash so the split is deterministic under retries
+        // valid dominator — transitivity is not needed)
         val chunks = ((n + maxBroadcastFront - 1) / maxBroadcastFront).toInt
-        val chunkOf = pmod(
-          xxhash64(col(xCol), col(yCol), col(zCol)), lit(chunks.toLong))
+        val chunkOf = pmod(col("sk_cid"), lit(chunks.toLong))
         var rest = survivors
         for (c <- 0 until chunks) {
           val chunk = qSide(survivors.filter(chunkOf === c.toLong))
           rest = rest.join(broadcast(chunk), dominated, "left_anti")
           // truncate the BNLJ tower every few chunks (paretoLayers'
-          // measured discipline) but never materialize the final lazy tail
+          // measured discipline); intermediates are tracked for release
           if ((c + 1) % 4 == 0 && c + 1 < chunks)
-            rest = rest.localCheckpoint(true)
+            rest = checkpointTracked(rest, scratch)
         }
         rest
       }
+    (out.drop("sk_cid"), () => {
+      survivors.unpersist()
+      scratch.foreach(_.unpersist(false))
+    })
+  }
+
+  /** localCheckpoint(eager) that records the checkpoint's backing RDD(s)
+    * in `freed`, so the caller can unpersist internal lineage-truncation
+    * points once the final result is materialized. (A localCheckpointed
+    * Dataset exposes no public unpersist handle — the registry diff is
+    * the portable way to reclaim it. Diff-based, so concurrent persists
+    * from OTHER threads of the same session could be swept in; the
+    * operators using this are single-threaded per call.) */
+  private def checkpointTracked(df: DataFrame,
+      freed: scala.collection.mutable.ListBuffer[org.apache.spark.rdd.RDD[_]])
+      : DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val out = df.localCheckpoint(true)
+    freed ++= (sc.getPersistentRDDs -- before).values
     out
   }
 

@@ -1044,9 +1044,17 @@ object Streaming {
     val stageP = new org.apache.hadoop.fs.Path(s"$path/.front.inprogress")
     fs.delete(stageP, true)
     merged.coalesce(1).write.mode("overwrite").parquet(stageP.toString)
-    fs.delete(oldP, true) // leftover from a crash after a completed swap
-    if (fs.exists(frontP))
+    // `front.old` is deleted only while `front` exists: when recovering
+    // from a mid-swap crash (front absent, front.old the only committed
+    // copy — already folded into `merged` via the read fallback), deleting
+    // it BEFORE the publish rename would destroy the sole committed front,
+    // and a crash in that window would lose the accumulated frontier. With
+    // the publish-first order every crash point still has a committed copy
+    // on disk: front, or front.old, or both (reads prefer front).
+    if (fs.exists(frontP)) {
+      fs.delete(oldP, true) // leftover from a crash after a completed swap
       require(fs.rename(frontP, oldP), s"paretoSink: rename-aside of $frontP failed")
+    }
     require(fs.rename(stageP, frontP), s"paretoSink: publish of $frontP failed")
     fs.delete(oldP, true)
     import spark.implicits._

@@ -460,13 +460,33 @@ class EntrySpec extends SparkSpec {
     assert(!fs02.contains("CartesianProduct")
       && !fs02.contains("BroadcastNestedLoopJoin"),
       "fs02 planned a dim hop as a non-equi join")
-    // sk02: the ONLY nested loop allowed is the survivor-set exact pass,
-    // which must be the BROADCAST variant (survivors are front-scale);
-    // a corpus-side SortMergeJoin would mean the grid prune fell out
+    // sk02: the query returns the materialized front (r15 — pareto3d
+    // checkpoints so its survivor cache can be released; g02/g08's
+    // materialized-result contract), so the RESULT plan is a checkpoint
+    // scan; the exact-pass shape is pinned on the staged (lazy) form
+    // over the same input below
     val sk02 = plan("sk02_pareto3d")
-    assert(sk02.contains("BroadcastNestedLoopJoin"),
+    assert(sk02.contains("Scan ExistingRDD") && !sk02.contains("Join"),
+      s"sk02 lost its materialized-front shape:\n$sk02")
+    // the ONLY nested loop allowed is the survivor-set exact pass, which
+    // must be the BROADCAST variant (survivors are front-scale); a
+    // corpus-side SortMergeJoin would mean the grid prune fell out
+    val sk02pts = {
+      import org.apache.spark.sql.functions.{array_distinct, col, split,
+        size => asize, filter => afilter}
+      val ws = afilter(split(col("text"), " "), w => w =!= "")
+      graft.Tables.table(spark, sf(), "documents").select(
+        col("doc_id"), col("n_chars").as("x"),
+        asize(array_distinct(ws)).cast("long").as("y"),
+        asize(ws).cast("long").as("z"))
+    }
+    val (staged, release) =
+      graft.operators.Skyline.pareto3dStaged(sk02pts, "x", "y", "z")
+    val sk02x = staged.queryExecution.executedPlan.toString
+    release()
+    assert(sk02x.contains("BroadcastNestedLoopJoin"),
       "sk02 lost the broadcast exact pass")
-    assert(!sk02.contains("CartesianProduct") && !sk02.contains("SortMergeJoin"),
+    assert(!sk02x.contains("CartesianProduct") && !sk02x.contains("SortMergeJoin"),
       "sk02 planned an unbroadcast all-pairs or corpus shuffle join")
     // sk04: per-group fronts are PARTITIONED windows — the degenerate
     // global-order Window.orderBy form would single-partition the corpus

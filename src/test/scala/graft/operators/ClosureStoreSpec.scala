@@ -36,6 +36,15 @@ class ClosureStoreSpec extends SparkSpec {
       .select("node").as[Long].collect().toSet
   }
 
+  /** The live generation directory of a store (highest committed gen). */
+  private def genDir(p: String): String = {
+    val gens = new java.io.File(p).listFiles()
+      .filter(f => f.isDirectory && f.getName.matches("gen-\\d{7}"))
+      .map(_.toString).sorted
+    assert(gens.nonEmpty, s"no committed generation under $p")
+    gens.last
+  }
+
   test("foldDelta equals the from-scratch closure over the union, hub move included") {
     val p = java.nio.file.Files.createTempDirectory("cstore").toString
     ClosureStore.build(oldDocs, Seq(2L).toDF("doc_id"), p)
@@ -92,28 +101,128 @@ class ClosureStoreSpec extends SparkSpec {
     // double-commit of a batch id fails loud; the probe answers first
     assert(ClosureStore.batchIngested(spark, p, "day1"))
     assert(!ClosureStore.batchIngested(spark, p, "day3"))
+    // exact id matching: "ay1" is a SUFFIX of committed "day1" but was
+    // never committed itself (the endsWith false-positive class — ids
+    // containing '-' hit it: committed "x-b1" vs probe "b1")
+    assert(!ClosureStore.batchIngested(spark, p, "ay1"))
     val e = intercept[IllegalStateException] {
       ClosureStore.advance(day2Docs, Seq.empty[Long].toDF("doc_id"), p, "day2")
     }
     assert(e.getMessage.contains("already committed"), e.getMessage)
     // a crashed staging dir is invisible to every reader
     Seq((99L, "junk")).toDF("doc_id", "text").write
-      .parquet(s"$p/.batch-crashed.inprogress/postings")
+      .parquet(s"${genDir(p)}/.batch-crashed.inprogress/postings")
     assert(ClosureStore.foldDelta(
         Seq((20L, chunkA)).toDF("doc_id", "text"),
         spark.emptyDataset[Long].toDF("doc_id"), p)
       .select("node").as[Long].collect().toSet == expected + 20L)
   }
 
-  test("a torn store (one component rebuilt without restamping) fails loud") {
+  test("compact folds batches into a fresh base: reads, folds, and probes invariant") {
+    val p = java.nio.file.Files.createTempDirectory("cstore-cmp").toString
+    ClosureStore.build(oldDocs, Seq(2L).toDF("doc_id"), p)
+    ClosureStore.advance(newDocs, Seq(3L).toDF("doc_id"), p, "day1")
+    val day2Docs = Seq((0L, chunkA), (9L, "isolated brand new content words"))
+      .toDF("doc_id", "text")
+    ClosureStore.advance(day2Docs, spark.emptyDataset[Long].toDF("doc_id"), p, "day2")
+    val before = ClosureStore.storedClosure(spark, p)
+      .select("node").as[Long].collect().toSet
+    val probe = Seq((20L, chunkA)).toDF("doc_id", "text")
+    val foldBefore = ClosureStore.foldDelta(
+        probe, spark.emptyDataset[Long].toDF("doc_id"), p)
+      .select("node").as[Long].collect().toSet
+    val genBefore = genDir(p)
+
+    ClosureStore.compact(spark, p)
+
+    // a new generation replaced the old one; no batch dirs remain
+    assert(genDir(p) != genBefore)
+    assert(!new java.io.File(genBefore).exists(), "old generation cleaned up")
+    assert(!new java.io.File(s"${genDir(p)}/batches").exists() ||
+      new java.io.File(s"${genDir(p)}/batches").listFiles().isEmpty)
+    // compact-then-read ≡ composed-read
+    assert(ClosureStore.storedClosure(spark, p)
+      .select("node").as[Long].collect().toSet == before)
+    // compact-then-fold ≡ composed-fold
+    assert(ClosureStore.foldDelta(
+        probe, spark.emptyDataset[Long].toDF("doc_id"), p)
+      .select("node").as[Long].collect().toSet == foldBefore)
+    // ≡ from-scratch build over the accumulated corpus
+    val all = oldDocs.unionByName(newDocs).unionByName(day2Docs)
+    val p2 = java.nio.file.Files.createTempDirectory("cstore-cmp2").toString
+    ClosureStore.build(all, Seq(2L, 3L).toDF("doc_id"), p2)
+    assert(ClosureStore.storedClosure(spark, p2)
+      .select("node").as[Long].collect().toSet == before)
+    // the replay ledger absorbed the compacted batches: probes still
+    // answer true and a replayed advance still fails loud
+    assert(ClosureStore.batchIngested(spark, p, "day1"))
+    assert(ClosureStore.batchIngested(spark, p, "day2"))
+    assert(!ClosureStore.batchIngested(spark, p, "day3"))
+    val e = intercept[IllegalStateException] {
+      ClosureStore.advance(day2Docs, Seq.empty[Long].toDF("doc_id"), p, "day2")
+    }
+    assert(e.getMessage.contains("already committed"))
+    // the store keeps rolling forward after a compact
+    val day3 = ClosureStore.advance(
+        Seq((21L, chunkB)).toDF("doc_id", "text"),
+        spark.emptyDataset[Long].toDF("doc_id"), p, "day3")
+      .select("node").as[Long].collect().toSet
+    assert(day3 == before + 21L)
+  }
+
+  test("a crash mid-compact leaves the old generation fully readable") {
+    val p = java.nio.file.Files.createTempDirectory("cstore-crash").toString
+    ClosureStore.build(oldDocs, Seq(2L).toDF("doc_id"), p)
+    ClosureStore.advance(newDocs, Seq(3L).toDF("doc_id"), p, "day1")
+    val before = ClosureStore.storedClosure(spark, p)
+      .select("node").as[Long].collect().toSet
+    // simulate a compact that crashed mid-staging: a partial dot-prefixed
+    // next-generation dir (only one component written, nothing stamped)
+    spark.read.parquet(s"${genDir(p)}/closure").write
+      .parquet(s"$p/.gen-0000002.inprogress/closure")
+    // every reader still resolves the committed generation
+    assert(ClosureStore.storedClosure(spark, p)
+      .select("node").as[Long].collect().toSet == before)
+    assert(ClosureStore.batchIngested(spark, p, "day1"))
+    // a retried compact restages over the leftover and commits cleanly
+    ClosureStore.compact(spark, p)
+    assert(ClosureStore.storedClosure(spark, p)
+      .select("node").as[Long].collect().toSet == before)
+  }
+
+  test("rebuild over a live store supersedes base AND batches, keeps the ledger") {
+    val p = java.nio.file.Files.createTempDirectory("cstore-rebuild").toString
+    ClosureStore.build(oldDocs, Seq(2L).toDF("doc_id"), p)
+    ClosureStore.advance(newDocs, Seq(3L).toDF("doc_id"), p, "day1")
+    // rebuild over a FILTERED corpus (docs 3, 5 dropped on purpose) — the
+    // advisor's poison case for in-place rebuilds: stale batch postings
+    // must NOT compose with the new base
+    val rebuiltCorpus = oldDocs.unionByName(newDocs)
+      .filter(col("doc_id") =!= 3L && col("doc_id") =!= 5L)
+    ClosureStore.build(rebuiltCorpus, Seq(2L).toDF("doc_id"), p)
+    val star = Dedup.chunkShareEdges(rebuiltCorpus)
+    val edges = star.unionAll(
+      star.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+    val expected = Graph.reachableFrom(edges, Seq(2L).toDF("doc_id"),
+        srcCol = "a_id", dstCol = "b_id")
+      .select("node").as[Long].collect().toSet
+    assert(ClosureStore.storedClosure(spark, p)
+      .select("node").as[Long].collect().toSet == expected)
+    assert(!expected.contains(3L), "filtered doc must not leak from old batches")
+    // the ledger carried forward: a streaming replay of day1 is skipped
+    assert(ClosureStore.batchIngested(spark, p, "day1"))
+  }
+
+  test("a torn generation (one component rebuilt without restamping) fails loud") {
     val p = java.nio.file.Files.createTempDirectory("cstore-torn").toString
     ClosureStore.build(oldDocs, Seq(2L).toDF("doc_id"), p)
     // simulate a crashed partial rebuild: the closure is rewritten alone —
     // the parquet overwrite wipes its generation stamp
-    spark.read.parquet(s"$p/closure").limit(1)
-      .write.mode("overwrite").parquet(s"$p/closure.tmp")
-    spark.read.parquet(s"$p/closure.tmp")
-      .write.mode("overwrite").parquet(s"$p/closure")
+    val g = genDir(p)
+    spark.read.parquet(s"$g/closure").limit(1)
+      .write.mode("overwrite").parquet(s"$g/closure.tmp")
+    spark.read.parquet(s"$g/closure.tmp")
+      .write.mode("overwrite").parquet(s"$g/closure")
     val e = intercept[IllegalStateException] {
       ClosureStore.foldDelta(newDocs, Seq(3L).toDF("doc_id"), p)
     }
@@ -128,7 +237,7 @@ class ClosureStoreSpec extends SparkSpec {
     // cross-wiring components of two builds is the mixed-generation state
     val e = intercept[IllegalStateException] {
       ArtifactStamp.verifyAligned(spark, "cross",
-        Seq(s"$p1/postings", s"$p2/edges"))
+        Seq(s"${genDir(p1)}/postings", s"${genDir(p2)}/edges"))
     }
     assert(e.getMessage.contains("torn or stale"))
   }

@@ -120,6 +120,50 @@ class SkylineSpec extends SparkSpec {
     assert(got == 300L)
   }
 
+  test("pareto3d releases every internal cache: one persisted RDD per call (its result)") {
+    val sc = spark.sparkContext
+    def registry = sc.getPersistentRDDs.keySet
+    val df = spark.range(400).select(col("id"),
+      pmod(col("id") * 37 + 11, lit(59)).as("x"),
+      pmod(col("id") * 53 + 7, lit(61)).as("y"),
+      pmod(col("id") * 17 + 3, lit(67)).as("z"))
+    val before = registry
+    // broadcast path, then the chunked fallback (with mid-loop lineage
+    // truncations) — each call must leave behind ONLY the returned
+    // frame's own materialization, never the survivor cache or the
+    // truncation checkpoints (advisor r14: repeated calls in a long
+    // session accumulated survivor blocks until LRU pressure)
+    Skyline.pareto3d(df, "x", "y", "z").count()
+    Skyline.pareto3d(df, "x", "y", "z", maxBroadcastFront = 20L).count()
+    // at most the two results' own checkpoints remain (the ContextCleaner
+    // may already have reclaimed the dropped first result); the old code
+    // left 2 survivor caches + the truncation checkpoints on top
+    val leaked = sc.getPersistentRDDs -- before
+    assert(leaked.size <= 2, s"internal caches leaked: " +
+      s"${leaked.values.map(_.toString).mkString("; ")}")
+    leaked.values.foreach(_.unpersist(true))
+    assert(registry == before)
+  }
+
+  test("pareto3d chunked fallback: heavy duplication cannot pile one chunk") {
+    // 240 EXACT copies of a single non-dominated point + a scatter — a
+    // metric-VALUE chunk hash would send every copy to one chunk (way
+    // past maxBroadcastFront=50); the row-unique split keeps chunks
+    // ~n/chunks regardless, and duplicates of a front point all survive
+    val dup = spark.range(240).select((col("id") + 1000).as("id"),
+      lit(0L).as("x"), lit(100L).as("y"), lit(100L).as("z"))
+    val scatter = spark.range(300).select(col("id"),
+      (pmod(col("id") * 37 + 11, lit(59)) + 1).as("x"),
+      pmod(col("id") * 53 + 7, lit(61)).as("y"),
+      pmod(col("id") * 17 + 3, lit(67)).as("z"))
+    val df = dup.unionByName(scatter)
+    val got = Skyline.pareto3d(df, "x", "y", "z", maxBroadcastFront = 50L)
+      .select(col("id").cast("long")).as[Long].collect().toSet
+    assert(got == brute3(df).map(_._1))
+    assert((1000L until 1240L).forall(got.contains),
+      "every duplicate of the front point survives (mutual non-domination)")
+  }
+
   test("pareto3d degenerate axes: constant x+y reduces to max(z); ties all survive") {
     val df = Seq((1L, 5L, 5L, 9L), (2L, 5L, 5L, 9L), (3L, 5L, 5L, 1L))
       .toDF("id", "x", "y", "z")
