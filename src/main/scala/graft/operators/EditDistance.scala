@@ -227,11 +227,23 @@ object EditDistance {
     import spark.implicits._
     Seq(maxDist).toDF("max_dist").coalesce(1)
       .write.mode("overwrite").parquet(s"$path/meta")
+    // one generation stamp across all three base components (the
+    // ClosureStore discipline): a crash between the segs and shorts
+    // writes of a rebuild, or a partial rebuild of one component, would
+    // otherwise silently probe torn state — incomplete candidates, not
+    // an error. Batch directories need no stamp: each publishes whole
+    // via its own atomic rename.
+    ArtifactStamp.stampAll(spark, baseParts(path))
   }
 
+  private def baseParts(path: String): Seq[String] =
+    Seq(s"$path/segs", s"$path/shorts", s"$path/meta")
+
   private def indexK(spark: org.apache.spark.sql.SparkSession,
-      path: String): Int =
+      path: String): Int = {
+    ArtifactStamp.verifyAligned(spark, "editdist index", baseParts(path))
     spark.read.parquet(s"$path/meta").head().getAs[Int]("max_dist")
+  }
 
   private def hadoopFs(spark: org.apache.spark.sql.SparkSession,
       path: String): org.apache.hadoop.fs.FileSystem =

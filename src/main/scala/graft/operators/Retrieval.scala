@@ -142,6 +142,39 @@ object Retrieval {
     (postings, dfT, stats)
   }
 
+  /** Publish a [[bm25Index]] to disk as the three tables a retrieval
+    * service keeps — `postings/`, `df/`, `stats/` — stamped with ONE
+    * generation id ([[ArtifactStamp]], the ClosureStore discipline): a
+    * crash between the component writes of a rebuild would otherwise
+    * leave yesterday's df beside today's postings, and BM25 scored with
+    * mismatched df/stats is silently mis-ranked, not an error. */
+  def writeBm25Index(
+      docs: DataFrame,
+      path: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      termCol: String = "term"
+  ): Unit = {
+    val (postings, dfT, stats) = bm25Index(docs, idCol, textCol, termCol)
+    postings.write.mode("overwrite").parquet(s"$path/postings")
+    dfT.write.mode("overwrite").parquet(s"$path/df")
+    stats.coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+    ArtifactStamp.stampAll(docs.sparkSession, bm25Parts(path))
+  }
+
+  private def bm25Parts(path: String): Seq[String] =
+    Seq(s"$path/postings", s"$path/df", s"$path/stats")
+
+  /** The stored [[writeBm25Index]] tables, stamp-verified — the tuple
+    * [[bm25SearchIndexed]] / `Streaming.bm25SearchStream` consume. */
+  def readBm25Index(spark: org.apache.spark.sql.SparkSession, path: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    ArtifactStamp.verifyAligned(spark, "BM25 index", bm25Parts(path))
+    (spark.read.parquet(s"$path/postings"),
+      spark.read.parquet(s"$path/df"),
+      spark.read.parquet(s"$path/stats"))
+  }
+
   /** BM25 search against a STORED index ([[bm25Index]] tables): the
     * postings scan is broadcast-filtered by the query vocabulary before
     * scoring, so per-batch cost is ∝ the matched postings — the corpus

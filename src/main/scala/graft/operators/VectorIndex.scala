@@ -95,7 +95,17 @@ object VectorIndex {
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
     codebooks.write.mode("overwrite").parquet(s"$path/codebooks")
     encoded.write.mode("overwrite").parquet(s"$path/codes")
+    // one generation stamp across all four components (the ClosureStore
+    // discipline): codes encoded against one fit joined with another
+    // build's codebooks would score garbage distances SILENTLY — the
+    // exact torn state a crash between these four writes leaves. Appends
+    // ([[appendBatch]]) encode with the stored fits into the stamped
+    // codes dir and never touch the stamp.
+    ArtifactStamp.stampAll(spark, parts(path))
   }
+
+  private def parts(path: String): Seq[String] =
+    Seq(s"$path/params", s"$path/centroids", s"$path/codebooks", s"$path/codes")
 
   /** Encode a NEW batch with the stored fits and append it to `codes/` —
     * incremental ingest without refit or history re-scan (the IVF analog of
@@ -251,6 +261,9 @@ object VectorIndex {
 
   private def readParams(spark: SparkSession, path: String)
       : (Int, Int, Int, Int, Boolean, Int) = {
+    // every read path ([[load]]/[[search]]/[[appendBatch]]) resolves the
+    // params first — one choke point for the torn-build check
+    ArtifactStamp.verifyAligned(spark, "IVFADC index", parts(path))
     val p = spark.read.parquet(s"$path/params").head()
     (p.getAs[Int]("m"), p.getAs[Int]("sd"), p.getAs[Int]("ks"),
       p.getAs[Int]("dim"), p.getAs[Boolean]("residual"), p.getAs[Int]("k_cells"))

@@ -161,6 +161,53 @@ object Winnowing {
       .select(col(idCol).as("did"), size(col("fps")).as("nfp"),
         explode(col("fps")).as("fp"))
 
+  /** Publish a [[fingerprintIndex]] to disk: `postings/` plus a `meta/`
+    * row pinning (k, w) — the winnowing scheme is a function of both, so
+    * probing a k=3 index with k=5 batch fingerprints would produce
+    * disjoint values and a silently-EMPTY overlap set (the
+    * EditDistance maxDist-pin precedent); reads fail loud on mismatch
+    * instead. Both directories carry one generation stamp
+    * ([[ArtifactStamp]]): a torn rebuild (postings rewritten, meta not,
+    * or either alone) is an error, never a silent wrong answer. */
+  def writeFingerprintIndex(
+      docs: DataFrame,
+      path: String,
+      k: Int = 3,
+      w: Int = 4,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    fingerprintIndex(docs, k, w, idCol, textCol)
+      .write.mode("overwrite").parquet(s"$path/postings")
+    Seq((k, w)).toDF("k", "w").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/meta")
+    ArtifactStamp.stampAll(spark, fpParts(path))
+  }
+
+  private def fpParts(path: String): Seq[String] =
+    Seq(s"$path/postings", s"$path/meta")
+
+  /** The stored posting table, stamp-verified and (k, w)-pinned — the
+    * `index` frame [[incrementalOverlapPairs]] probes. The caller's
+    * (k, w) must equal the stored scheme. */
+  def readFingerprintIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      k: Int = 3,
+      w: Int = 4
+  ): DataFrame = {
+    ArtifactStamp.verifyAligned(spark, "winnowing index", fpParts(path))
+    val m = spark.read.parquet(s"$path/meta").head()
+    require(m.getAs[Int]("k") == k && m.getAs[Int]("w") == w,
+      s"winnowing index at $path was built with (k=${m.getAs[Int]("k")}, " +
+        s"w=${m.getAs[Int]("w")}), probed with (k=$k, w=$w) — the " +
+        "fingerprint schemes are disjoint and the overlap would be " +
+        "silently empty; rebuild or match the stored scheme")
+    spark.read.parquet(s"$path/postings")
+  }
+
   /** Incremental MOSS overlap: a NEW batch against a stored
     * [[fingerprintIndex]] — new×history pairs only, never
     * history×history. The doc-frequency boilerplate cap is computed over

@@ -128,16 +128,17 @@ object TextQueries {
 
   /** d51's STORED fingerprint index (history = doc_id < 250), written
     * once per (dir, JVM) — the e14 convention: the query reads the
-    * posting table from disk, so the measured surface is the steady-state
-    * check a submission service pays, not the one-time index build. */
+    * posting table from disk (stamp-verified, (k, w)-pinned — r15's
+    * unified stored-index discipline), so the measured surface is the
+    * steady-state check a submission service pays, not the one-time
+    * index build. */
   private def winnowIndex(
       s: org.apache.spark.sql.SparkSession, dir: String): String =
     gateMemo.computeIfAbsent(s"winidx:$dir", _ => {
       val p = java.nio.file.Files.createTempDirectory("graft-winidx").toString
-      graft.operators.Winnowing.fingerprintIndex(
+      graft.operators.Winnowing.writeFingerprintIndex(
         Tables.table(s, dir, "documents").filter(col("doc_id") < 250),
-        k = 3, w = 4)
-        .write.parquet(s"$p/postings")
+        p, k = 3, w = 4)
       p
     })
 
@@ -2344,7 +2345,8 @@ object TextQueries {
         val docs = Tables.table(s, dir, "documents")
         Winnowing.incrementalOverlapPairs(
           batch = docs.filter(col("doc_id") >= 250),
-          index = s.read.parquet(s"${winnowIndex(s, dir)}/postings"),
+          index = Winnowing.readFingerprintIndex(
+            s, winnowIndex(s, dir), k = 3, w = 4),
           k = 3, w = 4, minShared = 2, maxDocFreq = 200)
       },
       Some("""WITH t AS (SELECT doc_id,

@@ -1114,6 +1114,58 @@ object Streaming {
     true
   }
 
+  /** STREAM-MAINTAINED edit-distance segment index —
+    * [[graft.operators.EditDistance.appendIndex]] as a streaming
+    * consumer: each micro-batch of documents fingerprints itself
+    * (O(batch) — history is never re-read, let alone re-fingerprinted)
+    * and folds into the stored segment/short tables, so
+    * [[graft.operators.EditDistance.incrementalPairs]] probes are
+    * current to the last micro-batch. The character-level twin of
+    * [[closureSink]], sharing its exactly-once discipline: the index
+    * commit is ONE atomic rename of one batch directory keyed by the
+    * streaming batch id — a crash mid-batch leaves nothing visible
+    * (replay re-stages), and a crash AFTER the commit but before the
+    * checkpoint records it is caught by the `batchIngested` probe on
+    * re-delivery, which skips the batch whole. The commit IS the
+    * marker. Bootstrap the base with
+    * [[graft.operators.EditDistance.writeIndex]] first (an empty frame
+    * is a valid base). Empty micro-batches commit nothing (skipped
+    * consistently on replay too).
+    *
+    * Pair emission stays a READ, deliberately: emitting pairs from
+    * inside the sink would put the output on the wrong side of the
+    * commit marker (pairs delivered but batch uncommitted on crash, or
+    * vice versa). A consumer that wants the pair stream runs
+    * `incrementalPairs(batch, …)` BEFORE the fold, or queries the
+    * maintained index on its own cadence. */
+  def editIndexSink(
+      docs: DataFrame,
+      path: String,
+      idCol: String = "doc_id",
+      strCol: String = "text",
+      trigger: Trigger = Trigger.AvailableNow()
+  ): DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.trigger(trigger).foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        applyEditIndexBatch(batch, path, idCol, strCol, batchId)
+        ()
+    }
+
+  /** One micro-batch of [[editIndexSink]], factored out so replay
+    * semantics are directly testable. Returns true when the batch was
+    * committed, false when recognized as already-committed or empty. */
+  private[graft] def applyEditIndexBatch(
+      batch: DataFrame, path: String,
+      idCol: String, strCol: String, batchId: Long): Boolean = {
+    val spark = batch.sparkSession
+    val id = s"b$batchId"
+    if (graft.operators.EditDistance.batchIngested(spark, path, id))
+      return false // crash-after-commit replay: skip whole
+    if (batch.isEmpty) return false
+    graft.operators.EditDistance.appendIndex(batch, idCol, strCol, path, id)
+    true
+  }
+
   /** The stored front if any batch ever committed: `front`, or the
     * `front.old` a crash between the swap renames left behind. */
   private def currentParetoFront(

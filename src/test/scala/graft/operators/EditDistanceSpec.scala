@@ -166,6 +166,27 @@ class EditDistanceSpec extends SparkSpec {
     assert(EditDistance.batchIngested(spark, root, "crashed"))
   }
 
+  test("a torn index base (one component rewritten without restamping) fails loud") {
+    val all = (0L until 60L).map(i => (i, mkStr(i)))
+    val root = java.nio.file.Files.createTempDirectory("ed-torn").toString
+    EditDistance.writeIndex(all.toDF("id", "s"), "id", "s", 2, root)
+    // simulate a crashed partial rebuild: shorts rewritten alone — the
+    // parquet overwrite wipes its generation stamp
+    spark.read.parquet(s"$root/shorts").limit(1)
+      .write.mode("overwrite").parquet(s"$root/shorts.tmp")
+    spark.read.parquet(s"$root/shorts.tmp")
+      .write.mode("overwrite").parquet(s"$root/shorts")
+    val e = intercept[IllegalStateException] {
+      EditDistance.incrementalPairs(
+        Seq((500L, mkStr(3L))).toDF("id", "s"), "id", "s", root)
+    }
+    assert(e.getMessage.contains("torn or stale"), e.getMessage)
+    // a full rewrite restores alignment
+    EditDistance.writeIndex(all.toDF("id", "s"), "id", "s", 2, root)
+    EditDistance.incrementalPairs(
+      Seq((500L, mkStr(3L))).toDF("id", "s"), "id", "s", root).count()
+  }
+
   test("partitioning independence") {
     val strs = (0L until 150L).map(i => (i, mkStr(i)))
     val a = EditDistance.editDistancePairs(strs.toDF("id", "s"), "id", "s", 2)

@@ -123,6 +123,30 @@ class RetrievalSpec extends SparkSpec {
     assert(indexed == inline)
   }
 
+  test("the stored BM25 index round-trips exactly; a torn store fails loud") {
+    val qs = Seq((1L, "spark"), (1L, "fast"), (2L, "vector"), (3L, "engine"))
+      .toDF("qid", "term")
+    val inline = Retrieval.bm25TopK(docs, qs, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+    val root = java.nio.file.Files.createTempDirectory("bm25-idx").toString
+    Retrieval.writeBm25Index(docs, root)
+    val (p, d, st) = Retrieval.readBm25Index(spark, root)
+    val stored = Retrieval.bm25SearchIndexed(p, d, st, qs, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+    assert(stored == inline)
+    // simulate a crashed partial rebuild: df rewritten alone — BM25
+    // scored with yesterday's df against today's postings is silently
+    // mis-ranked, so the read must fail loud instead
+    spark.read.parquet(s"$root/df")
+      .write.mode("overwrite").parquet(s"$root/df.tmp")
+    spark.read.parquet(s"$root/df.tmp")
+      .write.mode("overwrite").parquet(s"$root/df")
+    val e = intercept[IllegalStateException] {
+      Retrieval.readBm25Index(spark, root)
+    }
+    assert(e.getMessage.contains("torn or stale"), e.getMessage)
+  }
+
   test("hybridRrfTopK fuses ranks; single-arm docs get single contributions") {
     // Embeddings: ids 1..4 share doc ids with the corpus. Query 0's
     // vector is axis-aligned so cosine ranks are knowable: doc 2 ~ e1,

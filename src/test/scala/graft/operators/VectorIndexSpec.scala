@@ -56,6 +56,28 @@ class VectorIndexSpec extends SparkSpec {
     assert(got.groupBy("q_id").count().filter(col("count") =!= 3).isEmpty)
   }
 
+  test("a torn index (one component rebuilt without restamping) fails loud") {
+    val dir = tmp("torn")
+    VectorIndex.write(emb, dir, nCentroids = 8, m = 8, ks = 8)
+    VectorIndex.search(qs, dir, k = 3, nProbe = 4, refine = 8).count()
+    // simulate a crashed partial rebuild: codebooks rewritten alone — the
+    // parquet overwrite wipes the generation stamp, and codes encoded
+    // against the OLD codebooks would score garbage distances silently
+    spark.read.parquet(s"$dir/codebooks")
+      .write.mode("overwrite").parquet(s"$dir/codebooks.tmp")
+    spark.read.parquet(s"$dir/codebooks.tmp")
+      .write.mode("overwrite").parquet(s"$dir/codebooks")
+    val e = intercept[IllegalStateException] {
+      VectorIndex.search(qs, dir, k = 3, nProbe = 4, refine = 8)
+    }
+    assert(e.getMessage.contains("torn or stale"), e.getMessage)
+    // appendBatch goes through the same choke point
+    val e2 = intercept[IllegalStateException] {
+      VectorIndex.appendBatch(emb.limit(5), dir)
+    }
+    assert(e2.getMessage.contains("torn or stale"))
+  }
+
   test("appendBatch: incremental codes equal a from-scratch build with the same fits") {
     val cf = Similarity.fitCoarseQuantizer(emb, nCentroids = 8)
     val pf = Similarity.fitPqCodebooks(emb, m = 8, ks = 8)

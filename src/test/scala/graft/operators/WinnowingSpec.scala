@@ -119,4 +119,31 @@ class WinnowingSpec extends SparkSpec {
     assert(hits.contains((d2id, d2id - 100000L)),
       s"day-2 copy of a day-1 doc not found through the appended index: $hits")
   }
+
+  test("the stored fingerprint index round-trips; scheme mismatch and torn store fail loud") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val hist = docs.filter(col("doc_id") < 250)
+    val root = java.nio.file.Files.createTempDirectory("win-idx").toString
+    Winnowing.writeFingerprintIndex(hist, root, k = 3, w = 4)
+    val stored = Winnowing.readFingerprintIndex(spark, root, k = 3, w = 4)
+      .as[(Long, Int, Long)].collect().toSet
+    val inline = Winnowing.fingerprintIndex(hist, k = 3, w = 4)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(stored == inline)
+    // probing with a different scheme would be a silently-EMPTY overlap —
+    // the (k, w) pin turns it into an error naming the stored scheme
+    val e = intercept[IllegalArgumentException] {
+      Winnowing.readFingerprintIndex(spark, root, k = 5, w = 4)
+    }
+    assert(e.getMessage.contains("k=3"), e.getMessage)
+    // a torn store (postings rewritten alone, stamp wiped) fails loud
+    spark.read.parquet(s"$root/postings").limit(1)
+      .write.mode("overwrite").parquet(s"$root/postings.tmp")
+    spark.read.parquet(s"$root/postings.tmp")
+      .write.mode("overwrite").parquet(s"$root/postings")
+    val e2 = intercept[IllegalStateException] {
+      Winnowing.readFingerprintIndex(spark, root, k = 3, w = 4)
+    }
+    assert(e2.getMessage.contains("torn or stale"), e2.getMessage)
+  }
 }
