@@ -1026,6 +1026,29 @@ object Dedup {
       .select(col("fp"), col("doc_id").as("a_id"), col("hub").as("b_id"))
   }
 
+  /** [[chunkShareEdgesFromPostings]] with each star edge carrying its
+    * chunk's DOCUMENT FREQUENCY as a traversal cost — the weighted share
+    * graph behind "how strongly does this document derive from the
+    * flagged set": sharing a RARE chunk (df 2) is near-verbatim lineage
+    * and costs little; sharing boilerplate every document carries costs
+    * its full df. Fed to [[Graph.shortestPaths]], the min-cost distance
+    * is the cheapest chain of chunk-sharing hops — the weighted twin of
+    * the d53 closure, which can only say reachable-or-not. Same scale
+    * shape as the unweighted star: one aggregate over the (storable)
+    * posting table + one |postings| join, edges ∝ postings, never the
+    * per-chunk clique (a hot chunk contributes df−1 spokes, not df²
+    * pairs); the df the hub aggregate already computes simply rides
+    * along. Output: (fp, a_id, b_id, df). */
+  def weightedChunkShareEdges(postings: DataFrame): DataFrame = {
+    val hubs = postings.groupBy("fp")
+      .agg(count(lit(1)).as("df"), min(col("doc_id")).as("hub"))
+      .filter(col("df") > 1)
+    postings.join(hubs, "fp")
+      .filter(col("doc_id") =!= col("hub"))
+      .select(col("fp"), col("doc_id").as("a_id"), col("hub").as("b_id"),
+        col("df"))
+  }
+
   /** EXACT all-pairs similarity join by prefix filtering (Bayardo et al.
     * 2007 All-Pairs; Xiao et al. 2008 PPJoin) — every pair with shingle
     * Jaccard ≥ t, with NO false negatives, where the LSH family

@@ -442,6 +442,17 @@ object Graph {
     *              (e.g. `1000000 DIV count`).
     * @param sources one-column frame of seed ids; duplicates collapse,
     *              every seed starts at distance 0.
+    * @param converge when true, `rounds` becomes an UPPER BOUND and the
+    *              loop stops at the first round that improves nothing —
+    *              one driver-side count per round (g02's class; kCore's
+    *              documented converge-at-scale pattern), each round
+    *              checkpointed so the counted frame is the carried
+    *              frame. At the stop the relaxation is a fixed point, so
+    *              the result is the TRUE shortest-path distance (on
+    *              non-negative weights) — the unbounded answer a
+    *              recursive-SQL engine computes — whenever the bound was
+    *              not hit. The fixed-K default stays the replayable
+    *              oracle-friendly contract.
     * @return (node, min_cost) for every node reachable from the seeds
     *         within `rounds` edges. */
   def shortestPaths(
@@ -453,7 +464,8 @@ object Graph {
       rounds: Int = 6,
       checkpointDir: Option[String] = None,
       truncateEvery: Int = 2,
-      smallVertexSet: Boolean = false
+      smallVertexSet: Boolean = false,
+      converge: Boolean = false
   ): DataFrame = {
     require(rounds >= 1, s"rounds must be positive, got $rounds")
     require(truncateEvery >= 1, s"truncateEvery must be positive, got $truncateEvery")
@@ -468,18 +480,36 @@ object Graph {
     var dist = sources
       .select(col(sources.columns.head).cast("long").as("node")).distinct()
       .withColumn("dist", lit(0L))
-    for (i <- 1 to rounds) {
+    var i = 0
+    var done = false
+    while (i < rounds && !done) {
+      i += 1
       val relaxed = e
         .join(maybeBcast(dist.withColumnRenamed("node", "src")), "src")
         .groupBy(col("dst").as("node"))
         .agg(min(col("dist") + col("cost")).as("cand"))
       // full outer: newly-reached nodes enter, improved nodes shrink,
-      // untouched nodes carry over — min with NULL-absorbing coalesce
+      // untouched nodes carry over — min with NULL-absorbing coalesce.
+      // sp_chg marks rows this round changed: new node (dist NULL) or a
+      // strictly better candidate — the convergence signal.
       val next = dist.join(relaxed, Seq("node"), "full_outer")
         .select(col("node"),
           least(coalesce(col("dist"), col("cand")),
-            coalesce(col("cand"), col("dist"))).as("dist"))
-      dist = if (i % truncateEvery == 0 || i == rounds) truncate(next) else next
+            coalesce(col("cand"), col("dist"))).as("dist"),
+          (col("dist").isNull ||
+            (col("cand").isNotNull && col("cand") < col("dist"))).as("sp_chg"))
+      if (converge) {
+        // checkpoint every round: the improvement count is a full pass
+        // anyway, and counting an uncheckpointed frame would pay the
+        // lineage twice (once here, once when the next round consumes it)
+        val mat = truncate(next)
+        done = mat.filter(col("sp_chg")).limit(1).isEmpty
+        dist = mat.drop("sp_chg")
+      } else {
+        val carried = next.drop("sp_chg")
+        dist = if (i % truncateEvery == 0 || i == rounds) truncate(carried)
+          else carried
+      }
     }
     e.unpersist()
     dist.select(col("node"), col("dist").as("min_cost"))

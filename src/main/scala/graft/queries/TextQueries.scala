@@ -2760,6 +2760,77 @@ object TextQueries {
           SELECT e.b FROM r JOIN e ON e.a = r.node)
         SELECT node AS doc_id FROM r""")),
 
+    GQ("g10_contamination_cost", // the WEIGHTED twin of d53 — minimum
+      // contamination COST to reach each document
+      // (`Dedup.weightedChunkShareEdges` → `Graph.shortestPaths`): d53
+      // says reachable-or-not; this grades HOW STRONGLY a document
+      // derives from the flagged set, with each chunk-share hop costing
+      // the chunk's document frequency — a rare shared chunk (df 2) is
+      // near-verbatim lineage and costs little, boilerplate every doc
+      // carries costs its full df, so min-cost = the cheapest sharing
+      // chain. Same graph as d53/g08 (star edges over the storable
+      // posting table, hub-mediated — edges ∝ postings, never the
+      // per-chunk clique), the df riding the hub aggregate for free;
+      // bounded Bellman-Ford over it is g09's exact shape (fixed 6
+      // integral relaxations → the oracle is six unrolled min-folds,
+      // bit-identical on both engines), with the reached set — the
+      // contamination neighborhood, 24 of 500 docs at sf0.01 —
+      // broadcast (smallVertexSet) so the edge table never shuffles.
+      (s, dir) => {
+        val docs = Tables.table(s, dir, "documents")
+        val we = graft.operators.Dedup.weightedChunkShareEdges(
+          graft.operators.Dedup.chunkPostings(docs))
+        val sym = we.select(col("a_id").as("src"), col("b_id").as("dst"),
+            col("df"))
+          .unionAll(we.select(col("b_id").as("src"), col("a_id").as("dst"),
+            col("df")))
+        graft.operators.Graph.shortestPaths(sym,
+            docs.filter(col("doc_id") % 31 === 0).select("doc_id"),
+            wCol = "df", rounds = 6, smallVertexSet = true)
+          .select(col("node").as("doc_id"), col("min_cost"))
+      },
+      Some("""WITH w AS (SELECT doc_id,
+            list_filter(string_split(text, ' '), x -> x <> '') AS ws
+          FROM documents),
+        occ AS (SELECT DISTINCT doc_id,
+            array_to_string(ws[i*8+1 : i*8+8], ' ') AS ctext
+          FROM w, UNNEST(generate_series(0,
+            CAST(ceil(len(ws) / 8.0) AS BIGINT) - 1)) AS t(i)),
+        hubs AS (SELECT ctext, CAST(COUNT(*) AS BIGINT) AS df,
+            MIN(doc_id) AS hub FROM occ
+          GROUP BY ctext HAVING COUNT(*) > 1),
+        e0 AS (SELECT DISTINCT o.doc_id AS a, h.hub AS b, h.df
+          FROM occ o JOIN hubs h USING (ctext) WHERE o.doc_id <> h.hub),
+        e AS (SELECT a AS src, b AS dst, df AS c FROM e0
+          UNION ALL SELECT b, a, df FROM e0),
+        d0 AS (SELECT DISTINCT doc_id AS node, CAST(0 AS BIGINT) AS dist
+          FROM documents WHERE doc_id % 31 = 0),
+        d1 AS (SELECT node, MIN(dist) AS dist FROM (
+            SELECT node, dist FROM d0 UNION ALL
+            SELECT e.dst, d0.dist + e.c FROM d0 JOIN e ON e.src = d0.node)
+          GROUP BY node),
+        d2 AS (SELECT node, MIN(dist) AS dist FROM (
+            SELECT node, dist FROM d1 UNION ALL
+            SELECT e.dst, d1.dist + e.c FROM d1 JOIN e ON e.src = d1.node)
+          GROUP BY node),
+        d3 AS (SELECT node, MIN(dist) AS dist FROM (
+            SELECT node, dist FROM d2 UNION ALL
+            SELECT e.dst, d2.dist + e.c FROM d2 JOIN e ON e.src = d2.node)
+          GROUP BY node),
+        d4 AS (SELECT node, MIN(dist) AS dist FROM (
+            SELECT node, dist FROM d3 UNION ALL
+            SELECT e.dst, d3.dist + e.c FROM d3 JOIN e ON e.src = d3.node)
+          GROUP BY node),
+        d5 AS (SELECT node, MIN(dist) AS dist FROM (
+            SELECT node, dist FROM d4 UNION ALL
+            SELECT e.dst, d4.dist + e.c FROM d4 JOIN e ON e.src = d4.node)
+          GROUP BY node),
+        d6 AS (SELECT node, MIN(dist) AS dist FROM (
+            SELECT node, dist FROM d5 UNION ALL
+            SELECT e.dst, d5.dist + e.c FROM d5 JOIN e ON e.src = d5.node)
+          GROUP BY node)
+        SELECT node AS doc_id, CAST(dist AS BIGINT) AS min_cost FROM d6""")),
+
     GQ("sh01_training_order", // deterministic global training order
       // (`Curation.trainingOrder`): the pre-training corpus shuffle as a
       // REPLAYABLE artifact — PolyHash sort keys (no rand(): retries,

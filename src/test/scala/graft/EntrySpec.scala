@@ -346,6 +346,18 @@ class EntrySpec extends SparkSpec {
       s"d57 planned a non-equi pair join:\n$d57")
   }
 
+  test("r15 plans keep their scale shapes") {
+    def plan(name: String): String =
+      SparkEntry.queries(name)(spark, sf())
+        .queryExecution.executedPlan.toString
+    // g10: the weighted contamination distance returns the truncated
+    // Bellman-Ford table — g09's materialized-result contract (reading
+    // it must not replay any relaxation round)
+    val g10 = plan("g10_contamination_cost")
+    assert(g10.contains("Scan ExistingRDD") && !g10.contains("Join"),
+      s"g10 lost its materialized-distance shape:\n$g10")
+  }
+
   test("r03 overlap join plans as an equi-join, never nested-loop") {
     // Spark's native plan for `key = key AND s < e2 AND s2 < e` keeps only
     // the key as the equi-condition; the bucket decomposition must yield a

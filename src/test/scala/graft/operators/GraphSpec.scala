@@ -290,6 +290,35 @@ class GraphSpec extends SparkSpec {
       s"got $capped")
   }
 
+  test("shortestPaths converge mode reaches the unbounded fixed point where fixed-K under-counts") {
+    import spark.implicits._
+    // a 9-hop chain with a costly shortcut: the true distance to node 9
+    // needs NINE relaxations (9 edges × cost 1 = 9), so the g09-style
+    // fixed K=6 under-counts it (shortcut cost 50) — the exact case the
+    // converge option exists for
+    val chain = (0L until 9L).map(i => (i, i + 1, 1L))
+    val edges = (chain :+ ((0L, 9L, 50L))).toDF("src", "dst", "w")
+    val seeds = Seq(0L).toDF("node")
+    val truth = (0L to 9L).map(i => i -> i).toMap // dist(i) = i
+    val fixed6 = Graph.shortestPaths(edges, seeds, rounds = 6)
+      .as[(Long, Long)].collect().toMap
+    assert(fixed6(9L) == 50L, s"fixed-6 should keep the shortcut: $fixed6")
+    // converged: rounds is an upper bound, the loop stops at the fixed
+    // point — the unbounded recursive min-dist answer
+    val conv = Graph.shortestPaths(edges, seeds, rounds = 20, converge = true)
+      .as[(Long, Long)].collect().toMap
+    assert(conv == truth, s"got $conv")
+    // a bound hit BEFORE convergence degrades to the fixed-K contract
+    assert(Graph.shortestPaths(edges, seeds, rounds = 3, converge = true)
+      .as[(Long, Long)].collect().toMap ==
+      Graph.shortestPaths(edges, seeds, rounds = 3)
+        .as[(Long, Long)].collect().toMap)
+    // plan/partitioning hatches compose with converge
+    assert(Graph.shortestPaths(edges.repartition(5), seeds, rounds = 20,
+        converge = true, smallVertexSet = true)
+      .as[(Long, Long)].collect().toMap == truth)
+  }
+
   test("shortestPaths: multi-seed min and partitioning independence") {
     import spark.implicits._
     val edges = Seq((0L, 2L, 5L), (1L, 2L, 3L), (2L, 3L, 1L))

@@ -264,6 +264,28 @@ class DedupSpec extends SparkSpec {
     assert(reach == Set(1L, 2L, 3L), s"got $reach")
   }
 
+  test("weightedChunkShareEdges: costs are chunk document frequencies; min-cost path beats hop count") {
+    // chunk A shared by docs 1/2/3 (df 3, hub 1); chunk B by docs 3/4
+    // (df 2, hub 3): spokes carry their chunk's df
+    val a = "a b c d e f g h"
+    val b = "p q r s t u v w"
+    val docs = Seq(
+      (1L, s"$a one extra tail"), (2L, s"$a two other tail"),
+      (3L, s"$a $b"), (4L, b)).toDF("doc_id", "text")
+    val we = Dedup.weightedChunkShareEdges(Dedup.chunkPostings(docs))
+      .select("a_id", "b_id", "df").as[(Long, Long, Long)].collect().toSet
+    assert(we == Set((2L, 1L, 3L), (3L, 1L, 3L), (4L, 3L, 2L)), s"got $we")
+    // composed with shortestPaths from seed 2: reaching doc 4 pays
+    // df(A) + df(B) = 3 + 2 = 5 through two hub hops
+    val sym = Dedup.weightedChunkShareEdges(Dedup.chunkPostings(docs))
+      .select(col("a_id").as("src"), col("b_id").as("dst"), col("df"))
+      .unionAll(Dedup.weightedChunkShareEdges(Dedup.chunkPostings(docs))
+        .select(col("b_id").as("src"), col("a_id").as("dst"), col("df")))
+    val dist = Graph.shortestPaths(sym, Seq(2L).toDF("node"), wCol = "df",
+        rounds = 4).as[(Long, Long)].collect().toMap
+    assert(dist == Map(2L -> 0L, 1L -> 3L, 3L -> 6L, 4L -> 8L), s"got $dist")
+  }
+
   test("collapseClusters: stale pair ids absent from docs don't inflate sizes") {
     // ids 2 and 9 appear in pairs but not in docs (pre-filtered corpus /
     // stale pair table): cluster_size counts PRESENT docs only, and when
