@@ -7,6 +7,25 @@ import org.apache.spark.sql.SparkSession
   * that: per-query keys use each query's unique short code (the part before
   * the first '_': q01, q18b, d09, ...) and 3-decimal medians. The full-name
   * per-query detail (median/min/max of n runs) goes to BENCH_QUERIES.json.
+  *
+  * == Self-calibration (r15) ==
+  *
+  * This box is co-tenant: identical code has measured 2.5x apart across
+  * same-day sweeps (r14 ran three full sweeps, all degraded). Raw wall
+  * seconds therefore cannot be compared across rounds without knowing how
+  * contended each run was. Two instruments make the run self-describing:
+  *
+  *   - `/proc/loadavg` (1-min) is sampled at the start and end of every
+  *     query's runs — per-query load rides in BENCH_QUERIES.json, the
+  *     sweep-level start/end pair in the one-line JSON.
+  *   - a CALIBRATION SENTINEL — q57, a pinned mid-cost relational query
+  *     untouched since r10 — runs n=5 at sweep start, middle, and end
+  *     (and once more after the floors). Its medians measure the BOX,
+  *     not the code: cross-round comparison of any floor is the ratio
+  *     floor / nearest-sentinel, which cancels the contention term.
+  *     The one-line JSON carries the readings under "calibration";
+  *     floors get "floor_sent" (the post-floors sentinel median) as
+  *     their normalization denominator.
   */
 object Bench {
   private def med(xs: Seq[Double]): Double = {
@@ -14,6 +33,15 @@ object Bench {
     s(s.length / 2)
   }
   private def r3(x: Double): String = f"$x%.3f"
+  private def r2(x: Double): String = f"$x%.2f"
+
+  /** 1-minute load average; -1 when /proc/loadavg is unreadable (the
+    * bench must never die for want of an instrument). */
+  private def load1(): Double =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.mkString.trim.split("\\s+")(0).toDouble finally src.close()
+    } catch { case _: Throwable => -1.0 }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -38,6 +66,41 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
       only.forall(s => s.contains(n) || s.contains(n.takeWhile(_ != '_')))
     }
+
+    /** One timed pass over a query fn: n runs, cache/GC reset between runs
+      * (leaked cache entries and deferred ContextCleaner work were the
+      * main source of multi-second jitter across ~300 timed executions),
+      * plus the 1-min loadavg at entry and exit. */
+    def timeRuns(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        n: Int): (Seq[(Double, Boolean)], Double, Double) = {
+      val l0 = load1()
+      val times = (1 to n).map { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true }
+          catch { case _: Throwable => false }
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        System.gc()
+        (dt, ok)
+      }
+      (times, l0, load1())
+    }
+
+    // Calibration sentinel: q57 (pinned since r10; mid-cost relational).
+    // Readings are (label, median, min, load_before, load_after).
+    val sentinelName = "q57_local_supplier_revenue"
+    val sentRuns = sys.env.getOrElse("SPARK_GRAFT_SENTINEL_RUNS", "5").toInt
+    val sentFn = SparkEntry.queries.get(sentinelName)
+    val calib = scala.collection.mutable.ListBuffer
+      .empty[(String, Double, Double, Double, Double)]
+    def sentinel(label: String): Unit = sentFn.foreach { fn =>
+      if (sentRuns > 0) {
+        val (ts, l0, l1) = timeRuns(fn, sentRuns)
+        val ok = ts.collect { case (dt, true) => dt }
+        if (ok.nonEmpty) calib += ((label, med(ok), ok.min, l0, l1))
+      }
+    }
+
     // Queries whose FIRST run writes a memoized stored artifact (e14's
     // IVFADC index, pp01/pp02's partitioned layouts, c01's text dumps) get
     // one untimed warm run: the recorded number is the steady-state
@@ -57,23 +120,20 @@ object Bench {
       try { fn(spark, sfDir).count(); spark.catalog.clearCache() }
       catch { case _: Throwable => () }
     }
-    val results = selected.map { case (name, fn) =>
-      val times = (1 to runs).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        val dt = (System.nanoTime() - t0) / 1e9
-        // drop per-query persisted tables so session state doesn't
-        // accumulate across the run (leaked cache entries degrade later
-        // queries), and force a GC so the ContextCleaner reclaims dead
-        // broadcast/shuffle blocks NOW instead of mid-way through a later
-        // timed run — across ~300 timed executions the deferred cleanup
-        // was the main source of multi-second per-query jitter.
-        spark.catalog.clearCache()
-        System.gc()
-        dt
-      }
-      (name, med(times), times)
+
+    sentinel("start")
+    val half = selected.size / 2
+    val results = selected.zipWithIndex.map { case ((name, fn), i) =>
+      if (i == half && half > 0) sentinel("mid")
+      // failed runs keep their wall time here (the sweep median has always
+      // absorbed them — a crash shows up in CORRECTNESS, not the bench);
+      // only the comparison-grade floors and sentinel exclude them
+      val (times, l0, l1) = timeRuns(fn, runs)
+      val dts = times.map(_._1)
+      (name, med(dts), dts, l0, l1)
     }
+    sentinel("end")
+
     // DEDICATED FLOORS for the top-10 medians (r12 verdict #6): the close
     // sweep is demonstrably contention-hostage (same-day same-code sweeps
     // diverged 163.8 vs 218.5 s at load 12.7 with 0 users), so the
@@ -85,29 +145,26 @@ object Bench {
     val floors: Seq[(String, Double)] =
       if (only.nonEmpty || floorRuns <= 0) Nil
       else {
-        val top = results.sortBy { case (k, v, _) => (-v, k) }.take(10)
+        val top = results.sortBy { case (k, v, _, _, _) => (-v, k) }.take(10)
         val fns = SparkEntry.queries
-        top.map { case (name, _, _) =>
-          // failed runs are EXCLUDED, never timed: min(time-to-exception)
-          // would publish a crash as a speedup — the floors exist for
-          // cross-round comparison, so a query with zero successful runs
-          // records the -1 failure marker instead of a number
-          val times = (1 to floorRuns).flatMap { _ =>
-            val t0 = System.nanoTime()
-            val ok = try { fns(name)(spark, sfDir).count(); true }
-              catch { case _: Throwable => false }
-            val dt = (System.nanoTime() - t0) / 1e9
-            spark.catalog.clearCache()
-            System.gc()
-            if (ok) Some(dt) else None
-          }
-          name -> (if (times.isEmpty) -1.0 else times.min)
+        top.map { case (name, _, _, _, _) =>
+          // failed runs are EXCLUDED, never published: min(time-to-
+          // exception) would publish a crash as a speedup — the floors
+          // exist for cross-round comparison, so a query with zero
+          // successful runs records the -1 failure marker instead
+          val (ts, _, _) = timeRuns(fns(name), floorRuns)
+          val ok = ts.collect { case (dt, true) => dt }
+          name -> (if (ok.isEmpty) -1.0 else ok.min)
         }
       }
+    // the floors' own contention denominator: the sentinel taken right
+    // beside them (floor / floor_sent is the cross-round number)
+    if (floors.nonEmpty) sentinel("floors")
+
     // Unique short key per query (prefix before first '_'); falls back to
     // the full name on the (currently impossible) collision.
     val shortKeys = {
-      val pref = results.map { case (n, _, _) => n -> n.takeWhile(_ != '_') }
+      val pref = results.map { case (n, _, _, _, _) => n -> n.takeWhile(_ != '_') }
       val counts = pref.groupBy(_._2).map { case (k, v) => k -> v.size }
       pref.map { case (n, p) => n -> (if (counts(p) == 1) p else n) }.toMap
     }
@@ -127,17 +184,30 @@ object Bench {
     val tierRel = results.filter(r => relNames(r._1)).map(_._2).sum
     val tierExt = total - tierRel
     val tiers = s""""tier_rel":${r3(tierRel)},"tier_ext":${r3(tierExt)}"""
+    val floorSent = calib.find(_._1 == "floors").map(_._2)
+    val calibJson = {
+      val mins = if (calib.isEmpty) "-1" else r3(calib.map(_._3).min)
+      val fields = Seq(s""""q":"q57"""", s""""n":$sentRuns""") ++
+        calib.map { case (lbl, m, _, _, _) => "\"" + lbl + "\":" + r3(m) } ++
+        Seq(s""""min":$mins""")
+      fields.mkString("{", ",", "}")
+    }
     val floorsJson = floors
       .map { case (n, v) => "\"" + n.takeWhile(_ != '_') + "\":" + r3(v) }
       .mkString("{", ",", "}")
+    val loadJson = s""""load":[${r2(results.headOption.map(_._4)
+      .getOrElse(-1.0))},${r2(results.lastOption.map(_._5).getOrElse(-1.0))}]"""
     val lineBudget = 1800 // chars for the WHOLE printed line
     val envelope = (s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
-      s""""n":$runs,"total_min":${r3(totalMin)},$tiers,"floors":$floorsJson,""" +
-      s""""queries":{},"sf":"$sfDir"}""").length
+      s""""n":$runs,"total_min":${r3(totalMin)},$tiers,$loadJson,""" +
+      s""""calibration":$calibJson,""" +
+      s""""floor_sent":${floorSent.map(r3).getOrElse("-1")},""" +
+      s""""floors":$floorsJson,"queries":{},"sf":"$sfDir"}""").length
     val rollupMax = s""","other_n":9999,"other_sec":99999.999""".length
     val mapBudget = lineBudget - envelope - rollupMax
-    val byCost = results.sortBy { case (k, v, _) => (-v, k) }
-    val entries = byCost.map { case (k, v, _) => "\"" + shortKeys(k) + "\":" + r3(v) }
+    val byCost = results.sortBy { case (k, v, _, _, _) => (-v, k) }
+    val entries = byCost.map { case (k, v, _, _, _) =>
+      "\"" + shortKeys(k) + "\":" + r3(v) }
     val cum = entries.scanLeft(0)(_ + _.length + 1) // cum(j) = chars for first j
     val nKeep = entries.indices.takeWhile(i => cum(i + 1) <= mapBudget).size
     val kept = entries.take(nKeep)
@@ -145,19 +215,26 @@ object Bench {
     val qs = (kept ++ (if (rest.isEmpty) Nil
       else Seq("\"other_n\":" + rest.length,
         "\"other_sec\":" + r3(rest.map(_._2).sum)))).mkString("{", ",", "}")
-    // Full-fidelity per-query dump (full names, median/min/max, n runs);
-    // best-effort — the one-line contract must survive any IO failure.
+    // Full-fidelity per-query dump (full names, median/min/max, n runs,
+    // loadavg at the query's entry/exit); best-effort — the one-line
+    // contract must survive any IO failure.
     try if (only.isEmpty) {
-      val detail = results.map { case (k, v, ts) =>
-        s"""  "$k": {"median":${r3(v)},"min":${r3(ts.min)},"max":${r3(ts.max)}}"""
+      val detail = results.map { case (k, v, ts, l0, l1) =>
+        s"""  "$k": {"median":${r3(v)},"min":${r3(ts.min)},"max":${r3(ts.max)},"load":[${r2(l0)},${r2(l1)}]}"""
       }.mkString("{\n", ",\n", "\n}")
       val floorDetail = floors.map { case (k, v) =>
         s"""  "$k": ${r3(v)}"""
       }.mkString("{\n", ",\n", "\n}")
+      val calibDetail = calib.map { case (lbl, m, mn, l0, l1) =>
+        s"""  "$lbl": {"median":${r3(m)},"min":${r3(mn)},"load":[${r2(l0)},${r2(l1)}]}"""
+      }.mkString("{\n", ",\n", "\n}")
       val body =
         s"""{"n":$runs,"cpus":$cpus,"sf":"$sfDir","total_of_medians":${r3(total)},
            |"tier_rel":${r3(tierRel)},"tier_ext":${r3(tierExt)},
-           |"floor_runs":$floorRuns,"floors":$floorDetail,
+           |"sentinel":"$sentinelName","sentinel_runs":$sentRuns,
+           |"calibration":$calibDetail,
+           |"floor_runs":$floorRuns,"floor_sent":${floorSent.map(r3).getOrElse("-1")},
+           |"floors":$floorDetail,
            |"queries":$detail}""".stripMargin
       java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_QUERIES.json"),
@@ -168,7 +245,7 @@ object Bench {
     // runs with an empty diff, total_min moving is what distinguishes a
     // real regression from co-tenant noise (full per-query min/median/max
     // is in BENCH_QUERIES.json, committed alongside).
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":$runs,"total_min":${r3(totalMin)},$tiers,"floors":$floorsJson,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":$runs,"total_min":${r3(totalMin)},$tiers,$loadJson,"calibration":$calibJson,"floor_sent":${floorSent.map(r3).getOrElse("-1")},"floors":$floorsJson,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
