@@ -82,30 +82,14 @@ object ClosureStore {
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private val GenName = "gen-(\\d{7})".r
-
-  /** Committed generation directories, ascending. Staging is
-    * dot-prefixed and never matches. */
-  private def genDirs(spark: SparkSession, path: String): Seq[String] = {
-    val fs = hadoopFs(spark, path)
-    val root = new org.apache.hadoop.fs.Path(path)
-    if (!fs.exists(root)) Seq.empty
-    else fs.listStatus(root).toSeq.filter(_.isDirectory)
-      .filter(s => GenName.pattern.matcher(s.getPath.getName).matches())
-      .map(_.getPath.toString).sorted
-  }
-
-  /** The live generation — the highest committed `gen-NNNNNNN`. Every
-    * read and every [[advance]] resolves through here, which is the
-    * whole crash-safety argument for base rewrites: an interrupted
-    * rewrite either never published (readers keep the old generation) or
-    * published completely (readers see the new one). */
-  private def currentGen(spark: SparkSession, path: String): String = {
-    val gens = genDirs(spark, path)
-    require(gens.nonEmpty,
-      s"no ClosureStore at $path — run build() first")
-    gens.last
-  }
+  /** The live generation — the highest committed `gen-NNNNNNN`
+    * ([[Generations]]). Every read and every [[advance]] resolves
+    * through here, which is the whole crash-safety argument for base
+    * rewrites: an interrupted rewrite either never published (readers
+    * keep the old generation) or published completely (readers see the
+    * new one). */
+  private def currentGen(spark: SparkSession, path: String): String =
+    Generations.current(spark, path, "ClosureStore")
 
   /** Committed batch directories of the CURRENT generation, ascending
     * commit order (dir names are zero-padded sequence numbers assigned
@@ -134,6 +118,14 @@ object ClosureStore {
     batchDirs(spark, gen).exists(dirBatchId(_) == batchId) ||
       ingestedLedger(spark, gen).contains(batchId)
   }
+
+  /** Batch directories of the live generation not yet folded into the
+    * base — the read-amplification gauge: the merge-on-read edge
+    * composition pays one anti join per live batch, so a maintenance
+    * job (or [[graft.streaming.Streaming.closureSink]]'s `compactEvery`)
+    * triggers [[compact]] when this crosses its cadence. */
+  def liveBatchCount(spark: SparkSession, path: String): Int =
+    batchDirs(spark, currentGen(spark, path)).size
 
   private def ingestedLedger(spark: SparkSession, gen: String): Set[String] =
     spark.read.parquet(s"$gen/ingested")
@@ -185,29 +177,11 @@ object ClosureStore {
     readClosure(spark, gen)
   }
 
-  /** Publish `write`'s output as the next generation: stage complete
-    * under a dot-prefixed name (stamping all five components with one
-    * fresh generation id), commit with a single rename, then best-effort
-    * delete superseded generations — a crash before the rename leaves
-    * the old generation untouched; after it, readers already resolve the
-    * new one. */
+  /** Publish `write`'s output as the next generation —
+    * [[Generations.publish]] with this store's five stamped components. */
   private def publishGen(spark: SparkSession, path: String)(
-      write: String => Unit): Unit = {
-    val fs = hadoopFs(spark, path)
-    val old = genDirs(spark, path)
-    val seq = old.lastOption
-      .map(d => d.substring(d.lastIndexOf('/') + 1).drop(4).toInt)
-      .getOrElse(0) + 1
-    val name = f"gen-$seq%07d"
-    val staging = new org.apache.hadoop.fs.Path(s"$path/.$name.inprogress")
-    fs.delete(staging, true) // leftover from a crashed attempt: restage whole
-    write(staging.toString)
-    ArtifactStamp.stampAll(spark, parts(staging.toString))
-    fs.mkdirs(new org.apache.hadoop.fs.Path(path))
-    require(fs.rename(staging, new org.apache.hadoop.fs.Path(s"$path/$name")),
-      s"ClosureStore publish of $name failed (concurrent rewrite?)")
-    old.foreach(d => fs.delete(new org.apache.hadoop.fs.Path(d), true))
-  }
+      write: String => Unit): Unit =
+    Generations.publish(spark, path, parts)(write)
 
   /** Bootstrap the store from scratch: chunk `docs`, derive the star
     * edges, run the full BFS from `seeds` (one-column id frame), write
@@ -235,7 +209,7 @@ object ClosureStore {
   ): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val carried: Seq[String] = genDirs(spark, path).lastOption.toSeq.flatMap {
+    val carried: Seq[String] = Generations.dirs(spark, path).lastOption.toSeq.flatMap {
       gen => (ingestedLedger(spark, gen) ++
         batchDirs(spark, gen).map(dirBatchId)).toSeq.sorted
     }

@@ -209,40 +209,105 @@ object EditDistance {
 
   /** STORED segment index for incremental edit-distance dedup — the
     * d25/d37 discipline applied to the character-level family: history
-    * is fingerprinted ONCE into `path/segs` (k+1 segment rows per
-    * string, strings riding along) and `path/shorts` (the short-regime
-    * slice), and each new batch probes those tables without ever
-    * re-fingerprinting or re-joining history against itself. `path/meta`
-    * pins maxDist: the segment scheme is a function of k, so probing
-    * with a different k would be silently incomplete — reads fail loud
-    * on mismatch instead. */
+    * is fingerprinted ONCE into `segs/` (k+1 segment rows per string,
+    * strings riding along) and `shorts/` (the short-regime slice), and
+    * each new batch probes those tables without ever re-fingerprinting
+    * or re-joining history against itself. `meta/` pins maxDist: the
+    * segment scheme is a function of k, so probing with a different k
+    * would be silently incomplete — reads fail loud on mismatch instead.
+    *
+    * Storage is [[Generations]]-structured (the ClosureStore layout):
+    * base components + an `ingested/` replay ledger + the `batches/`
+    * directory live inside one `gen-NNNNNNN` published by a single
+    * rename. Rebuilding over a LIVE index is therefore safe — the new
+    * base supersedes the old base AND its batch directories together
+    * (an in-place rewrite would have silently composed the new base
+    * with stale batch segments), and the ledger carries forward (old
+    * ledger ∪ old batch ids) so a streaming replay of a batch folded
+    * before the rebuild is still recognized and skipped. The caller
+    * owns the corpus contract: `df` must be the full corpus the index
+    * should now describe; for pure batch-folding maintenance use
+    * [[compactIndex]], which re-fingerprints nothing. */
   def writeIndex(df: DataFrame, idCol: String, strCol: String,
       maxDist: Int, path: String): Unit = {
     require(maxDist >= 1, "maxDist must be >= 1")
-    val strs = strings(df, idCol, strCol)
-    segments(strs, maxDist).write.mode("overwrite").parquet(s"$path/segs")
-    strs.filter(col("len") <= 2 * maxDist + 1)
-      .write.mode("overwrite").parquet(s"$path/shorts")
     val spark = df.sparkSession
     import spark.implicits._
-    Seq(maxDist).toDF("max_dist").coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/meta")
-    // one generation stamp across all three base components (the
-    // ClosureStore discipline): a crash between the segs and shorts
-    // writes of a rebuild, or a partial rebuild of one component, would
-    // otherwise silently probe torn state — incomplete candidates, not
-    // an error. Batch directories need no stamp: each publishes whole
-    // via its own atomic rename.
-    ArtifactStamp.stampAll(spark, baseParts(path))
+    val carried: Seq[String] = Generations.dirs(spark, path).lastOption.toSeq
+      .flatMap { gen => (ingestedLedger(spark, gen) ++
+        batchDirs(spark, gen).map(_._1)).toSeq.sorted }
+    val strs = strings(df, idCol, strCol)
+    Generations.publish(spark, path, baseParts) { staging =>
+      segments(strs, maxDist).write.mode("overwrite").parquet(s"$staging/segs")
+      strs.filter(col("len") <= 2 * maxDist + 1)
+        .write.mode("overwrite").parquet(s"$staging/shorts")
+      Seq(maxDist).toDF("max_dist").coalesce(1)
+        .write.mode("overwrite").parquet(s"$staging/meta")
+      carried.toDF("batch_id").coalesce(1)
+        .write.mode("overwrite").parquet(s"$staging/ingested")
+    }
   }
 
-  private def baseParts(path: String): Seq[String] =
-    Seq(s"$path/segs", s"$path/shorts", s"$path/meta")
+  /** Fold the live generation's batch directories into a fresh base —
+    * from the STORED artifacts only, zero re-fingerprinting: the
+    * composed segs/shorts reads are rewritten as single-directory
+    * tables, the replay ledger absorbs the batch ids, and the result
+    * publishes as the next generation with one rename (crash anywhere
+    * mid-compact leaves the old generation fully readable). The read
+    * side is a plain multi-directory union, so what compaction buys is
+    * file-count hygiene: a year of daily [[appendIndex]] batches is
+    * ~700 small parquet directories whose listing and tiny files tax
+    * every probe — this folds them into one well-sized base on whatever
+    * cadence that is worth. Probes, appends, and [[batchIngested]]
+    * answers are invariant across a compact (spec-pinned). */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    import spark.implicits._
+    val gen = currentVerified(spark, path)
+    val ledger = (ingestedLedger(spark, gen) ++
+      batchDirs(spark, gen).map(_._1)).toSeq.sorted
+    Generations.publish(spark, path, baseParts) { staging =>
+      indexPart(spark, gen, "segs")
+        .write.mode("overwrite").parquet(s"$staging/segs")
+      indexPart(spark, gen, "shorts")
+        .write.mode("overwrite").parquet(s"$staging/shorts")
+      spark.read.parquet(s"$gen/meta")
+        .coalesce(1).write.mode("overwrite").parquet(s"$staging/meta")
+      ledger.toDF("batch_id").coalesce(1)
+        .write.mode("overwrite").parquet(s"$staging/ingested")
+    }
+  }
+
+  private def baseParts(gen: String): Seq[String] =
+    Seq(s"$gen/segs", s"$gen/shorts", s"$gen/meta", s"$gen/ingested")
+
+  /** The live generation, stamp-verified — every read and write resolves
+    * through here (one choke point for the torn-build check). */
+  private def currentVerified(spark: org.apache.spark.sql.SparkSession,
+      path: String): String = {
+    val gen = Generations.current(spark, path, "editdist index")
+    ArtifactStamp.verifyAligned(spark, "editdist index", baseParts(gen))
+    gen
+  }
 
   private def indexK(spark: org.apache.spark.sql.SparkSession,
-      path: String): Int = {
-    ArtifactStamp.verifyAligned(spark, "editdist index", baseParts(path))
-    spark.read.parquet(s"$path/meta").head().getAs[Int]("max_dist")
+      gen: String): Int =
+    spark.read.parquet(s"$gen/meta").head().getAs[Int]("max_dist")
+
+  private def ingestedLedger(spark: org.apache.spark.sql.SparkSession,
+      gen: String): Set[String] =
+    spark.read.parquet(s"$gen/ingested")
+      .select(col("batch_id").cast("string"))
+      .collect().map(_.getString(0)).toSet
+
+  /** Committed (batchId, dir) pairs of a generation, ascending id. */
+  private def batchDirs(spark: org.apache.spark.sql.SparkSession,
+      gen: String): Seq[(String, String)] = {
+    val fs = hadoopFs(spark, gen)
+    val root = new org.apache.hadoop.fs.Path(s"$gen/batches")
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.filter(_.isDirectory)
+      .map(s => (s.getPath.getName, s.getPath.toString)).sortBy(_._1)
   }
 
   private def hadoopFs(spark: org.apache.spark.sql.SparkSession,
@@ -250,12 +315,25 @@ object EditDistance {
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Has `batchId` already been folded into the index? The idempotence
-    * probe a retrying ingest job runs before [[appendIndex]]. */
+  /** Has `batchId` already been folded in — by a live [[appendIndex]]
+    * batch directory of the current generation, or by one absorbed into
+    * the base (the `ingested` ledger, which [[compactIndex]] and
+    * [[writeIndex]]-over-live carry forward)? The idempotence probe a
+    * retrying or replaying ingest job runs before appending. */
   def batchIngested(spark: org.apache.spark.sql.SparkSession,
-      path: String, batchId: String): Boolean =
-    hadoopFs(spark, path).exists(
-      new org.apache.hadoop.fs.Path(s"$path/batches/$batchId"))
+      path: String, batchId: String): Boolean = {
+    val gen = Generations.current(spark, path, "editdist index")
+    batchDirs(spark, gen).exists(_._1 == batchId) ||
+      ingestedLedger(spark, gen).contains(batchId)
+  }
+
+  /** Batch directories of the live generation not yet folded into the
+    * base — the small-file gauge a maintenance job (or
+    * [[graft.streaming.Streaming.editIndexSink]]'s `compactEvery`)
+    * watches to trigger [[compactIndex]]. */
+  def liveBatchCount(spark: org.apache.spark.sql.SparkSession,
+      path: String): Int =
+    batchDirs(spark, Generations.current(spark, path, "editdist index")).size
 
   /** Fold a new batch into the stored index — O(|batch|) fingerprinting,
     * history untouched. Call AFTER [[incrementalPairs]] for the batch
@@ -278,38 +356,33 @@ object EditDistance {
     require(batchId.nonEmpty && !batchId.exists(c => c == '/' || c == '.'),
       s"batchId must be a plain directory name, got '$batchId'")
     val spark = batch.sparkSession
-    val k = indexK(spark, path)
+    val gen = currentVerified(spark, path)
+    val k = indexK(spark, gen)
     val fs = hadoopFs(spark, path)
-    val target = new org.apache.hadoop.fs.Path(s"$path/batches/$batchId")
-    if (fs.exists(target)) throw new IllegalStateException(
+    if (batchIngested(spark, path, batchId)) throw new IllegalStateException(
       s"editdist index at $path already ingested batch '$batchId' — a blind " +
         "retry would double every segment of the batch; probe batchIngested " +
         "before appending, or pick a new batch id")
-    val staging = new org.apache.hadoop.fs.Path(s"$path/.batch-$batchId.inprogress")
+    val staging = new org.apache.hadoop.fs.Path(s"$gen/.batch-$batchId.inprogress")
     fs.delete(staging, true) // leftover from a crashed attempt: restage whole
     val strs = strings(batch, idCol, strCol)
     segments(strs, k).write.mode("overwrite").parquet(s"$staging/segs")
     strs.filter(col("len") <= 2 * k + 1)
       .write.mode("overwrite").parquet(s"$staging/shorts")
-    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/batches"))
-    require(fs.rename(staging, target),
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$gen/batches"))
+    require(fs.rename(staging,
+        new org.apache.hadoop.fs.Path(s"$gen/batches/$batchId")),
       s"editdist index commit of batch '$batchId' failed to publish " +
         s"(concurrent append of the same id?)")
   }
 
   /** One index component (`segs`/`shorts`) across the base write and
-    * every committed batch directory — staging dirs are dot-prefixed and
-    * never listed, so readers see only whole batches. */
+    * every committed batch directory of a generation — staging dirs are
+    * dot-prefixed and never listed, so readers see only whole batches. */
   private def indexPart(spark: org.apache.spark.sql.SparkSession,
-      path: String, part: String): DataFrame = {
-    val fs = hadoopFs(spark, path)
-    val batchesDir = new org.apache.hadoop.fs.Path(s"$path/batches")
-    val dirs =
-      if (!fs.exists(batchesDir)) Seq.empty[String]
-      else fs.listStatus(batchesDir).toSeq.filter(_.isDirectory)
-        .map(s => s"${s.getPath.toString}/$part").sorted
-    spark.read.parquet((s"$path/$part" +: dirs): _*)
-  }
+      gen: String, part: String): DataFrame =
+    spark.read.parquet((s"$gen/$part" +:
+      batchDirs(spark, gen).map(d => s"${d._2}/$part")): _*)
 
   /** Every pair within the index's maxDist with AT LEAST ONE side in
     * `batch`: history×batch pairs probe the stored segments (pigeonhole
@@ -325,9 +398,10 @@ object EditDistance {
   def incrementalPairs(batch: DataFrame, idCol: String, strCol: String,
       path: String): DataFrame = {
     val spark = batch.sparkSession
-    val k = indexK(spark, path)
+    val gen = currentVerified(spark, path)
+    val k = indexK(spark, gen)
     val bStrs = strings(batch, idCol, strCol)
-    val seg = indexPart(spark, path, "segs").select(
+    val seg = indexPart(spark, gen, "segs").select(
       col("id").as("id_a"), col("len").as("len_a"), col("i").as("i_a"),
       col("spos"), col("v").as("v_a"), col("s").as("s_a"))
     val prb = probes(bStrs, k).select(col("id").as("id_b"),
@@ -341,7 +415,7 @@ object EditDistance {
           greatest(col("len_a"), col("len_b")) > 2 * k + 1)
         .select(col("id_a"), col("id_b"), col("s_a"), col("s_b"))
         .dropDuplicates("id_a", "id_b"), k)
-    val hShorts = indexPart(spark, path, "shorts")
+    val hShorts = indexPart(spark, gen, "shorts")
     val shortOldNew = shortPairs(hShorts, bStrs, k, ordered = false)
     oldNew.unionByName(shortOldNew)
       .select(least(col("id_a"), col("id_b")).as("id_a"),

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+
+/** Generation-directory discipline for stored artifacts that pair an
+  * occasionally-rewritten BASE with accumulating committed BATCH
+  * directories ([[ClosureStore]], [[EditDistance]]'s segment index).
+  * The hazard this exists for: rewriting the base of a LIVE store in
+  * place leaves the old batch directories beside the new base, and the
+  * composed read silently duplicates (or stales) everything they carry —
+  * a plausible wrong answer, not an error. Under generations, base and
+  * batches live inside ONE `gen-NNNNNNN` directory:
+  *
+  *   - a rewrite (bootstrap-over-live or compaction) stages the next
+  *     generation COMPLETE under a dot-prefixed name and publishes it
+  *     with a SINGLE atomic rename — the commit point;
+  *   - readers always resolve the HIGHEST committed generation, so every
+  *     crash point of a rewrite leaves the previous generation fully
+  *     readable (staging is invisible; a crash after the rename but
+  *     before old-generation cleanup leaves two complete generations and
+  *     readers pick the newer);
+  *   - superseded generations are deleted only after the rename lands.
+  *
+  * Single-writer for rewrites (the COW contract); cross-component torn
+  * protection WITHIN a generation stays [[ArtifactStamp]]'s job.
+  */
+private[operators] object Generations {
+
+  private val Name = "gen-(\\d{7})".r
+
+  private def hadoopFs(spark: SparkSession,
+      path: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Committed generation directories, ascending. Staging is
+    * dot-prefixed and never matches. */
+  def dirs(spark: SparkSession, path: String): Seq[String] = {
+    val fs = hadoopFs(spark, path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.filter(_.isDirectory)
+      .filter(s => Name.pattern.matcher(s.getPath.getName).matches())
+      .map(_.getPath.toString).sorted
+  }
+
+  /** The live generation — the highest committed `gen-NNNNNNN`; fails
+    * loud naming `what` when the store was never built. */
+  def current(spark: SparkSession, path: String, what: String): String = {
+    val gens = dirs(spark, path)
+    require(gens.nonEmpty, s"no $what at $path — build it first")
+    gens.last
+  }
+
+  /** Publish the next generation: `write` fills the staged directory,
+    * `parts` names the components to stamp with one fresh generation id
+    * ([[ArtifactStamp]]), then ONE rename commits and superseded
+    * generations are best-effort deleted. A crash before the rename
+    * leaves the old generation untouched; after it, readers already
+    * resolve the new one. */
+  def publish(spark: SparkSession, path: String,
+      parts: String => Seq[String])(write: String => Unit): Unit = {
+    val fs = hadoopFs(spark, path)
+    val old = dirs(spark, path)
+    val seq = old.lastOption
+      .map(d => d.substring(d.lastIndexOf('/') + 1).drop(4).toInt)
+      .getOrElse(0) + 1
+    val name = f"gen-$seq%07d"
+    val staging = new org.apache.hadoop.fs.Path(s"$path/.$name.inprogress")
+    fs.delete(staging, true) // leftover from a crashed attempt: restage whole
+    write(staging.toString)
+    ArtifactStamp.stampAll(spark, parts(staging.toString))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(path))
+    require(fs.rename(staging, new org.apache.hadoop.fs.Path(s"$path/$name")),
+      s"generation publish of $name under $path failed (concurrent rewrite?)")
+    old.foreach(d => fs.delete(new org.apache.hadoop.fs.Path(d), true))
+  }
+}

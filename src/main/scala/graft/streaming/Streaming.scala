@@ -1081,18 +1081,32 @@ object Streaming {
     * — strictly stronger than [[idempotentForeachBatchSink]]'s
     * manifest-beside-the-data pattern, because here the data write and
     * the marker are one filesystem operation. Empty micro-batches commit
-    * nothing (skipped consistently on replay too). */
+    * nothing (skipped consistently on replay too).
+    *
+    * `compactEvery` bounds read amplification over an UNBOUNDED stream:
+    * the store's merge-on-read edge composition pays one anti join per
+    * live batch directory, so after a commit that leaves `compactEvery`
+    * or more of them, the sink runs [[graft.operators.ClosureStore
+    * .compact]] — stored-artifact-only, batch ids absorbed into the
+    * replay ledger, published as a new generation by one rename. The
+    * compaction sits OUTSIDE the exactly-once argument: a crash between
+    * the batch commit and the compact just leaves compaction for a later
+    * batch, and replays of absorbed batches are still skipped (the
+    * ledger). 0 disables (the daily-job default: compact on an external
+    * cadence). */
   def closureSink(
       docs: DataFrame,
       path: String,
       seedPredicate: org.apache.spark.sql.Column,
       idCol: String = "doc_id",
       textCol: String = "text",
-      trigger: Trigger = Trigger.AvailableNow()
+      trigger: Trigger = Trigger.AvailableNow(),
+      compactEvery: Int = 0
   ): DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.trigger(trigger).foreachBatch {
       (batch: DataFrame, batchId: Long) =>
-        applyClosureBatch(batch, path, seedPredicate, idCol, textCol, batchId)
+        applyClosureBatch(batch, path, seedPredicate, idCol, textCol, batchId,
+          compactEvery)
         ()
     }
 
@@ -1102,7 +1116,8 @@ object Streaming {
   private[graft] def applyClosureBatch(
       batch: DataFrame, path: String,
       seedPredicate: org.apache.spark.sql.Column,
-      idCol: String, textCol: String, batchId: Long): Boolean = {
+      idCol: String, textCol: String, batchId: Long,
+      compactEvery: Int = 0): Boolean = {
     val spark = batch.sparkSession
     val id = s"b$batchId"
     if (graft.operators.ClosureStore.batchIngested(spark, path, id))
@@ -1111,6 +1126,9 @@ object Streaming {
     graft.operators.ClosureStore.advance(
       batch, batch.filter(seedPredicate).select(idCol), path, id,
       idCol, textCol)
+    if (compactEvery > 0 &&
+        graft.operators.ClosureStore.liveBatchCount(spark, path) >= compactEvery)
+      graft.operators.ClosureStore.compact(spark, path)
     true
   }
 
@@ -1137,17 +1155,27 @@ object Streaming {
     * commit marker (pairs delivered but batch uncommitted on crash, or
     * vice versa). A consumer that wants the pair stream runs
     * `incrementalPairs(batch, …)` BEFORE the fold, or queries the
-    * maintained index on its own cadence. */
+    * maintained index on its own cadence.
+    *
+    * `compactEvery` bounds small-file growth over an UNBOUNDED stream:
+    * after a commit that leaves that many live batch directories the
+    * sink runs [[graft.operators.EditDistance.compactIndex]] —
+    * stored-artifact-only (zero re-fingerprinting), batch ids absorbed
+    * into the replay ledger, published as a new generation by one
+    * rename. Outside the exactly-once argument, as in [[closureSink]]:
+    * a crash between commit and compact just defers the compaction, and
+    * replays of absorbed batches still skip via the ledger. 0 disables. */
   def editIndexSink(
       docs: DataFrame,
       path: String,
       idCol: String = "doc_id",
       strCol: String = "text",
-      trigger: Trigger = Trigger.AvailableNow()
+      trigger: Trigger = Trigger.AvailableNow(),
+      compactEvery: Int = 0
   ): DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.trigger(trigger).foreachBatch {
       (batch: DataFrame, batchId: Long) =>
-        applyEditIndexBatch(batch, path, idCol, strCol, batchId)
+        applyEditIndexBatch(batch, path, idCol, strCol, batchId, compactEvery)
         ()
     }
 
@@ -1156,13 +1184,17 @@ object Streaming {
     * committed, false when recognized as already-committed or empty. */
   private[graft] def applyEditIndexBatch(
       batch: DataFrame, path: String,
-      idCol: String, strCol: String, batchId: Long): Boolean = {
+      idCol: String, strCol: String, batchId: Long,
+      compactEvery: Int = 0): Boolean = {
     val spark = batch.sparkSession
     val id = s"b$batchId"
     if (graft.operators.EditDistance.batchIngested(spark, path, id))
       return false // crash-after-commit replay: skip whole
     if (batch.isEmpty) return false
     graft.operators.EditDistance.appendIndex(batch, idCol, strCol, path, id)
+    if (compactEvery > 0 &&
+        graft.operators.EditDistance.liveBatchCount(spark, path) >= compactEvery)
+      graft.operators.EditDistance.compactIndex(spark, path)
     true
   }
 

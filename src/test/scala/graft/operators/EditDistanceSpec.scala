@@ -134,6 +134,73 @@ class EditDistanceSpec extends SparkSpec {
     assert(got2 == expected2)
   }
 
+  /** The live generation directory of a stored index. */
+  private def genDir(p: String): String = {
+    val gens = new java.io.File(p).listFiles()
+      .filter(f => f.isDirectory && f.getName.matches("gen-\\d{7}"))
+      .map(_.toString).sorted
+    assert(gens.nonEmpty, s"no committed generation under $p")
+    gens.last
+  }
+
+  test("compactIndex folds batches into a fresh base: probes and replay guards invariant") {
+    val all = (0L until 160L).map(i => (i, mkStr(i)))
+    val (hist, rest) = all.partition(_._1 % 3 == 0)
+    val (b1, b2) = rest.partition(_._1 % 3 == 1)
+    val root = java.nio.file.Files.createTempDirectory("ed-compact").toString
+    EditDistance.writeIndex(hist.toDF("id", "s"), "id", "s", 2, root)
+    EditDistance.appendIndex(b1.toDF("id", "s"), "id", "s", root, "b1")
+    EditDistance.appendIndex(b2.toDF("id", "s"), "id", "s", root, "b2")
+    val probe = Seq((900L, mkStr(5L)), (901L, mkStr(8L))).toDF("id", "s")
+    val before = EditDistance.incrementalPairs(probe, "id", "s", root)
+      .as[(Long, Long, Int)].collect().toSet
+    val genBefore = genDir(root)
+
+    EditDistance.compactIndex(spark, root)
+
+    assert(genDir(root) != genBefore)
+    assert(!new java.io.File(genBefore).exists(), "old generation cleaned up")
+    assert(EditDistance.liveBatchCount(spark, root) == 0)
+    // compact-then-probe ≡ composed-probe ≡ from-scratch writeIndex
+    assert(EditDistance.incrementalPairs(probe, "id", "s", root)
+      .as[(Long, Long, Int)].collect().toSet == before)
+    val fresh = java.nio.file.Files.createTempDirectory("ed-compact2").toString
+    EditDistance.writeIndex(all.toDF("id", "s"), "id", "s", 2, fresh)
+    assert(EditDistance.incrementalPairs(probe, "id", "s", fresh)
+      .as[(Long, Long, Int)].collect().toSet == before)
+    // the ledger absorbed the batches: replay still refused
+    assert(EditDistance.batchIngested(spark, root, "b1"))
+    assert(EditDistance.batchIngested(spark, root, "b2"))
+    val e = intercept[IllegalStateException] {
+      EditDistance.appendIndex(b1.toDF("id", "s"), "id", "s", root, "b1")
+    }
+    assert(e.getMessage.contains("already ingested"))
+    // and the index keeps rolling forward after the compact
+    EditDistance.appendIndex(
+      Seq((950L, mkStr(11L))).toDF("id", "s"), "id", "s", root, "b3")
+    assert(EditDistance.batchIngested(spark, root, "b3"))
+  }
+
+  test("rebuild over a live index supersedes base AND batches, keeps the ledger") {
+    val all = (0L until 120L).map(i => (i, mkStr(i)))
+    val (hist, batch) = all.partition(_._1 % 4 != 3)
+    val root = java.nio.file.Files.createTempDirectory("ed-rebuild").toString
+    EditDistance.writeIndex(hist.toDF("id", "s"), "id", "s", 2, root)
+    EditDistance.appendIndex(batch.toDF("id", "s"), "id", "s", root, "day1")
+    // rebuild over a FILTERED corpus (batch docs dropped on purpose): an
+    // in-place rewrite would have composed the new base with the stale
+    // day1 segments and silently resurrected the dropped strings
+    EditDistance.writeIndex(hist.toDF("id", "s"), "id", "s", 2, root)
+    val probe = Seq((900L, mkStr(batch.head._1))).toDF("id", "s")
+    val got = EditDistance.incrementalPairs(probe, "id", "s", root)
+      .as[(Long, Long, Int)].collect().toSet
+    val batchIds = batch.map(_._1).toSet
+    assert(!got.exists { case (a, b, _) => batchIds(a) || batchIds(b) },
+      s"dropped batch strings leaked from stale batch dirs: $got")
+    // the ledger carried forward: a streaming replay of day1 is skipped
+    assert(EditDistance.batchIngested(spark, root, "day1"))
+  }
+
   test("appendIndex commits whole batches: double-append fails loud, a crashed staging dir is invisible") {
     val all = (0L until 120L).map(i => (i, mkStr(i)))
     val (hist, batch) = all.partition(_._1 % 4 != 3)
@@ -155,7 +222,7 @@ class EditDistanceSpec extends SparkSpec {
         Seq((500L, mkStr(3L))).toDF("id", "s"), "id", "s", root)
       .as[(Long, Long, Int)].collect().toSet
     Seq((999L, "zz")).toDF("id", "s").write.mode("overwrite")
-      .parquet(s"$root/.batch-crashed.inprogress/segs")
+      .parquet(s"${genDir(root)}/.batch-crashed.inprogress/segs")
     val after = EditDistance.incrementalPairs(
         Seq((500L, mkStr(3L))).toDF("id", "s"), "id", "s", root)
       .as[(Long, Long, Int)].collect().toSet
@@ -172,10 +239,11 @@ class EditDistanceSpec extends SparkSpec {
     EditDistance.writeIndex(all.toDF("id", "s"), "id", "s", 2, root)
     // simulate a crashed partial rebuild: shorts rewritten alone — the
     // parquet overwrite wipes its generation stamp
-    spark.read.parquet(s"$root/shorts").limit(1)
-      .write.mode("overwrite").parquet(s"$root/shorts.tmp")
-    spark.read.parquet(s"$root/shorts.tmp")
-      .write.mode("overwrite").parquet(s"$root/shorts")
+    val g = genDir(root)
+    spark.read.parquet(s"$g/shorts").limit(1)
+      .write.mode("overwrite").parquet(s"$g/shorts.tmp")
+    spark.read.parquet(s"$g/shorts.tmp")
+      .write.mode("overwrite").parquet(s"$g/shorts")
     val e = intercept[IllegalStateException] {
       EditDistance.incrementalPairs(
         Seq((500L, mkStr(3L))).toDF("id", "s"), "id", "s", root)

@@ -64,6 +64,36 @@ class ClosureSinkSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("compactEvery folds batches into the base mid-stream without changing any answer") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = emptyStore()
+    val mem = MemoryStream[(Long, String)]
+    val q = Streaming.closureSink(
+      mem.toDF().toDF("doc_id", "text"), root,
+      seedPredicate = col("doc_id") % 2 === 0,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L),
+      compactEvery = 2).start()
+    try {
+      val cuts = Seq(2, 4, 6, 8)
+      var from = 0
+      for (to <- cuts) {
+        mem.addData(feed.slice(from, to))
+        q.processAllAvailable()
+        from = to
+        assert(ClosureStore.storedClosure(spark, root)
+          .select("node").as[Long].collect().toSet == fromScratch(feed.take(to)),
+          s"diverged after $to docs")
+      }
+    } finally q.stop()
+    // the cadence held: fewer live batch dirs than committed batches
+    assert(ClosureStore.liveBatchCount(spark, root) < 4)
+    // absorbed batches still refuse replay (the ledger carried their ids)
+    assert(ClosureStore.batchIngested(spark, root, "b0"))
+    assert(!Streaming.applyClosureBatch(
+      feed.take(2).toDF("doc_id", "text"), root, col("doc_id") % 2 === 0,
+      "doc_id", "text", 0L))
+  }
+
   test("a crash-replayed committed batch is skipped whole; empty batches commit nothing") {
     val root = emptyStore()
     val pred = col("doc_id") % 2 === 0

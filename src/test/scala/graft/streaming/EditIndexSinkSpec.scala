@@ -66,6 +66,36 @@ class EditIndexSinkSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("compactEvery folds batches into the base mid-stream without changing any probe") {
+    implicit val sqlCtx = spark.sqlContext
+    val live = emptyIndex()
+    val mem = MemoryStream[(Long, String)]
+    val q = Streaming.editIndexSink(
+      mem.toDF().toDF("doc_id", "text"), live,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L),
+      compactEvery = 2).start()
+    try {
+      val cuts = Seq(2, 4, 6, 8)
+      var from = 0
+      for (to <- cuts) {
+        mem.addData(feed.slice(from, to))
+        q.processAllAvailable()
+        from = to
+        val fresh = java.nio.file.Files
+          .createTempDirectory(s"edsink-cmp-$to").toString
+        EditDistance.writeIndex(feed.take(to).toDF("doc_id", "text"),
+          "doc_id", "text", maxDist = 2, fresh)
+        assert(probePairs(live) == probePairs(fresh),
+          s"diverged after $to docs")
+      }
+    } finally q.stop()
+    // the cadence held, and absorbed batches still refuse replay
+    assert(EditDistance.liveBatchCount(spark, live) < 4)
+    assert(EditDistance.batchIngested(spark, live, "b0"))
+    assert(!Streaming.applyEditIndexBatch(
+      feed.take(2).toDF("doc_id", "text"), live, "doc_id", "text", 0L))
+  }
+
   test("a crash-replayed committed batch is skipped whole; empty batches commit nothing") {
     val live = emptyIndex()
     assert(Streaming.applyEditIndexBatch(
