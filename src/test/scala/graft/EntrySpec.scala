@@ -356,6 +356,15 @@ class EntrySpec extends SparkSpec {
     val g10 = plan("g10_contamination_cost")
     assert(g10.contains("Scan ExistingRDD") && !g10.contains("Join"),
       s"g10 lost its materialized-distance shape:\n$g10")
+    // d58: the composed release verdict is semi/anti joins on doc_id
+    // keys over a scan-local gate — a cartesian or nested loop anywhere
+    // means a stage regressed to all-pairs
+    val d58 = plan("d58_corpus_release")
+    assert(d58.contains("LeftSemi") && d58.contains("LeftAnti"),
+      s"d58 lost a keeper/contamination probe:\n$d58")
+    assert(!d58.contains("CartesianProduct")
+      && !d58.contains("BroadcastNestedLoopJoin"),
+      "d58 planned a release probe as a nested loop")
   }
 
   test("r03 overlap join plans as an equi-join, never nested-loop") {
