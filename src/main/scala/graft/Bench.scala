@@ -121,10 +121,13 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
+    // BENCH_ONLY probes get ONE sentinel reading (their contention
+    // denominator for attribution) instead of the full start/mid/end
+    // bracket — 15 extra timed q57 runs would dominate a one-query probe
     sentinel("start")
     val half = selected.size / 2
     val results = selected.zipWithIndex.map { case ((name, fn), i) =>
-      if (i == half && half > 0) sentinel("mid")
+      if (i == half && half > 0 && only.isEmpty) sentinel("mid")
       // failed runs keep their wall time here (the sweep median has always
       // absorbed them — a crash shows up in CORRECTNESS, not the bench);
       // only the comparison-grade floors and sentinel exclude them
@@ -132,7 +135,7 @@ object Bench {
       val dts = times.map(_._1)
       (name, med(dts), dts, l0, l1)
     }
-    sentinel("end")
+    if (only.isEmpty) sentinel("end")
 
     // DEDICATED FLOORS for the top-10 medians (r12 verdict #6): the close
     // sweep is demonstrably contention-hostage (same-day same-code sweeps

@@ -128,9 +128,7 @@ object ClosureStore {
     batchDirs(spark, currentGen(spark, path)).size
 
   private def ingestedLedger(spark: SparkSession, gen: String): Set[String] =
-    spark.read.parquet(s"$gen/ingested")
-      .select(col("batch_id").cast("string"))
-      .collect().map(_.getString(0)).toSet
+    Generations.readLedger(spark, gen)
 
   /** The composed posting table: base + every committed batch. */
   private def readPostings(spark: SparkSession, gen: String): DataFrame =
@@ -209,10 +207,8 @@ object ClosureStore {
   ): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val carried: Seq[String] = Generations.dirs(spark, path).lastOption.toSeq.flatMap {
-      gen => (ingestedLedger(spark, gen) ++
-        batchDirs(spark, gen).map(dirBatchId)).toSeq.sorted
-    }
+    val carried: Seq[String] = Generations.carriedLedger(spark, path,
+      gen => batchDirs(spark, gen).map(dirBatchId))
     publishGen(spark, path) { staging =>
       val postings = Dedup.chunkPostings(docs, idCol, textCol, chunkWords)
       postings.write.mode("overwrite").parquet(s"$staging/postings")
@@ -244,8 +240,8 @@ object ClosureStore {
     import spark.implicits._
     val gen = currentGen(spark, path)
     ArtifactStamp.verifyAligned(spark, "ClosureStore", parts(gen))
-    val ledger = (ingestedLedger(spark, gen) ++
-      batchDirs(spark, gen).map(dirBatchId)).toSeq.sorted
+    val ledger = Generations.carriedLedger(spark, path,
+      g => batchDirs(spark, g).map(dirBatchId))
     publishGen(spark, path) { staging =>
       readPostings(spark, gen)
         .write.mode("overwrite").parquet(s"$staging/postings")

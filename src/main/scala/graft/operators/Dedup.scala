@@ -1017,28 +1017,33 @@ object Dedup {
     * [[chunkShareEdges]] is this minus the fp, deduped. Rows are unique
     * per (fp, a_id): the postings are distinct and each chunk emits one
     * spoke per non-hub document. */
-  def chunkShareEdgesFromPostings(postings: DataFrame): DataFrame = {
-    val hubs = postings.groupBy("fp")
-      .agg(count(lit(1)).as("nd"), min(col("doc_id")).as("hub"))
-      .filter(col("nd") > 1)
-    postings.join(hubs, "fp")
-      .filter(col("doc_id") =!= col("hub"))
-      .select(col("fp"), col("doc_id").as("a_id"), col("hub").as("b_id"))
-  }
+  def chunkShareEdgesFromPostings(postings: DataFrame): DataFrame =
+    weightedChunkShareEdges(postings).drop("df")
 
   /** [[chunkShareEdgesFromPostings]] with each star edge carrying its
     * chunk's DOCUMENT FREQUENCY as a traversal cost — the weighted share
     * graph behind "how strongly does this document derive from the
-    * flagged set": sharing a RARE chunk (df 2) is near-verbatim lineage
-    * and costs little; sharing boilerplate every document carries costs
-    * its full df. Fed to [[Graph.shortestPaths]], the min-cost distance
-    * is the cheapest chain of chunk-sharing hops — the weighted twin of
-    * the d53 closure, which can only say reachable-or-not. Same scale
-    * shape as the unweighted star: one aggregate over the (storable)
-    * posting table + one |postings| join, edges ∝ postings, never the
-    * per-chunk clique (a hot chunk contributes df−1 spokes, not df²
-    * pairs); the df the hub aggregate already computes simply rides
-    * along. Output: (fp, a_id, b_id, df). */
+    * flagged set": ATTACHING to a RARE chunk's hub (df 2) is
+    * near-verbatim lineage and costs little; attaching through
+    * boilerplate every document carries costs its full df. Fed to
+    * [[Graph.shortestPaths]], the min-cost distance is the cheapest
+    * chain of hub attachments — the weighted twin of the d53 closure,
+    * which can only say reachable-or-not.
+    *
+    * Costs are PER ATTACHMENT (doc → hub), the star's edge unit: two
+    * non-hub documents sharing a chunk sit 2·df apart (doc → hub → doc),
+    * while a hub-adjacent pair sits df apart. That asymmetry is the
+    * deliberate price of the star topology — the per-chunk CLIQUE would
+    * make every same-chunk pair exactly df apart but emits df² edges (a
+    * 10⁶-doc boilerplate chunk → 10¹² edges), off the table at corpus
+    * scale. What the metric grades — rare-chunk lineage scoring far
+    * closer than boilerplate-mediated lineage, monotone in both df and
+    * chain length — survives the 2× hub factor; callers needing the
+    * clique metric exactly can run it per small chunk. Same scale shape
+    * as the unweighted star (which is this function minus the df
+    * column): one aggregate over the (storable) posting table + one
+    * |postings| join, edges ∝ postings; the df the hub aggregate already
+    * computes simply rides along. Output: (fp, a_id, b_id, df). */
   def weightedChunkShareEdges(postings: DataFrame): DataFrame = {
     val hubs = postings.groupBy("fp")
       .agg(count(lit(1)).as("df"), min(col("doc_id")).as("hub"))

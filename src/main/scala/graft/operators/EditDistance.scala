@@ -233,9 +233,8 @@ object EditDistance {
     require(maxDist >= 1, "maxDist must be >= 1")
     val spark = df.sparkSession
     import spark.implicits._
-    val carried: Seq[String] = Generations.dirs(spark, path).lastOption.toSeq
-      .flatMap { gen => (ingestedLedger(spark, gen) ++
-        batchDirs(spark, gen).map(_._1)).toSeq.sorted }
+    val carried: Seq[String] = Generations.carriedLedger(spark, path,
+      gen => batchDirs(spark, gen).map(_._1))
     val strs = strings(df, idCol, strCol)
     Generations.publish(spark, path, baseParts) { staging =>
       segments(strs, maxDist).write.mode("overwrite").parquet(s"$staging/segs")
@@ -264,8 +263,8 @@ object EditDistance {
       path: String): Unit = {
     import spark.implicits._
     val gen = currentVerified(spark, path)
-    val ledger = (ingestedLedger(spark, gen) ++
-      batchDirs(spark, gen).map(_._1)).toSeq.sorted
+    val ledger = Generations.carriedLedger(spark, path,
+      g => batchDirs(spark, g).map(_._1))
     Generations.publish(spark, path, baseParts) { staging =>
       indexPart(spark, gen, "segs")
         .write.mode("overwrite").parquet(s"$staging/segs")
@@ -296,9 +295,7 @@ object EditDistance {
 
   private def ingestedLedger(spark: org.apache.spark.sql.SparkSession,
       gen: String): Set[String] =
-    spark.read.parquet(s"$gen/ingested")
-      .select(col("batch_id").cast("string"))
-      .collect().map(_.getString(0)).toSet
+    Generations.readLedger(spark, gen)
 
   /** Committed (batchId, dir) pairs of a generation, ascending id. */
   private def batchDirs(spark: org.apache.spark.sql.SparkSession,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 
 /** Generation-directory discipline for stored artifacts that pair an
   * occasionally-rewritten BASE with accumulating committed BATCH
@@ -19,10 +20,19 @@ import org.apache.spark.sql.SparkSession
   *     readable (staging is invisible; a crash after the rename but
   *     before old-generation cleanup leaves two complete generations and
   *     readers pick the newer);
-  *   - superseded generations are deleted only after the rename lands.
+  *   - superseded generations are deleted only after the rename lands,
+  *     and the IMMEDIATELY-PREVIOUS generation is retained one cycle as
+  *     a reader grace window: a job holding a lazy frame resolved
+  *     against the old generation keeps scanning files that still exist
+  *     while the writer moves on (it is reclaimed by the next publish —
+  *     readers slower than a whole maintenance cycle should
+  *     re-resolve).
   *
   * Single-writer for rewrites (the COW contract); cross-component torn
   * protection WITHIN a generation stays [[ArtifactStamp]]'s job.
+  * Flat layouts predating the generation structure are NOT migrated:
+  * reads fail loud (below) and a fresh build publishes `gen-0000001`
+  * beside — not composed with — any flat-layout files.
   */
 private[operators] object Generations {
 
@@ -48,9 +58,33 @@ private[operators] object Generations {
     * loud naming `what` when the store was never built. */
   def current(spark: SparkSession, path: String, what: String): String = {
     val gens = dirs(spark, path)
-    require(gens.nonEmpty, s"no $what at $path — build it first")
+    require(gens.nonEmpty,
+      s"no $what at $path — build it first (note: a store written by a " +
+        "pre-generation flat layout is not auto-migrated; rebuild from the " +
+        "full corpus, which also carries no flat-layout replay ledger — " +
+        "prefer a fresh path)")
     gens.last
   }
+
+  /** The replay ledger a generation carries (`ingested/`, one
+    * `batch_id` string column): every batch id folded into the base by
+    * compaction or carried across a rebuild, so batch-ingested probes
+    * stay truthful after the batch directories themselves are gone. */
+  def readLedger(spark: SparkSession, gen: String): Set[String] =
+    spark.read.parquet(s"$gen/ingested")
+      .select(col("batch_id").cast("string"))
+      .collect().map(_.getString(0)).toSet
+
+  /** The ledger the NEXT generation must carry: the live generation's
+    * ledger ∪ its live batch ids (`liveBatchIds` extracts them from a
+    * generation directory — stores differ in batch-dir naming), empty
+    * for a fresh store. Shared by compaction and rebuild so the two
+    * paths can never diverge on replay protection. */
+  def carriedLedger(spark: SparkSession, path: String,
+      liveBatchIds: String => Seq[String]): Seq[String] =
+    dirs(spark, path).lastOption.toSeq.flatMap { gen =>
+      (readLedger(spark, gen) ++ liveBatchIds(gen)).toSeq.sorted
+    }
 
   /** Publish the next generation: `write` fills the staged directory,
     * `parts` names the components to stamp with one fresh generation id
@@ -73,6 +107,10 @@ private[operators] object Generations {
     fs.mkdirs(new org.apache.hadoop.fs.Path(path))
     require(fs.rename(staging, new org.apache.hadoop.fs.Path(s"$path/$name")),
       s"generation publish of $name under $path failed (concurrent rewrite?)")
-    old.foreach(d => fs.delete(new org.apache.hadoop.fs.Path(d), true))
+    // keep the immediately-previous generation one cycle (reader grace —
+    // in-flight lazy frames resolved before this publish keep their
+    // files); everything older is reclaimed now
+    old.dropRight(1).foreach(d =>
+      fs.delete(new org.apache.hadoop.fs.Path(d), true))
   }
 }

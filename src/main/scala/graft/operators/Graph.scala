@@ -471,6 +471,24 @@ object Graph {
     require(truncateEvery >= 1, s"truncateEvery must be positive, got $truncateEvery")
     val spark = edges.sparkSession
     val truncate = new Truncator(spark, checkpointDir, "sp")
+    // each materialized truncation supersedes the previous one (the new
+    // checkpoint is self-contained), so the superseded blocks release
+    // immediately instead of accumulating per round until LRU pressure —
+    // the survivor-cache leak class pareto3d closed this round; converge
+    // mode checkpoints EVERY round, so it needs this most. The final
+    // checkpoint (backing the returned frame) is never released here.
+    val prevCp = scala.collection.mutable.ListBuffer
+      .empty[org.apache.spark.rdd.RDD[_]]
+    def truncateReleasing(df: DataFrame): DataFrame = {
+      val sc = spark.sparkContext
+      val before = sc.getPersistentRDDs.keySet
+      val out = truncate(df) // eager in local mode; durable mode adds no blocks
+      val added = (sc.getPersistentRDDs -- before).values
+      prevCp.foreach(_.unpersist(false))
+      prevCp.clear()
+      prevCp ++= added
+      out
+    }
     val e = edges.groupBy(
         col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .agg(min(col(wCol).cast("long")).as("cost"))
@@ -502,13 +520,14 @@ object Graph {
         // checkpoint every round: the improvement count is a full pass
         // anyway, and counting an uncheckpointed frame would pay the
         // lineage twice (once here, once when the next round consumes it)
-        val mat = truncate(next)
+        val mat = truncateReleasing(next)
         done = mat.filter(col("sp_chg")).limit(1).isEmpty
         dist = mat.drop("sp_chg")
       } else {
         val carried = next.drop("sp_chg")
-        dist = if (i % truncateEvery == 0 || i == rounds) truncate(carried)
-          else carried
+        dist = if (i % truncateEvery == 0 || i == rounds)
+          truncateReleasing(carried)
+        else carried
       }
     }
     e.unpersist()

@@ -155,11 +155,19 @@ object Retrieval {
       textCol: String = "text",
       termCol: String = "term"
   ): Unit = {
-    val (postings, dfT, stats) = bm25Index(docs, idCol, textCol, termCol)
+    val spark = docs.sparkSession
+    val (postings, _, stats) = bm25Index(docs, idCol, textCol, termCol)
     postings.write.mode("overwrite").parquet(s"$path/postings")
-    dfT.write.mode("overwrite").parquet(s"$path/df")
+    // df derives from the just-written postings (one row per (doc, term)
+    // by construction), not from a second corpus tokenization — the
+    // ClosureStore.build write-then-read-back discipline. stats keeps
+    // its corpus derivation: n must count EVERY document, including
+    // empty ones that emit no postings rows.
+    spark.read.parquet(s"$path/postings")
+      .groupBy(termCol).agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(s"$path/df")
     stats.coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
-    ArtifactStamp.stampAll(docs.sparkSession, bm25Parts(path))
+    ArtifactStamp.stampAll(spark, bm25Parts(path))
   }
 
   private def bm25Parts(path: String): Seq[String] =

@@ -127,13 +127,15 @@ object Skyline {
     * would OOM. The survivor count is therefore measured (one
     * planner-scale count over the already-persisted survivors) and,
     * above `maxBroadcastFront` rows, the exact pass switches to a
-    * CHUNKED anti-join loop: the survivor set is hash-split into
-    * ceil(n / maxBroadcastFront) dominator chunks, and the survivors are
+    * CHUNKED anti-join loop: the DISTINCT dominator triples (duplicates
+    * dominate nothing their first copy doesn't) are value-hash-split
+    * into ceil(m / maxBroadcastFront) chunks, and the survivors are
     * anti-joined against one broadcast-sized chunk at a time
     * ([[paretoLayers]]' materialization discipline every few rounds) —
     * identical result (every point still meets every potential
     * dominator; a dominator dropped from the running set still appears
-    * in its own chunk), bounded memory at any survivor count. Cost is
+    * in its own chunk), bounded memory at any survivor count, and the
+    * value-keyed split is deterministic under task retries. Cost is
     * honest and stated: Ω(survivor²/cluster) comparisons — a
     * corpus-scale front has quadratically many dominance pairs to
     * refute, and the comparisons stay embarrassingly scan-parallel; the
@@ -195,20 +197,11 @@ object Skyline {
     val bounds = cells
       .select(col("sk_bx"), col("sk_by"), max(col("sk_bz")).over(wSuf).as("sk_suf"))
       .select(col("sk_bx"), col("sk_by"), max(col("sk_suf")).over(wPre).as("sk_lo"))
-    // sk_cid is a per-row unique id for the chunked fallback's split: a
-    // VALUE hash of the metrics would send every duplicate of a hot point
-    // to one chunk, so a heavily-duplicated corpus could push a single
-    // chunk far past maxBroadcastFront and OOM the broadcast the fallback
-    // exists to avoid. monotonically_increasing_id is unique per row and
-    // shuffle-free; consecutive ids round-robin across chunks, so chunk
-    // sizes stay ~n/chunks regardless of value skew. Stable across block
-    // eviction: the persisted plan under it is a deterministic scan.
     val survivors = pts
       .join(broadcast(bounds),
         bx === col("sk_bx") && by === col("sk_by"), "left")
       .filter(col("sk_lo").isNull || col(zCol) > col("sk_lo"))
       .drop("sk_bx", "sk_by", "sk_lo")
-      .withColumn("sk_cid", monotonically_increasing_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val dominated: Column =
@@ -218,22 +211,35 @@ object Skyline {
           col("sk_qz") > col(zCol))
     def qSide(s: DataFrame): DataFrame = s.select(col(xCol).as("sk_qx"),
       col(yCol).as("sk_qy"), col(zCol).as("sk_qz"))
+    // the dominator side only needs DISTINCT metric triples: duplicates
+    // of a point dominate exactly what their first copy dominates, so
+    // the dedup shrinks every broadcast AND makes the chunked split
+    // immune to duplication pile-up (each distinct triple lands in
+    // exactly one chunk). Keying chunks on the triple VALUES keeps the
+    // split deterministic under task retries and block re-computation —
+    // a row-id split (monotonically_increasing_id) is NOT: a recomputed
+    // survivor partition can renumber, silently moving a dominator into
+    // an already-processed chunk and letting its victims survive.
+    val doms = qSide(survivors).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val scratch = scala.collection.mutable.ListBuffer
       .empty[org.apache.spark.rdd.RDD[_]]
-    val n = survivors.count()
+    val m = doms.count()
     val out =
-      if (n <= maxBroadcastFront)
-        survivors.join(broadcast(qSide(survivors)), dominated, "left_anti")
+      if (m <= maxBroadcastFront)
+        survivors.join(broadcast(doms), dominated, "left_anti")
       else {
-        // chunked exact pass: dominator chunks come from the ORIGINAL
-        // survivor set (a point removed from the running set is still a
-        // valid dominator — transitivity is not needed)
-        val chunks = ((n + maxBroadcastFront - 1) / maxBroadcastFront).toInt
-        val chunkOf = pmod(col("sk_cid"), lit(chunks.toLong))
+        // chunked exact pass: dominator chunks come from the FULL
+        // distinct-dominator set (a point removed from the running set
+        // is still a valid dominator — transitivity is not needed)
+        val chunks = ((m + maxBroadcastFront - 1) / maxBroadcastFront).toInt
+        val chunkOf = pmod(
+          xxhash64(col("sk_qx"), col("sk_qy"), col("sk_qz")),
+          lit(chunks.toLong))
         var rest = survivors
         for (c <- 0 until chunks) {
-          val chunk = qSide(survivors.filter(chunkOf === c.toLong))
+          val chunk = doms.filter(chunkOf === c.toLong)
           rest = rest.join(broadcast(chunk), dominated, "left_anti")
           // truncate the BNLJ tower every few chunks (paretoLayers'
           // measured discipline); intermediates are tracked for release
@@ -242,8 +248,9 @@ object Skyline {
         }
         rest
       }
-    (out.drop("sk_cid"), () => {
+    (out, () => {
       survivors.unpersist()
+      doms.unpersist()
       scratch.foreach(_.unpersist(false))
     })
   }

@@ -2764,13 +2764,16 @@ object TextQueries {
       // contamination COST to reach each document
       // (`Dedup.weightedChunkShareEdges` → `Graph.shortestPaths`): d53
       // says reachable-or-not; this grades HOW STRONGLY a document
-      // derives from the flagged set, with each chunk-share hop costing
-      // the chunk's document frequency — a rare shared chunk (df 2) is
-      // near-verbatim lineage and costs little, boilerplate every doc
-      // carries costs its full df, so min-cost = the cheapest sharing
-      // chain. Same graph as d53/g08 (star edges over the storable
-      // posting table, hub-mediated — edges ∝ postings, never the
-      // per-chunk clique), the df riding the hub aggregate for free;
+      // derives from the flagged set, with each HUB ATTACHMENT (the
+      // star's edge unit) costing the chunk's document frequency — a
+      // rare shared chunk (df 2) is near-verbatim lineage and costs
+      // little, boilerplate every doc carries costs its full df, so
+      // min-cost = the cheapest chain of attachments (two non-hub
+      // same-chunk docs sit 2·df apart — the stated price of the star
+      // over the df²-edge clique; the operator scaladoc carries the
+      // full argument). Same graph as d53/g08 (star edges over the
+      // storable posting table, hub-mediated — edges ∝ postings, never
+      // the per-chunk clique), the df riding the hub aggregate for free;
       // bounded Bellman-Ford over it is g09's exact shape (fixed 6
       // integral relaxations → the oracle is six unrolled min-folds,
       // bit-identical on both engines), with the reached set — the

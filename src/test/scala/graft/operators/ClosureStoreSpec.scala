@@ -135,9 +135,13 @@ class ClosureStoreSpec extends SparkSpec {
 
     ClosureStore.compact(spark, p)
 
-    // a new generation replaced the old one; no batch dirs remain
+    // a new generation replaced the old one; no batch dirs remain; the
+    // superseded generation is RETAINED one cycle (reader grace — an
+    // in-flight lazy frame keeps its files) and reclaimed by the next
+    // publish, asserted at the end of this test
     assert(genDir(p) != genBefore)
-    assert(!new java.io.File(genBefore).exists(), "old generation cleaned up")
+    assert(new java.io.File(genBefore).exists(),
+      "previous generation kept one cycle for in-flight readers")
     assert(!new java.io.File(s"${genDir(p)}/batches").exists() ||
       new java.io.File(s"${genDir(p)}/batches").listFiles().isEmpty)
     // compact-then-read ≡ composed-read
@@ -168,6 +172,12 @@ class ClosureStoreSpec extends SparkSpec {
         spark.emptyDataset[Long].toDF("doc_id"), p, "day3")
       .select("node").as[Long].collect().toSet
     assert(day3 == before + 21L)
+    // a second compact reclaims the generation the first one superseded
+    ClosureStore.compact(spark, p)
+    assert(!new java.io.File(genBefore).exists(),
+      "two-cycles-old generation reclaimed by the next publish")
+    assert(ClosureStore.storedClosure(spark, p)
+      .select("node").as[Long].collect().toSet == before + 21L)
   }
 
   test("a crash mid-compact leaves the old generation fully readable") {

@@ -159,7 +159,10 @@ class EditDistanceSpec extends SparkSpec {
     EditDistance.compactIndex(spark, root)
 
     assert(genDir(root) != genBefore)
-    assert(!new java.io.File(genBefore).exists(), "old generation cleaned up")
+    // superseded generation retained one cycle (reader grace), reclaimed
+    // by the NEXT publish — asserted below after the second compact
+    assert(new java.io.File(genBefore).exists(),
+      "previous generation kept one cycle for in-flight readers")
     assert(EditDistance.liveBatchCount(spark, root) == 0)
     // compact-then-probe ≡ composed-probe ≡ from-scratch writeIndex
     assert(EditDistance.incrementalPairs(probe, "id", "s", root)
@@ -178,6 +181,11 @@ class EditDistanceSpec extends SparkSpec {
     // and the index keeps rolling forward after the compact
     EditDistance.appendIndex(
       Seq((950L, mkStr(11L))).toDF("id", "s"), "id", "s", root, "b3")
+    assert(EditDistance.batchIngested(spark, root, "b3"))
+    // a second compact reclaims the generation the first one superseded
+    EditDistance.compactIndex(spark, root)
+    assert(!new java.io.File(genBefore).exists(),
+      "two-cycles-old generation reclaimed by the next publish")
     assert(EditDistance.batchIngested(spark, root, "b3"))
   }
 

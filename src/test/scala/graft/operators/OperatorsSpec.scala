@@ -275,8 +275,10 @@ class DedupSpec extends SparkSpec {
     val we = Dedup.weightedChunkShareEdges(Dedup.chunkPostings(docs))
       .select("a_id", "b_id", "df").as[(Long, Long, Long)].collect().toSet
     assert(we == Set((2L, 1L, 3L), (3L, 1L, 3L), (4L, 3L, 2L)), s"got $we")
-    // composed with shortestPaths from seed 2: reaching doc 4 pays
-    // df(A) + df(B) = 3 + 2 = 5 through two hub hops
+    // composed with shortestPaths from seed 2 — costs are PER HUB
+    // ATTACHMENT (the star's edge unit): 2 → hub 1 pays df(A)=3,
+    // 1 → 3 pays df(A)=3 again (3 is a spoke of A, not its hub),
+    // 3 → 4 pays df(B)=2 (3 IS B's hub) — 0+3, 3+3, 6+2
     val sym = Dedup.weightedChunkShareEdges(Dedup.chunkPostings(docs))
       .select(col("a_id").as("src"), col("b_id").as("dst"), col("df"))
       .unionAll(Dedup.weightedChunkShareEdges(Dedup.chunkPostings(docs))

@@ -146,10 +146,10 @@ class SkylineSpec extends SparkSpec {
   }
 
   test("pareto3d chunked fallback: heavy duplication cannot pile one chunk") {
-    // 240 EXACT copies of a single non-dominated point + a scatter — a
-    // metric-VALUE chunk hash would send every copy to one chunk (way
-    // past maxBroadcastFront=50); the row-unique split keeps chunks
-    // ~n/chunks regardless, and duplicates of a front point all survive
+    // 240 EXACT copies of a single non-dominated point + a scatter — the
+    // dominator side dedups to distinct metric triples before the
+    // value-hash split, so duplication cannot pile one chunk past
+    // maxBroadcastFront, and duplicates of a front point all survive
     val dup = spark.range(240).select((col("id") + 1000).as("id"),
       lit(0L).as("x"), lit(100L).as("y"), lit(100L).as("z"))
     val scatter = spark.range(300).select(col("id"),
