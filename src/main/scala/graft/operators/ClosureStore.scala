@@ -92,22 +92,37 @@ object ClosureStore {
     Generations.current(spark, path, "ClosureStore")
 
   /** Committed batch directories of the CURRENT generation, ascending
-    * commit order (dir names are zero-padded sequence numbers assigned
-    * at commit — single-writer, the COW contract). */
+    * commit order — NUMERIC on the sequence prefix, not lexicographic:
+    * the `%06d` padding grows to 7 digits past batch 999 999, where
+    * "1000000-…" < "999999-…" as strings would reorder the merge-on-read
+    * masking in [[readEdges]] and silently serve a stale star. (Dir
+    * names are sequence numbers assigned at commit — single-writer, the
+    * COW contract.) */
   private def batchDirs(spark: SparkSession, gen: String): Seq[String] = {
     val fs = hadoopFs(spark, gen)
     val root = new org.apache.hadoop.fs.Path(s"$gen/batches")
     if (!fs.exists(root)) Seq.empty
     else fs.listStatus(root).toSeq.filter(_.isDirectory)
-      .map(_.getPath.toString).sorted
+      .map(_.getPath.toString).sortBy(dirSeq)
+  }
+
+  /** The numeric sequence prefix of a committed batch directory
+    * (`NNNNNN-<batchId>`, width ≥ 6). */
+  private def dirSeq(dir: String): Long = {
+    val n = dir.substring(dir.lastIndexOf('/') + 1)
+    n.substring(0, n.indexOf('-')).toLong
   }
 
   /** The batch id a committed batch directory carries: dir names are
-    * `NNNNNN-<batchId>` — strip the fixed 7-char zero-padded sequence
-    * prefix and compare EQUALITY (an endsWith probe would false-positive
+    * `NNNNNN-<batchId>` — split at the FIRST '-' (a fixed-width drop
+    * would mis-parse once the sequence outgrows its padding and make
+    * batchIngested deny a committed batch, letting a replay duplicate
+    * it) and compare EQUALITY (an endsWith probe would false-positive
     * on batch ids containing '-': committed "x-b1" ends with "-b1"). */
-  private def dirBatchId(dir: String): String =
-    dir.substring(dir.lastIndexOf('/') + 1).drop(7)
+  private def dirBatchId(dir: String): String = {
+    val n = dir.substring(dir.lastIndexOf('/') + 1)
+    n.substring(n.indexOf('-') + 1)
+  }
 
   /** Has `batchId` already been folded in — by a live [[advance]] batch
     * directory of the current generation, or by one compacted into the
@@ -397,6 +412,19 @@ object ClosureStore {
     require(fs.rename(staging, target),
       s"ClosureStore commit of batch '$batchId' failed to publish " +
         "(concurrent advance?)")
+    // defense in depth for the single-writer contract ([[Generations]]):
+    // if a rewrite published a new generation while this fold ran, the
+    // batch just landed inside the SUPERSEDED generation — readers
+    // resolve the new one, whose ledger lacks this id, so without this
+    // probe the data would be silently dropped while the streaming
+    // checkpoint records the batch delivered. Fail loud instead: the
+    // caller replays, batchIngested (against the NEW generation) says
+    // false, and the re-advance commits where readers actually look.
+    if (currentGen(spark, path) != gen) throw new IllegalStateException(
+      s"ClosureStore batch '$batchId' committed into a generation that a " +
+        s"concurrent rewrite superseded ($gen) — batch commits and " +
+        "rewrites must be serialized by one writer; replay the batch " +
+        "against the current generation")
     fold.result
   }
 }

@@ -371,6 +371,16 @@ object EditDistance {
         new org.apache.hadoop.fs.Path(s"$gen/batches/$batchId")),
       s"editdist index commit of batch '$batchId' failed to publish " +
         s"(concurrent append of the same id?)")
+    // the Generations single-writer defense: a rewrite publishing a new
+    // generation mid-append would leave this batch in the superseded one
+    // (readers resolve the new generation, its ledger lacks the id — the
+    // batch silently gone). Fail loud so the caller replays against the
+    // generation readers actually see ([[ClosureStore.advance]]'s probe).
+    if (Generations.current(spark, path, "editdist index") != gen)
+      throw new IllegalStateException(
+        s"editdist index batch '$batchId' committed into a generation that " +
+          s"a concurrent rewrite superseded ($gen) — batch commits and " +
+          "rewrites must be serialized by one writer; replay the batch")
   }
 
   /** One index component (`segs`/`shorts`) across the base write and

@@ -28,30 +28,53 @@ import org.apache.spark.sql.functions.col
   *     readers slower than a whole maintenance cycle should
   *     re-resolve).
   *
-  * Single-writer for rewrites (the COW contract); cross-component torn
-  * protection WITHIN a generation stays [[ArtifactStamp]]'s job.
-  * Flat layouts predating the generation structure are NOT migrated:
-  * reads fail loud (below) and a fresh build publishes `gen-0000001`
-  * beside — not composed with — any flat-layout files.
+  * Single-writer means ONE writer across BOTH write families: batch
+  * commits (advance/appendIndex) and base rewrites (build/compact) must
+  * be serialized by the caller — a batch commit racing a rewrite could
+  * otherwise land its directory inside the generation the rewrite is
+  * superseding, and the new generation's ledger would lack the batch id
+  * while the streaming checkpoint records it delivered: the batch's
+  * data silently gone with no replay. Defense in depth for the races
+  * the contract forbids: batch committers re-resolve the current
+  * generation AFTER their rename and fail loud if it moved (the
+  * ClosureStore.advance / EditDistance.appendIndex post-commit probe),
+  * so a violated contract surfaces as an exception and a replay, never
+  * as silent loss. Cross-component torn protection WITHIN a generation
+  * stays [[ArtifactStamp]]'s job. Flat layouts predating the generation
+  * structure are NOT migrated: reads fail loud (below) and a fresh
+  * build publishes `gen-0000001` beside — not composed with — any
+  * flat-layout files.
+  *
+  * Naming is zero-padded but NOT width-bounded: matching is `\d{7,}`
+  * and ordering is NUMERIC on the parsed sequence, so generation
+  * 10 000 000 (which a 7-char-fixed regex would make invisible — the
+  * published store would vanish from readers) stays resolvable, just
+  * no longer lexicographically sorted on disk.
   */
 private[operators] object Generations {
 
-  private val Name = "gen-(\\d{7})".r
+  private val Name = "gen-(\\d{7,})".r
+
+  /** The numeric sequence a committed generation directory carries. */
+  def genSeq(dir: String): Long =
+    dir.substring(dir.lastIndexOf('/') + 1).drop(4).toLong
 
   private def hadoopFs(spark: SparkSession,
       path: String): org.apache.hadoop.fs.FileSystem =
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Committed generation directories, ascending. Staging is
-    * dot-prefixed and never matches. */
+  /** Committed generation directories, ascending by NUMERIC sequence
+    * (lexicographic order breaks once a sequence outgrows the 7-char
+    * zero padding: "gen-10000000" < "gen-9999999" as strings). Staging
+    * is dot-prefixed and never matches. */
   def dirs(spark: SparkSession, path: String): Seq[String] = {
     val fs = hadoopFs(spark, path)
     val root = new org.apache.hadoop.fs.Path(path)
     if (!fs.exists(root)) Seq.empty
     else fs.listStatus(root).toSeq.filter(_.isDirectory)
       .filter(s => Name.pattern.matcher(s.getPath.getName).matches())
-      .map(_.getPath.toString).sorted
+      .map(_.getPath.toString).sortBy(genSeq)
   }
 
   /** The live generation — the highest committed `gen-NNNNNNN`; fails
@@ -96,9 +119,7 @@ private[operators] object Generations {
       parts: String => Seq[String])(write: String => Unit): Unit = {
     val fs = hadoopFs(spark, path)
     val old = dirs(spark, path)
-    val seq = old.lastOption
-      .map(d => d.substring(d.lastIndexOf('/') + 1).drop(4).toInt)
-      .getOrElse(0) + 1
+    val seq = old.lastOption.map(genSeq).getOrElse(0L) + 1
     val name = f"gen-$seq%07d"
     val staging = new org.apache.hadoop.fs.Path(s"$path/.$name.inprogress")
     fs.delete(staging, true) // leftover from a crashed attempt: restage whole

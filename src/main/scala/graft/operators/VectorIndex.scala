@@ -15,7 +15,9 @@ import org.apache.spark.sql.functions._
   * artifacts, so (given the same fits) it returns IDENTICAL rows — the
   * spec asserts equality, not a recall bar.
   *
-  * Layout under `path` (all parquet):
+  * Layout is [[Generations]]-structured (the ClosureStore/EditDistance
+  * discipline): all components live inside one `gen-NNNNNNN` directory
+  * published by a single atomic rename —
   *   - `params/`    one row: m, sd, ks, dim, residual, k_cells
   *   - `centroids/` (cluster, cvec ARRAY<DOUBLE>, cnorm2) — broadcast side
   *   - `codebooks/` (subspace, code, center ARRAY<DOUBLE>) — m·ks rows,
@@ -23,19 +25,43 @@ import org.apache.spark.sql.functions._
   *   - `codes/`     (vid, cluster, codes ARRAY<INT>, vh ARRAY<DOUBLE>) —
   *     the scan side: m small codes for ADC plus the normalized vector for
   *     the exact re-rank, co-located by cell id
+  *   - `ingested/`  the replay ledger: every batch id ever folded, carried
+  *     across [[compactIndex]] and rebuilds so [[batchIngested]] stays
+  *     truthful after the batch directories themselves are gone
+  *   - `batches/<batchId>/codes/` — committed [[appendBatch]] increments,
+  *     each published by ONE rename (wholly visible or not at all)
+  *
+  * A rebuild over a LIVE index publishes a whole new generation, so the
+  * new fits can never silently compose with codes encoded under the old
+  * ones, and a crash mid-rewrite leaves the previous generation fully
+  * readable. A crashed or speculatively-retried ingest job is caught by
+  * the [[batchIngested]] probe — the raw-parquet-append design this
+  * replaces would double-encode the batch silently (duplicate code rows
+  * inflate candidate multiplicity and can displace distinct neighbors in
+  * the ADC shortlist) and a crash mid-append left a torn `codes/` no
+  * stamp mismatch could catch (only codes changed, so verifyAligned
+  * still passed).
   *
   * 100 TB shape: `codes/` is the only corpus-sized table. The ADC pass
   * reads (vid, cluster, codes) — column-pruned to ~m bytes of codes per
   * vector; the exact pass re-reads only (vid, vh) for the k·refine
-  * shortlisted rows via a broadcast join. Incremental ingest appends new
-  * batches' rows to `codes/` with the STORED fits (encode is a pure map —
-  * no refit), which is exactly what [[appendBatch]] does. */
+  * shortlisted rows via a broadcast join. Incremental ingest commits new
+  * batches' rows beside `codes/` with the STORED fits (encode is a pure
+  * map — no refit), which is exactly what [[appendBatch]] does; reads
+  * compose base + batches (a plain multi-directory union — no masking:
+  * codes are append-only), and [[compactIndex]] folds the accumulated
+  * small batch directories into a fresh base on whatever cadence the
+  * file-count hygiene is worth. */
 object VectorIndex {
 
-  /** Build and persist the index. `nCentroids <= 0` auto-sizes cells; pass
-    * `coarseFitted`/`fitted` to reuse session-shared fits (and to make a
-    * subsequent one-shot [[Similarity.ivfPqTopK]] with the same fits
-    * bit-identical to [[search]]). */
+  /** Build and persist the index as the next generation. `nCentroids <= 0`
+    * auto-sizes cells; pass `coarseFitted`/`fitted` to reuse session-shared
+    * fits (and to make a subsequent one-shot [[Similarity.ivfPqTopK]] with
+    * the same fits bit-identical to [[search]]). Rebuilding over a LIVE
+    * index is safe: the publish supersedes the old base AND its batch
+    * directories together, and the replay ledger carries forward (old
+    * ledger ∪ old batch ids) so a streaming replay of a batch folded
+    * before the rebuild is still recognized and skipped. */
   def write(
       corpus: DataFrame,
       path: String,
@@ -89,41 +115,147 @@ object VectorIndex {
     val encoded = encodeWith(pf.models, codeInput, m, sd)
       .select(col("vid"), col("cluster"), col("codes"), col("vh0").as("vh"))
 
-    Seq((m, sd, ks, dim, residual, cf.kCells))
-      .toDF("m", "sd", "ks", "dim", "residual", "k_cells")
-      .write.mode("overwrite").parquet(s"$path/params")
-    centroids.write.mode("overwrite").parquet(s"$path/centroids")
-    codebooks.write.mode("overwrite").parquet(s"$path/codebooks")
-    encoded.write.mode("overwrite").parquet(s"$path/codes")
-    // one generation stamp across all four components (the ClosureStore
-    // discipline): codes encoded against one fit joined with another
-    // build's codebooks would score garbage distances SILENTLY — the
-    // exact torn state a crash between these four writes leaves. Appends
-    // ([[appendBatch]]) encode with the stored fits into the stamped
-    // codes dir and never touch the stamp.
-    ArtifactStamp.stampAll(spark, parts(path))
+    // the ledger the new generation must carry (old ledger ∪ old live
+    // batch ids) — resolved BEFORE the publish supersedes them
+    val carried: Seq[String] = Generations.carriedLedger(spark, path,
+      gen => batchDirs(spark, gen).map(_._1))
+    // one generation publish + one stamp across all five components (the
+    // ClosureStore discipline): codes encoded against one fit joined with
+    // another build's codebooks would score garbage distances SILENTLY —
+    // the exact torn state a crash between component writes of an
+    // in-place rewrite leaves. Appends ([[appendBatch]]) commit whole
+    // batch directories beside the stamped base and never touch the stamp.
+    Generations.publish(spark, path, parts) { staging =>
+      Seq((m, sd, ks, dim, residual, cf.kCells))
+        .toDF("m", "sd", "ks", "dim", "residual", "k_cells")
+        .write.mode("overwrite").parquet(s"$staging/params")
+      centroids.write.mode("overwrite").parquet(s"$staging/centroids")
+      codebooks.write.mode("overwrite").parquet(s"$staging/codebooks")
+      encoded.write.mode("overwrite").parquet(s"$staging/codes")
+      carried.toDF("batch_id").coalesce(1)
+        .write.mode("overwrite").parquet(s"$staging/ingested")
+    }
   }
 
-  private def parts(path: String): Seq[String] =
-    Seq(s"$path/params", s"$path/centroids", s"$path/codebooks", s"$path/codes")
+  private def parts(gen: String): Seq[String] =
+    Seq(s"$gen/params", s"$gen/centroids", s"$gen/codebooks", s"$gen/codes",
+      s"$gen/ingested")
 
-  /** Encode a NEW batch with the stored fits and append it to `codes/` —
-    * incremental ingest without refit or history re-scan (the IVF analog of
-    * `Dedup.incrementalNeardupPairs`' never-history×history contract).
-    * Centroids/codebooks stay frozen: the standard FAISS-style tradeoff
-    * that drift in the data distribution degrades cell balance until the
-    * next rebuild, in exchange for O(batch) ingest cost. */
+  private def hadoopFs(spark: SparkSession,
+      path: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Committed (batchId, dir) pairs of a generation, ascending id —
+    * order is cosmetic: codes are append-only, reads are a plain union. */
+  private def batchDirs(spark: SparkSession,
+      gen: String): Seq[(String, String)] = {
+    val fs = hadoopFs(spark, gen)
+    val root = new org.apache.hadoop.fs.Path(s"$gen/batches")
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.filter(_.isDirectory)
+      .map(s => (s.getPath.getName, s.getPath.toString)).sortBy(_._1)
+  }
+
+  /** The live generation, stamp-verified — every read and write resolves
+    * through here (one choke point for the torn-build check). */
+  private def currentVerified(spark: SparkSession, path: String): String = {
+    val gen = Generations.current(spark, path, "IVFADC index")
+    ArtifactStamp.verifyAligned(spark, "IVFADC index", parts(gen))
+    gen
+  }
+
+  /** The composed code table: base + every committed batch directory —
+    * staging is dot-prefixed and never listed, so readers see only whole
+    * batches. */
+  private def composedCodes(spark: SparkSession, gen: String): DataFrame =
+    spark.read.parquet((s"$gen/codes" +:
+      batchDirs(spark, gen).map(d => s"${d._2}/codes")): _*)
+
+  /** Has `batchId` already been folded in — by a live [[appendBatch]]
+    * batch directory of the current generation, or by one absorbed into
+    * the base (the `ingested` ledger, which [[compactIndex]] and
+    * [[write]]-over-live carry forward)? The idempotence probe a
+    * retrying or replaying ingest job runs before appending. */
+  def batchIngested(spark: SparkSession, path: String,
+      batchId: String): Boolean = {
+    val gen = Generations.current(spark, path, "IVFADC index")
+    batchDirs(spark, gen).exists(_._1 == batchId) ||
+      Generations.readLedger(spark, gen).contains(batchId)
+  }
+
+  /** Batch directories of the live generation not yet folded into the
+    * base — the small-file gauge a maintenance job (or
+    * [[graft.streaming.Streaming.annIndexSink]]'s `compactEvery`)
+    * watches to trigger [[compactIndex]]. */
+  def liveBatchCount(spark: SparkSession, path: String): Int =
+    batchDirs(spark, Generations.current(spark, path, "IVFADC index")).size
+
+  /** Fold the live generation's batch directories into a fresh base —
+    * from the STORED artifacts only, zero re-encoding: the composed
+    * codes read is rewritten as one single-directory table, fits and
+    * params copy over verbatim, the replay ledger absorbs the batch
+    * ids, and the result publishes as the next generation with one
+    * rename (a crash anywhere mid-compact leaves the old generation
+    * fully readable). Searches, appends, and [[batchIngested]] answers
+    * are invariant across a compact (spec-pinned). */
+  def compactIndex(spark: SparkSession, path: String): Unit = {
+    import spark.implicits._
+    val gen = currentVerified(spark, path)
+    val ledger = Generations.carriedLedger(spark, path,
+      g => batchDirs(spark, g).map(_._1))
+    Generations.publish(spark, path, parts) { staging =>
+      spark.read.parquet(s"$gen/params")
+        .coalesce(1).write.mode("overwrite").parquet(s"$staging/params")
+      spark.read.parquet(s"$gen/centroids")
+        .write.mode("overwrite").parquet(s"$staging/centroids")
+      spark.read.parquet(s"$gen/codebooks")
+        .write.mode("overwrite").parquet(s"$staging/codebooks")
+      composedCodes(spark, gen)
+        .write.mode("overwrite").parquet(s"$staging/codes")
+      ledger.toDF("batch_id").coalesce(1)
+        .write.mode("overwrite").parquet(s"$staging/ingested")
+    }
+  }
+
+  /** Encode a NEW batch with the stored fits and commit it beside
+    * `codes/` — incremental ingest without refit or history re-scan (the
+    * IVF analog of `Dedup.incrementalNeardupPairs`' never-history×history
+    * contract). Centroids/codebooks stay frozen: the standard FAISS-style
+    * tradeoff that drift in the data distribution degrades cell balance
+    * until the next rebuild, in exchange for O(batch) ingest cost.
+    *
+    * The commit is ATOMIC and REPLAY-SAFE, not a parquet append
+    * ([[EditDistance.appendIndex]]'s discipline): the encoded codes stage
+    * under one dot-prefixed directory (invisible to readers) and publish
+    * with a SINGLE rename to `batches/<batchId>` — a crash leaves either
+    * nothing visible or the whole batch, and re-submitting a committed
+    * batchId fails loud (retrying jobs probe [[batchIngested]] first).
+    * The raw append this replaces was the one stored artifact whose
+    * failure/retry semantics contradicted the repo's standard: a retried
+    * ingest double-encoded the batch silently, and only `codes` changed,
+    * so the cross-component stamp could not catch the tear. */
   def appendBatch(
       batch: DataFrame,
       path: String,
+      batchId: String,
       idCol: String = "vec_id",
       vecCol: String = "embedding"
   ): Unit = {
+    require(batchId.nonEmpty && !batchId.exists(c => c == '/' || c == '.'),
+      s"batchId must be a plain directory name, got '$batchId'")
     val spark = batch.sparkSession
-    val (m, sd, _, _, residual, _) = readParams(spark, path)
-    val centroids = spark.read.parquet(s"$path/centroids")
-    val coarsePredict = predictorUdf(spark, s"$path/centroids", "cvec", "cluster")
-    val books = loadCodebookCenters(spark, path)
+    val gen = currentVerified(spark, path)
+    if (batchIngested(spark, path, batchId)) throw new IllegalStateException(
+      s"IVFADC index at $path already ingested batch '$batchId' — a blind " +
+        "retry would double-encode the batch (duplicate code rows inflate " +
+        "candidate multiplicity and can displace distinct neighbors in the " +
+        "ADC shortlist); probe batchIngested before appending, or pick a " +
+        "new batch id")
+    val (m, sd, _, _, residual, _) = readParamsGen(spark, gen)
+    val centroids = spark.read.parquet(s"$gen/centroids")
+    val coarsePredict = predictorUdf(spark, s"$gen/centroids", "cvec", "cluster")
+    val books = loadCodebookCenters(spark, gen)
     val normalized = withVec(batch, idCol, vecCol)
       .withColumn("vh", transform(col("v"), x => x / col("nrm")))
     val assigned = normalized.withColumn("cluster", coarsePredict(col("vh")))
@@ -136,8 +268,25 @@ object VectorIndex {
     val coded = books.zipWithIndex.foldLeft(codeInput) { case (d, (cbook, i)) =>
       d.withColumn(s"c_$i", mkPredictor(cbook)(subVec(col("vh"), i, sd)))
     }.withColumn("codes", array((0 until m).map(i => col(s"c_$i")): _*))
+    val fs = hadoopFs(spark, path)
+    val staging = new org.apache.hadoop.fs.Path(s"$gen/.batch-$batchId.inprogress")
+    fs.delete(staging, true) // leftover from a crashed attempt: restage whole
     coded.select(col("vid"), col("cluster"), col("codes"), col("vh0").as("vh"))
-      .write.mode("append").parquet(s"$path/codes")
+      .write.mode("overwrite").parquet(s"$staging/codes")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$gen/batches"))
+    require(fs.rename(staging,
+        new org.apache.hadoop.fs.Path(s"$gen/batches/$batchId")),
+      s"IVFADC index commit of batch '$batchId' failed to publish " +
+        "(concurrent append of the same id?)")
+    // the Generations single-writer defense ([[ClosureStore.advance]]'s
+    // probe): a rewrite publishing mid-append would strand this batch in
+    // the superseded generation — fail loud so the caller replays against
+    // the generation readers actually resolve.
+    if (Generations.current(spark, path, "IVFADC index") != gen)
+      throw new IllegalStateException(
+        s"IVFADC index batch '$batchId' committed into a generation that " +
+          s"a concurrent rewrite superseded ($gen) — batch commits and " +
+          "rewrites must be serialized by one writer; replay the batch")
   }
 
   /** Nearest-stored-center assignment as a UDF over the mllib model (the
@@ -172,11 +321,12 @@ object VectorIndex {
       centroids: DataFrame, codes: DataFrame)
 
   def load(spark: SparkSession, path: String): Loaded = {
-    val (m, sd, ks, dim, residual, kCells) = readParams(spark, path)
+    val gen = currentVerified(spark, path)
+    val (m, sd, ks, dim, residual, kCells) = readParamsGen(spark, gen)
     Loaded(m, sd, ks, dim, residual, kCells,
-      loadCodebookCenters(spark, path),
-      spark.read.parquet(s"$path/centroids"),
-      spark.read.parquet(s"$path/codes"))
+      loadCodebookCenters(spark, gen),
+      spark.read.parquet(s"$gen/centroids"),
+      composedCodes(spark, gen))
   }
 
   /** Top-k search against a stored index: probes, ADC shortlist, exact
@@ -259,12 +409,12 @@ object VectorIndex {
         col("rn").cast("int").as("rank"))
   }
 
-  private def readParams(spark: SparkSession, path: String)
+  /** Params of an already-verified generation — every read path
+    * ([[load]]/[[search]]/[[appendBatch]]) resolves the generation through
+    * [[currentVerified]] first, one choke point for the torn-build check. */
+  private def readParamsGen(spark: SparkSession, gen: String)
       : (Int, Int, Int, Int, Boolean, Int) = {
-    // every read path ([[load]]/[[search]]/[[appendBatch]]) resolves the
-    // params first — one choke point for the torn-build check
-    ArtifactStamp.verifyAligned(spark, "IVFADC index", parts(path))
-    val p = spark.read.parquet(s"$path/params").head()
+    val p = spark.read.parquet(s"$gen/params").head()
     (p.getAs[Int]("m"), p.getAs[Int]("sd"), p.getAs[Int]("ks"),
       p.getAs[Int]("dim"), p.getAs[Boolean]("residual"), p.getAs[Int]("k_cells"))
   }

@@ -1198,6 +1198,64 @@ object Streaming {
     true
   }
 
+  /** STREAM-MAINTAINED IVFADC index —
+    * [[graft.operators.VectorIndex.appendBatch]] as a streaming consumer:
+    * each micro-batch of embeddings encodes with the FROZEN stored fits
+    * (O(batch) — the corpus is never re-read, the codebooks never refit)
+    * and commits beside the stored codes, so [[annSearchStream]] serves
+    * results current to the last compaction-visible state and a reload
+    * picks up every committed batch. The vector twin of [[closureSink]] /
+    * [[editIndexSink]], sharing their exactly-once discipline: the commit
+    * is ONE atomic rename of one batch directory keyed by the streaming
+    * batch id — a crash mid-batch leaves nothing visible (replay
+    * re-stages), and a crash AFTER the commit but before the checkpoint
+    * records it is caught by the `batchIngested` probe on re-delivery,
+    * which skips the batch whole. The commit IS the marker. Bootstrap the
+    * base with [[graft.operators.VectorIndex.write]] first (the fits have
+    * to come from somewhere — a training sample of the corpus). Empty
+    * micro-batches commit nothing (skipped consistently on replay too).
+    *
+    * `compactEvery` bounds small-file growth over an UNBOUNDED stream:
+    * after a commit that leaves that many live batch directories the sink
+    * runs [[graft.operators.VectorIndex.compactIndex]] — stored-artifact-
+    * only (zero re-encoding), batch ids absorbed into the replay ledger,
+    * published as a new generation by one rename. Outside the
+    * exactly-once argument, as in [[closureSink]]: a crash between commit
+    * and compact just defers the compaction, and replays of absorbed
+    * batches still skip via the ledger. 0 disables. */
+  def annIndexSink(
+      vectors: DataFrame,
+      path: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      trigger: Trigger = Trigger.AvailableNow(),
+      compactEvery: Int = 0
+  ): DataStreamWriter[org.apache.spark.sql.Row] =
+    vectors.writeStream.trigger(trigger).foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        applyAnnIndexBatch(batch, path, idCol, vecCol, batchId, compactEvery)
+        ()
+    }
+
+  /** One micro-batch of [[annIndexSink]], factored out so replay
+    * semantics are directly testable. Returns true when the batch was
+    * committed, false when recognized as already-committed or empty. */
+  private[graft] def applyAnnIndexBatch(
+      batch: DataFrame, path: String,
+      idCol: String, vecCol: String, batchId: Long,
+      compactEvery: Int = 0): Boolean = {
+    val spark = batch.sparkSession
+    val id = s"b$batchId"
+    if (graft.operators.VectorIndex.batchIngested(spark, path, id))
+      return false // crash-after-commit replay: skip whole
+    if (batch.isEmpty) return false
+    graft.operators.VectorIndex.appendBatch(batch, path, id, idCol, vecCol)
+    if (compactEvery > 0 &&
+        graft.operators.VectorIndex.liveBatchCount(spark, path) >= compactEvery)
+      graft.operators.VectorIndex.compactIndex(spark, path)
+    true
+  }
+
   /** The stored front if any batch ever committed: `front`, or the
     * `front.old` a crash between the swap renames left behind. */
   private def currentParetoFront(
