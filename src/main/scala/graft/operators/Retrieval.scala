@@ -143,11 +143,17 @@ object Retrieval {
   }
 
   /** Publish a [[bm25Index]] to disk as the three tables a retrieval
-    * service keeps — `postings/`, `df/`, `stats/` — stamped with ONE
-    * generation id ([[ArtifactStamp]], the ClosureStore discipline): a
-    * crash between the component writes of a rebuild would otherwise
-    * leave yesterday's df beside today's postings, and BM25 scored with
-    * mismatched df/stats is silently mis-ranked, not an error. */
+    * service keeps — `postings/`, `df/`, `stats/` — inside one
+    * [[Generations]] directory stamped with ONE generation id: a crash
+    * between the component writes of a rebuild would otherwise leave
+    * yesterday's df beside today's postings, and BM25 scored with
+    * mismatched df/stats is silently mis-ranked, not an error. The
+    * generation publish (r16) closes the availability half of that
+    * story too: rewriting a LIVE index stages the next generation
+    * complete and commits with a single rename, so a crash mid-rewrite
+    * leaves the previous index fully SERVABLE — the stamp-only layout
+    * this replaces failed loud but left no readable index until a
+    * rebuild completed. */
   def writeBm25Index(
       docs: DataFrame,
       path: String,
@@ -157,30 +163,33 @@ object Retrieval {
   ): Unit = {
     val spark = docs.sparkSession
     val (postings, _, stats) = bm25Index(docs, idCol, textCol, termCol)
-    postings.write.mode("overwrite").parquet(s"$path/postings")
-    // df derives from the just-written postings (one row per (doc, term)
-    // by construction), not from a second corpus tokenization — the
-    // ClosureStore.build write-then-read-back discipline. stats keeps
-    // its corpus derivation: n must count EVERY document, including
-    // empty ones that emit no postings rows.
-    spark.read.parquet(s"$path/postings")
-      .groupBy(termCol).agg(count(lit(1)).as("df"))
-      .write.mode("overwrite").parquet(s"$path/df")
-    stats.coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
-    ArtifactStamp.stampAll(spark, bm25Parts(path))
+    Generations.publish(spark, path, bm25Parts) { staging =>
+      postings.write.mode("overwrite").parquet(s"$staging/postings")
+      // df derives from the just-written postings (one row per (doc, term)
+      // by construction), not from a second corpus tokenization — the
+      // ClosureStore.build write-then-read-back discipline. stats keeps
+      // its corpus derivation: n must count EVERY document, including
+      // empty ones that emit no postings rows.
+      spark.read.parquet(s"$staging/postings")
+        .groupBy(termCol).agg(count(lit(1)).as("df"))
+        .write.mode("overwrite").parquet(s"$staging/df")
+      stats.coalesce(1).write.mode("overwrite").parquet(s"$staging/stats")
+    }
   }
 
-  private def bm25Parts(path: String): Seq[String] =
-    Seq(s"$path/postings", s"$path/df", s"$path/stats")
+  private def bm25Parts(gen: String): Seq[String] =
+    Seq(s"$gen/postings", s"$gen/df", s"$gen/stats")
 
-  /** The stored [[writeBm25Index]] tables, stamp-verified — the tuple
-    * [[bm25SearchIndexed]] / `Streaming.bm25SearchStream` consume. */
+  /** The stored [[writeBm25Index]] tables of the LIVE generation,
+    * stamp-verified — the tuple [[bm25SearchIndexed]] /
+    * `Streaming.bm25SearchStream` consume. */
   def readBm25Index(spark: org.apache.spark.sql.SparkSession, path: String)
       : (DataFrame, DataFrame, DataFrame) = {
-    ArtifactStamp.verifyAligned(spark, "BM25 index", bm25Parts(path))
-    (spark.read.parquet(s"$path/postings"),
-      spark.read.parquet(s"$path/df"),
-      spark.read.parquet(s"$path/stats"))
+    val gen = Generations.current(spark, path, "BM25 index")
+    ArtifactStamp.verifyAligned(spark, "BM25 index", bm25Parts(gen))
+    (spark.read.parquet(s"$gen/postings"),
+      spark.read.parquet(s"$gen/df"),
+      spark.read.parquet(s"$gen/stats"))
   }
 
   /** BM25 search against a STORED index ([[bm25Index]] tables): the

@@ -166,9 +166,21 @@ object Winnowing {
     * probing a k=3 index with k=5 batch fingerprints would produce
     * disjoint values and a silently-EMPTY overlap set (the
     * EditDistance maxDist-pin precedent); reads fail loud on mismatch
-    * instead. Both directories carry one generation stamp
-    * ([[ArtifactStamp]]): a torn rebuild (postings rewritten, meta not,
-    * or either alone) is an error, never a silent wrong answer. */
+    * instead.
+    *
+    * Storage is [[Generations]]-structured (r16 — the ClosureStore /
+    * EditDistance / VectorIndex layout): base components + an
+    * `ingested/` replay ledger + the `batches/` directory of committed
+    * [[appendIndex]] increments live inside one `gen-NNNNNNN` published
+    * by a single rename. A torn rebuild (postings rewritten, meta not,
+    * or either alone) stays an error ([[ArtifactStamp]]), AND a crash
+    * mid-rewrite now leaves the previous generation fully servable —
+    * the stamp-only flat layout this replaces failed loud but left no
+    * readable index until a rebuild completed. Rebuilding over a LIVE
+    * index supersedes the old base and its batch directories together;
+    * the ledger carries forward (old ledger ∪ old batch ids), so a
+    * streaming replay of a batch folded before the rebuild is still
+    * recognized and skipped. */
   def writeFingerprintIndex(
       docs: DataFrame,
       path: String,
@@ -179,33 +191,168 @@ object Winnowing {
   ): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
-    fingerprintIndex(docs, k, w, idCol, textCol)
-      .write.mode("overwrite").parquet(s"$path/postings")
-    Seq((k, w)).toDF("k", "w").coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/meta")
-    ArtifactStamp.stampAll(spark, fpParts(path))
+    val carried: Seq[String] = Generations.carriedLedger(spark, path,
+      gen => batchDirs(spark, gen).map(_._1))
+    Generations.publish(spark, path, fpParts) { staging =>
+      fingerprintIndex(docs, k, w, idCol, textCol)
+        .write.mode("overwrite").parquet(s"$staging/postings")
+      Seq((k, w)).toDF("k", "w").coalesce(1)
+        .write.mode("overwrite").parquet(s"$staging/meta")
+      carried.toDF("batch_id").coalesce(1)
+        .write.mode("overwrite").parquet(s"$staging/ingested")
+    }
   }
 
-  private def fpParts(path: String): Seq[String] =
-    Seq(s"$path/postings", s"$path/meta")
+  private def fpParts(gen: String): Seq[String] =
+    Seq(s"$gen/postings", s"$gen/meta", s"$gen/ingested")
 
-  /** The stored posting table, stamp-verified and (k, w)-pinned — the
-    * `index` frame [[incrementalOverlapPairs]] probes. The caller's
-    * (k, w) must equal the stored scheme. */
+  private def hadoopFs(spark: org.apache.spark.sql.SparkSession,
+      path: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Committed (batchId, dir) pairs of a generation, ascending id —
+    * order is cosmetic: postings are append-only, reads are a union. */
+  private def batchDirs(spark: org.apache.spark.sql.SparkSession,
+      gen: String): Seq[(String, String)] = {
+    val fs = hadoopFs(spark, gen)
+    val root = new org.apache.hadoop.fs.Path(s"$gen/batches")
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.filter(_.isDirectory)
+      .map(s => (s.getPath.getName, s.getPath.toString)).sortBy(_._1)
+  }
+
+  /** The live generation, stamp-verified — every read and write resolves
+    * through here (one choke point for the torn-build check). */
+  private def currentVerified(spark: org.apache.spark.sql.SparkSession,
+      path: String): String = {
+    val gen = Generations.current(spark, path, "winnowing index")
+    ArtifactStamp.verifyAligned(spark, "winnowing index", fpParts(gen))
+    gen
+  }
+
+  /** The (k, w) scheme a generation pins. */
+  private def storedScheme(spark: org.apache.spark.sql.SparkSession,
+      gen: String): (Int, Int) = {
+    val m = spark.read.parquet(s"$gen/meta").head()
+    (m.getAs[Int]("k"), m.getAs[Int]("w"))
+  }
+
+  /** Has `batchId` already been folded in — by a live [[appendIndex]]
+    * batch directory of the current generation, or by one absorbed into
+    * the base (the `ingested` ledger, which [[compactIndex]] and
+    * [[writeFingerprintIndex]]-over-live carry forward)? The idempotence
+    * probe a retrying or replaying ingest job runs before appending. */
+  def batchIngested(spark: org.apache.spark.sql.SparkSession,
+      path: String, batchId: String): Boolean = {
+    val gen = Generations.current(spark, path, "winnowing index")
+    batchDirs(spark, gen).exists(_._1 == batchId) ||
+      Generations.readLedger(spark, gen).contains(batchId)
+  }
+
+  /** Batch directories of the live generation not yet folded into the
+    * base — the small-file gauge a maintenance job (or
+    * [[graft.streaming.Streaming.fingerprintIndexSink]]'s `compactEvery`)
+    * watches to trigger [[compactIndex]]. */
+  def liveBatchCount(spark: org.apache.spark.sql.SparkSession,
+      path: String): Int =
+    batchDirs(spark, Generations.current(spark, path, "winnowing index")).size
+
+  /** Fold a new batch of documents into the stored index — the d51
+    * contract's own words made executable: "appending the batch's
+    * postings IS the next day's index". O(|batch|) fingerprinting under
+    * the STORED (k, w) scheme (no caller-supplied scheme to mismatch),
+    * history untouched. The commit is ATOMIC and REPLAY-SAFE
+    * ([[EditDistance.appendIndex]]'s discipline): postings stage under a
+    * dot-prefixed directory and publish with a SINGLE rename to
+    * `batches/<batchId>` — a crash leaves either nothing visible or the
+    * whole batch, and re-submitting a committed batchId fails loud
+    * (retrying jobs probe [[batchIngested]] first). */
+  def appendIndex(
+      batch: DataFrame,
+      path: String,
+      batchId: String,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): Unit = {
+    require(batchId.nonEmpty && !batchId.exists(c => c == '/' || c == '.'),
+      s"batchId must be a plain directory name, got '$batchId'")
+    val spark = batch.sparkSession
+    val gen = currentVerified(spark, path)
+    if (batchIngested(spark, path, batchId)) throw new IllegalStateException(
+      s"winnowing index at $path already ingested batch '$batchId' — a " +
+        "blind retry would double every posting of the batch (inflating " +
+        "n_shared counts and overlap fractions silently); probe " +
+        "batchIngested before appending, or pick a new batch id")
+    val (k, w) = storedScheme(spark, gen)
+    val fs = hadoopFs(spark, path)
+    val staging = new org.apache.hadoop.fs.Path(s"$gen/.batch-$batchId.inprogress")
+    fs.delete(staging, true) // leftover from a crashed attempt: restage whole
+    fingerprintIndex(batch, k, w, idCol, textCol)
+      .write.mode("overwrite").parquet(s"$staging/postings")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$gen/batches"))
+    require(fs.rename(staging,
+        new org.apache.hadoop.fs.Path(s"$gen/batches/$batchId")),
+      s"winnowing index commit of batch '$batchId' failed to publish " +
+        "(concurrent append of the same id?)")
+    // the Generations single-writer defense (ClosureStore.advance's
+    // probe): fail loud if a concurrent rewrite stranded this batch in a
+    // superseded generation, so the caller replays where readers look.
+    if (Generations.current(spark, path, "winnowing index") != gen)
+      throw new IllegalStateException(
+        s"winnowing index batch '$batchId' committed into a generation " +
+          s"that a concurrent rewrite superseded ($gen) — batch commits " +
+          "and rewrites must be serialized by one writer; replay the batch")
+  }
+
+  /** Fold the live generation's batch directories into a fresh base —
+    * from the STORED postings only, zero re-fingerprinting: the composed
+    * posting read is rewritten as one table, meta copies verbatim (the
+    * (k, w) pin survives), the replay ledger absorbs the batch ids, and
+    * the result publishes as the next generation with one rename (a
+    * crash anywhere mid-compact leaves the old generation fully
+    * readable). Probes, appends, and [[batchIngested]] answers are
+    * invariant across a compact (spec-pinned). */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    import spark.implicits._
+    val gen = currentVerified(spark, path)
+    val ledger = Generations.carriedLedger(spark, path,
+      g => batchDirs(spark, g).map(_._1))
+    Generations.publish(spark, path, fpParts) { staging =>
+      composedPostings(spark, gen)
+        .write.mode("overwrite").parquet(s"$staging/postings")
+      spark.read.parquet(s"$gen/meta")
+        .coalesce(1).write.mode("overwrite").parquet(s"$staging/meta")
+      ledger.toDF("batch_id").coalesce(1)
+        .write.mode("overwrite").parquet(s"$staging/ingested")
+    }
+  }
+
+  /** The composed posting table: base + every committed batch directory
+    * (staging is dot-prefixed and never listed). */
+  private def composedPostings(spark: org.apache.spark.sql.SparkSession,
+      gen: String): DataFrame =
+    spark.read.parquet((s"$gen/postings" +:
+      batchDirs(spark, gen).map(d => s"${d._2}/postings")): _*)
+
+  /** The stored posting table — base + committed appends — stamp-verified
+    * and (k, w)-pinned: the `index` frame [[incrementalOverlapPairs]]
+    * probes. The caller's (k, w) must equal the stored scheme. */
   def readFingerprintIndex(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
       k: Int = 3,
       w: Int = 4
   ): DataFrame = {
-    ArtifactStamp.verifyAligned(spark, "winnowing index", fpParts(path))
-    val m = spark.read.parquet(s"$path/meta").head()
-    require(m.getAs[Int]("k") == k && m.getAs[Int]("w") == w,
-      s"winnowing index at $path was built with (k=${m.getAs[Int]("k")}, " +
-        s"w=${m.getAs[Int]("w")}), probed with (k=$k, w=$w) — the " +
-        "fingerprint schemes are disjoint and the overlap would be " +
-        "silently empty; rebuild or match the stored scheme")
-    spark.read.parquet(s"$path/postings")
+    val gen = currentVerified(spark, path)
+    val (sk, sw) = storedScheme(spark, gen)
+    require(sk == k && sw == w,
+      s"winnowing index at $path was built with (k=$sk, w=$sw), probed " +
+        s"with (k=$k, w=$w) — the fingerprint schemes are disjoint and " +
+        "the overlap would be silently empty; rebuild or match the " +
+        "stored scheme")
+    composedPostings(spark, gen)
   }
 
   /** Incremental MOSS overlap: a NEW batch against a stored

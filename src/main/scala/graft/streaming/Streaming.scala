@@ -1256,6 +1256,57 @@ object Streaming {
     true
   }
 
+  /** STREAM-MAINTAINED winnowing fingerprint index —
+    * [[graft.operators.Winnowing.appendIndex]] as a streaming consumer:
+    * each micro-batch of documents fingerprints itself under the STORED
+    * (k, w) scheme (O(batch) — history is never re-read) and commits its
+    * posting rows beside the stored index, so
+    * [[graft.operators.Winnowing.incrementalOverlapPairs]] probes are
+    * current to the last micro-batch — the continuous form of the
+    * submission-checking service d51 describes ("appending the batch's
+    * postings IS the next day's index"). Shares the
+    * [[closureSink]]/[[editIndexSink]]/[[annIndexSink]] exactly-once
+    * discipline: the commit is ONE atomic rename keyed by the streaming
+    * batch id; a crash mid-batch leaves nothing visible, a crash after
+    * the commit is caught by the `batchIngested` probe on re-delivery.
+    * Bootstrap the base with
+    * [[graft.operators.Winnowing.writeFingerprintIndex]] first (an empty
+    * frame is a valid base — it pins the scheme). Empty micro-batches
+    * commit nothing. `compactEvery` bounds small-file growth; 0 disables. */
+  def fingerprintIndexSink(
+      docs: DataFrame,
+      path: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      trigger: Trigger = Trigger.AvailableNow(),
+      compactEvery: Int = 0
+  ): DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.trigger(trigger).foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        applyFingerprintIndexBatch(batch, path, idCol, textCol, batchId,
+          compactEvery)
+        ()
+    }
+
+  /** One micro-batch of [[fingerprintIndexSink]], factored out so replay
+    * semantics are directly testable. Returns true when the batch was
+    * committed, false when recognized as already-committed or empty. */
+  private[graft] def applyFingerprintIndexBatch(
+      batch: DataFrame, path: String,
+      idCol: String, textCol: String, batchId: Long,
+      compactEvery: Int = 0): Boolean = {
+    val spark = batch.sparkSession
+    val id = s"b$batchId"
+    if (graft.operators.Winnowing.batchIngested(spark, path, id))
+      return false // crash-after-commit replay: skip whole
+    if (batch.isEmpty) return false
+    graft.operators.Winnowing.appendIndex(batch, path, id, idCol, textCol)
+    if (compactEvery > 0 &&
+        graft.operators.Winnowing.liveBatchCount(spark, path) >= compactEvery)
+      graft.operators.Winnowing.compactIndex(spark, path)
+    true
+  }
+
   /** The stored front if any batch ever committed: `front`, or the
     * `front.old` a crash between the swap renames left behind. */
   private def currentParetoFront(

@@ -134,13 +134,23 @@ class RetrievalSpec extends SparkSpec {
     val stored = Retrieval.bm25SearchIndexed(p, d, st, qs, k = 10).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
     assert(stored == inline)
-    // simulate a crashed partial rebuild: df rewritten alone — BM25
-    // scored with yesterday's df against today's postings is silently
-    // mis-ranked, so the read must fail loud instead
-    spark.read.parquet(s"$root/df")
-      .write.mode("overwrite").parquet(s"$root/df.tmp")
-    spark.read.parquet(s"$root/df.tmp")
-      .write.mode("overwrite").parquet(s"$root/df")
+    // a rebuild that crashed mid-stage leaves only dot-prefixed litter —
+    // the previous generation keeps serving (the r16 availability story)
+    new java.io.File(s"$root/.gen-0000002.inprogress/postings").mkdirs()
+    val (p2, d2, st2) = Retrieval.readBm25Index(spark, root)
+    assert(Retrieval.bm25SearchIndexed(p2, d2, st2, qs, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      .toSet == inline)
+    // simulate a crashed partial HAND-ROLLED rebuild inside the live
+    // generation: df rewritten alone — BM25 scored with yesterday's df
+    // against today's postings is silently mis-ranked, so the read must
+    // fail loud instead
+    val gen = new java.io.File(root).listFiles()
+      .filter(_.getName.startsWith("gen-")).map(_.getPath).sorted.last
+    spark.read.parquet(s"$gen/df")
+      .write.mode("overwrite").parquet(s"$gen/df.tmp")
+    spark.read.parquet(s"$gen/df.tmp")
+      .write.mode("overwrite").parquet(s"$gen/df")
     val e = intercept[IllegalStateException] {
       Retrieval.readBm25Index(spark, root)
     }

@@ -136,14 +136,105 @@ class WinnowingSpec extends SparkSpec {
       Winnowing.readFingerprintIndex(spark, root, k = 5, w = 4)
     }
     assert(e.getMessage.contains("k=3"), e.getMessage)
-    // a torn store (postings rewritten alone, stamp wiped) fails loud
-    spark.read.parquet(s"$root/postings").limit(1)
-      .write.mode("overwrite").parquet(s"$root/postings.tmp")
-    spark.read.parquet(s"$root/postings.tmp")
-      .write.mode("overwrite").parquet(s"$root/postings")
+    // a rebuild crashed mid-stage leaves only dot-prefixed litter — the
+    // previous generation keeps serving (the r16 availability story)
+    new java.io.File(s"$root/.gen-0000002.inprogress/postings").mkdirs()
+    assert(Winnowing.readFingerprintIndex(spark, root, k = 3, w = 4)
+      .as[(Long, Int, Long)].collect().toSet == inline)
+    // a torn store (postings rewritten alone inside the live generation,
+    // stamp wiped) fails loud
+    val gen = new java.io.File(root).listFiles()
+      .filter(_.getName.startsWith("gen-")).map(_.getPath).sorted.last
+    spark.read.parquet(s"$gen/postings").limit(1)
+      .write.mode("overwrite").parquet(s"$gen/postings.tmp")
+    spark.read.parquet(s"$gen/postings.tmp")
+      .write.mode("overwrite").parquet(s"$gen/postings")
     val e2 = intercept[IllegalStateException] {
       Winnowing.readFingerprintIndex(spark, root, k = 3, w = 4)
     }
     assert(e2.getMessage.contains("torn or stale"), e2.getMessage)
+  }
+
+  test("appendIndex: cross pairs through the appended index equal overlapPairs on the union, at every uneven cut") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val hist = docs.filter(col("doc_id") < 250)
+    val root = java.nio.file.Files.createTempDirectory("win-append").toString
+    Winnowing.writeFingerprintIndex(hist, root, k = 3, w = 4)
+    // feed the rest in uneven committed batches; after each commit the
+    // maintained index must answer EXACTLY like a from-scratch fingerprint
+    // of everything ingested so far (the d51 oracle's contract)
+    val cuts = Seq((250L, 300L, "c1"), (300L, 310L, "c2"), (310L, 420L, "c3"))
+    for ((lo, hi, id) <- cuts) {
+      Winnowing.appendIndex(
+        docs.filter(col("doc_id") >= lo && col("doc_id") < hi), root, id)
+      val stored = Winnowing.readFingerprintIndex(spark, root, k = 3, w = 4)
+        .as[(Long, Int, Long)].collect().toSet
+      val fresh = Winnowing.fingerprintIndex(
+          docs.filter(col("doc_id") < hi), k = 3, w = 4)
+        .as[(Long, Int, Long)].collect().toSet
+      assert(stored == fresh, s"index diverged after batch $id")
+    }
+    // the d51 probe through the appended index: a new batch's cross pairs
+    // vs the maintained history equal overlapPairs on the union corpus
+    // restricted to cross pairs
+    val batch = docs.filter(col("doc_id") >= 420 && col("doc_id") < 500)
+    val viaIndex = Winnowing.incrementalOverlapPairs(batch,
+        Winnowing.readFingerprintIndex(spark, root, k = 3, w = 4),
+        k = 3, w = 4, minShared = 2, maxDocFreq = 200)
+      .select("new_id", "old_id", "n_shared").as[(Long, Long, Long)]
+      .collect().toSet
+    val unionAll: Set[(Long, Long, Long)] =
+      Winnowing.overlapPairs(docs.filter(col("doc_id") < 500),
+          k = 3, w = 4, minShared = 2, maxDocFreq = 200)
+        .select("doc_a", "doc_b", "n_shared").as[(Long, Long, Long)]
+        .collect().toSet
+    val union = unionAll.collect { // keep cross pairs only, oriented (new, old)
+      case (a, b, n) if a >= 420 && b < 420 => (a, b, n)
+      case (a, b, n) if b >= 420 && a < 420 => (b, a, n)
+    }
+    assert(viaIndex == union)
+    assert(viaIndex.nonEmpty, "no cross pairs — fixture vacuous")
+    // compaction folds the three batches without changing any answer,
+    // and absorbed batches still refuse replay
+    assert(Winnowing.liveBatchCount(spark, root) == 3)
+    val before = Winnowing.readFingerprintIndex(spark, root, k = 3, w = 4)
+      .as[(Long, Int, Long)].collect().toSet
+    Winnowing.compactIndex(spark, root)
+    assert(Winnowing.liveBatchCount(spark, root) == 0)
+    assert(Winnowing.readFingerprintIndex(spark, root, k = 3, w = 4)
+      .as[(Long, Int, Long)].collect().toSet == before)
+    assert(Winnowing.batchIngested(spark, root, "c2"))
+    intercept[IllegalStateException] {
+      Winnowing.appendIndex(
+        docs.filter(col("doc_id") >= 300 && col("doc_id") < 310), root, "c2")
+    }
+  }
+
+  test("appendIndex replay and crash: double-append fails loud, staged litter is invisible") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val root = java.nio.file.Files.createTempDirectory("win-replay").toString
+    Winnowing.writeFingerprintIndex(
+      docs.filter(col("doc_id") < 250), root, k = 3, w = 4)
+    val batch = docs.filter(col("doc_id") >= 250 && col("doc_id") < 300)
+    Winnowing.appendIndex(batch, root, "day1")
+    val n = Winnowing.readFingerprintIndex(spark, root, k = 3, w = 4).count()
+    // crash-after-commit replay: a blind re-submit must fail loud, never
+    // double the batch's postings (n_shared would inflate silently)
+    val e = intercept[IllegalStateException] {
+      Winnowing.appendIndex(batch, root, "day1")
+    }
+    assert(e.getMessage.contains("already ingested"), e.getMessage)
+    assert(Winnowing.readFingerprintIndex(spark, root, k = 3, w = 4).count() == n)
+    // a crash mid-append leaves only an invisible staging dir
+    val gen = new java.io.File(root).listFiles()
+      .filter(_.getName.startsWith("gen-")).map(_.getPath).sorted.last
+    new java.io.File(s"$gen/.batch-crashed.inprogress/postings").mkdirs()
+    assert(Winnowing.readFingerprintIndex(spark, root, k = 3, w = 4).count() == n)
+    assert(!Winnowing.batchIngested(spark, root, "crashed"))
+    // rebuild-over-live supersedes base + batches and carries the ledger
+    Winnowing.writeFingerprintIndex(
+      docs.filter(col("doc_id") < 300), root, k = 3, w = 4)
+    assert(Winnowing.batchIngested(spark, root, "day1"))
+    assert(Winnowing.liveBatchCount(spark, root) == 0)
   }
 }
