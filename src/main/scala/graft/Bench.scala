@@ -115,7 +115,11 @@ object Bench {
       "c03_zorder_compact", "z05_merge_manifest_fresh", "x23_perplexity_gate",
       "u04_mor_delete", "mv02_ivm_join_rollup", "cdc01_change_feed",
       "pp04_partition_evolution", "u05_scd2", "fs01_pit_join",
-      "bp01_bpe_merges", "bp02_bpe_tokenize")
+      "bp01_bpe_merges", "bp02_bpe_tokenize",
+      // r16: g10/d58 read the memoized full-corpus ClosureStore — their
+      // first run pays the once-per-corpus build; the recorded number is
+      // the steady-state stored-postings / stored-closure composition
+      "g10_contamination_cost", "d58_corpus_release")
     selected.filter(q => prebuild(q._1)).foreach { case (_, fn) =>
       try { fn(spark, sfDir).count(); spark.catalog.clearCache() }
       catch { case _: Throwable => () }
@@ -188,6 +192,16 @@ object Bench {
     val tierExt = total - tierRel
     val tiers = s""""tier_rel":${r3(tierRel)},"tier_ext":${r3(tierExt)}"""
     val floorSent = calib.find(_._1 == "floors").map(_._2)
+    // sentinel-normalized floors (floor ÷ floor_sent): THE cross-round
+    // comparison numbers — raw wall seconds on this co-tenant box are
+    // contention-hostage (observed 2.5x same-code divergence), so close
+    // writeups compare these q57-unit ratios, never raw floors (r15
+    // verdict #7: stop doing the division by hand)
+    val floorsNorm: Seq[(String, Double)] = floorSent match {
+      case Some(s) if s > 0 =>
+        floors.collect { case (n, v) if v > 0 => n -> v / s }
+      case _ => Nil
+    }
     val calibJson = {
       val mins = if (calib.isEmpty) "-1" else r3(calib.map(_._3).min)
       val fields = Seq(s""""q":"q57"""", s""""n":$sentRuns""") ++
@@ -198,6 +212,9 @@ object Bench {
     val floorsJson = floors
       .map { case (n, v) => "\"" + n.takeWhile(_ != '_') + "\":" + r3(v) }
       .mkString("{", ",", "}")
+    val floorsNormJson = floorsNorm
+      .map { case (n, v) => "\"" + n.takeWhile(_ != '_') + "\":" + r2(v) }
+      .mkString("{", ",", "}")
     val loadJson = s""""load":[${r2(results.headOption.map(_._4)
       .getOrElse(-1.0))},${r2(results.lastOption.map(_._5).getOrElse(-1.0))}]"""
     val lineBudget = 1800 // chars for the WHOLE printed line
@@ -205,7 +222,8 @@ object Bench {
       s""""n":$runs,"total_min":${r3(totalMin)},$tiers,$loadJson,""" +
       s""""calibration":$calibJson,""" +
       s""""floor_sent":${floorSent.map(r3).getOrElse("-1")},""" +
-      s""""floors":$floorsJson,"queries":{},"sf":"$sfDir"}""").length
+      s""""floors":$floorsJson,"floors_norm":$floorsNormJson,""" +
+      s""""queries":{},"sf":"$sfDir"}""").length
     val rollupMax = s""","other_n":9999,"other_sec":99999.999""".length
     val mapBudget = lineBudget - envelope - rollupMax
     val byCost = results.sortBy { case (k, v, _, _, _) => (-v, k) }
@@ -228,6 +246,9 @@ object Bench {
       val floorDetail = floors.map { case (k, v) =>
         s"""  "$k": ${r3(v)}"""
       }.mkString("{\n", ",\n", "\n}")
+      val floorNormDetail = floorsNorm.map { case (k, v) =>
+        s"""  "$k": ${r2(v)}"""
+      }.mkString("{\n", ",\n", "\n}")
       val calibDetail = calib.map { case (lbl, m, mn, l0, l1) =>
         s"""  "$lbl": {"median":${r3(m)},"min":${r3(mn)},"load":[${r2(l0)},${r2(l1)}]}"""
       }.mkString("{\n", ",\n", "\n}")
@@ -238,6 +259,7 @@ object Bench {
            |"calibration":$calibDetail,
            |"floor_runs":$floorRuns,"floor_sent":${floorSent.map(r3).getOrElse("-1")},
            |"floors":$floorDetail,
+           |"floors_norm":$floorNormDetail,
            |"queries":$detail}""".stripMargin
       java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_QUERIES.json"),
@@ -248,7 +270,7 @@ object Bench {
     // runs with an empty diff, total_min moving is what distinguishes a
     // real regression from co-tenant noise (full per-query min/median/max
     // is in BENCH_QUERIES.json, committed alongside).
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":$runs,"total_min":${r3(totalMin)},$tiers,$loadJson,"calibration":$calibJson,"floor_sent":${floorSent.map(r3).getOrElse("-1")},"floors":$floorsJson,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":$runs,"total_min":${r3(totalMin)},$tiers,$loadJson,"calibration":$calibJson,"floor_sent":${floorSent.map(r3).getOrElse("-1")},"floors":$floorsJson,"floors_norm":$floorsNormJson,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -190,6 +190,22 @@ object ClosureStore {
     readClosure(spark, gen)
   }
 
+  /** The current stored posting table — base + every committed batch:
+    * distinct (doc_id, fp). The chunking pass is the expensive half of
+    * every share-graph derivation (a full-text explode of the corpus),
+    * and this store already paid it — so the WEIGHTED share graph g10
+    * grades (df = one group-count over these rows,
+    * [[Dedup.weightedChunkShareEdges]]) and any other posting-derived
+    * artifact should read it from here instead of re-chunking the
+    * corpus inline (the r15→r16 floor move, the same one that took the
+    * g08 closure and d54 truth re-derivations out of their steady
+    * states). */
+  def storedPostings(spark: SparkSession, path: String): DataFrame = {
+    val gen = currentGen(spark, path)
+    ArtifactStamp.verifyAligned(spark, "ClosureStore", parts(gen))
+    readPostings(spark, gen)
+  }
+
   /** Publish `write`'s output as the next generation —
     * [[Generations.publish]] with this store's five stamped components. */
   private def publishGen(spark: SparkSession, path: String)(

@@ -118,6 +118,31 @@ class ClosureStoreSpec extends SparkSpec {
       .select("node").as[Long].collect().toSet == expected + 20L)
   }
 
+  test("storedPostings/storedClosure equal their inline derivations (the g10/d58 steady-state pin)") {
+    val p = java.nio.file.Files.createTempDirectory("cstore-read").toString
+    ClosureStore.build(oldDocs, Seq(2L).toDF("doc_id"), p)
+    ClosureStore.advance(newDocs, Seq(3L).toDF("doc_id"), p, "day1")
+    val docs = oldDocs.unionByName(newDocs)
+    // the posting table g10 derives its weighted edges from: stored
+    // (base + committed batches) ≡ chunking the union corpus inline
+    val stored = ClosureStore.storedPostings(spark, p)
+      .as[(Long, String)].collect().toSet
+    val inline = Dedup.chunkPostings(docs)
+      .as[(Long, String)].collect().toSet
+    assert(stored == inline)
+    // ...so the weighted edges (df riding the hub aggregate) agree too
+    val wStored = Dedup.weightedChunkShareEdges(
+        ClosureStore.storedPostings(spark, p))
+      .select("a_id", "b_id", "df").as[(Long, Long, Long)].collect().toSet
+    val wInline = Dedup.weightedChunkShareEdges(Dedup.chunkPostings(docs))
+      .select("a_id", "b_id", "df").as[(Long, Long, Long)].collect().toSet
+    assert(wStored == wInline && wStored.nonEmpty)
+    // the closure d58 composes: stored node set ≡ inline BFS from the
+    // same seeds over the union corpus
+    assert(ClosureStore.storedClosure(spark, p)
+      .select("node").as[Long].collect().toSet == fromScratch(Seq(2L, 3L)))
+  }
+
   test("compact folds batches into a fresh base: reads, folds, and probes invariant") {
     val p = java.nio.file.Files.createTempDirectory("cstore-cmp").toString
     ClosureStore.build(oldDocs, Seq(2L).toDF("doc_id"), p)
