@@ -37,6 +37,37 @@ import org.apache.spark.storage.StorageLevel
   * blocks); with a `checkpointDir`, a durable parquet round-trip that
   * deletes round n−1 as soon as round n is materialized, so on-disk
   * accumulation is O(|state|), not O(rounds·|state|). */
+/** [[Truncator]] that also RELEASES the superseded round's checkpoint
+  * blocks as soon as the next round materializes. In local-checkpoint
+  * mode each round's blocks otherwise pin executor storage for the
+  * session's lifetime until LRU pressure — the survivor-cache leak class
+  * pareto3d closed in r15, factored here (r16) so every iterative
+  * operator shares it instead of re-inlining the bookkeeping
+  * (shortestPaths carried the only copy). Each materialized truncation
+  * supersedes the previous one (the new checkpoint is self-contained),
+  * so the release is safe by construction; the FINAL checkpoint — the
+  * one backing the returned frame — is never released here. Durable
+  * (checkpointDir) mode adds no cached blocks; the file-deletion
+  * self-cleaning inside [[Truncator]] already covers it. */
+private[operators] final class ReleasingTruncator(
+    spark: org.apache.spark.sql.SparkSession,
+    checkpointDir: Option[String],
+    tag: String) {
+  private val truncate = new Truncator(spark, checkpointDir, tag)
+  private val prevCp = scala.collection.mutable.ListBuffer
+    .empty[org.apache.spark.rdd.RDD[_]]
+  def apply(df: DataFrame): DataFrame = {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val out = truncate(df) // eager in local mode; durable adds no blocks
+    val added = (sc.getPersistentRDDs -- before).values
+    prevCp.foreach(_.unpersist(false))
+    prevCp.clear()
+    prevCp ++= added
+    out
+  }
+}
+
 private[operators] final class Truncator(
     spark: org.apache.spark.sql.SparkSession,
     checkpointDir: Option[String],
@@ -91,7 +122,7 @@ object Components {
     // fully materialized), the read-back has zero lineage, and the
     // previous round's blocks — consumed entirely by this write — are
     // deleted immediately.
-    val truncate = new Truncator(spark, checkpointDir, "cc")
+    val truncate = new ReleasingTruncator(spark, checkpointDir, "cc")
     val sym = edges
       .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
     val und = sym.union(sym.select(col("v").as("u"), col("u").as("v")))

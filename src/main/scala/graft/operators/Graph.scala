@@ -82,7 +82,7 @@ object Graph {
     require(iterations >= 1, s"iterations must be positive, got $iterations")
     require(truncateEvery >= 1, s"truncateEvery must be positive, got $truncateEvery")
     val spark = edges.sparkSession
-    val truncate = new Truncator(spark, checkpointDir, "pr")
+    val truncate = new ReleasingTruncator(spark, checkpointDir, "pr")
     val e0 = edges.groupBy(
         col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .agg(sum(col(wCol).cast("long")).as("w"))
@@ -158,7 +158,7 @@ object Graph {
     require(iterations >= 1, s"iterations must be positive, got $iterations")
     require(truncateEvery >= 1, s"truncateEvery must be positive, got $truncateEvery")
     val spark = edges.sparkSession
-    val truncate = new Truncator(spark, checkpointDir, "lpa")
+    val truncate = new ReleasingTruncator(spark, checkpointDir, "lpa")
     val dir0 = edges.select(
       col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"),
       col(wCol).cast("long").as("w"))
@@ -319,7 +319,7 @@ object Graph {
       smallFrontier: Boolean = false
   ): DataFrame = {
     val spark = edges.sparkSession
-    val truncate = new Truncator(spark, checkpointDir, "bfs")
+    val truncate = new ReleasingTruncator(spark, checkpointDir, "bfs")
     def maybeBcast(df: DataFrame): DataFrame =
       if (smallFrontier) broadcast(df) else df
     val e = edges
@@ -470,25 +470,11 @@ object Graph {
     require(rounds >= 1, s"rounds must be positive, got $rounds")
     require(truncateEvery >= 1, s"truncateEvery must be positive, got $truncateEvery")
     val spark = edges.sparkSession
-    val truncate = new Truncator(spark, checkpointDir, "sp")
-    // each materialized truncation supersedes the previous one (the new
-    // checkpoint is self-contained), so the superseded blocks release
-    // immediately instead of accumulating per round until LRU pressure —
-    // the survivor-cache leak class pareto3d closed this round; converge
-    // mode checkpoints EVERY round, so it needs this most. The final
-    // checkpoint (backing the returned frame) is never released here.
-    val prevCp = scala.collection.mutable.ListBuffer
-      .empty[org.apache.spark.rdd.RDD[_]]
-    def truncateReleasing(df: DataFrame): DataFrame = {
-      val sc = spark.sparkContext
-      val before = sc.getPersistentRDDs.keySet
-      val out = truncate(df) // eager in local mode; durable mode adds no blocks
-      val added = (sc.getPersistentRDDs -- before).values
-      prevCp.foreach(_.unpersist(false))
-      prevCp.clear()
-      prevCp ++= added
-      out
-    }
+    // releasing truncation ([[ReleasingTruncator]] — factored from this
+    // operator's r15 inline original): superseded checkpoint blocks
+    // release as soon as the next round materializes; converge mode
+    // checkpoints EVERY round, so it needs this most.
+    val truncateReleasing = new ReleasingTruncator(spark, checkpointDir, "sp")
     val e = edges.groupBy(
         col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .agg(min(col(wCol).cast("long")).as("cost"))
@@ -547,17 +533,28 @@ object Graph {
     * is < k, which can cascade — then one final degree pass over the
     * surviving subgraph. Equal to the true k-core whenever the peel has
     * converged by `rounds` (the spec asserts rounds vs rounds+1 equality
-    * on the test graph; at scale, loop driver-side until a per-round
-    * count stops moving — one count per round, g02's class). Input edges
-    * are symmetrized to distinct undirected (a < b) pairs, self-loops
-    * dropped (a loop is not a neighbor).
+    * on the test graph). Input edges are symmetrized to distinct
+    * undirected (a < b) pairs, self-loops dropped (a loop is not a
+    * neighbor).
     *
     * Per round: one map-side-combined degree aggregate + two LEFT SEMI
     * joins of the edge table against the |V|-scale keep set (AQE
-    * broadcasts it when small) + a localCheckpoint — without the
-    * checkpoint the plan doubles per round, the iterative-family trap
-    * g02 documents. Never anything wider than the edge table shuffles.
+    * broadcasts it when small) + a released checkpoint
+    * ([[ReleasingTruncator]] — without the truncation the plan doubles
+    * per round, the iterative-family trap g02 documents; without the
+    * release each round's superseded blocks pin executor storage for the
+    * session). Never anything wider than the edge table shuffles.
     *
+    * @param converge when true, `rounds` becomes an UPPER BOUND and the
+    *              peel stops at the first round where no surviving vertex
+    *              has degree < k — one driver-side existence probe per
+    *              round over the just-checkpointed edge table
+    *              (`shortestPaths(converge)`'s pattern). At the stop the
+    *              peel is a fixed point, so the result IS the true k-core
+    *              whenever the bound was not hit — the unbounded answer a
+    *              recursive-SQL engine computes. The fixed-K default
+    *              stays the replayable oracle-friendly contract (the g06
+    *              oracle is fixed-K).
     * @return (item, degree) for every vertex of the surviving subgraph —
     *         its within-core degree (≥ k at convergence). */
   def kCore(
@@ -565,24 +562,34 @@ object Graph {
       k: Int,
       rounds: Int,
       srcCol: String = "src",
-      dstCol: String = "dst"
+      dstCol: String = "dst",
+      converge: Boolean = false
   ): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val truncate = new ReleasingTruncator(edges.sparkSession, None, "kcore")
     def degrees(e: DataFrame): DataFrame =
       e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
         .groupBy("v").agg(count(lit(1)).as("d"))
-    var e = edges.filter(col(srcCol) =!= col(dstCol))
+    var e = truncate(edges.filter(col(srcCol) =!= col(dstCol))
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
-      .distinct()
-      .localCheckpoint(true)
-    for (_ <- 1 to rounds) {
-      val keep = degrees(e).filter(col("d") >= k).select("v")
-      e = e
-        .join(keep.select(col("v").as("a")), Seq("a"), "left_semi")
-        .join(keep.select(col("v").as("b")), Seq("b"), "left_semi")
-        .localCheckpoint(true)
+      .distinct())
+    var i = 0
+    var done = false
+    while (i < rounds && !done) {
+      i += 1
+      // converge mode probes BEFORE peeling (is the current subgraph
+      // already a fixed point?), so a converged graph costs one probe,
+      // not a full no-op peel round
+      if (converge &&
+          degrees(e).filter(col("d") < k).limit(1).isEmpty) done = true
+      else {
+        val keep = degrees(e).filter(col("d") >= k).select("v")
+        e = truncate(e
+          .join(keep.select(col("v").as("a")), Seq("a"), "left_semi")
+          .join(keep.select(col("v").as("b")), Seq("b"), "left_semi"))
+      }
     }
     degrees(e).select(col("v").as("item"), col("d").as("degree"))
   }

@@ -166,6 +166,35 @@ class GraphSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Graph.kCore(edges, 2, 0) }
   }
 
+  test("kCore converge mode reaches the peel fixpoint where fixed-K under-peels") {
+    import spark.implicits._
+    // a long tail 0-1-…-7 hanging off triangle {100,101,102}: each peel
+    // round drops exactly one tail node (degree 1 cascades inward), so
+    // the true 2-core — the triangle — needs EIGHT rounds; a g06-style
+    // fixed K=3 under-peels, the exact case the converge option exists
+    // for (shortestPaths(converge)'s twin)
+    val tail = (0L until 7L).map(i => (i, i + 1)) :+ ((7L, 100L))
+    val tri = Seq((100L, 101L), (101L, 102L), (102L, 100L))
+    val edges = (tail ++ tri).toDF("src", "dst")
+    val truth = Map(100L -> 2L, 101L -> 2L, 102L -> 2L)
+    val fixed3 = Graph.kCore(edges, k = 2, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fixed3.keySet.exists(_ < 100L),
+      s"fixed-3 should still carry tail remnants: $fixed3")
+    // converge: rounds is an upper bound, the peel stops at the fixed
+    // point — the unbounded recursive k-core answer
+    val conv = Graph.kCore(edges, k = 2, rounds = 20, converge = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(conv == truth, s"got $conv")
+    // a bound hit BEFORE convergence degrades to the fixed-K contract
+    assert(Graph.kCore(edges, k = 2, rounds = 3, converge = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == fixed3)
+    // partitioning independence composes with converge
+    assert(Graph.kCore(edges.repartition(5), k = 2, rounds = 20,
+        converge = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == truth)
+  }
+
   test("reachableFrom: min-hop BFS, cycle-safe unbounded, maxDepth caps the wave") {
     import spark.implicits._
     // chain 0→1→2→3 plus a back-edge 2→0 (cycle) and a shortcut 0→2:
