@@ -233,6 +233,44 @@ object ScaleSmoke {
     time(s"IVFADC top-3 of 100 queries over $nVecs vectors (auto cells)")(
       Similarity.ivfPqTopK(vecs, qs, k = 3, nCentroids = 0, nProbe = 8,
         m = 4, ks = 16, refine = 8).count())
+    // r16: the stored-index ingest loop under the generation discipline —
+    // base build on half the corpus, two atomic O(batch) appends with the
+    // FROZEN fits (no refit, no history re-scan), search over the composed
+    // read, then a stored-artifact-only compact. Append cost must track
+    // the batch, not the corpus; compact is one codes rewrite.
+    locally {
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("scale-annidx").toString
+      val half = nVecs / 2
+      val quarter = nVecs / 4
+      time(s"IVFADC index build over $half vectors (base generation)") {
+        graft.operators.VectorIndex.write(
+          vecs.filter(col("vec_id") < half), idxDir,
+          nCentroids = 0, m = 4, ks = 16)
+        half
+      }
+      time(s"IVFADC atomic append of $quarter vectors (frozen fits)") {
+        graft.operators.VectorIndex.appendBatch(
+          vecs.filter(col("vec_id") >= half &&
+            col("vec_id") < half + quarter), idxDir, "day1")
+        quarter
+      }
+      time(s"IVFADC atomic append of ${nVecs - half - quarter} vectors") {
+        graft.operators.VectorIndex.appendBatch(
+          vecs.filter(col("vec_id") >= half + quarter), idxDir, "day2")
+        nVecs - half - quarter
+      }
+      time(s"IVFADC stored-index search, 100 queries, base + 2 batches")(
+        graft.operators.VectorIndex.search(qs, idxDir, k = 3, nProbe = 8,
+          refine = 8).count())
+      time(s"IVFADC compact (fold 2 batches into next generation)") {
+        graft.operators.VectorIndex.compactIndex(spark, idxDir)
+        2L
+      }
+      time(s"IVFADC stored-index search after compact (same answers)")(
+        graft.operators.VectorIndex.search(qs, idxDir, k = 3, nProbe = 8,
+          refine = 8).count())
+    }
 
     // r07 ops. SemDeDup: cells must bound the pair join — planes sized so
     // the mean cell holds ~nVecs/2^planes vectors (12 planes → ~50 at 200k).

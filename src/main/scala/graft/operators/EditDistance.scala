@@ -293,24 +293,11 @@ object EditDistance {
       gen: String): Int =
     spark.read.parquet(s"$gen/meta").head().getAs[Int]("max_dist")
 
-  private def ingestedLedger(spark: org.apache.spark.sql.SparkSession,
-      gen: String): Set[String] =
-    Generations.readLedger(spark, gen)
-
-  /** Committed (batchId, dir) pairs of a generation, ascending id. */
+  /** Committed (batchId, dir) pairs of a generation, ascending id —
+    * [[Generations.listBatches]]' raw-named layout. */
   private def batchDirs(spark: org.apache.spark.sql.SparkSession,
-      gen: String): Seq[(String, String)] = {
-    val fs = hadoopFs(spark, gen)
-    val root = new org.apache.hadoop.fs.Path(s"$gen/batches")
-    if (!fs.exists(root)) Seq.empty
-    else fs.listStatus(root).toSeq.filter(_.isDirectory)
-      .map(s => (s.getPath.getName, s.getPath.toString)).sortBy(_._1)
-  }
-
-  private def hadoopFs(spark: org.apache.spark.sql.SparkSession,
-      path: String): org.apache.hadoop.fs.FileSystem =
-    new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      gen: String): Seq[(String, String)] =
+    Generations.listBatches(spark, gen)
 
   /** Has `batchId` already been folded in — by a live [[appendIndex]]
     * batch directory of the current generation, or by one absorbed into
@@ -318,11 +305,8 @@ object EditDistance {
     * [[writeIndex]]-over-live carry forward)? The idempotence probe a
     * retrying or replaying ingest job runs before appending. */
   def batchIngested(spark: org.apache.spark.sql.SparkSession,
-      path: String, batchId: String): Boolean = {
-    val gen = Generations.current(spark, path, "editdist index")
-    batchDirs(spark, gen).exists(_._1 == batchId) ||
-      ingestedLedger(spark, gen).contains(batchId)
-  }
+      path: String, batchId: String): Boolean =
+    Generations.batchKnown(spark, path, "editdist index", batchId)
 
   /** Batch directories of the live generation not yet folded into the
     * base — the small-file gauge a maintenance job (or
@@ -350,37 +334,16 @@ object EditDistance {
     * scan). */
   def appendIndex(batch: DataFrame, idCol: String, strCol: String,
       path: String, batchId: String): Unit = {
-    require(batchId.nonEmpty && !batchId.exists(c => c == '/' || c == '.'),
-      s"batchId must be a plain directory name, got '$batchId'")
     val spark = batch.sparkSession
     val gen = currentVerified(spark, path)
     val k = indexK(spark, gen)
-    val fs = hadoopFs(spark, path)
-    if (batchIngested(spark, path, batchId)) throw new IllegalStateException(
-      s"editdist index at $path already ingested batch '$batchId' — a blind " +
-        "retry would double every segment of the batch; probe batchIngested " +
-        "before appending, or pick a new batch id")
-    val staging = new org.apache.hadoop.fs.Path(s"$gen/.batch-$batchId.inprogress")
-    fs.delete(staging, true) // leftover from a crashed attempt: restage whole
     val strs = strings(batch, idCol, strCol)
-    segments(strs, k).write.mode("overwrite").parquet(s"$staging/segs")
-    strs.filter(col("len") <= 2 * k + 1)
-      .write.mode("overwrite").parquet(s"$staging/shorts")
-    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$gen/batches"))
-    require(fs.rename(staging,
-        new org.apache.hadoop.fs.Path(s"$gen/batches/$batchId")),
-      s"editdist index commit of batch '$batchId' failed to publish " +
-        s"(concurrent append of the same id?)")
-    // the Generations single-writer defense: a rewrite publishing a new
-    // generation mid-append would leave this batch in the superseded one
-    // (readers resolve the new generation, its ledger lacks the id — the
-    // batch silently gone). Fail loud so the caller replays against the
-    // generation readers actually see ([[ClosureStore.advance]]'s probe).
-    if (Generations.current(spark, path, "editdist index") != gen)
-      throw new IllegalStateException(
-        s"editdist index batch '$batchId' committed into a generation that " +
-          s"a concurrent rewrite superseded ($gen) — batch commits and " +
-          "rewrites must be serialized by one writer; replay the batch")
+    Generations.commitBatch(spark, path, gen, "editdist index", batchId,
+      "a blind retry would double every segment of the batch") { staging =>
+      segments(strs, k).write.mode("overwrite").parquet(s"$staging/segs")
+      strs.filter(col("len") <= 2 * k + 1)
+        .write.mode("overwrite").parquet(s"$staging/shorts")
+    }
   }
 
   /** One index component (`segs`/`shorts`) across the base write and

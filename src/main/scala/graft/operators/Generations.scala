@@ -109,6 +109,66 @@ private[operators] object Generations {
       (readLedger(spark, gen) ++ liveBatchIds(gen)).toSeq.sorted
     }
 
+  /** Committed batch directories of a generation as (batchId, dir) pairs,
+    * ascending id — the RAW-named layout (`batches/<batchId>`) shared by
+    * the EditDistance / VectorIndex / Winnowing stores, where commit
+    * order carries no read semantics (their reads are plain unions).
+    * ClosureStore keeps its own seq-prefixed naming: its merge-on-read
+    * edge masking depends on commit order. Staging dirs are dot-prefixed
+    * and never listed. */
+  def listBatches(spark: SparkSession, gen: String): Seq[(String, String)] = {
+    val fs = hadoopFs(spark, gen)
+    val root = new org.apache.hadoop.fs.Path(s"$gen/batches")
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.filter(_.isDirectory)
+      .map(s => (s.getPath.getName, s.getPath.toString)).sortBy(_._1)
+  }
+
+  /** Has `batchId` been committed into the live generation's `batches/`
+    * or absorbed into its replay ledger? The idempotence probe every
+    * retrying or replaying ingest job runs before a [[commitBatch]]. */
+  def batchKnown(spark: SparkSession, path: String, what: String,
+      batchId: String): Boolean = {
+    val gen = current(spark, path, what)
+    listBatches(spark, gen).exists(_._1 == batchId) ||
+      readLedger(spark, gen).contains(batchId)
+  }
+
+  /** Atomically commit one batch into generation `gen` (raw-named
+    * layout): `write` fills a dot-prefixed staging directory (leftovers
+    * of a crashed attempt are restaged whole), ONE rename publishes it
+    * as `batches/<batchId>`, then the current generation is re-resolved
+    * and the commit fails loud if a concurrent rewrite superseded it —
+    * the single-writer defense: a batch stranded in a superseded
+    * generation would otherwise be silently invisible to readers while
+    * the caller's checkpoint records it delivered. `dupMsg` is the
+    * store-specific consequence line of a duplicate commit (what a
+    * double-ingest would silently corrupt). */
+  def commitBatch(spark: SparkSession, path: String, gen: String,
+      what: String, batchId: String, dupMsg: String)(
+      write: String => Unit): Unit = {
+    require(batchId.nonEmpty && !batchId.exists(c => c == '/' || c == '.'),
+      s"batchId must be a plain directory name, got '$batchId'")
+    if (batchKnown(spark, path, what, batchId))
+      throw new IllegalStateException(
+        s"$what at $path already ingested batch '$batchId' — $dupMsg; " +
+          "probe the ingest state before appending, or pick a new batch id")
+    val fs = hadoopFs(spark, gen)
+    val staging = new org.apache.hadoop.fs.Path(s"$gen/.batch-$batchId.inprogress")
+    fs.delete(staging, true) // leftover from a crashed attempt: restage whole
+    write(staging.toString)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$gen/batches"))
+    require(fs.rename(staging,
+        new org.apache.hadoop.fs.Path(s"$gen/batches/$batchId")),
+      s"$what commit of batch '$batchId' failed to publish " +
+        "(concurrent append of the same id?)")
+    if (current(spark, path, what) != gen)
+      throw new IllegalStateException(
+        s"$what batch '$batchId' committed into a generation that a " +
+          s"concurrent rewrite superseded ($gen) — batch commits and " +
+          "rewrites must be serialized by one writer; replay the batch")
+  }
+
   /** Publish the next generation: `write` fills the staged directory,
     * `parts` names the components to stamp with one fresh generation id
     * ([[ArtifactStamp]]), then ONE rename commits and superseded

@@ -141,21 +141,12 @@ object VectorIndex {
     Seq(s"$gen/params", s"$gen/centroids", s"$gen/codebooks", s"$gen/codes",
       s"$gen/ingested")
 
-  private def hadoopFs(spark: SparkSession,
-      path: String): org.apache.hadoop.fs.FileSystem =
-    new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-
   /** Committed (batchId, dir) pairs of a generation, ascending id —
-    * order is cosmetic: codes are append-only, reads are a plain union. */
+    * [[Generations.listBatches]]' raw-named layout (order is cosmetic:
+    * codes are append-only, reads are a plain union). */
   private def batchDirs(spark: SparkSession,
-      gen: String): Seq[(String, String)] = {
-    val fs = hadoopFs(spark, gen)
-    val root = new org.apache.hadoop.fs.Path(s"$gen/batches")
-    if (!fs.exists(root)) Seq.empty
-    else fs.listStatus(root).toSeq.filter(_.isDirectory)
-      .map(s => (s.getPath.getName, s.getPath.toString)).sortBy(_._1)
-  }
+      gen: String): Seq[(String, String)] =
+    Generations.listBatches(spark, gen)
 
   /** The live generation, stamp-verified — every read and write resolves
     * through here (one choke point for the torn-build check). */
@@ -178,11 +169,8 @@ object VectorIndex {
     * [[write]]-over-live carry forward)? The idempotence probe a
     * retrying or replaying ingest job runs before appending. */
   def batchIngested(spark: SparkSession, path: String,
-      batchId: String): Boolean = {
-    val gen = Generations.current(spark, path, "IVFADC index")
-    batchDirs(spark, gen).exists(_._1 == batchId) ||
-      Generations.readLedger(spark, gen).contains(batchId)
-  }
+      batchId: String): Boolean =
+    Generations.batchKnown(spark, path, "IVFADC index", batchId)
 
   /** Batch directories of the live generation not yet folded into the
     * base — the small-file gauge a maintenance job (or
@@ -242,16 +230,8 @@ object VectorIndex {
       idCol: String = "vec_id",
       vecCol: String = "embedding"
   ): Unit = {
-    require(batchId.nonEmpty && !batchId.exists(c => c == '/' || c == '.'),
-      s"batchId must be a plain directory name, got '$batchId'")
     val spark = batch.sparkSession
     val gen = currentVerified(spark, path)
-    if (batchIngested(spark, path, batchId)) throw new IllegalStateException(
-      s"IVFADC index at $path already ingested batch '$batchId' — a blind " +
-        "retry would double-encode the batch (duplicate code rows inflate " +
-        "candidate multiplicity and can displace distinct neighbors in the " +
-        "ADC shortlist); probe batchIngested before appending, or pick a " +
-        "new batch id")
     val (m, sd, _, _, residual, _) = readParamsGen(spark, gen)
     val centroids = spark.read.parquet(s"$gen/centroids")
     val coarsePredict = predictorUdf(spark, s"$gen/centroids", "cvec", "cluster")
@@ -268,25 +248,13 @@ object VectorIndex {
     val coded = books.zipWithIndex.foldLeft(codeInput) { case (d, (cbook, i)) =>
       d.withColumn(s"c_$i", mkPredictor(cbook)(subVec(col("vh"), i, sd)))
     }.withColumn("codes", array((0 until m).map(i => col(s"c_$i")): _*))
-    val fs = hadoopFs(spark, path)
-    val staging = new org.apache.hadoop.fs.Path(s"$gen/.batch-$batchId.inprogress")
-    fs.delete(staging, true) // leftover from a crashed attempt: restage whole
-    coded.select(col("vid"), col("cluster"), col("codes"), col("vh0").as("vh"))
-      .write.mode("overwrite").parquet(s"$staging/codes")
-    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$gen/batches"))
-    require(fs.rename(staging,
-        new org.apache.hadoop.fs.Path(s"$gen/batches/$batchId")),
-      s"IVFADC index commit of batch '$batchId' failed to publish " +
-        "(concurrent append of the same id?)")
-    // the Generations single-writer defense ([[ClosureStore.advance]]'s
-    // probe): a rewrite publishing mid-append would strand this batch in
-    // the superseded generation — fail loud so the caller replays against
-    // the generation readers actually resolve.
-    if (Generations.current(spark, path, "IVFADC index") != gen)
-      throw new IllegalStateException(
-        s"IVFADC index batch '$batchId' committed into a generation that " +
-          s"a concurrent rewrite superseded ($gen) — batch commits and " +
-          "rewrites must be serialized by one writer; replay the batch")
+    Generations.commitBatch(spark, path, gen, "IVFADC index", batchId,
+      "a blind retry would double-encode the batch (duplicate code rows " +
+        "inflate candidate multiplicity and can displace distinct " +
+        "neighbors in the ADC shortlist)") { staging =>
+      coded.select(col("vid"), col("cluster"), col("codes"), col("vh0").as("vh"))
+        .write.mode("overwrite").parquet(s"$staging/codes")
+    }
   }
 
   /** Nearest-stored-center assignment as a UDF over the mllib model (the

@@ -206,21 +206,12 @@ object Winnowing {
   private def fpParts(gen: String): Seq[String] =
     Seq(s"$gen/postings", s"$gen/meta", s"$gen/ingested")
 
-  private def hadoopFs(spark: org.apache.spark.sql.SparkSession,
-      path: String): org.apache.hadoop.fs.FileSystem =
-    new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-
   /** Committed (batchId, dir) pairs of a generation, ascending id —
-    * order is cosmetic: postings are append-only, reads are a union. */
+    * [[Generations.listBatches]]' raw-named layout (order is cosmetic:
+    * postings are append-only, reads are a union). */
   private def batchDirs(spark: org.apache.spark.sql.SparkSession,
-      gen: String): Seq[(String, String)] = {
-    val fs = hadoopFs(spark, gen)
-    val root = new org.apache.hadoop.fs.Path(s"$gen/batches")
-    if (!fs.exists(root)) Seq.empty
-    else fs.listStatus(root).toSeq.filter(_.isDirectory)
-      .map(s => (s.getPath.getName, s.getPath.toString)).sortBy(_._1)
-  }
+      gen: String): Seq[(String, String)] =
+    Generations.listBatches(spark, gen)
 
   /** The live generation, stamp-verified — every read and write resolves
     * through here (one choke point for the torn-build check). */
@@ -244,11 +235,8 @@ object Winnowing {
     * [[writeFingerprintIndex]]-over-live carry forward)? The idempotence
     * probe a retrying or replaying ingest job runs before appending. */
   def batchIngested(spark: org.apache.spark.sql.SparkSession,
-      path: String, batchId: String): Boolean = {
-    val gen = Generations.current(spark, path, "winnowing index")
-    batchDirs(spark, gen).exists(_._1 == batchId) ||
-      Generations.readLedger(spark, gen).contains(batchId)
-  }
+      path: String, batchId: String): Boolean =
+    Generations.batchKnown(spark, path, "winnowing index", batchId)
 
   /** Batch directories of the live generation not yet folded into the
     * base — the small-file gauge a maintenance job (or
@@ -275,34 +263,15 @@ object Winnowing {
       idCol: String = "doc_id",
       textCol: String = "text"
   ): Unit = {
-    require(batchId.nonEmpty && !batchId.exists(c => c == '/' || c == '.'),
-      s"batchId must be a plain directory name, got '$batchId'")
     val spark = batch.sparkSession
     val gen = currentVerified(spark, path)
-    if (batchIngested(spark, path, batchId)) throw new IllegalStateException(
-      s"winnowing index at $path already ingested batch '$batchId' — a " +
-        "blind retry would double every posting of the batch (inflating " +
-        "n_shared counts and overlap fractions silently); probe " +
-        "batchIngested before appending, or pick a new batch id")
     val (k, w) = storedScheme(spark, gen)
-    val fs = hadoopFs(spark, path)
-    val staging = new org.apache.hadoop.fs.Path(s"$gen/.batch-$batchId.inprogress")
-    fs.delete(staging, true) // leftover from a crashed attempt: restage whole
-    fingerprintIndex(batch, k, w, idCol, textCol)
-      .write.mode("overwrite").parquet(s"$staging/postings")
-    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$gen/batches"))
-    require(fs.rename(staging,
-        new org.apache.hadoop.fs.Path(s"$gen/batches/$batchId")),
-      s"winnowing index commit of batch '$batchId' failed to publish " +
-        "(concurrent append of the same id?)")
-    // the Generations single-writer defense (ClosureStore.advance's
-    // probe): fail loud if a concurrent rewrite stranded this batch in a
-    // superseded generation, so the caller replays where readers look.
-    if (Generations.current(spark, path, "winnowing index") != gen)
-      throw new IllegalStateException(
-        s"winnowing index batch '$batchId' committed into a generation " +
-          s"that a concurrent rewrite superseded ($gen) — batch commits " +
-          "and rewrites must be serialized by one writer; replay the batch")
+    Generations.commitBatch(spark, path, gen, "winnowing index", batchId,
+      "a blind retry would double every posting of the batch (inflating " +
+        "n_shared counts and overlap fractions silently)") { staging =>
+      fingerprintIndex(batch, k, w, idCol, textCol)
+        .write.mode("overwrite").parquet(s"$staging/postings")
+    }
   }
 
   /** Fold the live generation's batch directories into a fresh base —
