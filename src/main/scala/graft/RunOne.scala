@@ -20,6 +20,29 @@ object RunOne {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val fn = SparkEntry.queries(name)
+    // Optional job profile (SPARK_GRAFT_PROFILE=1): per-job wall time +
+    // description — the attribution tool for "where do an eager operator's
+    // seconds go" (checkpoint rounds vs convergence probes vs AQE stages).
+    val profile = sys.env.get("SPARK_GRAFT_PROFILE").contains("1")
+    val jobLog = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    if (profile) spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          val desc = Option(js.properties)
+            .flatMap(p => Option(p.getProperty("spark.job.description")))
+            .orElse(Option(js.properties)
+              .flatMap(p => Option(p.getProperty("callSite.short"))))
+            .getOrElse("")
+          jobLog.put(js.jobId, (js.time, desc))
+        }
+        override def onJobEnd(
+            je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          Option(jobLog.get(je.jobId)).foreach { case (t0, desc) =>
+            println(f"[job] id=${je.jobId}%4d ${(je.time - t0) / 1e3}%7.3fs  $desc")
+          }
+        }
+      })
     // warm-up: JVM + file-source init so the timing isolates the query
     spark.range(100).count()
     // Time construction + count together, like Bench does — operators with

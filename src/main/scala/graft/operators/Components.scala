@@ -68,6 +68,40 @@ private[operators] final class ReleasingTruncator(
   }
 }
 
+/** Convergence metering FUSED into the truncation action (guide §1.2/2.4:
+  * the iterative family's per-round fixed cost is jobs, not bytes, at the
+  * small-round end — and one job per round is pure probe overhead). The
+  * "did anything change" aggregate rides the SAME job that materializes
+  * the round — an `observe` metric collected while the checkpoint/write
+  * executes — instead of a second filter+count job over the checkpointed
+  * blocks. Results are identical: the metric is a sum over exactly the
+  * rows the checkpoint wrote. Falls back to the plain count when the
+  * metric does not arrive (listener delivery is asynchronous;
+  * `drainListenerBus` makes the common path deterministic, the fallback
+  * keeps the probe an instrument rather than a dependency). */
+private[operators] object FusedProbe {
+  import org.apache.spark.sql.Column
+  /** Truncate `df` and return (truncated frame, count of rows where
+    * `flag` is true) — one materializing job total. */
+  def truncateCounting(
+      truncate: ReleasingTruncator,
+      df: DataFrame,
+      flag: Column): (DataFrame, Long) = {
+    val spark = df.sparkSession
+    val probe = org.apache.spark.sql.Observation()
+    val out = truncate(
+      df.observe(probe, sum(when(flag, 1L).otherwise(0L)).as("n")))
+    org.apache.spark.sql.GraftBridge.drainListenerBus(spark)
+    val n = org.apache.spark.sql.GraftBridge.observedOrEmpty(probe)
+        .get("n") match {
+      case Some(v: Long) => v
+      case Some(null) => 0L // sum over zero rows
+      case _ => out.filter(flag).count()
+    }
+    (out, n)
+  }
+}
+
 private[operators] final class Truncator(
     spark: org.apache.spark.sql.SparkSession,
     checkpointDir: Option[String],
@@ -142,15 +176,17 @@ object Components {
         .select(col("u"), col("comp").as("prev"),
           least(col("comp"), coalesce(col("nm"), col("comp"))).as("comp"))
       // pointer jumping: follow the label one hop through the label table.
-      // Convergence is detected with a carried `chg` flag evaluated on the
-      // checkpointed blocks — no extra join-with-old-labels job per round.
-      val next = truncate(propagated.as("l")
+      // Convergence is detected with a carried `chg` flag summed INSIDE the
+      // checkpoint job (FusedProbe) — no extra probe job per round.
+      val jumped = propagated.as("l")
         .join(propagated.select(col("u").as("c0"), col("comp").as("cc")).as("m"),
           col("l.comp") === col("m.c0"), "left")
         .select(col("l.u").as("u"),
           coalesce(col("m.cc"), col("l.comp")).as("comp"),
-          (coalesce(col("m.cc"), col("l.comp")) =!= col("l.prev")).as("chg")))
-      changed = next.filter(col("chg")).count()
+          (coalesce(col("m.cc"), col("l.comp")) =!= col("l.prev")).as("chg"))
+      val (next, nChanged) =
+        FusedProbe.truncateCounting(truncate, jumped, col("chg"))
+      changed = nChanged
       labels = next.drop("chg")
       it += 1
     }

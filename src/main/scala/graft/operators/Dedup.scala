@@ -1130,6 +1130,11 @@ object Dedup {
       .select(col("doc_id"),
         array_distinct(shingles(col("ws"), shingleK)).as("shs"))
       .filter(size(col("shs")) > 0)
+      // persisted: the exploded posting table `e` below is consumed by BOTH
+      // the document-frequency aggregate and the df-attach join — without
+      // the persist the tokenize+shingle scan runs twice (the
+      // minhashPairs/containmentPairs persist contract)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val e = staged.select(col("doc_id"), explode(col("shs")).as("s"))
     val dfc = e.groupBy(col("s")).agg(count(lit(1)).as("d"))
     val srt = e.join(dfc, "s")

@@ -350,11 +350,14 @@ object Graph {
         .select(col("d").as("node")).distinct()
         .join(visited.select("node"), Seq("node"), "left_anti")
         .withColumn("depth", lit(d))
-      visited = truncate(visited.unionByName(next))
-      // the new level re-read from the checkpointed blocks: one cheap
-      // filter+count, no recomputation of the round's joins
+      // the level size is summed INSIDE the checkpoint job (FusedProbe):
+      // rows at depth d are exactly the round's additions — no extra
+      // count job per level
+      val (mat, n) = FusedProbe.truncateCounting(
+        truncate, visited.unionByName(next), col("depth") === d)
+      visited = mat
       frontier = visited.filter(col("depth") === d).select("node")
-      newCount = frontier.count()
+      newCount = n
     }
     e.unpersist()
     visited
@@ -503,11 +506,11 @@ object Graph {
           (col("dist").isNull ||
             (col("cand").isNotNull && col("cand") < col("dist"))).as("sp_chg"))
       if (converge) {
-        // checkpoint every round: the improvement count is a full pass
-        // anyway, and counting an uncheckpointed frame would pay the
-        // lineage twice (once here, once when the next round consumes it)
-        val mat = truncateReleasing(next)
-        done = mat.filter(col("sp_chg")).limit(1).isEmpty
+        // checkpoint every round; the improvement count rides INSIDE the
+        // checkpoint job (FusedProbe) — no separate probe job per round
+        val (mat, nImproved) =
+          FusedProbe.truncateCounting(truncateReleasing, next, col("sp_chg"))
+        done = nImproved == 0
         dist = mat.drop("sp_chg")
       } else {
         val carried = next.drop("sp_chg")

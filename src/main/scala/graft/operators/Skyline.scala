@@ -66,12 +66,19 @@ object Skyline {
       buckets: Int = 256): DataFrame = {
     require(buckets > 0, "buckets must be positive")
     requireNoSkColumns(df, "pareto2d")
+    // Persisted: the point set feeds the stats probe, the grid aggregate,
+    // and the survivor join (and survivors re-derive from it twice more) —
+    // without the persist every pass re-runs the caller's derived-column
+    // scan (sk01/sk03 compute distinct-word counts from full text; 5
+    // re-tokenizations for one front). Session-cache contract as in the
+    // Dedup pair finders.
     val pts = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val xd = col(xCol).cast("double")
 
     // planner-scale: 2 values on the driver, the bucket-width constants
     val stats = pts.agg(min(xd), max(xd)).head()
-    if (stats.isNullAt(0)) return pts.limit(0) // empty input: empty front
+    if (stats.isNullAt(0)) { pts.unpersist(); return pts.limit(0) } // empty input
     val (xmin, xmax) = (stats.getDouble(0), stats.getDouble(1))
     val width = math.max((xmax - xmin) / buckets, java.lang.Double.MIN_NORMAL)
     val bucket: Column =
@@ -174,11 +181,16 @@ object Skyline {
     require(buckets > 0, "buckets must be positive")
     require(maxBroadcastFront >= 1, "maxBroadcastFront must be positive")
     requireNoSkColumns(df, "pareto3d")
+    // Persisted like survivors/doms below (released by the same hook):
+    // the point set feeds the stats probe, the grid cells, and the
+    // survivor join — three re-runs of the caller's derived-column scan
+    // otherwise.
     val pts = df.filter(col(xCol).isNotNull && col(yCol).isNotNull &&
       col(zCol).isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val (xd, yd) = (col(xCol).cast("double"), col(yCol).cast("double"))
     val stats = pts.agg(min(xd), max(xd), min(yd), max(yd)).head()
-    if (stats.isNullAt(0)) return (pts.limit(0), () => ())
+    if (stats.isNullAt(0)) return (pts.limit(0), () => { pts.unpersist(); () })
     def bucketOf(c: Column, lo: Double, hi: Double): Column = {
       val width = math.max((hi - lo) / buckets, java.lang.Double.MIN_NORMAL)
       least(floor((c - lit(lo)) / lit(width)), lit(buckets - 1L)).cast("long")
@@ -249,6 +261,7 @@ object Skyline {
         rest
       }
     (out, () => {
+      pts.unpersist()
       survivors.unpersist()
       doms.unpersist()
       scratch.foreach(_.unpersist(false))
@@ -285,7 +298,10 @@ object Skyline {
       yCol: String): DataFrame = {
     require(keyCols.nonEmpty, "keyCols must be non-empty — use pareto2d")
     requireNoSkColumns(df, "pareto2dBy")
+    // Persisted: pts feeds the per-x aggregate AND the join back — one
+    // derived-column scan instead of two (session-cache contract).
     val pts = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // keys rename through the aggregate (sk_k*) so the join back to pts
     // is never an ambiguous self-reference
     val aliased = keyCols.zipWithIndex.map { case (k, i) =>
@@ -328,7 +344,12 @@ object Skyline {
     require(layers >= 1 && layers <= 64,
       "layers must be in [1, 64] — each layer is a full pass; peel only " +
         "what the budget can take")
-    var rest = df
+    // Persist the caller's frame for the loop's duration: every peel (and
+    // every pass inside pareto2d) otherwise re-runs the caller's
+    // derived-column scan. Safe to release after the loop — each front is
+    // its own localCheckpoint, so the returned union never re-reads `df`.
+    val src = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var rest: DataFrame = src
     var out: DataFrame = null
     for (i <- 1 to layers) {
       val front = pareto2d(rest, xCol, yCol, buckets)
@@ -339,6 +360,7 @@ object Skyline {
         rest = rest.join(broadcast(front.select(col(idCol))), Seq(idCol),
           "left_anti")
     }
+    src.unpersist()
     out
   }
 }

@@ -112,35 +112,32 @@ object Winnowing {
       idCol: String = "doc_id",
       textCol: String = "text"
   ): DataFrame = {
-    // Same cache contract as the Dedup pair finders (entries live until
-    // the caller's session cache clear; Verify/Bench clear between
-    // queries). Two persists on purpose: `posting` so selection runs
-    // once under the doc-frequency aggregate AND the cap join, and the
-    // capped `p` so the self-join's two sides don't redo the cap join.
-    // The cap itself stays a map-side-combined aggregate + equi-join —
-    // NOT a count window over fp: a window partitions all postings of a
-    // fingerprint into ONE task and buffers them, so a degenerate
-    // boilerplate fingerprint (the exact thing the cap exists to absorb)
-    // would concentrate on a single executor before being filtered out.
+    // ONE shuffle does the doc-frequency cap AND the candidate gather
+    // (r16, guide §2.3/2.4): `capped_collect` folds each fingerprint's
+    // (did, nfp) postings — returning NULL past `maxDocFreq`, with the
+    // buffer BOUNDED at cap+1 so a degenerate boilerplate fingerprint
+    // never concentrates its posting list on one task (the same hot-key
+    // contract the previous count-then-join formulation had) — and
+    // `payload_pairs_gen` fans the ordered pairs out locally with each
+    // side's nfp riding along. This replaces the old 3-exchange plan
+    // (df aggregate + cap join + fp self-join) and both of its persists:
+    // the selection scan now runs exactly once, unpersisted.
     val posting = fingerprints(docs, k, w, idCol, textCol)
-      .select(col(idCol).as("did"), size(col("fps")).as("nfp"),
-        explode(col("fps")).as("fp"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val rare = posting.groupBy("fp")
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDocFreq)
-      .select("fp")
-    val p = posting.join(rare, "fp")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pairs = p.as("a").join(p.as("b"),
-        col("a.fp") === col("b.fp") && col("a.did") < col("b.did"))
-      .groupBy(col("a.did").as("doc_a"), col("b.did").as("doc_b"),
-        col("a.nfp").as("nfp_a"), col("b.nfp").as("nfp_b"))
+      .select(col(idCol).cast("long").as("did"),
+        size(col("fps")).cast("long").as("nfp"), explode(col("fps")).as("fp"))
+    val groups = posting.groupBy("fp")
+      .agg(graft.expressions.CappedIdPayloadCollect(
+        col("did"), col("nfp"), maxDocFreq).as("ds"))
+      .filter(col("ds").isNotNull)
+    groups
+      .select(graft.expressions.PayloadPairsGen(col("ds")))
+      .groupBy(col("a").as("doc_a"), col("b").as("doc_b"),
+        col("pa").as("nfp_a"), col("pb").as("nfp_b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
-    pairs.select(col("doc_a"), col("doc_b"), col("n_shared"),
-      (col("n_shared").cast("double") /
-        least(col("nfp_a"), col("nfp_b"))).as("overlap_frac"))
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        (col("n_shared").cast("double") /
+          least(col("nfp_a"), col("nfp_b"))).as("overlap_frac"))
   }
 
   /** The stored-index half of incremental MOSS: the posting table
@@ -343,18 +340,35 @@ object Winnowing {
       idCol: String = "doc_id",
       textCol: String = "text"
   ): DataFrame = {
-    val bp = fingerprintIndex(batch, k, w, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val rare = index.select(col("fp"))
-      .unionAll(bp.select(col("fp")))
-      .groupBy("fp").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDocFreq)
-      .select("fp")
-    val bc = bp.join(rare, "fp")
-    val ic = index.join(rare, "fp")
-    bc.as("n").join(ic.as("h"), col("n.fp") === col("h.fp"))
-      .groupBy(col("n.did").as("new_id"), col("h.did").as("old_id"),
-        col("n.nfp").as("nfp_new"), col("h.nfp").as("nfp_old"))
+    // Same one-shuffle cap+gather as [[overlapPairs]] (r16): both sides'
+    // postings union with a side TAG packed into the payload's low bit
+    // (payload = 2·nfp + tag — integer packing, engine-exact), the
+    // df cap computes over index ∪ batch inside the same aggregate, and
+    // the local pair fan-out keeps only cross-side pairs. Replaces the
+    // df aggregate + two cap joins + new×history join (3 exchanges of
+    // posting-scale data) and the batch-side persist: the batch is
+    // fingerprinted exactly once, unpersisted.
+    val tagged = index
+      .select(col("did").cast("long").as("did"),
+        (col("nfp").cast("long") * 2).as("pl"), col("fp"))
+      .unionAll(fingerprintIndex(batch, k, w, idCol, textCol)
+        .select(col("did").cast("long").as("did"),
+          (col("nfp").cast("long") * 2 + 1).as("pl"), col("fp")))
+    val groups = tagged.groupBy("fp")
+      .agg(graft.expressions.CappedIdPayloadCollect(
+        col("did"), col("pl"), maxDocFreq).as("ds"))
+      .filter(col("ds").isNotNull)
+    groups
+      .select(graft.expressions.PayloadPairsGen(col("ds")))
+      .filter(col("pa") % 2 =!= col("pb") % 2) // cross-side pairs only
+      .select(
+        when(col("pa") % 2 === 1, col("a")).otherwise(col("b")).as("new_id"),
+        when(col("pa") % 2 === 1, col("b")).otherwise(col("a")).as("old_id"),
+        shiftright(when(col("pa") % 2 === 1, col("pa")).otherwise(col("pb")), 1)
+          .as("nfp_new"),
+        shiftright(when(col("pa") % 2 === 1, col("pb")).otherwise(col("pa")), 1)
+          .as("nfp_old"))
+      .groupBy("new_id", "old_id", "nfp_new", "nfp_old")
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
       .select(col("new_id"), col("old_id"), col("n_shared"),
