@@ -11,13 +11,18 @@ object RunOne {
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val doExplain = args.contains("explain")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkSession.builder()
+    // diagnostic conf overrides: SPARK_GRAFT_CONF="key=value;key=value"
+    val extraConf = sys.env.getOrElse("SPARK_GRAFT_CONF", "")
+      .split(";").map(_.trim).filter(_.contains("="))
+      .map { kv => val i = kv.indexOf('='); (kv.take(i), kv.drop(i + 1)) }
+    val builder = SparkSession.builder()
       .withExtensions(new graft.GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    extraConf.foreach { case (k, v) => builder.config(k, v) }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val fn = SparkEntry.queries(name)
     // Optional job profile (SPARK_GRAFT_PROFILE=1): per-job wall time +
@@ -33,7 +38,10 @@ object RunOne {
             .flatMap(p => Option(p.getProperty("spark.job.description")))
             .orElse(Option(js.properties)
               .flatMap(p => Option(p.getProperty("callSite.short"))))
-            .getOrElse("")
+            .orElse(js.stageInfos.lastOption.map(_.name.takeWhile(_ != '\n')))
+            .getOrElse("") +
+            js.stageInfos.map(si => si.name.takeWhile(_ != '\n'))
+              .distinct.mkString(" | [", "; ", "]")
           jobLog.put(js.jobId, (js.time, desc))
         }
         override def onJobEnd(

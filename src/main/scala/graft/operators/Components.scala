@@ -238,19 +238,26 @@ object Components {
       .join(lbl.select(col("id").as("v"), col("comp").as("cv")), Seq("v"), "left")
       .select(coalesce(col("cu"), col("u")).as("a_id"),
         coalesce(col("cv"), col("v")).as("b_id"))
-    if (contracted.isEmpty) return lbl
+      // persisted so the emptiness probe and connected()'s edge-table
+      // materialization share one execution of the contraction joins
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    if (contracted.isEmpty) { contracted.unpersist(); return lbl }
     // roots of the delta-induced merge graph: (old label | new vertex) → min
     val roots = connected(contracted, "a_id", "b_id", maxIter, checkpointDir)
+    contracted.unpersist() // roots is checkpoint-backed; nothing re-reads it
     val relabeled = lbl
       .join(roots.select(col("id").as("comp"), col("comp").as("_root")),
         Seq("comp"), "left")
       .select(col("id"), coalesce(col("_root"), col("comp")).as("comp"))
-    // vertices first seen in the delta carry their own contracted root
-    val fresh = e.select(col("u").as("id"))
-      .union(e.select(col("v").as("id"))).distinct()
-      .join(lbl.select(col("id")), Seq("id"), "left_anti")
-      .join(roots, Seq("id"), "left")
-      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+    // Vertices first seen in the delta, read off the (checkpointed) root
+    // map instead of a second pass over the delta edges (r16): every
+    // contracted vertex is either a stored label — canonical min-member
+    // ids, so `stored` always carries its (c, c) self-row — or an unseen
+    // delta endpoint, and every contracted vertex appears in `roots`
+    // (connected() labels each vertex of its edge list). The old
+    // union+distinct+anti+left-join formulation re-derived the same set
+    // from `e` with two extra exchanges.
+    val fresh = roots.join(lbl.select(col("id")), Seq("id"), "left_anti")
     relabeled.unionByName(fresh)
   }
 }

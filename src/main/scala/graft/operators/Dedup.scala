@@ -512,8 +512,14 @@ object Dedup {
       s"collapseClusters: doc columns ${clash.mkString(", ")} collide with " +
         "the operator's label/size/rank columns — rename them first")
     val cc = Components.connected(pairs, srcCol, dstCol)
+    // persisted: sizes aggregate, representative window, and singleton
+    // pass-through all consume this frame — one corpus scan + label join
+    // instead of three (session-cache contract; on a cluster where the
+    // corpus dwarfs cache, MEMORY_AND_DISK degrades to disk reads, still
+    // one join instead of three)
     val labeled = docs.join(
       cc.select(col("id").as(idCol), col("comp")), Seq(idCol), "left")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Sizes count documents actually PRESENT in docs, not vertices of the
     // pairs graph: an id that appears in a pair but not in docs (caller
     // pre-filtered the corpus, stale pair table) must not inflate
@@ -572,8 +578,12 @@ object Dedup {
     require(longest.nonEmpty || modal.nonEmpty,
       "goldenRecord: at least one survivorship rule column is required")
     val cc = Components.connected(pairs, srcCol, dstCol)
+    // persisted: the base aggregate plus EVERY modal column re-aggregates
+    // this |docs-in-pairs| frame — one corpus scan + label join instead of
+    // 1 + |modal| (session-cache contract)
     val labeled = docs.join(
       cc.select(col("id").as(idCol), col("comp")), Seq(idCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val aggs =
       min(col(idCol)).as("canon_id") +:
         count(lit(1)).as("cluster_size") +:

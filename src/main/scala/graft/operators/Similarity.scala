@@ -577,6 +577,13 @@ object Similarity {
     def normalized(df: DataFrame) = withVec(df, idCol, vecCol)
       .withColumn("vh", transform(col("v"), x => x / col("nrm")))
 
+    // The normalized corpus feeds TWO passes — the encode scan and the
+    // exact re-rank's vector lookup — so the narrow (vid, vh) projection
+    // persists for the call's duration (session-cache contract): one
+    // parquet scan + normalize instead of two (r16).
+    val normCorpus = normalized(corpus).select(col("vid"), col("vh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
     // ---- train: coarse quantizer + per-subspace codebooks over ONE cached
     // scan of the normalized corpus (the coarse fit re-scans per iteration,
     // the m codebook fits run concurrently on top). When BOTH fits arrive
@@ -677,7 +684,7 @@ object Similarity {
 
     // ---- encode: cell id + m codes per corpus vector, one fused scan
     // (residual mode re-points `vh` at v̂ − centroid before coding)
-    val assigned = coarse.transform(normalized(corpus)
+    val assigned = coarse.transform(normCorpus
       .withColumn("fcoarse", array_to_vector(col("vh"))))
     val codeInput =
       if (residual)
@@ -727,7 +734,7 @@ object Similarity {
     // ---- exact re-rank: shortlistN exact cosines per query — a constant
     // k·refine when refine is pinned (corpus-size independent, the
     // difference from pqTopK), 2·√n under auto mode
-    val cvecs = normalized(corpus).select(col("vid"), col("vh"))
+    val cvecs = normCorpus
     val exact = broadcast(shortlist).join(cvecs, "vid")
       .withColumn("sim", dot(col("qvh"), col("vh")))
     val wExact = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vid"))
