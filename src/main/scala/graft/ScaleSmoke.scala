@@ -469,6 +469,14 @@ object ScaleSmoke {
     time(s"winnowing selection over $rows docs (zero-shuffle, checksum)")(
       graft.operators.Winnowing.fingerprints(docs, k = 3, w = 4)
         .agg(sum(size(col("fps")))).head().getLong(0))
+    // r16: overlap pairs is ONE capped-collect shuffle + local pair
+    // fan-out (the d44 reshape) — a hot boilerplate fingerprint costs its
+    // cap+1 buffer slots, never its document frequency, so the pair pass
+    // must hold at corpus scale without the old df-count + cap-join +
+    // self-join plan's three exchanges.
+    time(s"winnowing overlap pairs over $rows docs (single-shuffle capped)")(
+      graft.operators.Winnowing.overlapPairs(docs, k = 3, w = 4,
+        minShared = 2, maxDocFreq = 200).count())
     // PageRank (r11): per-round cost must be bounded by |E| + |V|, never
     // |E|·rounds of lineage — 100x the bench's edge count through the
     // same 6 rounds. smallVertexSet keeps the 50k-node rank table

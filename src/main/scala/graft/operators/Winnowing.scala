@@ -41,10 +41,14 @@ object Winnowing {
       textCol: String = "text"
   ): DataFrame = {
     require(k >= 1 && w >= 1, s"k and w must be >= 1, got k=$k w=$w")
-    val hs = transform(
-      TextFunctions.shingles(TextFunctions.words(col(textCol)), k),
-      g => graft.expressions.PolyHash(g))
-    docs.select(col(idCol), winnowSelect(hs, w).as("fps"))
+    // r16: gram hashing + window selection fused into one compiled pass
+    // ([[graft.expressions.WinnowedHashes]]) — no gram strings, no struct
+    // arrays, O(n) deque selection. Value-identical to the HOF
+    // formulation below ([[winnowSelect]], kept as the executable spec;
+    // WinnowingSpec pins both against the hand-rolled reference).
+    docs.select(col(idCol),
+      graft.expressions.WinnowedHashes(
+        TextFunctions.words(col(textCol)), k, w).as("fps"))
   }
 
   /** The selection core, exposed for composition: `hs` is an array<long>

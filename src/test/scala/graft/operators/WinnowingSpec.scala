@@ -43,6 +43,32 @@ class WinnowingSpec extends SparkSpec {
     }
   }
 
+  test("fused winnow_hashes equals the HOF selection formulation at every (k, w)") {
+    // the r16 compiled pass (per-word hash + power combine + deque minima)
+    // vs the zip_with formulation it replaced — including ties (repeated
+    // words), sub-window docs, empty docs, and multi-byte UTF-8
+    val texts = Seq(
+      "a b c d e f g h i j k l m n",
+      "x x x x x x x x x x",
+      "the cat sat on the mat the cat sat on the mat again",
+      "héllo wörld ünicode tèxt höre ätt mäta ööö üüü",
+      "short", "", "one two",
+      (1 to 300).map(i => s"t${i % 13}").mkString(" "))
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    for ((k, w) <- Seq((3, 4), (2, 7), (1, 1), (5, 2), (4, 4))) {
+      val fused = Winnowing.fingerprints(df, k, w)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+      val hs = transform(
+        graft.functions.TextFunctions.shingles(
+          graft.functions.TextFunctions.words(col("text")), k),
+        g => graft.expressions.PolyHash(g))
+      val hof = df.select(col("doc_id"), Winnowing.winnowSelect(hs, w).as("fps"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+      assert(fused == hof, s"(k=$k, w=$w)")
+    }
+  }
+
   test("the winnowing guarantee: shared runs of >= w+k-1 words always share a fingerprint") {
     // doc pairs embedding a common 6-word run (k=3, w=4 -> guarantee at 6)
     // inside otherwise-distinct text
