@@ -69,33 +69,27 @@ object Resample {
         count(lit(1)).as("n_events"),
         max(struct(col(tsCol), col(idCol), col(valueCol).as("v")))
           .getField("v").as("last_v"))
-    // one row per key: bucket→cell map + span; expand the full grid with
-    // sequence() and look cells up in the map — the join-free grid build
+    // one row per key: cell list + span; the grid expands AND the LOCF
+    // carry rides a single generator walk over the sorted cells
+    // ([[graft.expressions.GapFillLocfGen]], r16) — the previous
+    // map-expand probed a Catalyst map (LINEAR scan per lookup: O(span ·
+    // cells) per key) and then paid a full |grid|-row window sort for the
+    // carry; both are gone, the plan is two aggregation exchanges + one
+    // Generate. Rows identical (ResampleSpec + the ts01 oracle pin them).
     val perKey = cells
       .groupBy(col(keyCol))
       .agg(
-        map_from_entries(collect_list(struct(
-          col("bucket"),
-          struct(col("n_events"), col("last_v"))))).as("m"),
+        collect_list(struct(
+          col("bucket"), col("n_events"), col("last_v"))).as("cs"),
         min(col("bucket")).as("lo"),
         max(col("bucket")).as("hi"))
-    val grid = perKey
-      .select(col(keyCol),
-        explode(transform(
-          sequence(col("lo"), col("hi")),
-          b => struct(b.as("bucket"), element_at(col("m"), b).as("cell")))).as("g"))
-      .select(col(keyCol),
-        col("g.bucket").as("bucket"),
-        coalesce(col("g.cell.n_events"), lit(0L)).as("n_events"),
-        col("g.cell.last_v").as("obs_v"))
-    // LOCF: the window partitions on the key the groupBy just hashed on,
-    // so no additional exchange is planned (sort only)
-    val w = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    grid.select(
-      col(keyCol),
-      timestamp_micros(col("bucket") * lit(stepMicros)).as("bucket_ts"),
-      col("n_events"),
-      last(col("obs_v"), ignoreNulls = true).over(w).as("value_locf"))
+    perKey
+      .select(col(keyCol), graft.expressions.GapFillLocfGen(
+        col("cs"), col("lo"), col("hi")))
+      .select(
+        col(keyCol),
+        timestamp_micros(col("bucket") * lit(stepMicros)).as("bucket_ts"),
+        col("n_events"),
+        col("value_locf"))
   }
 }
