@@ -53,6 +53,12 @@ case class PortableMinHash(child: Expression, k: Int)
     UTF8String.fromBytes(out)
   }
 
+  // "i|" prefixes, built once per expression instance — the per-digest
+  // String.valueOf(i).getBytes allocation pair otherwise runs k times per
+  // shingle across the whole corpus scan
+  @transient private lazy val prefixes: Array[Array[Byte]] =
+    Array.tabulate(k)(i => (i.toString + "|").getBytes("UTF-8"))
+
   override def nullSafeEval(input: Any): Any = {
     val shingles = input.asInstanceOf[ArrayData]
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -65,8 +71,7 @@ case class PortableMinHash(child: Expression, k: Int)
         var i = 0
         while (i < k) {
           md.reset()
-          md.update(String.valueOf(i).getBytes)
-          md.update('|'.toByte)
+          md.update(prefixes(i))
           md.update(shBytes)
           val d = md.digest()
           if (mins(i) == null || lessUnsigned(d, mins(i))) mins(i) = d
