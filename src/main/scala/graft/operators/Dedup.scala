@@ -1017,8 +1017,17 @@ object Dedup {
     // edges to Graph.reachableFrom, whose long cast would turn string ids
     // into all-NULL endpoints and a silently-empty closure
     requireIntegralId(docs, idCol, "chunkPostings")
-    chunkOccurrences(docs, idCol, textCol, chunkWords)
-      .select(col("doc_id"), col("fp")).distinct()
+    // r16: the posting path needs only (doc_id, fp) — `chunk_md5s` streams
+    // each chunk's word bytes straight into the digest, skipping the
+    // per-chunk slice copy + string build the HOF occurrence form pays
+    // ([[graft.expressions.ChunkMd5s]]; values identical — the digest sees
+    // the same space-joined bytes, spec-pinned against chunkOccurrences).
+    // crossDocChunkDedup keeps the occurrence form: it needs ctext/ci.
+    docs
+      .select(col(idCol).as("doc_id"),
+        explode(graft.expressions.ChunkMd5s(
+          words(col(textCol)), chunkWords)).as("fp"))
+      .distinct()
   }
 
   /** Per-chunk star edges over a posting table: (fp, a_id, b_id) — the

@@ -239,6 +239,30 @@ class DedupSpec extends SparkSpec {
     assert(out == Map(1L -> Some("en"), 7L -> None), s"got $out")
   }
 
+  test("chunk_md5s posting path equals the occurrence form's fingerprints") {
+    // the r16 fused digest (word bytes streamed into md5, no chunk string)
+    // vs md5(array_join(slice(...))) — partial final chunks, single-word
+    // docs, multi-byte UTF-8, empty docs
+    val texts = Seq(
+      "a b c d e f g h i j k",                    // 8 + partial 3
+      "exactly eight words make one whole chunk x", // exactly 8
+      "tiny",
+      "héllo wörld ünicode tèxt with ödd bytes in ït here too",
+      "")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val fused = Dedup.chunkPostings(docs).as[(Long, String)].collect().toSet
+    val ws = graft.functions.TextFunctions.words(col("text"))
+    val nChunks = ceil(size(ws).cast("double") / 8).cast("int")
+    val hof = docs.select(col("doc_id"),
+        explode(when(size(ws) === 0, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(0), nChunks - 1),
+            ci => array_join(slice(ws, ci * 8 + 1, lit(8)), " ")))).as("ctext"))
+      .select(col("doc_id"), md5(col("ctext")).as("fp")).distinct()
+      .as[(Long, String)].collect().toSet
+    assert(fused == hof && fused.nonEmpty)
+  }
+
   test("chunkShareEdges: star topology, within-doc repeats and unique chunks emit nothing") {
     // 8-word chunks; docs 1/2/3 share chunk A (hub = 1), doc 4 repeats
     // its own chunk B twice (no edge), doc 5 is all-unique (no edge)
