@@ -33,3 +33,44 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// Parallel forked test groups (r17): one JVM runs the whole 68-suite /
+// 560-test tree in ~25 min — past the CI harness's patience, and a single
+// JVM shutdown mid-run poisons every remaining suite on the shared
+// SparkSession (the r16 gate abort). N independent JVMs, each with its own
+// SparkSession, run concurrently: wall time divides by ~N and a killed
+// group no longer takes the other groups' results with it. Suites are
+// deterministically spread with the measured-slowest ones pinned to
+// distinct groups; everything else round-robins by name. Suites share no
+// cross-JVM state (every store/checkpoint path is a per-test temp dir).
+val testGroupCount = 4
+// slowest suites first (measured r17 baseline run), pinned one per group
+val heavyTestSuites = Seq(
+  "graft.EntrySpec", "graft.operators.ClosureStoreSpec",
+  "graft.streaming.ClosureSinkSpec", "graft.operators.GraphSpec",
+  "graft.PropertySpec", "graft.streaming.StreamingSpec",
+  "graft.operators.SnapshotSpec", "graft.core.FramePipelineSafeSpec",
+  "graft.operators.RetrievalSpec", "graft.operators.TemperatureSampleSpec",
+  "graft.streaming.EditIndexSinkSpec", "graft.streaming.AnnIndexSinkSpec",
+  "graft.operators.SimilaritySpec", "graft.streaming.ParetoSinkSpec",
+  "graft.operators.DedupSpec", "graft.operators.SkylineSpec")
+Test / testGrouping := {
+  val tests = (Test / definedTests).value
+  val forkOpts = ForkOptions()
+    .withRunJVMOptions((Test / javaOptions).value.toVector)
+  val heavyRank = heavyTestSuites.zipWithIndex.toMap
+  val (heavy, light) = tests.partition(t => heavyRank.contains(t.name))
+  val groups = Array.fill(testGroupCount)(
+    scala.collection.mutable.ListBuffer.empty[sbt.TestDefinition])
+  heavy.sortBy(t => heavyRank(t.name)).zipWithIndex.foreach { case (t, i) =>
+    groups(i % testGroupCount) += t
+  }
+  light.sortBy(_.name).zipWithIndex.foreach { case (t, i) =>
+    groups(i % testGroupCount) += t
+  }
+  groups.toIndexedSeq.zipWithIndex.map { case (g, i) =>
+    Tests.Group(s"grp$i", g.toSeq, Tests.SubProcess(forkOpts))
+  }
+}
+Global / concurrentRestrictions := Seq(
+  Tags.limit(Tags.ForkedTestGroup, testGroupCount))

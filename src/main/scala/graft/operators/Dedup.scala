@@ -89,41 +89,57 @@ object Dedup {
       maxDocFreq: Int = Int.MaxValue
   ): DataFrame = {
     requireIntegralId(docs, idCol, "jaccardPairs")
-    // Stage the array pipeline through explicit projections so each heavy
-    // expression (split, shingle assembly) is evaluated once per row —
-    // inlining them would re-split the text for every element_at call.
-    val staged = docs
-      .select(col(idCol).as("doc_id"), words(col(textCol)).as("ws"))
-      .select(col("doc_id"), array_distinct(shingles(col("ws"), shingleK)).as("shs"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // per-doc set size is a scan-side column of the staged table — no
-    // groupBy-the-exploded-rows shuffle needed
-    val sizes = staged.select(col("doc_id"), size(col("shs")).as("n"))
-    val sh = staged.select(col("doc_id"), explode(col("shs")).as("sh"))
-    // Candidate generation: ONE shuffle (groupBy shingle), then ordered
-    // pairs are emitted locally from each shingle's sorted doc list — the
-    // equivalent self-join would shuffle both 260k-row sides by shingle AND
-    // need a third shuffle for the document-frequency cap; here the cap is
-    // a free size() filter on the collected list. Capped-out shingles still
-    // count toward each doc's shingle-set size (underestimates Jaccard for
-    // pairs overlapping a hot shingle — conservative, never a false
-    // positive). Per-shingle pair fan-out is bounded by maxDocFreq²/2.
-    val bySh0 = sh.groupBy("sh")
-      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-    val bySh =
-      if (maxDocFreq == Int.MaxValue) bySh0
-      else bySh0.filter(size(col("ds")) <= maxDocFreq)
-    val inter = bySh
-      .select(graft.expressions.OrderedPairsGen(col("ds").cast("array<long>")))
-      .groupBy(col("a").as("a_id"), col("b").as("b_id"))
-      .agg(count(lit(1)).as("inter"))
+    // ONE shuffle does the doc-frequency cap AND the candidate gather
+    // (r17, guide §2.3/2.4 — the d44 winnowing shape): each doc's
+    // shingle-set SIZE rides the posting row as the capped_collect
+    // payload, `payload_pairs_gen` fans ordered pairs out locally with
+    // both sides' sizes attached, and the pair aggregate computes Jaccard
+    // directly — no per-doc sizes table, no two join-backs, no persist
+    // (the shingling scan runs exactly once). Capped-out shingles become
+    // NULL groups (dropped) but still counted toward each doc's set size
+    // at scan time — same conservative-underestimate contract as before,
+    // and the hot-shingle buffer is BOUNDED at cap+1 where collect_list
+    // materialized the full posting list before the size filter.
+    val inter = jaccardInter(docs, shingleK, idCol, textCol, maxDocFreq)
     inter
-      .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n", "na"), "a_id")
-      .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n", "nb"), "b_id")
       .withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select("a_id", "b_id", "jaccard")
+  }
+
+  /** Shared candidate core of [[jaccardPairs]] / [[containmentPairs]]:
+    * (a_id, b_id, na, nb, inter) for every pair sharing ≥1 surviving
+    * shingle — one shuffle on the shingle (capped gather), one on the
+    * pair. Sizes count ALL of a doc's distinct shingles (capped-out ones
+    * included), matching the split formulation this fused. */
+  private def jaccardInter(
+      docs: DataFrame,
+      shingleK: Int,
+      idCol: String,
+      textCol: String,
+      maxDocFreq: Int
+  ): DataFrame = {
+    // capped_collect caps at 2^28; a wider cap is "no cap" operationally
+    // (a 2^28-doc posting list in one buffer is already off the table)
+    val cap = math.min(maxDocFreq.toLong, 1L << 28).toInt
+    // eval_once: the filter inferred under the explode would otherwise
+    // push through this projection and re-run the split+shingle assembly
+    // per conjunct (guide §4.4's duplication hazard, r17)
+    val posting = docs
+      .select(col(idCol).as("doc_id"), words(col(textCol)).as("ws"))
+      .select(col("doc_id"), graft.expressions.EvalOnce(
+        array_distinct(shingles(col("ws"), shingleK))).as("shs"))
+      .select(col("doc_id").cast("long").as("did"),
+        size(col("shs")).cast("long").as("n"), explode(col("shs")).as("sh"))
+    posting.groupBy("sh")
+      .agg(graft.expressions.CappedIdPayloadCollect(
+        col("did"), col("n"), cap).as("ds"))
+      .filter(col("ds").isNotNull)
+      .select(graft.expressions.PayloadPairsGen(col("ds")))
+      .groupBy(col("a").as("a_id"), col("b").as("b_id"),
+        col("pa").as("na"), col("pb").as("nb"))
+      .agg(count(lit(1)).as("inter"))
   }
 
   /** Banding (numHashes, bands) whose candidate S-curve knee
@@ -172,8 +188,11 @@ object Dedup {
     * (fewer than k words) drop out, matching the batch semantics. */
   private[graft] def shingleSets(
       docs: DataFrame, shingleK: Int, idCol: String, textCol: String): DataFrame =
+    // eval_once (r17): without it the size filter pushes through the
+    // projection and the split+shingle assembly runs twice per row
     docs.select(col(idCol).as("doc_id"), words(col(textCol)).as("ws"))
-      .select(col("doc_id"), array_distinct(shingles(col("ws"), shingleK)).as("sh"))
+      .select(col("doc_id"), graft.expressions.EvalOnce(
+        array_distinct(shingles(col("ws"), shingleK))).as("sh"))
       .filter(size(col("sh")) > 0)
 
   /** k min-hashes of the `sh` column in ONE pass over the shingles: per
@@ -277,8 +296,9 @@ object Dedup {
     // Band rows carry ONLY (doc_id, band, bucket) — at corpus scale the
     // candidate shuffle must not replicate shingle arrays per band. The
     // arrays are re-joined once per verified candidate side afterwards.
-    val banded = sig.select(col("doc_id"),
-      posexplode(bandBucketsCol(numHashes, bands, portableHash)))
+    val banded = sig.select(col("doc_id"), graft.expressions.EvalOnce(
+        bandBucketsCol(numHashes, bands, portableHash)).as("bb"))
+      .select(col("doc_id"), posexplode(col("bb")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     // Candidates: ONE shuffle (groupBy bucket) + local ordered-pair fan-out
     // per bucket, instead of shuffling both sides of a band self-join —
@@ -359,8 +379,9 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val sig = shingleSets(docs, shingleK, idCol, textCol)
       .withColumn("sig", minhashSigCol(numHashes, portableHash))
-    val bandRows = sig.select(col("doc_id"),
-      posexplode(bandBucketsCol(numHashes, bands, portableHash)))
+    val bandRows = sig.select(col("doc_id"), graft.expressions.EvalOnce(
+        bandBucketsCol(numHashes, bands, portableHash)).as("bb"))
+      .select(col("doc_id"), posexplode(col("bb")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     (bandRows, sig.select(col("doc_id"), col("sh")))
   }
@@ -419,8 +440,9 @@ object Dedup {
     val sig = shingleSets(batch, shingleK, idCol, textCol)
       .withColumn("sig", minhashSigCol(numHashes, portableHash))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val newBands = sig.select(col("doc_id").as("new_id"),
-      posexplode(bandBucketsCol(numHashes, bands, portableHash)))
+    val newBands = sig.select(col("doc_id").as("new_id"), graft.expressions
+        .EvalOnce(bandBucketsCol(numHashes, bands, portableHash)).as("bb"))
+      .select(col("new_id"), posexplode(col("bb")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     val cand = newBands
       .join(historyBands.select(col("doc_id").as("old_id"),
@@ -459,24 +481,10 @@ object Dedup {
       maxDocFreq: Int = Int.MaxValue
   ): DataFrame = {
     requireIntegralId(docs, idCol, "containmentPairs")
-    val staged = docs
-      .select(col(idCol).as("doc_id"), words(col(textCol)).as("ws"))
-      .select(col("doc_id"), array_distinct(shingles(col("ws"), shingleK)).as("shs"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = staged.select(col("doc_id"), size(col("shs")).as("n"))
-    val sh = staged.select(col("doc_id"), explode(col("shs")).as("sh"))
-    val bySh0 = sh.groupBy("sh")
-      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-    val bySh =
-      if (maxDocFreq == Int.MaxValue) bySh0
-      else bySh0.filter(size(col("ds")) <= maxDocFreq)
-    val inter = bySh
-      .select(graft.expressions.OrderedPairsGen(col("ds").cast("array<long>")))
-      .groupBy(col("a").as("a_id"), col("b").as("b_id"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n", "na"), "a_id")
-      .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n", "nb"), "b_id")
+    // same one-shuffle capped gather + payload pair fan-out as
+    // [[jaccardPairs]] (r17) — set sizes ride the postings, the two
+    // join-backs and the staged persist are gone
+    jaccardInter(docs, shingleK, idCol, textCol, maxDocFreq)
       .withColumn("containment_a", col("inter").cast("double") / col("na"))
       .withColumn("containment_b", col("inter").cast("double") / col("nb"))
       .filter(col("containment_a") >= threshold || col("containment_b") >= threshold)
@@ -633,10 +641,10 @@ object Dedup {
       .select(col(idCol).as("doc_id"), words(col(textCol)).as("ws"))
       // guard: sequence(0, -1) would generate a DESCENDING range for empty
       // docs, so zero-word documents get an explicit empty block list
-      .select(col("doc_id"),
+      .select(col("doc_id"), graft.expressions.EvalOnce(
         when(size(col("ws")) === 0, array().cast("array<string>"))
           .otherwise(transform(sequence(lit(0), nBlk - 1), i =>
-            array_join(slice(col("ws"), i * blockWords + 1, lit(blockWords)), " ")))
+            array_join(slice(col("ws"), i * blockWords + 1, lit(blockWords)), " "))))
           .as("blks"))
       .select(col("doc_id"), posexplode(col("blks")))
       .withColumnRenamed("pos", "bi").withColumnRenamed("col", "blk")
@@ -715,8 +723,11 @@ object Dedup {
     val gramsRaw = docs
       .select(col(idCol).as("doc_id"), col(textCol).as("text"))
       .filter(length(col("text")) >= k)
-      .select(col("doc_id"),
-        posexplode(graft.expressions.RollingHashWindows(col("text"), k)))
+      // eval_once + project-then-explode (r17): the inferred emptiness
+      // filter would otherwise re-run the whole O(n) hash roll per row
+      .select(col("doc_id"), graft.expressions.EvalOnce(
+        graft.expressions.RollingHashWindows(col("text"), k)).as("hs"))
+      .select(col("doc_id"), posexplode(col("hs")))
       .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("g"))
     // The agg plan reads the gram table twice (count pass + probe pass);
     // persisting the narrow (doc_id, p, h) rows skips the second
@@ -798,8 +809,9 @@ object Dedup {
     val sh = docs
       .select(col(idCol).as("doc_id"), isBenchmark.as("is_bench"),
         words(col(textCol)).as("ws"))
-      .select(col("doc_id"), col("is_bench"),
-        explode(array_distinct(shingles(col("ws"), shingleK))).as("sh"))
+      .select(col("doc_id"), col("is_bench"), graft.expressions.EvalOnce(
+        array_distinct(shingles(col("ws"), shingleK))).as("shs"))
+      .select(col("doc_id"), col("is_bench"), explode(col("shs")).as("sh"))
     val bench = sh.filter(col("is_bench")).select("sh").distinct()
     sh.filter(!col("is_bench"))
       .join(bench, "sh")
@@ -827,8 +839,9 @@ object Dedup {
     val sh = docs
       .select(col(idCol).as("doc_id"), isBenchmark.as("is_bench"),
         words(col(textCol)).as("ws"))
-      .select(col("doc_id"), col("is_bench"),
-        explode(array_distinct(shingles(col("ws"), shingleK))).as("sh"))
+      .select(col("doc_id"), col("is_bench"), graft.expressions.EvalOnce(
+        array_distinct(shingles(col("ws"), shingleK))).as("shs"))
+      .select(col("doc_id"), col("is_bench"), explode(col("shs")).as("sh"))
     val bench = sh.filter(col("is_bench")).select("sh").distinct()
       .withColumn("hit", lit(1L))
     sh.filter(!col("is_bench"))
@@ -967,7 +980,9 @@ object Dedup {
       .otherwise(transform(sequence(lit(0), nChunks - 1),
         ci => array_join(slice(ws, ci * cw + 1, lit(cw)), " ")))
     docs
-      .select(col(idCol).as("doc_id"), posexplode(chunkTexts).as(Seq("ci", "ctext")))
+      .select(col(idCol).as("doc_id"),
+        graft.expressions.EvalOnce(chunkTexts).as("cts"))
+      .select(col("doc_id"), posexplode(col("cts")).as(Seq("ci", "ctext")))
       .withColumn("fp", md5(col("ctext")))
   }
 
@@ -1023,10 +1038,13 @@ object Dedup {
     // ([[graft.expressions.ChunkMd5s]]; values identical — the digest sees
     // the same space-joined bytes, spec-pinned against chunkOccurrences).
     // crossDocChunkDedup keeps the occurrence form: it needs ctext/ci.
+    // project-then-explode with eval_once (r17): exploding the expression
+    // inline lets InferFiltersFromGenerate duplicate the whole digest pass
+    // into the inferred emptiness filter
     docs
-      .select(col(idCol).as("doc_id"),
-        explode(graft.expressions.ChunkMd5s(
-          words(col(textCol)), chunkWords)).as("fp"))
+      .select(col(idCol).as("doc_id"), graft.expressions.EvalOnce(
+        graft.expressions.ChunkMd5s(words(col(textCol)), chunkWords)).as("fps"))
+      .select(col("doc_id"), explode(col("fps")).as("fp"))
       .distinct()
   }
 
@@ -1146,8 +1164,8 @@ object Dedup {
     requireIntegralId(docs, idCol, "ppjoinPairs")
     val staged = docs
       .select(col(idCol).as("doc_id"), words(col(textCol)).as("ws"))
-      .select(col("doc_id"),
-        array_distinct(shingles(col("ws"), shingleK)).as("shs"))
+      .select(col("doc_id"), graft.expressions.EvalOnce(
+        array_distinct(shingles(col("ws"), shingleK))).as("shs"))
       .filter(size(col("shs")) > 0)
       // persisted: the exploded posting table `e` below is consumed by BOTH
       // the document-frequency aggregate and the df-attach join — without

@@ -46,9 +46,14 @@ object Winnowing {
     // arrays, O(n) deque selection. Value-identical to the HOF
     // formulation below ([[winnowSelect]], kept as the executable spec;
     // WinnowingSpec pins both against the hand-rolled reference).
+    // r17: wrapped in [[graft.expressions.EvalOnce]] — the filter
+    // InferFiltersFromGenerate infers under the downstream explode was
+    // pushed through this projection, re-evaluating the selection 2×
+    // per row in the filter on top of the projection's own evaluation
+    // (3 evaluations total, visible in the committed r16 d44 plan).
     docs.select(col(idCol),
-      graft.expressions.WinnowedHashes(
-        TextFunctions.words(col(textCol)), k, w).as("fps"))
+      graft.expressions.EvalOnce(graft.expressions.WinnowedHashes(
+        TextFunctions.words(col(textCol)), k, w)).as("fps"))
   }
 
   /** The selection core, exposed for composition: `hs` is an array<long>
