@@ -19,6 +19,8 @@ object RunOne {
       .withExtensions(new graft.GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        "false") // r17: guide §2.2/§9 — respect the advisory target (see Bench)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     extraConf.foreach { case (k, v) => builder.config(k, v) }

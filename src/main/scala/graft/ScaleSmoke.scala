@@ -16,6 +16,8 @@ object ScaleSmoke {
     val spark = SparkSession.builder()
       .withExtensions(new graft.GraftExtensions).master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        "false") // r17: guide §2.2/§9 — respect the advisory target (see Bench)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def time(label: String)(f: => Long): Unit = {

@@ -95,14 +95,18 @@ object Graph {
       if (smallVertexSet) broadcast(df) else df
     var pr = nodes.select(col("node"), lit(1000000L).as("rank"))
     for (i <- 1 to iterations) {
-      val contrib = e.join(maybeBcast(pr.withColumnRenamed("node", "src")), "src")
-        .groupBy("dst").agg(sum(expr("(rank * w) DIV wout")).as("s"))
-      val next =
-        nodes.join(maybeBcast(contrib.withColumnRenamed("dst", "node")),
-            Seq("node"), "left")
-          .select(col("node"),
-            (lit(150000L) +
-              expr("(850000 * coalesce(s, 0L)) DIV 1000000")).as("rank"))
+      // r17 (guide §2.4): per-edge contributions and the zero-contribution
+      // node floor fold in ONE sum aggregation — the old plan aggregated
+      // contributions by dst and then left-joined them back onto the node
+      // set (an extra join + broadcast build per round). Integer sums are
+      // order-free, so adding the nodes' 0-rows changes nothing.
+      val next = nodes.select(col("node"), lit(0L).as("s"))
+        .unionByName(e
+          .join(maybeBcast(pr.withColumnRenamed("node", "src")), "src")
+          .select(col("dst").as("node"), expr("(rank * w) DIV wout").as("s")))
+        .groupBy("node").agg(sum(col("s")).as("s"))
+        .select(col("node"),
+          (lit(150000L) + expr("(850000 * s) DIV 1000000")).as("rank"))
       pr = if (i % truncateEvery == 0 || i == iterations) truncate(next) else next
     }
     e.unpersist()
@@ -174,14 +178,23 @@ object Graph {
       if (smallVertexSet) broadcast(df) else df
     var lbl = nodes.select(col("node"), col("node").as("lbl"))
     for (i <- 1 to iterations) {
-      val votes = e
+      // r17 (guide §2.4): the vote argmax and the keep-old-label fallback
+      // fold into the second aggregation — carried labels ride as
+      // lowest-priority vote rows (origin 1 behind every real vote's 0),
+      // so the old plan's left join back onto the label table (and its
+      // per-round broadcast build) disappears. A node with any real vote
+      // picks the same (max weight, min label) winner; a node with none
+      // keeps its label via its carried row.
+      val next = e
         .join(maybeBcast(lbl.withColumnRenamed("node", "src")), "src")
         .groupBy(col("dst"), col("lbl")).agg(sum(col("w")).as("cw"))
-        .groupBy(col("dst"))
-        .agg(min(struct((-col("cw")).as("nc"), col("lbl").as("l"))).as("m"))
-        .select(col("dst").as("node"), col("m.l").as("newl"))
-      val next = lbl.join(maybeBcast(votes), Seq("node"), "left")
-        .select(col("node"), coalesce(col("newl"), col("lbl")).as("lbl"))
+        .select(col("dst").as("node"), lit(0).as("o"), (-col("cw")).as("nc"),
+          col("lbl"))
+        .unionByName(lbl.select(col("node"), lit(1).as("o"),
+          lit(0L).as("nc"), col("lbl")))
+        .groupBy(col("node"))
+        .agg(min(struct(col("o"), col("nc"), col("lbl").as("l"))).as("m"))
+        .select(col("node"), col("m.l").as("lbl"))
       lbl = if (i % truncateEvery == 0 || i == iterations) truncate(next) else next
     }
     e.unpersist()
@@ -344,23 +357,39 @@ object Graph {
     // was measured and REVERSED here: the second level's lazy plan
     // references level one three times, and the tripled subtree costs
     // more AQE stage-jobs than the saved barrier, 81 vs 73 jobs per fold)
+    //
+    // r17: the round's distinct + anti join + union are ONE aggregation
+    // (guide §2.4 — operations keyed the same way share one exchange): the
+    // old plan shuffled the targets for the dedup, built/shuffled the
+    // visited set again for the anti join, then copied visited into the
+    // checkpoint — 2-3 exchanges and ~5 AQE stage-jobs per level. Here
+    // visited rows (priority 0) union the round's targets (priority 1,
+    // depth d) and min(struct(priority, depth)) per node keeps the first
+    // writer: an already-visited node keeps its stored depth (the
+    // incrementalReachable contract — NOT min(depth), which would let a
+    // delta round rewrite history's larger depths), a new node gets depth
+    // d, and the priority field marks exactly the round's additions for
+    // the fused count and the next frontier. One exchange, ~3 jobs per
+    // level; profiled g08 fold 92 → 64 jobs.
     while (newCount > 0 && d < maxDepth) {
       d += 1
-      val next = e.join(maybeBcast(frontier.withColumnRenamed("node", "s")), "s")
-        .select(col("d").as("node")).distinct()
-        .join(visited.select("node"), Seq("node"), "left_anti")
-        .withColumn("depth", lit(d))
-      // the level size is summed INSIDE the checkpoint job (FusedProbe):
-      // rows at depth d are exactly the round's additions — no extra
-      // count job per level
-      val (mat, n) = FusedProbe.truncateCounting(
-        truncate, visited.unionByName(next), col("depth") === d)
+      val targets = e
+        .join(maybeBcast(frontier.withColumnRenamed("node", "s")), "s")
+        .select(col("d").as("node"), lit(d).as("depth"), lit(1).as("sk"))
+      val folded = visited
+        .select(col("node"), col("depth"), lit(0).as("sk"))
+        .unionByName(targets)
+        .groupBy("node")
+        .agg(min(struct(col("sk"), col("depth"))).as("m"))
+        .select(col("node"), col("m.depth").as("depth"),
+          (col("m.sk") === 1).as("sk_new"))
+      val (mat, n) = FusedProbe.truncateCounting(truncate, folded, col("sk_new"))
       visited = mat
-      frontier = visited.filter(col("depth") === d).select("node")
+      frontier = visited.filter(col("sk_new")).select("node")
       newCount = n
     }
     e.unpersist()
-    visited
+    if (d == 0) visited else visited.drop("sk_new")
   }
 
   /** INCREMENTAL reachability: fold an edge DELTA into a STORED closure
@@ -491,20 +520,24 @@ object Graph {
     var done = false
     while (i < rounds && !done) {
       i += 1
-      val relaxed = e
+      // r17 (guide §2.4): the per-edge relaxation rows and the carried
+      // distances fold in ONE aggregation — min(struct(dist, origin))
+      // per node — where the old plan aggregated the relaxations and
+      // then full-outer-joined them back onto the distance table (a
+      // second exchange of the |reached| set every round). Origin bit:
+      // carried rows tag 0, relaxation rows 1, so an exact tie keeps the
+      // carried row and sp_chg (origin of the winner = 1) reproduces the
+      // strict-improvement convergence signal bit-for-bit.
+      val relaxRows = e
         .join(maybeBcast(dist.withColumnRenamed("node", "src")), "src")
-        .groupBy(col("dst").as("node"))
-        .agg(min(col("dist") + col("cost")).as("cand"))
-      // full outer: newly-reached nodes enter, improved nodes shrink,
-      // untouched nodes carry over — min with NULL-absorbing coalesce.
-      // sp_chg marks rows this round changed: new node (dist NULL) or a
-      // strictly better candidate — the convergence signal.
-      val next = dist.join(relaxed, Seq("node"), "full_outer")
-        .select(col("node"),
-          least(coalesce(col("dist"), col("cand")),
-            coalesce(col("cand"), col("dist"))).as("dist"),
-          (col("dist").isNull ||
-            (col("cand").isNotNull && col("cand") < col("dist"))).as("sp_chg"))
+        .select(col("dst").as("node"),
+          (col("dist") + col("cost")).as("dist"), lit(1).as("sp_o"))
+      val next = dist.select(col("node"), col("dist"), lit(0).as("sp_o"))
+        .unionByName(relaxRows)
+        .groupBy("node")
+        .agg(min(struct(col("dist"), col("sp_o"))).as("m"))
+        .select(col("node"), col("m.dist").as("dist"),
+          (col("m.sp_o") === 1).as("sp_chg"))
       if (converge) {
         // checkpoint every round; the improvement count rides INSIDE the
         // checkpoint job (FusedProbe) — no separate probe job per round

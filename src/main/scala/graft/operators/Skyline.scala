@@ -88,10 +88,17 @@ object Skyline {
     val grid = pts.groupBy(bucket.as("sk_b")).agg(max(col(yCol)).as("sk_by"))
     val wb = Window.orderBy(col("sk_b")).rowsBetween(Window.unboundedPreceding, -1)
     val cum = grid.select(col("sk_b"), max(col("sk_by")).over(wb).as("sk_lo"))
+    // r17: the survivor set (front-sized after the grid prune) is
+    // MATERIALIZED here, which lets the point-set persist release at
+    // operator exit instead of leaking under the session-cache contract
+    // (stage 3 reads survivors twice — previously two more cached-pts
+    // derivations, now two block reads).
     val survivors = pts
       .join(broadcast(cum), bucket === col("sk_b"), "left")
       .filter(col("sk_lo").isNull || col(yCol) > col("sk_lo"))
       .drop("sk_b", "sk_lo")
+      .localCheckpoint(true)
+    pts.unpersist()
 
     // stage 3: exact dominance over the front-sized survivor set
     val perX = survivors.groupBy(col(xCol).as("sk_x"))
@@ -296,6 +303,21 @@ object Skyline {
     * [[pareto2d]] per hot group). */
   def pareto2dBy(df: DataFrame, keyCols: Seq[String], xCol: String,
       yCol: String): DataFrame = {
+    // r17: the per-group front (the result) materializes eagerly so the
+    // point-set persist releases at operator exit — the one persisted
+    // artifact a call previously left in the session cache
+    val (staged, release) = pareto2dByStaged(df, keyCols, xCol, yCol)
+    val out = staged.localCheckpoint(true)
+    release()
+    out
+  }
+
+  /** [[pareto2dBy]] before its result materializes: the LAZY per-group
+    * front plus a release hook for the internal point-set persist — the
+    * [[pareto3dStaged]] pattern, exposed so plan-shape guards can probe
+    * the partitioned-window form that the materialized checkpoint hides. */
+  private[graft] def pareto2dByStaged(df: DataFrame, keyCols: Seq[String],
+      xCol: String, yCol: String): (DataFrame, () => Unit) = {
     require(keyCols.nonEmpty, "keyCols must be non-empty — use pareto2d")
     requireNoSkColumns(df, "pareto2dBy")
     // Persisted: pts feeds the per-x aggregate AND the join back — one
@@ -315,13 +337,14 @@ object Skyline {
       max(col("sk_xy")).over(wx).as("sk_lt")): _*)
     // null-SAFE key equality: groupBy put null-keyed rows in their own
     // group, and a plain === would silently drop that whole group here
-    pts.join(bounds,
+    val out = pts.join(bounds,
         keyCols.zipWithIndex.map { case (k, i) =>
           col(k) <=> col(s"sk_k$i") }.reduce(_ && _) &&
           col(xCol) === col("sk_x"))
       .filter((col("sk_lt").isNull || col(yCol) > col("sk_lt")) &&
         !(col("sk_xy") > col(yCol)))
       .select(pts.columns.map(col): _*)
+    (out, () => { pts.unpersist(); () })
   }
 
   /** Onion-layer skyline peeling: layer 1 is the Pareto front, layer i

@@ -509,11 +509,30 @@ class EntrySpec extends SparkSpec {
       "sk02 lost the broadcast exact pass")
     assert(!sk02x.contains("CartesianProduct") && !sk02x.contains("SortMergeJoin"),
       "sk02 planned an unbroadcast all-pairs or corpus shuffle join")
-    // sk04: per-group fronts are PARTITIONED windows — the degenerate
-    // global-order Window.orderBy form would single-partition the corpus
+    // sk04: the registered query returns the MATERIALIZED per-group front
+    // (r17 — the checkpoint is what lets the operator release its
+    // point-set persist), so the window form is probed on the staged
+    // (pre-checkpoint) plan: per-group fronts are PARTITIONED windows —
+    // the degenerate global-order Window.orderBy form would
+    // single-partition the corpus
     val sk04 = plan("sk04_pareto_by_source")
-    assert(sk04.contains("Window"), "sk04 lost the window form")
+    assert(sk04.contains("Scan ExistingRDD") && !sk04.contains("Join"),
+      s"sk04 lost its materialized-front shape:\n$sk04")
     assert(!sk04.contains("CartesianProduct"))
+    val sk04pts = {
+      import org.apache.spark.sql.functions.col
+      graft.Tables.table(spark, sf(), "documents").select(
+        col("doc_id"), col("source"), col("n_chars").as("x"),
+        col("doc_id").cast("long").as("y"))
+    }
+    val (sk04staged, sk04release) =
+      graft.operators.Skyline.pareto2dByStaged(sk04pts, Seq("source"), "x", "y")
+    val sk04x = sk04staged.queryExecution.executedPlan.toString
+    sk04release()
+    assert(sk04x.contains("Window"), "sk04 lost the window form")
+    assert(sk04x.contains("PartitionBy") || sk04x.contains("partitionBy") ||
+      sk04x.contains("windowspecdefinition(sk_k0"),
+      s"sk04 window is not partitioned by the group key:\n$sk04x")
     // d56: incremental probe keeps the scan-local scoring (no join-back)
     val d56 = plan("d56_incremental_editdist")
     assert(d56.contains("levenshtein"),

@@ -17,6 +17,8 @@ object SparkSpec {
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        "false") // r17: match the engine entry points (see Bench.scala)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
