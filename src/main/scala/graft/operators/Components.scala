@@ -169,12 +169,21 @@ object Components {
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIter) {
-      val nbrMin = und
+      // r17 (guide §2.4): the neighbor-min aggregate and the left join
+      // back onto the label table fold into ONE aggregation — each
+      // vertex's own label rides the union as an origin-0 row, so
+      // min(c) IS least(own, neighbor-min) and the own label (the `prev`
+      // the convergence flag needs) is a conditional min in the same
+      // shuffle. Vertices without neighbors keep their label via their
+      // own row, exactly the old coalesce.
+      val propagated = und
         .join(labels.select(col("u").as("v"), col("comp").as("vc")), "v")
-        .groupBy("u").agg(min(col("vc")).as("nm"))
-      val propagated = labels.join(nbrMin, Seq("u"), "left")
-        .select(col("u"), col("comp").as("prev"),
-          least(col("comp"), coalesce(col("nm"), col("comp"))).as("comp"))
+        .select(col("u"), col("vc").as("c"), lit(1).as("o"))
+        .unionByName(labels.select(col("u"), col("comp").as("c"),
+          lit(0).as("o")))
+        .groupBy("u")
+        .agg(min(col("c")).as("comp"),
+          min(when(col("o") === 0, col("c"))).as("prev"))
       // pointer jumping: follow the label one hop through the label table.
       // Convergence is detected with a carried `chg` flag summed INSIDE the
       // checkpoint job (FusedProbe) — no extra probe job per round.

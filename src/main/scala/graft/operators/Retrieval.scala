@@ -67,7 +67,8 @@ object Retrieval {
       termCol: String = "term"
   ): DataFrame = {
     val docsW = docs
-      .select(col(idCol), words(col(textCol)).as("ws"))
+      .select(col(idCol), graft.expressions.EvalOnce(
+        words(col(textCol))).as("ws"))
       .select(col(idCol), col("ws"), size(col("ws")).as("dl"))
     val stats = docsW.agg(count(lit(1)).as("n"), sum(col("dl")).as("totdl"))
     val postings = docsW
@@ -131,7 +132,8 @@ object Retrieval {
       termCol: String = "term"
   ): (DataFrame, DataFrame, DataFrame) = {
     val docsW = docs
-      .select(col(idCol), words(col(textCol)).as("ws"))
+      .select(col(idCol), graft.expressions.EvalOnce(
+        words(col(textCol))).as("ws"))
       .select(col(idCol), col("ws"), size(col("ws")).as("dl"))
     val stats = docsW.agg(count(lit(1)).as("n"), sum(col("dl")).as("totdl"))
     val postings = docsW
@@ -240,7 +242,8 @@ object Retrieval {
       idCol: String = "doc_id",
       textCol: String = "text"
   ): DataFrame = {
-    val docsW = docs.select(col(idCol), words(col(textCol)).as("ws"))
+    val docsW = docs.select(col(idCol),
+      graft.expressions.EvalOnce(words(col(textCol))).as("ws"))
     val nDocs = docsW.agg(count(lit(1)).as("n"))
     val tf = docsW
       .select(col(idCol), explode(col("ws")).as("term"))
