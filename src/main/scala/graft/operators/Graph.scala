@@ -349,7 +349,12 @@ object Graph {
       // persist); recorded here because it is a measured reversal of the
       // "obvious" scale optimization.
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var visited = truncate(visited0)
+    // r17: visited0 is not eagerly checkpointed — it is either a stored
+    // parquet read (incrementalReachable's closure: zero lineage already)
+    // or a seed-set projection; round 1's fused checkpoint materializes
+    // it, so the up-front copy of the WHOLE stored closure was one
+    // redundant O(|closure|) job per fold.
+    var visited = visited0
     var frontier = frontier0
     var newCount = frontier.count()
     var d = 0
