@@ -334,9 +334,11 @@ object VectorIndex {
     val qt = withVec(queries, idCol, vecCol)
       .withColumn("qvh", transform(col("v"), x => x / col("nrm")))
       .select(col("vid").as("q_id"), col("qvh"))
-    require(queries.isEmpty || {
+    // one guard job, not two (r17): min/max come back NULL on an empty
+    // query set — the old isEmpty probe was a separate limit(1) job
+    require({
       val qd = queries.agg(min(size(col(vecCol))), max(size(col(vecCol)))).head()
-      qd.getInt(0) == dim && qd.getInt(1) == dim
+      qd.isNullAt(0) || (qd.getInt(0) == dim && qd.getInt(1) == dim)
     }, s"search: query dimensionality must be the index's $dim")
 
     val wProbe = Window.partitionBy(col("q_id")).orderBy(col("cdist"), col("cluster"))
